@@ -1,0 +1,275 @@
+"""HTTP polling client: send with retry, classify status, decode rows.
+
+Re-expresses the reference's lookup client state machine (SURVEY §2.1 S4):
+
+- orchestration (build → send-with-retry → classify → decode → metadata):
+  ``table/lookup/JavaNetHttpPollingClient.java:128-201``
+- response processing incl. ignored-status fold and continue-on-error:
+  ``JavaNetHttpPollingClient.java:106-112, 166-199, 260-317``
+- single-value vs array result decode:
+  ``JavaNetHttpPollingClient.java:340-376``
+- OIDC/Basic header rewrite at request time (never at plan time):
+  ``JavaNetHttpPollingClient.java:211-249``, ``RequestFactoryBase.java:71-74``
+
+Transport is Python stdlib ``urllib.request`` (HTTP/1.1) with an opener
+carrying the TLS context and optional authenticated proxy
+(``utils/JavaNetHttpClientFactory.java:74-94``).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import urllib.error
+import urllib.request
+from typing import Any, Dict, List, Mapping, Optional, Tuple
+
+from .auth import (
+    AUTHORIZATION,
+    HeaderPreprocessor,
+    OidcAccessTokenManager,
+    basic_auth_value,
+    preprocess_headers,
+)
+from .options import HttpLookupOptions
+from .query_creators import QueryCreator, resolve_query_creator
+from .request import HttpRequestSpec, build_lookup_request
+from .retry import HttpRetryError, RetryStats, run_with_retry
+from .status import HttpResponseChecker, parse_http_codes
+from .tls import build_ssl_context
+from .types import HttpCompletionState, HttpLookupResult
+
+__all__ = ["HttpResponse", "HttpTransport", "HttpPollingClient"]
+
+logger = logging.getLogger(__name__)
+
+
+class HttpResponse:
+    """Minimal response view: status, headers (multi-valued), body bytes."""
+
+    __slots__ = ("status", "headers", "body")
+
+    def __init__(self, status: int, headers: List[Tuple[str, str]], body: bytes):
+        self.status = status
+        self.headers = headers
+        self.body = body
+
+    def header_map(self) -> Dict[str, List[str]]:
+        """Headers as ``MAP<STRING, ARRAY<STRING>>`` for the metadata column
+        (reference ``HttpLookupTableSource.java:345-359``)."""
+        out: Dict[str, List[str]] = {}
+        for name, value in self.headers:
+            out.setdefault(name, []).append(value)
+        return out
+
+
+class HttpTransport:
+    """One configured urllib opener: TLS + proxy + timeout."""
+
+    def __init__(
+        self,
+        *,
+        timeout: float = 30.0,
+        server_ca: Optional[str] = None,
+        client_cert: Optional[str] = None,
+        client_key: Optional[str] = None,
+        allow_self_signed: bool = False,
+        proxy_host: Optional[str] = None,
+        proxy_port: Optional[int] = None,
+        proxy_user: Optional[str] = None,
+        proxy_password: Optional[str] = None,
+    ) -> None:
+        self.timeout = timeout
+        handlers: list = []
+        context = build_ssl_context(
+            server_ca=server_ca,
+            client_cert=client_cert,
+            client_key=client_key,
+            allow_self_signed=allow_self_signed,
+        )
+        if context is not None:
+            handlers.append(urllib.request.HTTPSHandler(context=context))
+        if proxy_host:
+            authority = f"{proxy_host}:{proxy_port}" if proxy_port else proxy_host
+            if proxy_user:
+                authority = f"{proxy_user}:{proxy_password or ''}@{authority}"
+            handlers.append(urllib.request.ProxyHandler({
+                "http": f"http://{authority}",
+                "https": f"http://{authority}",
+            }))
+        self._opener = urllib.request.build_opener(*handlers)
+
+    def send(self, spec: HttpRequestSpec) -> HttpResponse:
+        """Issue one request; non-2xx responses return normally (policy
+        classification happens upstream, like the reference's client)."""
+        req = urllib.request.Request(
+            spec.url,
+            data=spec.body,
+            headers=dict(spec.headers),
+            method=spec.method,
+        )
+        try:
+            with self._opener.open(req, timeout=self.timeout) as resp:
+                return HttpResponse(resp.status, list(resp.headers.items()), resp.read())
+        except urllib.error.HTTPError as err:
+            body = err.read() if hasattr(err, "read") else b""
+            return HttpResponse(err.code, list((err.headers or {}).items()), body)
+
+
+class HttpPollingClient:
+    """Build request → send with retry → classify → decode → metadata.
+
+    One instance per (executor worker, lookup-table config); thread-safe, so
+    the async pool can share it.
+    """
+
+    def __init__(
+        self,
+        *,
+        url: str,
+        options: HttpLookupOptions,
+        query_creator: Optional[QueryCreator] = None,
+        transport: Optional[HttpTransport] = None,
+    ) -> None:
+        self.url = url
+        self.options = options
+        self.query_creator = query_creator or resolve_query_creator(
+            options.query_creator,
+            options.method,
+            **(
+                {"url_map": dict(options.url_map), "body_template": options.body_template}
+                if (options.query_creator == "http-generic-json-url")
+                else {}
+            ),
+        )
+        self.checker = HttpResponseChecker(options.success_codes, options.retry_codes)
+        self.ignored_codes = parse_http_codes(options.ignored_codes or "")
+        self.transport = transport or HttpTransport(
+            timeout=options.request_timeout,
+            server_ca=options.server_ca,
+            client_cert=options.client_cert,
+            client_key=options.client_key,
+            allow_self_signed=options.allow_self_signed,
+            proxy_host=options.proxy_host,
+            proxy_port=options.proxy_port,
+        )
+        self.retry_stats = RetryStats()
+        self._preprocessors: Dict[str, HeaderPreprocessor] = {}
+        if options.oidc_token_endpoint and options.oidc_token_request:
+            manager = OidcAccessTokenManager(
+                options.oidc_token_endpoint,
+                options.oidc_token_request,
+                expiry_reduction=options.oidc_expiry_reduction,
+            )
+            self._preprocessors[AUTHORIZATION] = manager.authorization_preprocessor()
+        elif not options.use_raw_auth_header:
+            self._preprocessors[AUTHORIZATION] = basic_auth_value
+
+    # -- request construction -------------------------------------------------
+
+    def build_request(self, key_values: Mapping[str, Any]) -> HttpRequestSpec:
+        query_info = self.query_creator(key_values)
+        headers = preprocess_headers(dict(self.options.headers), self._preprocessors)
+        return build_lookup_request(
+            method=self.options.method,
+            url=self.url,
+            query_info=query_info,
+            headers=headers,
+        )
+
+    # -- response decode -------------------------------------------------------
+
+    def _decode(self, body: bytes) -> List[Mapping[str, Any]]:
+        """Decode the body per ``result_type`` (single-value → one row,
+        array → N rows — reference ``JavaNetHttpPollingClient.java:340-376``)."""
+        text = body.decode("utf-8").strip()
+        if not text:
+            return []
+        payload = json.loads(text)
+        if self.options.result_type == "array":
+            if not isinstance(payload, list):
+                raise ValueError("Expected a JSON array response (result-type=array)")
+            return [row for row in payload if row is not None]
+        if isinstance(payload, list):
+            raise ValueError(
+                "Got a JSON array but result-type=single-value; "
+                "set http.source.lookup.result-type=array"
+            )
+        return [payload]
+
+    # -- the state machine -----------------------------------------------------
+
+    def pull(self, key_values: Mapping[str, Any]) -> HttpLookupResult:
+        """One lookup: returns rows + metadata, or raises when the policy
+        says fail (continue-on-error off — reference
+        ``JavaNetHttpPollingClient.java:166-199``)."""
+        spec = self.build_request(key_values)
+        try:
+            response = run_with_retry(
+                lambda: self.transport.send(spec),
+                config=self.options.retry,
+                status_of=lambda r: r.status,
+                is_retriable_status=self.checker.is_temporal_error,
+                retriable_exceptions=(OSError,),
+                stats=self.retry_stats,
+            )
+        except HttpRetryError as err:
+            return self._on_failure(
+                HttpCompletionState.EXCEPTION,
+                f"retries exhausted: {err}",
+                status_code=err.status_code,
+            )
+        except Exception as err:  # noqa: BLE001 — policy boundary
+            return self._on_failure(HttpCompletionState.EXCEPTION, str(err))
+
+        headers = response.header_map()
+        if response.status in self.ignored_codes:
+            # Ignored ⊂ success for classification, but content is dropped
+            # (reference fold ``JavaNetHttpPollingClient.java:106-112``).
+            return HttpLookupResult(
+                rows=(),
+                status_code=response.status,
+                headers=headers,
+                completion_state=HttpCompletionState.IGNORE_STATUS_CODE,
+            )
+        if not self.checker.is_successful(response.status):
+            return self._on_failure(
+                HttpCompletionState.HTTP_ERROR_STATUS,
+                f"HTTP error status {response.status}",
+                status_code=response.status,
+                headers=headers,
+            )
+        try:
+            rows = self._decode(response.body)
+        except (ValueError, UnicodeDecodeError) as err:
+            return self._on_failure(
+                HttpCompletionState.UNABLE_TO_DESERIALIZE_RESPONSE,
+                f"cannot deserialize response: {err}",
+                status_code=response.status,
+                headers=headers,
+            )
+        return HttpLookupResult(
+            rows=rows,
+            status_code=response.status,
+            headers=headers,
+            completion_state=HttpCompletionState.SUCCESS,
+        )
+
+    def _on_failure(
+        self,
+        state: HttpCompletionState,
+        error: str,
+        *,
+        status_code: Optional[int] = None,
+        headers: Optional[Mapping[str, List[str]]] = None,
+    ) -> HttpLookupResult:
+        if not self.options.continue_on_error:
+            raise RuntimeError(f"HTTP lookup failed ({state.value}): {error}")
+        logger.debug("lookup continue-on-error: %s (%s)", error, state.value)
+        return HttpLookupResult(
+            rows=(),
+            error_string=error,
+            status_code=status_code,
+            headers=headers,
+            completion_state=state,
+        )

@@ -1,0 +1,82 @@
+"""Level-gated HTTP content logging + request/response callback hook.
+
+Parity targets:
+- content-logger levels MIN / REQ_RESP / MAX — method+URI always, bodies at
+  REQ_RESP and above, headers only at MAX, obfuscated otherwise: reference
+  ``HttpLogger.java:56-151``; level table ``docs/.../table/http.md:832-839``
+- request/response callback SPI with default slf4j loggers: reference
+  ``HttpPostRequestCallback.java``,
+  ``table/lookup/Slf4JHttpLookupPostRequestCallback.java`` (SURVEY §2.7 R12)
+"""
+
+from __future__ import annotations
+
+import logging
+from enum import Enum
+from typing import Callable, Mapping, Optional
+
+__all__ = ["HttpContentLogLevel", "HttpContentLogger", "logging_callback"]
+
+logger = logging.getLogger("flink_connector_http_spark.http")
+
+_OBFUSCATED = "<obfuscated>"
+
+
+class HttpContentLogLevel(str, Enum):
+    MIN = "MIN"            # method + URI only
+    REQ_RESP = "REQ_RESP"  # + bodies
+    MAX = "MAX"            # + headers
+
+
+class HttpContentLogger:
+    """Formats one request/response exchange according to the level."""
+
+    def __init__(self, level: HttpContentLogLevel = HttpContentLogLevel.MIN,
+                 log: logging.Logger = logger) -> None:
+        self.level = HttpContentLogLevel(level)
+        self._log = log
+
+    def _body(self, body: Optional[bytes]) -> str:
+        if self.level == HttpContentLogLevel.MIN:
+            return _OBFUSCATED
+        if body is None:
+            return ""
+        return body.decode("utf-8", errors="replace")
+
+    def _headers(self, headers: Optional[Mapping[str, object]]) -> str:
+        if self.level != HttpContentLogLevel.MAX:
+            return _OBFUSCATED
+        return str(dict(headers or {}))
+
+    def log_exchange(self, *, method: str, url: str,
+                     request_body: Optional[bytes] = None,
+                     request_headers: Optional[Mapping[str, object]] = None,
+                     status: Optional[int] = None,
+                     response_body: Optional[bytes] = None,
+                     response_headers: Optional[Mapping[str, object]] = None) -> None:
+        self._log.info(
+            "HTTP %s %s -> %s | req body=%s headers=%s | resp body=%s headers=%s",
+            method, url, status,
+            self._body(request_body), self._headers(request_headers),
+            self._body(response_body), self._headers(response_headers),
+        )
+
+
+def logging_callback(level: HttpContentLogLevel = HttpContentLogLevel.MIN
+                     ) -> Callable[[object, object], None]:
+    """Default ``on_response`` callback: logs each exchange (the reference's
+    slf4j callbacks)."""
+    content_logger = HttpContentLogger(level)
+
+    def on_response(request, response) -> None:
+        content_logger.log_exchange(
+            method=getattr(request, "method", "?"),
+            url=getattr(request, "url", "?"),
+            request_body=getattr(request, "body", None),
+            request_headers=getattr(request, "headers", None),
+            status=getattr(response, "status", None),
+            response_body=getattr(response, "body", None),
+            response_headers=dict(getattr(response, "headers", []) or []) or None,
+        )
+
+    return on_response

@@ -1,0 +1,347 @@
+"""HTTP lookup table + lookup-join enrichment operator (the flagship).
+
+Re-expresses the reference's lookup source (SURVEY §2.1 S1-S3, §2.3 J1-J3)
+Spark-first: one narrow ``mapInPandas`` stage — no shuffle, exactly like the
+reference's lookup join stays shuffle-free — with per-Arrow-batch **distinct
+key** extraction (an optimization the reference lacks: it fires one HTTP call
+per probe row, cache aside), a thread-pooled client (reference's async pools,
+``AsyncHttpTableLookupFunction.java:40-42,94-115``), and a per-executor
+LRU+TTL cache (reference ``DefaultLookupCache`` wiring,
+``HttpLookupTableSourceFactory.java:241-250``).
+
+Semantics parity (reference ``HttpTableLookupFunction.java:102-197`` and
+``docs/.../table/http.md:203-243,701-746``):
+
+- inner-join emptiness: no result rows + no metadata columns requested ⇒
+  emit nothing for that probe row; with metadata columns requested ⇒ emit
+  one row with null enrichment + populated metadata (``table/http.md:712-714``)
+- join-key backfill: result columns that are join keys and came back null
+  get the probe-side key value copied in
+  (``HttpTableLookupFunction.java:122-169``)
+- array results multiply the probe row (result-type=array,
+  ``JavaNetHttpPollingClient.java:340-376``)
+- projection pushdown: the JSON decode schema is pruned to the requested
+  lookup columns before any HTTP work
+  (``HttpLookupTableSource.java:109-111,202-204``)
+- metadata pushdown: only requested metadata columns are computed
+  (``HttpLookupTableSource.java:302-340``)
+
+Works identically on batch DataFrames and on Structured Streaming
+micro-batches (processing-time temporal-join semantics by construction —
+``table/http.md:116-119``).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import decimal
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Any, Dict, Iterable, Iterator, List, Mapping, Optional, Sequence, Tuple, Union
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from .cache import LookupCacheConfig, LruTtlCache, shared_cache
+from .client import HttpPollingClient
+from .options import HttpLookupOptions
+from .types import (
+    METADATA_COLUMN_NAMES,
+    HttpCompletionState,
+    HttpLookupResult,
+    metadata_schema,
+)
+
+__all__ = ["HttpLookupTable", "http_lookup_join"]
+
+
+@dataclass(frozen=True)
+class HttpLookupTable:
+    """Declares a REST endpoint as a lookup table (reference S1:
+    ``HttpLookupTableSourceFactory.java:97-133``, connector id ``"http"``).
+
+    ``schema`` is the *declared* physical row type of one decoded result —
+    never inferred, mirroring the reference's DDL-driven schema.
+    """
+
+    url: str
+    schema: T.StructType
+    options: HttpLookupOptions = field(default_factory=HttpLookupOptions)
+
+    def fingerprint(self) -> Tuple:
+        return (self.url, self.schema.json(), repr(self.options))
+
+
+# --- per-executor client singletons (python workers are reused across tasks) -
+
+_CLIENTS: Dict[Tuple, HttpPollingClient] = {}
+_CLIENTS_LOCK = threading.Lock()
+
+
+def _client_for(table: HttpLookupTable) -> HttpPollingClient:
+    key = table.fingerprint()
+    with _CLIENTS_LOCK:
+        client = _CLIENTS.get(key)
+        if client is None:
+            client = HttpPollingClient(url=table.url, options=table.options)
+            _CLIENTS[key] = client
+        return client
+
+
+# --- JSON value → declared Spark type coercion --------------------------------
+
+def _coerce(value: Any, data_type: T.DataType) -> Any:
+    """Coerce a decoded JSON value into the declared schema's Python shape.
+
+    The reference delegates this to the Flink ``json`` format against the
+    DDL type (``HttpLookupTableSourceFactory.java:103-105``); here we decode
+    against the declared ``StructType`` ourselves.
+    """
+    if value is None:
+        return None
+    if isinstance(data_type, T.StructType):
+        if not isinstance(value, Mapping):
+            return None
+        return {
+            f.name: _coerce(value.get(f.name), f.dataType) for f in data_type.fields
+        }
+    if isinstance(data_type, T.ArrayType):
+        if not isinstance(value, (list, tuple)):
+            return None
+        return [_coerce(v, data_type.elementType) for v in value]
+    if isinstance(data_type, T.MapType):
+        if not isinstance(value, Mapping):
+            return None
+        return {k: _coerce(v, data_type.valueType) for k, v in value.items()}
+    if isinstance(data_type, (T.IntegerType, T.LongType, T.ShortType, T.ByteType)):
+        return int(value)
+    if isinstance(data_type, (T.DoubleType, T.FloatType)):
+        return float(value)
+    if isinstance(data_type, T.DecimalType):
+        return decimal.Decimal(str(value))
+    if isinstance(data_type, T.BooleanType):
+        if isinstance(value, str):
+            return value.lower() == "true"
+        return bool(value)
+    if isinstance(data_type, T.TimestampType):
+        if isinstance(value, str):
+            return _dt.datetime.fromisoformat(value.replace("Z", "+00:00"))
+        return value
+    if isinstance(data_type, T.DateType):
+        if isinstance(value, str):
+            return _dt.date.fromisoformat(value)
+        return value
+    if isinstance(data_type, T.StringType):
+        return value if isinstance(value, str) else str(value)
+    return value
+
+
+# --- key handling --------------------------------------------------------------
+
+def _normalize_on(
+    on: Union[Sequence[str], Mapping[str, str]],
+) -> List[Tuple[str, str]]:
+    """``on`` → list of (probe_column, lookup_key_name) pairs.
+
+    Accepts a list of shared names or a ``{probe_col: lookup_key}`` mapping;
+    dotted paths address nested struct fields on either side (reference
+    nested ROW join keys, ``RowTypeLookupSchemaEntry.java:73-87``).
+    """
+    if isinstance(on, Mapping):
+        pairs = list(on.items())
+    else:
+        pairs = [(name, name) for name in on]
+    if not pairs:
+        raise ValueError("http_lookup_join requires at least one key column in `on`")
+    return pairs
+
+
+def _extract_path(container: Any, path: Sequence[str]) -> Any:
+    for part in path:
+        if container is None:
+            return None
+        if isinstance(container, Mapping):
+            container = container.get(part)
+        else:
+            container = getattr(container, part, None)
+    return container
+
+
+def _leaf_name(dotted: str) -> str:
+    """Flattened creator arg name = leaf field name (reference flattens
+    nested ROW keys into leaf name/value args)."""
+    return dotted.split(".")[-1]
+
+
+# --- the operator ---------------------------------------------------------------
+
+def http_lookup_join(
+    probe: DataFrame,
+    table: HttpLookupTable,
+    on: Union[Sequence[str], Mapping[str, str]],
+    *,
+    how: str = "inner",
+    select: Optional[Sequence[str]] = None,
+    metadata_columns: Optional[Sequence[str]] = None,
+    lookup_prefix: str = "",
+) -> DataFrame:
+    """Enrich ``probe`` with rows fetched from ``table``'s HTTP endpoint.
+
+    Equivalent of ``JOIN LookupTable FOR SYSTEM_TIME AS OF proc_time ON ...``
+    (reference flagship path, SURVEY §3.1). ``select`` prunes the decoded
+    lookup columns (projection pushdown); ``metadata_columns`` appends the
+    requested virtual columns; ``lookup_prefix`` renames lookup output
+    columns to avoid probe collisions.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    pairs = _normalize_on(on)
+
+    # projection pushdown: prune decode schema to requested columns (+ keys,
+    # which are needed for backfill).
+    lookup_fields = list(table.schema.fields)
+    if select is not None:
+        wanted = set(select) | {lk.split(".")[0] for _, lk in pairs}
+        missing = set(select) - {f.name for f in lookup_fields}
+        if missing:
+            raise ValueError(f"select references unknown lookup columns {sorted(missing)}")
+        lookup_fields = [f for f in lookup_fields if f.name in wanted]
+    pruned_schema = T.StructType(lookup_fields)
+    output_lookup_fields = (
+        lookup_fields if select is None
+        else [f for f in lookup_fields if f.name in set(select)]
+    )
+
+    meta_fields = list(metadata_schema(metadata_columns).fields) if metadata_columns else []
+    if metadata_columns:
+        unknown = set(metadata_columns) - set(METADATA_COLUMN_NAMES)
+        if unknown:
+            raise ValueError(f"unknown metadata columns {sorted(unknown)}")
+
+    probe_fields = list(probe.schema.fields)
+    probe_names = {f.name for f in probe_fields}
+    out_fields = list(probe_fields)
+    for f in output_lookup_fields:
+        name = f"{lookup_prefix}{f.name}"
+        if name in probe_names:
+            raise ValueError(
+                f"lookup column {name!r} collides with a probe column; "
+                "pass lookup_prefix= to rename lookup output columns"
+            )
+        out_fields.append(T.StructField(name, f.dataType, True))
+    for f in meta_fields:
+        out_fields.append(T.StructField(f"{lookup_prefix}{f.name}", f.dataType, True))
+    out_schema = T.StructType(out_fields)
+
+    probe_col_names = [f.name for f in probe_fields]
+    lookup_out_names = [f.name for f in output_lookup_fields]
+    meta_names = [f.name for f in meta_fields]
+    key_lookup_names = [lk for _, lk in pairs]
+    emit_on_empty = how == "left" or bool(meta_fields)
+
+    # plain-data config captured by the closure (all picklable)
+    table_ref = table
+
+    def enrich(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        client = _client_for(table_ref)
+        cache: Optional[LruTtlCache] = None
+        if table_ref.options.cache is not None:
+            cache = shared_cache(table_ref.fingerprint(), table_ref.options.cache)
+        pool_size = max(1, table_ref.options.pull_pool_size)
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            # --- distinct-key extraction (batch-level dedup) ------------------
+            key_cols: List[List[Any]] = []
+            for probe_col, _lk in pairs:
+                path = probe_col.split(".")
+                root = pdf[path[0]]
+                if len(path) == 1:
+                    key_cols.append(root.tolist())
+                else:
+                    key_cols.append([_extract_path(v, path[1:]) for v in root])
+            row_keys: List[Tuple] = list(zip(*key_cols))
+            distinct: Dict[Tuple, Optional[HttpLookupResult]] = {}
+            for kt in row_keys:
+                distinct.setdefault(kt, None)
+
+            # --- cache probe + thread-pooled fetch ----------------------------
+            to_fetch: List[Tuple] = []
+            for kt in distinct:
+                cached = cache.get(kt) if cache is not None else None
+                if cached is not None:
+                    distinct[kt] = cached
+                else:
+                    to_fetch.append(kt)
+
+            def fetch(kt: Tuple) -> Tuple[Tuple, HttpLookupResult]:
+                key_values = {
+                    _leaf_name(lk): v for (_pc, lk), v in zip(pairs, kt)
+                }
+                return kt, client.pull(key_values)
+
+            if to_fetch:
+                if len(to_fetch) == 1 or pool_size == 1:
+                    fetched = [fetch(kt) for kt in to_fetch]
+                else:
+                    with ThreadPoolExecutor(max_workers=pool_size) as pool:
+                        fetched = list(pool.map(fetch, to_fetch))
+                for kt, result in fetched:
+                    distinct[kt] = result
+                    if cache is not None and result.completion_state in (
+                        HttpCompletionState.SUCCESS,
+                    ):
+                        if result.rows or cache.config.cache_missing_key:
+                            cache.put(kt, result)
+
+            # --- assemble output rows -----------------------------------------
+            out_cols: Dict[str, List[Any]] = {name: [] for name in
+                                              [f.name for f in out_fields]}
+            probe_values = {name: pdf[name].tolist() for name in probe_col_names}
+
+            for i in range(n):
+                result = distinct[row_keys[i]]
+                assert result is not None
+                rows = result.rows
+                if not rows:
+                    if not emit_on_empty:
+                        continue
+                    rows = [None]  # one null-enrichment row
+                for row in rows:
+                    for name in probe_col_names:
+                        out_cols[name].append(probe_values[name][i])
+                    for f in output_lookup_fields:
+                        name = f"{lookup_prefix}{f.name}"
+                        if row is None:
+                            out_cols[name].append(None)
+                            continue
+                        value = _coerce(row.get(f.name), f.dataType)
+                        # join-key backfill: null result key ← probe value
+                        if value is None and f.name in key_lookup_names:
+                            idx = key_lookup_names.index(f.name)
+                            value = row_keys[i][idx]
+                        out_cols[name].append(value)
+                    if meta_fields:
+                        meta_map = {
+                            "error-string": result.error_string,
+                            "http-status-code": result.status_code,
+                            "http-headers": dict(result.headers) if result.headers else None,
+                            "http-completion-state": result.completion_state.value,
+                        }
+                        for mname in meta_names:
+                            out_cols[f"{lookup_prefix}{mname}"].append(meta_map[mname])
+
+            out = pd.DataFrame(
+                {name: pd.Series(values, dtype="object")
+                 for name, values in out_cols.items()}
+            )
+            if len(out) == 0:
+                continue
+            yield out
+
+    return probe.mapInPandas(enrich, schema=out_schema)

@@ -1,0 +1,243 @@
+"""All connector option keys, with the reference's names and defaults.
+
+The reference exposes configuration through Flink table options
+(``table/lookup/HttpLookupConnectorOptions.java``,
+``table/sink/HttpDynamicSinkConnectorOptions.java``,
+``config/HttpConnectorConfigConstants.java``). We keep the exact key
+strings so a user of the reference can carry their option maps over, and
+surface them as typed dataclass fields on :class:`HttpLookupOptions` /
+:class:`HttpSinkOptions`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Mapping, Optional
+
+from .cache import LookupCacheConfig
+from .retry import RetryConfig
+from .status import DEFAULT_RETRY_CODES, DEFAULT_SUCCESS_CODES
+
+__all__ = [
+    "HttpLookupOptions",
+    "HttpSinkOptions",
+    "LOOKUP_OPTION_KEYS",
+    "SINK_OPTION_KEYS",
+    "lookup_options_from_map",
+    "sink_options_from_map",
+]
+
+# Reference key strings (``HttpLookupConnectorOptions.java``, doc table/http.md).
+LOOKUP_OPTION_KEYS = {
+    "url": "url",
+    "method": "http.source.lookup.method",  # lookup-method in docs
+    "request_timeout": "http.source.lookup.request.timeout",
+    "pull_pool_size": "http.source.lookup.request.thread-pool.size",
+    "publish_pool_size": "http.source.lookup.response.thread-pool.size",
+    "use_async": "asyncPolling",
+    "result_type": "http.source.lookup.result-type",
+    "success_codes": "http.source.lookup.success-codes",
+    "retry_codes": "http.source.lookup.retry-codes",
+    "ignored_codes": "http.source.lookup.ignored-response-codes",
+    "continue_on_error": "http.source.lookup.connection.continue-on-error",  # gid.connector naming dropped
+    "max_retries": "lookup.max-retries",
+    "retry_strategy": "http.source.lookup.retry-strategy.type",
+    "retry_fixed_delay": "http.source.lookup.retry-strategy.fixed-delay.delay",
+    "retry_initial_backoff": "http.source.lookup.retry-strategy.exponential-delay.initial-backoff",
+    "retry_backoff_multiplier": "http.source.lookup.retry-strategy.exponential-delay.backoff-multiplier",
+    "retry_max_backoff": "http.source.lookup.retry-strategy.exponential-delay.max-backoff",
+    "header_prefix": "http.source.lookup.header.",
+    "use_raw_auth_header": "http.source.lookup.use-raw-authorization-header",
+    "oidc_token_endpoint": "http.security.oidc.token.endpoint.url",
+    "oidc_token_request": "http.security.oidc.token.request",
+    "oidc_expiry_reduction": "http.security.oidc.token.expiry.reduction",
+    "allow_self_signed": "http.security.cert.server.allowSelfSigned",
+    "server_ca": "http.security.cert.server",
+    "client_cert": "http.security.cert.client",
+    "client_key": "http.security.key.client",
+    "proxy_host": "http.source.lookup.proxy.host",
+    "proxy_port": "http.source.lookup.proxy.port",
+    "query_creator": "http.source.lookup.query-creator",
+    "url_map": "http.request.url-map",  # query-param-map / path-param-map variants folded in
+    "body_template": "http.request.body-template",
+    "cache": "lookup.cache",
+    "cache_max_rows": "lookup.partial-cache.max-rows",
+    "cache_expire_after_write": "lookup.partial-cache.expire-after-write",
+    "cache_expire_after_access": "lookup.partial-cache.expire-after-access",
+    "cache_missing_key": "lookup.partial-cache.cache-missing-key",
+}
+
+SINK_OPTION_KEYS = {
+    "url": "url",
+    "insert_method": "insert-method",
+    "request_mode": "http.sink.writer.request.mode",
+    "batch_size": "http.sink.request.batch.size",
+    "max_inflight": "sink.requests.max-inflight",
+    "max_buffered": "sink.requests.max-buffered",
+    "max_batch_bytes": "sink.flush-buffer.size",
+    "max_time_in_buffer": "sink.flush-buffer.timeout",
+    "max_record_bytes": "sink.max-record-size",
+    "request_timeout": "http.sink.request.timeout",
+    "writer_pool_size": "http.sink.writer.thread-pool.size",
+    "error_codes": "http.sink.error.code",
+    "error_codes_exclude": "http.sink.error.code.exclude",
+    "header_prefix": "http.sink.header.",
+}
+
+
+@dataclass(frozen=True)
+class HttpLookupOptions:
+    """Typed lookup options; defaults mirror the reference
+    (``HttpLookupConnectorOptions.java``, ``AsyncHttpTableLookupFunction.java:40-42``)."""
+
+    method: str = "GET"
+    request_timeout: float = 30.0                     # seconds
+    pull_pool_size: int = 8
+    publish_pool_size: int = 4
+    use_async: bool = False
+    result_type: str = "single-value"                 # or "array"
+    success_codes: str = DEFAULT_SUCCESS_CODES
+    retry_codes: str = DEFAULT_RETRY_CODES
+    ignored_codes: str = ""
+    continue_on_error: bool = False
+    retry: RetryConfig = field(default_factory=RetryConfig)
+    headers: Mapping[str, str] = field(default_factory=dict)
+    use_raw_auth_header: bool = False
+    oidc_token_endpoint: Optional[str] = None
+    oidc_token_request: Optional[str] = None
+    oidc_expiry_reduction: float = 1.0
+    allow_self_signed: bool = False
+    server_ca: Optional[str] = None                   # PEM/DER path
+    client_cert: Optional[str] = None
+    client_key: Optional[str] = None
+    proxy_host: Optional[str] = None
+    proxy_port: Optional[int] = None
+    query_creator: Optional[str] = None               # None -> method default
+    url_map: Mapping[str, str] = field(default_factory=dict)
+    body_template: Optional[str] = None
+    cache: Optional[LookupCacheConfig] = None         # None = no caching
+
+
+@dataclass(frozen=True)
+class HttpSinkOptions:
+    """Typed sink options; defaults mirror ``HttpSinkBuilder.java:70-80``."""
+
+    insert_method: str = "POST"
+    request_mode: str = "batch"                       # or "single"
+    batch_size: int = 500
+    max_inflight: int = 50
+    max_buffered: int = 10_000
+    max_batch_bytes: int = 5 * 1024 * 1024
+    max_time_in_buffer: float = 5.0                   # seconds
+    max_record_bytes: int = 1024 * 1024
+    request_timeout: float = 30.0
+    writer_pool_size: int = 4
+    error_codes: str = ""                             # empty -> 4XX,5XX default
+    error_codes_exclude: str = ""
+    headers: Mapping[str, str] = field(default_factory=dict)
+
+
+def _collect_prefixed(options: Mapping[str, str], prefix: str) -> Dict[str, str]:
+    return {
+        key[len(prefix):]: value
+        for key, value in options.items()
+        if key.startswith(prefix)
+    }
+
+
+def _as_bool(value: str) -> bool:
+    return str(value).strip().lower() in ("true", "1", "yes")
+
+
+def lookup_options_from_map(options: Mapping[str, str]) -> HttpLookupOptions:
+    """Build typed options from a reference-style string option map, so
+    existing ``'http.source.lookup.*'`` configs carry over unchanged."""
+    k = LOOKUP_OPTION_KEYS
+    kwargs: Dict[str, object] = {}
+    if k["method"] in options:
+        kwargs["method"] = options[k["method"]].upper()
+    if k["request_timeout"] in options:
+        kwargs["request_timeout"] = float(options[k["request_timeout"]])
+    if k["pull_pool_size"] in options:
+        kwargs["pull_pool_size"] = int(options[k["pull_pool_size"]])
+    if k["publish_pool_size"] in options:
+        kwargs["publish_pool_size"] = int(options[k["publish_pool_size"]])
+    if k["use_async"] in options:
+        kwargs["use_async"] = _as_bool(options[k["use_async"]])
+    if k["result_type"] in options:
+        kwargs["result_type"] = options[k["result_type"]]
+    if k["success_codes"] in options:
+        kwargs["success_codes"] = options[k["success_codes"]]
+    if k["retry_codes"] in options:
+        kwargs["retry_codes"] = options[k["retry_codes"]]
+    if k["ignored_codes"] in options:
+        kwargs["ignored_codes"] = options[k["ignored_codes"]]
+    if k["continue_on_error"] in options:
+        kwargs["continue_on_error"] = _as_bool(options[k["continue_on_error"]])
+    retry_kwargs: Dict[str, object] = {}
+    if k["max_retries"] in options:
+        retry_kwargs["max_retries"] = int(options[k["max_retries"]])
+    if k["retry_strategy"] in options:
+        retry_kwargs["strategy"] = options[k["retry_strategy"]]
+    if k["retry_fixed_delay"] in options:
+        retry_kwargs["fixed_delay"] = float(options[k["retry_fixed_delay"]])
+    if k["retry_initial_backoff"] in options:
+        retry_kwargs["initial_backoff"] = float(options[k["retry_initial_backoff"]])
+    if k["retry_backoff_multiplier"] in options:
+        retry_kwargs["backoff_multiplier"] = float(options[k["retry_backoff_multiplier"]])
+    if k["retry_max_backoff"] in options:
+        retry_kwargs["max_backoff"] = float(options[k["retry_max_backoff"]])
+    if retry_kwargs:
+        kwargs["retry"] = RetryConfig(**retry_kwargs)  # type: ignore[arg-type]
+    headers = _collect_prefixed(options, k["header_prefix"])
+    if headers:
+        kwargs["headers"] = headers
+    if k["use_raw_auth_header"] in options:
+        kwargs["use_raw_auth_header"] = _as_bool(options[k["use_raw_auth_header"]])
+    for name in ("oidc_token_endpoint", "oidc_token_request", "server_ca",
+                 "client_cert", "client_key", "proxy_host", "query_creator",
+                 "body_template"):
+        if k[name] in options:
+            kwargs[name] = options[k[name]]
+    if k["oidc_expiry_reduction"] in options:
+        kwargs["oidc_expiry_reduction"] = float(options[k["oidc_expiry_reduction"]])
+    if k["allow_self_signed"] in options:
+        kwargs["allow_self_signed"] = _as_bool(options[k["allow_self_signed"]])
+    if k["proxy_port"] in options:
+        kwargs["proxy_port"] = int(options[k["proxy_port"]])
+    if options.get(k["cache"], "").upper() == "PARTIAL":
+        cache_kwargs: Dict[str, object] = {}
+        if k["cache_max_rows"] in options:
+            cache_kwargs["max_rows"] = int(options[k["cache_max_rows"]])
+        if k["cache_expire_after_write"] in options:
+            cache_kwargs["expire_after_write"] = float(options[k["cache_expire_after_write"]])
+        if k["cache_expire_after_access"] in options:
+            cache_kwargs["expire_after_access"] = float(options[k["cache_expire_after_access"]])
+        if k["cache_missing_key"] in options:
+            cache_kwargs["cache_missing_key"] = _as_bool(options[k["cache_missing_key"]])
+        kwargs["cache"] = LookupCacheConfig(**cache_kwargs)  # type: ignore[arg-type]
+    return HttpLookupOptions(**kwargs)  # type: ignore[arg-type]
+
+
+def sink_options_from_map(options: Mapping[str, str]) -> HttpSinkOptions:
+    k = SINK_OPTION_KEYS
+    kwargs: Dict[str, object] = {}
+    if k["insert_method"] in options:
+        kwargs["insert_method"] = options[k["insert_method"]].upper()
+    if k["request_mode"] in options:
+        kwargs["request_mode"] = options[k["request_mode"]]
+    for name, conv in (
+        ("batch_size", int), ("max_inflight", int), ("max_buffered", int),
+        ("max_batch_bytes", int), ("max_record_bytes", int),
+        ("writer_pool_size", int),
+        ("max_time_in_buffer", float), ("request_timeout", float),
+    ):
+        if k[name] in options:
+            kwargs[name] = conv(options[k[name]])
+    for name in ("error_codes", "error_codes_exclude"):
+        if k[name] in options:
+            kwargs[name] = options[k[name]]
+    headers = _collect_prefixed(options, k["header_prefix"])
+    if headers:
+        kwargs["headers"] = headers
+    return HttpSinkOptions(**kwargs)  # type: ignore[arg-type]

@@ -1,0 +1,128 @@
+"""Retry policies for lookup HTTP calls.
+
+Parity targets:
+- strategies ``fixed-delay`` (default, 1s) and ``exponential-delay``
+  (initial 1s, multiplier 1.5, cap 60s): reference
+  ``retry/RetryConfigProvider.java:40-74``,
+  ``table/lookup/HttpLookupConnectorOptions.java:211-234``
+- attempts = max_retries + 1, retry on IO error OR retriable status:
+  reference ``retry/HttpClientWithRetry.java:44-92``
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Callable, Iterator, Optional, TypeVar
+
+__all__ = ["RetryConfig", "HttpRetryError", "run_with_retry", "RetryStats"]
+
+T = TypeVar("T")
+
+FIXED_DELAY = "fixed-delay"
+EXPONENTIAL_DELAY = "exponential-delay"
+
+
+@dataclass(frozen=True)
+class RetryConfig:
+    """Retry knobs with the reference's defaults.
+
+    ``max_retries=0`` disables retrying (1 attempt total) — reference doc
+    ``table/http.md:261``.
+    """
+
+    max_retries: int = 3
+    strategy: str = FIXED_DELAY
+    fixed_delay: float = 1.0            # seconds
+    initial_backoff: float = 1.0        # seconds (exponential)
+    backoff_multiplier: float = 1.5
+    max_backoff: float = 60.0           # seconds (exponential cap)
+
+    def __post_init__(self) -> None:
+        if self.strategy not in (FIXED_DELAY, EXPONENTIAL_DELAY):
+            raise ValueError(
+                f"Unsupported retry strategy {self.strategy!r}; expected "
+                f"{FIXED_DELAY!r} or {EXPONENTIAL_DELAY!r}"
+            )
+        if self.max_retries < 0:
+            raise ValueError("max_retries must be >= 0")
+
+    @property
+    def max_attempts(self) -> int:
+        return self.max_retries + 1
+
+    def delays(self) -> Iterator[float]:
+        """Sleep durations between consecutive attempts."""
+        if self.strategy == FIXED_DELAY:
+            while True:
+                yield self.fixed_delay
+        else:
+            delay = self.initial_backoff
+            while True:
+                yield min(delay, self.max_backoff)
+                delay *= self.backoff_multiplier
+
+
+class HttpRetryError(RuntimeError):
+    """All attempts exhausted; carries the last status code or exception."""
+
+    def __init__(self, message: str, status_code: Optional[int] = None,
+                 cause: Optional[BaseException] = None) -> None:
+        super().__init__(message)
+        self.status_code = status_code
+        self.cause = cause
+
+
+@dataclass
+class RetryStats:
+    """Observability parity with the reference's retry gauges
+    (``HttpClientWithRetry.java:57-65``)."""
+
+    successful_no_retry: int = 0
+    successful_with_retry: int = 0
+
+
+def run_with_retry(
+    send: Callable[[], T],
+    *,
+    config: RetryConfig,
+    status_of: Callable[[T], int],
+    is_retriable_status: Callable[[int], bool],
+    retriable_exceptions: tuple = (OSError,),
+    sleep: Callable[[float], None] = time.sleep,
+    stats: Optional[RetryStats] = None,
+) -> T:
+    """Invoke ``send`` up to ``max_retries + 1`` times.
+
+    A retry happens when ``send`` raises one of ``retriable_exceptions`` or
+    its response status is retriable. Non-retriable responses are returned
+    as-is (caller classifies success/error). Exhaustion raises
+    :class:`HttpRetryError`.
+    """
+    delays = config.delays()
+    last_status: Optional[int] = None
+    last_exc: Optional[BaseException] = None
+    for attempt in range(1, config.max_attempts + 1):
+        try:
+            response = send()
+        except retriable_exceptions as exc:  # noqa: PERF203 — retry loop
+            last_exc, last_status = exc, None
+        else:
+            status = status_of(response)
+            if not is_retriable_status(status):
+                if stats is not None:
+                    if attempt == 1:
+                        stats.successful_no_retry += 1
+                    else:
+                        stats.successful_with_retry += 1
+                return response
+            last_status, last_exc = status, None
+        if attempt < config.max_attempts:
+            sleep(next(delays))
+    raise HttpRetryError(
+        f"HTTP request failed after {config.max_attempts} attempts"
+        + (f" (last status {last_status})" if last_status is not None else "")
+        + (f" (last error: {last_exc})" if last_exc is not None else ""),
+        status_code=last_status,
+        cause=last_exc,
+    )

@@ -1,0 +1,241 @@
+"""HTTP sink: at-least-once buffered async delivery for batch + streaming.
+
+Re-expresses the reference's sink stack (SURVEY §2.1 S5-S12) Spark-first:
+
+- buffering knobs and defaults (batch 500 / in-flight 50 / buffered 10k /
+  5 MiB / 5 s / 1 MiB record): ``HttpSinkBuilder.java:70-80``
+- JSON-array batch framing ``[e1,e2,...]`` with split on HTTP-method change:
+  ``sink/httpclient/BatchRequestSubmitter.java:68-152``
+- ``single`` mode (one request per record):
+  ``sink/httpclient/PerRequestSubmitter.java:47-76``,
+  mode switch ``sink/HttpSinkInternal.java:193-203``
+- error classification with include-list override (default 4XX+5XX):
+  ``status/ComposeHttpStatusCodeChecker.java:41-88``
+- failed requests are **not retried** — only counted
+  (``sink/HttpSinkWriter.java:114,129-135``); we expose the count through a
+  Spark accumulator (``numRecordsSendErrors`` parity,
+  ``HttpSinkWriter.java:98-99``)
+- element converter row → (method, payload): the default uses JVM-side
+  ``to_json(struct(*))`` — faster than the reference's per-row serializer —
+  mirroring ``table/SerializationSchemaElementConverter.java:30-62``
+
+Delivery guarantee: at-least-once. Batch = one pass over partitions;
+streaming = ``foreachBatch`` + checkpoint replay of whole micro-batches,
+the same user-visible guarantee as the reference (its checkpointed buffer
+S11 also replays unacknowledged entries; neither retries failed requests).
+"""
+
+from __future__ import annotations
+
+import threading
+from concurrent.futures import FIRST_COMPLETED, Future, ThreadPoolExecutor, wait
+from dataclasses import dataclass
+from typing import Callable, Iterable, Iterator, List, Optional, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .auth import AUTHORIZATION, basic_auth_value, preprocess_headers
+from .options import HttpSinkOptions
+from .request import HttpRequestSpec
+from .status import SinkErrorCodeChecker
+from .types import HttpSinkRequestEntry
+
+__all__ = [
+    "HttpSinkWriter",
+    "write_http",
+    "foreach_batch_http_sink",
+    "rows_to_entries",
+]
+
+
+class HttpSinkWriter:
+    """Buffers entries, frames batches, submits them concurrently.
+
+    One writer per partition task (the reference creates one per subtask,
+    ``sink/HttpSinkInternal.java:134-185``). Not thread-safe for `write`;
+    submission fan-out happens on an internal pool bounded by
+    ``max_inflight``.
+    """
+
+    def __init__(
+        self,
+        url: str,
+        options: HttpSinkOptions = HttpSinkOptions(),
+        *,
+        transport=None,
+        on_response: Optional[Callable[[HttpRequestSpec, object], None]] = None,
+    ) -> None:
+        from .client import HttpTransport  # local import to keep pickling light
+
+        self.url = url
+        self.options = options
+        self.checker = SinkErrorCodeChecker(options.error_codes, options.error_codes_exclude)
+        self.transport = transport or HttpTransport(timeout=options.request_timeout)
+        self.on_response = on_response
+        headers = dict(options.headers)
+        headers.setdefault("Content-Type", "application/json")
+        self.headers = preprocess_headers(headers, {AUTHORIZATION: basic_auth_value})
+
+        self._buffer: List[HttpSinkRequestEntry] = []
+        self._buffer_bytes = 0
+        self._pool = ThreadPoolExecutor(max_workers=max(1, options.writer_pool_size))
+        self._pending: "set[Future]" = set()
+        self._lock = threading.Lock()
+        self.records_sent = 0
+        self.send_errors = 0          # numRecordsSendErrors parity
+        self.requests_sent = 0
+
+    # -- buffering -------------------------------------------------------------
+
+    def write(self, entry: HttpSinkRequestEntry) -> None:
+        if entry.size_in_bytes > self.options.max_record_bytes:
+            raise ValueError(
+                f"record of {entry.size_in_bytes} bytes exceeds the "
+                f"{self.options.max_record_bytes}-byte record limit"
+            )
+        self._buffer.append(entry)
+        self._buffer_bytes += entry.size_in_bytes
+        if (
+            len(self._buffer) >= self.options.batch_size
+            or self._buffer_bytes >= self.options.max_batch_bytes
+        ):
+            self.flush()
+
+    def flush(self) -> None:
+        """Drain the buffer into one or more HTTP requests."""
+        if not self._buffer:
+            return
+        entries, self._buffer, self._buffer_bytes = self._buffer, [], 0
+        if self.options.request_mode == "single":
+            for entry in entries:
+                self._submit(entry.method, entry.payload)
+            return
+        # batch mode: JSON-array framing, split on method change (reference
+        # BatchRequestSubmitter.java:68-93) and on batch_size/bytes bounds.
+        group: List[HttpSinkRequestEntry] = []
+        group_bytes = 0
+        for entry in entries:
+            method_changed = group and group[0].method != entry.method
+            full = (
+                len(group) >= self.options.batch_size
+                or group_bytes + entry.size_in_bytes > self.options.max_batch_bytes
+            )
+            if method_changed or (full and group):
+                self._submit_batch(group)
+                group, group_bytes = [], 0
+            group.append(entry)
+            group_bytes += entry.size_in_bytes
+        if group:
+            self._submit_batch(group)
+
+    def _submit_batch(self, group: List[HttpSinkRequestEntry]) -> None:
+        body = b"[" + b",".join(e.payload for e in group) + b"]"
+        self._submit(group[0].method, body, record_count=len(group))
+
+    # -- bounded-in-flight submission -------------------------------------------
+
+    def _submit(self, method: str, body: bytes, record_count: int = 1) -> None:
+        while len(self._pending) >= self.options.max_inflight:
+            done, self._pending = wait(self._pending, return_when=FIRST_COMPLETED)
+            for fut in done:
+                fut.result()  # propagate transport-level failures
+        spec = HttpRequestSpec(method=method, url=self.url, headers=self.headers, body=body)
+        future = self._pool.submit(self._send_one, spec, record_count)
+        self._pending.add(future)
+
+    def _send_one(self, spec: HttpRequestSpec, record_count: int) -> None:
+        try:
+            response = self.transport.send(spec)
+        except OSError:
+            with self._lock:
+                self.send_errors += record_count
+            return
+        if self.on_response is not None:
+            self.on_response(spec, response)
+        with self._lock:
+            self.requests_sent += 1
+            if self.checker.is_error(response.status):
+                self.send_errors += record_count
+            else:
+                self.records_sent += record_count
+
+    def close(self) -> None:
+        self.flush()
+        if self._pending:
+            done, _ = wait(self._pending)
+            for fut in done:
+                fut.result()
+            self._pending.clear()
+        self._pool.shutdown(wait=True)
+
+
+# --- DataFrame-level API ---------------------------------------------------------
+
+def rows_to_entries(
+    payloads: Iterable[str],
+    method: str,
+) -> Iterator[HttpSinkRequestEntry]:
+    """Default element converter: pre-serialized JSON string → entry
+    (reference ``SerializationSchemaElementConverter.java:30-62``)."""
+    for payload in payloads:
+        yield HttpSinkRequestEntry(method=method, payload=payload.encode("utf-8"))
+
+
+def write_http(
+    df: DataFrame,
+    url: str,
+    options: HttpSinkOptions = HttpSinkOptions(),
+    *,
+    columns: Optional[List[str]] = None,
+) -> None:
+    """Batch sink: serialize rows JVM-side with ``to_json(struct(...))`` and
+    POST/PUT them per partition (SQL-sink parity, connector id
+    ``http-async-sink`` — ``table/sink/HttpDynamicTableSinkFactory.java:42``).
+
+    The ``to_json`` projection keeps serialization inside whole-stage
+    codegen; Python only sees ready-made payload strings.
+    """
+    struct_cols = [F.col(c) for c in (columns or df.columns)]
+    payloads = df.select(F.to_json(F.struct(*struct_cols)).alias("payload"))
+    sc = df.sparkSession.sparkContext
+    error_acc = sc.accumulator(0)
+    sent_acc = sc.accumulator(0)
+
+    def sink_partition(rows) -> None:
+        writer = HttpSinkWriter(url, options)
+        try:
+            for row in rows:
+                writer.write(HttpSinkRequestEntry(
+                    method=options.insert_method,
+                    payload=row[0].encode("utf-8"),
+                ))
+        finally:
+            writer.close()
+        error_acc.add(writer.send_errors)
+        sent_acc.add(writer.records_sent)
+
+    payloads.foreachPartition(sink_partition)
+    # surface metric parity: numRecordsSendErrors (reference gauge)
+    write_http.last_metrics = {  # type: ignore[attr-defined]
+        "numRecordsSend": sent_acc.value,
+        "numRecordsSendErrors": error_acc.value,
+    }
+
+
+def foreach_batch_http_sink(
+    url: str,
+    options: HttpSinkOptions = HttpSinkOptions(),
+    *,
+    columns: Optional[List[str]] = None,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming sink adapter: ``writeStream.foreachBatch(...)`` body.
+
+    Micro-batch replay from the checkpoint gives at-least-once delivery —
+    the guarantee level of the reference's checkpointed buffer (S11/T4).
+    """
+
+    def sink(batch_df: DataFrame, _epoch_id: int) -> None:
+        write_http(batch_df, url, options, columns=columns)
+
+    return sink

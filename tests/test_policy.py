@@ -1,0 +1,382 @@
+"""Unit tests for the pure-logic policy modules (SURVEY §2.7 R1-R7, §2.6).
+
+Mirrors the reference's unit-test tier: HttpCodesParserTest,
+HttpResponseCheckerTest, RetryConfigProviderTest, OidcAccessTokenManagerTest,
+BasicAuthHeaderValuePreprocessorTest — plus property tests for the code
+grammar (an addition; the reference has none).
+"""
+
+import json
+
+import pytest
+from hypothesis import given
+from hypothesis import strategies as st
+
+from flink_connector_http_spark.auth import (
+    OidcAccessTokenManager,
+    basic_auth_value,
+    preprocess_headers,
+)
+from flink_connector_http_spark.cache import LookupCacheConfig, LruTtlCache
+from flink_connector_http_spark.query_creators import (
+    GenericJsonUrlQueryCreator,
+    elasticsearch_lite_query_creator,
+    generic_get_query_creator,
+    generic_json_query_creator,
+    resolve_query_creator,
+)
+from flink_connector_http_spark.request import build_lookup_request, flatten_key_row
+from flink_connector_http_spark.retry import (
+    HttpRetryError,
+    RetryConfig,
+    run_with_retry,
+)
+from flink_connector_http_spark.status import (
+    HttpResponseChecker,
+    HttpStatusConfigError,
+    SinkErrorCodeChecker,
+    parse_http_codes,
+)
+
+
+# --- R1: codes parser -------------------------------------------------------------
+
+class TestHttpCodesParser:
+    @pytest.mark.parametrize("expr,included,excluded", [
+        ("2XX", [200, 201, 250, 299], [300, 199]),
+        ("2XX,404", [200, 404], [405]),
+        ("2XX,!203", [200, 202, 204], [203]),
+        ("400, 401 , 403", [400, 401, 403], [402]),
+        ("1xx,5XX", [100, 199, 500, 599], [200, 400]),
+        ("!404,4XX", [400, 403, 405], [404]),  # order-insensitive exclusion
+        ("", [], [200]),
+    ])
+    def test_grammar(self, expr, included, excluded):
+        codes = parse_http_codes(expr)
+        for code in included:
+            assert code in codes
+        for code in excluded:
+            assert code not in codes
+
+    @pytest.mark.parametrize("expr", ["99", "600", "2X", "!2XX", "abc", "1XXX"])
+    def test_invalid(self, expr):
+        with pytest.raises(HttpStatusConfigError):
+            parse_http_codes(expr)
+
+    @given(st.integers(min_value=100, max_value=599))
+    def test_single_code_roundtrip(self, code):
+        assert parse_http_codes(str(code)) == frozenset({code})
+
+    @given(st.integers(min_value=1, max_value=5),
+           st.integers(min_value=0, max_value=99))
+    def test_group_contains_all_members(self, group, offset):
+        assert group * 100 + offset in parse_http_codes(f"{group}XX")
+
+    @given(st.integers(min_value=100, max_value=599))
+    def test_exclusion_always_wins(self, code):
+        group = f"{code // 100}XX"
+        assert code not in parse_http_codes(f"{group},!{code}")
+
+
+# --- R2/R3: response checkers ---------------------------------------------------
+
+class TestHttpResponseChecker:
+    def test_defaults(self):
+        checker = HttpResponseChecker()
+        assert checker.is_successful(200) and checker.is_successful(299)
+        assert not checker.is_successful(404)
+        assert checker.is_temporal_error(500)
+        assert checker.is_temporal_error(503) and checker.is_temporal_error(504)
+        assert not checker.is_temporal_error(501)
+
+    def test_overlap_rejected(self):
+        with pytest.raises(HttpStatusConfigError):
+            HttpResponseChecker("2XX,500", "500,503")
+
+    def test_empty_success_rejected(self):
+        with pytest.raises(HttpStatusConfigError):
+            HttpResponseChecker("", "500")
+
+
+class TestSinkErrorCodeChecker:
+    def test_default_is_4xx_5xx(self):
+        checker = SinkErrorCodeChecker()
+        assert checker.is_error(400) and checker.is_error(500) and checker.is_error(599)
+        assert not checker.is_error(200) and not checker.is_error(302)
+
+    def test_exclude_overrides_error_list(self):
+        checker = SinkErrorCodeChecker("4XX,5XX", "404,409")
+        assert not checker.is_error(404) and not checker.is_error(409)
+        assert checker.is_error(400) and checker.is_error(500)
+
+    def test_explicit_singles(self):
+        checker = SinkErrorCodeChecker("500,501")
+        assert checker.is_error(500) and checker.is_error(501)
+        assert not checker.is_error(400)
+
+    def test_malformed_token_rejected(self):
+        with pytest.raises(HttpStatusConfigError):
+            SinkErrorCodeChecker("50")
+
+    def test_below_100_raises(self):
+        with pytest.raises(ValueError):
+            SinkErrorCodeChecker().is_error(99)
+
+
+# --- R4: retry -------------------------------------------------------------------
+
+class TestRetry:
+    def test_success_first_attempt_no_sleep(self):
+        sleeps = []
+        result = run_with_retry(
+            lambda: 200,
+            config=RetryConfig(max_retries=3),
+            status_of=lambda r: r,
+            is_retriable_status=lambda s: s >= 500,
+            sleep=sleeps.append,
+        )
+        assert result == 200 and sleeps == []
+
+    def test_retries_then_succeeds(self):
+        responses = iter([503, 503, 200])
+        sleeps = []
+        result = run_with_retry(
+            lambda: next(responses),
+            config=RetryConfig(max_retries=3, fixed_delay=1.0),
+            status_of=lambda r: r,
+            is_retriable_status=lambda s: s in (500, 503, 504),
+            sleep=sleeps.append,
+        )
+        assert result == 200
+        assert sleeps == [1.0, 1.0]
+
+    def test_exhaustion_raises(self):
+        with pytest.raises(HttpRetryError) as err:
+            run_with_retry(
+                lambda: 503,
+                config=RetryConfig(max_retries=2),
+                status_of=lambda r: r,
+                is_retriable_status=lambda s: s == 503,
+                sleep=lambda _d: None,
+            )
+        assert err.value.status_code == 503
+
+    def test_io_error_retried(self):
+        attempts = {"n": 0}
+
+        def send():
+            attempts["n"] += 1
+            if attempts["n"] < 3:
+                raise OSError("boom")
+            return 200
+
+        result = run_with_retry(
+            send,
+            config=RetryConfig(max_retries=3),
+            status_of=lambda r: r,
+            is_retriable_status=lambda _s: False,
+            sleep=lambda _d: None,
+        )
+        assert result == 200 and attempts["n"] == 3
+
+    def test_non_retriable_error_status_returned_not_raised(self):
+        result = run_with_retry(
+            lambda: 404,
+            config=RetryConfig(max_retries=3),
+            status_of=lambda r: r,
+            is_retriable_status=lambda s: s >= 500,
+            sleep=lambda _d: None,
+        )
+        assert result == 404
+
+    def test_exponential_delays_capped(self):
+        config = RetryConfig(
+            strategy="exponential-delay",
+            initial_backoff=1.0, backoff_multiplier=1.5, max_backoff=2.0,
+        )
+        delays = config.delays()
+        assert [next(delays) for _ in range(4)] == [1.0, 1.5, 2.0, 2.0]
+
+    def test_zero_retries_single_attempt(self):
+        attempts = {"n": 0}
+
+        def send():
+            attempts["n"] += 1
+            return 503
+
+        with pytest.raises(HttpRetryError):
+            run_with_retry(
+                send,
+                config=RetryConfig(max_retries=0),
+                status_of=lambda r: r,
+                is_retriable_status=lambda s: s == 503,
+                sleep=lambda _d: None,
+            )
+        assert attempts["n"] == 1
+
+
+# --- R6/R7: auth ------------------------------------------------------------------
+
+class TestAuth:
+    def test_basic_auth_encodes_user_password(self):
+        assert basic_auth_value("user:password") == "Basic dXNlcjpwYXNzd29yZA=="
+
+    @pytest.mark.parametrize("value", [
+        "Basic dXNlcjpwYXNzd29yZA==",
+        "Bearer some-token",
+    ])
+    def test_prefixed_values_pass_through(self, value):
+        assert basic_auth_value(value) == value
+
+    def test_raw_mode_passes_through(self):
+        assert basic_auth_value("user:password", raw=True) == "user:password"
+
+    def test_preprocess_headers_applies_by_name(self):
+        out = preprocess_headers(
+            {"Authorization": "user:pw", "X-Other": "v"},
+            {"Authorization": basic_auth_value},
+        )
+        assert out["Authorization"].startswith("Basic ") and out["X-Other"] == "v"
+
+    def test_oidc_caches_until_expiry(self):
+        clock = {"t": 0.0}
+        calls = []
+
+        def fake_post(url, body, headers):
+            calls.append((url, body, headers))
+            return json.dumps(
+                {"access_token": f"tok{len(calls)}", "expires_in": 10}
+            ).encode()
+
+        manager = OidcAccessTokenManager(
+            "http://idp/token", "grant_type=client_credentials",
+            expiry_reduction=1.0, clock=lambda: clock["t"], http_post=fake_post,
+        )
+        assert manager.token() == "tok1"
+        clock["t"] = 5.0
+        assert manager.token() == "tok1"      # cached
+        clock["t"] = 9.5                       # past expires_in - reduction
+        assert manager.token() == "tok2"
+        assert calls[0][2]["Content-Type"] == "application/x-www-form-urlencoded"
+
+
+# --- J3: cache ---------------------------------------------------------------------
+
+class TestLruTtlCache:
+    def test_lru_eviction(self):
+        cache = LruTtlCache(LookupCacheConfig(max_rows=2))
+        cache.put("a", 1); cache.put("b", 2); cache.put("c", 3)
+        assert cache.get("a") is None and cache.get("b") == 2 and cache.get("c") == 3
+
+    def test_access_refreshes_lru_order(self):
+        cache = LruTtlCache(LookupCacheConfig(max_rows=2))
+        cache.put("a", 1); cache.put("b", 2)
+        cache.get("a")
+        cache.put("c", 3)
+        assert cache.get("a") == 1 and cache.get("b") is None
+
+    def test_expire_after_write(self):
+        clock = {"t": 0.0}
+        cache = LruTtlCache(LookupCacheConfig(expire_after_write=10.0),
+                            clock=lambda: clock["t"])
+        cache.put("k", "v")
+        clock["t"] = 9.9
+        assert cache.get("k") == "v"
+        clock["t"] = 10.0
+        assert cache.get("k") is None
+
+    def test_negative_caching_toggle(self):
+        yes = LruTtlCache(LookupCacheConfig(cache_missing_key=True))
+        no = LruTtlCache(LookupCacheConfig(cache_missing_key=False))
+        yes.put("k", None); no.put("k", None)
+        assert yes.contains("k") and not no.contains("k")
+
+
+# --- Q1-Q6: query creators + request assembly ---------------------------------------
+
+class TestQueryCreators:
+    def test_get_query_creator(self):
+        info = generic_get_query_creator({"id": 1, "name": "a b"})
+        assert info.lookup_query == "id=1&name=a+b"
+
+    def test_json_query_creator(self):
+        info = generic_json_query_creator({"id": 1, "name": "x"})
+        assert json.loads(info.lookup_query) == {"id": 1, "name": "x"}
+
+    def test_elasticsearch_lite(self):
+        info = elasticsearch_lite_query_creator({"key1": "val1", "key2": "val2"})
+        assert info.lookup_query == "q=key1%3A%22val1%22+AND+key2%3A%22val2%22"
+
+    def test_json_url_creator_url_and_body(self):
+        creator = GenericJsonUrlQueryCreator(
+            http_method="POST",
+            url_map={"customerId": "id"},
+            body_template='{"key": {{id}}, "name": {{name}}, "active": {{active}}}',
+        )
+        info = creator({"id": 7, "name": "ann", "active": True})
+        assert info.path_params == {"customerId": "7"}
+        assert json.loads(info.lookup_query) == {"key": 7, "name": "ann", "active": True}
+
+    def test_get_with_body_template_rejected(self):
+        with pytest.raises(ValueError):
+            GenericJsonUrlQueryCreator(http_method="GET", body_template='{"a": {{a}}}')
+
+    def test_unknown_placeholder_raises(self):
+        creator = GenericJsonUrlQueryCreator(
+            http_method="POST", body_template='{"a": {{missing}}}')
+        with pytest.raises(KeyError):
+            creator({"a": 1})
+
+    def test_default_resolution_by_method(self):
+        assert resolve_query_creator(None, "GET") is generic_get_query_creator
+        assert resolve_query_creator(None, "POST") is generic_json_query_creator
+
+    def test_unknown_identifier(self):
+        with pytest.raises(ValueError):
+            resolve_query_creator("nope", "GET")
+
+
+class TestRequestAssembly:
+    def test_get_request(self):
+        spec = build_lookup_request(
+            method="GET", url="http://h/api",
+            query_info=generic_get_query_creator({"id": 3}),
+        )
+        assert spec.url == "http://h/api?id=3" and spec.body is None
+
+    def test_get_appends_to_existing_query(self):
+        spec = build_lookup_request(
+            method="GET", url="http://h/api?v=1",
+            query_info=generic_get_query_creator({"id": 3}),
+        )
+        assert spec.url == "http://h/api?v=1&id=3"
+
+    def test_post_request_body_and_content_type(self):
+        spec = build_lookup_request(
+            method="POST", url="http://h/api",
+            query_info=generic_json_query_creator({"id": 3}),
+        )
+        assert spec.body == b'{"id": 3}'
+        assert spec.headers["Content-Type"] == "application/json"
+
+    def test_path_param_substitution_encodes(self):
+        creator = GenericJsonUrlQueryCreator(
+            http_method="GET", url_map={"cid": "id"})
+        spec = build_lookup_request(
+            method="GET", url="http://h/api/{{cid}}/details",
+            query_info=creator({"id": "a/b"}),
+        )
+        assert spec.url == "http://h/api/a%2Fb/details"
+
+    def test_whole_url_placeholder_not_encoded(self):
+        creator = GenericJsonUrlQueryCreator(
+            http_method="GET", url_map={"u": "target"})
+        spec = build_lookup_request(
+            method="GET", url="{{u}}",
+            query_info=creator({"target": "http://other/x?a=1"}),
+        )
+        assert spec.url == "http://other/x?a=1"
+
+    def test_flatten_key_row(self):
+        flat = flatten_key_row({"id": 1, "details": {"nested": {"balance": "9.9"}}})
+        assert flat == {"id": 1, "details.nested.balance": "9.9"}
