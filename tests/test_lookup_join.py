@@ -1,0 +1,314 @@
+"""End-to-end lookup-join tests against the stub HTTP server.
+
+Mirrors the reference's gold-standard integration tier
+(``HttpLookupTableSourceITCaseTest.java``): GET/POST lookups, multi-key
+joins, empty responses, array results, retries with scenario state,
+ignored status codes, metadata columns + continue-on-error, caching.
+"""
+
+import json
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from flink_connector_http_spark import (
+    HttpLookupOptions,
+    HttpLookupTable,
+    LookupCacheConfig,
+    RetryConfig,
+    http_lookup_join,
+)
+from tests.stub_server import StubResponse, json_response
+
+CUSTOMER_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("name", T.StringType()),
+    T.StructField("balance", T.DoubleType()),
+])
+
+CUSTOMERS = {
+    1: {"id": 1, "name": "alice", "balance": 10.5},
+    2: {"id": 2, "name": "bob", "balance": -3.25},
+    3: {"id": 3, "name": "carol", "balance": 0.0},
+}
+
+
+def customers_responder(request):
+    key = int(request.query["id"][0])
+    row = CUSTOMERS.get(key)
+    if row is None:
+        return json_response({}, status=404)
+    return json_response(row)
+
+
+def orders_df(spark, ids=(1, 2, 3, 2)):
+    return spark.createDataFrame(
+        [Row(order_id=i + 100, cust_id=cid) for i, cid in enumerate(ids)]
+    )
+
+
+def test_get_lookup_join_enriches_rows(spark, stub_server):
+    stub_server.stub("/customers", customers_responder)
+    table = HttpLookupTable(
+        url=stub_server.url("/customers"),
+        schema=CUSTOMER_SCHEMA,
+        options=HttpLookupOptions(method="GET"),
+    )
+    out = http_lookup_join(orders_df(spark), table, on={"cust_id": "id"})
+    rows = {r.order_id: r for r in out.collect()}
+    assert len(rows) == 4
+    assert rows[100].name == "alice" and rows[100].balance == 10.5
+    assert rows[101].name == "bob"
+    assert rows[103].id == 2  # lookup key column present and filled
+
+
+def test_distinct_key_dedup_one_call_per_key(spark, stub_server):
+    stub_server.stub("/customers", customers_responder)
+    table = HttpLookupTable(
+        url=stub_server.url("/customers"), schema=CUSTOMER_SCHEMA,
+    )
+    df = orders_df(spark, ids=(1, 1, 1, 2, 2, 1)).coalesce(1)
+    out = http_lookup_join(df, table, on={"cust_id": "id"})
+    assert out.count() == 6
+    # one HTTP call per distinct key per partition — not per probe row
+    assert len(stub_server.recorded("/customers")) == 2
+
+
+def test_inner_join_empty_response_emits_nothing(spark, stub_server):
+    stub_server.stub("/customers", customers_responder)
+    table = HttpLookupTable(
+        url=stub_server.url("/customers"), schema=CUSTOMER_SCHEMA,
+        options=HttpLookupOptions(continue_on_error=True),
+    )
+    # id=99 -> 404 -> no rows; inner join w/o metadata drops the probe row
+    out = http_lookup_join(orders_df(spark, ids=(1, 99)), table, on={"cust_id": "id"})
+    rows = out.collect()
+    assert {r.cust_id for r in rows} == {1}
+
+
+def test_left_join_keeps_probe_row_with_nulls(spark, stub_server):
+    stub_server.stub("/customers", customers_responder)
+    table = HttpLookupTable(
+        url=stub_server.url("/customers"), schema=CUSTOMER_SCHEMA,
+        options=HttpLookupOptions(continue_on_error=True),
+    )
+    out = http_lookup_join(
+        orders_df(spark, ids=(1, 99)), table, on={"cust_id": "id"}, how="left")
+    rows = {r.cust_id: r for r in out.collect()}
+    assert rows[99].name is None and rows[1].name == "alice"
+
+
+def test_metadata_columns_and_continue_on_error(spark, stub_server):
+    stub_server.stub("/customers", customers_responder)
+    table = HttpLookupTable(
+        url=stub_server.url("/customers"), schema=CUSTOMER_SCHEMA,
+        options=HttpLookupOptions(continue_on_error=True, retry=RetryConfig(max_retries=0)),
+    )
+    out = http_lookup_join(
+        orders_df(spark, ids=(1, 99)), table, on={"cust_id": "id"},
+        metadata_columns=["error-string", "http-status-code", "http-completion-state"],
+    )
+    rows = {r.cust_id: r.asDict() for r in out.collect()}
+    # inner join + metadata cols requested => failed row IS emitted with nulls
+    assert len(rows) == 2
+    ok, bad = rows[1], rows[99]
+    assert ok["http-completion-state"] == "SUCCESS"
+    assert ok["http-status-code"] == 200 and ok["error-string"] is None
+    assert bad["http-completion-state"] == "HTTP_ERROR_STATUS"
+    assert bad["http-status-code"] == 404 and bad["name"] is None
+    assert "404" in bad["error-string"]
+
+
+def test_failure_without_continue_on_error_raises(spark, stub_server):
+    stub_server.stub_json("/customers", {"msg": "boom"}, status=400)
+    table = HttpLookupTable(
+        url=stub_server.url("/customers"), schema=CUSTOMER_SCHEMA,
+        options=HttpLookupOptions(retry=RetryConfig(max_retries=0)),
+    )
+    out = http_lookup_join(orders_df(spark, ids=(1,)), table, on={"cust_id": "id"})
+    with pytest.raises(Exception, match="HTTP_ERROR_STATUS|lookup failed"):
+        out.collect()
+
+
+def test_retry_scenario_then_success(spark, stub_server):
+    stub_server.stub_sequence("/customers", [
+        StubResponse(status=503, body=b""),
+        StubResponse(status=503, body=b""),
+        json_response(CUSTOMERS[1]),
+    ])
+    table = HttpLookupTable(
+        url=stub_server.url("/customers"), schema=CUSTOMER_SCHEMA,
+        options=HttpLookupOptions(
+            retry=RetryConfig(max_retries=3, fixed_delay=0.01)),
+    )
+    out = http_lookup_join(orders_df(spark, ids=(1,)).coalesce(1), table,
+                           on={"cust_id": "id"})
+    rows = out.collect()
+    assert rows[0].name == "alice"
+    assert len(stub_server.recorded("/customers")) == 3
+
+
+def test_ignored_status_codes_drop_content(spark, stub_server):
+    stub_server.stub_json("/customers", {"id": 1, "name": "x"}, status=201)
+    table = HttpLookupTable(
+        url=stub_server.url("/customers"), schema=CUSTOMER_SCHEMA,
+        options=HttpLookupOptions(ignored_codes="201", continue_on_error=True),
+    )
+    out = http_lookup_join(
+        orders_df(spark, ids=(1,)), table, on={"cust_id": "id"},
+        metadata_columns=["http-completion-state", "http-status-code"],
+    )
+    row = out.collect()[0].asDict()
+    assert row["http-completion-state"] == "IGNORE_STATUS_CODE"
+    assert row["http-status-code"] == 201
+    assert row["name"] is None  # content dropped despite the 2XX-family code
+
+
+def test_post_lookup_sends_json_body(spark, stub_server):
+    def post_responder(request):
+        body = request.json()
+        return json_response(CUSTOMERS.get(body["id"], {}))
+
+    stub_server.stub("/lookup", post_responder)
+    table = HttpLookupTable(
+        url=stub_server.url("/lookup"), schema=CUSTOMER_SCHEMA,
+        options=HttpLookupOptions(method="POST"),
+    )
+    out = http_lookup_join(orders_df(spark, ids=(2,)), table, on={"cust_id": "id"})
+    assert out.collect()[0].name == "bob"
+    recorded = stub_server.recorded("/lookup")[0]
+    assert recorded.method == "POST"
+    assert json.loads(recorded.body) == {"id": 2}
+    assert recorded.headers["Content-Type"] == "application/json"
+
+
+def test_array_result_multiplies_probe_rows(spark, stub_server):
+    stub_server.stub_json("/multi", [
+        {"id": 1, "name": "alice", "balance": 1.0},
+        {"id": 1, "name": "alice2", "balance": 2.0},
+    ])
+    table = HttpLookupTable(
+        url=stub_server.url("/multi"), schema=CUSTOMER_SCHEMA,
+        options=HttpLookupOptions(result_type="array"),
+    )
+    out = http_lookup_join(orders_df(spark, ids=(1,)), table, on={"cust_id": "id"})
+    names = sorted(r.name for r in out.collect())
+    assert names == ["alice", "alice2"]
+
+
+def test_undecodable_body_metadata_state(spark, stub_server):
+    stub_server.stub("/bad", lambda _r: StubResponse(status=200, body=b"not json"))
+    table = HttpLookupTable(
+        url=stub_server.url("/bad"), schema=CUSTOMER_SCHEMA,
+        options=HttpLookupOptions(continue_on_error=True),
+    )
+    out = http_lookup_join(
+        orders_df(spark, ids=(1,)), table, on={"cust_id": "id"},
+        metadata_columns=["http-completion-state"],
+    )
+    assert (out.collect()[0]["http-completion-state"]
+            == "UNABLE_TO_DESERIALIZE_RESPONSE")
+
+
+def test_multi_key_join(spark, stub_server):
+    def responder(request):
+        id1 = int(request.query["id"][0])
+        id2 = request.query["id2"][0]
+        return json_response({"id": id1, "id2": id2, "name": f"c{id1}-{id2}"})
+
+    stub_server.stub("/multi-key", responder)
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("id2", T.StringType()),
+        T.StructField("name", T.StringType()),
+    ])
+    table = HttpLookupTable(url=stub_server.url("/multi-key"), schema=schema)
+    probe = spark.createDataFrame([Row(cust_id=5, segment="gold")])
+    out = http_lookup_join(probe, table, on={"cust_id": "id", "segment": "id2"})
+    row = out.collect()[0]
+    assert row.name == "c5-gold" and row.id2 == "gold"
+
+
+def test_projection_pushdown_prunes_decode(spark, stub_server):
+    stub_server.stub("/customers", customers_responder)
+    table = HttpLookupTable(
+        url=stub_server.url("/customers"), schema=CUSTOMER_SCHEMA)
+    out = http_lookup_join(
+        orders_df(spark, ids=(1,)), table, on={"cust_id": "id"}, select=["name"])
+    assert set(out.columns) == {"order_id", "cust_id", "name"}
+    assert out.collect()[0].name == "alice"
+
+
+def test_nested_struct_lookup_schema(spark, stub_server):
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("details", T.StructType([
+            T.StructField("isActive", T.BooleanType()),
+            T.StructField("nestedDetails", T.StructType([
+                T.StructField("balance", T.StringType()),
+            ])),
+        ])),
+    ])
+    stub_server.stub_json("/nested", {
+        "id": 1,
+        "details": {"isActive": True, "nestedDetails": {"balance": "9.99"}},
+    })
+    table = HttpLookupTable(url=stub_server.url("/nested"), schema=schema)
+    out = http_lookup_join(orders_df(spark, ids=(1,)), table, on={"cust_id": "id"})
+    row = out.collect()[0]
+    assert row.details.isActive is True
+    assert row.details.nestedDetails.balance == "9.99"
+
+
+def test_cache_avoids_repeat_calls(spark, stub_server):
+    stub_server.stub("/customers", customers_responder)
+    table = HttpLookupTable(
+        url=stub_server.url("/customers"), schema=CUSTOMER_SCHEMA,
+        options=HttpLookupOptions(cache=LookupCacheConfig(max_rows=100)),
+    )
+    # Force one probe row per Arrow batch: the per-batch key dedup can't help
+    # across batches, so the second batch's repeat key must hit the cache.
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        df = orders_df(spark, ids=(1, 1, 1, 1)).coalesce(1)
+        out = http_lookup_join(df, table, on={"cust_id": "id"})
+        assert out.count() == 4
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    assert len(stub_server.recorded("/customers")) == 1
+
+
+def test_static_headers_and_basic_auth(spark, stub_server):
+    stub_server.stub("/customers", customers_responder)
+    table = HttpLookupTable(
+        url=stub_server.url("/customers"), schema=CUSTOMER_SCHEMA,
+        options=HttpLookupOptions(headers={
+            "Authorization": "user:password",
+            "X-Custom": "v1",
+        }),
+    )
+    http_lookup_join(orders_df(spark, ids=(1,)), table, on={"cust_id": "id"}).collect()
+    recorded = stub_server.recorded("/customers")[0]
+    assert recorded.headers["Authorization"] == "Basic dXNlcjpwYXNzd29yZA=="
+    assert recorded.headers["X-Custom"] == "v1"
+
+
+def test_url_template_query_creator_end_to_end(spark, stub_server):
+    def rest_responder(request):
+        cid = int(request.path.rsplit("/", 1)[-1])
+        return json_response(CUSTOMERS.get(cid, {}))
+
+    stub_server.stub("/api/customers/", rest_responder)
+    table = HttpLookupTable(
+        url=stub_server.url("/api/customers/{{cid}}"),
+        schema=CUSTOMER_SCHEMA,
+        options=HttpLookupOptions(
+            query_creator="http-generic-json-url",
+            url_map={"cid": "id"},
+        ),
+    )
+    out = http_lookup_join(orders_df(spark, ids=(3,)), table, on={"cust_id": "id"})
+    assert out.collect()[0].name == "carol"
+    assert stub_server.recorded("/api/customers/3")

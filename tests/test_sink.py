@@ -1,0 +1,180 @@
+"""HTTP sink tests: batching, framing, single mode, error policy, streaming.
+
+Mirrors the reference's sink tier (``sink/HttpSinkConnectionTest.java:125-330``,
+``BatchRequestHttpDynamicSinkInsertTest.java``).
+"""
+
+import json
+
+import pytest
+
+from pyspark.sql import Row
+
+from flink_connector_http_spark import (
+    HttpSinkOptions,
+    HttpSinkRequestEntry,
+    HttpSinkWriter,
+    write_http,
+)
+from tests.stub_server import StubResponse, json_response
+
+
+def entries(n, method="POST"):
+    return [
+        HttpSinkRequestEntry(method=method, payload=json.dumps({"i": i}).encode())
+        for i in range(n)
+    ]
+
+
+class TestWriterFraming:
+    def test_batch_json_array_framing(self, stub_server):
+        stub_server.stub_json("/sink", {"ok": True})
+        writer = HttpSinkWriter(stub_server.url("/sink"),
+                                HttpSinkOptions(batch_size=3))
+        for e in entries(3):
+            writer.write(e)
+        writer.close()
+        recorded = stub_server.recorded("/sink")
+        assert len(recorded) == 1
+        assert recorded[0].json() == [{"i": 0}, {"i": 1}, {"i": 2}]
+        assert recorded[0].headers["Content-Type"] == "application/json"
+
+    def test_batch_size_triggers_multiple_requests(self, stub_server):
+        stub_server.stub_json("/sink", {"ok": True})
+        writer = HttpSinkWriter(stub_server.url("/sink"),
+                                HttpSinkOptions(batch_size=2))
+        for e in entries(5):
+            writer.write(e)
+        writer.close()
+        sizes = sorted(len(r.json()) for r in stub_server.recorded("/sink"))
+        assert sizes == [1, 2, 2]
+
+    def test_method_change_splits_batch(self, stub_server):
+        stub_server.stub_json("/sink", {"ok": True})
+        writer = HttpSinkWriter(stub_server.url("/sink"),
+                                HttpSinkOptions(batch_size=10))
+        writer.write(HttpSinkRequestEntry("POST", b'{"a":1}'))
+        writer.write(HttpSinkRequestEntry("POST", b'{"a":2}'))
+        writer.write(HttpSinkRequestEntry("PUT", b'{"a":3}'))
+        writer.close()
+        recorded = stub_server.recorded("/sink")
+        assert [(r.method, len(r.json())) for r in recorded] == [
+            ("POST", 2), ("PUT", 1)]
+
+    def test_single_mode_one_request_per_record(self, stub_server):
+        stub_server.stub_json("/sink", {"ok": True})
+        writer = HttpSinkWriter(stub_server.url("/sink"),
+                                HttpSinkOptions(request_mode="single"))
+        for e in entries(3):
+            writer.write(e)
+        writer.close()
+        recorded = stub_server.recorded("/sink")
+        assert len(recorded) == 3
+        assert all(isinstance(r.json(), dict) for r in recorded)
+
+    def test_oversized_record_rejected(self, stub_server):
+        writer = HttpSinkWriter(stub_server.url("/sink"),
+                                HttpSinkOptions(max_record_bytes=10))
+        with pytest.raises(ValueError, match="record limit"):
+            writer.write(HttpSinkRequestEntry("POST", b"x" * 11))
+
+    def test_errors_counted_not_retried(self, stub_server):
+        stub_server.stub_sequence("/sink", [
+            StubResponse(status=500, body=b""),
+            json_response({"ok": True}),
+        ])
+        writer = HttpSinkWriter(stub_server.url("/sink"),
+                                HttpSinkOptions(request_mode="single"))
+        for e in entries(2):
+            writer.write(e)
+        writer.close()
+        # failed request counted, NOT retried (reference HttpSinkWriter.java:129-135)
+        assert len(stub_server.recorded("/sink")) == 2
+        assert writer.send_errors == 1 and writer.records_sent == 1
+
+    def test_error_code_exclude_list(self, stub_server):
+        stub_server.stub_json("/sink", {"accepted": False}, status=404)
+        writer = HttpSinkWriter(
+            stub_server.url("/sink"),
+            HttpSinkOptions(request_mode="single",
+                            error_codes="4XX,5XX", error_codes_exclude="404"),
+        )
+        writer.write(entries(1)[0])
+        writer.close()
+        assert writer.send_errors == 0 and writer.records_sent == 1
+
+    def test_basic_auth_header_on_sink(self, stub_server):
+        stub_server.stub_json("/sink", {"ok": True})
+        writer = HttpSinkWriter(
+            stub_server.url("/sink"),
+            HttpSinkOptions(headers={"Authorization": "user:password"}),
+        )
+        writer.write(entries(1)[0])
+        writer.close()
+        recorded = stub_server.recorded("/sink")[0]
+        assert recorded.headers["Authorization"] == "Basic dXNlcjpwYXNzd29yZA=="
+
+
+class TestDataFrameSink:
+    def test_write_http_batch(self, spark, stub_server):
+        stub_server.stub_json("/events", {"ok": True})
+        df = spark.createDataFrame(
+            [Row(id=i, name=f"n{i}") for i in range(10)]).coalesce(2)
+        write_http(df, stub_server.url("/events"),
+                   HttpSinkOptions(batch_size=4))
+        sent = []
+        for request in stub_server.recorded("/events"):
+            sent.extend(request.json())
+        assert sorted(r["id"] for r in sent) == list(range(10))
+        assert write_http.last_metrics["numRecordsSendErrors"] == 0
+        assert write_http.last_metrics["numRecordsSend"] == 10
+
+    def test_write_http_column_subset_and_put(self, spark, stub_server):
+        stub_server.stub_json("/events", {"ok": True})
+        df = spark.createDataFrame([Row(id=1, name="x", secret="s")])
+        write_http(df, stub_server.url("/events"),
+                   HttpSinkOptions(insert_method="PUT"), columns=["id", "name"])
+        recorded = stub_server.recorded("/events")[0]
+        assert recorded.method == "PUT"
+        assert recorded.json() == [{"id": 1, "name": "x"}]
+
+    def test_error_metrics_surface(self, spark, stub_server):
+        stub_server.stub_json("/events", {"err": True}, status=500)
+        df = spark.createDataFrame([Row(id=i) for i in range(4)]).coalesce(1)
+        write_http(df, stub_server.url("/events"), HttpSinkOptions(batch_size=2))
+        assert write_http.last_metrics["numRecordsSendErrors"] == 4
+
+
+class TestStreamingSink:
+    def test_foreach_batch_streaming_delivery(self, spark, stub_server, tmp_path):
+        from flink_connector_http_spark import foreach_batch_http_sink
+
+        stub_server.stub_json("/stream", {"ok": True})
+        stream = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", "50").load()
+            .selectExpr("value", "CAST(timestamp AS STRING) AS ts")
+        )
+        query = (
+            stream.writeStream
+            .foreachBatch(foreach_batch_http_sink(
+                stub_server.url("/stream"), HttpSinkOptions(batch_size=10)))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        try:
+            import time
+            deadline = time.time() + 30
+            while time.time() < deadline:
+                received = sum(len(r.json()) for r in stub_server.recorded("/stream"))
+                if received >= 20:
+                    break
+                time.sleep(0.5)
+        finally:
+            query.stop()
+        received = sum(len(r.json()) for r in stub_server.recorded("/stream"))
+        assert received >= 20
+        values = [row["value"] for r in stub_server.recorded("/stream")
+                  for row in r.json()]
+        assert len(set(values)) == len(values)  # each value delivered once here
