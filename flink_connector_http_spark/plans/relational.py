@@ -1,0 +1,662 @@
+"""Relational substrate queries (SURVEY §2.4): aggregations, multi-way joins,
+window functions, rollup/cube/grouping sets, set ops, scalar string/date/JSON
+functions, sessionization, as-of enrichment.
+
+The reference implements **none** of these itself — they come from the host
+engine (SURVEY.md §2.4, verified absence of aggregate/window/sort code in
+`/root/reference/`). Here they are all Catalyst built-ins, expressed with the
+DataFrame API so predicate pushdown / column pruning / broadcast-join
+selection are automatic; each query carries a DuckDB oracle for the driver's
+correctness gate.
+
+Scale notes (100 TB design stance):
+- every filter is applied before joins/aggregations → pushed to the parquet
+  scan (`PushedFilters` in `.explain`);
+- small dims (region/nation/supplier/part/customer) sit far below the
+  broadcast threshold → Catalyst/AQE picks broadcast-hash joins, so the only
+  shuffles left are the final aggregations on already-reduced data;
+- aggregates are expressed with built-in functions only → whole-stage
+  codegen, map-side partial aggregation, no Python in the hot path.
+
+Float determinism: see ``registry.py`` — DECIMAL-exact arithmetic, DOUBLE at
+the boundary. The expression strings below are valid in BOTH Spark SQL and
+DuckDB, so the two engines run literally the same math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .registry import load, register
+
+# -- shared DECIMAL-exact arithmetic (identical text in Spark SQL and DuckDB) --
+
+DISC_PRICE = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(10,2)) * "
+    "(CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(10,2))) "
+    "AS DECIMAL(22,4))"
+)
+CHARGE = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(10,2)) * "
+    "CAST((CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(10,2))) * "
+    "(CAST(1.00 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(10,2))) "
+    "AS DECIMAL(23,4)) AS DECIMAL(34,6))"
+)
+D_QTY = "CAST(l_quantity AS DECIMAL(10,2))"
+D_PRICE = "CAST(l_extendedprice AS DECIMAL(10,2))"
+D_DISC = "CAST(l_discount AS DECIMAL(10,2))"
+D_TOTAL = "CAST(o_totalprice AS DECIMAL(10,2))"
+
+
+# ---------------------------------------------------------------------------
+# q01 — pricing summary (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM({D_QTY}) AS DOUBLE) AS sum_qty,
+           CAST(SUM({D_PRICE}) AS DOUBLE) AS sum_base_price,
+           CAST(SUM({DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM({CHARGE}) AS DOUBLE) AS sum_charge,
+           CAST(SUM({D_QTY}) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM({D_PRICE}) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM({D_DISC}) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-shape pricing summary: hash agg with partial (map-side) combine.",
+    bench=True,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "lineitem")
+    li = t["lineitem"].filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr(f"CAST(SUM({D_QTY}) AS DOUBLE)").alias("sum_qty"),
+            F.expr(f"CAST(SUM({D_PRICE}) AS DOUBLE)").alias("sum_base_price"),
+            F.expr(f"CAST(SUM({DISC_PRICE}) AS DOUBLE)").alias("sum_disc_price"),
+            F.expr(f"CAST(SUM({CHARGE}) AS DOUBLE)").alias("sum_charge"),
+            F.expr(f"CAST(SUM({D_QTY}) AS DOUBLE) / COUNT(*)").alias("avg_qty"),
+            F.expr(f"CAST(SUM({D_PRICE}) AS DOUBLE) / COUNT(*)").alias("avg_price"),
+            F.expr(f"CAST(SUM({D_DISC}) AS DOUBLE) / COUNT(*)").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q03 — shipping priority (join + agg + top-k)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q03_shipping_priority",
+    oracle=f"""
+    SELECT o_orderkey, o_orderdate,
+           CAST(SUM({DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: broadcast dim join + agg + deterministic top-k.",
+    bench=True,
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "customer", "orders", "lineitem")
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t["orders"].filter(F.col("o_orderdate") < cutoff)
+    li = t["lineitem"].filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.expr(f"CAST(SUM({DISC_PRICE}) AS DOUBLE)").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q05 — local supplier volume (6-way join)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q05_local_supplier",
+    oracle=f"""
+    SELECT n_name, CAST(SUM({DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 shape: 6-way star join; all dims broadcast, one shuffle for the agg.",
+    bench=True,
+)
+def q05_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region")
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    region = t["region"].filter(F.col("r_name") == "ASIA")
+    return (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(t["customer"]),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.expr(f"CAST(SUM({DISC_PRICE}) AS DOUBLE)").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q06 — forecast revenue change (scan-heavy scalar agg)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q06_forecast_revenue",
+    oracle=f"""
+    SELECT CAST(SUM(CAST({D_PRICE} * {D_DISC} AS DECIMAL(22,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: pure scan+filter+scalar agg; every predicate pushed to parquet.",
+    bench=True,
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.expr(f"CAST(SUM(CAST({D_PRICE} * {D_DISC} AS DECIMAL(22,4))) AS DOUBLE)").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q07 — volume shipping between nation pairs
+# ---------------------------------------------------------------------------
+
+@register(
+    "q07_nation_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           CAST(SUM({DISC_PRICE}) AS DOUBLE) AS volume
+    FROM supplier, lineitem, orders, customer, nation n1, nation n2
+    WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+      AND c_nationkey = n2.n_nationkey
+      AND n1.n_name IN ('NATION_1', 'NATION_2')
+      AND n2.n_name IN ('NATION_1', 'NATION_2')
+      AND n1.n_name <> n2.n_name
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape: self-joined dim (nation×2), year() bucketing.",
+)
+def q07_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation")
+    n1 = t["nation"].filter(F.col("n_name").isin("NATION_1", "NATION_2")).alias("n1")
+    n2 = t["nation"].filter(F.col("n_name").isin("NATION_1", "NATION_2")).alias("n2")
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1.n_nationkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2.n_nationkey"))
+        .filter(F.col("n1.n_name") != F.col("n2.n_name"))
+        .groupBy(
+            F.col("n1.n_name").alias("supp_nation"),
+            F.col("n2.n_name").alias("cust_nation"),
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.expr(f"CAST(SUM({DISC_PRICE}) AS DOUBLE)").alias("volume"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q09 — product-type profit by nation/year
+# ---------------------------------------------------------------------------
+
+@register(
+    "q09_product_profit",
+    oracle=f"""
+    SELECT n_name, year(o_orderdate) AS o_year,
+           CAST(SUM({DISC_PRICE}) AS DOUBLE) AS profit
+    FROM part, supplier, lineitem, orders, nation
+    WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      AND p_name LIKE '%red%'
+    GROUP BY n_name, o_year
+    """,
+    doc="TPC-H Q9 shape: LIKE-filtered part dim, profit rollup by nation/year.",
+    bench=True,
+)
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "part", "supplier", "lineitem", "orders", "nation")
+    part = t["part"].filter(F.col("p_name").like("%red%"))
+    return (
+        t["lineitem"]
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(F.expr(f"CAST(SUM({DISC_PRICE}) AS DOUBLE)").alias("profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10 — returned-item losers (top 20 customers)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           CAST(SUM({DISC_PRICE}) AS DOUBLE) AS revenue,
+           any_value(c_acctbal) AS c_acctbal
+    FROM customer, orders, lineitem
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: returned-lineitem revenue per customer, deterministic top-20.",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "customer", "orders", "lineitem")
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.expr(f"CAST(SUM({DISC_PRICE}) AS DOUBLE)").alias("revenue"),
+            F.expr("any_value(c_acctbal)").alias("c_acctbal"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# window functions
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_top3_customers_per_nation",
+    oracle=f"""
+    WITH rev AS (
+      SELECT c_nationkey, c_custkey,
+             CAST(SUM({D_TOTAL}) AS DOUBLE) AS revenue
+      FROM customer, orders
+      WHERE c_custkey = o_custkey
+      GROUP BY c_nationkey, c_custkey
+    )
+    SELECT n_name, c_custkey, revenue, rk FROM (
+      SELECT c_nationkey, c_custkey, revenue,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY revenue DESC, c_custkey) AS rk
+      FROM rev
+    ) t JOIN nation ON n_nationkey = c_nationkey
+    WHERE rk <= 3
+    """,
+    doc="Ranking window function: top-3 revenue customers per nation.",
+    bench=True,
+)
+def q_top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "customer", "orders", "nation")
+    rev = (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.expr(f"CAST(SUM({D_TOTAL}) AS DOUBLE)").alias("revenue"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "c_custkey", "revenue", "rk")
+    )
+
+
+@register(
+    "q_running_value_by_user",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(10,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_value,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_event_type
+    FROM events
+    """,
+    doc="Analytic window frame: running sum + lag over a deterministic event order.",
+)
+def q_running_value_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.expr("CAST(value AS DECIMAL(10,2))").alias("_v"),
+        F.lag("event_type").over(w).alias("prev_event_type"),
+        "ts",
+    ).select(
+        "event_id",
+        "user_id",
+        F.sum("_v").over(frame).cast("double").alias("running_value"),
+        "prev_event_type",
+    )
+
+
+# ---------------------------------------------------------------------------
+# rollup / cube / grouping sets
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_rollup_orders",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM({D_TOTAL}) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="ROLLUP hierarchy totals with GROUPING() disambiguation.",
+)
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")["orders"]
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(f"CAST(SUM({D_TOTAL}) AS DOUBLE)").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "q_cube_lineitem",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           COUNT(*) AS n_items,
+           CAST(SUM({D_QTY}) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE over two dimensions.",
+)
+def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.expr(f"CAST(SUM({D_QTY}) AS DOUBLE)").alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "q_grouping_sets_orders",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM({D_TOTAL}) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    doc="GROUPING SETS (disjoint one-dimension slices).",
+)
+def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")["orders"]
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM({D_TOTAL}) AS DOUBLE) AS total_price
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# distinct aggregation / set ops
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_distinct_parts_suppliers",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Multi-distinct aggregation (expand + two-phase distinct agg in Spark).",
+)
+def q_distinct_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q_setops_customers",
+    oracle="""
+    SELECT 'never_ordered' AS bucket, c_custkey FROM (
+      SELECT c_custkey FROM customer EXCEPT SELECT o_custkey AS c_custkey FROM orders
+    ) a
+    UNION ALL
+    SELECT 'big_spender_building' AS bucket, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
+    ) b
+    """,
+    doc="Set operations: EXCEPT (anti) + INTERSECT (semi), bucket-labelled union.",
+)
+def q_setops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "customer", "orders")
+    cust_keys = t["customer"].select("c_custkey")
+    order_keys = t["orders"].select(F.col("o_custkey").alias("c_custkey"))
+    never = cust_keys.exceptAll(order_keys).distinct()
+    building = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = (
+        t["orders"].filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    inter = building.intersect(big)
+    return never.select(F.lit("never_ordered").alias("bucket"), "c_custkey").unionAll(
+        inter.select(F.lit("big_spender_building").alias("bucket"), "c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar function surface: string / date / JSON
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_string_date_functions",
+    oracle=f"""
+    SELECT upper(substr(o_orderpriority, 3)) AS prio,
+           year(o_orderdate) AS yr,
+           month(o_orderdate) AS mo,
+           COUNT(*) AS n_orders,
+           CAST(SUM({D_TOTAL}) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY prio, yr, mo
+    """,
+    doc="String (upper/substr) and date-part (year/month) scalar functions.",
+)
+def q_string_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")["orders"]
+    return (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy(
+            F.upper(F.expr("substr(o_orderpriority, 3)")).alias("prio"),
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(f"CAST(SUM({D_TOTAL}) AS DOUBLE)").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "q_json_events",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="JSON field extraction from a string column (get_json_object / JSONPath).",
+)
+def q_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sessionization (gap-based) and as-of enrichment
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_sessionize_events",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                       OR date_diff('second',
+                                    LAG(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id),
+                                    ts) > 3600
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+    doc="Gap-based sessionization (1h inactivity) via lag window — the batch "
+        "analogue of session_window(); streaming variant lives in streaming/.",
+    bench=True,
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > 3600),
+        1,
+    ).otherwise(0)
+    return (
+        ev.select("user_id", new_session.alias("new_session"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "q_asof_latest_order",
+    oracle="""
+    SELECT e.event_id, e.user_id, MAX(o.o_orderdate) AS last_order_date
+    FROM events e LEFT JOIN orders o
+      ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    WHERE e.event_type = 'purchase'
+    GROUP BY e.event_id, e.user_id
+    """,
+    doc="As-of (point-in-time) enrichment: latest order at or before each event; "
+        "range join kept broadcast-able on the probe side.",
+)
+def q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "events", "orders")
+    ev = t["events"].filter(F.col("event_type") == "purchase")
+    o = t["orders"].select("o_custkey", "o_orderdate")
+    return (
+        ev.join(
+            o,
+            (F.col("o_custkey") == F.col("user_id"))
+            & (F.col("o_orderdate") <= F.col("ts")),
+            "left",
+        )
+        .groupBy("event_id", "user_id")
+        .agg(F.max("o_orderdate").alias("last_order_date"))
+    )
