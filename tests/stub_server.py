@@ -1,143 +1,10 @@
-"""A WireMock-equivalent stub HTTP server for tests.
+"""Back-compat shim: the stub server now ships in the package so non-test
+code (plans/http_queries.py, bench.py) can use it."""
 
-Records every request and serves programmable responses, including
-scenario-state sequences for retry tests (the reference uses WireMock
-scenario state the same way — ``HttpLookupTableSourceITCaseTest.java:240``).
-"""
-
-from __future__ import annotations
-
-import json
-import threading
-from dataclasses import dataclass, field
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Callable, Dict, List, Optional, Tuple
-from urllib.parse import parse_qs, urlparse
-
-
-@dataclass
-class RecordedRequest:
-    method: str
-    path: str
-    query: Dict[str, List[str]]
-    headers: Dict[str, str]
-    body: bytes
-
-    def json(self):
-        return json.loads(self.body)
-
-
-@dataclass
-class StubResponse:
-    status: int = 200
-    body: bytes = b""
-    headers: Dict[str, str] = field(default_factory=dict)
-
-
-#: (request) -> StubResponse
-Responder = Callable[[RecordedRequest], StubResponse]
-
-
-def json_response(payload, status: int = 200) -> StubResponse:
-    return StubResponse(
-        status=status,
-        body=json.dumps(payload).encode("utf-8"),
-        headers={"Content-Type": "application/json"},
-    )
-
-
-class StubHttpServer:
-    """Threaded stub server; thread-safe request log; per-path responders."""
-
-    def __init__(self) -> None:
-        self._lock = threading.Lock()
-        self.requests: List[RecordedRequest] = []
-        self._responders: List[Tuple[str, Responder]] = []  # (path_prefix, fn)
-        self._default = lambda req: StubResponse(status=404, body=b"not stubbed")
-
-        outer = self
-
-        class Handler(BaseHTTPRequestHandler):
-            protocol_version = "HTTP/1.1"
-
-            def _handle(self) -> None:
-                length = int(self.headers.get("Content-Length") or 0)
-                body = self.rfile.read(length) if length else b""
-                parsed = urlparse(self.path)
-                request = RecordedRequest(
-                    method=self.command,
-                    path=parsed.path,
-                    query=parse_qs(parsed.query),
-                    headers={k: v for k, v in self.headers.items()},
-                    body=body,
-                )
-                response = outer._respond(request)
-                self.send_response(response.status)
-                payload = response.body or b""
-                for name, value in response.headers.items():
-                    self.send_header(name, value)
-                self.send_header("Content-Length", str(len(payload)))
-                self.end_headers()
-                self.wfile.write(payload)
-
-            do_GET = do_POST = do_PUT = do_DELETE = _handle
-
-            def log_message(self, *_args) -> None:  # silence
-                pass
-
-        self._server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
-        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
-
-    # -- lifecycle ----------------------------------------------------------------
-
-    def start(self) -> "StubHttpServer":
-        self._thread.start()
-        return self
-
-    def stop(self) -> None:
-        self._server.shutdown()
-        self._server.server_close()
-
-    @property
-    def port(self) -> int:
-        return self._server.server_address[1]
-
-    def url(self, path: str = "/") -> str:
-        return f"http://127.0.0.1:{self.port}{path}"
-
-    # -- stubbing -------------------------------------------------------------------
-
-    def stub(self, path_prefix: str, responder: Responder) -> None:
-        with self._lock:
-            self._responders.append((path_prefix, responder))
-
-    def stub_json(self, path_prefix: str, payload, status: int = 200) -> None:
-        self.stub(path_prefix, lambda _req: json_response(payload, status))
-
-    def stub_sequence(self, path_prefix: str, responses: List[StubResponse]) -> None:
-        """Scenario state: each call advances through ``responses``; the last
-        one repeats (WireMock scenario-state equivalent)."""
-        state = {"i": 0}
-        lock = threading.Lock()
-
-        def responder(_req: RecordedRequest) -> StubResponse:
-            with lock:
-                i = min(state["i"], len(responses) - 1)
-                state["i"] += 1
-            return responses[i]
-
-        self.stub(path_prefix, responder)
-
-    def _respond(self, request: RecordedRequest) -> StubResponse:
-        with self._lock:
-            self.requests.append(request)
-            for prefix, responder in reversed(self._responders):
-                if request.path.startswith(prefix):
-                    return responder(request)
-            return self._default(request)
-
-    # -- assertions -------------------------------------------------------------------
-
-    def recorded(self, path_prefix: str = "/") -> List[RecordedRequest]:
-        with self._lock:
-            return [r for r in self.requests if r.path.startswith(path_prefix)]
+from flink_connector_http_spark.testing import (  # noqa: F401
+    RecordedRequest,
+    Responder,
+    StubHttpServer,
+    StubResponse,
+    json_response,
+)
