@@ -1,0 +1,361 @@
+"""Deduplication operators over ``documents`` / ``embeddings``:
+
+- exact (content-hash groupBy),
+- n-gram Jaccard (exact pairwise over a shingle inverted index),
+- MinHash + LSH banding (candidate generation at scale, exact verify),
+- SimHash (32-bit fingerprints + hamming-distance pairs with an
+  exact-cover band join),
+- embedding-cosine near-duplicates.
+
+All signature math is built-in expressions on top of the md5→int primitives
+in ``text.py`` (bit-identical in Spark and DuckDB), so even the hash-based
+operators run under the driver's hash-compared oracle gate.
+
+Scale design (100 TB):
+- exact dedup: one shuffle on a 128-bit content hash — minimal key width.
+- jaccard: the shingle inverted index is the scale hazard (hot shingles →
+  quadratic pair blowup). It is kept exact here as the *oracle-verifiable*
+  baseline; at scale you run `dedup_minhash_lsh`, whose candidate volume is
+  bounded by LSH bucket sizes, then verify candidates exactly — same
+  output, bounded shuffle.
+- minhash: signatures are computed per-row with zero shuffle (32 array
+  scans over the shingle array, JVM-side); the only shuffles are the
+  8 band-bucket self-joins on 128-bit band keys and the final verify join.
+- simhash: per-row fingerprint, then an exact-cover band join (4 bands of
+  8 bits; hamming ≤ 3 ⇒ at least one band identical by pigeonhole) —
+  recall 100% without a full cross join.
+- embedding cosine: documented O(n²); the LSH-bucketed variant in
+  ``similarity.py`` is the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import load, register
+from .text import (
+    SHINGLES_DUCK,
+    SHINGLES_SPARK,
+    md5_int32_duck,
+    md5_int32_spark,
+    md5_int60_duck,
+    md5_int60_spark,
+)
+
+JACCARD_THRESHOLD = 0.8
+COSINE_THRESHOLD = 0.45
+HAMMING_MAX = 3
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(lower(text)) AS content_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY content_hash
+    """,
+    doc="Exact dedup: group by 128-bit content hash, keep min doc_id "
+        "(one narrow shuffle on the hash).",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return (
+        docs.select(F.expr("md5(lower(text))").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact) — shared by the MinHash verify stage
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, unnest({SHINGLES_DUCK}) AS s FROM documents
+      )
+    ), counts AS (
+      SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(COUNT(*) AS DOUBLE) / (ca.c + cb.c - COUNT(*)) AS jaccard
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    JOIN counts ca ON ca.doc_id = a.doc_id
+    JOIN counts cb ON cb.doc_id = b.doc_id
+    GROUP BY a_id, b_id, ca.c, cb.c
+    HAVING CAST(COUNT(*) AS DOUBLE) / (ca.c + cb.c - COUNT(*)) >= {JACCARD_THRESHOLD}
+"""
+
+
+def _shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return docs.select(
+        "doc_id",
+        F.explode(F.expr(f"array_distinct({SHINGLES_SPARK})")).alias("s"),
+    )
+
+
+def _exact_jaccard(sh: DataFrame, candidates: DataFrame | None) -> DataFrame:
+    """Exact jaccard over a shingle inverted index; optionally restricted to
+    candidate (a_id, b_id) pairs from an LSH pre-filter."""
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+    )
+    if candidates is not None:
+        pairs = pairs.join(F.broadcast(candidates), ["a_id", "b_id"], "left_semi")
+    inter = pairs.groupBy("a_id", "b_id").agg(F.count(F.lit(1)).alias("inter"))
+    ca = counts.select(F.col("doc_id").alias("a_id"), F.col("c").alias("ca"))
+    cb = counts.select(F.col("doc_id").alias("b_id"), F.col("c").alias("cb"))
+    return (
+        inter.join(F.broadcast(ca), "a_id")
+        .join(F.broadcast(cb), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (F.col("inter").cast("double") / (F.col("ca") + F.col("cb") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_JACCARD_ORACLE,
+    doc="Exact 3-gram Jaccard near-dup pairs (threshold 0.8) via a shingle "
+        "inverted-index self-join.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_index(spark, sf_dir)
+    return _exact_jaccard(sh, None)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding (scale path; identical output, verified candidates)
+# ---------------------------------------------------------------------------
+
+N_HASHES = 32
+N_BANDS = 8  # 4 hashes per band; P(miss | j=0.8) = (1-0.8^4)^8 ≈ 0.8%,
+             # at the planted-pair similarity (~0.98) P(miss) ≈ 1e-9
+
+
+def _minhash_sig_exprs(engine: str) -> list:
+    """One min-hash per seed i, computed as an array scan over the shingle
+    set — no explode, no shuffle; 32 md5 evaluations per shingle."""
+    exprs = []
+    for i in range(N_HASHES):
+        if engine == "spark":
+            h = md5_int32_spark(f"concat('{i}:', s)")
+            exprs.append(
+                f"array_min(transform(array_distinct({SHINGLES_SPARK}), s -> {h}))"
+            )
+        else:
+            h = md5_int32_duck(f"'{i}:' || s")
+            exprs.append(
+                f"list_min(list_transform(list_distinct({SHINGLES_DUCK}), s -> {h}))"
+            )
+    return exprs
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_JACCARD_ORACLE,
+    doc="MinHash(32)+LSH(8 bands) candidate generation, exact-jaccard "
+        "verification — same output as dedup_ngram_jaccard with bounded "
+        "candidate volume (the 100 TB path).",
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    sig_exprs = _minhash_sig_exprs("spark")
+    sigs = docs.select(
+        "doc_id",
+        *[F.expr(e).alias(f"h{i}") for i, e in enumerate(sig_exprs)],
+    )
+    # band key = md5 of the concatenated 4-tuple of min-hashes
+    per_band = 4
+    band_cols = []
+    for b in range(N_BANDS):
+        parts = ", ".join(f"h{b * per_band + j}" for j in range(per_band))
+        band_cols.append(F.expr(f"md5(concat_ws(',', {parts}))").alias(f"band{b}"))
+    banded = sigs.select("doc_id", *band_cols)
+    bands = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("sig"))
+                for b in range(N_BANDS)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "bk.band_id", "bk.sig")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    sh = _shingle_index(spark, sf_dir)
+    return _exact_jaccard(sh, candidates)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+N_SIM_BITS = 32
+N_SIM_BANDS = 4  # 8 bits per band; hamming ≤ 3 ⇒ ≥1 identical band
+
+
+def _simhash_fp_expr(engine: str) -> str:
+    """32-bit SimHash over the distinct-token set: per bit j, majority vote
+    of token-hash bit j; fingerprint = Σ 2^j · [vote_j > 0]."""
+    if engine == "spark":
+        toks = "array_distinct(split(text, ' '))"
+        h = md5_int32_spark("t")
+        votes = (
+            f"transform(sequence(0, {N_SIM_BITS - 1}), j -> "
+            f"aggregate({toks}, 0L, (acc, t) -> acc + "
+            f"CASE WHEN (({h} >> j) & 1) = 1 THEN 1 ELSE -1 END))"
+        )
+        return (
+            f"aggregate(zip_with({votes}, sequence(0, {N_SIM_BITS - 1}), "
+            f"(v, j) -> CASE WHEN v > 0 THEN shiftleft(1L, j) ELSE 0L END), "
+            f"0L, (acc, x) -> acc + x)"
+        )
+    toks = "list_distinct(string_split(text, ' '))"
+    h = md5_int32_duck("t")
+    votes = (
+        f"list_transform(range(0, {N_SIM_BITS}), j -> "
+        f"list_sum(list_transform({toks}, t -> "
+        f"CASE WHEN (({h} >> j) & 1) = 1 THEN 1 ELSE -1 END)))"
+    )
+    return (
+        f"list_sum(list_transform(range(0, {N_SIM_BITS}), j -> "
+        f"CASE WHEN ({votes})[j + 1] > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END))"
+    )
+
+
+@register(
+    "dedup_simhash_fingerprints",
+    oracle=f"""
+    SELECT doc_id, CAST({_simhash_fp_expr('duck')} AS BIGINT) AS simhash
+    FROM documents
+    """,
+    doc="32-bit SimHash fingerprints (majority vote over token-hash bits), "
+        "computed per-row with zero shuffle.",
+)
+def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return docs.select("doc_id", F.expr(_simhash_fp_expr("spark")).alias("simhash"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, CAST({_simhash_fp_expr('duck')} AS BIGINT) AS simhash
+      FROM documents
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    """,
+    doc="SimHash near-dup pairs (hamming ≤ 3) via exact-cover band join: "
+        "4 bands × 8 bits, pigeonhole guarantees recall — the oracle brute-"
+        "forces all pairs, Spark never does.",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    fp = docs.select("doc_id", F.expr(_simhash_fp_expr("spark")).alias("simhash"))
+    bits_per_band = N_SIM_BITS // N_SIM_BANDS
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.expr(
+                        f"(simhash >> {b * bits_per_band}) & {(1 << bits_per_band) - 1}"
+                    ).alias("band_val"),
+                )
+                for b in range(N_SIM_BANDS)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band_id", "bk.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicates
+# ---------------------------------------------------------------------------
+
+COS_SPARK = (
+    "aggregate(zip_with(a_emb, b_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0 AS DOUBLE), (acc, v) -> acc + v) / "
+    "(sqrt(aggregate(transform(a_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+    "CAST(0 AS DOUBLE), (acc, v) -> acc + v)) * "
+    "sqrt(aggregate(transform(b_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+    "CAST(0 AS DOUBLE), (acc, v) -> acc + v)))"
+)
+COS_DUCK = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round({COS_DUCK}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round({COS_DUCK}, 6) >= {COSINE_THRESHOLD}
+    """,
+    doc="Embedding-cosine near-dup pairs (≥ 0.45, rounded to 6dp for "
+        "cross-engine float stability). O(n²) exact baseline; LSH-bucketed "
+        "variant in similarity.py is the scale path.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.expr(f"round({COS_SPARK}, 6)").alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+    )

@@ -1,0 +1,139 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``):
+
+- brute-force cosine top-k (the exact, oracle-checked baseline), and
+- random-hyperplane LSH-bucketed ANN (the 100 TB path: candidates come
+  from shared signature bands instead of a full cross join).
+
+The LSH hyperplanes are derived deterministically from md5 so every
+executor — and every engine — materializes the same planes without any
+broadcast of random state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..plans.registry import load, register
+from .dedup import COS_DUCK, COS_SPARK
+
+N_QUERIES = 20  # vec_id < 20 are the query set
+TOP_K = 5
+
+N_PLANES = 16
+PLANE_BANDS = 4  # 4 bits per band
+
+
+@register(
+    "sim_knn_bruteforce",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+             round({COS_DUCK}, 6) AS cosine
+      FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+    )
+    SELECT q_id, neighbor_id, cosine, rk FROM (
+      SELECT q_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    ) t WHERE rk <= {TOP_K}
+    """,
+    doc="Exact cosine top-k: broadcast the query set against the corpus, "
+        "rank per query. One narrow scan + per-query window.",
+    bench=True,
+)
+def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("a_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("b_emb"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("q_id"))
+        .select("q_id", "neighbor_id", F.expr(f"round({COS_SPARK}, 6)").alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+def _signature_expr(emb_col: str) -> str:
+    """16-bit random-hyperplane signature. Plane p, dim d weight =
+    md5-int32("p:d") scaled to [-1, 1) — deterministic, engine-portable.
+    Sign of Σ_d emb[d]·w(p,d) sets bit p."""
+    terms = []
+    for p in range(N_PLANES):
+        w = (
+            f"transform(sequence(1, size({emb_col})), d -> "
+            f"(CAST(CAST(conv(substr(md5(concat('{p}:', d)), 1, 8), 16, 10) AS BIGINT) AS DOUBLE) "
+            f"/ 2147483648.0) - 1.0)"
+        )
+        dot = (
+            f"aggregate(zip_with({emb_col}, {w}, (x, y) -> CAST(x AS DOUBLE) * y), "
+            f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        terms.append(f"CASE WHEN {dot} > 0 THEN shiftleft(1L, {p}) ELSE 0L END")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "sim_ann_lsh_topk",
+    oracle=None,  # approximate by construction → rows-only check
+    doc="ANN: random-hyperplane LSH signatures, 4×4-bit band buckets, "
+        "exact cosine re-rank within candidates. Recall < 1 by design "
+        "(rows-only check); bucket-join replaces the cross join at scale.",
+)
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    sig = emb.select(
+        "vec_id", "embedding", F.expr(_signature_expr("embedding")).alias("sig")
+    )
+    bits = N_PLANES // PLANE_BANDS
+    bands = sig.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.expr(f"(sig >> {b * bits}) & {(1 << bits) - 1}").alias("band_val"),
+                )
+                for b in range(PLANE_BANDS)
+            ])
+        ).alias("bk"),
+    ).select("vec_id", "embedding", "bk.band_id", "bk.band_val")
+    q = bands.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("a_emb"),
+        "band_id",
+        "band_val",
+    )
+    c = bands.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("b_emb"),
+        "band_id",
+        "band_val",
+    )
+    candidates = (
+        F.broadcast(q)
+        .join(c, ["band_id", "band_val"])
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select("q_id", "a_emb", "neighbor_id", "b_emb")
+        .dropDuplicates(["q_id", "neighbor_id"])
+    )
+    scored = candidates.select(
+        "q_id", "neighbor_id", F.expr(f"round({COS_SPARK}, 6)").alias("cosine")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "neighbor_id", "cosine", "rk")
+    )

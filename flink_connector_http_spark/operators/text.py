@@ -1,0 +1,206 @@
+"""Text analysis over the ``documents`` table: token statistics, quality
+scoring, n-gram-heuristic language ID, document fingerprinting.
+
+Everything is built-in Spark SQL expressions (whole-stage codegen, no
+Python in the row path) and every expression has a DuckDB twin so the
+driver hash-compares results. Shared token/shingle expression builders
+here are reused by the dedup operators.
+
+Scale: all four queries are embarrassingly parallel scans — no shuffle at
+all except the final (tiny) aggregations; at 100 TB they are bounded by
+parquet scan throughput.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import load, register
+
+# -- shared expression builders (Spark SQL syntax == DuckDB syntax where noted)
+
+#: tokenize on single spaces (the corpus is single-space word soup; split on
+#: a literal space keeps Spark's regex split and DuckDB's string_split in
+#: exact agreement, empty tokens included)
+TOKS_SPARK = "split(text, ' ')"
+TOKS_DUCK = "string_split(text, ' ')"
+
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+ES_STOPWORDS = ("el", "la", "de", "los", "que", "y")
+
+
+def _in_list(words) -> str:
+    return "(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+def spark_token_exprs() -> dict:
+    toks = TOKS_SPARK
+    return {
+        "n_tokens": f"size({toks})",
+        "n_uniq_tokens": f"size(array_distinct({toks}))",
+        "sum_token_len": f"aggregate(transform({toks}, t -> length(t)), 0, (a, x) -> a + x)",
+        "n_en_stop": f"size(filter({toks}, t -> t IN {_in_list(EN_STOPWORDS)}))",
+        "n_es_stop": f"size(filter({toks}, t -> t IN {_in_list(ES_STOPWORDS)}))",
+    }
+
+
+def duck_token_exprs() -> dict:
+    toks = TOKS_DUCK
+    return {
+        "n_tokens": f"len({toks})",
+        "n_uniq_tokens": f"len(list_distinct({toks}))",
+        "sum_token_len": f"list_sum(list_transform({toks}, t -> length(t)))",
+        "n_en_stop": f"len(list_filter({toks}, t -> t IN {_in_list(EN_STOPWORDS)}))",
+        "n_es_stop": f"len(list_filter({toks}, t -> t IN {_in_list(ES_STOPWORDS)}))",
+    }
+
+
+# 3-token shingles ("n-gram" unit shared by jaccard/minhash dedup)
+SHINGLES_SPARK = (
+    "transform(sequence(1, size(split(text, ' ')) - 2), "
+    "i -> concat(element_at(split(text, ' '), i), ' ', "
+    "element_at(split(text, ' '), i + 1), ' ', "
+    "element_at(split(text, ' '), i + 2)))"
+)
+SHINGLES_DUCK = (
+    "list_transform(range(1, len(string_split(text, ' ')) - 1), "
+    "i -> string_split(text, ' ')[i] || ' ' || "
+    "string_split(text, ' ')[i + 1] || ' ' || "
+    "string_split(text, ' ')[i + 2])"
+)
+
+#: 60-bit integer from a string via md5 — bit-identical in both engines
+#: (verified: conv(hex,16,10) == ('0x'||hex)::BIGINT)
+def md5_int60_spark(expr: str) -> str:
+    return f"CAST(conv(substr(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def md5_int60_duck(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def md5_int32_spark(expr: str) -> str:
+    return f"CAST(conv(substr(md5({expr}), 1, 8), 16, 10) AS BIGINT)"
+
+
+def md5_int32_duck(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# token statistics + quality score
+# ---------------------------------------------------------------------------
+
+_D = duck_token_exprs()
+_S = spark_token_exprs()
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           {_D['n_tokens']} AS n_tokens,
+           {_D['n_uniq_tokens']} AS n_uniq_tokens,
+           CAST({_D['sum_token_len']} AS DOUBLE) / {_D['n_tokens']} AS avg_token_len,
+           CAST({_D['n_uniq_tokens']} AS DOUBLE) / {_D['n_tokens']} AS uniq_ratio,
+           CAST({_D['n_en_stop']} AS DOUBLE) / {_D['n_tokens']} AS stopword_ratio
+    FROM documents
+    """,
+    doc="Whitespace token counting + lexical-diversity + stopword-ratio "
+        "quality signals, all JVM-side array expressions.",
+    bench=True,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return docs.select(
+        "doc_id",
+        F.expr(_S["n_tokens"]).alias("n_tokens"),
+        F.expr(_S["n_uniq_tokens"]).alias("n_uniq_tokens"),
+        F.expr(f"CAST({_S['sum_token_len']} AS DOUBLE) / {_S['n_tokens']}").alias("avg_token_len"),
+        F.expr(f"CAST({_S['n_uniq_tokens']} AS DOUBLE) / {_S['n_tokens']}").alias("uniq_ratio"),
+        F.expr(f"CAST({_S['n_en_stop']} AS DOUBLE) / {_S['n_tokens']}").alias("stopword_ratio"),
+    )
+
+
+@register(
+    "text_quality_filter",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE {_D['n_tokens']} BETWEEN 20 AND 2000
+      AND CAST({_D['n_uniq_tokens']} AS DOUBLE) / {_D['n_tokens']} >= 0.15
+      AND CAST({_D['sum_token_len']} AS DOUBLE) / {_D['n_tokens']} BETWEEN 2.0 AND 12.0
+    """,
+    doc="Quality gate à la C4/Gopher rules: length band, lexical diversity, "
+        "mean token length — a pure pushdown-friendly filter.",
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return docs.filter(
+        F.expr(
+            f"{_S['n_tokens']} BETWEEN 20 AND 2000"
+            f" AND CAST({_S['n_uniq_tokens']} AS DOUBLE) / {_S['n_tokens']} >= 0.15"
+            f" AND CAST({_S['sum_token_len']} AS DOUBLE) / {_S['n_tokens']} BETWEEN 2.0 AND 12.0"
+        )
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# language ID (stopword n-gram heuristic)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang AS lang_labeled,
+           CASE WHEN {_D['n_en_stop']} > {_D['n_es_stop']} THEN 'en'
+                WHEN {_D['n_es_stop']} > {_D['n_en_stop']} THEN 'es'
+                ELSE 'und' END AS lang_pred,
+           CAST({_D['n_en_stop']} AS DOUBLE) / {_D['n_tokens']} AS en_score,
+           CAST({_D['n_es_stop']} AS DOUBLE) / {_D['n_tokens']} AS es_score
+    FROM documents
+    """,
+    doc="Stopword-hit language heuristic (the reference corpus is synthetic "
+        "word soup, so the value is determinism of the scoring pipeline).",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_labeled"),
+        F.expr(
+            f"CASE WHEN {_S['n_en_stop']} > {_S['n_es_stop']} THEN 'en' "
+            f"WHEN {_S['n_es_stop']} > {_S['n_en_stop']} THEN 'es' "
+            f"ELSE 'und' END"
+        ).alias("lang_pred"),
+        F.expr(f"CAST({_S['n_en_stop']} AS DOUBLE) / {_S['n_tokens']}").alias("en_score"),
+        F.expr(f"CAST({_S['n_es_stop']} AS DOUBLE) / {_S['n_tokens']}").alias("es_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(lower(text)) AS content_fp,
+           list_aggregate(list_transform({SHINGLES_DUCK}, s -> md5(s)), 'min')
+               AS min_shingle_fp,
+           {md5_int60_duck('lower(text)')} AS fp_int
+    FROM documents
+    """,
+    doc="Content fingerprint (md5 of normalized text), min-shingle rolling "
+        "fingerprint, and a 60-bit integer fingerprint for numeric joins.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return docs.select(
+        "doc_id",
+        F.expr("md5(lower(text))").alias("content_fp"),
+        F.expr(f"array_min(transform({SHINGLES_SPARK}, s -> md5(s)))").alias("min_shingle_fp"),
+        F.expr(md5_int60_spark("lower(text)")).alias("fp_int"),
+    )
