@@ -18,9 +18,13 @@ carrying the TLS context and optional authenticated proxy
 
 from __future__ import annotations
 
+import http.client
 import json
 import logging
+import socket
+import threading
 import urllib.error
+import urllib.parse
 import urllib.request
 from typing import Any, Dict, List, Mapping, Optional, Tuple
 
@@ -63,8 +67,30 @@ class HttpResponse:
         return out
 
 
+class _NoDelayHTTPConnection(http.client.HTTPConnection):
+    """TCP_NODELAY keep-alive connection — without it the request/response
+    ping-pong hits Nagle + delayed-ACK (~40ms per call), which at thousands
+    of lookups per task dwarfs everything else."""
+
+    def connect(self) -> None:  # pragma: no cover - trivial
+        super().connect()
+        self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+
+
+class _NoDelayHTTPSConnection(http.client.HTTPSConnection):
+    def connect(self) -> None:  # pragma: no cover - trivial
+        super().connect()
+        self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+
+
 class HttpTransport:
-    """One configured urllib opener: TLS + proxy + timeout."""
+    """One configured transport: TLS + proxy + timeout.
+
+    Fast path keeps one persistent ``http.client`` connection per
+    (scheme, authority) per thread — HTTP keep-alive matters at scale:
+    a lookup join fires thousands of requests per task, and per-request
+    TCP+TLS setup dominates otherwise. Proxied requests fall back to a
+    urllib opener (rare path, correctness over speed)."""
 
     def __init__(
         self,
@@ -87,6 +113,9 @@ class HttpTransport:
             client_key=client_key,
             allow_self_signed=allow_self_signed,
         )
+        self._ssl_context = context
+        self._use_proxy = bool(proxy_host)
+        self._local = threading.local()
         if context is not None:
             handlers.append(urllib.request.HTTPSHandler(context=context))
         if proxy_host:
@@ -102,6 +131,11 @@ class HttpTransport:
     def send(self, spec: HttpRequestSpec) -> HttpResponse:
         """Issue one request; non-2xx responses return normally (policy
         classification happens upstream, like the reference's client)."""
+        if self._use_proxy:
+            return self._send_urllib(spec)
+        return self._send_keepalive(spec)
+
+    def _send_urllib(self, spec: HttpRequestSpec) -> HttpResponse:
         req = urllib.request.Request(
             spec.url,
             data=spec.body,
@@ -114,6 +148,43 @@ class HttpTransport:
         except urllib.error.HTTPError as err:
             body = err.read() if hasattr(err, "read") else b""
             return HttpResponse(err.code, list((err.headers or {}).items()), body)
+
+    def _connection(self, scheme: str, authority: str):
+        conns = getattr(self._local, "conns", None)
+        if conns is None:
+            conns = {}
+            self._local.conns = conns
+        key = (scheme, authority)
+        conn = conns.get(key)
+        if conn is None:
+            if scheme == "https":
+                conn = _NoDelayHTTPSConnection(
+                    authority, timeout=self.timeout, context=self._ssl_context
+                )
+            else:
+                conn = _NoDelayHTTPConnection(authority, timeout=self.timeout)
+            conns[key] = conn
+        return conn
+
+    def _send_keepalive(self, spec: HttpRequestSpec) -> HttpResponse:
+        parsed = urllib.parse.urlsplit(spec.url)
+        target = parsed.path or "/"
+        if parsed.query:
+            target += "?" + parsed.query
+        # one reconnect on a stale kept-alive socket; real request errors
+        # propagate to the retry/classification layers upstream
+        for attempt in (0, 1):
+            conn = self._connection(parsed.scheme, parsed.netloc)
+            try:
+                conn.request(spec.method, target, body=spec.body, headers=dict(spec.headers))
+                resp = conn.getresponse()
+                body = resp.read()
+                return HttpResponse(resp.status, list(resp.getheaders()), body)
+            except (http.client.HTTPException, ConnectionError, OSError):
+                conn.close()
+                self._local.conns.pop((parsed.scheme, parsed.netloc), None)
+                if attempt == 1:
+                    raise
 
 
 class HttpPollingClient:

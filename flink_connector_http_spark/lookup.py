@@ -187,6 +187,7 @@ def http_lookup_join(
     select: Optional[Sequence[str]] = None,
     metadata_columns: Optional[Sequence[str]] = None,
     lookup_prefix: str = "",
+    num_partitions: Optional[int] = None,
 ) -> DataFrame:
     """Enrich ``probe`` with rows fetched from ``table``'s HTTP endpoint.
 
@@ -194,7 +195,10 @@ def http_lookup_join(
     (reference flagship path, SURVEY §3.1). ``select`` prunes the decoded
     lookup columns (projection pushdown); ``metadata_columns`` appends the
     requested virtual columns; ``lookup_prefix`` renames lookup output
-    columns to avoid probe collisions.
+    columns to avoid probe collisions. ``num_partitions`` repartitions the
+    probe first — total in-flight requests = partitions × pull pool size,
+    the knob that matters when the probe arrives in few fat partitions
+    (a narrow parquet scan) but the endpoint has headroom.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
@@ -344,4 +348,15 @@ def http_lookup_join(
                 continue
             yield out
 
+    if num_partitions is not None:
+        # hash-partition on the lookup keys: keeps every occurrence of a key
+        # in ONE partition, so per-partition distinct-key dedup stays global
+        # (round-robin would scatter a key across partitions and multiply
+        # the HTTP request volume)
+        key_roots = []
+        for probe_col, _lk in pairs:
+            root = probe_col.split(".")[0]
+            if root not in key_roots:
+                key_roots.append(root)
+        probe = probe.repartition(num_partitions, *key_roots)
     return probe.mapInPandas(enrich, schema=out_schema)

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..plans.registry import load, register
 from .text import (
@@ -104,7 +105,20 @@ def _shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _exact_jaccard(sh: DataFrame, candidates: DataFrame | None) -> DataFrame:
     """Exact jaccard over a shingle inverted index; optionally restricted to
-    candidate (a_id, b_id) pairs from an LSH pre-filter."""
+    candidate (a_id, b_id) pairs from an LSH pre-filter.
+
+    The candidate restriction is pushed BELOW the self-join: the index is
+    first semi-joined down to candidate docs, so the quadratic co-shingle
+    pair expansion only ever runs over near-duplicates — this is what makes
+    LSH-verify scale while the unrestricted variant stays the small-data
+    oracle baseline."""
+    if candidates is not None:
+        cand_docs = (
+            candidates.select(F.col("a_id").alias("doc_id"))
+            .union(candidates.select(F.col("b_id").alias("doc_id")))
+            .distinct()
+        )
+        sh = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -149,22 +163,21 @@ N_BANDS = 8  # 4 hashes per band; P(miss | j=0.8) = (1-0.8^4)^8 ≈ 0.8%,
              # at the planted-pair similarity (~0.98) P(miss) ≈ 1e-9
 
 
-def _minhash_sig_exprs(engine: str) -> list:
-    """One min-hash per seed i, computed as an array scan over the shingle
-    set — no explode, no shuffle; 32 md5 evaluations per shingle."""
-    exprs = []
-    for i in range(N_HASHES):
-        if engine == "spark":
-            h = md5_int32_spark(f"concat('{i}:', s)")
-            exprs.append(
-                f"array_min(transform(array_distinct({SHINGLES_SPARK}), s -> {h}))"
-            )
-        else:
-            h = md5_int32_duck(f"'{i}:' || s")
-            exprs.append(
-                f"list_min(list_transform(list_distinct({SHINGLES_DUCK}), s -> {h}))"
-            )
-    return exprs
+_SIG_MAX = 1 << 32  # above any 32-bit hash
+
+
+def _minhash_sig_array_spark() -> str:
+    """All 32 min-hashes in ONE expression pass: per shingle compute the
+    32 seeded hashes, then fold elementwise minima. One scan over the
+    shingle set, 32 md5s per shingle — no expression re-evaluation, no
+    explode, no shuffle."""
+    h = md5_int32_spark("concat(i, ':', s)")
+    per_shingle = f"transform(sequence(0, {N_HASHES - 1}), i -> {h})"
+    return (
+        f"aggregate(array_distinct({SHINGLES_SPARK}), "
+        f"array_repeat(CAST({_SIG_MAX} AS BIGINT), {N_HASHES}), "
+        f"(acc, s) -> zip_with(acc, {per_shingle}, (a, b) -> least(a, b)))"
+    )
 
 
 @register(
@@ -177,16 +190,14 @@ def _minhash_sig_exprs(engine: str) -> list:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")["documents"]
-    sig_exprs = _minhash_sig_exprs("spark")
-    sigs = docs.select(
-        "doc_id",
-        *[F.expr(e).alias(f"h{i}") for i, e in enumerate(sig_exprs)],
-    )
+    sigs = docs.select("doc_id", F.expr(_minhash_sig_array_spark()).alias("sig"))
     # band key = md5 of the concatenated 4-tuple of min-hashes
     per_band = 4
     band_cols = []
     for b in range(N_BANDS):
-        parts = ", ".join(f"h{b * per_band + j}" for j in range(per_band))
+        parts = ", ".join(
+            f"element_at(sig, {b * per_band + j + 1})" for j in range(per_band)
+        )
         band_cols.append(F.expr(f"md5(concat_ws(',', {parts}))").alias(f"band{b}"))
     banded = sigs.select("doc_id", *band_cols)
     bands = banded.select(
@@ -210,8 +221,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
+    # materialize the (tiny) candidate set once: the verify stage references
+    # it three times, and recomputing it would re-run the signature fold —
+    # the expensive part — on every reference
+    cand_rows = candidates.collect()
+    cand_schema = T.StructType([
+        T.StructField("a_id", T.LongType()),
+        T.StructField("b_id", T.LongType()),
+    ])
+    cand_df = spark.createDataFrame(cand_rows, schema=cand_schema)
     sh = _shingle_index(spark, sf_dir)
-    return _exact_jaccard(sh, candidates)
+    return _exact_jaccard(sh, cand_df)
 
 
 # ---------------------------------------------------------------------------
@@ -226,12 +246,17 @@ def _simhash_fp_expr(engine: str) -> str:
     """32-bit SimHash over the distinct-token set: per bit j, majority vote
     of token-hash bit j; fingerprint = Σ 2^j · [vote_j > 0]."""
     if engine == "spark":
+        # materialize token hashes first (md5 once per token), then fold a
+        # 32-slot vote array — expressions inside lambdas are not CSE'd, so
+        # the naive per-bit aggregate would hash every token 32 times
         toks = "array_distinct(split(text, ' '))"
         h = md5_int32_spark("t")
+        hashes = f"transform({toks}, t -> {h})"
         votes = (
-            f"transform(sequence(0, {N_SIM_BITS - 1}), j -> "
-            f"aggregate({toks}, 0L, (acc, t) -> acc + "
-            f"CASE WHEN (({h} >> j) & 1) = 1 THEN 1 ELSE -1 END))"
+            f"aggregate({hashes}, "
+            f"array_repeat(0L, {N_SIM_BITS}), "
+            f"(acc, h) -> zip_with(acc, sequence(0, {N_SIM_BITS - 1}), "
+            f"(a, j) -> a + CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END))"
         )
         return (
             f"aggregate(zip_with({votes}, sequence(0, {N_SIM_BITS - 1}), "

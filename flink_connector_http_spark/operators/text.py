@@ -56,12 +56,18 @@ def duck_token_exprs() -> dict:
     }
 
 
-# 3-token shingles ("n-gram" unit shared by jaccard/minhash dedup)
+# 3-token shingles ("n-gram" unit shared by jaccard/minhash dedup).
+# Built with slice+zip_with, NOT element_at(split(...), i) in a lambda:
+# per-index element_at would re-split the whole text for every position
+# (O(n²) per row, and Catalyst does not CSE expressions inside lambdas).
+_T = "split(text, ' ')"
+_NSH = f"greatest(size({_T}) - 2, 0)"
 SHINGLES_SPARK = (
-    "transform(sequence(1, size(split(text, ' ')) - 2), "
-    "i -> concat(element_at(split(text, ' '), i), ' ', "
-    "element_at(split(text, ' '), i + 1), ' ', "
-    "element_at(split(text, ' '), i + 2)))"
+    f"zip_with("
+    f"zip_with(slice({_T}, 1, {_NSH}), slice({_T}, 2, {_NSH}), "
+    f"(x, y) -> concat(x, ' ', y)), "
+    f"slice({_T}, 3, {_NSH}), "
+    f"(xy, z) -> concat(xy, ' ', z))"
 )
 SHINGLES_DUCK = (
     "list_transform(range(1, len(string_split(text, ' ')) - 1), "

@@ -165,6 +165,7 @@ def http_lookup_customers_get(spark: SparkSession, sf_dir: str) -> DataFrame:
     return http_lookup_join(
         probe, table, on={"o_custkey": "c_custkey"}, how="inner",
         select=["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+        num_partitions=32,
     )
 
 

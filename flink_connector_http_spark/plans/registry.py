@@ -60,10 +60,33 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> Dict[str, DataFrame]:
     out: Dict[str, DataFrame] = {}
     for n in names:
         if n == "events":
-            out[n] = load_events(spark, sf_dir)
+            df = load_events(spark, sf_dir)
         else:
-            out[n] = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+            df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        if n in _PARALLELIZE:
+            df = _ensure_parallelism(spark, df)
+        out[n] = df
     return out
+
+
+#: only the tables consumed by interpreted higher-order-function expressions
+#: (minhash/simhash folds, cosine aggregates) benefit from forced splitting;
+#: relational queries on lineitem/orders run whole-stage-codegen'd scans that
+#: are faster than the extra shuffle a repartition would add
+_PARALLELIZE = {"documents", "embeddings"}
+
+
+def _ensure_parallelism(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """The test tables arrive as single small parquet files → one scan task,
+    which serializes the (interpreted, non-codegen) higher-order-function
+    expressions onto one core. Repartition to cluster parallelism when the
+    scan is under-split. At real scale the input has thousands of splits and
+    this is a no-op; Catalyst still pushes filters/pruning below the
+    repartition."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -59,6 +59,11 @@ class StubHttpServer:
 
         class Handler(BaseHTTPRequestHandler):
             protocol_version = "HTTP/1.1"
+            # buffered writes + TCP_NODELAY: the default unbuffered wfile
+            # emits one packet per send_header call, which with Nagle +
+            # delayed ACK costs ~40ms per response
+            wbufsize = 64 * 1024
+            disable_nagle_algorithm = True
 
             def _handle(self) -> None:
                 length = int(self.headers.get("Content-Length") or 0)

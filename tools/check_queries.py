@@ -96,11 +96,13 @@ def main() -> int:
             print(f"[{name}] SPARK FAIL: {type(e).__name__}: {str(e)[:400]}")
             failures.append(name)
             continue
+        t_spark = time.time() - t0
         sql = oracles.get(name)
         if sql is None:
             print(f"[{name}] rows-only: {len(spark_rows)} rows "
-                  f"({time.time()-t0:.1f}s)")
+                  f"(spark {t_spark:.1f}s)")
             continue
+        t1 = time.time()
         try:
             res = con.execute(sql)
             oracle_cols = [d[0] for d in res.description]
@@ -109,6 +111,7 @@ def main() -> int:
             print(f"[{name}] ORACLE FAIL: {type(e).__name__}: {str(e)[:400]}")
             failures.append(name)
             continue
+        t_oracle = time.time() - t1
 
         s_names, s_vals = rowset(spark_cols, spark_rows)
         o_names, o_vals = rowset(oracle_cols, oracle_rows)
@@ -126,7 +129,8 @@ def main() -> int:
             print(f"[{name}] MISMATCH: {'; '.join(problems)}")
             failures.append(name)
         else:
-            print(f"[{name}] OK: {len(spark_rows)} rows ({time.time()-t0:.1f}s)")
+            print(f"[{name}] OK: {len(spark_rows)} rows "
+                  f"(spark {t_spark:.1f}s, oracle {t_oracle:.1f}s)")
 
     if not args.skip_spark_stop:
         spark.stop()
