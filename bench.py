@@ -35,7 +35,11 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", str(max(32, int(cpus))))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # modest heap on purpose: the test VM reclaims guest-free pages via
+        # virtio-balloon, so a large heap means every heap-growth spurt
+        # re-faults pages against the host (multi-second kernel-time stalls
+        # measured at 16g); 8g is ample for sf0.1 and keeps residency low
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .getOrCreate()
     )

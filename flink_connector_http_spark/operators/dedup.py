@@ -95,8 +95,16 @@ _JACCARD_ORACLE = f"""
 """
 
 
-def _shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingle_index(
+    spark: SparkSession, sf_dir: str, doc_ids: "set | None" = None
+) -> DataFrame:
     docs = load(spark, sf_dir, "documents")["documents"]
+    if doc_ids is not None:
+        # restrict BEFORE shingling: an isin filter pushes to the parquet
+        # scan, whereas a semi-join after explode cannot sink below the
+        # Generate — without this the verify stage re-shingles the whole
+        # corpus just to throw 99% of it away
+        docs = docs.filter(F.col("doc_id").isin(list(doc_ids)))
     return docs.select(
         "doc_id",
         F.explode(F.expr(f"array_distinct({SHINGLES_SPARK})")).alias("s"),
@@ -167,16 +175,25 @@ _SIG_MAX = 1 << 32  # above any 32-bit hash
 
 
 def _minhash_sig_array_spark() -> str:
-    """All 32 min-hashes in ONE expression pass: per shingle compute the
-    32 seeded hashes, then fold elementwise minima. One scan over the
-    shingle set, 32 md5s per shingle — no expression re-evaluation, no
-    explode, no shuffle."""
-    h = md5_int32_spark("concat(i, ':', s)")
-    per_shingle = f"transform(sequence(0, {N_HASHES - 1}), i -> {h})"
+    """All 32 min-hashes in ONE expression pass using the affine hash
+    family h_i(s) = (h1(s) + i·h2(s)) mod 2^32 — the standard minhash
+    construction. Per shingle this costs TWO xxhash64 evaluations (bigint
+    out, no hex-string round trip) plus 32 integer fused ops, instead of
+    32 md5+substr+conv string pipelines. h2 is forced odd so every h_i
+    stays a permutation of Z_2^32. The hash pair is materialized in a
+    struct BEFORE the fold because expressions inside lambdas are not
+    CSE'd. Max intermediate is < 2^37, so 64-bit ANSI arithmetic cannot
+    overflow. No explode, no shuffle."""
+    pair = (
+        "struct((xxhash64(s) & 4294967295) AS h1, "
+        "((xxhash64(s, 1) & 4294967295) | 1) AS h2)"
+    )
+    hs = f"transform(array_distinct({SHINGLES_SPARK}), s -> {pair})"
     return (
-        f"aggregate(array_distinct({SHINGLES_SPARK}), "
+        f"aggregate({hs}, "
         f"array_repeat(CAST({_SIG_MAX} AS BIGINT), {N_HASHES}), "
-        f"(acc, s) -> zip_with(acc, {per_shingle}, (a, b) -> least(a, b)))"
+        f"(acc, h) -> zip_with(acc, sequence(0, {N_HASHES - 1}), "
+        f"(a, i) -> least(a, (h.h1 + i * h.h2) & 4294967295)))"
     )
 
 
@@ -230,7 +247,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("b_id", T.LongType()),
     ])
     cand_df = spark.createDataFrame(cand_rows, schema=cand_schema)
-    sh = _shingle_index(spark, sf_dir)
+    cand_ids = {r.a_id for r in cand_rows} | {r.b_id for r in cand_rows}
+    sh = _shingle_index(spark, sf_dir, cand_ids or {-1})
     return _exact_jaccard(sh, cand_df)
 
 
@@ -348,18 +366,20 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding-cosine near-duplicates
 # ---------------------------------------------------------------------------
 
-COS_SPARK = (
-    "aggregate(zip_with(a_emb, b_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-    "CAST(0 AS DOUBLE), (acc, v) -> acc + v) / "
-    "(sqrt(aggregate(transform(a_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
-    "CAST(0 AS DOUBLE), (acc, v) -> acc + v)) * "
-    "sqrt(aggregate(transform(b_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
-    "CAST(0 AS DOUBLE), (acc, v) -> acc + v)))"
-)
 COS_DUCK = (
     "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
     "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
     "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
+
+
+_DOT_AB = (
+    "aggregate(zip_with(a_emb, b_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_NORM = (
+    "sqrt(aggregate(transform({col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+    "CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
 )
 
 
@@ -377,10 +397,25 @@ COS_DUCK = (
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")["embeddings"]
-    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
-    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
+    # norms are computed ONCE per vector before the O(n²) join instead of
+    # per pair; the expression (and thus the float op order and the 6dp
+    # rounded value) is unchanged, so oracle hashes still match
+    a = emb.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.expr(_NORM.format(col="embedding")).alias("a_norm"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.expr(_NORM.format(col="embedding")).alias("b_norm"),
+    )
     return (
         a.join(b, F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", F.expr(f"round({COS_SPARK}, 6)").alias("cosine"))
+        .select(
+            "a_id",
+            "b_id",
+            F.expr(f"round({_DOT_AB} / (a_norm * b_norm), 6)").alias("cosine"),
+        )
         .filter(F.col("cosine") >= COSINE_THRESHOLD)
     )

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..plans.registry import load, register
-from .dedup import COS_DUCK, COS_SPARK
+from .dedup import _DOT_AB, _NORM, COS_DUCK
 
 N_QUERIES = 20  # vec_id < 20 are the query set
 TOP_K = 5
@@ -47,14 +47,26 @@ PLANE_BANDS = 4  # 4 bits per band
 )
 def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    # per-side norms once per vector, not per pair (same expression order →
+    # bit-identical rounded values, see dedup_embedding_cosine)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("a_emb")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("a_emb"),
+        F.expr(_NORM.format(col="embedding")).alias("a_norm"),
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("b_emb"))
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("b_emb"),
+        F.expr(_NORM.format(col="embedding")).alias("b_norm"),
+    )
     scored = (
         F.broadcast(q)
         .join(c, F.col("neighbor_id") != F.col("q_id"))
-        .select("q_id", "neighbor_id", F.expr(f"round({COS_SPARK}, 6)").alias("cosine"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.expr(f"round({_DOT_AB} / (a_norm * b_norm), 6)").alias("cosine"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -112,12 +124,14 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = bands.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("a_emb"),
+        F.expr(_NORM.format(col="embedding")).alias("a_norm"),
         "band_id",
         "band_val",
     )
     c = bands.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("b_emb"),
+        F.expr(_NORM.format(col="embedding")).alias("b_norm"),
         "band_id",
         "band_val",
     )
@@ -125,11 +139,13 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(q)
         .join(c, ["band_id", "band_val"])
         .filter(F.col("neighbor_id") != F.col("q_id"))
-        .select("q_id", "a_emb", "neighbor_id", "b_emb")
+        .select("q_id", "a_emb", "a_norm", "neighbor_id", "b_emb", "b_norm")
         .dropDuplicates(["q_id", "neighbor_id"])
     )
     scored = candidates.select(
-        "q_id", "neighbor_id", F.expr(f"round({COS_SPARK}, 6)").alias("cosine")
+        "q_id",
+        "neighbor_id",
+        F.expr(f"round({_DOT_AB} / (a_norm * b_norm), 6)").alias("cosine"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

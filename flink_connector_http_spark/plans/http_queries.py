@@ -40,66 +40,65 @@ _SERVERS_LOCK = threading.Lock()
 
 
 class _DataStub:
-    """Serves customer/nation/orders lookups + a sink collector for one
-    scale-factor dir. Lives for the session (daemon threads)."""
+    """Serves customer/nation/orders lookups for one scale-factor dir over
+    a ``FastHttpStub`` (asyncio keep-alive, precomputed response bytes) —
+    the stub must sustain the full distinct-key request volume of the
+    sf0.1 bench without becoming the measured bottleneck. Lives for the
+    session (daemon threads)."""
 
     def __init__(self, sf_dir: str) -> None:
         import duckdb
 
-        from ..testing import StubHttpServer, StubResponse, json_response
+        from ..testing import FastHttpStub, response_bytes
+
+        _404_customer = response_bytes(b'{"error": "no such customer"}', 404)
+        _404_nation = response_bytes(b'{"error": "no such nation"}', 404)
+        _empty_array = response_bytes(b"[]")
 
         con = duckdb.connect()
-        self.customers = {
-            r[0]: {
+        customers = {
+            str(r[0]): response_bytes(json.dumps({
                 "c_custkey": r[0], "c_name": r[1], "c_nationkey": r[2],
                 "c_acctbal": r[3], "c_mktsegment": r[4],
-            }
+            }).encode())
             for r in con.execute(
                 f"SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment "
                 f"FROM read_parquet('{sf_dir}/customer.parquet')"
             ).fetchall()
         }
-        self.nations = {
-            r[0]: {"n_nationkey": r[0], "n_name": r[1], "n_regionkey": r[2]}
+        nations = {
+            r[0]: response_bytes(json.dumps(
+                {"n_nationkey": r[0], "n_name": r[1], "n_regionkey": r[2]}
+            ).encode())
             for r in con.execute(
                 f"SELECT n_nationkey, n_name, n_regionkey "
                 f"FROM read_parquet('{sf_dir}/nation.parquet')"
             ).fetchall()
         }
-        self.orders_by_cust: Dict[int, list] = {}
+        orders_by_cust: Dict[str, list] = {}
         for r in con.execute(
             f"SELECT o_custkey, o_orderkey, o_totalprice, o_orderstatus "
             f"FROM read_parquet('{sf_dir}/orders.parquet')"
         ).fetchall():
-            self.orders_by_cust.setdefault(r[0], []).append(
+            orders_by_cust.setdefault(str(r[0]), []).append(
                 {"o_orderkey": r[1], "o_totalprice": r[2], "o_orderstatus": r[3]}
             )
+        orders = {
+            k: response_bytes(json.dumps(v).encode())
+            for k, v in orders_by_cust.items()
+        }
         con.close()
 
-        self.server = StubHttpServer()
+        def nation_post(_query: str, body: bytes) -> bytes:
+            key = json.loads(body)["n_nationkey"]
+            return nations.get(int(key), _404_nation)
 
-        def customers_get(req):
-            key = int(req.query["c_custkey"][0])
-            row = self.customers.get(key)
-            if row is None:
-                return StubResponse(status=404, body=b'{"error": "no such customer"}')
-            return json_response(row)
-
-        def nation_post(req):
-            key = int(req.json()["n_nationkey"])
-            row = self.nations.get(key)
-            if row is None:
-                return StubResponse(status=404, body=b'{"error": "no such nation"}')
-            return json_response(row)
-
-        def orders_array(req):
-            key = int(req.query["o_custkey"][0])
-            return json_response(self.orders_by_cust.get(key, []))
-
-        self.server.stub("/customers", customers_get)
-        self.server.stub("/nation-lookup", nation_post)
-        self.server.stub("/orders-by-customer", orders_array)
-        self.server.stub_json("/collect", {"ok": True})
+        self.server = FastHttpStub()
+        self.server.route_static("/customers", customers, "c_custkey",
+                                 default=_404_customer)
+        self.server.route("/nation-lookup", nation_post)
+        self.server.route_static("/orders-by-customer", orders, "o_custkey",
+                                 default=_empty_array)
         self.server.start()
 
     def url(self, path: str) -> str:

@@ -7,6 +7,7 @@ scenario state the same way — ``HttpLookupTableSourceITCaseTest.java:240``).
 
 from __future__ import annotations
 
+import asyncio
 import json
 import threading
 from dataclasses import dataclass, field
@@ -146,3 +147,137 @@ class StubHttpServer:
     def recorded(self, path_prefix: str = "/") -> List[RecordedRequest]:
         with self._lock:
             return [r for r in self.requests if r.path.startswith(path_prefix)]
+
+
+# ---------------------------------------------------------------------------
+# high-throughput stub (lookup benches)
+# ---------------------------------------------------------------------------
+
+def response_bytes(body: bytes, status: int = 200) -> bytes:
+    """A complete, ready-to-write HTTP/1.1 keep-alive response."""
+    return (
+        f"HTTP/1.1 {status} S\r\n"
+        f"Content-Type: application/json\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode("ascii") + body
+
+
+_RESP_404 = response_bytes(b'{"error": "not stubbed"}', 404)
+
+#: (raw query string, raw body) -> complete response bytes
+FastResponder = Callable[[str, bytes], bytes]
+
+
+class FastHttpStub:
+    """Minimal asyncio HTTP/1.1 keep-alive server for high-request-volume
+    lookup benchmarks.
+
+    ``StubHttpServer`` (above) is the behavioural twin of WireMock —
+    request recording, scenario state, programmable responders — but its
+    ``BaseHTTPRequestHandler`` parsing plus a thread per connection tops
+    out near ~1k req/s in one Python process, which turns the *test
+    double* into the benchmark bottleneck once a lookup join fans out
+    thousands of keys. This server does the opposite trade: one event
+    loop, hand-rolled request-line/header scan, no recording, and
+    responders that return precomputed byte strings; it sustains tens of
+    thousands of keep-alive requests per second. Use it wherever the
+    endpoint is pure keyed data and assertions happen downstream.
+    """
+
+    def __init__(self) -> None:
+        self._routes: Dict[str, FastResponder] = {}
+        self._loop: Optional[asyncio.AbstractEventLoop] = None
+        self._thread: Optional[threading.Thread] = None
+        self._server: Optional[asyncio.AbstractServer] = None
+        self.port: Optional[int] = None
+
+    def route(self, path: str, responder: FastResponder) -> None:
+        self._routes[path] = responder
+
+    def route_static(self, path: str, table: Dict[str, bytes],
+                     key_param: str, default: bytes = _RESP_404) -> None:
+        """GET ?key_param=value → precomputed response from ``table``."""
+        prefix = key_param + "="
+
+        def responder(query: str, _body: bytes) -> bytes:
+            for part in query.split("&"):
+                if part.startswith(prefix):
+                    return table.get(part[len(prefix):], default)
+            return default
+
+        self._routes[path] = responder
+
+    async def _handle(self, reader: asyncio.StreamReader,
+                      writer: asyncio.StreamWriter) -> None:
+        try:
+            while True:
+                line = await reader.readline()
+                if not line:
+                    break
+                try:
+                    _method, target, _ = line.decode("latin1").split(" ", 2)
+                except ValueError:
+                    break
+                clen = 0
+                while True:
+                    h = await reader.readline()
+                    if not h or h in (b"\r\n", b"\n"):
+                        break
+                    if h[:15].lower() == b"content-length:":
+                        clen = int(h[15:])
+                body = await reader.readexactly(clen) if clen else b""
+                path, _, query = target.partition("?")
+                fn = self._routes.get(path)
+                writer.write(fn(query, body) if fn is not None else _RESP_404)
+                await writer.drain()
+        except (asyncio.IncompleteReadError, ConnectionError, OSError):
+            pass
+        finally:
+            try:
+                writer.close()
+            except Exception:
+                pass
+
+    def start(self) -> "FastHttpStub":
+        started = threading.Event()
+
+        def run() -> None:
+            loop = asyncio.new_event_loop()
+            self._loop = loop
+            asyncio.set_event_loop(loop)
+
+            async def main() -> None:
+                self._server = await asyncio.start_server(
+                    self._handle, "127.0.0.1", 0
+                )
+                self.port = self._server.sockets[0].getsockname()[1]
+                started.set()
+                async with self._server:
+                    await self._server.serve_forever()
+
+            try:
+                loop.run_until_complete(main())
+            except asyncio.CancelledError:
+                pass
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+        started.wait(timeout=10)
+        return self
+
+    def stop(self) -> None:
+        if self._loop is not None and self._server is not None:
+            loop = self._loop
+
+            def shutdown() -> None:
+                assert self._server is not None
+                self._server.close()
+                for task in asyncio.all_tasks(loop):
+                    task.cancel()
+
+            loop.call_soon_threadsafe(shutdown)
+            if self._thread is not None:
+                self._thread.join(timeout=5)
+
+    def url(self, path: str = "/") -> str:
+        return f"http://127.0.0.1:{self.port}{path}"
