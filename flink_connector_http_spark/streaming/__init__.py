@@ -1,0 +1,92 @@
+"""Structured Streaming surface: processing-time HTTP enrichment + HTTP sink.
+
+Re-expresses the reference's streaming-only semantics (SURVEY §2.5 T1-T6)
+Spark-first:
+
+* **T1 processing-time temporal join** (``JOIN Customers FOR SYSTEM_TIME AS OF
+  o.proc_time`` — docs/.../table/http.md:116-119,226-228): a micro-batch
+  ``mapInPandas`` lookup *is* processing-time semantics by construction — each
+  micro-batch probes the endpoint at execution time, exactly like Flink's
+  proctime lookup join. :func:`http_enrich_stream` is the streaming entry; it
+  delegates to the same narrow (shuffle-free) operator used in batch.
+* **T3 flush triggers** (count / bytes / age — ``HttpSinkBuilder.java:70-80``):
+  the micro-batch boundary is the outer flush; within a batch the sink writer
+  splits by ``batch_size`` / ``max_batch_bytes`` / ``max_time_in_buffer``.
+* **T4 checkpointed buffer** (``sink/HttpSinkWriterStateSerializer.java:33-52``):
+  Structured Streaming's checkpoint replays whole micro-batches through
+  ``foreachBatch`` — at-least-once, the same user-visible guarantee as the
+  reference (which never retries failed sink requests,
+  ``HttpSinkWriter.java:129-135``). No custom WAL needed.
+* **T6 append-only changelog** (``HttpDynamicSink.java:136-138``): the sink
+  runs in append output mode; update/delete changelogs are rejected by Spark
+  before reaching us.
+
+Scale note: both operators stay narrow — no shuffle is introduced by
+enrichment or sinking, so a 1000-executor stream keeps its source
+partitioning end-to-end. Total endpoint concurrency = partitions x pull pool
+size; bound it with ``num_partitions`` on the enrich side and
+``max_inflight`` on the sink side.
+"""
+
+from typing import Mapping, Optional, Sequence, Union
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from ..lookup import HttpLookupTable, http_lookup_join
+from ..options import HttpSinkOptions
+from ..sink import foreach_batch_http_sink
+
+__all__ = ["http_enrich_stream", "start_http_sink_stream"]
+
+
+def http_enrich_stream(
+    probe_stream: DataFrame,
+    table: HttpLookupTable,
+    on: Union[Sequence[str], Mapping[str, str]],
+    **kwargs,
+) -> DataFrame:
+    """Processing-time temporal lookup join on a streaming DataFrame (T1).
+
+    Identical semantics and options to :func:`http_lookup_join` — the
+    operator is a single ``mapInPandas`` stage, which Structured Streaming
+    executes per micro-batch, giving ``FOR SYSTEM_TIME AS OF proc_time``
+    behavior (reference ``HttpTableLookupFunction.java:102-197``).
+    """
+    if not probe_stream.isStreaming:
+        raise ValueError(
+            "http_enrich_stream expects a streaming DataFrame; "
+            "use http_lookup_join for batch inputs"
+        )
+    return http_lookup_join(probe_stream, table, on, **kwargs)
+
+
+def start_http_sink_stream(
+    stream_df: DataFrame,
+    url: str,
+    *,
+    checkpoint_dir: str,
+    options: HttpSinkOptions = HttpSinkOptions(),
+    columns: Optional[Sequence[str]] = None,
+    query_name: str = "http_sink",
+    trigger_available_now: bool = False,
+    processing_time: Optional[str] = None,
+) -> StreamingQuery:
+    """Start the streaming HTTP sink (reference S5/S10 under streaming).
+
+    ``writeStream.foreachBatch`` + checkpoint = at-least-once micro-batch
+    replay (T4). ``trigger_available_now=True`` drains all available input
+    then stops — the bounded-run mode used by tests and backfills.
+    """
+    writer = (
+        stream_df.writeStream
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(foreach_batch_http_sink(url, options, columns=list(columns) if columns else None))
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

@@ -1,0 +1,126 @@
+"""E2E Structured Streaming: file-source probe stream -> HTTP lookup join ->
+HTTP sink, with checkpoint recovery.
+
+Mirrors the reference's MiniCluster streaming ITs
+(``HttpLookupTableSourceITCaseTest.java:162-205`` probe-stream lookup join;
+``sink/HttpSinkConnectionTest.java:125-330`` sink delivery) re-expressed as
+Structured Streaming: ``readStream`` -> ``mapInPandas`` enrichment ->
+``foreachBatch`` sink with ``availableNow`` bounded triggers.
+"""
+
+import json
+
+import pyspark.sql.types as T
+import pytest
+
+from flink_connector_http_spark.lookup import HttpLookupTable
+from flink_connector_http_spark.options import HttpLookupOptions, HttpSinkOptions
+from flink_connector_http_spark.streaming import (
+    http_enrich_stream,
+    start_http_sink_stream,
+)
+
+PROBE_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("amount", T.LongType()),
+])
+
+CUSTOMER_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("name", T.StringType()),
+])
+
+
+def _write_probe_file(directory, name, rows):
+    path = directory / name
+    path.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+
+def _stub_customers(stub_server):
+    def responder(req):
+        from flink_connector_http_spark.testing import json_response
+
+        cid = req.query.get("id", [None])[0]
+        return json_response({"id": int(cid), "name": f"customer-{cid}"})
+
+    stub_server.stub("/customers", responder)
+
+
+@pytest.fixture()
+def probe_dir(tmp_path):
+    d = tmp_path / "probe"
+    d.mkdir()
+    return d
+
+
+def _start_pipeline(spark, probe_dir, stub_server, checkpoint):
+    stream = (
+        spark.readStream.schema(PROBE_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(probe_dir))
+    )
+    table = HttpLookupTable(
+        url=stub_server.url("/customers"),
+        schema=CUSTOMER_SCHEMA,
+        options=HttpLookupOptions(),
+    )
+    enriched = http_enrich_stream(
+        stream, table, on=["id"], select=["name"], lookup_prefix="c_",
+    )
+    return start_http_sink_stream(
+        enriched,
+        stub_server.url("/sink"),
+        checkpoint_dir=str(checkpoint),
+        options=HttpSinkOptions(request_mode="single"),
+        trigger_available_now=True,
+    )
+
+
+def _sink_payloads(stub_server):
+    out = []
+    for req in stub_server.recorded("/sink"):
+        out.append(json.loads(req.body.decode("utf-8")))
+    return out
+
+
+def test_stream_enrich_then_sink(spark, probe_dir, stub_server, tmp_path):
+    _stub_customers(stub_server)
+    stub_server.stub_json("/sink", {"ok": True})
+    _write_probe_file(probe_dir, "a.json", [
+        {"id": 1, "amount": 10},
+        {"id": 2, "amount": 20},
+    ])
+
+    query = _start_pipeline(spark, probe_dir, stub_server, tmp_path / "ckpt")
+    assert query.awaitTermination(120)
+
+    payloads = sorted(_sink_payloads(stub_server), key=lambda p: p["id"])
+    assert payloads == [
+        {"id": 1, "amount": 10, "c_name": "customer-1"},
+        {"id": 2, "amount": 20, "c_name": "customer-2"},
+    ]
+    # the enrichment probed the endpoint (processing-time temporal join)
+    assert len(stub_server.recorded("/customers")) >= 1
+
+
+def test_stream_checkpoint_no_reprocess(spark, probe_dir, stub_server, tmp_path):
+    """Restarting from the checkpoint must not re-send committed batches
+    (at-least-once via micro-batch replay: only *uncommitted* work repeats)."""
+    _stub_customers(stub_server)
+    stub_server.stub_json("/sink", {"ok": True})
+    ckpt = tmp_path / "ckpt"
+
+    _write_probe_file(probe_dir, "a.json", [{"id": 1, "amount": 10}])
+    q1 = _start_pipeline(spark, probe_dir, stub_server, ckpt)
+    assert q1.awaitTermination(120)
+    first_run = len(_sink_payloads(stub_server))
+    assert first_run == 1
+
+    # new input lands; restart from the same checkpoint
+    _write_probe_file(probe_dir, "b.json", [{"id": 2, "amount": 20}])
+    q2 = _start_pipeline(spark, probe_dir, stub_server, ckpt)
+    assert q2.awaitTermination(120)
+
+    payloads = _sink_payloads(stub_server)
+    ids = sorted(p["id"] for p in payloads)
+    assert ids == [1, 2]  # id=1 delivered exactly once across the restart
