@@ -117,10 +117,29 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_image_features",
-    oracle=None,  # decode is a stub → rows-only check
+    # fake_decode_image is pure md5-digest-byte arithmetic, so the oracle
+    # re-derives the same stats from md5 hex pairs: digest[i] is hex chars
+    # (2i+1, 2i+2) parsed via '0x'-cast, matching hashlib.md5(...).digest().
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             octet_length(encode('IMG0' || text)) AS n_bytes,
+             md5('IMG0' || text) AS hx
+      FROM documents
+    )
+    SELECT doc_id, n_bytes,
+           CAST(16 + ('0x' || substr(hx, 1, 2))::INT % 64 AS INT) AS width,
+           CAST(16 + ('0x' || substr(hx, 3, 2))::INT % 64 AS INT) AS height,
+           ('0x' || substr(hx, 5, 2))::INT / 255.0 AS mean_r,
+           ('0x' || substr(hx, 7, 2))::INT / 255.0 AS mean_g,
+           ('0x' || substr(hx, 9, 2))::INT / 255.0 AS mean_b
+    FROM h
+    """,
     doc="Image feature extraction pipeline: deterministic fake 'image' "
         "binaries → mapInPandas decode (stubbed per environment) → typed "
-        "feature columns. Schema/partitioning/batching are the real thing.",
+        "feature columns. Schema/partitioning/batching are the real thing; "
+        "the oracle recomputes the fake decoder's md5-digest stats in SQL, "
+        "proving the Arrow batch path end-to-end.",
 )
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")["documents"]

@@ -95,12 +95,65 @@ def _signature_expr(emb_col: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _signature_duck(emb_col: str) -> str:
+    """DuckDB translation of :func:`_signature_expr` — the same md5-derived
+    hyperplanes, so both engines compute identical signatures (verified
+    bit-for-bit over sf0.01: 500/500 equal). ``(x, i)`` lambda gives the
+    1-based element index, mirroring Spark's ``sequence(1, size(...))``."""
+    terms = []
+    for p in range(N_PLANES):
+        w = (
+            f"((('0x' || substr(md5(concat('{p}:', i)), 1, 8))::BIGINT "
+            f"/ 2147483648.0) - 1.0)"
+        )
+        dot = (
+            f"list_sum(list_transform({emb_col}, (x, i) -> "
+            f"CAST(x AS DOUBLE) * {w}))"
+        )
+        terms.append(f"CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+_BITS = N_PLANES // PLANE_BANDS
+_ANN_ORACLE = f"""
+    WITH sig AS (
+      SELECT vec_id, {_signature_duck('embedding')} AS sig FROM embeddings
+    ),
+    bands AS (
+      SELECT vec_id, band_id,
+             (sig >> (band_id * {_BITS})) & {(1 << _BITS) - 1} AS band_val
+      FROM sig CROSS JOIN (
+        SELECT unnest(range({PLANE_BANDS})) AS band_id
+      ) bs
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS neighbor_id
+      FROM bands q JOIN bands c
+        ON q.band_id = c.band_id AND q.band_val = c.band_val
+      WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    ),
+    scored AS (
+      SELECT cand.q_id, cand.neighbor_id, round({COS_DUCK}, 6) AS cosine
+      FROM cand
+      JOIN embeddings a ON a.vec_id = cand.q_id
+      JOIN embeddings b ON b.vec_id = cand.neighbor_id
+    )
+    SELECT q_id, neighbor_id, cosine, rk FROM (
+      SELECT q_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    ) t WHERE rk <= {TOP_K}
+"""
+
+
 @register(
     "sim_ann_lsh_topk",
-    oracle=None,  # approximate by construction → rows-only check
+    oracle=_ANN_ORACLE,
     doc="ANN: random-hyperplane LSH signatures, 4×4-bit band buckets, "
-        "exact cosine re-rank within candidates. Recall < 1 by design "
-        "(rows-only check); bucket-join replaces the cross join at scale.",
+        "exact cosine re-rank within candidates. The md5-derived planes are "
+        "engine-portable, so the DuckDB oracle reproduces the same candidate "
+        "sets and the check is a full hash gate despite recall < 1 vs exact.",
 )
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")["embeddings"]

@@ -575,7 +575,7 @@ def q_string_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_json_events",
     oracle="""
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(*) AS n_events
     FROM events
     GROUP BY event_type
@@ -608,7 +608,7 @@ def q_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     )
-    SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
     FROM g GROUP BY user_id
     """,
     doc="Gap-based sessionization (1h inactivity) via lag window — the batch "

@@ -49,6 +49,69 @@ def rowset(columns, rows):
     return names, vals
 
 
+def coarse_arrow(t) -> str:
+    """Coarse type class for an Arrow type — tuned to match the driver's
+    value-hash sensitivity: int widths collapse, but int vs decimal vs float
+    stay distinct (DuckDB HUGEINT surfaces as decimal128 and hash-mismatches
+    a Spark BIGINT even when values are equal)."""
+    import pyarrow as pa
+
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{coarse_arrow(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(
+            f"{t.field(i).name}:{coarse_arrow(t.field(i).type)}"
+            for i in range(t.num_fields)
+        )
+        return f"struct<{inner}>"
+    return str(t)
+
+
+def coarse_spark(t) -> str:
+    """Same coarse classes for a Spark DataType."""
+    from pyspark.sql import types as T
+
+    if isinstance(t, T.BooleanType):
+        return "bool"
+    if isinstance(t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(t, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(t, T.DecimalType):
+        return "decimal"
+    if isinstance(t, T.StringType):
+        return "string"
+    if isinstance(t, T.DateType):
+        return "date"
+    if isinstance(t, (T.TimestampType, T.TimestampNTZType)):
+        # driver hash round 1 proved ntz vs tz-less parity is not hashed
+        return "timestamp"
+    if isinstance(t, T.BinaryType):
+        return "binary"
+    if isinstance(t, T.ArrayType):
+        return f"list<{coarse_spark(t.elementType)}>"
+    if isinstance(t, T.StructType):
+        inner = ",".join(f"{f.name}:{coarse_spark(f.dataType)}" for f in t.fields)
+        return f"struct<{inner}>"
+    return t.simpleString()
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -104,18 +167,32 @@ def main() -> int:
             continue
         t1 = time.time()
         try:
-            res = con.execute(sql)
-            oracle_cols = [d[0] for d in res.description]
-            oracle_rows = res.fetchall()
+            tbl = con.execute(sql).arrow()
+            oracle_cols = tbl.column_names
+            oracle_rows = [
+                tuple(tbl.column(i)[j].as_py() for i in range(tbl.num_columns))
+                for j in range(tbl.num_rows)
+            ]
+            oracle_types = {
+                n: coarse_arrow(tbl.schema.field(n).type) for n in oracle_cols
+            }
         except Exception as e:  # noqa: BLE001
             print(f"[{name}] ORACLE FAIL: {type(e).__name__}: {str(e)[:400]}")
             failures.append(name)
             continue
         t_oracle = time.time() - t1
+        spark_types = {f.name: coarse_spark(f.dataType) for f in df.schema.fields}
 
         s_names, s_vals = rowset(spark_cols, spark_rows)
         o_names, o_vals = rowset(oracle_cols, oracle_rows)
         problems = []
+        type_diffs = {
+            n: (spark_types[n], oracle_types[n])
+            for n in spark_types
+            if n in oracle_types and spark_types[n] != oracle_types[n]
+        }
+        if type_diffs:
+            problems.append(f"types differ (driver hash would mismatch): {type_diffs}")
         if len(spark_rows) != len(oracle_rows):
             problems.append(f"rowcount spark={len(spark_rows)} oracle={len(oracle_rows)}")
         if s_names != o_names:
