@@ -32,7 +32,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..plans.registry import load, register
 from .text import (
@@ -96,15 +95,17 @@ _JACCARD_ORACLE = f"""
 
 
 def _shingle_index(
-    spark: SparkSession, sf_dir: str, doc_ids: "set | None" = None
+    spark: SparkSession, sf_dir: str, cand_docs: DataFrame | None = None
 ) -> DataFrame:
     docs = load(spark, sf_dir, "documents")["documents"]
-    if doc_ids is not None:
-        # restrict BEFORE shingling: an isin filter pushes to the parquet
-        # scan, whereas a semi-join after explode cannot sink below the
-        # Generate — without this the verify stage re-shingles the whole
-        # corpus just to throw 99% of it away
-        docs = docs.filter(F.col("doc_id").isin(list(doc_ids)))
+    if cand_docs is not None:
+        # restrict BEFORE shingling, keeping the filter below the Generate:
+        # a broadcast left-semi join on doc_id prunes the corpus down to
+        # candidate docs so the explode only shingles near-duplicates.
+        # The ids stay distributed — the former collect()+isin variant
+        # round-tripped them through the driver, which at 100 TB (1e7–1e9
+        # candidate pairs) is a driver OOM and an unbounded filter expr.
+        docs = docs.join(F.broadcast(cand_docs), "doc_id", "left_semi")
     return docs.select(
         "doc_id",
         F.explode(F.expr(f"array_distinct({SHINGLES_SPARK})")).alias("s"),
@@ -115,18 +116,11 @@ def _exact_jaccard(sh: DataFrame, candidates: DataFrame | None) -> DataFrame:
     """Exact jaccard over a shingle inverted index; optionally restricted to
     candidate (a_id, b_id) pairs from an LSH pre-filter.
 
-    The candidate restriction is pushed BELOW the self-join: the index is
-    first semi-joined down to candidate docs, so the quadratic co-shingle
-    pair expansion only ever runs over near-duplicates — this is what makes
-    LSH-verify scale while the unrestricted variant stays the small-data
-    oracle baseline."""
-    if candidates is not None:
-        cand_docs = (
-            candidates.select(F.col("a_id").alias("doc_id"))
-            .union(candidates.select(F.col("b_id").alias("doc_id")))
-            .distinct()
-        )
-        sh = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    Callers that restrict must prune the shingle index to candidate docs
+    BEFORE shingling (see ``_shingle_index(cand_docs=...)``) so the
+    quadratic co-shingle pair expansion only ever runs over
+    near-duplicates — this is what makes LSH-verify scale while the
+    unrestricted variant stays the small-data oracle baseline."""
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -238,18 +232,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    # materialize the (tiny) candidate set once: the verify stage references
-    # it three times, and recomputing it would re-run the signature fold —
-    # the expensive part — on every reference
-    cand_rows = candidates.collect()
-    cand_schema = T.StructType([
-        T.StructField("a_id", T.LongType()),
-        T.StructField("b_id", T.LongType()),
-    ])
-    cand_df = spark.createDataFrame(cand_rows, schema=cand_schema)
-    cand_ids = {r.a_id for r in cand_rows} | {r.b_id for r in cand_rows}
-    sh = _shingle_index(spark, sf_dir, cand_ids or {-1})
-    return _exact_jaccard(sh, cand_df)
+    # materialize the candidate set once, DISTRIBUTED: the verify stage
+    # references it three times and recomputing would re-run the signature
+    # fold — the expensive part — per reference. persist + an eager count
+    # fills the cache before the broadcast-exchange jobs read it; nothing
+    # ever round-trips through the driver (the former collect()+isin was
+    # a driver OOM at 1e7+ candidate pairs).
+    candidates = candidates.persist()
+    candidates.count()
+    cand_docs = (
+        candidates.select(F.col("a_id").alias("doc_id"))
+        .union(candidates.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    sh = _shingle_index(spark, sf_dir, cand_docs)
+    return _exact_jaccard(sh, candidates)
 
 
 # ---------------------------------------------------------------------------
