@@ -28,9 +28,10 @@ S11 also replays unacknowledged entries; neither retries failed requests).
 from __future__ import annotations
 
 import threading
+import time
 from concurrent.futures import FIRST_COMPLETED, Future, ThreadPoolExecutor, wait
 from dataclasses import dataclass
-from typing import Callable, Iterable, Iterator, List, Optional, Tuple
+from typing import Callable, Dict, Iterable, Iterator, List, Optional, Tuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -53,9 +54,15 @@ class HttpSinkWriter:
     """Buffers entries, frames batches, submits them concurrently.
 
     One writer per partition task (the reference creates one per subtask,
-    ``sink/HttpSinkInternal.java:134-185``). Not thread-safe for `write`;
-    submission fan-out happens on an internal pool bounded by
-    ``max_inflight``.
+    ``sink/HttpSinkInternal.java:134-185``). ``write`` is single-caller,
+    but the buffer is lock-protected because the age-flush ticker drains
+    it from a daemon thread. Submission fan-out happens on an internal
+    pool bounded by ``max_inflight``; total unacknowledged records are
+    bounded by ``max_buffered`` (``write`` blocks past the cap —
+    reference ``sink.requests.max-buffered``, ``HttpSinkBuilder.java:74``).
+    A partial buffer older than ``max_time_in_buffer`` seconds is flushed
+    even if no further writes arrive (``sink.flush-buffer.timeout``,
+    ``HttpSinkBuilder.java:78``).
     """
 
     def __init__(
@@ -65,6 +72,8 @@ class HttpSinkWriter:
         *,
         transport=None,
         on_response: Optional[Callable[[HttpRequestSpec, object], None]] = None,
+        clock: Callable[[], float] = time.monotonic,
+        age_ticker: bool = True,
     ) -> None:
         from .client import HttpTransport  # local import to keep pickling light
 
@@ -80,11 +89,24 @@ class HttpSinkWriter:
         self._buffer: List[HttpSinkRequestEntry] = []
         self._buffer_bytes = 0
         self._pool = ThreadPoolExecutor(max_workers=max(1, options.writer_pool_size))
-        self._pending: "set[Future]" = set()
+        self._pending: Dict[Future, int] = {}   # future -> record_count
+        self._inflight_records = 0
         self._lock = threading.Lock()
+        self._clock = clock
+        self._oldest_ts: Optional[float] = None
+        self._closed = threading.Event()
         self.records_sent = 0
         self.send_errors = 0          # numRecordsSendErrors parity
         self.requests_sent = 0
+        # daemon ticker so a quiet writer still honors the age deadline;
+        # tests inject a fake clock and call _flush_if_aged() directly
+        if age_ticker and options.max_time_in_buffer > 0:
+            self._ticker = threading.Thread(
+                target=self._age_loop, name="http-sink-age-flush", daemon=True
+            )
+            self._ticker.start()
+        else:
+            self._ticker = None
 
     # -- buffering -------------------------------------------------------------
 
@@ -94,19 +116,61 @@ class HttpSinkWriter:
                 f"record of {entry.size_in_bytes} bytes exceeds the "
                 f"{self.options.max_record_bytes}-byte record limit"
             )
-        self._buffer.append(entry)
-        self._buffer_bytes += entry.size_in_bytes
-        if (
-            len(self._buffer) >= self.options.batch_size
-            or self._buffer_bytes >= self.options.max_batch_bytes
-        ):
+        # backpressure: block while buffered + unacknowledged records sit at
+        # the cap. In this writer flush() frames and submits synchronously,
+        # so the reference's "buffered request entries" backlog manifests as
+        # in-flight records — the bound covers both.
+        while True:
+            with self._lock:
+                outstanding = len(self._buffer) + self._inflight_records
+                has_pending = bool(self._pending)
+            if outstanding < self.options.max_buffered:
+                break
+            if has_pending:
+                self._drain_one()
+            else:
+                self.flush()
+        with self._lock:
+            self._buffer.append(entry)
+            self._buffer_bytes += entry.size_in_bytes
+            if self._oldest_ts is None:
+                self._oldest_ts = self._clock()
+            should_flush = (
+                len(self._buffer) >= self.options.batch_size
+                or self._buffer_bytes >= self.options.max_batch_bytes
+                or (
+                    self.options.max_time_in_buffer > 0
+                    and self._clock() - self._oldest_ts
+                    >= self.options.max_time_in_buffer
+                )
+            )
+        if should_flush:
+            self.flush()
+
+    def _age_loop(self) -> None:
+        interval = max(0.05, self.options.max_time_in_buffer / 4)
+        while not self._closed.wait(interval):
+            self._flush_if_aged()
+
+    def _flush_if_aged(self) -> None:
+        """Flush a partial buffer whose oldest entry hit the age deadline."""
+        with self._lock:
+            aged = (
+                self._oldest_ts is not None
+                and self.options.max_time_in_buffer > 0
+                and self._clock() - self._oldest_ts
+                >= self.options.max_time_in_buffer
+            )
+        if aged:
             self.flush()
 
     def flush(self) -> None:
         """Drain the buffer into one or more HTTP requests."""
-        if not self._buffer:
-            return
-        entries, self._buffer, self._buffer_bytes = self._buffer, [], 0
+        with self._lock:
+            if not self._buffer:
+                return
+            entries, self._buffer, self._buffer_bytes = self._buffer, [], 0
+            self._oldest_ts = None
         if self.options.request_mode == "single":
             for entry in entries:
                 self._submit(entry.method, entry.payload)
@@ -135,14 +199,33 @@ class HttpSinkWriter:
 
     # -- bounded-in-flight submission -------------------------------------------
 
-    def _submit(self, method: str, body: bytes, record_count: int = 1) -> None:
-        while len(self._pending) >= self.options.max_inflight:
-            done, self._pending = wait(self._pending, return_when=FIRST_COMPLETED)
+    def _drain_one(self) -> None:
+        """Wait for at least one in-flight request to complete."""
+        with self._lock:
+            pending = set(self._pending)
+        if not pending:
+            return
+        done, _ = wait(pending, return_when=FIRST_COMPLETED)
+        with self._lock:
             for fut in done:
-                fut.result()  # propagate transport-level failures
+                n = self._pending.pop(fut, None)
+                if n is not None:
+                    self._inflight_records -= n
+        for fut in done:
+            fut.result()  # propagate transport-level failures
+
+    def _submit(self, method: str, body: bytes, record_count: int = 1) -> None:
+        while True:
+            with self._lock:
+                n_pending = len(self._pending)
+            if n_pending < self.options.max_inflight:
+                break
+            self._drain_one()
         spec = HttpRequestSpec(method=method, url=self.url, headers=self.headers, body=body)
         future = self._pool.submit(self._send_one, spec, record_count)
-        self._pending.add(future)
+        with self._lock:
+            self._pending[future] = record_count
+            self._inflight_records += record_count
 
     def _send_one(self, spec: HttpRequestSpec, record_count: int) -> None:
         try:
@@ -161,12 +244,21 @@ class HttpSinkWriter:
                 self.records_sent += record_count
 
     def close(self) -> None:
+        self._closed.set()
         self.flush()
-        if self._pending:
-            done, _ = wait(self._pending)
+        while True:
+            with self._lock:
+                pending = set(self._pending)
+            if not pending:
+                break
+            done, _ = wait(pending)
+            with self._lock:
+                for fut in done:
+                    n = self._pending.pop(fut, None)
+                    if n is not None:
+                        self._inflight_records -= n
             for fut in done:
                 fut.result()
-            self._pending.clear()
         self._pool.shutdown(wait=True)
 
 

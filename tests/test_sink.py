@@ -180,3 +180,109 @@ class TestStreamingSink:
         values = [row["value"] for r in stub_server.recorded("/stream")
                   for row in r.json()]
         assert len(set(values)) == len(values)  # each value delivered once here
+
+
+class GateTransport:
+    """Transport whose sends block until the gate opens — lets tests hold
+    requests in flight deterministically."""
+
+    def __init__(self):
+        import threading
+
+        self.gate = threading.Event()
+        self.sent = []
+        self._lock = threading.Lock()
+
+    def send(self, spec):
+        from flink_connector_http_spark.client import HttpResponse
+
+        self.gate.wait(timeout=10)
+        with self._lock:
+            self.sent.append(spec)
+        return HttpResponse(200, [], b"{}")
+
+
+class TestFlushTriggers:
+    """Age-based flush + max-buffered backpressure (reference
+    ``HttpSinkBuilder.java:74-80``: ``sink.flush-buffer.timeout`` 5 s,
+    ``sink.requests.max-buffered`` 10k; timing behavior mirrored from
+    ``HttpSinkConnectionTest.java``)."""
+
+    def test_age_flush_fires_at_deadline_fake_clock(self, stub_server):
+        stub_server.stub_json("/sink", {"ok": True})
+        t = [0.0]
+        writer = HttpSinkWriter(
+            stub_server.url("/sink"),
+            HttpSinkOptions(batch_size=100, max_time_in_buffer=5.0),
+            clock=lambda: t[0],
+            age_ticker=False,
+        )
+        writer.write(entries(1)[0])
+        writer._flush_if_aged()
+        assert stub_server.recorded("/sink") == []  # deadline not reached
+        t[0] = 4.9
+        writer._flush_if_aged()
+        assert stub_server.recorded("/sink") == []
+        t[0] = 5.0
+        writer._flush_if_aged()
+        writer.close()
+        recorded = stub_server.recorded("/sink")
+        assert len(recorded) == 1 and len(recorded[0].json()) == 1
+
+    def test_age_deadline_checked_on_write_fake_clock(self, stub_server):
+        stub_server.stub_json("/sink", {"ok": True})
+        t = [0.0]
+        writer = HttpSinkWriter(
+            stub_server.url("/sink"),
+            HttpSinkOptions(batch_size=100, max_time_in_buffer=5.0),
+            clock=lambda: t[0],
+            age_ticker=False,
+        )
+        writer.write(entries(1)[0])
+        t[0] = 6.0
+        writer.write(entries(2)[1])  # aged buffer -> both flush together
+        writer.close()
+        recorded = stub_server.recorded("/sink")
+        assert len(recorded) == 1 and len(recorded[0].json()) == 2
+
+    def test_age_ticker_flushes_partial_buffer_without_writes(self, stub_server):
+        import time as _time
+
+        stub_server.stub_json("/sink", {"ok": True})
+        writer = HttpSinkWriter(
+            stub_server.url("/sink"),
+            HttpSinkOptions(batch_size=100, max_time_in_buffer=0.15),
+        )
+        writer.write(entries(1)[0])
+        deadline = _time.time() + 5
+        while _time.time() < deadline and not stub_server.recorded("/sink"):
+            _time.sleep(0.05)
+        assert stub_server.recorded("/sink"), "ticker never flushed aged buffer"
+        writer.close()
+
+    def test_max_buffered_blocks_write_until_capacity(self):
+        import threading
+
+        transport = GateTransport()
+        writer = HttpSinkWriter(
+            "http://unused/sink",
+            HttpSinkOptions(
+                batch_size=1, max_inflight=10, max_buffered=2,
+                max_time_in_buffer=0.0,
+            ),
+            transport=transport,
+            age_ticker=False,
+        )
+        es = entries(3)
+        writer.write(es[0])  # flushes immediately (batch_size=1) -> in flight
+        writer.write(es[1])  # second in flight; outstanding == max_buffered
+        blocked = threading.Thread(target=writer.write, args=(es[2],))
+        blocked.start()
+        blocked.join(timeout=0.3)
+        assert blocked.is_alive(), "write should block at the buffered cap"
+        transport.gate.set()
+        blocked.join(timeout=10)
+        assert not blocked.is_alive()
+        writer.close()
+        assert len(transport.sent) == 3
+        assert writer.records_sent == 3
