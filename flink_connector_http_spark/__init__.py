@@ -14,6 +14,8 @@ Public surface:
 """
 
 from .cache import LookupCacheConfig, LruTtlCache
+from .formats import register_format, registered_formats, resolve_decoder
+from .http_logger import HttpContentLogLevel, HttpContentLogger, logging_callback
 from .lookup import HttpLookupTable, http_lookup_join
 from .options import (
     HttpLookupOptions,
@@ -45,6 +47,12 @@ __all__ = [
     "HttpCompletionState",
     "HttpLookupResult",
     "HttpSinkRequestEntry",
+    "register_format",
+    "registered_formats",
+    "resolve_decoder",
+    "HttpContentLogLevel",
+    "HttpContentLogger",
+    "logging_callback",
 ]
 
 __version__ = "0.1.0"

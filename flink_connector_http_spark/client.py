@@ -19,7 +19,6 @@ carrying the TLS context and optional authenticated proxy
 from __future__ import annotations
 
 import http.client
-import json
 import logging
 import socket
 import threading
@@ -35,6 +34,8 @@ from .auth import (
     basic_auth_value,
     preprocess_headers,
 )
+from .formats import resolve_decoder
+from .http_logger import logging_callback
 from .options import HttpLookupOptions
 from .query_creators import QueryCreator, resolve_query_creator
 from .request import HttpRequestSpec, build_lookup_request
@@ -46,6 +47,16 @@ from .types import HttpCompletionState, HttpLookupResult
 __all__ = ["HttpResponse", "HttpTransport", "HttpPollingClient"]
 
 logger = logging.getLogger(__name__)
+
+# default R11/R12 wiring: every exchange is loggable, but the hot path only
+# pays an isEnabledFor check unless debug logging is on (the reference's
+# Slf4J callbacks are similarly level-gated by the logging backend)
+_debug_exchange_logger = logging_callback(log_at=logging.DEBUG)
+
+
+def _default_request_callback(spec, response) -> None:
+    if logger.isEnabledFor(logging.DEBUG):
+        _debug_exchange_logger(spec, response)
 
 
 class HttpResponse:
@@ -166,13 +177,21 @@ class HttpTransport:
             conns[key] = conn
         return conn
 
+    _IDEMPOTENT_METHODS = frozenset({"GET", "HEAD", "PUT", "DELETE", "OPTIONS", "TRACE"})
+
     def _send_keepalive(self, spec: HttpRequestSpec) -> HttpResponse:
         parsed = urllib.parse.urlsplit(spec.url)
         target = parsed.path or "/"
         if parsed.query:
             target += "?" + parsed.query
-        # one reconnect on a stale kept-alive socket; real request errors
-        # propagate to the retry/classification layers upstream
+        # one reconnect on a stale kept-alive socket — but only for
+        # idempotent methods: a POST may already have been processed by the
+        # server even though the socket died, so re-sending it here would
+        # risk a duplicate side effect; non-idempotent failures propagate to
+        # the retry policy, where re-sending is the user's explicit choice
+        # (matching reference HttpClientWithRetry.java:44-92, which owns all
+        # IOException retrying).
+        resend_ok = spec.method.upper() in self._IDEMPOTENT_METHODS
         for attempt in (0, 1):
             conn = self._connection(parsed.scheme, parsed.netloc)
             try:
@@ -183,7 +202,7 @@ class HttpTransport:
             except (http.client.HTTPException, ConnectionError, OSError):
                 conn.close()
                 self._local.conns.pop((parsed.scheme, parsed.netloc), None)
-                if attempt == 1:
+                if attempt == 1 or not resend_ok:
                     raise
 
 
@@ -223,7 +242,13 @@ class HttpPollingClient:
             allow_self_signed=options.allow_self_signed,
             proxy_host=options.proxy_host,
             proxy_port=options.proxy_port,
+            proxy_user=options.proxy_user,
+            proxy_password=options.proxy_password,
         )
+        # response format SPI (reference lookup-request.format / format)
+        self._decoder = options.decoder or resolve_decoder(options.response_format)
+        # R12 request/response callback; default logs at DEBUG only
+        self.on_response = options.request_callback or _default_request_callback
         self.retry_stats = RetryStats()
         self._preprocessors: Dict[str, HeaderPreprocessor] = {}
         if options.oidc_token_endpoint and options.oidc_token_request:
@@ -251,29 +276,36 @@ class HttpPollingClient:
     # -- response decode -------------------------------------------------------
 
     def _decode(self, body: bytes) -> List[Mapping[str, Any]]:
-        """Decode the body per ``result_type`` (single-value → one row,
-        array → N rows — reference ``JavaNetHttpPollingClient.java:340-376``)."""
-        text = body.decode("utf-8").strip()
-        if not text:
+        """Decode the body with the configured format decoder, then apply
+        the ``result_type`` rule (single-value → one row, array → N rows —
+        reference ``JavaNetHttpPollingClient.java:340-376``)."""
+        if not body.strip():
             return []
-        payload = json.loads(text)
+        payload = self._decoder(body)
         if self.options.result_type == "array":
             if not isinstance(payload, list):
-                raise ValueError("Expected a JSON array response (result-type=array)")
+                raise ValueError(
+                    f"Expected a {self.options.response_format} array response "
+                    "(result-type=array)"
+                )
             return [row for row in payload if row is not None]
         if isinstance(payload, list):
+            if self.options.response_format != "json" and len(payload) == 1:
+                # row-oriented formats (csv) always decode to a list; a
+                # single row satisfies single-value
+                return payload
             raise ValueError(
-                "Got a JSON array but result-type=single-value; "
+                "Got an array response but result-type=single-value; "
                 "set http.source.lookup.result-type=array"
             )
         return [payload]
 
-    # -- the state machine -----------------------------------------------------
+    # -- the state machine (split so async mode can pipeline the phases) -------
 
-    def pull(self, key_values: Mapping[str, Any]) -> HttpLookupResult:
-        """One lookup: returns rows + metadata, or raises when the policy
-        says fail (continue-on-error off — reference
-        ``JavaNetHttpPollingClient.java:166-199``)."""
+    def send(self, key_values: Mapping[str, Any]) -> Tuple:
+        """Network phase: build the request and run it with retries. Returns
+        an opaque exchange for :meth:`publish`. I/O-bound — the async path
+        runs this on the pull pool (``AsyncHttpTableLookupFunction.java:94-115``)."""
         spec = self.build_request(key_values)
         try:
             response = run_with_retry(
@@ -281,18 +313,28 @@ class HttpPollingClient:
                 config=self.options.retry,
                 status_of=lambda r: r.status,
                 is_retriable_status=self.checker.is_temporal_error,
-                retriable_exceptions=(OSError,),
+                # reference retries IOException (HttpClientWithRetry.java:44-92);
+                # http.client.HTTPException covers e.g. BadStatusLine from a
+                # flaky upstream, which is the same transport-failure class
+                retriable_exceptions=(OSError, http.client.HTTPException),
                 stats=self.retry_stats,
             )
         except HttpRetryError as err:
-            return self._on_failure(
-                HttpCompletionState.EXCEPTION,
-                f"retries exhausted: {err}",
-                status_code=err.status_code,
-            )
+            return (spec, None, (f"retries exhausted: {err}", err.status_code))
         except Exception as err:  # noqa: BLE001 — policy boundary
-            return self._on_failure(HttpCompletionState.EXCEPTION, str(err))
+            return (spec, None, (str(err), None))
+        return (spec, response, None)
 
+    def publish(self, exchange: Tuple) -> HttpLookupResult:
+        """Classify + decode phase (CPU-bound); fires the R12 callback."""
+        spec, response, failure = exchange
+        if failure is not None:
+            message, status_code = failure
+            return self._on_failure(
+                HttpCompletionState.EXCEPTION, message, status_code=status_code
+            )
+        if self.on_response is not None:
+            self.on_response(spec, response)
         headers = response.header_map()
         if response.status in self.ignored_codes:
             # Ignored ⊂ success for classification, but content is dropped
@@ -325,6 +367,12 @@ class HttpPollingClient:
             headers=headers,
             completion_state=HttpCompletionState.SUCCESS,
         )
+
+    def pull(self, key_values: Mapping[str, Any]) -> HttpLookupResult:
+        """One lookup: returns rows + metadata, or raises when the policy
+        says fail (continue-on-error off — reference
+        ``JavaNetHttpPollingClient.java:166-199``)."""
+        return self.publish(self.send(key_values))
 
     def _on_failure(
         self,

@@ -32,9 +32,11 @@ class HttpContentLogger:
     """Formats one request/response exchange according to the level."""
 
     def __init__(self, level: HttpContentLogLevel = HttpContentLogLevel.MIN,
-                 log: logging.Logger = logger) -> None:
+                 log: logging.Logger = logger,
+                 log_at: int = logging.INFO) -> None:
         self.level = HttpContentLogLevel(level)
         self._log = log
+        self._log_at = log_at
 
     def _body(self, body: Optional[bytes]) -> str:
         if self.level == HttpContentLogLevel.MIN:
@@ -54,7 +56,8 @@ class HttpContentLogger:
                      status: Optional[int] = None,
                      response_body: Optional[bytes] = None,
                      response_headers: Optional[Mapping[str, object]] = None) -> None:
-        self._log.info(
+        self._log.log(
+            self._log_at,
             "HTTP %s %s -> %s | req body=%s headers=%s | resp body=%s headers=%s",
             method, url, status,
             self._body(request_body), self._headers(request_headers),
@@ -62,11 +65,12 @@ class HttpContentLogger:
         )
 
 
-def logging_callback(level: HttpContentLogLevel = HttpContentLogLevel.MIN
+def logging_callback(level: HttpContentLogLevel = HttpContentLogLevel.MIN,
+                     log_at: int = logging.INFO,
                      ) -> Callable[[object, object], None]:
     """Default ``on_response`` callback: logs each exchange (the reference's
     slf4j callbacks)."""
-    content_logger = HttpContentLogger(level)
+    content_logger = HttpContentLogger(level, log_at=log_at)
 
     def on_response(request, response) -> None:
         content_logger.log_exchange(

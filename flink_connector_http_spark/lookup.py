@@ -283,18 +283,29 @@ def http_lookup_join(
                 else:
                     to_fetch.append(kt)
 
-            def fetch(kt: Tuple) -> Tuple[Tuple, HttpLookupResult]:
-                key_values = {
-                    _leaf_name(lk): v for (_pc, lk), v in zip(pairs, kt)
-                }
-                return kt, client.pull(key_values)
+            def key_values_of(kt: Tuple) -> Dict[str, Any]:
+                return {_leaf_name(lk): v for (_pc, lk), v in zip(pairs, kt)}
 
             if to_fetch:
-                if len(to_fetch) == 1 or pool_size == 1:
-                    fetched = [fetch(kt) for kt in to_fetch]
+                if not table_ref.options.use_async or len(to_fetch) == 1:
+                    # sync mode: strictly sequential per-key firing, the
+                    # reference's synchronous LookupFunction semantics
+                    fetched = [
+                        (kt, client.pull(key_values_of(kt))) for kt in to_fetch
+                    ]
                 else:
-                    with ThreadPoolExecutor(max_workers=pool_size) as pool:
-                        fetched = list(pool.map(fetch, to_fetch))
+                    # asyncPolling: network phase pipelined on the pull pool,
+                    # classify/decode published on the publish pool
+                    # (AsyncHttpTableLookupFunction.java:40-42,94-115)
+                    publish_size = max(1, table_ref.options.publish_pool_size)
+                    with ThreadPoolExecutor(max_workers=pool_size) as pull_pool, \
+                            ThreadPoolExecutor(max_workers=publish_size) as publish_pool:
+                        exchanges = pull_pool.map(
+                            lambda kt: client.send(key_values_of(kt)), to_fetch
+                        )
+                        fetched = list(zip(
+                            to_fetch, publish_pool.map(client.publish, exchanges)
+                        ))
                 for kt, result in fetched:
                     distinct[kt] = result
                     if cache is not None and result.completion_state in (

@@ -12,7 +12,7 @@ surface them as typed dataclass fields on :class:`HttpLookupOptions` /
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, Mapping, Optional
+from typing import Callable, Dict, Mapping, Optional
 
 from .cache import LookupCacheConfig
 from .retry import RetryConfig
@@ -57,6 +57,9 @@ LOOKUP_OPTION_KEYS = {
     "client_key": "http.security.key.client",
     "proxy_host": "http.source.lookup.proxy.host",
     "proxy_port": "http.source.lookup.proxy.port",
+    "proxy_user": "http.source.lookup.proxy.username",
+    "proxy_password": "http.source.lookup.proxy.password",
+    "response_format": "format",  # response DecodingFormat, default json
     "query_creator": "http.source.lookup.query-creator",
     "url_map": "http.request.url-map",  # query-param-map / path-param-map variants folded in
     "body_template": "http.request.body-template",
@@ -82,6 +85,13 @@ SINK_OPTION_KEYS = {
     "error_codes": "http.sink.error.code",
     "error_codes_exclude": "http.sink.error.code.exclude",
     "header_prefix": "http.sink.header.",
+    "payload_format": "format",  # payload SerializationFormat, default json
+    # http.security.* applies to source AND sink in the reference
+    # (JavaNetHttpClientFactory is shared) — same keys both sides
+    "allow_self_signed": "http.security.cert.server.allowSelfSigned",
+    "server_ca": "http.security.cert.server",
+    "client_cert": "http.security.cert.client",
+    "client_key": "http.security.key.client",
 }
 
 
@@ -94,8 +104,20 @@ class HttpLookupOptions:
     request_timeout: float = 30.0                     # seconds
     pull_pool_size: int = 8
     publish_pool_size: int = 4
+    # False → strictly sequential per-key firing (the reference's sync
+    # LookupFunction); True → pipelined fetch on pull_pool_size workers
+    # with decode/publish on publish_pool_size workers (asyncPolling,
+    # AsyncHttpTableLookupFunction.java:40-42,94-115)
     use_async: bool = False
     result_type: str = "single-value"                 # or "array"
+    # response decode SPI (reference lookup-request.format / format):
+    # a registered format name, or `decoder` to pass a callable directly
+    # (must be a top-level function so executors can unpickle it)
+    response_format: str = "json"
+    decoder: Optional[Callable[[bytes], object]] = None
+    # request/response callback (reference R12,
+    # Slf4JHttpLookupPostRequestCallback.java); None → debug-level logging
+    request_callback: Optional[Callable[[object, object], None]] = None
     success_codes: str = DEFAULT_SUCCESS_CODES
     retry_codes: str = DEFAULT_RETRY_CODES
     ignored_codes: str = ""
@@ -112,6 +134,8 @@ class HttpLookupOptions:
     client_key: Optional[str] = None
     proxy_host: Optional[str] = None
     proxy_port: Optional[int] = None
+    proxy_user: Optional[str] = None                  # authenticated proxy
+    proxy_password: Optional[str] = None              # (ProxyConfig.java)
     query_creator: Optional[str] = None               # None -> method default
     url_map: Mapping[str, str] = field(default_factory=dict)
     body_template: Optional[str] = None
@@ -135,6 +159,14 @@ class HttpSinkOptions:
     error_codes: str = ""                             # empty -> 4XX,5XX default
     error_codes_exclude: str = ""
     headers: Mapping[str, str] = field(default_factory=dict)
+    # payload SerializationFormat: "json" (JSON-array batch framing) or
+    # "csv" (newline framing) — both serialized JVM-side in write_http
+    payload_format: str = "json"
+    # TLS parity with the lookup side (http.security.*, tls.py)
+    allow_self_signed: bool = False
+    server_ca: Optional[str] = None
+    client_cert: Optional[str] = None
+    client_key: Optional[str] = None
 
 
 def _collect_prefixed(options: Mapping[str, str], prefix: str) -> Dict[str, str]:
@@ -195,8 +227,9 @@ def lookup_options_from_map(options: Mapping[str, str]) -> HttpLookupOptions:
     if k["use_raw_auth_header"] in options:
         kwargs["use_raw_auth_header"] = _as_bool(options[k["use_raw_auth_header"]])
     for name in ("oidc_token_endpoint", "oidc_token_request", "server_ca",
-                 "client_cert", "client_key", "proxy_host", "query_creator",
-                 "body_template"):
+                 "client_cert", "client_key", "proxy_host", "proxy_user",
+                 "proxy_password", "query_creator", "body_template",
+                 "response_format"):
         if k[name] in options:
             kwargs[name] = options[k[name]]
     if k["oidc_expiry_reduction"] in options:
@@ -234,9 +267,12 @@ def sink_options_from_map(options: Mapping[str, str]) -> HttpSinkOptions:
     ):
         if k[name] in options:
             kwargs[name] = conv(options[k[name]])
-    for name in ("error_codes", "error_codes_exclude"):
+    for name in ("error_codes", "error_codes_exclude", "payload_format",
+                 "server_ca", "client_cert", "client_key"):
         if k[name] in options:
             kwargs[name] = options[k[name]]
+    if k["allow_self_signed"] in options:
+        kwargs["allow_self_signed"] = _as_bool(options[k["allow_self_signed"]])
     headers = _collect_prefixed(options, k["header_prefix"])
     if headers:
         kwargs["headers"] = headers

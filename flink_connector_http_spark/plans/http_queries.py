@@ -159,7 +159,7 @@ def http_lookup_customers_get(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = HttpLookupTable(
         url=stub.url("/customers"),
         schema=CUSTOMER_SCHEMA,
-        options=HttpLookupOptions(method="GET"),
+        options=HttpLookupOptions(method="GET", use_async=True),
     )
     return http_lookup_join(
         probe, table, on={"o_custkey": "c_custkey"}, how="inner",
@@ -188,7 +188,7 @@ def http_lookup_nation_post(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = HttpLookupTable(
         url=stub.url("/nation-lookup"),
         schema=NATION_SCHEMA,
-        options=HttpLookupOptions(method="POST"),
+        options=HttpLookupOptions(method="POST", use_async=True),
     )
     out = http_lookup_join(
         probe, table, on={"s_nationkey": "n_nationkey"}, how="inner",
@@ -221,7 +221,7 @@ def http_lookup_orders_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = HttpLookupTable(
         url=stub.url("/orders-by-customer"),
         schema=ORDER_SCHEMA,
-        options=HttpLookupOptions(method="GET", result_type="array"),
+        options=HttpLookupOptions(method="GET", result_type="array", use_async=True),
     )
     return http_lookup_join(
         probe, table, on={"c_custkey": "o_custkey"}, how="inner",
@@ -250,6 +250,7 @@ def http_lookup_left_missing_keys(spark: SparkSession, sf_dir: str) -> DataFrame
         schema=NATION_SCHEMA,
         options=HttpLookupOptions(
             method="POST",
+            use_async=True,
             continue_on_error=True,
             cache=LookupCacheConfig(max_rows=1000, cache_missing_key=True),
         ),

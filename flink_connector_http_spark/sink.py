@@ -80,10 +80,21 @@ class HttpSinkWriter:
         self.url = url
         self.options = options
         self.checker = SinkErrorCodeChecker(options.error_codes, options.error_codes_exclude)
-        self.transport = transport or HttpTransport(timeout=options.request_timeout)
+        # TLS parity with the lookup side: http.security.* flows into the
+        # sink transport too (reference shares JavaNetHttpClientFactory)
+        self.transport = transport or HttpTransport(
+            timeout=options.request_timeout,
+            server_ca=options.server_ca,
+            client_cert=options.client_cert,
+            client_key=options.client_key,
+            allow_self_signed=options.allow_self_signed,
+        )
         self.on_response = on_response
         headers = dict(options.headers)
-        headers.setdefault("Content-Type", "application/json")
+        headers.setdefault(
+            "Content-Type",
+            "application/json" if options.payload_format == "json" else "text/csv",
+        )
         self.headers = preprocess_headers(headers, {AUTHORIZATION: basic_auth_value})
 
         self._buffer: List[HttpSinkRequestEntry] = []
@@ -194,7 +205,11 @@ class HttpSinkWriter:
             self._submit_batch(group)
 
     def _submit_batch(self, group: List[HttpSinkRequestEntry]) -> None:
-        body = b"[" + b",".join(e.payload for e in group) + b"]"
+        if self.options.payload_format == "json":
+            body = b"[" + b",".join(e.payload for e in group) + b"]"
+        else:
+            # row-oriented formats (csv): newline framing
+            body = b"\n".join(e.payload for e in group)
         self._submit(group[0].method, body, record_count=len(group))
 
     # -- bounded-in-flight submission -------------------------------------------
@@ -280,22 +295,35 @@ def write_http(
     options: HttpSinkOptions = HttpSinkOptions(),
     *,
     columns: Optional[List[str]] = None,
+    on_response: Optional[Callable[[HttpRequestSpec, object], None]] = None,
 ) -> None:
-    """Batch sink: serialize rows JVM-side with ``to_json(struct(...))`` and
-    POST/PUT them per partition (SQL-sink parity, connector id
-    ``http-async-sink`` — ``table/sink/HttpDynamicTableSinkFactory.java:42``).
+    """Batch sink: serialize rows JVM-side with ``to_json(struct(...))``
+    (or ``to_csv`` for ``payload_format="csv"``) and POST/PUT them per
+    partition (SQL-sink parity, connector id ``http-async-sink`` —
+    ``table/sink/HttpDynamicTableSinkFactory.java:42``).
 
-    The ``to_json`` projection keeps serialization inside whole-stage
-    codegen; Python only sees ready-made payload strings.
+    The serializer projection keeps serialization inside whole-stage
+    codegen; Python only sees ready-made payload strings. ``on_response``
+    is the R12 request/response callback (a picklable top-level function —
+    it runs on executors); it receives every (request spec, response).
     """
     struct_cols = [F.col(c) for c in (columns or df.columns)]
-    payloads = df.select(F.to_json(F.struct(*struct_cols)).alias("payload"))
+    if options.payload_format == "json":
+        payload_col = F.to_json(F.struct(*struct_cols))
+    elif options.payload_format == "csv":
+        payload_col = F.to_csv(F.struct(*struct_cols))
+    else:
+        raise ValueError(
+            f"unsupported sink payload_format {options.payload_format!r}; "
+            "expected 'json' or 'csv'"
+        )
+    payloads = df.select(payload_col.alias("payload"))
     sc = df.sparkSession.sparkContext
     error_acc = sc.accumulator(0)
     sent_acc = sc.accumulator(0)
 
     def sink_partition(rows) -> None:
-        writer = HttpSinkWriter(url, options)
+        writer = HttpSinkWriter(url, options, on_response=on_response)
         try:
             for row in rows:
                 writer.write(HttpSinkRequestEntry(

@@ -281,3 +281,13 @@ class FastHttpStub:
 
     def url(self, path: str = "/") -> str:
         return f"http://127.0.0.1:{self.port}{path}"
+
+
+def pipe_decoder(body: bytes):
+    """Example custom response decoder (``|``-separated values) for the
+    format SPI: a top-level function in an executor-importable module, as
+    required for ``HttpLookupOptions.decoder`` to pickle to workers
+    (reference custom-format walkthrough, ``http.md:449-478``)."""
+    lines = body.decode().strip().split("\n")
+    header = lines[0].split("|")
+    return [dict(zip(header, line.split("|"))) for line in lines[1:]]

@@ -1,0 +1,228 @@
+"""Pluggable response formats (reference ``lookup-request.format`` SPI,
+``HttpLookupConnectorOptions.java:93-94``; custom-format docs
+``docs/content/docs/connectors/table/http.md:449-478``) and the R11/R12
+content-logger + request/response callback wiring
+(``Slf4JHttpLookupPostRequestCallback.java``, ``HttpLogger.java:56-151``).
+"""
+
+import json
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from flink_connector_http_spark import (
+    HttpLookupOptions,
+    HttpLookupTable,
+    HttpSinkOptions,
+    HttpSinkRequestEntry,
+    HttpSinkWriter,
+    http_lookup_join,
+    lookup_options_from_map,
+    register_format,
+    registered_formats,
+    sink_options_from_map,
+    write_http,
+)
+from flink_connector_http_spark.client import HttpPollingClient
+from tests.stub_server import StubResponse
+
+
+NATION_SCHEMA = T.StructType([
+    T.StructField("n_nationkey", T.IntegerType()),
+    T.StructField("n_name", T.StringType()),
+])
+
+
+def csv_nation_responder(req):
+    key = req.query.get("n_nationkey", [""])[0]
+    body = f"n_nationkey,n_name\r\n{key},NATION_{key}\r\n"
+    return StubResponse(status=200, body=body.encode(),
+                        headers={"Content-Type": "text/csv"})
+
+# picklable decoder from an executor-importable module (options.decoder ships
+# through pickle, so it cannot live in this test module)
+from flink_connector_http_spark.testing import pipe_decoder  # noqa: E402
+
+
+class TestResponseFormats:
+    def test_csv_lookup_end_to_end(self, spark, stub_server):
+        stub_server.stub("/nation-csv", csv_nation_responder)
+        probe = spark.createDataFrame(
+            [Row(id=i, key=i % 3) for i in range(9)]
+        )
+        table = HttpLookupTable(
+            url=stub_server.url("/nation-csv"),
+            schema=NATION_SCHEMA,
+            options=HttpLookupOptions(
+                method="GET", response_format="csv", result_type="array"
+            ),
+        )
+        out = http_lookup_join(probe, table, on={"key": "n_nationkey"}).collect()
+        assert len(out) == 9
+        for row in out:
+            assert row.n_nationkey == row.key  # coerced from CSV string
+            assert row.n_name == f"NATION_{row.key}"
+
+    def test_custom_decoder_callable_end_to_end(self, spark, stub_server):
+        def responder(req):
+            key = req.query.get("n_nationkey", [""])[0]
+            return StubResponse(
+                status=200,
+                body=f"n_nationkey|n_name\n{key}|P{key}".encode(),
+            )
+
+        stub_server.stub("/nation-pipe", responder)
+        probe = spark.createDataFrame([Row(key=1), Row(key=2)])
+        table = HttpLookupTable(
+            url=stub_server.url("/nation-pipe"),
+            schema=NATION_SCHEMA,
+            options=HttpLookupOptions(
+                method="GET", decoder=pipe_decoder, result_type="array"
+            ),
+        )
+        out = {r.key: r.n_name for r in
+               http_lookup_join(probe, table, on={"key": "n_nationkey"}).collect()}
+        assert out == {1: "P1", 2: "P2"}
+
+    def test_register_format_registry(self, stub_server):
+        register_format("pipe-test", pipe_decoder)
+        assert "pipe-test" in registered_formats()
+        stub_server.stub_json("/x", {"n_nationkey": 7, "n_name": "Z"})
+        client = HttpPollingClient(
+            url=stub_server.url("/x"),
+            options=HttpLookupOptions(method="GET", response_format="json"),
+        )
+        result = client.pull({"n_nationkey": 7})
+        assert result.rows[0]["n_name"] == "Z"
+
+    def test_unknown_format_rejected(self):
+        with pytest.raises(ValueError, match="unknown response format"):
+            HttpPollingClient(
+                url="http://x/", options=HttpLookupOptions(response_format="nope")
+            )
+
+    def test_csv_single_value_one_row_ok(self, stub_server):
+        stub_server.stub("/one", csv_nation_responder)
+        client = HttpPollingClient(
+            url=stub_server.url("/one"),
+            options=HttpLookupOptions(method="GET", response_format="csv"),
+        )
+        result = client.pull({"n_nationkey": 4})
+        assert [dict(r) for r in result.rows] == [
+            {"n_nationkey": "4", "n_name": "NATION_4"}
+        ]
+
+    def test_option_map_parses_format_and_proxy_auth(self):
+        opts = lookup_options_from_map({
+            "format": "csv",
+            "http.source.lookup.proxy.host": "proxy.local",
+            "http.source.lookup.proxy.port": "3128",
+            "http.source.lookup.proxy.username": "u",
+            "http.source.lookup.proxy.password": "p",
+        })
+        assert opts.response_format == "csv"
+        assert (opts.proxy_host, opts.proxy_port) == ("proxy.local", 3128)
+        assert (opts.proxy_user, opts.proxy_password) == ("u", "p")
+
+        sopts = sink_options_from_map({
+            "format": "csv",
+            "http.security.cert.server": "/ca.pem",
+            "http.security.cert.server.allowSelfSigned": "true",
+        })
+        assert sopts.payload_format == "csv"
+        assert sopts.server_ca == "/ca.pem"
+        assert sopts.allow_self_signed is True
+
+
+class TestSinkPayloadFormat:
+    def test_csv_sink_newline_framing(self, spark, stub_server):
+        stub_server.stub_json("/csv-sink", {"ok": True})
+        df = spark.createDataFrame(
+            [Row(id=i, name=f"n{i}") for i in range(4)]
+        ).coalesce(1)
+        write_http(
+            df, stub_server.url("/csv-sink"),
+            HttpSinkOptions(payload_format="csv", batch_size=10),
+        )
+        recorded = stub_server.recorded("/csv-sink")
+        assert len(recorded) == 1
+        assert recorded[0].headers["Content-Type"] == "text/csv"
+        lines = sorted(recorded[0].body.decode().split("\n"))
+        assert lines == ["0,n0", "1,n1", "2,n2", "3,n3"]
+
+
+class TestCallbacks:
+    def test_lookup_callback_fires_with_request_and_response(self, stub_server):
+        stub_server.stub_json("/cb", {"n_nationkey": 1, "n_name": "A"})
+        seen = []
+        client = HttpPollingClient(
+            url=stub_server.url("/cb"),
+            options=HttpLookupOptions(
+                method="GET", request_callback=lambda s, r: seen.append((s, r))
+            ),
+        )
+        client.pull({"n_nationkey": 1})
+        assert len(seen) == 1
+        spec, response = seen[0]
+        assert spec.method == "GET" and "/cb" in spec.url
+        assert response.status == 200
+        assert json.loads(response.body)["n_name"] == "A"
+
+    def test_lookup_callback_fires_on_http_error_status(self, stub_server):
+        stub_server.stub_json("/cb404", {"err": "missing"}, status=404)
+        seen = []
+        client = HttpPollingClient(
+            url=stub_server.url("/cb404"),
+            options=HttpLookupOptions(
+                method="GET",
+                continue_on_error=True,
+                request_callback=lambda s, r: seen.append(r.status),
+            ),
+        )
+        result = client.pull({"n_nationkey": 1})
+        assert result.rows == ()
+        assert seen == [404]
+
+    def test_sink_callback_fires_per_request(self, stub_server):
+        stub_server.stub_json("/sink-cb", {"ok": True})
+        seen = []
+        writer = HttpSinkWriter(
+            stub_server.url("/sink-cb"),
+            HttpSinkOptions(batch_size=2),
+            on_response=lambda s, r: seen.append((s.method, r.status)),
+        )
+        for i in range(4):
+            writer.write(HttpSinkRequestEntry("POST", json.dumps({"i": i}).encode()))
+        writer.close()
+        assert seen == [("POST", 200), ("POST", 200)]
+
+
+class TestAsyncModes:
+    def test_sync_and_async_agree(self, spark, stub_server):
+        calls = {"n": 0}
+
+        def responder(req):
+            calls["n"] += 1
+            key = req.query.get("n_nationkey", [""])[0]
+            return StubResponse(
+                status=200,
+                body=json.dumps(
+                    {"n_nationkey": int(key), "n_name": f"N{key}"}
+                ).encode(),
+            )
+
+        stub_server.stub("/modes", responder)
+        probe = spark.createDataFrame([Row(key=i % 5) for i in range(25)])
+        results = {}
+        for mode in (False, True):
+            table = HttpLookupTable(
+                url=stub_server.url("/modes"),
+                schema=NATION_SCHEMA,
+                options=HttpLookupOptions(method="GET", use_async=mode),
+            )
+            rows = http_lookup_join(probe, table, on={"key": "n_nationkey"}).collect()
+            results[mode] = sorted((r.key, r.n_name) for r in rows)
+        assert results[False] == results[True]
+        assert len(results[True]) == 25
