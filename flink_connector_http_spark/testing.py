@@ -48,9 +48,14 @@ def json_response(payload, status: int = 200) -> StubResponse:
 
 
 class StubHttpServer:
-    """Threaded stub server; thread-safe request log; per-path responders."""
+    """Threaded stub server; thread-safe request log; per-path responders.
 
-    def __init__(self) -> None:
+    Pass ``ssl_context`` (an ``ssl.SSLContext`` configured server-side) to
+    serve HTTPS — used by the mTLS/self-signed tests mirroring the
+    reference's ``JavaNetHttpPollingClientConnectionTest`` HTTPS cases.
+    """
+
+    def __init__(self, ssl_context=None) -> None:
         self._lock = threading.Lock()
         self.requests: List[RecordedRequest] = []
         self._responders: List[Tuple[str, Responder]] = []  # (path_prefix, fn)
@@ -92,6 +97,12 @@ class StubHttpServer:
                 pass
 
         self._server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self._scheme = "http"
+        if ssl_context is not None:
+            self._server.socket = ssl_context.wrap_socket(
+                self._server.socket, server_side=True
+            )
+            self._scheme = "https"
         self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
 
     # -- lifecycle ----------------------------------------------------------------
@@ -109,7 +120,7 @@ class StubHttpServer:
         return self._server.server_address[1]
 
     def url(self, path: str = "/") -> str:
-        return f"http://127.0.0.1:{self.port}{path}"
+        return f"{self._scheme}://127.0.0.1:{self.port}{path}"
 
     # -- stubbing -------------------------------------------------------------------
 
