@@ -176,6 +176,39 @@ def _leaf_name(dotted: str) -> str:
     return dotted.split(".")[-1]
 
 
+# --- nested projection pruning --------------------------------------------------
+
+def _prune_schema(struct: T.StructType, paths: "set[Tuple[str, ...]]") -> T.StructType:
+    """Keep only the fields addressed by ``paths`` (dotted-path tuples);
+    a path ending at a struct keeps that struct whole."""
+    by_head: Dict[str, "set[Tuple[str, ...]]"] = {}
+    for p in paths:
+        by_head.setdefault(p[0], set()).add(p[1:])
+    fields = []
+    for f in struct.fields:
+        if f.name not in by_head:
+            continue
+        tails = {t for t in by_head[f.name] if t}
+        if tails and isinstance(f.dataType, T.StructType):
+            fields.append(
+                T.StructField(f.name, _prune_schema(f.dataType, tails), True)
+            )
+        else:
+            fields.append(f)
+    return T.StructType(fields)
+
+
+def _validate_select_paths(schema: T.StructType, select: Sequence[str]) -> None:
+    for dotted in select:
+        node: T.DataType = schema
+        for part in dotted.split("."):
+            if not isinstance(node, T.StructType) or part not in node.fieldNames():
+                raise ValueError(
+                    f"select references unknown lookup column {dotted!r}"
+                )
+            node = node[part].dataType
+
+
 # --- the operator ---------------------------------------------------------------
 
 def http_lookup_join(
@@ -204,20 +237,22 @@ def http_lookup_join(
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     pairs = _normalize_on(on)
 
-    # projection pushdown: prune decode schema to requested columns (+ keys,
-    # which are needed for backfill).
-    lookup_fields = list(table.schema.fields)
+    # projection pushdown incl. NESTED fields: prune the decode schema to
+    # the requested columns (+ keys, needed for backfill). Dotted ``select``
+    # entries (``"address.city"``) prune inside struct columns — parity with
+    # the reference's ``supportsNestedProjection -> true``
+    # (``HttpLookupTableSource.java:202-204``): unselected nested fields are
+    # never decoded or emitted.
     if select is not None:
-        wanted = set(select) | {lk.split(".")[0] for _, lk in pairs}
-        missing = set(select) - {f.name for f in lookup_fields}
-        if missing:
-            raise ValueError(f"select references unknown lookup columns {sorted(missing)}")
-        lookup_fields = [f for f in lookup_fields if f.name in wanted]
-    pruned_schema = T.StructType(lookup_fields)
-    output_lookup_fields = (
-        lookup_fields if select is None
-        else [f for f in lookup_fields if f.name in set(select)]
-    )
+        _validate_select_paths(table.schema, select)
+        paths = {tuple(s.split(".")) for s in select}
+        pruned = _prune_schema(table.schema, paths)
+        select_heads = {s.split(".")[0] for s in select}
+        # decode is driven by these fields' (pruned) dataTypes — unselected
+        # nested fields never reach _coerce
+        output_lookup_fields = [f for f in pruned.fields if f.name in select_heads]
+    else:
+        output_lookup_fields = list(table.schema.fields)
 
     meta_fields = list(metadata_schema(metadata_columns).fields) if metadata_columns else []
     if metadata_columns:

@@ -31,13 +31,19 @@ size; bound it with ``num_partitions`` on the enrich side and
 from typing import Mapping, Optional, Sequence, Union
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..lookup import HttpLookupTable, http_lookup_join
 from ..options import HttpSinkOptions
 from ..sink import foreach_batch_http_sink
 
-__all__ = ["http_enrich_stream", "start_http_sink_stream"]
+__all__ = [
+    "http_enrich_stream",
+    "start_http_sink_stream",
+    "sessionize_stream",
+    "windowed_counts_stream",
+]
 
 
 def http_enrich_stream(
@@ -59,6 +65,61 @@ def http_enrich_stream(
             "use http_lookup_join for batch inputs"
         )
     return http_lookup_join(probe_stream, table, on, **kwargs)
+
+
+def sessionize_stream(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "1 hour",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Event-time gap sessionization (T5): ``withWatermark`` +
+    ``session_window`` — the streaming analogue of the batch
+    ``q_sessionize_events`` lag-window query. Late rows within
+    ``watermark_delay`` merge into their session; a session is emitted
+    (append mode) once the watermark passes its close.
+
+    Scale note: state is partitioned by ``key_col`` — one shuffle, the
+    same key layout as the batch variant; watermark eviction bounds state
+    size regardless of stream length.
+    """
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def windowed_counts_stream(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "10 minutes",
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling event-time window counts with late-data handling (T5):
+    rows later than ``watermark_delay`` are dropped, everything else is
+    assigned to its event-time window regardless of arrival order."""
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(F.col(ts_col), window), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_events",
+        )
+    )
 
 
 def start_http_sink_stream(

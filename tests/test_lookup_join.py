@@ -262,6 +262,49 @@ def test_nested_struct_lookup_schema(spark, stub_server):
     assert row.details.nestedDetails.balance == "9.99"
 
 
+def test_nested_projection_pushdown(spark, stub_server):
+    """P1: dotted select paths prune INSIDE struct columns — the decoded
+    and emitted struct carries only the requested nested fields (reference
+    ``supportsNestedProjection -> true``, HttpLookupTableSource.java:202-204)."""
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("details", T.StructType([
+            T.StructField("isActive", T.BooleanType()),
+            T.StructField("secret", T.StringType()),
+            T.StructField("nestedDetails", T.StructType([
+                T.StructField("balance", T.StringType()),
+                T.StructField("currency", T.StringType()),
+            ])),
+        ])),
+    ])
+    stub_server.stub_json("/nested-prune", {
+        "id": 1,
+        "details": {
+            "isActive": True,
+            "secret": "do-not-decode",
+            "nestedDetails": {"balance": "9.99", "currency": "EUR"},
+        },
+    })
+    table = HttpLookupTable(url=stub_server.url("/nested-prune"), schema=schema)
+    out = http_lookup_join(
+        orders_df(spark, ids=(1,)), table, on={"cust_id": "id"},
+        select=["details.isActive", "details.nestedDetails.balance"],
+    )
+    details_type = out.schema["details"].dataType
+    assert details_type.fieldNames() == ["isActive", "nestedDetails"]
+    assert details_type["nestedDetails"].dataType.fieldNames() == ["balance"]
+    row = out.collect()[0]
+    assert row.details.isActive is True
+    assert row.details.nestedDetails.balance == "9.99"
+    assert not hasattr(row.details, "secret")
+
+    with pytest.raises(ValueError, match="unknown lookup column"):
+        http_lookup_join(
+            orders_df(spark, ids=(1,)), table, on={"cust_id": "id"},
+            select=["details.nope"],
+        )
+
+
 def test_cache_avoids_repeat_calls(spark, stub_server):
     stub_server.stub("/customers", customers_responder)
     table = HttpLookupTable(

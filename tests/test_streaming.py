@@ -124,3 +124,93 @@ def test_stream_checkpoint_no_reprocess(spark, probe_dir, stub_server, tmp_path)
     payloads = _sink_payloads(stub_server)
     ids = sorted(p["id"] for p in payloads)
     assert ids == [1, 2]  # id=1 delivered exactly once across the restart
+
+
+class TestEventTimeWatermarks:
+    """T5: withWatermark + session_window / tumbling windows. Deterministic
+    via a file source: batch 2's late timestamps advance the watermark past
+    batch 1's sessions, so append mode emits exactly the finalized ones."""
+
+    def _start(self, spark, tmp_path, transform, name):
+        import datetime
+
+        from pyspark.sql import types as T
+
+        schema = T.StructType([
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ])
+        in_dir = str(tmp_path / "in")
+        t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+        def drop(rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(in_dir)
+
+        drop([(1, t0), (1, t0 + datetime.timedelta(minutes=10)), (2, t0)])
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        query = (
+            transform(stream).writeStream.format("memory")
+            .queryName(name).outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        return query, drop, t0
+
+    def test_session_window_emits_after_watermark_passes(self, spark, tmp_path):
+        import datetime
+
+        from flink_connector_http_spark.streaming import sessionize_stream
+
+        query, drop, t0 = self._start(
+            spark, tmp_path,
+            lambda s: sessionize_stream(
+                s, gap="1 hour", watermark_delay="10 seconds"),
+            "sessions_t5",
+        )
+        try:
+            query.processAllAvailable()
+            # sessions still open: watermark has not passed close(= last+gap)
+            assert spark.sql("SELECT * FROM sessions_t5").count() == 0
+            drop([(3, t0 + datetime.timedelta(hours=6))])  # advances watermark
+            query.processAllAvailable()
+            rows = {
+                (r.user_id, r.n_events)
+                for r in spark.sql("SELECT * FROM sessions_t5").collect()
+            }
+            assert rows == {(1, 2), (2, 1)}  # user 3's session still open
+            sess = {
+                r.user_id: (r.session_start, r.session_end)
+                for r in spark.sql("SELECT * FROM sessions_t5").collect()
+            }
+            assert sess[1] == (t0, t0 + datetime.timedelta(hours=1, minutes=10))
+            assert sess[2] == (t0, t0 + datetime.timedelta(hours=1))
+        finally:
+            query.stop()
+
+    def test_tumbling_window_counts_with_late_data(self, spark, tmp_path):
+        import datetime
+
+        from flink_connector_http_spark.streaming import windowed_counts_stream
+
+        query, drop, t0 = self._start(
+            spark, tmp_path,
+            lambda s: windowed_counts_stream(
+                s, key_col="user_id", window="30 minutes",
+                watermark_delay="10 seconds"),
+            "windows_t5",
+        )
+        try:
+            query.processAllAvailable()
+            drop([(9, t0 + datetime.timedelta(hours=6))])
+            query.processAllAvailable()
+            rows = {
+                (r.user_id, r.window_start, r.n_events)
+                for r in spark.sql("SELECT * FROM windows_t5").collect()
+            }
+            # [12:00, 12:30): user 1 has events at 12:00 and 12:10, user 2
+            # one at 12:00; user 9's 18:00 window is still open
+            assert rows == {(1, t0, 2), (2, t0, 1)}
+        finally:
+            query.stop()
