@@ -36,7 +36,9 @@ from __future__ import annotations
 import datetime as _dt
 import decimal
 import threading
+import time
 from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import TimeoutError as FuturesTimeoutError
 from dataclasses import dataclass, field
 from typing import Any, Dict, Iterable, Iterator, List, Mapping, Optional, Sequence, Tuple, Union
 
@@ -281,6 +283,15 @@ def http_lookup_join(
     key_lookup_names = [lk for _, lk in pairs]
     emit_on_empty = how == "left" or bool(meta_fields)
 
+    # R13 metrics parity (lookup call counter, HttpTableLookupFunction.java:
+    # 95-96): accumulators aggregate across executors; read them via
+    # http_lookup_join.last_metrics[...].value AFTER an action has run
+    # (the operator itself is lazy).
+    sc = probe.sparkSession.sparkContext
+    calls_acc = sc.accumulator(0)        # HTTP lookups actually fired
+    cache_hits_acc = sc.accumulator(0)   # distinct keys served from cache
+    rows_acc = sc.accumulator(0)         # enriched rows emitted
+
     # plain-data config captured by the closure (all picklable)
     table_ref = table
 
@@ -318,6 +329,9 @@ def http_lookup_join(
                 else:
                     to_fetch.append(kt)
 
+            calls_acc.add(len(to_fetch))
+            cache_hits_acc.add(len(distinct) - len(to_fetch))
+
             def key_values_of(kt: Tuple) -> Dict[str, Any]:
                 return {_leaf_name(lk): v for (_pc, lk), v in zip(pairs, kt)}
 
@@ -331,16 +345,46 @@ def http_lookup_join(
                 else:
                     # asyncPolling: network phase pipelined on the pull pool,
                     # classify/decode published on the publish pool
-                    # (AsyncHttpTableLookupFunction.java:40-42,94-115)
-                    publish_size = max(1, table_ref.options.publish_pool_size)
-                    with ThreadPoolExecutor(max_workers=pool_size) as pull_pool, \
+                    # (AsyncHttpTableLookupFunction.java:40-42,94-115).
+                    # buffer-capacity caps in-flight requests; the timeout is
+                    # a per-request deadline from submission
+                    # (table.exec.async-lookup.*, T2)
+                    opts = table_ref.options
+                    fetch_workers = max(
+                        1, min(pool_size, opts.async_buffer_capacity)
+                    )
+                    deadline = (
+                        None if opts.async_timeout is None
+                        else time.monotonic() + opts.async_timeout
+                    )
+
+                    def exchange_of(fut):
+                        if deadline is None:
+                            return fut.result()
+                        try:
+                            return fut.result(
+                                timeout=max(0.0, deadline - time.monotonic())
+                            )
+                        except FuturesTimeoutError:
+                            fut.cancel()
+                            return (None, None, (
+                                f"async lookup timed out after "
+                                f"{opts.async_timeout}s", None,
+                            ))
+
+                    publish_size = max(1, opts.publish_pool_size)
+                    with ThreadPoolExecutor(max_workers=fetch_workers) as pull_pool, \
                             ThreadPoolExecutor(max_workers=publish_size) as publish_pool:
-                        exchanges = pull_pool.map(
-                            lambda kt: client.send(key_values_of(kt)), to_fetch
-                        )
-                        fetched = list(zip(
-                            to_fetch, publish_pool.map(client.publish, exchanges)
-                        ))
+                        send_futs = [
+                            (kt, pull_pool.submit(client.send, key_values_of(kt)))
+                            for kt in to_fetch
+                        ]
+                        pub_futs = [
+                            (kt, publish_pool.submit(
+                                lambda f=f: client.publish(exchange_of(f))))
+                            for kt, f in send_futs
+                        ]
+                        fetched = [(kt, pf.result()) for kt, pf in pub_futs]
                 for kt, result in fetched:
                     distinct[kt] = result
                     if cache is not None and result.completion_state in (
@@ -392,6 +436,7 @@ def http_lookup_join(
             )
             if len(out) == 0:
                 continue
+            rows_acc.add(len(out))
             yield out
 
     if num_partitions is not None:
@@ -405,4 +450,9 @@ def http_lookup_join(
             if root not in key_roots:
                 key_roots.append(root)
         probe = probe.repartition(num_partitions, *key_roots)
+    http_lookup_join.last_metrics = {  # type: ignore[attr-defined]
+        "numLookupCalls": calls_acc,
+        "numCacheHits": cache_hits_acc,
+        "numRowsEmitted": rows_acc,
+    }
     return probe.mapInPandas(enrich, schema=out_schema)

@@ -35,6 +35,8 @@ LOOKUP_OPTION_KEYS = {
     "pull_pool_size": "http.source.lookup.request.thread-pool.size",
     "publish_pool_size": "http.source.lookup.response.thread-pool.size",
     "use_async": "asyncPolling",
+    "async_buffer_capacity": "table.exec.async-lookup.buffer-capacity",
+    "async_timeout": "table.exec.async-lookup.timeout",
     "result_type": "http.source.lookup.result-type",
     "success_codes": "http.source.lookup.success-codes",
     "retry_codes": "http.source.lookup.retry-codes",
@@ -109,6 +111,13 @@ class HttpLookupOptions:
     # with decode/publish on publish_pool_size workers (asyncPolling,
     # AsyncHttpTableLookupFunction.java:40-42,94-115)
     use_async: bool = False
+    # host-engine async knobs (Flink table.exec.async-lookup.*): capacity
+    # caps concurrent in-flight lookups (effective fetch concurrency =
+    # min(pull_pool_size, async_buffer_capacity)); timeout is the deadline
+    # per async request measured from submission — on expiry the lookup
+    # fails (or yields an EXCEPTION-state row under continue_on_error)
+    async_buffer_capacity: int = 100                  # Flink default
+    async_timeout: Optional[float] = None             # seconds; None = no deadline
     result_type: str = "single-value"                 # or "array"
     # response decode SPI (reference lookup-request.format / format):
     # a registered format name, or `decoder` to pass a callable directly
@@ -196,6 +205,10 @@ def lookup_options_from_map(options: Mapping[str, str]) -> HttpLookupOptions:
         kwargs["publish_pool_size"] = int(options[k["publish_pool_size"]])
     if k["use_async"] in options:
         kwargs["use_async"] = _as_bool(options[k["use_async"]])
+    if k["async_buffer_capacity"] in options:
+        kwargs["async_buffer_capacity"] = int(options[k["async_buffer_capacity"]])
+    if k["async_timeout"] in options:
+        kwargs["async_timeout"] = float(options[k["async_timeout"]])
     if k["result_type"] in options:
         kwargs["result_type"] = options[k["result_type"]]
     if k["success_codes"] in options:

@@ -226,3 +226,97 @@ class TestAsyncModes:
             results[mode] = sorted((r.key, r.n_name) for r in rows)
         assert results[False] == results[True]
         assert len(results[True]) == 25
+
+
+class TestAsyncKnobs:
+    """T2 parity: table.exec.async-lookup buffer-capacity + timeout, and
+    R13 lookup metrics accumulators."""
+
+    def test_async_timeout_yields_exception_state(self, spark, stub_server):
+        import time as _time
+
+        def slow(req):
+            _time.sleep(2.0)
+            key = req.query.get("n_nationkey", ["0"])[0]
+            return StubResponse(
+                status=200,
+                body=json.dumps({"n_nationkey": int(key), "n_name": "X"}).encode(),
+            )
+
+        stub_server.stub("/slow", slow)
+        probe = spark.createDataFrame([Row(key=1), Row(key=2)]).coalesce(1)
+        table = HttpLookupTable(
+            url=stub_server.url("/slow"),
+            schema=NATION_SCHEMA,
+            options=HttpLookupOptions(
+                method="GET", use_async=True, async_timeout=0.2,
+                continue_on_error=True,
+            ),
+        )
+        out = http_lookup_join(
+            probe, table, on={"key": "n_nationkey"}, how="left",
+            metadata_columns=["http-completion-state", "error-string"],
+        ).collect()
+        assert len(out) == 2
+        for row in out:
+            assert row.n_name is None
+            assert row["http-completion-state"] == "EXCEPTION"
+            assert "timed out" in row["error-string"]
+
+    def test_async_buffer_capacity_bounds_inflight(self, spark, stub_server):
+        import threading as _threading
+
+        active = {"now": 0, "max": 0}
+        lock = _threading.Lock()
+
+        def responder(req):
+            with lock:
+                active["now"] += 1
+                active["max"] = max(active["max"], active["now"])
+            import time as _time
+            _time.sleep(0.05)
+            with lock:
+                active["now"] -= 1
+            key = req.query.get("n_nationkey", ["0"])[0]
+            return StubResponse(
+                status=200,
+                body=json.dumps({"n_nationkey": int(key), "n_name": "Y"}).encode(),
+            )
+
+        stub_server.stub("/bounded", responder)
+        probe = spark.createDataFrame([Row(key=i) for i in range(12)]).coalesce(1)
+        table = HttpLookupTable(
+            url=stub_server.url("/bounded"),
+            schema=NATION_SCHEMA,
+            options=HttpLookupOptions(
+                method="GET", use_async=True,
+                pull_pool_size=8, async_buffer_capacity=2,
+            ),
+        )
+        out = http_lookup_join(probe, table, on={"key": "n_nationkey"}).collect()
+        assert len(out) == 12
+        assert active["max"] <= 2  # capacity caps in-flight requests
+
+    def test_lookup_metrics_accumulators(self, spark, stub_server):
+        from flink_connector_http_spark.lookup import http_lookup_join as hlj
+
+        def responder(req):
+            key = req.query.get("n_nationkey", ["0"])[0]
+            return StubResponse(
+                status=200,
+                body=json.dumps({"n_nationkey": int(key), "n_name": "M"}).encode(),
+            )
+
+        stub_server.stub("/metrics", responder)
+        probe = spark.createDataFrame(
+            [Row(key=i % 4) for i in range(20)]
+        ).coalesce(1)
+        table = HttpLookupTable(
+            url=stub_server.url("/metrics"), schema=NATION_SCHEMA,
+            options=HttpLookupOptions(method="GET"),
+        )
+        out = hlj(probe, table, on={"key": "n_nationkey"})
+        metrics = hlj.last_metrics
+        assert out.count() == 20
+        assert metrics["numLookupCalls"].value == 4   # distinct keys only
+        assert metrics["numRowsEmitted"].value == 20
