@@ -28,6 +28,10 @@ try:
     from flink_connector_http_spark.operators import multimodal  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+try:
+    from flink_connector_http_spark.streaming import stateful  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
 
 
 def entry(spark: SparkSession) -> DataFrame:

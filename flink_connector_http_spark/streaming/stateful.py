@@ -1,0 +1,139 @@
+"""Custom stateful streaming operators (``applyInPandasWithState``).
+
+The reference connector is proctime-only and carries no stateful operator
+of its own — this module covers the training-data-pipeline side of the
+engine: **streaming exact dedup**, the continuous analogue of the batch
+``dedup_exact`` operator (``operators/dedup.py``). Each key (content hash)
+is emitted exactly once across micro-batches; replays and duplicates are
+suppressed via per-key state, with an optional processing-time TTL so
+state stays bounded on endless streams.
+
+Scale design: state is hash-partitioned by the dedup key (one shuffle —
+the same key layout as batch exact dedup), checkpointed by Structured
+Streaming, and evicted by TTL. The per-key payload is one boolean, so
+state size is O(distinct keys within TTL), independent of stream length.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Sequence, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..plans.registry import register
+
+__all__ = ["dedup_stream"]
+
+_STATE_SCHEMA = T.StructType([T.StructField("emitted", T.BooleanType())])
+
+
+def dedup_stream(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    *,
+    order_col: Optional[str] = None,
+    state_ttl_ms: Optional[int] = None,
+) -> DataFrame:
+    """Streaming exact dedup: emit ONE representative row per key across
+    all micro-batches; later occurrences are dropped.
+
+    ``order_col`` makes the representative deterministic (the minimum of
+    that column within the key's first batch — e.g. ``doc_id``, mirroring
+    batch ``dedup_exact``'s ``MIN(doc_id)``); without it the first row
+    wins. ``state_ttl_ms`` expires a key's "seen" state after that much
+    processing time, after which the key may be emitted again — the knob
+    that bounds state on unbounded streams.
+    """
+    out_schema = df.schema
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def fn(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        best: Optional[pd.DataFrame] = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            cand = (
+                pdf.sort_values(order_col).head(1) if order_col else pdf.head(1)
+            )
+            if best is None or (
+                order_col is not None
+                and cand.iloc[0][order_col] < best.iloc[0][order_col]
+            ):
+                best = cand
+        already_emitted = state.exists
+        if not already_emitted:
+            state.update((True,))
+        if state_ttl_ms:
+            state.setTimeoutDuration(state_ttl_ms)
+        if best is not None and not already_emitted:
+            yield best
+
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, _STATE_SCHEMA, "append", timeout
+    )
+
+
+@register(
+    "stream_dedup_documents",
+    # the stream runs availableNow over the single documents parquet file
+    # (one micro-batch), so the deterministic representative (min doc_id)
+    # equals the relational first-occurrence — a full hash-checked oracle
+    # for a custom stateful streaming operator
+    oracle="""
+    SELECT md5(lower(text)) AS content_hash, MIN(doc_id) AS keep_doc_id
+    FROM documents GROUP BY content_hash
+    """,
+    doc="Streaming exact dedup via applyInPandasWithState: per-key state "
+        "emits each content hash once (min doc_id representative); run to "
+        "completion with availableNow and returned as a batch DataFrame.",
+)
+def stream_dedup_documents(spark, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    docs_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    # the file streaming source requires a directory: expose the single
+    # documents file through a temp dir symlink (testdata is read-only)
+    in_dir = tempfile.mkdtemp(prefix="stream_dedup_in_")
+    import os
+
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/documents.parquet"),
+        os.path.join(in_dir, "documents.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .parquet(in_dir)
+        .select(
+            F.expr("md5(lower(text))").alias("content_hash"),
+            F.col("doc_id"),
+        )
+    )
+    query = (
+        dedup_stream(stream, ["content_hash"], order_col="doc_id")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_dedup_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table(name).select(
+        "content_hash", F.col("doc_id").alias("keep_doc_id")
+    )

@@ -214,3 +214,80 @@ class TestEventTimeWatermarks:
             assert rows == {(1, t0, 2), (2, t0, 1)}
         finally:
             query.stop()
+
+
+class TestStatefulDedupStream:
+    """applyInPandasWithState exact dedup: one emission per key across
+    micro-batches; TTL expiry re-opens a key (state stays bounded)."""
+
+    def _start(self, spark, tmp_path, **dedup_kwargs):
+        from pyspark.sql import types as T
+
+        from flink_connector_http_spark.streaming.stateful import dedup_stream
+
+        schema = T.StructType([
+            T.StructField("content_hash", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+        ])
+        in_dir = str(tmp_path / "in")
+        name = f"dedup_{tmp_path.name}"
+
+        def drop(rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(in_dir)
+
+        drop([("A", 2), ("A", 9), ("B", 5)])
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        query = (
+            dedup_stream(stream, ["content_hash"], order_col="doc_id",
+                         **dedup_kwargs)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        return query, drop, name
+
+    def test_cross_batch_duplicates_suppressed(self, spark, tmp_path):
+        query, drop, name = self._start(spark, tmp_path)
+        try:
+            query.processAllAvailable()
+            first = {(r.content_hash, r.doc_id)
+                     for r in spark.table(name).collect()}
+            assert first == {("A", 2), ("B", 5)}  # min doc_id per key
+            # batch 2: A again (even with a smaller doc_id) + new key C
+            drop([("A", 1), ("C", 7)])
+            query.processAllAvailable()
+            final = {(r.content_hash, r.doc_id)
+                     for r in spark.table(name).collect()}
+            assert final == {("A", 2), ("B", 5), ("C", 7)}
+        finally:
+            query.stop()
+
+    def test_ttl_expiry_reopens_key(self, spark, tmp_path):
+        import time as _time
+
+        # NOTE: poll instead of processAllAvailable() — pending
+        # processing-time timers keep scheduling batches, so
+        # processAllAvailable never settles with a TTL configured
+        def wait_for(pred, timeout=90):
+            deadline = _time.time() + timeout
+            while _time.time() < deadline:
+                if pred():
+                    return True
+                _time.sleep(0.5)
+            return False
+
+        query, drop, name = self._start(spark, tmp_path, state_ttl_ms=500)
+        try:
+            rows = lambda: {(r.content_hash, r.doc_id)  # noqa: E731
+                            for r in spark.table(name).collect()}
+            assert wait_for(lambda: rows() == {("A", 2), ("B", 5)})
+            _time.sleep(1.5)          # let A/B state expire
+            drop([("D", 1)])          # batch with other data fires timeouts
+            assert wait_for(lambda: ("D", 1) in rows())
+            drop([("A", 42)])         # state was removed -> A emits again
+            assert wait_for(lambda: ("A", 42) in rows())
+        finally:
+            query.stop()
