@@ -416,3 +416,92 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= COSINE_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster resolution: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
+    """Min-label propagation over an undirected pair graph:
+    ``(a_id, b_id)`` edges → ``(doc_id, cluster_id)`` where ``cluster_id``
+    is the smallest doc id in the node's connected component — the
+    canonical-document choice for a dedup pipeline (keep ``cluster_id``,
+    drop the rest).
+
+    Iterative (a driver-coordinated loop; every step is a distributed
+    join + partial-aggregated min). Iteration count is bounded by the
+    component diameter: near-duplicate clusters are quasi-cliques, so in
+    practice 1-3 rounds converge. At extreme scale, swap the propagation
+    body for the alternating large-star/small-star contraction, which
+    converges in O(log n) rounds on pathological chain graphs; the
+    surrounding fixpoint loop and output contract stay identical.
+    """
+    fwd = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    adj = fwd.union(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+    adj = adj.persist()
+    labels = (
+        adj.select(F.col("src").alias("doc_id")).distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .persist()
+    )
+    handles = [adj, labels]
+    for _ in range(max_iterations):
+        neigh = (
+            adj.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"),
+                    F.col("cluster_id").alias("dst_cluster"),
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_cluster").alias("neigh_min"))
+            .select(F.col("src").alias("doc_id"), "neigh_min")
+        )
+        joined = labels.join(neigh, "doc_id", "left").persist()
+        handles.append(joined)
+        n_changed = joined.filter(F.col("neigh_min") < F.col("cluster_id")).count()
+        labels = joined.select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"),
+                F.coalesce(F.col("neigh_min"), F.col("cluster_id")),
+            ).alias("cluster_id"),
+        )
+        if n_changed == 0:
+            break
+    for h in handles[:-1]:
+        h.unpersist()
+    return labels.select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))
+
+
+_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE pairs AS (
+      {_JACCARD_ORACLE}
+    ),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION ALL
+      SELECT b_id AS src, a_id AS dst FROM pairs
+    ),
+    walk(doc_id, reach) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, w.reach FROM edges e JOIN walk w ON w.doc_id = e.dst
+    )
+    SELECT doc_id, CAST(MIN(reach) AS BIGINT) AS cluster_id
+    FROM walk GROUP BY doc_id
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=_CLUSTERS_ORACLE,
+    doc="Duplicate-cluster resolution: MinHash-LSH near-dup pairs → "
+        "connected components (min-label propagation) → per-doc canonical "
+        "cluster id. The oracle recomputes components with a recursive CTE.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
+    return connected_components(pairs)

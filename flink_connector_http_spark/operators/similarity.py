@@ -206,3 +206,31 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("q_id", "neighbor_id", "cosine", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# per-label embedding centroids (the reduce step of IVF / k-means-style
+# partitioned ANN: one centroid per coarse partition)
+# ---------------------------------------------------------------------------
+
+@register(
+    "emb_label_centroids",
+    oracle="""
+    SELECT label,
+           CAST(i - 1 AS INT) AS dim,
+           round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid
+    FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    GROUP BY label, dim
+    """,
+    doc="Element-wise centroid per label over array<float> embeddings "
+        "(long format: one row per label x dimension). posexplode keeps "
+        "the aggregation a plain partial-aggregated groupBy — no array "
+        "UDAF, no collect; 6dp rounding for cross-engine float stability.",
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("centroid"))
+    )

@@ -210,3 +210,84 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"array_min(transform({SHINGLES_SPARK}, s -> md5(s)))").alias("min_shingle_fp"),
         F.expr(md5_int60_spark("lower(text)")).alias("fp_int"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus vocabulary statistics
+# ---------------------------------------------------------------------------
+
+VOCAB_TOP_K = 50
+
+
+@register(
+    "text_vocab_topk",
+    oracle=f"""
+    SELECT token, n_occurrences, n_docs FROM (
+      SELECT token,
+             COUNT(*) AS n_occurrences,
+             COUNT(DISTINCT doc_id) AS n_docs
+      FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+      )
+      GROUP BY token
+      ORDER BY n_occurrences DESC, token
+      LIMIT {VOCAB_TOP_K}
+    )
+    """,
+    doc="Corpus vocabulary: top-k tokens by frequency with document "
+        "frequency (deterministic tie-break on token). Map-side partial "
+        "aggregation + TakeOrdered — no global sort materialized.",
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(VOCAB_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/eval split (hash-bucketed sampling)
+# ---------------------------------------------------------------------------
+
+TRAIN_PCT = 90
+
+
+@register(
+    "sample_split_documents",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({md5_int32_duck("concat('split:', doc_id)")} % 100 AS BIGINT)
+               AS bucket,
+           CASE WHEN {md5_int32_duck("concat('split:', doc_id)")} % 100
+                     < {TRAIN_PCT}
+                THEN 'train' ELSE 'eval' END AS split
+    FROM documents
+    """,
+    doc="Deterministic hash-bucketed train/eval split: the assignment is a "
+        "pure function of doc_id (salted md5 mod 100), so it is stable "
+        "under repartitioning, re-runs, and data growth — the property a "
+        "training pipeline needs from a split, which rand()-based sampling "
+        "does not give. Zero shuffle: a per-row projection.",
+)
+def sample_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    salted = md5_int32_spark("concat('split:', doc_id)")
+    bucket = f"{salted} % 100"
+    return docs.select(
+        "doc_id",
+        F.expr(f"CAST({bucket} AS BIGINT)").alias("bucket"),
+        F.expr(
+            f"CASE WHEN {bucket} < {TRAIN_PCT} THEN 'train' ELSE 'eval' END"
+        ).alias("split"),
+    )
