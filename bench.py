@@ -45,6 +45,22 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # untimed warmup: absorbs one-time JVM JIT/codegen and Python-Arrow
+    # worker startup so per-query numbers measure the queries (at cluster
+    # scale those are per-executor-lifetime costs, not per-query costs)
+    warm = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10_000)
+    warm.groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
+
+    import pandas as _pd  # noqa: F401
+
+    def _identity(batches):
+        for b in batches:
+            yield b
+
+    warm.select("l_orderkey").limit(100).mapInPandas(
+        _identity, schema="l_orderkey long"
+    ).write.format("noop").mode("overwrite").save()
+
     bench_specs = [s for s in REGISTRY.values() if s.bench]
     timings = {}
     for spec in bench_specs:
