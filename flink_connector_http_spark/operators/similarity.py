@@ -234,3 +234,143 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "dim")
         .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("centroid"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN: coarse quantizer (per-label centroids) + n_probe cells
+# ---------------------------------------------------------------------------
+
+N_PROBE = 2
+
+_DIMS_DUCK = (
+    "SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x "
+    "FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)"
+)
+
+_IVF_ORACLE = f"""
+    WITH cent AS (
+      SELECT label, i - 1 AS dim,
+             round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS c
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+      GROUP BY label, dim
+    ),
+    cent_norm AS (
+      SELECT label, sqrt(sum(c * c)) AS cn FROM cent GROUP BY label
+    ),
+    vec_dim AS ({_DIMS_DUCK}),
+    vec_norm AS (
+      SELECT vec_id, sqrt(sum(x * x)) AS vn FROM vec_dim GROUP BY vec_id
+    ),
+    scores AS (
+      SELECT v.vec_id, c.label,
+             round(sum(v.x * c.c) / (vn.vn * cn.cn), 6) AS cellcos
+      FROM vec_dim v JOIN cent c USING (dim)
+      JOIN vec_norm vn ON vn.vec_id = v.vec_id
+      JOIN cent_norm cn ON cn.label = c.label
+      GROUP BY v.vec_id, c.label, vn.vn, cn.cn
+    ),
+    assign AS (
+      SELECT vec_id, label,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cellcos DESC, label) AS crk
+      FROM scores
+    ),
+    cells AS (SELECT vec_id, label FROM assign WHERE crk = 1),
+    qcells AS (
+      SELECT vec_id, label FROM assign
+      WHERE vec_id < {N_QUERIES} AND crk <= {N_PROBE}
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS neighbor_id
+      FROM qcells q JOIN cells c USING (label)
+      WHERE c.vec_id <> q.vec_id
+    ),
+    scored AS (
+      SELECT cand.q_id, cand.neighbor_id, round({COS_DUCK}, 6) AS cosine
+      FROM cand
+      JOIN embeddings a ON a.vec_id = cand.q_id
+      JOIN embeddings b ON b.vec_id = cand.neighbor_id
+    )
+    SELECT q_id, neighbor_id, cosine, rk FROM (
+      SELECT q_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    ) t WHERE rk <= {TOP_K}
+"""
+
+_DOT_VC = (
+    "aggregate(zip_with(embedding, centroid, (x, y) -> CAST(x AS DOUBLE) * y), "
+    "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+@register(
+    "sim_ann_ivf_topk",
+    oracle=_IVF_ORACLE,
+    doc="IVF-style ANN: per-label centroids act as the coarse quantizer "
+        "(one-pass build standing in for k-means iterations), every vector "
+        "is geometrically assigned to its nearest cell, queries probe the "
+        f"{N_PROBE} nearest cells, exact cosine re-rank inside. At scale "
+        "the inverted lists shard by cell id — the probe-side join touches "
+        "n_probe/n_cells of the corpus instead of all of it. Deterministic "
+        "(6dp-rounded scores, label tie-break) → full hash-checked oracle.",
+)
+def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
+        .groupBy("label")
+        .agg(F.expr(
+            "transform(sort_array(collect_list(struct(dim, c))), s -> s.c)"
+        ).alias("centroid"))
+        .select("label", "centroid",
+                F.expr(_NORM.format(col="centroid")).alias("c_norm"))
+    )
+    vecs = emb.select(
+        "vec_id", "embedding",
+        F.expr(_NORM.format(col="embedding")).alias("v_norm"),
+    )
+    scores = (
+        vecs.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "embedding", "v_norm", "label",
+            F.expr(f"round({_DOT_VC} / (v_norm * c_norm), 6)").alias("cellcos"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cellcos"), F.asc("label"))
+    ranked = scores.withColumn("crk", F.row_number().over(w))
+    cells = ranked.filter(F.col("crk") == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("v_norm").alias("b_norm"),
+        "label",
+    )
+    qcells = ranked.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("crk") <= N_PROBE)
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("v_norm").alias("a_norm"),
+        "label",
+    )
+    candidates = (
+        F.broadcast(qcells)
+        .join(cells, "label")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select("q_id", "a_emb", "a_norm", "neighbor_id", "b_emb", "b_norm")
+        .dropDuplicates(["q_id", "neighbor_id"])
+    )
+    scored = candidates.select(
+        "q_id",
+        "neighbor_id",
+        F.expr(f"round({_DOT_AB} / (a_norm * b_norm), 6)").alias("cosine"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "neighbor_id", "cosine", "rk")
+    )
