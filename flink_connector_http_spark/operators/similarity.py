@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..plans.registry import load, register
-from .dedup import _DOT_AB, _NORM, COS_DUCK
+from .dedup import _DOT_AB, _NORM, COS_DUCK, COSINE_THRESHOLD
 
 N_QUERIES = 20  # vec_id < 20 are the query set
 TOP_K = 5
@@ -205,6 +205,100 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
         .select("q_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup via cosine LSH — the scale path for
+# dedup_embedding_cosine (same verify predicate, candidates from band
+# buckets instead of the O(n²) cross join)
+# ---------------------------------------------------------------------------
+
+_LSH_DEDUP_ORACLE = f"""
+    WITH sig AS (
+      SELECT vec_id, {_signature_duck('embedding')} AS sig FROM embeddings
+    ),
+    bands AS (
+      SELECT vec_id, band_id,
+             (sig >> (band_id * {_BITS})) & {(1 << _BITS) - 1} AS band_val
+      FROM sig CROSS JOIN (
+        SELECT unnest(range({PLANE_BANDS})) AS band_id
+      ) bs
+    ),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_val = y.band_val
+      WHERE x.vec_id < y.vec_id
+    )
+    SELECT cand.a_id, cand.b_id, round({COS_DUCK}, 6) AS cosine
+    FROM cand
+    JOIN embeddings a ON a.vec_id = cand.a_id
+    JOIN embeddings b ON b.vec_id = cand.b_id
+    WHERE round({COS_DUCK}, 6) >= {COSINE_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=_LSH_DEDUP_ORACLE,
+    doc="Embedding near-dup pairs at scale: random-hyperplane signatures, "
+        f"{PLANE_BANDS}×{_BITS}-bit band self-join for candidates, exact "
+        f"cosine ≥ {COSINE_THRESHOLD} verify. Replaces the O(n²) cross join "
+        "of dedup_embedding_cosine with one shuffle on (band_id, band_val); "
+        "candidate volume is bounded by bucket sizes. Recall < 1 vs exact "
+        "but fully deterministic (md5-derived planes), so the DuckDB oracle "
+        "reproduces identical candidates and the hash gate is exact.",
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    sig = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(_NORM.format(col="embedding")).alias("norm"),
+        F.expr(_signature_expr("embedding")).alias("sig"),
+    )
+    bands = sig.select(
+        "vec_id",
+        "embedding",
+        "norm",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.expr(f"(sig >> {b * _BITS}) & {(1 << _BITS) - 1}").alias("band_val"),
+                )
+                for b in range(PLANE_BANDS)
+            ])
+        ).alias("bk"),
+    ).select("vec_id", "embedding", "norm", "bk.band_id", "bk.band_val")
+    a = bands.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("norm").alias("a_norm"),
+        "band_id",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("norm").alias("b_norm"),
+        "band_id",
+        "band_val",
+    )
+    candidates = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "a_emb", "a_norm", "b_id", "b_emb", "b_norm")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return (
+        candidates.select(
+            "a_id",
+            "b_id",
+            F.expr(f"round({_DOT_AB} / (a_norm * b_norm), 6)").alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
     )
 
 
