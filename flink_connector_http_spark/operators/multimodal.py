@@ -12,6 +12,7 @@ UDF signatures, Arrow batch shapes, partitioning — is real and tested.
 from __future__ import annotations
 
 import hashlib
+import math
 from typing import Iterator
 
 import pandas as pd
@@ -57,6 +58,66 @@ def fake_decode_image(data: bytes) -> dict:
         "mean_g": digest[3] / 255.0,
         "mean_b": digest[4] / 255.0,
     }
+
+
+def decode_audio(data: bytes):
+    """Real audio decode — requires an audio library (not in this
+    container). The Spark plumbing around it is exercised with
+    :func:`fake_decode_audio`."""
+    raise NotImplementedError(
+        "audio decode requires soundfile/librosa; use fake_decode_audio for "
+        "the deterministic test path"
+    )
+
+
+def fake_decode_audio(data: bytes) -> dict:
+    """Deterministic fake audio decoder: sample rate / length / loudness
+    derived from the md5 digest of the bytes (same trick as
+    :func:`fake_decode_image`), so the pipeline is oracle-checkable."""
+    digest = hashlib.md5(data).digest()
+    sample_rate = 8000 * (1 + digest[0] % 6)  # 8k..48k
+    n_samples = 1000 + digest[1] * 256 + digest[2]
+    # floor(x·1e6 + 0.5) instead of round(): Python rounds half-to-even,
+    # SQL engines round half-away — ties like 39074/32000 = 1.2210625 would
+    # diverge. The int division is correctly rounded in both engines.
+    duration_s = math.floor(n_samples * 1_000_000 / sample_rate + 0.5) / 1e6
+    return {
+        "sample_rate": sample_rate,
+        "n_samples": n_samples,
+        "duration_s": duration_s,
+        "rms": digest[3] / 255.0,
+    }
+
+
+def decode_video_frames(data: bytes, every_nth: int):
+    """Real video frame sampling — requires a video library (not in this
+    container). The Spark plumbing around it is exercised with
+    :func:`fake_decode_video_frames`."""
+    raise NotImplementedError(
+        "video decode requires pyav/opencv; use fake_decode_video_frames "
+        "for the deterministic test path"
+    )
+
+
+def fake_decode_video_frames(data: bytes, every_nth: int) -> list:
+    """Deterministic fake frame sampler: frame count and fps come from the
+    md5 digest; every ``every_nth`` frame is 'sampled' and fingerprinted by
+    hashing the container bytes with the frame index — a 1→N decode shape
+    (one input video, many output frames)."""
+    digest = hashlib.md5(data).digest()
+    n_frames = 10 + digest[0] % 30
+    fps = 10 + digest[1] % 20
+    out = []
+    for idx in range(0, n_frames, every_nth):
+        out.append({
+            "frame_idx": idx,
+            # same tie-proof rounding as fake_decode_audio.duration_s
+            "ts_s": math.floor(idx * 1_000_000 / fps + 0.5) / 1e6,
+            "frame_md5": hashlib.md5(
+                data + b":" + str(idx).encode("ascii")
+            ).hexdigest(),
+        })
+    return out
 
 
 IMAGE_FEATURE_SCHEMA = T.StructType([
@@ -163,3 +224,131 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     return images.mapInPandas(extract, schema=IMAGE_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# fake-audio feature extraction (1→1 decode shape, oracle-checked)
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_samples", T.IntegerType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("rms", T.DoubleType()),
+])
+
+
+@register(
+    "mm_audio_features",
+    # fake_decode_audio is md5-digest arithmetic: digest[i] = hex chars
+    # (2i+1, 2i+2); the oracle replays it in SQL over the same bytes.
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             octet_length(encode('AUD0' || text)) AS n_bytes,
+             md5('AUD0' || text) AS hx
+      FROM documents
+    ), d AS (
+      SELECT doc_id, n_bytes,
+             8000 * (1 + ('0x' || substr(hx, 1, 2))::INT % 6) AS sample_rate,
+             1000 + ('0x' || substr(hx, 3, 2))::INT * 256
+                  + ('0x' || substr(hx, 5, 2))::INT AS n_samples,
+             ('0x' || substr(hx, 7, 2))::INT / 255.0 AS rms
+      FROM h
+    )
+    SELECT doc_id, n_bytes,
+           CAST(sample_rate AS INT) AS sample_rate,
+           CAST(n_samples AS INT) AS n_samples,
+           floor(CAST(n_samples AS DOUBLE) * 1000000 / sample_rate + 0.5) / 1e6
+             AS duration_s,
+           rms
+    FROM d
+    """,
+    doc="Audio feature extraction pipeline: opaque audio binaries → "
+        "mapInPandas decode (stubbed; deterministic fake) → sample rate, "
+        "length, duration, loudness. Same Arrow-batched 1→1 shape as "
+        "mm_image_features; oracle replays the digest math in SQL.",
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    audio = docs.select(
+        "doc_id",
+        F.encode(F.concat(F.lit("AUD0"), F.col("text")), "UTF-8").alias("audio"),
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["audio"].map(fake_decode_audio)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pdf["audio"].map(len).astype("int64"),
+                "sample_rate": feats.map(lambda f: f["sample_rate"]).astype("int32"),
+                "n_samples": feats.map(lambda f: f["n_samples"]).astype("int32"),
+                "duration_s": feats.map(lambda f: f["duration_s"]),
+                "rms": feats.map(lambda f: f["rms"]),
+            })
+
+    return audio.mapInPandas(extract, schema=AUDIO_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# fake-video frame sampling (1→N decode shape, oracle-checked)
+# ---------------------------------------------------------------------------
+
+VIDEO_FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("ts_s", T.DoubleType()),
+    T.StructField("frame_md5", T.StringType()),
+])
+
+FRAME_SAMPLE_EVERY = 5
+
+
+@register(
+    "mm_video_frames",
+    # frame_md5 hashes the container bytes + ':' + index — both engines
+    # hash the same UTF-8 byte string, so fingerprints agree exactly.
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, 'VID0' || text AS vid, md5('VID0' || text) AS hx
+      FROM documents
+    ), meta AS (
+      SELECT doc_id, vid,
+             10 + ('0x' || substr(hx, 1, 2))::INT % 30 AS n_frames,
+             10 + ('0x' || substr(hx, 3, 2))::INT % 20 AS fps
+      FROM h
+    )
+    SELECT doc_id,
+           CAST(idx AS INT) AS frame_idx,
+           floor(CAST(idx AS DOUBLE) * 1000000 / fps + 0.5) / 1e6 AS ts_s,
+           md5(vid || ':' || CAST(idx AS VARCHAR)) AS frame_md5
+    FROM meta, unnest(range(0, n_frames, {FRAME_SAMPLE_EVERY})) AS t(idx)
+    """,
+    doc="Video frame-sampling pipeline: opaque video binaries → mapInPandas "
+        f"decode (stubbed; deterministic fake) sampling every "
+        f"{FRAME_SAMPLE_EVERY}th frame → one row per sampled frame with "
+        "timestamp + content fingerprint. Exercises the 1→N Arrow batch "
+        "shape (row explosion inside the UDF); at scale frames shard "
+        "naturally because output partitioning follows input splits.",
+)
+def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    videos = docs.select(
+        "doc_id",
+        F.encode(F.concat(F.lit("VID0"), F.col("text")), "UTF-8").alias("video"),
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["video"]):
+                for fr in fake_decode_video_frames(blob, FRAME_SAMPLE_EVERY):
+                    rows.append((doc_id, fr["frame_idx"], fr["ts_s"], fr["frame_md5"]))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "ts_s", "frame_md5"]
+            ).astype({"frame_idx": "int32"})
+
+    return videos.mapInPandas(sample, schema=VIDEO_FRAME_SCHEMA)
