@@ -660,3 +660,244 @@ def q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_id", "user_id")
         .agg(F.max("o_orderdate").alias("last_order_date"))
     )
+
+
+# ---------------------------------------------------------------------------
+# subquery shapes: EXISTS / NOT EXISTS / IN-HAVING / correlated scalar /
+# uncorrelated scalar — Catalyst rewrites all of these to semi/anti/
+# broadcast joins, which is exactly the 100 TB plan you'd hand-write.
+# (Adapted to the slimmed test schema: no l_commitdate/l_receiptdate or
+# c_phone, so the classic TPC-H predicates use the available columns.)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q04_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: correlated EXISTS → left-semi join with a non-equi "
+        "term (l_shipdate > o_orderdate); the date filter prunes the probe "
+        "side before the join.",
+)
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "orders", "lineitem")
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    li = t["lineitem"]
+    has_late_ship = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return has_late_ship.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: outer join with an ON-clause filter, per-customer "
+        "count, then count distribution. Two shuffles (custkey, c_count), "
+        "both on already-reduced data.",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "customer", "orders")
+    cust = t["customer"].select("c_custkey")
+    # filtering the right side before a LEFT join ≡ the ON-clause filter
+    orders = t["orders"].filter(F.col("o_orderstatus") != "F").select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {DISC_PRICE}
+                                 ELSE CAST(0.0 AS DECIMAL(22,4)) END) AS DOUBLE)
+                 / CAST(SUM({DISC_PRICE}) AS DOUBLE) AS promo_revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+    doc="TPC-H Q14 shape: conditional aggregation over a broadcast dim join; "
+        "the month filter reaches the lineitem scan, part is broadcast.",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "lineitem", "part")
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.expr(
+                f"100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {DISC_PRICE} "
+                f"ELSE CAST(0.0 AS DECIMAL(22,4)) END) AS DOUBLE) "
+                f"/ CAST(SUM({DISC_PRICE}) AS DOUBLE)"
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({D_PRICE}) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+      AND l_quantity < (
+        SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(10,2))) AS DOUBLE)
+                      / COUNT(*))
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+      )
+    """,
+    doc="TPC-H Q17 shape: correlated scalar subquery (per-part 0.2×avg "
+        "quantity threshold) → per-part aggregate joined back; part filter "
+        "broadcast, threshold DECIMAL-exact so both engines agree.",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "lineitem", "part")
+    pt = t["part"].filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    joined = t["lineitem"].join(
+        F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey")
+    )
+    # the correlated subquery ranges over ALL lineitems of the part; the
+    # brand filter touches only part attributes, so aggregating the joined
+    # rows per part computes the identical threshold
+    thresh = joined.groupBy("p_partkey").agg(
+        F.expr(
+            "0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE)"
+            " / COUNT(*))"
+        ).alias("qty_thresh")
+    ).withColumnRenamed("p_partkey", "t_partkey")
+    return (
+        joined.join(
+            F.broadcast(thresh), F.col("p_partkey") == F.col("t_partkey")
+        )
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(F.expr(f"CAST(SUM({D_PRICE}) AS DOUBLE) / 7.0").alias("avg_yearly"))
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle=f"""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           CAST({D_TOTAL} AS DOUBLE) AS total_price,
+           CAST(SUM({D_QTY}) AS DOUBLE) AS total_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(10,2))) > 212
+      )
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY total_price DESC, o_orderkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q18 shape: IN (GROUP BY … HAVING) → semi join against the "
+        "aggregated order set, then enrich + re-aggregate; deterministic "
+        "top-k tie-break on o_orderkey.",
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "customer", "orders", "lineitem")
+    li = t["lineitem"]
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.expr("SUM(CAST(l_quantity AS DECIMAL(10,2)))").alias("q"))
+        .filter(F.col("q") > 212)
+        .select("l_orderkey")
+    )
+    orders = t["orders"].join(
+        big, F.col("o_orderkey") == big["l_orderkey"], "left_semi"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.expr(f"CAST(SUM({D_QTY}) AS DOUBLE)").alias("total_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            F.expr(f"CAST({D_TOTAL} AS DOUBLE)").alias("total_price"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_price"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q22_dormant_customers",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(10,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(10,2))) AS DOUBLE) / COUNT(*)
+        FROM customer WHERE c_acctbal > 0.00
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY c_mktsegment
+    """,
+    doc="TPC-H Q22 shape (schema-adapted: no c_phone, and every customer "
+        "has at least one order, so 'dormant' = no orders since 2000): "
+        "uncorrelated scalar subquery broadcast as a 1-row join + NOT "
+        "EXISTS → left-anti join on the date-pruned orders scan.",
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "customer", "orders")
+    cust = t["customer"]
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.00).agg(
+        F.expr(
+            "CAST(SUM(CAST(c_acctbal AS DECIMAL(10,2))) AS DOUBLE) / COUNT(*)"
+        ).alias("ab")
+    )
+    recent = t["orders"].filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.expr(
+                "CAST(SUM(CAST(c_acctbal AS DECIMAL(10,2))) AS DOUBLE)"
+            ).alias("totacctbal"),
+        )
+    )
