@@ -30,6 +30,7 @@ except ImportError:  # pragma: no cover
     pass
 try:
     from flink_connector_http_spark.streaming import stateful  # noqa: F401
+    from flink_connector_http_spark.streaming import windows  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
 

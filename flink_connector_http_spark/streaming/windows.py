@@ -1,0 +1,116 @@
+"""Event-time windowed aggregation with watermarks (SURVEY §2 T5).
+
+The reference connector is processing-time only (`SURVEY.md` §2.6; the
+Flink side never registers an event-time attribute — cf.
+``HttpLookupTableSource`` building a proctime-only schema). Event-time
+semantics therefore come from the host engine; here that is Structured
+Streaming's ``withWatermark`` + ``window`` — late rows beyond the
+watermark are dropped and a window emits exactly once, when the watermark
+passes its end.
+
+Scale design: tumbling-window aggregation is a single shuffle on
+(window, key); state per window×key is one partial aggregate, evicted as
+soon as the watermark closes the window, so state size is bounded by
+(windows in flight × keys), independent of stream length.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+
+__all__ = ["windowed_counts", "stream_window_events"]
+
+WATERMARK = "1 hour"
+WINDOW = "1 day"
+
+
+def windowed_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    watermark: str = WATERMARK,
+    window: str = WINDOW,
+) -> DataFrame:
+    """Tumbling event-time window counts + exact value sums per key.
+
+    Works on a streaming OR batch DataFrame (batch ignores the watermark —
+    same result as a relational GROUP BY on the window start).
+    """
+    wm = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        wm.groupBy(F.window(ts_col, window).alias("w"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                "CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE)"
+            ).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), key_col, "n_events", "sum_value")
+    )
+
+
+@register(
+    "stream_window_events",
+    # Append-mode semantics: a window emits only once the watermark
+    # (max event time - 1 hour, advanced by the final no-data micro-batch)
+    # passes its end — so the oracle keeps exactly the closed windows.
+    oracle="""
+    WITH wm AS (
+      SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events
+    )
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY window_start, event_type
+    HAVING window_start + INTERVAL 1 DAY <= (SELECT w FROM wm)
+    """,
+    doc="Watermarked tumbling-window streaming aggregation (T5): 1-day "
+        "event-time windows, 1-hour watermark, append output — the final "
+        "day stays open (watermark never passes it) and the oracle "
+        "reproduces exactly the closed-window set.",
+)
+def stream_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"stream_window_{uuid.uuid4().hex[:8]}"
+    # events.parquet carries TIMESTAMP(NANOS): stream it as epoch-nanos
+    # (nanosAsLong, same trick as registry.load_events) and rebuild the
+    # timestamp before the watermark is applied
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    in_dir = tempfile.mkdtemp(prefix="stream_window_in_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(in_dir, "events.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(in_dir)
+        # withWatermark requires TIMESTAMP (not NTZ); session TZ is pinned
+        # UTC above so wall-clock values equal the oracle's NTZ values
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    )
+    query = (
+        windowed_counts(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_window_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table(name).select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
