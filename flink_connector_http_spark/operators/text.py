@@ -291,3 +291,131 @@ def sample_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CASE WHEN {bucket} < {TRAIN_PCT} THEN 'train' ELSE 'eval' END"
         ).alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction
+# ---------------------------------------------------------------------------
+
+# Java regex (Spark) and RE2 (DuckDB) both accept these patterns; Spark SQL
+# string literals need backslash doubling, DuckDB treats backslash literally.
+_EMAIL_SPARK = r"[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_EMAIL_DUCK = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_SPARK = r"\\b\\d{3}-\\d{3}-\\d{4}\\b"
+_PHONE_DUCK = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+@register(
+    "text_pii_redact",
+    # the corpus is PII-free word soup, so both engines inject the same
+    # deterministic synthetic PII (email + phone derived from doc_id) and
+    # must then find and redact ALL of it — the md5 of the redacted text
+    # proves byte-identical scrubbing, not just equal match counts
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             'contact user' || doc_id || '@example.com or call ' ||
+             lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' || text
+               AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_DUCK}')) AS INT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PHONE_DUCK}')) AS INT)
+               AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(text, '{_EMAIL_DUCK}', '<EMAIL>', 'g'),
+                 '{_PHONE_DUCK}', '<PHONE>', 'g'))
+               AS redacted_md5
+    FROM seeded
+    """,
+    doc="PII scrub: email/phone regex detection counts + redaction to "
+        "placeholder tokens. Pure codegen'd per-row projection, zero "
+        "shuffle; the oracle verifies the redacted bytes via md5.",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    seeded = docs.select(
+        "doc_id",
+        F.expr(
+            "concat('contact user', doc_id, '@example.com or call ', "
+            "lpad(CAST(doc_id % 1000 AS STRING), 3, '0'), '-555-', "
+            "lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' ', text)"
+        ).alias("text"),
+    )
+    return seeded.select(
+        "doc_id",
+        F.expr(
+            f"CAST(size(regexp_extract_all(text, '{_EMAIL_SPARK}', 0)) AS INT)"
+        ).alias("n_emails"),
+        F.expr(
+            f"CAST(size(regexp_extract_all(text, '{_PHONE_SPARK}', 0)) AS INT)"
+        ).alias("n_phones"),
+        F.expr(
+            f"md5(regexp_replace(regexp_replace(text, '{_EMAIL_SPARK}', "
+            f"'<EMAIL>'), '{_PHONE_SPARK}', '<PHONE>'))"
+        ).alias("redacted_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark-contamination check (n-gram overlap vs a held-out set)
+# ---------------------------------------------------------------------------
+
+#: pseudo eval-benchmark: every 97th document
+_BENCH_PRED_SQL = "doc_id % 97 = 0"
+
+
+@register(
+    "text_contamination",
+    oracle=f"""
+    WITH bench AS (
+      SELECT DISTINCT unnest({SHINGLES_DUCK}) AS s
+      FROM documents WHERE {_BENCH_PRED_SQL}
+    ),
+    corpus AS (
+      SELECT doc_id, unnest({SHINGLES_DUCK}) AS s
+      FROM documents WHERE NOT ({_BENCH_PRED_SQL})
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN s IN (SELECT s FROM bench)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN s IN (SELECT s FROM bench)
+                         THEN 1 ELSE 0 END) AS BIGINT) > 0 AS contaminated
+    FROM corpus
+    GROUP BY doc_id
+    """,
+    doc="Decontamination pass: 3-token shingle overlap of every training "
+        "document against the benchmark shingle set (docs where "
+        "doc_id % 97 = 0). The benchmark set is exploded+distinct'd and "
+        "broadcast — at 100 TB the corpus side stays a single scan with a "
+        "map-side semi probe, no shuffle of corpus shingles.",
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    bench = (
+        docs.filter(F.expr(_BENCH_PRED_SQL))
+        .select(F.explode(F.expr(SHINGLES_SPARK)).alias("s"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = docs.filter(~F.expr(_BENCH_PRED_SQL)).select(
+        "doc_id", F.explode(F.expr(SHINGLES_SPARK)).alias("s")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("n_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hits",
+            (F.col("n_hits") > 0).alias("contaminated"),
+        )
+    )
