@@ -419,3 +419,117 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hits") > 0).alias("contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 5
+
+#: BM25-style rational idf ((N - df + 0.5) / (df + 0.5)) instead of ln():
+#: pure rational double arithmetic is bit-identical across engines, while
+#: libm ln() implementations may differ in the last ulp
+_IDF = "((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))"
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT doc_id, token, tf, df,
+             round(CAST(tf AS DOUBLE) * {_IDF}, 6) AS score
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, df, score, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, token) AS rk
+      FROM scored
+    ) t WHERE rk <= {TFIDF_TOP_K}
+    """,
+    doc="Per-document top-k characteristic terms by tf·idf (BM25-style "
+        "rational idf — deterministic across engines, unlike ln()). "
+        "Shuffles: (doc_id, token) for tf, token for df, doc_id for the "
+        "top-k window; df result is broadcast back onto tf.",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "token", "tf", "df",
+            F.expr(f"round(CAST(tf AS DOUBLE) * {_IDF}, 6)").alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", "token", "tf", "df", "score", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact-size stratified sample (k docs per stratum, deterministic)
+# ---------------------------------------------------------------------------
+
+STRATUM_K = 20
+
+
+@register(
+    "sample_stratified_exact",
+    oracle=f"""
+    SELECT lang, doc_id, rk FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(concat('strat:', doc_id)), doc_id)
+                 AS rk
+      FROM documents
+    ) t WHERE rk <= {STRATUM_K}
+    """,
+    doc=f"Exactly {STRATUM_K} documents per language stratum, chosen by "
+        "deterministic hash order (md5 of salted doc_id) — re-runs, "
+        "repartitioning, and data appends keep previously-chosen ranks "
+        "stable in expectation, unlike rand()-ordered sampling. "
+        "Complements sample_split_documents (hash-threshold split, "
+        "probabilistic sizes) with guaranteed per-stratum counts. "
+        "One shuffle on the stratum key.",
+)
+def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    w = Window.partitionBy("lang").orderBy(
+        F.expr("md5(concat('strat:', doc_id))"), F.asc("doc_id")
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= STRATUM_K)
+        .select("lang", "doc_id", "rk")
+    )

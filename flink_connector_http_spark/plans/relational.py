@@ -901,3 +901,156 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q08 — market share (8-way join, conditional share aggregation)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q08_market_share",
+    oracle=f"""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation = 'NATION_2' THEN volume
+                         ELSE CAST(0.0 AS DECIMAL(22,4)) END) AS DOUBLE)
+           / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+             {DISC_PRICE} AS volume,
+             n2.n_name AS nation
+      FROM part, supplier, lineitem, orders, customer,
+           nation n1, nation n2, region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+        AND p_type = 'ECONOMY'
+    ) allnations
+    GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape: one supplier nation's revenue share per year within "
+        "a region×part-type market. All five dims broadcast; lineitem is the "
+        "only big side, so the plan is a chain of broadcast joins over a "
+        "single fact scan, then one tiny agg shuffle on o_year.",
+)
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "part", "supplier", "lineitem", "orders",
+             "customer", "nation", "region")
+    part = t["part"].filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    region = t["region"].filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+    )
+    vol = (
+        t["lineitem"]
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .select(
+            F.expr("CAST(EXTRACT(year FROM o_orderdate) AS INT)").alias("o_year"),
+            F.expr(DISC_PRICE).alias("volume"),
+            "nation",
+        )
+    )
+    return vol.groupBy("o_year").agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN nation = 'NATION_2' THEN volume "
+            "ELSE CAST(0.0 AS DECIMAL(22,4)) END) AS DOUBLE) "
+            "/ CAST(SUM(volume) AS DOUBLE)"
+        ).alias("mkt_share")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15 — top supplier (aggregate-defined view + scalar max subquery)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM({DISC_PRICE}) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    doc="TPC-H Q15 shape: revenue view + scalar MAX subquery over it; the "
+        "max is a 1-row broadcast joined back, DECIMAL-exact so the "
+        "equality is safe cross-engine.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "supplier", "lineitem")
+    revenue = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.expr(f"CAST(SUM({DISC_PRICE}) AS DOUBLE)").alias("total_revenue"))
+    )
+    best = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.crossJoin(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(t["supplier"]),
+              F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# rolling time-range window (RANGE frame over event time)
+# ---------------------------------------------------------------------------
+
+_7D_US = 7 * 24 * 3600 * 1_000_000
+
+
+@register(
+    "q_rolling_7d_user",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(10,2))) OVER w AS DOUBLE)
+               AS rolling_value,
+           COUNT(*) OVER w AS rolling_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN {_7D_US} PRECEDING AND CURRENT ROW)
+    """,
+    doc="Per-user rolling 7-day sum/count via a RANGE window frame on epoch "
+        "micros (exact frame edges in both engines; an interval frame on "
+        "raw timestamps would hide sub-second boundary semantics). One "
+        "shuffle on user_id + per-partition sort — the minimal plan.",
+)
+def q_rolling_7d_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "events")
+    ev = t["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-_7D_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.expr("CAST(value AS DECIMAL(10,2))"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_value"),
+        F.count(F.lit(1)).over(w).alias("rolling_n"),
+    )
