@@ -533,3 +533,35 @@ def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= STRATUM_K)
         .select("lang", "doc_id", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# per-stratum exact length quantiles
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_length_quantiles",
+    # both engines compute type-7 (linear interpolation) exact quantiles;
+    # inputs are integers so the interpolation arithmetic is identical
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(n_chars, 0.25), 6) AS p25,
+           round(quantile_cont(n_chars, 0.50), 6) AS p50,
+           round(quantile_cont(n_chars, 0.75), 6) AS p75
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="Exact per-language document-length quartiles (sort-based "
+        "percentile, linear interpolation). One shuffle on lang; at scale "
+        "swap to approx_percentile(t-digest) — kept exact here because the "
+        "oracle gate hash-compares values.",
+)
+def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("round(percentile(n_chars, 0.25), 6)").alias("p25"),
+        F.expr("round(percentile(n_chars, 0.50), 6)").alias("p50"),
+        F.expr("round(percentile(n_chars, 0.75), 6)").alias("p75"),
+    )
