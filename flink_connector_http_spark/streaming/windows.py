@@ -25,7 +25,12 @@ from pyspark.sql import functions as F
 
 from ..plans.registry import register
 
-__all__ = ["windowed_counts", "stream_window_events"]
+__all__ = [
+    "windowed_counts",
+    "stream_window_events",
+    "session_counts",
+    "stream_session_events",
+]
 
 WATERMARK = "1 hour"
 WINDOW = "1 day"
@@ -113,4 +118,110 @@ def stream_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_events",
         "sum_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# session windows (gap-based) with watermark
+# ---------------------------------------------------------------------------
+
+SESSION_GAP = "1 hour"
+_GAP_US = 3600 * 1_000_000
+
+
+def session_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = SESSION_GAP,
+    watermark: str = WATERMARK,
+) -> DataFrame:
+    """Per-key gap-based session aggregation (``session_window``).
+
+    A session closes (and in streaming append mode, emits exactly once)
+    when the watermark passes last-event-time + gap. Sessions merge across
+    micro-batches until then; state per open session is one partial
+    aggregate.
+    """
+    wm = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        wm.groupBy(F.session_window(ts_col, gap).alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "stream_session_events",
+    # Spark's session boundary: an event exactly gap after the previous one
+    # starts a NEW session (window end is exclusive), hence `>=` in the
+    # gaps-and-islands rewrite; session_end = last event + gap; only
+    # sessions closed by the final watermark (max ts - 1h) are emitted.
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= {_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ),
+    agg AS (
+      SELECT user_id,
+             MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 1 HOUR AS session_end,
+             COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, sid
+    ),
+    wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+    SELECT user_id, session_start, session_end, n_events
+    FROM agg WHERE session_end <= (SELECT w FROM wm)
+    """,
+    doc="Streaming gap-based sessionization via session_window (1h gap, 1h "
+        "watermark, append mode): the streaming twin of the batch "
+        "q_sessionize_events, oracle-checked against a gaps-and-islands "
+        "rewrite restricted to watermark-closed sessions.",
+)
+def stream_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"stream_session_{uuid.uuid4().hex[:8]}"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    in_dir = tempfile.mkdtemp(prefix="stream_session_in_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(in_dir, "events.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(in_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    )
+    query = (
+        session_counts(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_session_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table(name).select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
     )
