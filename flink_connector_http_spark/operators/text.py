@@ -565,3 +565,69 @@ def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("round(percentile(n_chars, 0.50), 6)").alias("p50"),
         F.expr("round(percentile(n_chars, 0.75), 6)").alias("p75"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+_KMV_MAX = float(1 << 60)  # md5_int60 hash space
+
+
+@register(
+    "sketch_kmv_distinct_tokens",
+    # KMV estimator: with the k smallest of the distinct 60-bit token
+    # hashes, E[distinct] ≈ (k-1) * HASH_SPACE / kth_min. md5 hashing makes
+    # the sketch — unlike HLL — bit-deterministic and engine-portable, so
+    # the estimate itself is hash-gate checkable.
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT lang,
+             {md5_int60_duck("unnest(string_split(lower(text), ' '))")} AS hv
+      FROM documents
+    ),
+    ranked AS (
+      SELECT lang, hv,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv) AS rk
+      FROM h
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS sketch_size,
+           MAX(hv) AS kth_min_hash,
+           round(({KMV_K} - 1) * {_KMV_MAX} / MAX(hv), 6) AS est_distinct
+    FROM ranked WHERE rk <= {KMV_K}
+    GROUP BY lang
+    """,
+    doc=f"Per-language distinct-token estimate via a {KMV_K}-minimum-values "
+        "sketch over md5 hashes. The scale shape of a mergeable sketch: "
+        "each partition keeps its k smallest hashes (TakeOrdered, no full "
+        "shuffle of tokens), merge = k smallest of the union. Deterministic "
+        "md5 hashing → the estimate is exactly reproducible cross-engine, "
+        "which HLL sketches cannot offer.",
+)
+def sketch_kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    hashes = (
+        docs.select(
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+        )
+        .select("lang", F.expr(md5_int60_spark("token")).alias("hv"))
+        .distinct()
+    )
+    w = Window.partitionBy("lang").orderBy("hv")
+    return (
+        hashes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KMV_K)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("sketch_size"),
+            F.max("hv").alias("kth_min_hash"),
+            F.expr(
+                f"round(({KMV_K} - 1) * CAST({_KMV_MAX} AS DOUBLE) / MAX(hv), 6)"
+            ).alias("est_distinct"),
+        )
+    )

@@ -30,6 +30,8 @@ __all__ = [
     "stream_window_events",
     "session_counts",
     "stream_session_events",
+    "attribution_join",
+    "stream_attribution_join",
 ]
 
 WATERMARK = "1 hour"
@@ -225,3 +227,102 @@ def stream_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_end").cast("timestamp_ntz").alias("session_end"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# stream-stream interval join (purchase → follow-up click attribution)
+# ---------------------------------------------------------------------------
+
+ATTRIBUTION_WINDOW_S = 3600
+
+
+def attribution_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    *,
+    window_s: int = ATTRIBUTION_WINDOW_S,
+    watermark: str = WATERMARK,
+) -> DataFrame:
+    """Stream-stream inner interval join: every click by the same user
+    within ``window_s`` seconds after a purchase.
+
+    Inner joins emit a match as soon as both sides have arrived; the
+    watermarks + the interval condition bound how long each side's rows
+    are retained in state (purchase rows can be dropped once the watermark
+    passes purchase_ts + window, click rows once it passes click_ts) —
+    without them, stream-stream state grows forever.
+    """
+    if purchases.isStreaming:
+        purchases = purchases.withWatermark("p_ts", watermark)
+    if clicks.isStreaming:
+        clicks = clicks.withWatermark("c_ts", watermark)
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("p_ts"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr(f"INTERVAL {window_s} SECONDS")),
+        "inner",
+    ).select(
+        F.col("p_event").alias("purchase_id"),
+        F.col("c_event").alias("click_id"),
+        F.col("p_user").alias("user_id"),
+        F.expr("CAST(unix_micros(c_ts) - unix_micros(p_ts) AS BIGINT)").alias("gap_us"),
+    )
+
+
+@register(
+    "stream_attribution_join",
+    # inner stream-stream joins emit on arrival (watermarks only bound
+    # state), so with availableNow the output equals the full batch join
+    oracle=f"""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id AS user_id,
+           epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts > p.ts
+     AND c.ts <= p.ts + INTERVAL {ATTRIBUTION_WINDOW_S} SECONDS
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+    doc="Stream-stream interval join (purchase→click attribution within "
+        "1h): both sides watermarked so join state is evicted once rows "
+        "can no longer match — the canonical bounded-state two-stream "
+        "pattern. Inner-join emission is watermark-independent, so the "
+        "DuckDB batch interval join is an exact oracle.",
+)
+def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"stream_attr_{uuid.uuid4().hex[:8]}"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    in_dir = tempfile.mkdtemp(prefix="stream_attr_in_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(in_dir, "events.parquet"),
+    )
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        return (
+            spark.readStream.schema(raw_schema)
+            .parquet(in_dir)
+            .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_event"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+        )
+
+    query = (
+        attribution_join(side("purchase", "p"), side("click", "c"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_attr_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table(name)
