@@ -87,6 +87,21 @@ class _DataStub:
             k: response_bytes(json.dumps(v).encode())
             for k, v in orders_by_cust.items()
         }
+        # parts served as text/csv (header + one row) — exercises the
+        # pluggable response-format SPI under the oracle gate
+        _404_part = response_bytes(b"part_not_found", 404)
+        parts = {
+            str(r[0]): response_bytes(
+                (
+                    "p_partkey,p_name,p_brand,p_retailprice\r\n"
+                    f"{r[0]},{r[1]},{r[2]},{r[3]!r}\r\n"
+                ).encode()
+            )
+            for r in con.execute(
+                f"SELECT p_partkey, p_name, p_brand, p_retailprice "
+                f"FROM read_parquet('{sf_dir}/part.parquet')"
+            ).fetchall()
+        }
         con.close()
 
         def nation_post(_query: str, body: bytes) -> bytes:
@@ -99,6 +114,8 @@ class _DataStub:
         self.server.route("/nation-lookup", nation_post)
         self.server.route_static("/orders-by-customer", orders, "o_custkey",
                                  default=_empty_array)
+        self.server.route_static("/part-csv", parts, "p_partkey",
+                                 default=_404_part)
         self.server.start()
 
     def url(self, path: str) -> str:
@@ -226,6 +243,49 @@ def http_lookup_orders_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     return http_lookup_join(
         probe, table, on={"c_custkey": "o_custkey"}, how="inner",
         select=["o_orderkey", "o_totalprice", "o_orderstatus"],
+    )
+
+
+PART_SCHEMA = T.StructType([
+    T.StructField("p_partkey", T.LongType()),
+    T.StructField("p_name", T.StringType()),
+    T.StructField("p_brand", T.StringType()),
+    T.StructField("p_retailprice", T.DoubleType()),
+])
+
+
+@register(
+    "http_lookup_parts_csv",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey,
+           p_name, p_brand, p_retailprice
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_orderkey < 500
+    """,
+    doc="Pluggable response format under the oracle gate: the endpoint "
+        "serves text/csv (header + row), decoded by the built-in 'csv' "
+        "format and coerced through the declared schema — parity with the "
+        "reference's lookup-request.format SPI "
+        "(HttpLookupConnectorOptions.java:93-94).",
+)
+def http_lookup_parts_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stub = _stub_for(sf_dir)
+    probe = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_orderkey") < 500)
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+    )
+    table = HttpLookupTable(
+        url=stub.url("/part-csv"),
+        schema=PART_SCHEMA,
+        options=HttpLookupOptions(
+            method="GET", response_format="csv", result_type="array",
+            use_async=True,
+        ),
+    )
+    return http_lookup_join(
+        probe, table, on={"l_partkey": "p_partkey"}, how="inner",
+        select=["p_name", "p_brand", "p_retailprice"],
     )
 
 
