@@ -1054,3 +1054,41 @@ def q_rolling_7d_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rolling_value"),
         F.count(F.lit(1)).over(w).alias("rolling_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pivot (status columns per order-year)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_pivot_status_revenue",
+    oracle=f"""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN {D_TOTAL}
+                         ELSE CAST(0.0 AS DECIMAL(10,2)) END) AS DOUBLE) AS F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN {D_TOTAL}
+                         ELSE CAST(0.0 AS DECIMAL(10,2)) END) AS DOUBLE) AS O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN {D_TOTAL}
+                         ELSE CAST(0.0 AS DECIMAL(10,2)) END) AS DOUBLE) AS P
+    FROM orders
+    GROUP BY o_year
+    """,
+    doc="Pivot: per-year total price spread across order-status columns "
+        "(explicit value list, so Catalyst skips the distinct-values scan "
+        "and plans a single conditional aggregation — the same plan as the "
+        "oracle's CASE rewrite).",
+)
+def q_pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .select(
+            F.expr("CAST(EXTRACT(year FROM o_orderdate) AS INT)").alias("o_year"),
+            "o_orderstatus",
+            F.expr(D_TOTAL).alias("price"),
+        )
+        .groupBy("o_year")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.expr("CAST(SUM(price) AS DOUBLE)"))
+        .na.fill(0.0, ["F", "O", "P"])
+    )
