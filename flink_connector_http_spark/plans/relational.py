@@ -1092,3 +1092,40 @@ def q_pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("CAST(SUM(price) AS DOUBLE)"))
         .na.fill(0.0, ["F", "O", "P"])
     )
+
+
+# ---------------------------------------------------------------------------
+# unpivot (wide metrics → long rows via stack)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_unpivot_metrics",
+    oracle=f"""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(SUM({D_QTY}) AS DOUBLE) AS sum_qty,
+             CAST(SUM({D_PRICE}) AS DOUBLE) AS sum_price
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM m
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM m
+    """,
+    doc="Unpivot: per-returnflag wide metrics melted to (metric, value) "
+        "long rows via stack() — a zero-shuffle per-row expansion above "
+        "the aggregation (the oracle's UNION ALL rewrite is the same "
+        "relational algebra).",
+)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "lineitem")
+    wide = t["lineitem"].groupBy("l_returnflag").agg(
+        F.expr(f"CAST(SUM({D_QTY}) AS DOUBLE)").alias("sum_qty"),
+        F.expr(f"CAST(SUM({D_PRICE}) AS DOUBLE)").alias("sum_price"),
+    )
+    return wide.select(
+        "l_returnflag",
+        F.expr(
+            "stack(2, 'sum_qty', sum_qty, 'sum_price', sum_price) "
+            "AS (metric, value)"
+        ),
+    )
