@@ -62,6 +62,19 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     bench_specs = [s for s in REGISTRY.values() if s.bench]
+
+    # per-query warmup at sf0.001: the same expression trees at 1/100th the
+    # data, so janino/JIT compilation of each query's generated code (a
+    # per-executor-lifetime cost at cluster scale, multi-second for the
+    # minhash fold expressions) happens before the timed sf0.1 runs
+    for spec in bench_specs:
+        try:
+            spec.fn(spark, "/root/testdata/sf0.001").write.format(
+                "noop"
+            ).mode("overwrite").save()
+        except Exception:
+            pass  # a warmup miss only costs timing accuracy, not the bench
+
     timings = {}
     for spec in bench_specs:
         t0 = time.time()
