@@ -326,3 +326,104 @@ def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination(300)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# left-outer stream-stream interval join (unattributed purchases)
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_attribution_left",
+    # Outer semantics: a purchase with no click emits its null-extended row
+    # only once the watermark proves no future click can match — i.e. the
+    # end of its match interval (p_ts + 1h) is behind the final watermark
+    # (max ts - 1h). Matched pairs emit on arrival like the inner join.
+    oracle=f"""
+    WITH wm AS (
+      -- each side carries its own watermark over its filtered stream and
+      -- the GLOBAL watermark is their minimum (multipleWatermarkPolicy =
+      -- min, the default); Spark tracks watermarks at MILLISECOND
+      -- precision, so micros are truncated before the 1h lag
+      SELECT least(
+               date_trunc('milliseconds',
+                 (SELECT max(ts) FROM events WHERE event_type = 'purchase')),
+               date_trunc('milliseconds',
+                 (SELECT max(ts) FROM events WHERE event_type = 'click'))
+             ) - INTERVAL 1 HOUR AS w
+    ),
+    p AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase'),
+    c AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click'),
+    matched AS (
+      SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+             p.user_id AS user_id,
+             epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
+      FROM p JOIN c
+        ON p.user_id = c.user_id
+       AND c.ts > p.ts
+       AND c.ts <= p.ts + INTERVAL {ATTRIBUTION_WINDOW_S} SECONDS
+    )
+    SELECT * FROM matched
+    UNION ALL
+    SELECT p.event_id, CAST(NULL AS BIGINT), p.user_id, CAST(NULL AS BIGINT)
+    FROM p
+    WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.purchase_id = p.event_id)
+      AND p.ts + INTERVAL {ATTRIBUTION_WINDOW_S} SECONDS < (SELECT w FROM wm)
+    """,
+    doc="LEFT OUTER stream-stream interval join: matched purchase→click "
+        "pairs emit on arrival; unmatched purchases emit null-extended "
+        "exactly when the watermark passes the end of their match window "
+        "(purchases near the stream tail stay pending — the oracle "
+        "reproduces that cut).",
+)
+def stream_attribution_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"stream_attr_left_{uuid.uuid4().hex[:8]}"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    in_dir = tempfile.mkdtemp(prefix="stream_attr_left_in_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(in_dir, "events.parquet"),
+    )
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        return (
+            spark.readStream.schema(raw_schema)
+            .parquet(in_dir)
+            .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_event"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+        )
+
+    purchases = side("purchase", "p").withWatermark("p_ts", WATERMARK)
+    clicks = side("click", "c").withWatermark("c_ts", WATERMARK)
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("p_ts"))
+        & (F.col("c_ts") <= F.col("p_ts")
+           + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_S} SECONDS")),
+        "leftOuter",
+    ).select(
+        F.col("p_event").alias("purchase_id"),
+        F.col("c_event").alias("click_id"),
+        F.col("p_user").alias("user_id"),
+        F.expr("CAST(unix_micros(c_ts) - unix_micros(p_ts) AS BIGINT)").alias("gap_us"),
+    )
+    query = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation",
+                tempfile.mkdtemp(prefix="stream_attr_left_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table(name)
