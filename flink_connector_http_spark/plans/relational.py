@@ -1129,3 +1129,71 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (metric, value)"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# column profiling (ANALYZE TABLE-style stats in one pass)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    # (name, numeric extraction expr — identical text in Spark and DuckDB)
+    ("o_orderkey", "CAST(o_orderkey AS DOUBLE)"),
+    ("o_custkey", "CAST(o_custkey AS DOUBLE)"),
+    ("o_totalprice", "CAST(CAST(o_totalprice AS DECIMAL(10,2)) AS DOUBLE)"),
+    ("o_orderdate", "CAST(epoch_us_expr AS DOUBLE)"),
+    ("o_orderstatus", None),
+    ("o_orderpriority", None),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for name, num in _PROFILE_COLS:
+        num_expr = (num or "NULL").replace("epoch_us_expr", "epoch_us(o_orderdate)")
+        parts.append(f"""
+        SELECT '{name}' AS column_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT({name}) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {name}) AS BIGINT) AS n_distinct,
+               MIN({num_expr}) AS min_num,
+               MAX({num_expr}) AS max_num
+        FROM orders""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "q_profile_orders",
+    oracle=_profile_oracle(),
+    doc="Column profiling: per-column row/null/exact-distinct counts and "
+        "numeric min/max (timestamps as epoch micros, non-numerics NULL) — "
+        "the ANALYZE TABLE statistics a query optimizer or data-quality "
+        "gate consumes. Spark runs it as one multi-distinct aggregate over "
+        "a single scan (Expand + partial aggs), vs the oracle's 6-scan "
+        "UNION ALL — same result, one pass.",
+)
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "orders")
+    aggs = []
+    for name, num in _PROFILE_COLS:
+        num_expr = (num or "NULL").replace(
+            "epoch_us_expr", "unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+        )
+        aggs += [
+            F.expr(f"CAST(COUNT(*) - COUNT({name}) AS BIGINT)").alias(f"{name}__nulls"),
+            F.expr(f"CAST(COUNT(DISTINCT {name}) AS BIGINT)").alias(f"{name}__distinct"),
+            F.expr(f"MIN({num_expr})").alias(f"{name}__min"),
+            F.expr(f"MAX({num_expr})").alias(f"{name}__max"),
+        ]
+    wide = t["orders"].agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_rows"), *aggs)
+    stack_args = ", ".join(
+        f"'{name}', {name}__nulls, {name}__distinct, "
+        f"CAST({name}__min AS DOUBLE), CAST({name}__max AS DOUBLE)"
+        for name, _ in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+            "AS (column_name, n_nulls, n_distinct, min_num, max_num)"
+        ),
+        "n_rows",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_num", "max_num")
