@@ -352,3 +352,89 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).astype({"frame_idx": "int32"})
 
     return videos.mapInPandas(sample, schema=VIDEO_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# fake-image resize (binary→binary 1→1 shape, oracle-checked)
+# ---------------------------------------------------------------------------
+
+RESIZE_TARGET = 64
+
+
+def decode_and_resize(data: bytes, target: int):
+    """Real decode+resize — requires an imaging library (not in this
+    container); exercised via :func:`fake_resize_image`."""
+    raise NotImplementedError(
+        "image resize requires PIL/pillow; use fake_resize_image for the "
+        "deterministic test path"
+    )
+
+
+def fake_resize_image(data: bytes, target: int) -> dict:
+    """Deterministic fake resize: output 'image' bytes are a salted md5
+    chain over the input (so downstream sees a real binary column of a
+    plausible thumbnail size), plus the clamped output dimensions."""
+    src = fake_decode_image(data)
+    scale = target / max(src["width"], src["height"])
+    out_w = max(1, int(src["width"] * scale))
+    out_h = max(1, int(src["height"] * scale))
+    thumb = hashlib.md5(data + b":resize:" + str(target).encode()).digest()
+    return {"out_w": out_w, "out_h": out_h, "thumb": thumb}
+
+
+@register(
+    "mm_image_resize",
+    # int(w*scale) truncates toward zero exactly like DuckDB's
+    # CAST(TRUNC(...) AS INT) on nonnegative doubles; the thumb bytes are
+    # md5(raw || ':resize:64'), hex-comparable in SQL
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, 'IMG0' || text AS raw, md5('IMG0' || text) AS hx
+      FROM documents
+    ), dims AS (
+      SELECT doc_id, raw,
+             16 + ('0x' || substr(hx, 1, 2))::INT % 64 AS w,
+             16 + ('0x' || substr(hx, 3, 2))::INT % 64 AS h
+      FROM h
+    )
+    SELECT doc_id,
+           CAST(TRUNC(w * ({RESIZE_TARGET}.0 / greatest(w, h))) AS INT) AS out_w,
+           CAST(TRUNC(h * ({RESIZE_TARGET}.0 / greatest(w, h))) AS INT) AS out_h,
+           md5(raw || ':resize:{RESIZE_TARGET}') AS thumb_md5
+    FROM dims
+    """,
+    doc="Image resize pipeline: binary in → (dims, thumbnail binary) out "
+        "via Arrow-batched mapInPandas — the binary→binary UDF shape a "
+        "real resize uses; decode/resample stubbed behind "
+        "NotImplementedError, deterministic fake thumbs verified by md5. "
+        f"Aspect-preserving fit into {RESIZE_TARGET}px.",
+)
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    images = docs.select(
+        "doc_id",
+        F.encode(F.concat(F.lit("IMG0"), F.col("text")), "UTF-8").alias("image"),
+    )
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("thumb", T.BinaryType()),
+    ])
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            res = pdf["image"].map(lambda b: fake_resize_image(b, RESIZE_TARGET))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "out_w": res.map(lambda r: r["out_w"]).astype("int32"),
+                "out_h": res.map(lambda r: r["out_h"]).astype("int32"),
+                "thumb": res.map(lambda r: r["thumb"]),
+            })
+
+    resized = images.mapInPandas(resize, schema=out_schema)
+    # the fake thumb bytes ARE an md5 digest — hex them for the SQL oracle
+    return resized.select(
+        "doc_id", "out_w", "out_h",
+        F.expr("lower(hex(thumb))").alias("thumb_md5"),
+    )

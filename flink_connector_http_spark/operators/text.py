@@ -631,3 +631,51 @@ def sketch_kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_distinct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-style regex token counting
+# ---------------------------------------------------------------------------
+
+# GPT-2-ish pretokenizer classes, simplified to engine-portable RE2/Java
+# syntax: word runs, digit runs, and single non-alnum-non-space marks
+_BPE_WORD = "[a-z]+"
+_BPE_NUM = "[0-9]+"
+_BPE_PUNCT_SPARK = "[^a-z0-9\\\\s]"
+_BPE_PUNCT_DUCK = r"[^a-z0-9\s]"
+
+
+@register(
+    "text_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{_BPE_WORD}')) AS INT)
+               AS n_word_tokens,
+           CAST(len(regexp_extract_all(lower(text), '{_BPE_NUM}')) AS INT)
+               AS n_number_tokens,
+           CAST(len(regexp_extract_all(lower(text), '{_BPE_PUNCT_DUCK}')) AS INT)
+               AS n_punct_tokens,
+           CAST(len(regexp_extract_all(lower(text), '{_BPE_WORD}')) +
+                len(regexp_extract_all(lower(text), '{_BPE_NUM}')) +
+                len(regexp_extract_all(lower(text), '{_BPE_PUNCT_DUCK}')) AS INT)
+               AS n_tokens
+    FROM documents
+    """,
+    doc="BPE-style pretokenizer counting (word runs / digit runs / "
+        "punctuation marks — the GPT-2 pretokenizer classes, simplified to "
+        "portable regex): the token-budget estimator a training pipeline "
+        "runs before chunking. Pure codegen'd per-row scan, zero shuffle; "
+        "complements whitespace-based text_token_stats.",
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    w = f"size(regexp_extract_all(lower(text), '{_BPE_WORD}', 0))"
+    n = f"size(regexp_extract_all(lower(text), '{_BPE_NUM}', 0))"
+    p = f"size(regexp_extract_all(lower(text), '{_BPE_PUNCT_SPARK}', 0))"
+    return docs.select(
+        "doc_id",
+        F.expr(f"CAST({w} AS INT)").alias("n_word_tokens"),
+        F.expr(f"CAST({n} AS INT)").alias("n_number_tokens"),
+        F.expr(f"CAST({p} AS INT)").alias("n_punct_tokens"),
+        F.expr(f"CAST({w} + {n} + {p} AS INT)").alias("n_tokens"),
+    )
