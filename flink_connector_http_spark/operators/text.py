@@ -679,3 +679,107 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST({p} AS INT)").alias("n_punct_tokens"),
         F.expr(f"CAST({w} + {n} + {p} AS INT)").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (frequency estimation for heavy hitters)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_QUERY_K = 10
+
+
+def _cms_bucket_spark(d: int) -> str:
+    salted = f"concat('cms{d}:', token)"
+    return f"{md5_int32_spark(salted)} % {CMS_WIDTH}"
+
+
+def _cms_bucket_duck(d: int) -> str:
+    salted = f"concat('cms{d}:', token)"
+    return f"{md5_int32_duck(salted)} % {CMS_WIDTH}"
+
+
+_CMS_ORACLE = f"""
+    WITH toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ),
+    sketch AS (  -- depth x width counter table; GROUP BY = the merge step
+      SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (
+        SELECT token, d,
+               CASE {' '.join(f"WHEN d = {d} THEN {_cms_bucket_duck(d)}" for d in range(CMS_DEPTH))}
+               END AS bucket
+        FROM toks CROSS JOIN (SELECT unnest(range({CMS_DEPTH})) AS d) ds
+      ) GROUP BY d, bucket
+    ),
+    heavy AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS true_count
+      FROM toks GROUP BY token
+      ORDER BY true_count DESC, token LIMIT {CMS_QUERY_K}
+    )
+    SELECT h.token, h.true_count, MIN(s.c) AS cms_estimate
+    FROM heavy h
+    CROSS JOIN (SELECT unnest(range({CMS_DEPTH})) AS d) ds
+    JOIN sketch s
+      ON s.d = ds.d
+     AND s.bucket = CASE {' '.join(f"WHEN ds.d = {d} THEN {_cms_bucket_duck(d).replace('token', 'h.token')}" for d in range(CMS_DEPTH))}
+                    END
+    GROUP BY h.token, h.true_count
+"""
+
+
+@register(
+    "sketch_cms_heavy_hitters",
+    oracle=_CMS_ORACLE,
+    doc=f"Count-min sketch ({CMS_DEPTH}×{CMS_WIDTH}, md5-derived rows): "
+        "distributed build is one groupBy over (depth, bucket) — the "
+        "classic mergeable-sketch shape where partition sketches sum "
+        "cell-wise — then the top-k tokens are point-queried "
+        "(estimate = min over rows, always ≥ true count). Deterministic "
+        "hashing makes even the over-estimates engine-exact.",
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    )
+    buckets = toks.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    F.expr(_cms_bucket_spark(d)).alias("bucket"),
+                )
+                for d in range(CMS_DEPTH)
+            ])
+        ).alias("db")
+    ).select("db.d", "db.bucket")
+    sketch = buckets.groupBy("d", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    heavy = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.desc("true_count"), F.asc("token"))
+        .limit(CMS_QUERY_K)
+    )
+    probes = heavy.select(
+        "token",
+        "true_count",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    F.expr(_cms_bucket_spark(d)).alias("bucket"),
+                )
+                for d in range(CMS_DEPTH)
+            ])
+        ).alias("db"),
+    ).select("token", "true_count", "db.d", "db.bucket")
+    return (
+        F.broadcast(probes)
+        .join(sketch, ["d", "bucket"])
+        .groupBy("token", "true_count")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
