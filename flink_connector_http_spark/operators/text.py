@@ -783,3 +783,129 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token", "true_count")
         .agg(F.min("c").alias("cms_estimate"))
     )
+
+
+# ---------------------------------------------------------------------------
+# document chunking (fixed token windows with overlap)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 100
+CHUNK_STRIDE = 80  # 20-token overlap between consecutive chunks
+
+
+@register(
+    "text_chunk_documents",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(i AS INT) AS chunk_idx,
+             list_slice(toks, i * {CHUNK_STRIDE} + 1,
+                        i * {CHUNK_STRIDE} + {CHUNK_TOKENS}) AS chunk
+      FROM t, unnest(range(0,
+             greatest(1, CAST(ceil((len(toks) - {CHUNK_TOKENS})
+                                   / {CHUNK_STRIDE}.0) AS BIGINT) + 1)))
+             AS u(i)
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(chunk) AS INT) AS n_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_md5
+    FROM chunks WHERE len(chunk) > 0
+    """,
+    doc=f"Training-prep chunking: each document split into {CHUNK_TOKENS}-"
+        f"token windows at stride {CHUNK_STRIDE} (overlap preserves "
+        "cross-boundary context). Pure array slicing + explode — 1→N row "
+        "expansion with zero shuffle, output partitioning follows input "
+        "splits; chunk content verified by md5 over the rejoined tokens.",
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    n_chunks = (
+        f"greatest(1, CAST(ceil((size(toks) - {CHUNK_TOKENS}) "
+        f"/ {CHUNK_STRIDE}.0) AS BIGINT) + 1)"
+    )
+    return (
+        docs.select("doc_id", F.expr("split(text, ' ')").alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(0, {n_chunks} - 1)")).alias("i"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("int").alias("chunk_idx"),
+            F.expr(
+                f"slice(toks, i * {CHUNK_STRIDE} + 1, {CHUNK_TOKENS})"
+            ).alias("chunk"),
+        )
+        .filter(F.expr("size(chunk) > 0"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.expr("CAST(size(chunk) AS INT)").alias("n_tokens"),
+            F.expr("md5(array_join(chunk, ' '))").alias("chunk_md5"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# batch packing (token-budget batches over a deterministic order)
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 2000  # tokens per training batch
+
+
+@register(
+    "sample_pack_batches",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             md5(concat('pack:', doc_id)) AS shuffle_key
+      FROM documents
+    ),
+    running AS (
+      SELECT doc_id, n_tokens, shuffle_key,
+             SUM(n_tokens) OVER (ORDER BY shuffle_key, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM sized
+    )
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR((cum - n_tokens) / {PACK_BUDGET}.0) AS BIGINT)
+               AS batch_id
+    FROM running
+    """,
+    doc=f"Training-batch packing: documents shuffled into a deterministic "
+        "hash order, then packed into ~{PACK_BUDGET}-token batches by "
+        "running-sum bucketing (batch = floor(prefix_sum / budget) — the "
+        "streaming-friendly approximation of first-fit). The global "
+        "running sum is the one inherently sequential step; at 100 TB it "
+        "runs as per-partition sums + a tiny partition-offset cumsum "
+        "(Spark's window on an unpartitioned ORDER BY does exactly this "
+        "under range partitioning).",
+)
+def sample_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    sized = docs.select(
+        "doc_id",
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_tokens"),
+        F.expr("md5(concat('pack:', doc_id))").alias("shuffle_key"),
+    )
+    w = (
+        Window.orderBy("shuffle_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        sized.withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(
+                f"CAST(FLOOR((cum - n_tokens) / {PACK_BUDGET}.0) AS BIGINT)"
+            ).alias("batch_id"),
+        )
+    )
