@@ -878,34 +878,54 @@ PACK_BUDGET = 2000  # tokens per training batch
     FROM running
     """,
     doc=f"Training-batch packing: documents shuffled into a deterministic "
-        "hash order, then packed into ~{PACK_BUDGET}-token batches by "
+        f"hash order, then packed into ~{PACK_BUDGET}-token batches by "
         "running-sum bucketing (batch = floor(prefix_sum / budget) — the "
         "streaming-friendly approximation of first-fit). The global "
-        "running sum is the one inherently sequential step; at 100 TB it "
-        "runs as per-partition sums + a tiny partition-offset cumsum "
-        "(Spark's window on an unpartitioned ORDER BY does exactly this "
-        "under range partitioning).",
+        "prefix sum is computed DISTRIBUTED in two phases: 256 hash-prefix "
+        "buckets get per-bucket window cumsums in parallel, and each "
+        "bucket's starting offset comes from a 256-row prefix sum over the "
+        "bucket totals — no single-partition pass over the data (a naive "
+        "unpartitioned ORDER BY window would move every row to one task).",
 )
 def sample_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load(spark, sf_dir, "documents")["documents"]
+    # bucket = first 2 hex chars of the shuffle key → bucket order is a
+    # prefix of the global (shuffle_key, doc_id) order, so
+    # global_cum = (sum of all earlier buckets) + local_cum
     sized = docs.select(
         "doc_id",
         F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_tokens"),
         F.expr("md5(concat('pack:', doc_id))").alias("shuffle_key"),
-    )
-    w = (
-        Window.orderBy("shuffle_key", "doc_id")
+    ).withColumn("bucket", F.expr("substr(shuffle_key, 1, 2)"))
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("shuffle_key", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    local = sized.withColumn("local_cum", F.sum("n_tokens").over(w_local))
+    # 256 rows — the only sequential step, over bucket TOTALS not rows
+    w_off = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        sized.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("bucket_total"))
+        .withColumn(
+            "offset", F.coalesce(F.sum("bucket_total").over(w_off), F.lit(0))
+        )
+        .select("bucket", "offset")
+    )
     return (
-        sized.withColumn("cum", F.sum("n_tokens").over(w))
+        local.join(F.broadcast(offsets), "bucket")
         .select(
             "doc_id",
             "n_tokens",
             F.expr(
-                f"CAST(FLOOR((cum - n_tokens) / {PACK_BUDGET}.0) AS BIGINT)"
+                f"CAST(FLOOR((offset + local_cum - n_tokens) "
+                f"/ {PACK_BUDGET}.0) AS BIGINT)"
             ).alias("batch_id"),
         )
     )
