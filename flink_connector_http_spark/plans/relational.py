@@ -1197,3 +1197,95 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_rows",
     ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_num", "max_num")
+
+
+# ---------------------------------------------------------------------------
+# CDC compaction: latest row per key
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type,
+           CAST(CAST(value AS DECIMAL(10,2)) AS DOUBLE) AS value
+    FROM (
+      SELECT user_id, event_id, ts, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events
+    ) t WHERE rk = 1
+    """,
+    doc="Upsert/CDC compaction: keep the latest row per key "
+        "(deterministic ts, event_id tie-break) — the merge-on-read "
+        "compaction every changelog consumer needs. One shuffle on the "
+        "key; at scale this is the same plan as MERGE INTO's dedup stage.",
+)
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id", "event_id", "ts", "event_type",
+            F.expr("CAST(CAST(value AS DECIMAL(10,2)) AS DOUBLE)").alias("value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact Pearson correlation (order-independent formulation)
+# ---------------------------------------------------------------------------
+
+# built-in corr() accumulates co-moments in floating point — result depends
+# on partition merge order. This formulation uses DECIMAL-exact sums, so
+# both engines compute the identical double from the same 6 exact numbers.
+_CORR_TERMS = """
+      CAST(COUNT(*) AS DOUBLE) AS n,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sx,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS sy,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(10,2)) *
+               CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sxx,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) *
+               CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS syy,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(10,2)) *
+               CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS sxy
+"""
+_CORR_R = (
+    "round((n * sxy - sx * sy) / "
+    "(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9)"
+)
+
+
+@register(
+    "q_corr_qty_price",
+    oracle=f"""
+    SELECT l_returnflag, {_CORR_R} AS r, CAST(n AS BIGINT) AS n_rows
+    FROM (
+      SELECT l_returnflag, {_CORR_TERMS}
+      FROM lineitem GROUP BY l_returnflag
+    ) t
+    """,
+    doc="Exact Pearson correlation of quantity vs price per return flag, "
+        "from DECIMAL-exact sufficient statistics (n, Σx, Σy, Σx², Σy², "
+        "Σxy) — unlike the built-in corr(), the result is independent of "
+        "partition merge order, so it is bit-reproducible across engines "
+        "and cluster sizes. Single scan, map-side partial aggregation.",
+)
+def q_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    terms = li.groupBy("l_returnflag").agg(
+        *[
+            F.expr(term.strip().rsplit(" AS ", 1)[0]).alias(
+                term.strip().rsplit(" AS ", 1)[1]
+            )
+            for term in _CORR_TERMS.strip().split(",\n")
+        ]
+    )
+    return terms.select(
+        "l_returnflag",
+        F.expr(_CORR_R).alias("r"),
+        F.expr("CAST(n AS BIGINT)").alias("n_rows"),
+    )
