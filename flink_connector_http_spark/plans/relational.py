@@ -1289,3 +1289,58 @@ def q_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_CORR_R).alias("r"),
         F.expr("CAST(n AS BIGINT)").alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# funnel analysis (ordered view → click → purchase conversion)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t_view
+      WHERE e.event_type = 'click'
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t_click
+      WHERE e.event_type = 'purchase'
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewed,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clicked_after,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased_after
+    """,
+    doc="Ordered funnel: users with a view, then a click strictly after "
+        "their first view, then a purchase strictly after that first "
+        "click. Three per-user min-aggregations chained by range-predicate "
+        "joins — each stage shrinks the key set, so at scale each join's "
+        "build side is the (small) surviving cohort, broadcastable.",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+
+    def stage(event_type: str, after, after_col: str):
+        e = ev.filter(F.col("event_type") == event_type)
+        if after is not None:
+            e = e.join(F.broadcast(after), "user_id").filter(
+                F.col("ts") > F.col(after_col)
+            )
+        return e.groupBy("user_id").agg(F.min("ts").alias(f"t_{event_type}"))
+
+    v = stage("view", None, "")
+    c = stage("click", v, "t_view")
+    p = stage("purchase", c, "t_click")
+    counts = [
+        df.agg(F.count(F.lit(1)).cast("bigint").alias(name))
+        for df, name in
+        [(v, "n_viewed"), (c, "n_clicked_after"), (p, "n_purchased_after")]
+    ]
+    return counts[0].crossJoin(counts[1]).crossJoin(counts[2])
