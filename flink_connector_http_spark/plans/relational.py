@@ -1330,7 +1330,9 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     def stage(event_type: str, after, after_col: str):
         e = ev.filter(F.col("event_type") == event_type)
         if after is not None:
-            e = e.join(F.broadcast(after), "user_id").filter(
+            # no broadcast hint: the cohort shrinks per stage but still
+            # scales with user count — let AQE broadcast when it fits
+            e = e.join(after, "user_id").filter(
                 F.col("ts") > F.col(after_col)
             )
         return e.groupBy("user_id").agg(F.min("ts").alias(f"t_{event_type}"))
