@@ -251,6 +251,10 @@ class HttpPollingClient:
         self.on_response = options.request_callback or _default_request_callback
         self.retry_stats = RetryStats()
         self._preprocessors: Dict[str, HeaderPreprocessor] = {}
+        # with OIDC the Authorization header is CREATED by the connector
+        # (bearer fetched at request time), not merely rewritten — so it
+        # must be seeded even when no static header was configured
+        self._seed_auth_header = False
         if options.oidc_token_endpoint and options.oidc_token_request:
             manager = OidcAccessTokenManager(
                 options.oidc_token_endpoint,
@@ -258,6 +262,7 @@ class HttpPollingClient:
                 expiry_reduction=options.oidc_expiry_reduction,
             )
             self._preprocessors[AUTHORIZATION] = manager.authorization_preprocessor()
+            self._seed_auth_header = True
         elif not options.use_raw_auth_header:
             self._preprocessors[AUTHORIZATION] = basic_auth_value
 
@@ -265,7 +270,10 @@ class HttpPollingClient:
 
     def build_request(self, key_values: Mapping[str, Any]) -> HttpRequestSpec:
         query_info = self.query_creator(key_values)
-        headers = preprocess_headers(dict(self.options.headers), self._preprocessors)
+        raw_headers = dict(self.options.headers)
+        if self._seed_auth_header:
+            raw_headers.setdefault(AUTHORIZATION, "")
+        headers = preprocess_headers(raw_headers, self._preprocessors)
         return build_lookup_request(
             method=self.options.method,
             url=self.url,
