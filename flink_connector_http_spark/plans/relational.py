@@ -1346,3 +1346,60 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(v, "n_viewed"), (c, "n_clicked_after"), (p, "n_purchased_after")]
     ]
     return counts[0].crossJoin(counts[1]).crossJoin(counts[2])
+
+
+# ---------------------------------------------------------------------------
+# range join (band join on a numeric interval dim)
+# ---------------------------------------------------------------------------
+
+N_PRICE_BANDS = 25
+BAND_WIDTH = 4.0
+BAND_BASE = 900.0
+
+
+@register(
+    "q_range_join_price_bands",
+    oracle=f"""
+    WITH bands AS (
+      SELECT i AS band_id,
+             {BAND_BASE} + i * {BAND_WIDTH} AS lo,
+             {BAND_BASE} + (i + 1) * {BAND_WIDTH} AS hi
+      FROM unnest(range(0, {N_PRICE_BANDS})) AS t(i)
+    )
+    SELECT band_id,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(10,2))) AS DOUBLE)
+               AS sum_price
+    FROM part JOIN bands
+      ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band_id
+    """,
+    doc="Range (band) join: parts matched to price intervals via non-equi "
+        "predicates. The interval dim is tiny and broadcast, so the plan "
+        "is a BroadcastNestedLoopJoin over a single fact scan — the right "
+        "shape when the band table is small; for large interval tables "
+        "the same query bucketizes both sides on floor(price/width) first "
+        "(equi-join on bucket + residual range filter).",
+)
+def q_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "part")
+    bands = spark.range(N_PRICE_BANDS).select(
+        F.col("id").alias("band_id"),
+        (F.lit(BAND_BASE) + F.col("id") * BAND_WIDTH).alias("lo"),
+        (F.lit(BAND_BASE) + (F.col("id") + 1) * BAND_WIDTH).alias("hi"),
+    )
+    return (
+        t["part"]
+        .join(
+            F.broadcast(bands),
+            (F.col("p_retailprice") >= F.col("lo"))
+            & (F.col("p_retailprice") < F.col("hi")),
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.expr(
+                "CAST(SUM(CAST(p_retailprice AS DECIMAL(10,2))) AS DOUBLE)"
+            ).alias("sum_price"),
+        )
+    )
