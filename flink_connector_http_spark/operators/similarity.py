@@ -468,3 +468,66 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("q_id", "neighbor_id", "cosine", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline composition: quality-gated corpus → per-label embedding stats
+# ---------------------------------------------------------------------------
+
+from .text import duck_token_exprs, spark_token_exprs  # noqa: E402
+
+_QD = duck_token_exprs()
+_QS = spark_token_exprs()
+
+
+@register(
+    "emb_quality_gated_stats",
+    # norms are rounded to 6dp then summed as DECIMAL so the aggregate is
+    # independent of float summation order (engine- and partition-stable)
+    oracle=f"""
+    SELECT e.label,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(round(
+                 sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                       e.embedding::DOUBLE[])), 6)
+               AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_norm
+    FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    WHERE {_QD['n_tokens']} BETWEEN 20 AND 2000
+      AND CAST({_QD['n_uniq_tokens']} AS DOUBLE) / {_QD['n_tokens']} >= 0.15
+      AND CAST({_QD['sum_token_len']} AS DOUBLE) / {_QD['n_tokens']}
+          BETWEEN 2.0 AND 12.0
+    GROUP BY e.label
+    """,
+    doc="Stage composition: the text quality gate (same predicate as "
+        "text_quality_filter) restricts which embeddings enter per-label "
+        "statistics — the filter→embed→aggregate chain every curation "
+        "pipeline runs. The gate is evaluated on the documents side "
+        "BEFORE the join, so at scale the join probe is the surviving "
+        "subset only.",
+)
+def emb_quality_gated_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "embeddings", "documents")
+    gated = t["documents"].filter(
+        F.expr(
+            f"{_QS['n_tokens']} BETWEEN 20 AND 2000"
+            f" AND CAST({_QS['n_uniq_tokens']} AS DOUBLE) / {_QS['n_tokens']} >= 0.15"
+            f" AND CAST({_QS['sum_token_len']} AS DOUBLE) / {_QS['n_tokens']}"
+            f" BETWEEN 2.0 AND 12.0"
+        )
+    ).select("doc_id")
+    return (
+        t["embeddings"]
+        .join(gated, F.col("vec_id") == F.col("doc_id"))
+        .select(
+            "label",
+            F.expr(
+                f"CAST(round({_NORM.format(col='embedding')}, 6) "
+                f"AS DECIMAL(18,6))"
+            ).alias("norm_d"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("CAST(SUM(norm_d) AS DOUBLE) / COUNT(*)").alias("avg_norm"),
+        )
+    )
