@@ -929,3 +929,76 @@ def sample_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("batch_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram language-model table (conditional next-token probabilities)
+# ---------------------------------------------------------------------------
+
+LM_TOP_K = 3
+LM_MIN_COUNT = 30
+
+
+@register(
+    "text_bigram_lm",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
+    ),
+    bigrams AS (
+      SELECT ts[i] AS w1, ts[i + 1] AS w2
+      FROM toks, unnest(range(1, len(ts))) AS u(i)
+    ),
+    counts AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+      FROM bigrams GROUP BY w1, w2
+    ),
+    totals AS (
+      SELECT w1, CAST(SUM(c) AS BIGINT) AS total
+      FROM counts GROUP BY w1
+    )
+    SELECT w1, w2, c,
+           round(CAST(c AS DOUBLE) / total, 6) AS p_next, rk
+    FROM (
+      SELECT counts.w1, w2, c, total,
+             ROW_NUMBER() OVER (PARTITION BY counts.w1
+                                ORDER BY c DESC, w2) AS rk
+      FROM counts JOIN totals ON totals.w1 = counts.w1
+      WHERE total >= {LM_MIN_COUNT}
+    ) t WHERE rk <= {LM_TOP_K}
+    """,
+    doc=f"Bigram LM table: P(next|word) for words with ≥{LM_MIN_COUNT} "
+        f"continuations, top-{LM_TOP_K} per word. Bigrams come from one "
+        "zip-with pass over the token array (no self-join); two "
+        "aggregations on (w1,w2) and w1 plus a per-w1 window — the count "
+        "tables an n-gram LM or next-token-statistics pipeline builds.",
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    bigrams = docs.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(split(lower(text), ' '), 1, "
+                "size(split(lower(text), ' ')) - 1), "
+                "slice(split(lower(text), ' '), 2, "
+                "size(split(lower(text), ' ')) - 1), "
+                "(x, y) -> struct(x AS w1, y AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("w1").agg(F.sum("c").cast("bigint").alias("total"))
+    w = Window.partitionBy("w1").orderBy(F.desc("c"), F.asc("w2"))
+    return (
+        counts.join(totals, "w1")
+        .filter(F.col("total") >= LM_MIN_COUNT)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= LM_TOP_K)
+        .select(
+            "w1", "w2", "c",
+            F.expr("round(CAST(c AS DOUBLE) / total, 6)").alias("p_next"),
+            "rk",
+        )
+    )

@@ -27,7 +27,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..plans.registry import register
 
-__all__ = ["dedup_stream"]
+__all__ = ["dedup_stream", "running_max_stream"]
 
 _STATE_SCHEMA = T.StructType([T.StructField("emitted", T.BooleanType())])
 
@@ -137,3 +137,102 @@ def stream_dedup_documents(spark, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         "content_hash", F.col("doc_id").alias("keep_doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming per-key running max (emit-on-change leaderboard)
+# ---------------------------------------------------------------------------
+
+_MAX_STATE_SCHEMA = T.StructType([T.StructField("mx", T.DoubleType())])
+
+
+def running_max_stream(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Continuous per-key maximum: emit ``(key, new_max)`` whenever a
+    micro-batch raises a key's maximum; quiet batches emit nothing.
+
+    The leaderboard/high-water-mark pattern: per-key state is ONE double,
+    so state size is O(keys) regardless of stream length; the emission
+    stream is the changelog of the running aggregate (at-most one row per
+    key per batch).
+    """
+    out_schema = T.StructType(
+        [df.schema[c] for c in key_cols]
+        + [T.StructField("max_value", T.DoubleType())]
+    )
+
+    def fn(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        batch_max: Optional[float] = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            m = float(pdf[value_col].max())
+            batch_max = m if batch_max is None else max(batch_max, m)
+        if batch_max is None:
+            return
+        prev = state.get[0] if state.exists else None
+        if prev is None or batch_max > prev:
+            state.update((batch_max,))
+            yield pd.DataFrame(
+                [tuple(key) + (batch_max,)],
+                columns=list(key_cols) + ["max_value"],
+            )
+
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, _MAX_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+@register(
+    "stream_running_max_value",
+    # availableNow over one parquet file = one micro-batch, so the single
+    # emission per user equals the relational global max — a full hash
+    # gate for the stateful operator; multi-batch emit-on-change behavior
+    # is pinned by tests/test_streaming_stateful_max.py
+    oracle="""
+    SELECT user_id,
+           CAST(MAX(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS max_value
+    FROM events GROUP BY user_id
+    """,
+    doc="Custom stateful streaming aggregate (applyInPandasWithState): "
+        "per-user running maximum emitting only on change — the "
+        "high-water-mark changelog pattern with O(keys) state.",
+)
+def stream_running_max_value(spark, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    name = f"stream_max_{uuid.uuid4().hex[:8]}"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    in_dir = tempfile.mkdtemp(prefix="stream_max_in_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(in_dir, "events.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(in_dir)
+        .select(
+            "user_id",
+            F.expr("CAST(CAST(value AS DECIMAL(10,2)) AS DOUBLE)").alias("value"),
+        )
+    )
+    query = (
+        running_max_stream(stream, ["user_id"], "value")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_max_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table(name)
