@@ -1403,3 +1403,319 @@ def q_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining TPC-H-derived shapes (q02/q11/q16/q19/q20/q21, schema-adapted:
+# the synthetic tables carry no partsupp/shipmode/commitdate, so each query
+# keeps the original's OPTIMIZER shape — the part the reference delegates to
+# its host engine — while sourcing the part↔supplier relationship from
+# lineitem)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q02_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(l_extendedprice AS DECIMAL(10,2))) AS supply_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT CAST(CAST(s_acctbal AS DECIMAL(10,2)) AS DOUBLE) AS s_acctbal,
+           s_name, n_name, p_partkey,
+           CAST(supply_cost AS DOUBLE) AS supply_cost
+    FROM part, supplier, cost, nation, region
+    WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      AND p_size = 15 AND p_type = 'PROMO'
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND supply_cost = (
+        SELECT MIN(c2.supply_cost)
+        FROM cost c2, supplier s2, nation n2, region r2
+        WHERE c2.l_partkey = p_partkey AND s2.s_suppkey = c2.l_suppkey
+          AND s2.s_nationkey = n2.n_nationkey
+          AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 shape (partsupp derived from lineitem): per-part argmin "
+        "over a correlated aggregate subquery. Spark plan: the region-pruned "
+        "cost table is aggregated once, the per-part MIN is a second "
+        "aggregate broadcast back — one shuffle on (partkey,suppkey), dims "
+        "broadcast. Deterministic top-k via (s_name,p_partkey) tie-break.",
+)
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "part", "supplier", "lineitem", "nation", "region")
+    # suppliers restricted to the region — tiny, broadcast everywhere
+    nat = (
+        t["nation"]
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        t["supplier"]
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    # partsupp analogue: min extendedprice per (part, supplier), built once
+    # and reused for both the join and the correlated-min side (Spark caches
+    # the exchange; at scale this is the one big shuffle in the query)
+    cost = (
+        t["lineitem"]
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.expr("MIN(CAST(l_extendedprice AS DECIMAL(10,2)))").alias("supply_cost"))
+    )
+    pt = t["part"].filter((F.col("p_size") == 15) & (F.col("p_type") == "PROMO"))
+    # region-restricted costs only (the correlated subquery's domain)
+    rcost = cost.join(F.broadcast(supp.select("s_suppkey")),
+                      F.col("l_suppkey") == F.col("s_suppkey")).drop("s_suppkey")
+    min_cost = rcost.groupBy("l_partkey").agg(
+        F.min("supply_cost").alias("min_cost")
+    ).withColumnRenamed("l_partkey", "m_partkey")
+    return (
+        rcost
+        .join(F.broadcast(pt.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(min_cost), F.col("p_partkey") == F.col("m_partkey"))
+        .filter(F.col("supply_cost") == F.col("min_cost"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.expr("CAST(CAST(s_acctbal AS DECIMAL(10,2)) AS DOUBLE)").alias("s_acctbal"),
+            "s_name", "n_name", "p_partkey",
+            F.expr("CAST(supply_cost AS DOUBLE)").alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle=f"""
+    SELECT l_partkey, CAST(SUM({DISC_PRICE}) AS DOUBLE) AS part_value
+    FROM lineitem, supplier, nation
+    WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_3'
+    GROUP BY l_partkey
+    HAVING CAST(SUM({DISC_PRICE}) AS DOUBLE) > (
+      SELECT CAST(SUM({DISC_PRICE}) AS DOUBLE) * 0.001
+      FROM lineitem, supplier, nation
+      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_name = 'NATION_3'
+    )
+    """,
+    doc="TPC-H Q11 shape: GROUP BY … HAVING SUM > fraction-of-global-total "
+        "(uncorrelated scalar subquery). Spark plan: aggregate once per "
+        "part, global total from a second aggregation of the SAME partial "
+        "(no second lineitem scan at the logical level Catalyst dedups), "
+        "1-row threshold broadcast via cross join. DECIMAL sums keep both "
+        "engines bit-identical; the 0.001 multiply happens in DOUBLE on "
+        "both sides.",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "lineitem", "supplier", "nation")
+    nat = t["nation"].filter(F.col("n_name") == "NATION_3").select("n_nationkey")
+    supp = (
+        t["supplier"]
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = t["lineitem"].join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    per_part = li.groupBy("l_partkey").agg(
+        F.expr(f"SUM({DISC_PRICE})").alias("v_dec")
+    )
+    total = per_part.agg(
+        F.expr("CAST(SUM(v_dec) AS DOUBLE) * 0.001").alias("threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.expr("CAST(v_dec AS DOUBLE) > threshold"))
+        .select("l_partkey", F.expr("CAST(v_dec AS DOUBLE)").alias("part_value"))
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part, lineitem
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'Brand#45'
+      AND p_type <> 'PROMO'
+      AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.00
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape ('complaint' suppliers = negative account balance): "
+        "NOT IN over a not-null key → broadcast left-anti join, then "
+        "COUNT(DISTINCT) grouped by part attributes. Part filters (<>, IN "
+        "list) reach the parquet scan as PushedFilters.",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "part", "lineitem", "supplier")
+    pt = t["part"].filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(3, 9, 14, 19, 23, 36, 45, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0.00).select("s_suppkey")
+    return (
+        t["lineitem"].select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND (
+         (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+          AND l_quantity >= 1 AND l_quantity <= 11)
+      OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+          AND l_quantity >= 10 AND l_quantity <= 20)
+      OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+          AND l_quantity >= 20 AND l_quantity <= 30)
+    )
+    """,
+    doc="TPC-H Q19 shape: disjunction of conjunctive clauses spanning both "
+        "join sides. Catalyst extracts the common implied predicates "
+        "(p_brand IN (...), l_quantity BETWEEN 1 AND 30) and pushes them "
+        "below the join as scan filters; the full OR stays as the join "
+        "residual on the broadcast-hash join — the plan Q19 exists to test.",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "lineitem", "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 30))
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(F.expr(f"CAST(SUM({DISC_PRICE}) AS DOUBLE)").alias("revenue"))
+    )
+
+
+@register(
+    "q20_excess_shippers",
+    oracle="""
+    SELECT s_name, s_suppkey
+    FROM supplier, nation
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+          )
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(10,2))) > 30
+      )
+      AND s_nationkey = n_nationkey AND n_name = 'NATION_1'
+    ORDER BY s_name
+    """,
+    doc="TPC-H Q20 shape: nested IN subqueries (suppliers who shipped >30 "
+        "units of any red part in 1997). Spark plan: inner IN → broadcast "
+        "left-semi on the part scan (LIKE pushed down), HAVING aggregate on "
+        "(suppkey,partkey), outer IN → second left-semi onto the broadcast "
+        "supplier dim. No shuffle touches more than the filtered lineitems.",
+)
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "supplier", "nation", "lineitem", "part")
+    red = t["part"].filter(F.col("p_name").like("red%")).select("p_partkey")
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    heavy = (
+        li.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.expr("SUM(CAST(l_quantity AS DECIMAL(10,2)))").alias("q"))
+        .filter(F.col("q") > 30)
+        .select("l_suppkey").distinct()
+    )
+    nat = t["nation"].filter(F.col("n_name") == "NATION_1").select("n_nationkey")
+    return (
+        t["supplier"]
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_suppkey")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "q21_sole_blame_suppliers",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+      AND s_nationkey = n_nationkey AND n_name = 'NATION_1'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+    doc="TPC-H Q21 shape (adapted: 'kept waiting' = sole supplier with a "
+        "returned line in a multi-supplier finished order). The correlated "
+        "EXISTS/NOT EXISTS pair over the self-joined fact is rewritten as "
+        "ONE per-order aggregate (distinct suppliers, distinct R-flag "
+        "suppliers) joined back — a single extra shuffle on l_orderkey "
+        "instead of two self-joins, the rewrite that matters at 100 TB.",
+)
+def q21_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "supplier", "lineitem", "orders", "nation")
+    li = t["lineitem"]
+    # per-order supplier stats replace both correlated subqueries:
+    #   EXISTS other-supplier line      ≡ n_supp > 1
+    #   NOT EXISTS other-supplier R-line ≡ the order's R-suppliers = {l1's}
+    #                                      (l1 is itself R) ≡ n_r_supp = 1
+    order_stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_supp"),
+    )
+    fo = t["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    nat = t["nation"].filter(F.col("n_name") == "NATION_1").select("n_nationkey")
+    supp = (
+        t["supplier"]
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(fo, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(order_stats, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
