@@ -76,6 +76,11 @@ SHINGLES_DUCK = (
     "string_split(text, ' ')[i + 2])"
 )
 
+
+#: lowercased variants of the shingle builders (HLL sketches fold case)
+SHINGLES_SPARK_LOWER = SHINGLES_SPARK.replace("split(text, ' ')", "split(lower(text), ' ')")
+SHINGLES_DUCK_LOWER = SHINGLES_DUCK.replace("string_split(text, ' ')", "string_split(lower(text), ' ')")
+
 #: 60-bit integer from a string via md5 — bit-identical in both engines
 #: (verified: conv(hex,16,10) == ('0x'||hex)::BIGINT)
 def md5_int60_spark(expr: str) -> str:
@@ -1000,5 +1005,263 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1", "w2", "c",
             F.expr("round(CAST(c AS DOUBLE) / total, 6)").alias("p_next"),
             "rk",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition quality signals (Gopher/C4-style repetitiveness filters)
+# ---------------------------------------------------------------------------
+
+#: Gopher-style gates, adapted to the single-line corpus: a doc is
+#: "repetitive" when one token dominates or its 3-gram shingles repeat
+REP_TOP_TOKEN_FRAC = 0.2
+REP_DUP_SHINGLE_RATIO = 0.3
+
+
+@register(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH tc AS (
+      SELECT doc_id, t, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest({TOKS_DUCK}) AS t FROM documents)
+      GROUP BY doc_id, t
+    ),
+    td AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(MAX(c) AS BIGINT) AS top_cnt
+      FROM tc GROUP BY doc_id
+    ),
+    sd AS (
+      SELECT doc_id,
+             len({SHINGLES_DUCK}) AS n_sh,
+             len(list_distinct({SHINGLES_DUCK})) AS n_ush
+      FROM documents
+    )
+    SELECT td.doc_id, n_tokens,
+           CAST(top_cnt AS DOUBLE) / n_tokens AS top_token_frac,
+           CAST(n_sh - n_ush AS DOUBLE) / greatest(n_sh, 1) AS dup_shingle_ratio,
+           (CAST(top_cnt AS DOUBLE) / n_tokens > {REP_TOP_TOKEN_FRAC}
+            OR CAST(n_sh - n_ush AS DOUBLE) / greatest(n_sh, 1)
+               > {REP_DUP_SHINGLE_RATIO}) AS repetitive
+    FROM td JOIN sd ON sd.doc_id = td.doc_id
+    """,
+    doc="Repetitiveness quality signals (the Gopher/C4 repetition-filter "
+        "family, adapted to the single-line corpus): most-frequent-token "
+        "fraction via explode+two-level aggregate (the scalable mode "
+        "computation — per-row O(n²) lambda folds would not survive long "
+        "documents), within-doc duplicate-shingle ratio via one array pass. "
+        "One shuffle on (doc_id, token), join back on doc_id.",
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    tok_counts = (
+        docs.select("doc_id", F.explode(F.expr(TOKS_SPARK)).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = tok_counts.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.max("c").cast("bigint").alias("top_cnt"),
+    )
+    shingle_stats = docs.select(
+        "doc_id",
+        F.expr(f"size({SHINGLES_SPARK})").alias("n_sh"),
+        F.expr(f"size(array_distinct({SHINGLES_SPARK}))").alias("n_ush"),
+    )
+    top_frac = "CAST(top_cnt AS DOUBLE) / n_tokens"
+    dup_ratio = "CAST(n_sh - n_ush AS DOUBLE) / greatest(n_sh, 1)"
+    return (
+        per_doc.join(shingle_stats, "doc_id")
+        .select(
+            "doc_id", "n_tokens",
+            F.expr(top_frac).alias("top_token_frac"),
+            F.expr(dup_ratio).alias("dup_shingle_ratio"),
+            F.expr(
+                f"{top_frac} > {REP_TOP_TOKEN_FRAC} "
+                f"OR {dup_ratio} > {REP_DUP_SHINGLE_RATIO}"
+            ).alias("repetitive"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct sketch (deterministic md5 registers)
+# ---------------------------------------------------------------------------
+
+HLL_M = 256          # registers (first 2 md5 hex chars)
+HLL_RHO_BITS = 52    # rank taken from the next 13 hex chars
+#: alpha_256 * m^2 * 2^53 — the scaled-estimate numerator; the alpha
+#: expression is evaluated identically by both engines' IEEE doubles
+HLL_NUM = (
+    f"(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) "
+    f"+ CAST(1.079 AS DOUBLE) / {HLL_M})) * {HLL_M * HLL_M} "
+    f"* CAST(9007199254740992 AS DOUBLE)"
+)
+
+
+def _hll_rho(lz_expr: str, digit_expr: str) -> str:
+    """1-based position of the leftmost 1-bit in a 13-hex-char string,
+    given its leading-'0'-run length and first non-zero digit (identical
+    SQL in Spark and DuckDB — pure CASE arithmetic, no floats)."""
+    return (
+        f"CASE WHEN {lz_expr} = 13 THEN {HLL_RHO_BITS + 1} "
+        f"ELSE 4 * {lz_expr} + 1 + "
+        f"(CASE WHEN {digit_expr} = '1' THEN 3 "
+        f"WHEN {digit_expr} IN ('2', '3') THEN 2 "
+        f"WHEN {digit_expr} IN ('4', '5', '6', '7') THEN 1 ELSE 0 END) END"
+    )
+
+
+@register(
+    "sketch_hll_distinct_shingles",
+    # Registers are EXACT integers end-to-end: each register contributes
+    # 2^(53-M) to a scaled harmonic sum (BIGINT, max 256*2^52 < 2^61 -- no
+    # overflow, no float-addition-order sensitivity), absent registers
+    # contribute 2^53; the single double division at the end is
+    # deterministic because numerator and denominator are bit-identical in
+    # both engines. That makes even HLL hash-gate checkable. Shingles (not
+    # tokens) are sketched: the corpus vocabulary (~31 words/lang) sits in
+    # HLL's small-range regime where the raw estimator needs a
+    # linear-counting fallback whose ln() is libm-order-dependent; 3-gram
+    # cardinality (3k-9k/lang) is squarely in the accurate regime, where
+    # the raw estimate lands within the ~6.5% rel-error bound of m=256.
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT lang, md5(unnest({SHINGLES_DUCK_LOWER})) AS hx
+      FROM documents
+    ),
+    regs AS (
+      SELECT lang,
+             ('0x' || substr(hx, 1, 2))::BIGINT AS idx,
+             MAX({_hll_rho("length(regexp_extract(substr(hx, 3, 13), '^0*'))",
+                           "substr(hx, 3 + length(regexp_extract(substr(hx, 3, 13), '^0*')), 1)")})
+               AS m
+      FROM h GROUP BY lang, idx
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS registers_hit,
+           CAST(MAX(m) AS BIGINT) AS max_rho,
+           round({HLL_NUM} /
+                 (CAST(SUM(CAST(1 AS BIGINT) << (53 - m)) AS BIGINT)
+                  + ({HLL_M} - COUNT(*)) * (CAST(1 AS BIGINT) << 53)), 4)
+             AS est_distinct
+    FROM regs GROUP BY lang
+    """,
+    doc=f"Per-language HyperLogLog({HLL_M}) distinct-shingle estimate with "
+        "md5-derived registers. Scale shape: shingles collapse to <=256 "
+        "register rows per group on the map side (partial MAX), so the "
+        "shuffle carries registers, not shingles -- the property that lets "
+        "HLL count 100 TB of n-grams in one pass. Completes the mergeable "
+        "sketch family next to KMV (order-statistics) and count-min (point "
+        "frequency).",
+)
+def sketch_hll_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    h = (
+        docs.select("lang", F.explode(F.expr(SHINGLES_SPARK_LOWER)).alias("s"))
+        .select("lang", F.expr("md5(s)").alias("hx"))
+        .distinct()
+    )
+    lz = "length(regexp_extract(substr(hx, 3, 13), '^0*', 0))"
+    digit = f"substr(hx, 3 + {lz}, 1)"
+    regs = (
+        h.select(
+            "lang",
+            F.expr("CAST(conv(substr(hx, 1, 2), 16, 10) AS BIGINT)").alias("idx"),
+            F.expr(_hll_rho(lz, digit)).alias("rho"),
+        )
+        .groupBy("lang", "idx")
+        .agg(F.max("rho").alias("m"))
+    )
+    return regs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("registers_hit"),
+        F.max("m").cast("bigint").alias("max_rho"),
+        F.expr(
+            f"round({HLL_NUM} / "
+            f"(CAST(SUM(shiftleft(CAST(1 AS BIGINT), 53 - m)) AS BIGINT) "
+            f"+ ({HLL_M} - COUNT(*)) * shiftleft(CAST(1 AS BIGINT), 53)), 4)"
+        ).alias("est_distinct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM coverage scoring (LM-based quality signal, integer-exact)
+# ---------------------------------------------------------------------------
+
+LM_COV_MIN_COUNT = 3  # a bigram is "known" once the corpus saw it ≥3 times
+
+
+@register(
+    "text_lm_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
+    ),
+    db AS (
+      SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+      FROM toks, unnest(range(1, len(ts))) AS u(i)
+    ),
+    known AS (
+      SELECT w1, w2 FROM db GROUP BY w1, w2
+      HAVING COUNT(*) >= {LM_COV_MIN_COUNT}
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams FROM db GROUP BY doc_id
+    ),
+    hits AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_known
+      FROM db JOIN known USING (w1, w2) GROUP BY doc_id
+    )
+    SELECT p.doc_id, n_bigrams,
+           COALESCE(n_known, 0) AS n_known,
+           CAST(COALESCE(n_known, 0) AS DOUBLE) / greatest(n_bigrams, 1)
+             AS lm_coverage
+    FROM per_doc p LEFT JOIN hits ON hits.doc_id = p.doc_id
+    """,
+    doc="LM-based fluency proxy: the fraction of a document's bigrams the "
+        f"corpus bigram table has seen ≥{LM_COV_MIN_COUNT} times — the "
+        "integer-exact stand-in for perplexity scoring (log-prob sums are "
+        "libm-order-dependent and would break the cross-engine hash gate). "
+        "Composition pipeline: one bigram explode reused for BOTH the "
+        "model build and the scoring join; known-set join is map-side "
+        "(broadcast) so scoring adds no extra shuffle of the corpus.",
+)
+def text_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    db = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(split(lower(text), ' '), 1, "
+                "size(split(lower(text), ' ')) - 1), "
+                "slice(split(lower(text), ' '), 2, "
+                "size(split(lower(text), ' ')) - 1), "
+                "(x, y) -> struct(x AS w1, y AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    known = (
+        db.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= LM_COV_MIN_COUNT)
+        .select("w1", "w2")
+    )
+    per_doc = db.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams")
+    )
+    hits = (
+        db.join(F.broadcast(known), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_known"))
+    )
+    return (
+        per_doc.join(hits, "doc_id", "left")
+        .select(
+            "doc_id", "n_bigrams",
+            F.coalesce(F.col("n_known"), F.lit(0).cast("bigint")).alias("n_known"),
+            F.expr(
+                "CAST(COALESCE(n_known, 0) AS DOUBLE) / greatest(n_bigrams, 1)"
+            ).alias("lm_coverage"),
         )
     )
