@@ -1247,21 +1247,22 @@ def text_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") >= LM_COV_MIN_COUNT)
         .select("w1", "w2")
     )
-    per_doc = db.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_bigrams")
-    )
-    hits = (
-        db.join(F.broadcast(known), ["w1", "w2"])
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_known"))
+    # score in ONE pass over the exploded bigrams: left-join the (small,
+    # broadcast) known set and count hits conditionally — two corpus passes
+    # total (model build + scoring) instead of three, and no final join
+    scored = db.join(
+        F.broadcast(known.withColumn("k", F.lit(1))), ["w1", "w2"], "left"
     )
     return (
-        per_doc.join(hits, "doc_id", "left")
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.count("k").cast("bigint").alias("n_known"),
+        )
         .select(
-            "doc_id", "n_bigrams",
-            F.coalesce(F.col("n_known"), F.lit(0).cast("bigint")).alias("n_known"),
+            "doc_id", "n_bigrams", "n_known",
             F.expr(
-                "CAST(COALESCE(n_known, 0) AS DOUBLE) / greatest(n_bigrams, 1)"
+                "CAST(n_known AS DOUBLE) / greatest(n_bigrams, 1)"
             ).alias("lm_coverage"),
         )
     )
