@@ -531,3 +531,74 @@ def emb_quality_gated_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(SUM(norm_d) AS DOUBLE) / COUNT(*)").alias("avg_norm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (the ANN memory-compression step)
+# ---------------------------------------------------------------------------
+
+@register(
+    "emb_quantize_int8",
+    # Determinism: per-element double ops only (no cross-element float
+    # accumulation — amax and max_abs_err use MAX, which is
+    # order-independent, unlike a sum fold whose rounding would depend on
+    # execution order). round-half-up via floor(x+0.5) because Spark's
+    # round() (HALF_UP) and DuckDB's round() disagree on .5 ties.
+    oracle="""
+    SELECT vec_id, label,
+           round(scale, 6) AS scale,
+           list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT)) AS qvec,
+           CASE WHEN scale = 0 THEN CAST(0 AS DOUBLE)
+                ELSE round(list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)
+                           - floor(CAST(x AS DOUBLE) * scale + 0.5) / scale))), 6)
+           END AS max_abs_err
+    FROM (
+      SELECT vec_id, label, embedding,
+             CASE WHEN amax = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE CAST(127 AS DOUBLE) / amax END AS scale
+      FROM (
+        SELECT vec_id, label, embedding,
+               list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))) AS amax
+        FROM embeddings
+      ) t1
+    ) t2
+    """,
+    doc="Symmetric per-vector int8 quantization (scale = 127/max|v|): the "
+        "4× memory-compression step an ANN index runs before storing "
+        "vectors at 100 TB. Pure per-row array expressions — zero shuffle, "
+        "whole-stage codegen — plus a max-abs reconstruction-error column "
+        "so a pipeline can gate on quantization loss.",
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    return (
+        emb.withColumn(
+            "amax",
+            F.expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"),
+        )
+        .withColumn(
+            "scale_raw",
+            F.expr(
+                "CASE WHEN amax = 0 THEN CAST(0 AS DOUBLE) "
+                "ELSE CAST(127 AS DOUBLE) / amax END"
+            ),
+        )
+        .select(
+            "vec_id", "label",
+            F.expr("round(scale_raw, 6)").alias("scale"),
+            F.expr(
+                "transform(embedding, "
+                "x -> CAST(floor(CAST(x AS DOUBLE) * scale_raw + 0.5) AS INT))"
+            ).alias("qvec"),
+            F.expr(
+                "CASE WHEN scale_raw = 0 THEN CAST(0 AS DOUBLE) "
+                "ELSE round(array_max(transform(embedding, "
+                "x -> abs(CAST(x AS DOUBLE) "
+                "- floor(CAST(x AS DOUBLE) * scale_raw + 0.5) / scale_raw))), 6) "
+                "END"
+            ).alias("max_abs_err"),
+        )
+    )
