@@ -27,7 +27,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..plans.registry import register
 
-__all__ = ["dedup_stream", "running_max_stream"]
+__all__ = ["dedup_stream", "running_max_stream", "heavy_hitters_stream"]
 
 _STATE_SCHEMA = T.StructType([T.StructField("emitted", T.BooleanType())])
 
@@ -231,6 +231,110 @@ def stream_running_max_value(spark, sf_dir: str) -> DataFrame:
         .queryName(name)
         .outputMode("append")
         .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_max_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# streaming heavy hitters (per-key cumulative counts, threshold changelog)
+# ---------------------------------------------------------------------------
+
+_HH_STATE_SCHEMA = T.StructType([T.StructField("cnt", T.LongType())])
+
+
+def heavy_hitters_stream(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    threshold: int,
+    *,
+    state_ttl_ms: Optional[int] = None,
+) -> DataFrame:
+    """Continuous frequent-key detection: per-key cumulative counts, and a
+    ``(key, n_events)`` row emitted in every micro-batch where the key both
+    received rows and its cumulative count is >= ``threshold`` — the
+    changelog of the heavy-hitter set.
+
+    Per-key state is ONE bigint, so state size is O(keys) — and with
+    ``state_ttl_ms``, O(keys active within the TTL window). (Spark 4's
+    ``transformWithStateInPandas`` with typed ValueState+TTL is the
+    successor API for this operator; it requires the ``protobuf`` package,
+    absent from this environment, so the implementation stays on
+    ``applyInPandasWithState`` — same semantics, same state layout.)
+    """
+    out_schema = T.StructType(
+        [df.schema[c] for c in key_cols]
+        + [T.StructField("n_events", T.LongType())]
+    )
+    names = list(key_cols)
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def fn(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        new = sum(len(pdf) for pdf in pdfs)
+        if new == 0:
+            return
+        total = (state.get[0] if state.exists else 0) + new
+        state.update((total,))
+        if state_ttl_ms:
+            state.setTimeoutDuration(state_ttl_ms)
+        if total >= threshold:
+            yield pd.DataFrame(
+                [tuple(key) + (total,)], columns=names + ["n_events"]
+            )
+
+    return df.groupBy(*names).applyInPandasWithState(
+        fn, out_schema, _HH_STATE_SCHEMA, "append", timeout
+    )
+
+
+@register(
+    "stream_heavy_hitters",
+    # availableNow over one parquet file = one micro-batch → each
+    # qualifying key emits exactly once with its full count, equal to the
+    # relational GROUP BY ... HAVING. Multi-batch accumulation/emission is
+    # pinned by tests/test_streaming_stateful_hh.py.
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events GROUP BY user_id HAVING COUNT(*) >= 70
+    """,
+    doc="Streaming heavy-hitter detection: per-user cumulative event "
+        "counts in O(keys) state, changelog emission once a key crosses "
+        "the threshold.",
+)
+def stream_heavy_hitters(spark, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    name = f"stream_hh_{uuid.uuid4().hex[:8]}"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    in_dir = tempfile.mkdtemp(prefix="stream_hh_in_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(in_dir, "events.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(raw_schema).parquet(in_dir).select("user_id")
+    )
+    query = (
+        heavy_hitters_stream(stream, ["user_id"], 70)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_hh_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
