@@ -26,6 +26,7 @@ try:
     from flink_connector_http_spark.operators import dedup  # noqa: F401
     from flink_connector_http_spark.operators import similarity  # noqa: F401
     from flink_connector_http_spark.operators import multimodal  # noqa: F401
+    from flink_connector_http_spark.operators import pipeline  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
 try:
