@@ -139,3 +139,154 @@ def pipeline_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hybrid search: lexical + vector retrieval fused with RRF
+# ---------------------------------------------------------------------------
+
+SEARCH_TERMS = ("hash", "join", "scan")  # the lexical query
+SEARCH_QVEC_ID = 0                       # embedding of doc 0 = vector query
+RRF_K = 60
+CAND_N = 100                             # per-retriever candidate depth
+FINAL_K = 20
+
+_TERM_LIST = "('" + "', '".join(SEARCH_TERMS) + "')"
+#: term-frequency of the query terms in a doc (integer, exact)
+_TF_SPARK = f"size(filter(split(lower(text), ' '), t -> t IN {_TERM_LIST}))"
+_TF_DUCK = f"len(list_filter(string_split(lower(text), ' '), t -> t IN {_TERM_LIST}))"
+
+
+@register(
+    "search_hybrid_rrf",
+    # Reciprocal-rank fusion: score = Σ 1/(k + rank_i) over the retrievers
+    # that returned the doc. Rank-based fusion keeps determinism trivial —
+    # ranks are integers from ties-broken orderings, and the only float op
+    # is one per-row formula (no cross-row float accumulation).
+    oracle=f"""
+    WITH lex_top AS (
+      SELECT doc_id, tf FROM (
+        SELECT doc_id, {_TF_DUCK} AS tf FROM documents
+      ) t WHERE tf > 0
+      ORDER BY tf DESC, doc_id LIMIT {CAND_N}
+    ),
+    lex AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id) AS r_lex
+      FROM lex_top
+    ),
+    q AS (
+      SELECT embedding AS qv,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+      FROM embeddings WHERE vec_id = {SEARCH_QVEC_ID}
+    ),
+    vec_top AS (
+      SELECT vec_id AS doc_id,
+             round(list_sum(list_transform(range(1, 65),
+                     i -> CAST(qv[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+                   / (qn * sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+               AS cosine
+      FROM embeddings, q
+      WHERE vec_id <> {SEARCH_QVEC_ID}
+      ORDER BY cosine DESC, doc_id LIMIT {CAND_N}
+    ),
+    vec AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS r_vec
+      FROM vec_top
+    )
+    SELECT doc_id, r_lex, r_vec, rrf, rk FROM (
+      SELECT doc_id, r_lex, r_vec, rrf,
+             ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rk
+      FROM (
+        SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+               lex.r_lex, vec.r_vec,
+               round(COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + r_lex), CAST(0 AS DOUBLE))
+                     + COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + r_vec), CAST(0 AS DOUBLE)), 6) AS rrf
+        FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+      ) fused
+    ) ranked WHERE rk <= {FINAL_K}
+    """,
+    doc="Hybrid retrieval: term-frequency lexical ranking over documents "
+        "and cosine vector ranking over embeddings, fused with reciprocal-"
+        "rank fusion (k=60). Scale shape: each retriever is a full scan "
+        "into TakeOrderedAndProject (per-partition heap top-100 — never a "
+        "global sort), ranks assigned on the 100-row candidate sets, "
+        "full-outer fuse on a tiny set. The retrieval join pattern of a "
+        "RAG data pipeline, end-to-end deterministic.",
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = load(spark, sf_dir, "documents", "embeddings")
+    docs, emb = t["documents"], t["embeddings"]
+
+    lex_top = (
+        docs.select("doc_id", F.expr(_TF_SPARK).alias("tf"))
+        .filter(F.col("tf") > 0)
+        .orderBy(F.desc("tf"), F.asc("doc_id"))
+        .limit(CAND_N)
+    )
+    lex = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("tf"), F.asc("doc_id")))
+        .alias("r_lex"),
+    )
+
+    norm = (
+        "sqrt(aggregate(transform({col}, x -> CAST(x AS DOUBLE) * "
+        "CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (a, v) -> a + v))"
+    )
+    q = emb.filter(F.col("vec_id") == SEARCH_QVEC_ID).select(
+        F.col("embedding").alias("qv"),
+        F.expr(norm.format(col="embedding")).alias("qn"),
+    )
+    vec_top = (
+        emb.filter(F.col("vec_id") != SEARCH_QVEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.expr(
+                "round(aggregate(zip_with(qv, embedding, "
+                "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                "CAST(0 AS DOUBLE), (a, v) -> a + v) / (qn * "
+                + norm.format(col="embedding")
+                + "), 6)"
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(CAND_N)
+    )
+    vec = vec_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), F.asc("doc_id")))
+        .alias("r_vec"),
+    )
+
+    fused = (
+        lex.withColumnRenamed("doc_id", "l_id")
+        .join(vec.withColumnRenamed("doc_id", "v_id"),
+              F.col("l_id") == F.col("v_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("l_id"), F.col("v_id")).alias("doc_id"),
+            "r_lex", "r_vec",
+            F.expr(
+                f"round(COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + r_lex), "
+                f"CAST(0 AS DOUBLE)) "
+                f"+ COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + r_vec), "
+                f"CAST(0 AS DOUBLE)), 6)"
+            ).alias("rrf"),
+        )
+    )
+    return (
+        fused.withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("rrf"), F.asc("doc_id"))),
+        )
+        .filter(F.col("rk") <= FINAL_K)
+        .select("doc_id", "r_lex", "r_vec", "rrf", "rk")
+    )
