@@ -1,0 +1,284 @@
+"""``http`` as a first-class Spark format: a PySpark 4 custom DataSource.
+
+.. code-block:: python
+
+    spark.dataSource.register(HttpDataSource)
+
+    spark.read.format("http").schema(ddl) \\
+        .option("url", "https://api/items").option("pages", 8).load()
+
+    df.write.format("http").option("url", "https://api/ingest") \\
+        .mode("append").save()
+
+    stream.writeStream.format("http").option("url", ...) \\
+        .option("checkpointLocation", ...).start()
+
+This is the Spark-native rendering of the reference's Table-API surface —
+``'connector' = 'http'`` for the source
+(``HttpLookupTableSourceFactory.java:81``) and
+``'connector' = 'http-async-sink'`` for the sink
+(``HttpDynamicTableSinkFactory.java:42``) — as one registered format
+string instead of two factory identifiers. Semantics parity:
+
+- the sink is at-least-once append-only with NO retry of failed batches
+  (reference ``HttpSinkWriter.java:129-135``); ``abort`` drops the
+  buffered remainder, Spark's task retry re-sends the partition;
+- payload framing, batch splitting, error classification, TLS and static
+  headers all come from the same ``HttpSinkWriter`` the ``write_http``
+  helper uses — one writer per partition task, exactly like the
+  reference's one-writer-per-subtask;
+- the reader decodes via the pluggable format registry
+  (``formats.py``; reference ``lookup-request.format``).
+
+Scale: reads parallelize by page ranges — each ``InputPartition`` owns a
+slice of pages, so a paginated REST endpoint is fetched by the whole
+cluster concurrently; an unpaged read is a single partition that walks
+pages until an empty one (the bounded-driver-memory path is pagination,
+not accumulation). Writes fan out per partition with the sink's own
+bounded in-flight pool; nothing funnels through the driver.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Dict, Iterator, List, Optional, Sequence
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+__all__ = ["HttpDataSource", "register_http_datasource"]
+
+#: option parity: http.source.lookup.header.* / http.sink.header.*.
+#: NOTE Spark lowercases DataSource option keys, so header NAMES arrive
+#: lowercased — fine on the wire (HTTP header names are case-insensitive)
+_HEADER_PREFIX = "header."
+
+
+def _headers_from_options(options: Dict[str, str]) -> Dict[str, str]:
+    return {
+        k[len(_HEADER_PREFIX):]: v
+        for k, v in options.items()
+        if k.startswith(_HEADER_PREFIX)
+    }
+
+
+def _coerce_record(rec: Dict[str, Any], schema: T.StructType) -> tuple:
+    from .lookup import _coerce
+
+    return tuple(_coerce(rec.get(f.name), f.dataType) for f in schema.fields)
+
+
+class _PageRange(InputPartition):
+    def __init__(self, start: int, end: int):  # [start, end)
+        self.start = start
+        self.end = end
+
+
+class HttpBatchReader(DataSourceReader):
+    """Paged GET reader: each partition fetches its page slice and decodes
+    records with the registered format decoder."""
+
+    def __init__(self, options: Dict[str, str], schema: T.StructType) -> None:
+        self.options = dict(options)
+        self.read_schema = schema
+        self.url = options["url"]
+        self.fmt = options.get("format", "json")
+        self.page_param = options.get("page_param", "page")
+        self.pages = int(options["pages"]) if "pages" in options else None
+        self.pages_per_partition = max(
+            1, int(options.get("pages_per_partition", "1"))
+        )
+        self.timeout = float(options.get("timeout", "30"))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        if self.pages is None:
+            # unpaged: one partition walking pages until an empty response
+            return [_PageRange(0, -1)]
+        return [
+            _PageRange(lo, min(lo + self.pages_per_partition, self.pages))
+            for lo in range(0, self.pages, self.pages_per_partition)
+        ]
+
+    def _fetch_page(self, transport, decoder, headers, page: int) -> List[dict]:
+        from urllib.parse import urlencode
+
+        from .request import HttpRequestSpec
+
+        sep = "&" if "?" in self.url else "?"
+        url = f"{self.url}{sep}{urlencode({self.page_param: page})}"
+        spec = HttpRequestSpec(method="GET", url=url, headers=headers, body=None)
+        resp = transport.send(spec)
+        if resp.status != 200:
+            raise IOError(f"HTTP read: page {page} returned status {resp.status}")
+        decoded = decoder(resp.body)
+        if isinstance(decoded, dict):
+            decoded = [decoded]
+        return decoded
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        from .auth import AUTHORIZATION, basic_auth_value, preprocess_headers
+        from .client import HttpTransport
+        from .formats import resolve_decoder
+
+        transport = HttpTransport(timeout=self.timeout)
+        decoder = resolve_decoder(self.fmt)
+        headers = preprocess_headers(
+            _headers_from_options(self.options), {AUTHORIZATION: basic_auth_value}
+        )
+        assert isinstance(partition, _PageRange)
+        if partition.end == -1:  # unpaged walk
+            page = partition.start
+            while True:
+                records = self._fetch_page(transport, decoder, headers, page)
+                if not records:
+                    return
+                for rec in records:
+                    yield _coerce_record(rec, self.read_schema)
+                page += 1
+        else:
+            for page in range(partition.start, partition.end):
+                for rec in self._fetch_page(transport, decoder, headers, page):
+                    yield _coerce_record(rec, self.read_schema)
+
+
+class _SinkDone(WriterCommitMessage):
+    def __init__(self, records: int, requests: int, errors: int):
+        self.records = records
+        self.requests = requests
+        self.errors = errors
+
+
+def _sink_options(options: Dict[str, str]) -> "HttpSinkOptions":
+    from .options import HttpSinkOptions
+
+    kw: Dict[str, Any] = {}
+    ints = {
+        "batch_size": "batch_size",
+        "max_batch_bytes": "max_batch_bytes",
+        "max_record_bytes": "max_record_bytes",
+        "max_inflight": "max_inflight",
+        "max_buffered": "max_buffered",
+        "writer_pool_size": "writer_pool_size",
+    }
+    for opt, field in ints.items():
+        if opt in options:
+            kw[field] = int(options[opt])
+    if "method" in options:
+        kw["insert_method"] = options["method"].upper()
+    if "request_mode" in options:
+        kw["request_mode"] = options["request_mode"]
+    if "max_time_in_buffer" in options:
+        kw["max_time_in_buffer"] = float(options["max_time_in_buffer"])
+    if "error_codes" in options:
+        kw["error_codes"] = options["error_codes"]
+    if "timeout" in options:
+        kw["request_timeout"] = float(options["timeout"])
+    headers = _headers_from_options(options)
+    if headers:
+        kw["headers"] = headers
+    return HttpSinkOptions(**kw)
+
+
+class HttpBatchWriter(DataSourceWriter):
+    """One ``HttpSinkWriter`` per partition task (reference:
+    one-writer-per-subtask, ``sink/HttpSinkInternal.java:134-185``)."""
+
+    def __init__(self, options: Dict[str, str], schema: T.StructType) -> None:
+        self.url = options["url"]
+        self.options = dict(options)
+        self.schema = schema
+
+    def write(self, iterator: Iterator) -> WriterCommitMessage:
+        from .sink import HttpSinkWriter
+        from .types import HttpSinkRequestEntry
+
+        opts = _sink_options(self.options)
+        writer = HttpSinkWriter(self.url, opts)
+        n = 0
+        try:
+            for row in iterator:
+                payload = json.dumps(
+                    row.asDict(recursive=True), default=str, separators=(",", ":")
+                )
+                writer.write(
+                    HttpSinkRequestEntry(
+                        method=opts.insert_method, payload=payload.encode("utf-8")
+                    )
+                )
+                n += 1
+            writer.flush()
+        finally:
+            errors = writer.send_errors
+            requests = writer.requests_sent
+            writer.close()
+        return _SinkDone(records=n, requests=requests, errors=errors)
+
+    def commit(self, messages: List[Optional[WriterCommitMessage]]) -> None:
+        pass  # at-least-once: requests already fired per partition
+
+    def abort(self, messages: List[Optional[WriterCommitMessage]]) -> None:
+        pass  # unsent buffer dropped with the task; Spark retries the partition
+
+
+class HttpStreamWriter(DataSourceStreamWriter):
+    """Streaming sink: identical per-partition write path; commit/abort
+    are bookkeeping only (at-least-once on micro-batch replay — the same
+    guarantee level as the reference sink, which never retries a failed
+    request, ``HttpSinkWriter.java:129-135``)."""
+
+    def __init__(self, options: Dict[str, str], schema: T.StructType) -> None:
+        self._delegate = HttpBatchWriter(options, schema)
+
+    def write(self, iterator: Iterator) -> WriterCommitMessage:
+        return self._delegate.write(iterator)
+
+    def commit(
+        self, messages: List[Optional[WriterCommitMessage]], batchId: int
+    ) -> None:
+        pass
+
+    def abort(
+        self, messages: List[Optional[WriterCommitMessage]], batchId: int
+    ) -> None:
+        pass
+
+
+class HttpDataSource(DataSource):
+    """``format("http")`` — paged REST reads, batched HTTP writes."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "http"
+
+    def schema(self):
+        try:
+            return self.options["schema"]
+        except KeyError:
+            raise ValueError(
+                "http source needs a schema: pass .schema(ddl) or "
+                ".option('schema', ddl)"
+            )
+
+    def reader(self, schema: T.StructType) -> DataSourceReader:
+        return HttpBatchReader(self.options, schema)
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> DataSourceWriter:
+        if overwrite:
+            raise ValueError("http sink is append-only (streaming append mode)")
+        return HttpBatchWriter(self.options, schema)
+
+    def streamWriter(
+        self, schema: T.StructType, overwrite: bool
+    ) -> DataSourceStreamWriter:
+        return HttpStreamWriter(self.options, schema)
+
+
+def register_http_datasource(spark) -> None:
+    spark.dataSource.register(HttpDataSource)

@@ -102,6 +102,27 @@ class _DataStub:
                 f"FROM read_parquet('{sf_dir}/part.parquet')"
             ).fetchall()
         }
+        # suppliers served as PAGES (JSON arrays keyed by ?page=N) — the
+        # paged-REST shape the ``http`` DataSource reads in parallel
+        supplier_rows = [
+            {"s_suppkey": r[0], "s_name": r[1], "s_nationkey": r[2],
+             "s_acctbal": r[3]}
+            for r in con.execute(
+                f"SELECT s_suppkey, s_name, s_nationkey, s_acctbal "
+                f"FROM read_parquet('{sf_dir}/supplier.parquet') "
+                f"ORDER BY s_suppkey"
+            ).fetchall()
+        ]
+        page_size = 40
+        self.supplier_pages = max(
+            1, -(-len(supplier_rows) // page_size)
+        )
+        supplier_pages_tbl = {
+            str(i): response_bytes(json.dumps(
+                supplier_rows[i * page_size:(i + 1) * page_size]
+            ).encode())
+            for i in range(self.supplier_pages)
+        }
         con.close()
 
         def nation_post(_query: str, body: bytes) -> bytes:
@@ -116,6 +137,8 @@ class _DataStub:
                                  default=_empty_array)
         self.server.route_static("/part-csv", parts, "p_partkey",
                                  default=_404_part)
+        self.server.route_static("/suppliers-paged", supplier_pages_tbl,
+                                 "page", default=_empty_array)
         self.server.start()
 
     def url(self, path: str) -> str:
@@ -369,3 +392,32 @@ def http_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("l_extendedprice", T.DoubleType()),
     ])
     return spark.createDataFrame(received, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# the custom DataSource under the gate: spark.read.format("http")
+# ---------------------------------------------------------------------------
+
+@register(
+    "http_datasource_read",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+    """,
+    doc="Paged REST read through the registered ``http`` DataSource "
+        "(datasource.py): one InputPartition per page, fetched in parallel "
+        "across the cluster, decoded by the pluggable format registry — "
+        "the Spark-native rendering of the reference's "
+        "``'connector'='http'`` table (HttpLookupTableSourceFactory.java:81).",
+)
+def http_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datasource import register_http_datasource
+
+    register_http_datasource(spark)
+    stub = _stub_for(sf_dir)
+    return (
+        spark.read.format("http")
+        .schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
+        .option("url", stub.url("/suppliers-paged"))
+        .option("pages", stub.supplier_pages)
+        .load()
+    )

@@ -1,0 +1,136 @@
+"""The ``http`` custom DataSource: spark.read.format("http") with paged
+parallel fetch, df.write.format("http") with batched submission, and the
+native streaming sink — against the in-process stub server."""
+
+import json
+
+import pytest
+
+from flink_connector_http_spark.datasource import register_http_datasource
+from flink_connector_http_spark.testing import StubHttpServer, json_response
+
+SCHEMA = "id BIGINT, name STRING, score DOUBLE"
+
+
+@pytest.fixture()
+def stub():
+    server = StubHttpServer().start()
+    yield server
+    server.stop()
+
+
+@pytest.fixture(autouse=True)
+def _register(spark):
+    register_http_datasource(spark)
+
+
+def _paged_responder(pages):
+    def respond(req):
+        page = int(req.query.get("page", ["0"])[0])
+        return json_response(pages[page] if page < len(pages) else [])
+
+    return respond
+
+
+def test_read_paged_parallel(spark, stub):
+    pages = [
+        [{"id": i * 10 + j, "name": f"n{i}-{j}", "score": j / 2} for j in range(3)]
+        for i in range(4)
+    ]
+    stub.stub("/items", _paged_responder(pages))
+    df = (
+        spark.read.format("http")
+        .schema(SCHEMA)
+        .option("url", stub.url("/items"))
+        .option("pages", 4)
+        .load()
+    )
+    # one InputPartition per page → the whole cluster fetches concurrently
+    assert df.rdd.getNumPartitions() == 4
+    rows = sorted((r.id, r.name, r.score) for r in df.collect())
+    want = sorted(
+        (p["id"], p["name"], p["score"]) for page in pages for p in page
+    )
+    assert rows == want
+
+
+def test_read_unpaged_until_empty(spark, stub):
+    pages = [[{"id": 1, "name": "a", "score": 0.5}], [{"id": 2, "name": "b", "score": 1.5}]]
+    stub.stub("/items", _paged_responder(pages))
+    df = (
+        spark.read.format("http")
+        .schema(SCHEMA)
+        .option("url", stub.url("/items"))
+        .load()
+    )
+    assert sorted(r.id for r in df.collect()) == [1, 2]
+    # walked pages 0,1 then stopped on the empty page 2
+    assert len(stub.recorded("/items")) == 3
+
+
+def test_read_pushdown_column_prune_still_decodes(spark, stub):
+    stub.stub("/items", _paged_responder([[{"id": 7, "name": "x", "score": 2.0}]]))
+    df = (
+        spark.read.format("http")
+        .schema(SCHEMA)
+        .option("url", stub.url("/items"))
+        .option("pages", 1)
+        .load()
+        .select("name")
+    )
+    assert [r.name for r in df.collect()] == ["x"]
+
+
+def test_write_batched(spark, stub):
+    stub.stub_json("/ingest", {"ok": True})
+    df = spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(10)], SCHEMA
+    ).coalesce(1)
+    (
+        df.write.format("http")
+        .option("url", stub.url("/ingest"))
+        .option("batch_size", 4)
+        .option("header.X-Tag", "t1")
+        .mode("append")
+        .save()
+    )
+    reqs = stub.recorded("/ingest")
+    # 10 rows / batch_size 4 → 3 requests, JSON-array framed
+    assert len(reqs) == 3
+    assert all(r.method == "POST" for r in reqs)
+    # Spark lowercases option keys, so the header goes out as "x-tag" —
+    # legal (HTTP header names are case-insensitive)
+    assert all(r.headers.get("x-tag") == "t1" for r in reqs)
+    payload = [x for r in reqs for x in json.loads(r.body)]
+    assert sorted(p["id"] for p in payload) == list(range(10))
+
+
+def test_write_overwrite_rejected(spark, stub):
+    df = spark.createDataFrame([(1, "a", 1.0)], SCHEMA)
+    with pytest.raises(Exception, match="append-only"):
+        (
+            df.write.format("http")
+            .option("url", stub.url("/ingest"))
+            .mode("overwrite")
+            .save()
+        )
+
+
+def test_stream_write(spark, stub, tmp_path):
+    stub.stub_json("/ingest", {"ok": True})
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(5)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(in_dir))
+    stream = spark.readStream.schema(SCHEMA).parquet(str(in_dir))
+    query = (
+        stream.writeStream.format("http")
+        .option("url", stub.url("/ingest"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    got = [x for r in stub.recorded("/ingest") for x in json.loads(r.body)]
+    assert sorted(p["id"] for p in got) == list(range(5))
