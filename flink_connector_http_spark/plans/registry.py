@@ -52,10 +52,9 @@ def register(
 def load(spark: SparkSession, sf_dir: str, *names: str) -> Dict[str, DataFrame]:
     """Read the named parquet tables from a scale-factor dir.
 
-    ``events`` is special-cased: its ``ts`` column is parquet
-    TIMESTAMP(NANOS) which Spark's vectorized reader rejects; we read it as
-    epoch-nanos (``nanosAsLong``) and rebuild a TIMESTAMP_NTZ via integer
-    division to micros (a double division would lose precision at 1e18).
+    ``events`` is special-cased: its ``ts`` column is normalized to
+    TIMESTAMP_NTZ whichever parquet encoding the data generator used
+    (see :func:`normalize_events_ts`).
     """
     out: Dict[str, DataFrame] = {}
     for n in names:
@@ -89,13 +88,33 @@ def _ensure_parallelism(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def normalize_events_ts(df: DataFrame, *, target: str = "timestamp_ntz") -> DataFrame:
+    """Adapt ``events.ts`` to ``target`` regardless of how the parquet file
+    encodes it. The driver has shipped two encodings across rounds:
+
+    - parquet TIMESTAMP(NANOS) — Spark's vectorized reader rejects it, so we
+      read epoch-nanos (``nanosAsLong``) and rebuild via integer division to
+      micros (a double division would lose precision at 1e18);
+    - plain parquet TIMESTAMP (micros, isAdjustedToUTC=false) — Spark reads
+      it as TIMESTAMP_NTZ directly.
+
+    The session time zone is pinned UTC at every call site, so the
+    NTZ <-> LTZ cast (streaming watermarks need LTZ) is value-preserving.
+    """
     from pyspark.sql import functions as F
 
+    dt = dict(df.dtypes)["ts"]
+    if dt == "bigint":  # TIMESTAMP(NANOS) surfaced as epoch-nanos
+        return df.withColumn(
+            "ts", F.expr("timestamp_micros(ts DIV 1000)").cast(target)
+        )
+    if dt != target:
+        return df.withColumn("ts", F.col("ts").cast(target))
+    return df
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.withColumn(
-        "ts",
-        F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"),
-    )
+    return normalize_events_ts(ev, target="timestamp_ntz")

@@ -23,7 +23,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.registry import register
+from ..plans.registry import normalize_events_ts, register
 
 __all__ = [
     "windowed_counts",
@@ -87,9 +87,8 @@ def windowed_counts(
 )
 def stream_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_window_{uuid.uuid4().hex[:8]}"
-    # events.parquet carries TIMESTAMP(NANOS): stream it as epoch-nanos
-    # (nanosAsLong, same trick as registry.load_events) and rebuild the
-    # timestamp before the watermark is applied
+    # normalize_events_ts adapts whichever parquet ts encoding the data
+    # generator used (nanos-as-long or plain micros) before the watermark
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
@@ -99,11 +98,12 @@ def stream_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(in_dir, "events.parquet"),
     )
     stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(in_dir)
-        # withWatermark requires TIMESTAMP (not NTZ); session TZ is pinned
-        # UTC above so wall-clock values equal the oracle's NTZ values
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        normalize_events_ts(
+            spark.readStream.schema(raw_schema).parquet(in_dir),
+            # withWatermark requires TIMESTAMP (not NTZ); session TZ is
+            # pinned UTC above so wall-clock values equal the oracle's NTZ
+            target="timestamp",
+        )
     )
     query = (
         windowed_counts(stream)
@@ -207,9 +207,10 @@ def stream_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(in_dir, "events.parquet"),
     )
     stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(in_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        normalize_events_ts(
+            spark.readStream.schema(raw_schema).parquet(in_dir),
+            target="timestamp",
+        )
     )
     query = (
         session_counts(stream)
@@ -304,9 +305,10 @@ def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def side(event_type: str, prefix: str) -> DataFrame:
         return (
-            spark.readStream.schema(raw_schema)
-            .parquet(in_dir)
-            .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+            normalize_events_ts(
+                spark.readStream.schema(raw_schema).parquet(in_dir),
+                target="timestamp",
+            )
             .filter(F.col("event_type") == event_type)
             .select(
                 F.col("event_id").alias(f"{prefix}_event"),
@@ -390,9 +392,10 @@ def stream_attribution_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def side(event_type: str, prefix: str) -> DataFrame:
         return (
-            spark.readStream.schema(raw_schema)
-            .parquet(in_dir)
-            .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+            normalize_events_ts(
+                spark.readStream.schema(raw_schema).parquet(in_dir),
+                target="timestamp",
+            )
             .filter(F.col("event_type") == event_type)
             .select(
                 F.col("event_id").alias(f"{prefix}_event"),
