@@ -687,3 +687,120 @@ def sim_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= QKNN_TOP_K)
         .select("q_id", "neighbor_id", "dot_q", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# approximate kNN graph (per-node top-k neighbor edges from LSH candidates)
+# ---------------------------------------------------------------------------
+
+GRAPH_K = 3
+
+_KNN_GRAPH_ORACLE = f"""
+    WITH sig AS (
+      SELECT vec_id, {_signature_duck('embedding')} AS sig FROM embeddings
+    ),
+    bands AS (
+      SELECT vec_id, band_id,
+             (sig >> (band_id * {_BITS})) & {(1 << _BITS) - 1} AS band_val
+      FROM sig CROSS JOIN (
+        SELECT unnest(range({PLANE_BANDS})) AS band_id
+      ) bs
+    ),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_val = y.band_val
+      WHERE x.vec_id < y.vec_id
+    ),
+    scored AS (
+      SELECT cand.a_id, cand.b_id, round({COS_DUCK}, 6) AS cosine
+      FROM cand
+      JOIN embeddings a ON a.vec_id = cand.a_id
+      JOIN embeddings b ON b.vec_id = cand.b_id
+    ),
+    edges AS (
+      SELECT a_id AS src_id, b_id AS dst_id, cosine FROM scored
+      UNION ALL
+      SELECT b_id, a_id, cosine FROM scored
+    )
+    SELECT src_id, dst_id, cosine, rk FROM (
+      SELECT src_id, dst_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY src_id
+                                ORDER BY cosine DESC, dst_id) AS rk
+      FROM edges
+    ) t WHERE rk <= {GRAPH_K}
+"""
+
+
+@register(
+    "emb_knn_graph",
+    oracle=_KNN_GRAPH_ORACLE,
+    doc=f"Approximate kNN graph: every node's top-{GRAPH_K} neighbors among "
+        "its LSH band candidates — the neighbor-graph build behind "
+        "graph-based semantic dedup clustering and kNN-classifier data "
+        "curation. Undirected candidate pairs (a<b) are scored ONCE, then "
+        "mirrored into both edge directions before the per-source top-k "
+        "window, halving the exact-cosine work. No cross join at any "
+        "point: candidates come from the one shuffle on (band_id, "
+        "band_val), and the window shuffles on src_id — both key-balanced "
+        "at 100 TB. Deterministic md5 planes -> exact DuckDB oracle.",
+)
+def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    sig = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(_NORM.format(col="embedding")).alias("norm"),
+        F.expr(_signature_expr("embedding")).alias("sig"),
+    )
+    bands = sig.select(
+        "vec_id",
+        "embedding",
+        "norm",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.expr(f"(sig >> {b * _BITS}) & {(1 << _BITS) - 1}").alias("band_val"),
+                )
+                for b in range(PLANE_BANDS)
+            ])
+        ).alias("bk"),
+    ).select("vec_id", "embedding", "norm", "bk.band_id", "bk.band_val")
+    a = bands.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("norm").alias("a_norm"),
+        "band_id",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("norm").alias("b_norm"),
+        "band_id",
+        "band_val",
+    )
+    scored = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+        .select(
+            "a_id",
+            "b_id",
+            F.expr(f"round({_DOT_AB} / (a_norm * b_norm), 6)").alias("cosine"),
+        )
+    )
+    edges = scored.select(
+        F.col("a_id").alias("src_id"), F.col("b_id").alias("dst_id"), "cosine"
+    ).unionAll(
+        scored.select(
+            F.col("b_id").alias("src_id"), F.col("a_id").alias("dst_id"), "cosine"
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("cosine"), F.asc("dst_id"))
+    return (
+        edges.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= GRAPH_K)
+        .select("src_id", "dst_id", "cosine", "rk")
+    )

@@ -1266,3 +1266,157 @@ def text_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lm_coverage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram association lift (PMI without the log — exactly rational)
+# ---------------------------------------------------------------------------
+
+PMI_TOP_K = 200
+
+#: adjacent lowercase token pairs as one string "w1 w2" (2-shingles); same
+#: slice+zip_with shape as SHINGLES_SPARK — no per-index re-split
+_T2 = "split(lower(text), ' ')"
+_N2 = f"greatest(size({_T2}) - 1, 0)"
+BIGRAMS_SPARK = (
+    f"zip_with(slice({_T2}, 1, {_N2}), slice({_T2}, 2, {_N2}), "
+    f"(x, y) -> concat(x, ' ', y))"
+)
+BIGRAMS_DUCK = (
+    "list_transform(range(1, len(string_split(lower(text), ' '))), "
+    "i -> string_split(lower(text), ' ')[i] || ' ' || "
+    "string_split(lower(text), ' ')[i + 1])"
+)
+
+#: identical left-to-right IEEE evaluation order in both engines makes the
+#: double bit-exact: lift = (n_xy/n_big) / ((n_x/n_uni) * (n_y/n_uni))
+_LIFT = (
+    "CAST(n_xy AS DOUBLE) * CAST(n_uni AS DOUBLE) * CAST(n_uni AS DOUBLE)"
+    " / CAST(n_x AS DOUBLE) / CAST(n_y AS DOUBLE) / CAST(n_big AS DOUBLE)"
+)
+
+
+@register(
+    "text_pmi_bigrams",
+    oracle=f"""
+    WITH uni AS (
+      SELECT token, COUNT(*) AS n
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+            FROM documents)
+      GROUP BY token
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_uni FROM uni),
+    big AS (
+      SELECT bigram, COUNT(*) AS n_xy
+      FROM (SELECT unnest({BIGRAMS_DUCK}) AS bigram FROM documents)
+      GROUP BY bigram
+    ),
+    btot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n_big FROM big),
+    top AS (
+      SELECT bigram, n_xy FROM big
+      ORDER BY n_xy DESC, bigram LIMIT {PMI_TOP_K}
+    )
+    SELECT t.bigram, t.n_xy, ux.n AS n_x, uy.n AS n_y,
+           {_LIFT} AS lift
+    FROM top t
+    JOIN uni ux ON ux.token = string_split(t.bigram, ' ')[1]
+    JOIN uni uy ON uy.token = string_split(t.bigram, ' ')[2]
+    CROSS JOIN tot CROSS JOIN btot
+    """,
+    doc="Bigram association lift (PMI's exact-rational core, no log): "
+        "p(xy)/(p(x)p(y)) for the top-k adjacent token pairs — the "
+        "collocation-mining signal used to build tokenizer merge rules and "
+        "phrase lists. Two shuffles (unigram, bigram counts); the top-k "
+        "bigram set is broadcast into the unigram joins, and corpus totals "
+        "ride along as broadcast scalars. The double is a fixed "
+        "left-to-right multiply/divide chain, bit-identical across engines.",
+)
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    uni = (
+        docs.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = uni.agg(F.expr("CAST(SUM(n) AS BIGINT)").alias("n_uni"))
+    big = (
+        docs.select(F.explode(F.expr(BIGRAMS_SPARK)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+    )
+    btot = big.agg(F.expr("CAST(SUM(n_xy) AS BIGINT)").alias("n_big"))
+    top = big.orderBy(F.desc("n_xy"), F.asc("bigram")).limit(PMI_TOP_K)
+    # 200-row top side broadcast into both unigram probes; scalar totals
+    # broadcast via 1-row cross joins — no shuffle after the two counts
+    ux = uni.select(F.col("token").alias("tx"), F.col("n").alias("n_x"))
+    uy = uni.select(F.col("token").alias("ty"), F.col("n").alias("n_y"))
+    return (
+        F.broadcast(top)
+        .withColumn("tx", F.expr("split(bigram, ' ')[0]"))
+        .withColumn("ty", F.expr("split(bigram, ' ')[1]"))
+        .join(ux, "tx")
+        .join(uy, "ty")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select("bigram", "n_xy", "n_x", "n_y", F.expr(_LIFT).alias("lift"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# inverted index (capped posting lists)
+# ---------------------------------------------------------------------------
+
+INDEX_TOP_TOKENS = 100
+POSTINGS_CAP = 50
+
+
+@register(
+    "text_inverted_index",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT token, doc_id
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+            FROM documents)
+    )
+    SELECT token, doc_freq, postings FROM (
+      SELECT token,
+             COUNT(*) AS doc_freq,
+             list_slice(list_sort(list(doc_id)), 1, {POSTINGS_CAP})
+               AS postings
+      FROM pairs GROUP BY token
+      ORDER BY doc_freq DESC, token LIMIT {INDEX_TOP_TOKENS}
+    )
+    """,
+    doc="Inverted index build: token -> document frequency + posting list "
+        "of the first {cap} doc_ids. The postings are capped BEFORE "
+        "collect_list via a row_number window, so a hot token ('the') "
+        "never materializes an unbounded array in one task — the window "
+        "and the groupBy share the token hash partitioning, so the cap "
+        "costs no extra shuffle. Output restricted to the top tokens by "
+        "document frequency for a stable small result.",
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    pairs = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+    ).dropDuplicates(["token", "doc_id"])
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("token").orderBy("doc_id")
+    capped = (
+        pairs.withColumn("doc_freq", F.count(F.lit(1)).over(
+            Window.partitionBy("token")
+        ))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= POSTINGS_CAP)
+    )
+    return (
+        capped.groupBy("token")
+        .agg(
+            F.first("doc_freq").alias("doc_freq"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .orderBy(F.desc("doc_freq"), F.asc("token"))
+        .limit(INDEX_TOP_TOKENS)
+    )

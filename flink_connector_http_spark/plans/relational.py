@@ -1719,3 +1719,59 @@ def q21_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 validity intervals from a changelog (temporal dimension build)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts AS valid_from
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from) AS valid_to,
+           CAST(LEAD(valid_from) OVER (PARTITION BY user_id
+                                       ORDER BY valid_from) IS NULL
+                AS BOOLEAN) AS is_current
+    FROM changes
+    """,
+    doc="SCD type-2 dimension build from a changelog: collapse each user's "
+        "event stream to its change points, then derive "
+        "[valid_from, valid_to) validity intervals with LEAD and flag the "
+        "open (current) interval. The two windows and the change filter "
+        "share one hash partitioning on user_id, so the whole history "
+        "build is a single shuffle at any scale — the standard "
+        "merge-free way to maintain temporal dimensions for training-data "
+        "point-in-time joins.",
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    w_ev = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w_ev))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"))
+    )
+    w_iv = Window.partitionBy("user_id").orderBy("valid_from")
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w_iv).alias("valid_to"),
+        F.lead("valid_from").over(w_iv).isNull().alias("is_current"),
+    )

@@ -32,6 +32,8 @@ __all__ = [
     "stream_session_events",
     "attribution_join",
     "stream_attribution_join",
+    "dedup_within_watermark",
+    "stream_dedup_events_watermark",
 ]
 
 WATERMARK = "1 hour"
@@ -430,3 +432,70 @@ def stream_attribution_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination(300)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# streaming deduplication bounded by watermark (dropDuplicatesWithinWatermark)
+# ---------------------------------------------------------------------------
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: "list[str]",
+    *,
+    ts_col: str = "ts",
+    watermark: str = WATERMARK,
+) -> DataFrame:
+    """First-arrival dedup whose state is BOUNDED by the watermark: a key's
+    dedup record is dropped once the watermark passes its event time plus
+    the delay, so state is O(keys seen per watermark horizon), not O(all
+    keys ever) — the property plain streaming ``dropDuplicates`` lacks and
+    the reason it cannot run forever. A key recurring later than the
+    horizon is emitted again (at-least-once dedup, matching the
+    at-least-once guarantee of the reference's sink, ``SURVEY.md`` S11).
+    """
+    wm = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    if not events.isStreaming:
+        return wm.dropDuplicates(keys)
+    return wm.dropDuplicatesWithinWatermark(keys)
+
+
+@register(
+    "stream_dedup_events_watermark",
+    # one availableNow micro-batch over one file: the watermark never
+    # advances mid-batch, no state is evicted, so every duplicate key
+    # collapses — output = the distinct key set. Only key columns are
+    # returned (WHICH duplicate survives is arrival-order-dependent; the
+    # key set itself is deterministic).
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    doc="Streaming dedup with watermark-bounded state "
+        "(dropDuplicatesWithinWatermark): first arrival per "
+        "(user_id, event_type) emits, duplicates within the watermark "
+        "horizon are suppressed, and state is evicted as the watermark "
+        "advances — the only dedup shape that survives an unbounded "
+        "stream.",
+)
+def stream_dedup_events_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"stream_ddw_{uuid.uuid4().hex[:8]}"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    in_dir = tempfile.mkdtemp(prefix="stream_ddw_in_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(in_dir, "events.parquet"),
+    )
+    stream = normalize_events_ts(
+        spark.readStream.schema(raw_schema).parquet(in_dir),
+        target="timestamp",
+    ).select("ts", "user_id", "event_type")
+    query = (
+        dedup_within_watermark(stream, ["user_id", "event_type"])
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ddw_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table(name).select("user_id", "event_type")
