@@ -1388,24 +1388,31 @@ POSTINGS_CAP = 50
     )
     """,
     doc="Inverted index build: token -> document frequency + posting list "
-        "of the first {cap} doc_ids. The postings are capped BEFORE "
-        "collect_list via a row_number window, so a hot token ('the') "
-        "never materializes an unbounded array in one task — the window "
-        "and the groupBy share the token hash partitioning, so the cap "
-        "costs no extra shuffle. Output restricted to the top tokens by "
-        "document frequency for a stable small result.",
+        "of the first {cap} doc_ids. ONE shuffle total: the per-doc "
+        "distinct, the doc-freq count, the row_number cap, and the final "
+        "collect_list all run on the same (token) hash partitioning — the "
+        "(token, doc_id) distinct is a lag-based filter inside the sorted "
+        "window pass instead of a dropDuplicates (which would add its own "
+        "(token, doc_id) exchange). The cap bounds the array a hot token "
+        "('the') materializes in any one task. Output restricted to the "
+        "top tokens by document frequency for a stable small result.",
 )
 def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")["documents"]
     pairs = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
-    ).dropDuplicates(["token", "doc_id"])
+    )
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("token").orderBy("doc_id")
     capped = (
-        pairs.withColumn("doc_freq", F.count(F.lit(1)).over(
+        # distinct (token, doc_id) via lag on the token-partitioned,
+        # doc_id-sorted stream — same partitioning the later windows and
+        # groupBy need, so Catalyst plans a single exchange
+        pairs.withColumn("prev_doc", F.lag("doc_id").over(w))
+        .filter(F.col("prev_doc").isNull() | (F.col("doc_id") != F.col("prev_doc")))
+        .withColumn("doc_freq", F.count(F.lit(1)).over(
             Window.partitionBy("token")
         ))
         .withColumn("rn", F.row_number().over(w))
@@ -1419,4 +1426,145 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("doc_freq"), F.asc("token"))
         .limit(INDEX_TOP_TOKENS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership sketch (mergeable, deterministic)
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1020      # 17 words x 60 usable bits (bit 59 max keeps the
+BLOOM_WORD = 60        # shifted value positive in a signed BIGINT)
+BLOOM_K = 3
+BLOOM_PROBES = 1000
+
+
+def _bloom_pos_spark(key_expr: str, i: int) -> str:
+    salted = f"concat('bloom{i}:', {key_expr})"
+    return f"({md5_int60_spark(salted)} % {BLOOM_BITS})"
+
+
+def _bloom_pos_duck(key_expr: str, i: int) -> str:
+    salted = f"concat('bloom{i}:', {key_expr})"
+    return f"({md5_int60_duck(salted)} % {BLOOM_BITS})"
+
+
+@register(
+    "sketch_bloom_membership",
+    oracle=f"""
+    WITH pos AS (
+      SELECT unnest([{", ".join(_bloom_pos_duck("text", i) for i in range(BLOOM_K))}]) AS p
+      FROM documents
+    ),
+    words AS (
+      SELECT p // {BLOOM_WORD} AS w,
+             bit_or(1::BIGINT << CAST(p % {BLOOM_WORD} AS INTEGER)) AS bits
+      FROM pos GROUP BY w
+    ),
+    filt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(bit_count(bits)) AS BIGINT) AS n_set_bits
+      FROM words
+    ),
+    probe_pos AS (
+      SELECT k, unnest([{", ".join(_bloom_pos_duck("concat('probe:', k)", i) for i in range(BLOOM_K))}]) AS p
+      FROM (SELECT unnest(range({BLOOM_PROBES})) AS k)
+    ),
+    probe_hits AS (
+      SELECT pp.k,
+             SUM(CASE WHEN ((w.bits >> CAST(pp.p % {BLOOM_WORD} AS INTEGER)) & 1) = 1
+                      THEN 1 ELSE 0 END) AS nh
+      FROM probe_pos pp LEFT JOIN words w ON w.w = pp.p // {BLOOM_WORD}
+      GROUP BY pp.k
+    ),
+    fp AS (
+      SELECT CAST(COUNT(*) FILTER (nh = {BLOOM_K}) AS BIGINT) AS n_false_pos
+      FROM probe_hits
+    )
+    SELECT CAST({BLOOM_BITS} AS BIGINT) AS m_bits,
+           CAST({BLOOM_K} AS BIGINT) AS k_hashes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_inserted,
+           filt.n_words, filt.n_set_bits,
+           CAST({BLOOM_PROBES} AS BIGINT) AS n_probes,
+           fp.n_false_pos
+    FROM filt CROSS JOIN fp
+    """,
+    doc="Mergeable Bloom-filter sketch: insert every document (3 "
+        "md5-derived positions in a 1020-bit filter stored as 17 60-bit "
+        "words), then probe 1000 non-inserted keys and count false "
+        "positives — the approximate-membership primitive for cheap "
+        "cross-corpus contamination screens. The build is one map-side "
+        "bit_or aggregation to 17 rows (mergeable across partitions, "
+        "shards, and days by construction); probes broadcast-join the "
+        "17-word filter. Everything is integer md5 arithmetic -> exact "
+        "oracle.",
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    pos = docs.select(
+        F.explode(
+            F.array(*[
+                F.expr(_bloom_pos_spark("text", i)) for i in range(BLOOM_K)
+            ])
+        ).alias("p")
+    )
+    words = (
+        pos.select(
+            F.expr(f"p DIV {BLOOM_WORD}").alias("w"),
+            F.expr(f"shiftleft(1L, CAST(p % {BLOOM_WORD} AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+    )
+    filt = words.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_words"),
+        F.expr("CAST(SUM(bit_count(bits)) AS BIGINT)").alias("n_set_bits"),
+    )
+    n_docs = docs.agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_inserted"))
+    probe_pos = (
+        spark.range(BLOOM_PROBES)
+        .select(F.col("id").alias("k"))
+        .select(
+            "k",
+            F.explode(
+                F.array(*[
+                    F.expr(_bloom_pos_spark("concat('probe:', k)", i))
+                    for i in range(BLOOM_K)
+                ])
+            ).alias("p"),
+        )
+    )
+    probe_hits = (
+        probe_pos.join(
+            F.broadcast(words),
+            F.col("w") == F.expr(f"p DIV {BLOOM_WORD}"),
+            "left",
+        )
+        .select(
+            "k",
+            F.expr(
+                f"CASE WHEN ((bits >> CAST(p % {BLOOM_WORD} AS INT)) & 1) = 1 "
+                "THEN 1 ELSE 0 END"
+            ).alias("hit"),
+        )
+        .groupBy("k")
+        .agg(F.sum("hit").alias("nh"))
+    )
+    fp = probe_hits.agg(
+        F.expr(
+            f"CAST(COUNT(*) FILTER (WHERE nh = {BLOOM_K}) AS BIGINT)"
+        ).alias("n_false_pos")
+    )
+    return (
+        filt.crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(fp))
+        .select(
+            F.expr(f"CAST({BLOOM_BITS} AS BIGINT)").alias("m_bits"),
+            F.expr(f"CAST({BLOOM_K} AS BIGINT)").alias("k_hashes"),
+            "n_inserted",
+            "n_words",
+            "n_set_bits",
+            F.expr(f"CAST({BLOOM_PROBES} AS BIGINT)").alias("n_probes"),
+            "n_false_pos",
+        )
     )

@@ -1775,3 +1775,205 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(w_iv).alias("valid_to"),
         F.lead("valid_from").over(w_iv).isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# point-in-time enrichment against SCD2 intervals (leakage-safe feature join)
+# ---------------------------------------------------------------------------
+
+_SCD2_CTE = """
+    ordered AS (
+      SELECT user_id, event_type, ts,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    intervals AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+"""
+
+
+@register(
+    "q_pit_enrichment",
+    oracle=f"""
+    WITH {_SCD2_CTE}
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           i.event_type AS state_at_order, i.valid_from AS state_since
+    FROM orders o
+    LEFT JOIN intervals i
+      ON i.user_id = o.o_custkey
+     AND i.valid_from <= o.o_orderdate
+     AND (i.valid_to IS NULL OR o.o_orderdate < i.valid_to)
+    """,
+    doc="Point-in-time (as-of) enrichment: each order picks up the SCD2 "
+        "state interval covering its order date — the leakage-safe feature "
+        "join a training pipeline must use instead of joining current "
+        "attributes onto historical examples. Equi-key on user_id carries "
+        "the join (one shuffle per side); the interval predicates are "
+        "post-join filters, and disjoint intervals guarantee at most one "
+        "match per order. LEFT join keeps orders predating any state.",
+)
+def q_pit_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "events", "orders")
+    ev = t["events"]
+    w_ev = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_iv = Window.partitionBy("user_id").orderBy("valid_from")
+    intervals = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w_ev))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"))
+        .withColumn("valid_to", F.lead("valid_from").over(w_iv))
+    )
+    o = t["orders"].select("o_orderkey", "o_custkey", "o_orderdate")
+    return o.join(
+        intervals,
+        (F.col("user_id") == F.col("o_custkey"))
+        & (F.col("valid_from") <= F.col("o_orderdate"))
+        & (F.col("valid_to").isNull() | (F.col("o_orderdate") < F.col("valid_to"))),
+        "left",
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.col("event_type").alias("state_at_order"),
+        F.col("valid_from").alias("state_since"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-group z-score outliers (exact two-pass, no floating accumulation drift)
+# ---------------------------------------------------------------------------
+
+Z_THRESHOLD = 2.5
+
+#: identical left-to-right IEEE chain in both engines; inputs are the
+#: DECIMAL-exact per-group sums, so the double is bit-reproducible
+_Z_EXPR = (
+    "round((CAST(CAST(value AS DECIMAL(10,2)) AS DOUBLE) - sx / n) / "
+    "sqrt(greatest(sxx / n - sx / n * (sx / n), 1e-12)), 6)"
+)
+
+
+@register(
+    "q_value_outliers",
+    oracle=f"""
+    WITH stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value AS DECIMAL(10,2)) *
+                      CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sxx
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(CAST(e.value AS DECIMAL(10,2)) AS DOUBLE) AS value,
+           {_Z_EXPR} AS z
+    FROM events e JOIN stats USING (event_type)
+    WHERE abs({_Z_EXPR}) > {Z_THRESHOLD}
+    """,
+    doc="Per-group z-score outlier detection (the numeric-quality filter "
+        "for pipeline monitoring): population mean/std from DECIMAL-exact "
+        "sums — order-independent, so results are identical under any "
+        "partitioning — then a broadcast of the tiny per-group stats back "
+        "onto the scan. Two narrow passes over events, no wide shuffle.",
+)
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    stats = ev.groupBy("event_type").agg(
+        F.expr("CAST(COUNT(*) AS DOUBLE)").alias("n"),
+        F.expr("CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE)").alias("sx"),
+        F.expr(
+            "CAST(SUM(CAST(value AS DECIMAL(10,2)) * "
+            "CAST(value AS DECIMAL(10,2))) AS DOUBLE)"
+        ).alias("sxx"),
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("z", F.expr(_Z_EXPR))
+        .filter(F.abs(F.col("z")) > Z_THRESHOLD)
+        .select(
+            "event_id",
+            "event_type",
+            F.expr("CAST(CAST(value AS DECIMAL(10,2)) AS DOUBLE)").alias("value"),
+            "z",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto concentration: cumulative revenue share over aggregated groups
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_pareto_brands",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_brand,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(10,2)) *
+                      (1 - CAST(l.l_discount AS DECIMAL(10,2))))
+                  AS DECIMAL(38,6)) AS revenue
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_brand
+    ),
+    tot AS (SELECT SUM(revenue) AS total FROM rev)
+    SELECT p_brand,
+           CAST(revenue AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(revenue) OVER (ORDER BY revenue DESC, p_brand)
+                     AS DECIMAL(38,6)) AS DOUBLE)
+                / CAST((SELECT total FROM tot) AS DOUBLE) AS cum_share,
+           CAST(CAST(CAST(SUM(revenue) OVER (ORDER BY revenue DESC, p_brand)
+                     AS DECIMAL(38,6)) AS DOUBLE)
+                / CAST((SELECT total FROM tot) AS DOUBLE)
+                <= 0.8 AS BOOLEAN) AS in_top80
+    FROM rev
+    """,
+    doc="Pareto/ABC analysis: revenue concentration by brand with "
+        "cumulative share and 80%-tier flag. The global-order window runs "
+        "AFTER the distributed aggregation, over one row per brand — the "
+        "aggregate-then-window shape that keeps a 'global' cumulative sum "
+        "legal at 100 TB (the wide input is reduced by the groupBy's "
+        "map-side partials; the window input is dozens of rows). DECIMAL "
+        "running sums keep the shares engine-exact.",
+)
+def q_pareto_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "lineitem", "part")
+    rev = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * "
+                "(1 - CAST(l_discount AS DECIMAL(10,2)))) AS DECIMAL(38,6))"
+            ).alias("revenue")
+        )
+    )
+    tot = rev.agg(F.expr("SUM(revenue)").alias("total"))
+    w = Window.orderBy(F.desc("revenue"), F.asc("p_brand")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cum", F.expr("CAST(1 AS DECIMAL(38,6))") * F.sum("revenue").over(w)
+        )
+        .select(
+            "p_brand",
+            F.expr("CAST(revenue AS DOUBLE)").alias("revenue"),
+            F.expr(
+                "CAST(CAST(cum AS DECIMAL(38,6)) AS DOUBLE) / "
+                "CAST(total AS DOUBLE)"
+            ).alias("cum_share"),
+            F.expr(
+                "CAST(CAST(CAST(cum AS DECIMAL(38,6)) AS DOUBLE) / "
+                "CAST(total AS DOUBLE) <= 0.8 AS BOOLEAN)"
+            ).alias("in_top80"),
+        )
+    )
