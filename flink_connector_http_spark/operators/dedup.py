@@ -505,3 +505,88 @@ _CLUSTERS_ORACLE = f"""
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
     return connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# cluster representative selection (keep the best doc, not just the first)
+# ---------------------------------------------------------------------------
+
+#: quality signal for representative choice: lexical diversity (distinct /
+#: total tokens) as a fixed-order DOUBLE — engine-exact
+_UNIQ_RATIO_SPARK = (
+    "CAST(size(array_distinct(split(text, ' '))) AS DOUBLE) / "
+    "size(split(text, ' '))"
+)
+_UNIQ_RATIO_DUCK = (
+    "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / "
+    "len(string_split(text, ' '))"
+)
+
+_KEEP_BEST_ORACLE = f"""
+    WITH RECURSIVE pairs AS (
+      {_JACCARD_ORACLE}
+    ),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION ALL
+      SELECT b_id AS src, a_id AS dst FROM pairs
+    ),
+    walk(doc_id, reach) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, w.reach FROM edges e JOIN walk w ON w.doc_id = e.dst
+    ),
+    clusters AS (
+      SELECT doc_id, CAST(MIN(reach) AS BIGINT) AS cluster_id
+      FROM walk GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT c.cluster_id, c.doc_id, {_UNIQ_RATIO_DUCK} AS uniq_ratio,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY {_UNIQ_RATIO_DUCK} DESC, c.doc_id)
+               AS rk,
+             COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+      FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT cluster_id, doc_id AS keep_doc_id, uniq_ratio, n_members
+    FROM ranked WHERE rk = 1
+"""
+
+
+@register(
+    "dedup_keep_best",
+    oracle=_KEEP_BEST_ORACLE,
+    doc="Cluster representative selection: near-dup clusters keep their "
+        "HIGHEST-QUALITY member (lexical diversity, deterministic doc_id "
+        "tie-break), not the arbitrary first — the policy real corpus "
+        "dedup uses so boilerplate-laden copies lose to the clean one. "
+        "Composes dedup_clusters with a per-cluster argmax window; the "
+        "quality join touches only clustered docs (a semi-join-sized "
+        "fraction of the corpus).",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    clusters = dedup_clusters(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")["documents"]
+    quality = docs.select(
+        "doc_id", F.expr(_UNIQ_RATIO_SPARK).alias("uniq_ratio")
+    )
+    joined = clusters.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("uniq_ratio"), F.asc("doc_id")
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            "uniq_ratio",
+            "n_members",
+        )
+    )

@@ -438,3 +438,49 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "out_w", "out_h",
         F.expr("lower(hex(thumb))").alias("thumb_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-video frame dedup (composition: frame sampling -> exact dedup)
+# ---------------------------------------------------------------------------
+
+@register(
+    "mm_frame_dedup",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, 'VID0' || text AS vid, md5('VID0' || text) AS hx
+      FROM documents
+    ), meta AS (
+      SELECT doc_id, vid,
+             10 + ('0x' || substr(hx, 1, 2))::INT % 30 AS n_frames
+      FROM h
+    ), frames AS (
+      SELECT doc_id, CAST(idx AS INT) AS frame_idx,
+             md5(vid || ':' || CAST(idx AS VARCHAR)) AS frame_md5
+      FROM meta, unnest(range(0, n_frames, {FRAME_SAMPLE_EVERY})) AS t(idx)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(COUNT(DISTINCT frame_md5) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) - COUNT(DISTINCT frame_md5) AS BIGINT)
+             AS n_redundant,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_videos
+    FROM frames
+    """,
+    doc="Cross-video frame redundancy accounting: the frame-sampling "
+        "pipeline's content fingerprints deduplicated globally — the "
+        "multimodal twin of exact text dedup. One shuffle on frame_md5 "
+        "(partial distinct-aggregation map-side) over the 1->N exploded "
+        "frame stream; at 100 TB this is the standard sharded-by-hash "
+        "dedup shape, and the summary is what a storage-planning pass "
+        "reads before deciding to collapse frame blobs.",
+)
+def mm_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = mm_video_frames(spark, sf_dir)
+    return frames.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_frames"),
+        F.expr("CAST(COUNT(DISTINCT frame_md5) AS BIGINT)").alias("n_distinct"),
+        F.expr(
+            "CAST(COUNT(*) - COUNT(DISTINCT frame_md5) AS BIGINT)"
+        ).alias("n_redundant"),
+        F.expr("CAST(COUNT(DISTINCT doc_id) AS BIGINT)").alias("n_videos"),
+    )

@@ -1568,3 +1568,60 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_false_pos",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# source-mix rebalancing (deterministic downsampling to parity)
+# ---------------------------------------------------------------------------
+
+MIX_SCALE = 1_000_000
+
+
+@register(
+    "sample_source_mix",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS parity FROM counts
+    ),
+    thr AS (
+      SELECT source,
+             CAST(floor(least(1.0,
+                 (SELECT parity FROM tot) / CAST(cnt AS DOUBLE))
+                 * {MIX_SCALE}) AS BIGINT) AS keep_thr
+      FROM counts
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN thr USING (source)
+    WHERE {md5_int32_duck("concat('mix:', d.doc_id)")} % {MIX_SCALE}
+          < thr.keep_thr
+    """,
+    doc="Deterministic source-mix rebalancing: over-represented sources "
+        "are downsampled toward parity (rate = parity/count, capped at 1) "
+        "with a salted-hash keep decision — the data-mixing step every "
+        "pretraining corpus build runs. The decision is a pure function "
+        "of doc_id, so the sample is stable across re-runs, partitioning, "
+        "and incremental appends; per-source rates are a broadcast of the "
+        "tiny counts aggregate, the filter itself is a zero-shuffle map.",
+)
+def sample_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    parity = counts.agg(
+        F.expr("CAST(SUM(cnt) AS DOUBLE) / COUNT(*)").alias("parity")
+    )
+    thr = counts.crossJoin(F.broadcast(parity)).select(
+        "source",
+        F.expr(
+            f"CAST(floor(least(1.0, parity / CAST(cnt AS DOUBLE)) "
+            f"* {MIX_SCALE}) AS BIGINT)"
+        ).alias("keep_thr"),
+    )
+    keep = md5_int32_spark("concat('mix:', doc_id)")
+    return (
+        docs.join(F.broadcast(thr), "source")
+        .filter(F.expr(f"{keep} % {MIX_SCALE}") < F.col("keep_thr"))
+        .select("doc_id", "source")
+    )
