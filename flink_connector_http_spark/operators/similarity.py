@@ -804,3 +804,69 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= GRAPH_K)
         .select("src_id", "dst_id", "cosine", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# per-dimension corpus statistics (exact, via the int8 quantization path)
+# ---------------------------------------------------------------------------
+
+#: shared with emb_quantize_int8: symmetric per-vector int8 quantization.
+#: Corpus-level float sums are order-dependent (never hash-stable), so the
+#: dimension stats run over the EXACT integer codes instead — the same
+#: numbers an ANN index would profile before choosing per-dim cutoffs.
+_QVEC_SPARK = (
+    "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * "
+    "(CASE WHEN array_max(transform(embedding, v -> abs(CAST(v AS DOUBLE)))) = 0 "
+    "THEN CAST(0 AS DOUBLE) ELSE CAST(127 AS DOUBLE) / "
+    "array_max(transform(embedding, v -> abs(CAST(v AS DOUBLE)))) END) "
+    "+ 0.5) AS INT))"
+)
+_QVEC_DUCK = (
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * "
+    "(CASE WHEN list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) = 0 "
+    "THEN CAST(0 AS DOUBLE) ELSE CAST(127 AS DOUBLE) / "
+    "list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) END) "
+    "+ 0.5) AS INT))"
+)
+
+
+@register(
+    "emb_dim_stats",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, {_QVEC_DUCK} AS qvec FROM embeddings
+    ),
+    pos AS (
+      SELECT vec_id, qvec,
+             unnest(range(1, len(qvec) + 1)) AS dim
+      FROM q
+    )
+    SELECT CAST(dim AS INT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(qvec[dim]) AS BIGINT) AS sum_q,
+           MIN(qvec[dim]) AS min_q,
+           MAX(qvec[dim]) AS max_q,
+           CAST(COUNT(*) FILTER (qvec[dim] = 0) AS BIGINT) AS n_zero
+    FROM pos GROUP BY dim
+    """,
+    doc="Per-dimension embedding profile (the pass an ANN index or "
+        "whitening step runs first): exact integer sums/extremes/sparsity "
+        "per dimension over int8-quantized codes — float accumulation "
+        "across rows is partition-order-dependent and can never "
+        "hash-match an oracle, so the profile quantizes first (per-row, "
+        "deterministic) and aggregates integers (associative-exact). One "
+        "shuffle on the 64 dim keys with map-side partials carrying "
+        "almost all the reduction.",
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    exploded = emb.select(
+        F.posexplode(F.expr(_QVEC_SPARK)).alias("pos", "q")
+    ).select((F.col("pos") + 1).cast("int").alias("dim"), "q")
+    return exploded.groupBy("dim").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+        F.expr("CAST(SUM(q) AS BIGINT)").alias("sum_q"),
+        F.min("q").alias("min_q"),
+        F.max("q").alias("max_q"),
+        F.expr("CAST(COUNT(*) FILTER (WHERE q = 0) AS BIGINT)").alias("n_zero"),
+    )

@@ -1625,3 +1625,73 @@ def sample_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.expr(f"{keep} % {MIX_SCALE}") < F.col("keep_thr"))
         .select("doc_id", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# fused wide feature extraction (one scan replaces four)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_features_wide",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars,
+           {_D['n_tokens']} AS n_tokens,
+           {_D['n_uniq_tokens']} AS n_uniq_tokens,
+           CAST({_D['n_uniq_tokens']} AS DOUBLE) / {_D['n_tokens']}
+             AS uniq_ratio,
+           CAST({_D['sum_token_len']} AS DOUBLE) / {_D['n_tokens']}
+             AS avg_token_len,
+           list_max(list_transform({TOKS_DUCK}, t -> length(t)))
+             AS max_token_len,
+           CAST({_D['n_en_stop']} AS DOUBLE) / {_D['n_tokens']}
+             AS en_stop_ratio,
+           CAST({_D['n_es_stop']} AS DOUBLE) / {_D['n_tokens']}
+             AS es_stop_ratio,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / greatest(n_chars, 1) AS digit_ratio,
+           CAST({_D['n_tokens']} BETWEEN 20 AND 2000
+            AND CAST({_D['n_uniq_tokens']} AS DOUBLE) / {_D['n_tokens']} >= 0.15
+            AND CAST({_D['sum_token_len']} AS DOUBLE) / {_D['n_tokens']}
+                BETWEEN 2.0 AND 12.0 AS BOOLEAN) AS quality_pass
+    FROM documents
+    """,
+    doc="Fused feature matrix: every per-document text signal (token "
+        "stats, lexical diversity, stopword scores, digit ratio, quality "
+        "gate) in ONE whole-stage-codegen scan — the operator-fusion "
+        "shape that replaces running the individual feature queries as "
+        "separate corpus passes. Zero shuffle; at 100 TB the cost is one "
+        "parquet read, and Catalyst CSEs the shared split(text) "
+        "subexpression across all the derived columns.",
+)
+def text_features_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return docs.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.expr(_S["n_tokens"]).alias("n_tokens"),
+        F.expr(_S["n_uniq_tokens"]).alias("n_uniq_tokens"),
+        F.expr(
+            f"CAST({_S['n_uniq_tokens']} AS DOUBLE) / {_S['n_tokens']}"
+        ).alias("uniq_ratio"),
+        F.expr(
+            f"CAST({_S['sum_token_len']} AS DOUBLE) / {_S['n_tokens']}"
+        ).alias("avg_token_len"),
+        F.expr(
+            f"array_max(transform({TOKS_SPARK}, t -> length(t)))"
+        ).alias("max_token_len"),
+        F.expr(
+            f"CAST({_S['n_en_stop']} AS DOUBLE) / {_S['n_tokens']}"
+        ).alias("en_stop_ratio"),
+        F.expr(
+            f"CAST({_S['n_es_stop']} AS DOUBLE) / {_S['n_tokens']}"
+        ).alias("es_stop_ratio"),
+        F.expr(
+            "CAST(length(regexp_replace(text, '[^0-9]', '')) AS DOUBLE)"
+            " / greatest(n_chars, 1)"
+        ).alias("digit_ratio"),
+        F.expr(
+            f"CAST({_S['n_tokens']} BETWEEN 20 AND 2000"
+            f" AND CAST({_S['n_uniq_tokens']} AS DOUBLE) / {_S['n_tokens']} >= 0.15"
+            f" AND CAST({_S['sum_token_len']} AS DOUBLE) / {_S['n_tokens']}"
+            f" BETWEEN 2.0 AND 12.0 AS BOOLEAN)"
+        ).alias("quality_pass"),
+    )
