@@ -590,3 +590,73 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup (daily-crawl pattern: new batch vs existing corpus)
+# ---------------------------------------------------------------------------
+
+INCR_SPLIT = 400  # doc_id < INCR_SPLIT plays "existing corpus", rest "new"
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH old AS (
+      SELECT DISTINCT md5(lower(text)) AS h FROM documents
+      WHERE doc_id < {INCR_SPLIT}
+    ),
+    new_batch AS (
+      SELECT doc_id, md5(lower(text)) AS h FROM documents
+      WHERE doc_id >= {INCR_SPLIT}
+    ),
+    ranked AS (
+      SELECT n.doc_id, n.h,
+             CAST(o.h IS NOT NULL AS BOOLEAN) AS dup_of_existing,
+             ROW_NUMBER() OVER (PARTITION BY n.h ORDER BY n.doc_id)
+               AS rn_in_batch
+      FROM new_batch n LEFT JOIN old o ON o.h = n.h
+    )
+    SELECT doc_id,
+           CASE WHEN dup_of_existing THEN 'dup_of_existing'
+                WHEN rn_in_batch > 1 THEN 'dup_in_batch'
+                ELSE 'novel' END AS verdict
+    FROM ranked
+    """,
+    doc="Incremental (daily-crawl) dedup: classify each new-batch document "
+        "as novel, duplicate-of-existing-corpus, or duplicate-within-batch "
+        "— the decision a continuously-ingesting pipeline makes so it "
+        "never re-deduplicates the full corpus. The existing side is "
+        "reduced to distinct content hashes BEFORE the join (at 100 TB "
+        "that's the only thing that must persist day to day: the hash "
+        "index, not the text), the within-batch rank and the existing "
+        "probe share the content-hash partitioning, and novel hashes "
+        "union into the index for tomorrow.",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    h = F.expr("md5(lower(text))")
+    old = (
+        docs.filter(F.col("doc_id") < INCR_SPLIT)
+        .select(h.alias("h"))
+        .distinct()
+        .withColumn("seen", F.lit(True))
+    )
+    new_batch = docs.filter(F.col("doc_id") >= INCR_SPLIT).select(
+        "doc_id", h.alias("h")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("h").orderBy("doc_id")
+    return (
+        new_batch.join(old, "h", "left")
+        .withColumn("rn_in_batch", F.row_number().over(w))
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN seen THEN 'dup_of_existing' "
+                "WHEN rn_in_batch > 1 THEN 'dup_in_batch' "
+                "ELSE 'novel' END"
+            ).alias("verdict"),
+        )
+    )
