@@ -50,6 +50,7 @@ from pyspark.sql.datasource import (
     DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -250,6 +251,85 @@ class HttpStreamWriter(DataSourceStreamWriter):
         pass
 
 
+class HttpPollingStreamReader(SimpleDataSourceStreamReader):
+    """``spark.readStream.format("http")`` — a polling source over a paged
+    REST feed. The offset is the next unread page cursor, so an
+    append-only endpoint (a changelog/export feed that only ever adds
+    pages) becomes a replayable stream: ``readBetweenOffsets`` re-fetches
+    a committed page range verbatim on recovery. Exactly-once therefore
+    holds IF pages are immutable once published — for mutable feeds the
+    guarantee degrades to at-least-once, same as any re-pollable source.
+
+    This is the simple (driver-polling) reader: the right shape for
+    control-plane-rate feeds. High-volume ingest should land the feed on
+    object storage and use the file source; the batch reader
+    (``spark.read.format("http")``) already fans pages out per executor.
+    """
+
+    def __init__(self, options: Dict[str, str], schema: T.StructType) -> None:
+        self.options = dict(options)
+        self.read_schema = schema
+        self.url = options["url"]
+        self.fmt = options.get("format", "json")
+        self.page_param = options.get("page_param", "page")
+        self.max_pages_per_batch = max(
+            1, int(options.get("max_pages_per_batch", "10"))
+        )
+        self.timeout = float(options.get("timeout", "30"))
+        self._transport = None
+
+    # -- transport bits shared with HttpBatchReader ------------------------
+    def _fetch_page(self, page: int) -> List[dict]:
+        from urllib.parse import urlencode
+
+        from .auth import AUTHORIZATION, basic_auth_value, preprocess_headers
+        from .client import HttpTransport
+        from .formats import resolve_decoder
+        from .request import HttpRequestSpec
+
+        if self._transport is None:
+            self._transport = HttpTransport(timeout=self.timeout)
+            self._decoder = resolve_decoder(self.fmt)
+            self._headers = preprocess_headers(
+                _headers_from_options(self.options),
+                {AUTHORIZATION: basic_auth_value},
+            )
+        sep = "&" if "?" in self.url else "?"
+        url = f"{self.url}{sep}{urlencode({self.page_param: page})}"
+        resp = self._transport.send(
+            HttpRequestSpec(method="GET", url=url, headers=self._headers, body=None)
+        )
+        if resp.status != 200:
+            raise IOError(f"HTTP stream: page {page} returned status {resp.status}")
+        decoded = self._decoder(resp.body)
+        if isinstance(decoded, dict):
+            decoded = [decoded]
+        return decoded
+
+    # -- SimpleDataSourceStreamReader contract -----------------------------
+    def initialOffset(self) -> dict:
+        return {"page": int(self.options.get("start_page", "0"))}
+
+    def read(self, start: dict):
+        page = int(start["page"])
+        rows: List[tuple] = []
+        for _ in range(self.max_pages_per_batch):
+            records = self._fetch_page(page)
+            if not records:
+                break  # caught up: empty page = feed head
+            rows.extend(_coerce_record(r, self.read_schema) for r in records)
+            page += 1
+        return iter(rows), {"page": page}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        for page in range(int(start["page"]), int(end["page"])):
+            for rec in self._fetch_page(page):
+                yield _coerce_record(rec, self.read_schema)
+
+    def commit(self, end: dict) -> None:
+        pass  # the page cursor lives in the checkpoint; nothing to ack
+
+
 class HttpDataSource(DataSource):
     """``format("http")`` — paged REST reads, batched HTTP writes."""
 
@@ -278,6 +358,11 @@ class HttpDataSource(DataSource):
         self, schema: T.StructType, overwrite: bool
     ) -> DataSourceStreamWriter:
         return HttpStreamWriter(self.options, schema)
+
+    def simpleStreamReader(
+        self, schema: T.StructType
+    ) -> SimpleDataSourceStreamReader:
+        return HttpPollingStreamReader(self.options, schema)
 
 
 def register_http_datasource(spark) -> None:

@@ -421,3 +421,41 @@ def http_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pages", stub.supplier_pages)
         .load()
     )
+
+
+@register(
+    "http_datasource_stream",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+    """,
+    doc="Polling STREAM read through the registered ``http`` DataSource "
+        "(spark.readStream.format('http'), SimpleDataSourceStreamReader): "
+        "the page cursor is the stream offset, availableNow drains the "
+        "feed to its head, and the checkpointed cursor makes re-runs "
+        "resume instead of re-ingest. Completes the format's surface "
+        "matrix — batch read, batch write, stream write, stream read.",
+)
+def http_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from ..datasource import register_http_datasource
+
+    register_http_datasource(spark)
+    stub = _stub_for(sf_dir)
+    name = f"http_poll_{uuid.uuid4().hex[:8]}"
+    query = (
+        spark.readStream.format("http")
+        .schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
+        .option("url", stub.url("/suppliers-paged"))
+        .option("max_pages_per_batch", 4)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="http_poll_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table(name)

@@ -134,3 +134,44 @@ def test_stream_write(spark, stub, tmp_path):
     query.awaitTermination(120)
     got = [x for r in stub.recorded("/ingest") for x in json.loads(r.body)]
     assert sorted(p["id"] for p in got) == list(range(5))
+
+
+def test_stream_read_polling_source(spark, stub, tmp_path):
+    """spark.readStream.format('http'): the paged feed becomes a stream —
+    batch 1 drains the pages available at start, the feed grows, batch 2
+    picks up exactly the new pages (offset = page cursor)."""
+    pages = [
+        [{"id": 1, "name": "a", "score": 0.5}],
+        [{"id": 2, "name": "b", "score": 1.5}],
+    ]
+    stub.stub("/feed", _paged_responder(pages))
+
+    out_dir = str(tmp_path / "out")
+
+    def start_query():
+        return (
+            spark.readStream.format("http")
+            .schema(SCHEMA)
+            .option("url", stub.url("/feed"))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def output_ids():
+        return sorted(r.id for r in spark.read.parquet(out_dir).collect())
+
+    q = start_query()
+    q.awaitTermination(120)
+    assert output_ids() == [1, 2]
+
+    # feed grows; a new availableNow run resumes from the checkpointed
+    # page cursor and ingests ONLY the new page — nothing re-emitted
+    pages.append([{"id": 3, "name": "c", "score": 2.5}])
+    q = start_query()
+    q.awaitTermination(120)
+    assert output_ids() == [1, 2, 3]
