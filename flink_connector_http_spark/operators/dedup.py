@@ -660,3 +660,62 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("verdict"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# containment near-dup (asymmetric: B quotes/embeds most of A)
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, unnest({SHINGLES_DUCK}) AS s FROM documents
+      )
+    ), counts AS (
+      SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id
+    )
+    SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+           CAST(COUNT(*) AS DOUBLE) / ca.c AS containment
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+    JOIN counts ca ON ca.doc_id = a.doc_id
+    GROUP BY contained_id, container_id, ca.c
+    HAVING CAST(COUNT(*) AS DOUBLE) / ca.c >= {CONTAINMENT_THRESHOLD}
+    """,
+    doc="Asymmetric containment dedup: |A∩B| / |A| over 3-token shingles "
+        "flags documents mostly CONTAINED in another (quotes, embedded "
+        "articles, boilerplate wrappers) — pairs Jaccard misses because "
+        "the union term swamps a small contained doc. Same inverted-index "
+        "self-join as the exact-Jaccard baseline (one shuffle on shingle); "
+        "divided only by the contained side's shingle count, and ordered "
+        "pairs (<>) because containment is directional. The scale path "
+        "reuses the MinHash candidates exactly as dedup_minhash_lsh does.",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_index(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    a = sh.select(F.col("doc_id").alias("contained_id"), "s")
+    b = sh.select(F.col("doc_id").alias("container_id"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("contained_id") != F.col("container_id"))
+        .groupBy("contained_id", "container_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            counts.select(
+                F.col("doc_id").alias("contained_id"), F.col("c").alias("ca")
+            ),
+            "contained_id",
+        )
+        .withColumn(
+            "containment", F.expr("CAST(n_common AS DOUBLE) / ca")
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select("contained_id", "container_id", "containment")
+    )

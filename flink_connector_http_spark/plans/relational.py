@@ -1977,3 +1977,63 @@ def q_pareto_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("in_top80"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# equi-width histogram (distributed two-pass profiling)
+# ---------------------------------------------------------------------------
+
+N_BINS = 20
+
+#: bin index from DECIMAL-exact extremes, identical IEEE order both engines;
+#: the last bin is closed so max lands in bin N-1
+_BIN_EXPR = (
+    f"CAST(least(floor((CAST(CAST(value AS DECIMAL(10,2)) AS DOUBLE) - lo)"
+    f" / w), {N_BINS - 1}) AS BIGINT)"
+)
+
+
+@register(
+    "q_histogram_values",
+    oracle=f"""
+    WITH ext AS (
+      SELECT CAST(MIN(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS lo,
+             (CAST(MAX(CAST(value AS DECIMAL(10,2))) AS DOUBLE)
+              - CAST(MIN(CAST(value AS DECIMAL(10,2))) AS DOUBLE))
+             / {N_BINS} AS w
+      FROM events
+    )
+    SELECT {_BIN_EXPR} AS bin,
+           lo + {_BIN_EXPR} * w AS bin_lo,
+           lo + ({_BIN_EXPR} + 1) * w AS bin_hi,
+           COUNT(*) AS n
+    FROM events CROSS JOIN ext
+    GROUP BY bin, bin_lo, bin_hi
+    """,
+    doc="Equi-width histogram over a numeric column: DECIMAL-exact "
+        "extremes (order-independent MIN/MAX) broadcast as scalars, then "
+        "one binning scan with map-side partial counts — the two-pass "
+        "profiling shape that replaces a sort-based histogram. Bin edges "
+        "recomputed from the same IEEE expression on both engines, so "
+        "the doubles hash-match.",
+)
+def q_histogram_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    ext = ev.agg(
+        F.expr("CAST(MIN(CAST(value AS DECIMAL(10,2))) AS DOUBLE)").alias("lo"),
+        F.expr(
+            "(CAST(MAX(CAST(value AS DECIMAL(10,2))) AS DOUBLE)"
+            " - CAST(MIN(CAST(value AS DECIMAL(10,2))) AS DOUBLE))"
+            f" / {N_BINS}"
+        ).alias("w"),
+    )
+    return (
+        ev.crossJoin(F.broadcast(ext))
+        .select(
+            F.expr(_BIN_EXPR).alias("bin"),
+            F.expr(f"lo + {_BIN_EXPR} * w").alias("bin_lo"),
+            F.expr(f"lo + ({_BIN_EXPR} + 1) * w").alias("bin_hi"),
+        )
+        .groupBy("bin", "bin_lo", "bin_hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
