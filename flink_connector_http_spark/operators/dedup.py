@@ -437,6 +437,10 @@ def connected_components(pairs: DataFrame, max_iterations: int = 25) -> DataFram
     converges in O(log n) rounds on pathological chain graphs; the
     surrounding fixpoint loop and output contract stay identical.
     """
+    # persist the pair source FIRST: the undirected adjacency is a 2-branch
+    # union, and materializing it without this would execute the upstream
+    # pair pipeline (minhash + band join + verify) once per branch
+    pairs = pairs.persist()
     fwd = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
     adj = fwd.union(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
     adj = adj.persist()
@@ -471,6 +475,7 @@ def connected_components(pairs: DataFrame, max_iterations: int = 25) -> DataFram
         )
         if n_changed == 0:
             break
+    pairs.unpersist()
     for h in handles[:-1]:
         h.unpersist()
     return labels.select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))
