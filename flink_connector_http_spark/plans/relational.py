@@ -2037,3 +2037,98 @@ def q_histogram_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin", "bin_lo", "bin_hi")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# referential-integrity audit (anti-join data-quality gate)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_integrity_orphans",
+    oracle="""
+    SELECT 'lineitem_without_order' AS violation,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'order_without_customer',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem_without_part',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM part p
+                      WHERE p.p_partkey = l.l_partkey)
+    """,
+    doc="Referential-integrity audit: orphan counts for the three fact→dim "
+        "edges via left-anti joins — the data-quality gate an ingestion "
+        "pipeline runs before publishing a snapshot. Each anti join "
+        "broadcasts the key side when it fits (Catalyst picks "
+        "BroadcastHashJoin for the dims) and degrades to shuffled anti "
+        "join for fact-fact, so the audit scales with the fact scan.",
+)
+def q_integrity_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "lineitem", "orders", "customer", "part")
+
+    def orphans(label, fact, keys, dim, dim_keys):
+        probe = dim.select(*[F.col(k).alias(j) for k, j in zip(dim_keys, keys)])
+        return (
+            fact.select(*keys)
+            .join(probe, keys, "left_anti")
+            .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"))
+            .select(F.lit(label).alias("violation"), "n")
+        )
+
+    return (
+        orphans("lineitem_without_order", t["lineitem"], ["l_orderkey"],
+                t["orders"], ["o_orderkey"])
+        .unionAll(orphans("order_without_customer", t["orders"], ["o_custkey"],
+                          t["customer"], ["c_custkey"]))
+        .unionAll(orphans("lineitem_without_part", t["lineitem"], ["l_partkey"],
+                          t["part"], ["p_partkey"]))
+    )
+
+
+# ---------------------------------------------------------------------------
+# salted two-stage aggregation (hot-key skew pattern, result-identical)
+# ---------------------------------------------------------------------------
+
+N_SALTS = 8
+
+
+@register(
+    "q_salted_user_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    doc="Salted two-stage aggregation: stage 1 groups on "
+        "(user_id, salt) so a hot user's rows spread over N_SALTS "
+        "reducers, stage 2 merges the partials per user — bit-identical "
+        "to the plain GROUP BY (the oracle) because counts and DECIMAL "
+        "sums are associative. The manual skew-mitigation pattern for "
+        "when AQE's runtime skew split isn't available (e.g. first-stage "
+        "aggregations, which AQE does not rebalance).",
+)
+def q_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    partial = (
+        ev.withColumn(
+            "salt", F.expr(f"CAST(event_id % {N_SALTS} AS INT)")
+        )
+        .groupBy("user_id", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.expr("SUM(CAST(value AS DECIMAL(10,2)))").alias("pv"),
+        )
+    )
+    return partial.groupBy("user_id").agg(
+        F.expr("CAST(SUM(pn) AS BIGINT)").alias("n_events"),
+        F.expr("CAST(SUM(pv) AS DOUBLE)").alias("total_value"),
+    )
