@@ -870,3 +870,45 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("q").alias("max_q"),
         F.expr("CAST(COUNT(*) FILTER (WHERE q = 0) AS BIGINT)").alias("n_zero"),
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic duplicate clusters (connected components over cosine-LSH pairs)
+# ---------------------------------------------------------------------------
+
+_SEMANTIC_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE pairs AS (
+      {_LSH_DEDUP_ORACLE}
+    ),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION ALL
+      SELECT b_id AS src, a_id AS dst FROM pairs
+    ),
+    walk(vec_id, reach) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, w.reach FROM edges e JOIN walk w ON w.vec_id = e.dst
+    )
+    SELECT vec_id, CAST(MIN(reach) AS BIGINT) AS cluster_id
+    FROM walk GROUP BY vec_id
+"""
+
+
+@register(
+    "emb_semantic_clusters",
+    oracle=_SEMANTIC_CLUSTERS_ORACLE,
+    doc="Semantic duplicate clustering: cosine-LSH near-dup pairs -> "
+        "connected components -> canonical cluster id per vector — the "
+        "embedding-space twin of the MinHash dedup_clusters chain, used "
+        "when paraphrased/translated duplicates share no shingles. Reuses "
+        "the min-label-propagation loop (distributed joins, driver only "
+        "coordinates the fixpoint check).",
+)
+def emb_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import connected_components
+
+    pairs = dedup_embedding_lsh(spark, sf_dir).select("a_id", "b_id")
+    return connected_components(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )

@@ -2132,3 +2132,48 @@ def q_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(SUM(pn) AS BIGINT)").alias("n_events"),
         F.expr("CAST(SUM(pv) AS DOUBLE)").alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cohort retention (first-seen cohort x activity period)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           CAST(date_trunc('week', e.ts) AS TIMESTAMP) AS active_week,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM events e JOIN firsts f USING (user_id)
+    GROUP BY f.cohort_week, active_week
+    """,
+    doc="Cohort retention matrix: users bucketed by first-seen week, "
+        "counted distinct per subsequent activity week — the engagement "
+        "analysis every product/warehouse runs. Two shuffles (first-seen "
+        "per user, cohort x week distinct count); the firsts side is one "
+        "row per user and joins back on the same user_id partitioning.",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    firsts = ev.groupBy("user_id").agg(
+        F.expr(
+            "CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP_NTZ)"
+        ).alias("cohort_week")
+    )
+    return (
+        ev.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.expr("CAST(date_trunc('week', ts) AS TIMESTAMP_NTZ)").alias(
+                "active_week"
+            ),
+        )
+        .agg(
+            F.expr("CAST(COUNT(DISTINCT user_id) AS BIGINT)").alias("n_active")
+        )
+    )
