@@ -1695,3 +1695,120 @@ def text_features_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" BETWEEN 2.0 AND 12.0 AS BOOLEAN)"
         ).alias("quality_pass"),
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty (memorization/boilerplate signal)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, unnest({SHINGLES_DUCK}) AS s FROM documents
+      )
+    ),
+    df AS (
+      SELECT s, COUNT(*) AS docs_with FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(*) FILTER (df.docs_with = 1) AS BIGINT) AS n_unique,
+           CAST(COUNT(*) FILTER (df.docs_with = 1) AS DOUBLE) / COUNT(*)
+             AS novelty
+    FROM sh JOIN df USING (s)
+    GROUP BY sh.doc_id
+    """,
+    doc="Per-document n-gram novelty: the fraction of a doc's distinct "
+        "3-token shingles that appear in NO other document — high novelty "
+        "marks original prose, low novelty marks boilerplate/templated "
+        "text and near-copies that slipped past pair-level dedup. Two "
+        "shuffles (shingle document-frequency, then per-doc fold); the "
+        "shingle-df join and the df aggregation share the shingle "
+        "partitioning. The memorization-risk signal used to downweight "
+        "repeated content before training.",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.expr(f"array_distinct({SHINGLES_SPARK})")).alias("s"),
+    )
+    df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("docs_with"))
+    return (
+        sh.join(df_counts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_shingles"),
+            F.expr(
+                "CAST(COUNT(*) FILTER (WHERE docs_with = 1) AS BIGINT)"
+            ).alias("n_unique"),
+            F.expr(
+                "CAST(COUNT(*) FILTER (WHERE docs_with = 1) AS DOUBLE)"
+                " / COUNT(*)"
+            ).alias("novelty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# temperature-based language mixing (alpha = 0.5 -> sqrt scaling)
+# ---------------------------------------------------------------------------
+
+TEMP_TARGET = 300  # target corpus size after mixing
+
+
+@register(
+    "sample_temperature_mix",
+    # alpha = 0.5 temperature scaling implemented as sqrt(), which IEEE 754
+    # requires to be correctly rounded — pow(x, 0.5) would depend on each
+    # engine's libm. The rate expression is one fixed left-to-right chain.
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS DOUBLE) AS cnt
+      FROM documents GROUP BY lang
+    ),
+    z AS (SELECT SUM(sqrt(cnt)) AS denom FROM counts),
+    thr AS (
+      SELECT lang,
+             CAST(floor(least(1.0,
+                 {TEMP_TARGET} * sqrt(cnt)
+                 / (SELECT denom FROM z) / cnt) * {MIX_SCALE}) AS BIGINT)
+               AS keep_thr
+      FROM counts
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN thr USING (lang)
+    WHERE {md5_int32_duck("concat('temp:', d.doc_id)")} % {MIX_SCALE}
+          < thr.keep_thr
+    """,
+    doc="Temperature-scaled language mixing (alpha = 0.5): per-language "
+        "sampling rates proportional to count^alpha / count, the "
+        "mC4/XLM-R rule that upweights low-resource languages without "
+        "flattening the mix entirely. Same deterministic salted-hash keep "
+        "decision as sample_source_mix (stable under re-runs and "
+        "appends); sqrt instead of pow because IEEE mandates correctly "
+        "rounded sqrt, making the rates bit-identical across engines. "
+        "Rates are a broadcast of the tiny language census; the keep "
+        "filter is a zero-shuffle map.",
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    counts = docs.groupBy("lang").agg(
+        F.expr("CAST(COUNT(*) AS DOUBLE)").alias("cnt")
+    )
+    z = counts.agg(F.expr("SUM(sqrt(cnt))").alias("denom"))
+    thr = counts.crossJoin(F.broadcast(z)).select(
+        "lang",
+        F.expr(
+            f"CAST(floor(least(1.0, {TEMP_TARGET} * sqrt(cnt) / denom / cnt)"
+            f" * {MIX_SCALE}) AS BIGINT)"
+        ).alias("keep_thr"),
+    )
+    keep = md5_int32_spark("concat('temp:', doc_id)")
+    return (
+        docs.join(F.broadcast(thr), "lang")
+        .filter(F.expr(f"{keep} % {MIX_SCALE}") < F.col("keep_thr"))
+        .select("doc_id", "lang")
+    )
