@@ -459,3 +459,60 @@ def http_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination(300)
     return spark.table(name)
+
+
+@register(
+    "http_stream_enrich",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    WHERE o_orderstatus = 'P'
+    """,
+    doc="STREAMING flagship: the processing-time temporal lookup join "
+        "(T1, `FOR SYSTEM_TIME AS OF proc_time`) under the oracle gate — "
+        "the probe side arrives as a Structured Streaming micro-batch and "
+        "http_enrich_stream runs the identical narrow mapInPandas lookup "
+        "per batch. Same endpoint, options, and output contract as the "
+        "batch flagship, so the relational join oracle checks both paths.",
+)
+def http_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from ..streaming import http_enrich_stream
+
+    stub = _stub_for(sf_dir)
+    name = f"http_enrich_{uuid.uuid4().hex[:8]}"
+    raw_schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+    in_dir = tempfile.mkdtemp(prefix="http_enrich_in_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/orders.parquet"),
+        os.path.join(in_dir, "orders.parquet"),
+    )
+    probe = (
+        spark.readStream.schema(raw_schema)
+        .parquet(in_dir)
+        .filter(F.col("o_orderstatus") == "P")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    table = HttpLookupTable(
+        url=stub.url("/customers"),
+        schema=CUSTOMER_SCHEMA,
+        options=HttpLookupOptions(method="GET", use_async=True),
+    )
+    enriched = http_enrich_stream(
+        probe, table, on={"o_custkey": "c_custkey"}, how="inner",
+        select=["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+    query = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="http_enrich_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table(name)
