@@ -2177,3 +2177,67 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(COUNT(DISTINCT user_id) AS BIGINT)").alias("n_active")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dense calendar gap-fill (spine generation + left join)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_gap_fill_daily",
+    oracle="""
+    WITH ext AS (
+      SELECT CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS lo,
+             CAST(date_trunc('day', MAX(ts)) AS TIMESTAMP) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM ext
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+             COUNT(*) AS n
+      FROM events GROUP BY day, event_type
+    )
+    SELECT s.day, t.event_type,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
+    """,
+    doc="Dense time-series gap-fill: a generated day spine crossed with "
+        "the observed key set, left-joined onto daily aggregates with "
+        "zero-fill — the step that makes downstream window/trend math "
+        "correct when quiet days produce no rows at all. The spine is "
+        "sequence()-generated from the DECIMAL-free min/max day (tiny, "
+        "broadcast); the only wide shuffle is the daily aggregation "
+        "itself.",
+)
+def q_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    spine = (
+        ev.agg(
+            F.expr("CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP_NTZ)").alias("lo"),
+            F.expr("CAST(date_trunc('day', MAX(ts)) AS TIMESTAMP_NTZ)").alias("hi"),
+        )
+        .select(
+            F.explode(
+                F.expr("sequence(lo, hi, INTERVAL 1 DAY)")
+            ).alias("day")
+        )
+    )
+    types = ev.select("event_type").distinct()
+    daily = ev.groupBy(
+        F.expr("CAST(date_trunc('day', ts) AS TIMESTAMP_NTZ)").alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        F.broadcast(spine)
+        .crossJoin(F.broadcast(types))
+        .join(daily, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.expr("CAST(COALESCE(n, 0) AS BIGINT)").alias("n_events"),
+        )
+    )
