@@ -2241,3 +2241,122 @@ def q_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(COALESCE(n, 0) AS BIGINT)").alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# first-touch attribution (argmin over join candidates)
+# ---------------------------------------------------------------------------
+
+ATTR_WINDOW_S = 3600
+
+
+@register(
+    "q_first_touch_attribution",
+    oracle=f"""
+    WITH cand AS (
+      SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+             p.user_id, epoch_us(c.ts) - epoch_us(p.ts) AS gap_us,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts, c.event_id) AS rk
+      FROM events p JOIN events c
+        ON p.user_id = c.user_id
+       AND c.ts > p.ts
+       AND c.ts <= p.ts + INTERVAL {ATTR_WINDOW_S} SECONDS
+      WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    )
+    SELECT purchase_id, click_id, user_id, gap_us
+    FROM cand WHERE rk = 1
+    """,
+    doc="First-touch attribution: each purchase credits only the EARLIEST "
+        "follow-up click in its window — the argmin-per-join-group "
+        "pattern (interval join for candidates, then a row_number cut on "
+        "the purchase key). The candidate join shuffles both sides on "
+        "user_id; the dedup window re-partitions on purchase_id, whose "
+        "cardinality is the purchase count, not the candidate count.",
+)
+def q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    cand = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("p_ts"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr(f"INTERVAL {ATTR_WINDOW_S} SECONDS")),
+    )
+    w = Window.partitionBy("purchase_id").orderBy("c_ts", "click_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "purchase_id",
+            "click_id",
+            "user_id",
+            F.expr(
+                "CAST(unix_micros(CAST(c_ts AS TIMESTAMP)) "
+                "- unix_micros(CAST(p_ts AS TIMESTAMP)) AS BIGINT)"
+            ).alias("gap_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# week-over-week trend (lag over aggregated series)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_trend_wow",
+    oracle="""
+    WITH weekly AS (
+      SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week, event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total
+      FROM events GROUP BY week, event_type
+    )
+    SELECT week, event_type, n, total,
+           n - LAG(n) OVER w AS n_delta,
+           CASE WHEN LAG(n) OVER w IS NULL OR LAG(n) OVER w = 0
+                THEN CAST(NULL AS DOUBLE)
+                ELSE CAST(n - LAG(n) OVER w AS DOUBLE) / LAG(n) OVER w
+           END AS n_pct_change
+    FROM weekly
+    WINDOW w AS (PARTITION BY event_type ORDER BY week)
+    """,
+    doc="Week-over-week trend: the aggregate-then-lag shape — the wide "
+        "input reduces to one row per (week, type) before the ordered "
+        "window runs, so the 'global' time ordering costs nothing at "
+        "scale. Deltas are integer-exact; the pct change divides exact "
+        "integers in a fixed IEEE order.",
+)
+def q_trend_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    weekly = ev.groupBy(
+        F.expr("CAST(date_trunc('week', ts) AS TIMESTAMP_NTZ)").alias("week"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE)").alias("total"),
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    return weekly.select(
+        "week",
+        "event_type",
+        "n",
+        "total",
+        (F.col("n") - F.lag("n").over(w)).alias("n_delta"),
+        F.expr(
+            "CASE WHEN LAG(n) OVER (PARTITION BY event_type ORDER BY week) IS NULL "
+            "OR LAG(n) OVER (PARTITION BY event_type ORDER BY week) = 0 "
+            "THEN CAST(NULL AS DOUBLE) "
+            "ELSE CAST(n - LAG(n) OVER (PARTITION BY event_type ORDER BY week) AS DOUBLE) "
+            "/ LAG(n) OVER (PARTITION BY event_type ORDER BY week) END"
+        ).alias("n_pct_change"),
+    )
