@@ -137,6 +137,10 @@ class _DataStub:
                                  default=_empty_array)
         self.server.route_static("/part-csv", parts, "p_partkey",
                                  default=_404_part)
+        # GET variant of the nation lookup, for the SQL UDTF surface
+        self.server.route_static(
+            "/nation", {str(k): v for k, v in nations.items()},
+            "n_nationkey", default=_404_nation)
         self.server.route_static("/suppliers-paged", supplier_pages_tbl,
                                  "page", default=_empty_array)
         self.server.start()
@@ -516,3 +520,37 @@ def http_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination(300)
     return spark.table(name)
+
+
+@register(
+    "http_sql_lateral_lookup",
+    oracle="""
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    """,
+    doc="Pure-SQL lookup join via the http_get_json Python UDTF in a "
+        "LATERAL join — the ad-hoc SQL surface (`SELECT ... FROM t, "
+        "LATERAL http_get_json(url)`) mirroring the reference's "
+        "SQL-driven lookup table. Row-at-a-time by design and documented "
+        "as the slow path (sqlfn.py); the vectorized http_lookup_join "
+        "and the http DataSource remain the pipeline paths.",
+)
+def http_sql_lateral_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sqlfn import register_http_sql_functions
+
+    register_http_sql_functions(spark)
+    stub = _stub_for(sf_dir)
+    spark.read.parquet(f"{sf_dir}/supplier.parquet").createOrReplaceTempView(
+        "supplier_v"
+    )
+    base = stub.url("/nation")
+    return spark.sql(f"""
+        SELECT s.s_suppkey, s.s_name,
+               from_json(t.record,
+                         'n_name STRING, n_nationkey INT, n_regionkey INT'
+               ).n_name AS n_name
+        FROM supplier_v s,
+             LATERAL http_get_json(
+               concat('{base}?n_nationkey=', CAST(s.s_nationkey AS STRING))
+             ) t
+    """)

@@ -175,3 +175,37 @@ def test_stream_read_polling_source(spark, stub, tmp_path):
     q = start_query()
     q.awaitTermination(120)
     assert output_ids() == [1, 2, 3]
+
+
+def test_sql_udtf_lateral_lookup(spark, stub):
+    """http_get_json UDTF in a LATERAL join: pure-SQL per-row enrichment."""
+    from flink_connector_http_spark.sqlfn import register_http_sql_functions
+
+    register_http_sql_functions(spark)
+    stub.stub("/item", lambda req: json_response({
+        "id": int(req.query["id"][0]),
+        "name": f"item-{req.query['id'][0]}",
+    }))
+    spark.createDataFrame([(1,), (2,), (3,)], "id BIGINT").createOrReplaceTempView(
+        "probe_v"
+    )
+    rows = spark.sql(f"""
+        SELECT p.id,
+               from_json(t.record, 'id BIGINT, name STRING').name AS name
+        FROM probe_v p,
+             LATERAL http_get_json(concat('{stub.url("/item")}?id=', p.id)) t
+    """).collect()
+    assert sorted((r.id, r.name) for r in rows) == [
+        (1, "item-1"), (2, "item-2"), (3, "item-3"),
+    ]
+
+
+def test_sql_udtf_array_explodes(spark, stub):
+    from flink_connector_http_spark.sqlfn import register_http_sql_functions
+
+    register_http_sql_functions(spark)
+    stub.stub("/arr", lambda req: json_response([{"v": 1}, {"v": 2}, {"v": 3}]))
+    rows = spark.sql(
+        f"SELECT record FROM http_get_json('{stub.url('/arr')}')"
+    ).collect()
+    assert sorted(r.record for r in rows) == ['{"v": 1}', '{"v": 2}', '{"v": 3}']
