@@ -2360,3 +2360,73 @@ def q_trend_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "/ LAG(n) OVER (PARTITION BY event_type ORDER BY week) END"
         ).alias("n_pct_change"),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-group OLS slope (closed-form regression as aggregation)
+# ---------------------------------------------------------------------------
+
+#: x = seconds since the user's first event (small magnitudes keep the
+#: closed-form numerically tame); exact integer/decimal sums -> one fixed
+#: IEEE expression, so both engines emit the identical double
+_SLOPE = (
+    "CASE WHEN n * sxx - sx * sx = 0 THEN CAST(NULL AS DOUBLE) "
+    "ELSE round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) END"
+)
+
+
+@register(
+    "q_user_trend_slope",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id,
+             epoch_us(ts) - MIN(epoch_us(ts)) OVER (PARTITION BY user_id)
+               AS x_us,
+             CAST(value AS DECIMAL(10,2)) AS y
+      FROM events
+    ),
+    sums AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x_us // 1000000) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM((x_us // 1000000) * (x_us // 1000000)) AS DOUBLE) AS sxx,
+             CAST(SUM((x_us // 1000000) * y) AS DOUBLE) AS sxy
+      FROM base GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events, {_SLOPE} AS slope
+    FROM sums
+    """,
+    doc="Per-user OLS trend slope (value vs seconds-since-first-event): "
+        "closed-form regression expressed as exact aggregation — integer "
+        "x, DECIMAL y, so the six sufficient statistics are "
+        "order-independent and the final slope is one deterministic IEEE "
+        "expression. The per-entity-model feature extraction pattern "
+        "(churn/engagement slopes) without any Python in the row path; "
+        "one window + one aggregate sharing the user_id partitioning.",
+)
+def q_user_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id")
+    base = ev.select(
+        "user_id",
+        (
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+            - F.min(F.expr("unix_micros(CAST(ts AS TIMESTAMP))")).over(w)
+        ).alias("x_us"),
+        F.expr("CAST(value AS DECIMAL(10,2))").alias("y"),
+    )
+    sums = base.groupBy("user_id").agg(
+        F.expr("CAST(COUNT(*) AS DOUBLE)").alias("n"),
+        F.expr("CAST(SUM(x_us DIV 1000000) AS DOUBLE)").alias("sx"),
+        F.expr("CAST(SUM(y) AS DOUBLE)").alias("sy"),
+        F.expr(
+            "CAST(SUM((x_us DIV 1000000) * (x_us DIV 1000000)) AS DOUBLE)"
+        ).alias("sxx"),
+        F.expr("CAST(SUM((x_us DIV 1000000) * y) AS DOUBLE)").alias("sxy"),
+    )
+    return sums.select(
+        "user_id",
+        F.expr("CAST(n AS BIGINT)").alias("n_events"),
+        F.expr(_SLOPE).alias("slope"),
+    )
