@@ -912,3 +912,71 @@ def emb_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         F.col("doc_id").alias("vec_id"), "cluster_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation (the index-quality monitor)
+# ---------------------------------------------------------------------------
+
+_EXACT_TOPK_CTE = f"""
+    exact_scored AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+             round({COS_DUCK}, 6) AS cosine
+      FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+    ),
+    exact_topk AS (
+      SELECT q_id, neighbor_id FROM (
+        SELECT q_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM exact_scored
+      ) t WHERE rk <= {TOP_K}
+    )
+"""
+
+
+@register(
+    "sim_ann_recall_eval",
+    oracle=f"""
+    WITH {_EXACT_TOPK_CTE},
+    ann_topk AS (
+      SELECT q_id, neighbor_id FROM ({_ANN_ORACLE}) ann
+    )
+    SELECT e.q_id,
+           CAST({TOP_K} AS BIGINT) AS k,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+           CAST(COUNT(a.neighbor_id) AS DOUBLE) / {TOP_K} AS recall_at_k
+    FROM exact_topk e
+    LEFT JOIN ann_topk a
+      ON a.q_id = e.q_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.q_id
+    """,
+    doc=f"ANN index-quality monitor: recall@{TOP_K} of the LSH-bucketed "
+        "top-k against the exact brute-force top-k, per query — the "
+        "evaluation loop a production vector index runs continuously so "
+        "recall regressions surface before users do. Both sides are "
+        "deterministic engine computations, so even the EVALUATION is "
+        "under the hash-checked oracle gate. The comparison join is on "
+        "(q_id, neighbor_id) — tiny, broadcast.",
+)
+def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = sim_knn_bruteforce(spark, sf_dir).select("q_id", "neighbor_id")
+    ann = sim_ann_lsh_topk(spark, sf_dir).select(
+        F.col("q_id").alias("a_q"), F.col("neighbor_id").alias("a_n"),
+        F.lit(1).alias("hit"),
+    )
+    return (
+        exact.join(
+            F.broadcast(ann),
+            (F.col("q_id") == F.col("a_q"))
+            & (F.col("neighbor_id") == F.col("a_n")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.expr(f"CAST({TOP_K} AS BIGINT)").alias("k"),
+            F.expr("CAST(COUNT(hit) AS BIGINT)").alias("n_hit"),
+            F.expr(f"CAST(COUNT(hit) AS DOUBLE) / {TOP_K}").alias("recall_at_k"),
+        )
+    )

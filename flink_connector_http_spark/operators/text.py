@@ -1812,3 +1812,46 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.expr(f"{keep} % {MIX_SCALE}") < F.col("keep_thr"))
         .select("doc_id", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer fertility by language (tokenizer-eval metric)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_tokenizer_fertility",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(regexp_extract_all(lower(text), '{_BPE_WORD}')) +
+                    len(regexp_extract_all(lower(text), '{_BPE_NUM}')) +
+                    len(regexp_extract_all(lower(text), '{_BPE_PUNCT_DUCK}'))
+               ) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS DOUBLE) /
+           SUM(len(regexp_extract_all(lower(text), '{_BPE_WORD}')) +
+               len(regexp_extract_all(lower(text), '{_BPE_NUM}')) +
+               len(regexp_extract_all(lower(text), '{_BPE_PUNCT_DUCK}')))
+             AS chars_per_token
+    FROM documents GROUP BY lang
+    """,
+    doc="Tokenizer fertility by language: chars-per-token under the "
+        "BPE-style pretokenizer, aggregated per lang — the metric that "
+        "exposes when a tokenizer over-fragments some languages (and "
+        "hence skews effective per-language compute and context length). "
+        "Exact integer sums, one tiny shuffle on lang; the ratio is a "
+        "single fixed IEEE division.",
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    w = f"size(regexp_extract_all(lower(text), '{_BPE_WORD}', 0))"
+    n = f"size(regexp_extract_all(lower(text), '{_BPE_NUM}', 0))"
+    p = f"size(regexp_extract_all(lower(text), '{_BPE_PUNCT_SPARK}', 0))"
+    return docs.groupBy("lang").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+        F.expr("CAST(SUM(n_chars) AS BIGINT)").alias("total_chars"),
+        F.expr(f"CAST(SUM({w} + {n} + {p}) AS BIGINT)").alias("total_tokens"),
+        F.expr(
+            f"CAST(SUM(n_chars) AS DOUBLE) / SUM({w} + {n} + {p})"
+        ).alias("chars_per_token"),
+    )
