@@ -290,3 +290,89 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= FINAL_K)
         .select("doc_id", "r_lex", "r_vec", "rrf", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus materialization: the actual kept set, with per-doc verdict trail
+# ---------------------------------------------------------------------------
+
+#: deterministic temperature mix over lang, verbatim from
+#: sample_temperature_mix (alpha = 0.5, sqrt for IEEE exactness)
+_MANIFEST_TARGET = 300
+_MANIFEST_SCALE = 1_000_000
+
+
+@register(
+    "pipeline_corpus_manifest",
+    oracle=f"""
+    WITH survivors AS (
+      SELECT doc_id, lang, source FROM (
+        SELECT doc_id, lang, source,
+               ROW_NUMBER() OVER (PARTITION BY md5(lower(text))
+                                  ORDER BY doc_id) AS copy_rank
+        FROM documents
+        WHERE {_QUALITY_DUCK} AND NOT ({_REP_DUP_DUCK})
+      ) t WHERE copy_rank = 1
+    ),
+    counts AS (
+      SELECT lang, CAST(COUNT(*) AS DOUBLE) AS cnt
+      FROM survivors GROUP BY lang
+    ),
+    z AS (SELECT SUM(sqrt(cnt)) AS denom FROM counts),
+    thr AS (
+      SELECT lang,
+             CAST(floor(least(1.0,
+                 {_MANIFEST_TARGET} * sqrt(cnt)
+                 / (SELECT denom FROM z) / cnt) * {_MANIFEST_SCALE}) AS BIGINT)
+               AS keep_thr
+      FROM counts
+    )
+    SELECT s.doc_id, s.lang, s.source
+    FROM survivors s JOIN thr USING (lang)
+    WHERE ('0x' || substr(md5(concat('manifest:', s.doc_id)), 1, 8))::BIGINT
+          % {_MANIFEST_SCALE} < thr.keep_thr
+    """,
+    doc="Corpus manifest materialization — the capstone composition that "
+        "emits the ACTUAL training set, not statistics about it: quality "
+        "gate and repetition gate as pushed scan filters, exact dedup as "
+        "a keep-first-copy window on the content hash, then "
+        "temperature-scaled language mixing over the survivors (rates "
+        "computed from post-filter counts, as a real corpus build must). "
+        "One content-hash shuffle + one tiny census aggregate; every "
+        "stage reuses its standalone operator's expression text verbatim, "
+        "and the whole flow stays one Catalyst plan with no "
+        "materialization barrier.",
+)
+def pipeline_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    gated = docs.filter(
+        F.expr(f"({_QUALITY_SPARK}) AND NOT ({_REP_DUP_SPARK})")
+    ).select("doc_id", "lang", "source", F.expr("md5(lower(text))").alias("h"))
+    w = Window.partitionBy("h").orderBy("doc_id")
+    survivors = (
+        gated.withColumn("copy_rank", F.row_number().over(w))
+        .filter(F.col("copy_rank") == 1)
+        .select("doc_id", "lang", "source")
+    )
+    counts = survivors.groupBy("lang").agg(
+        F.expr("CAST(COUNT(*) AS DOUBLE)").alias("cnt")
+    )
+    z = counts.agg(F.expr("SUM(sqrt(cnt))").alias("denom"))
+    thr = counts.crossJoin(F.broadcast(z)).select(
+        "lang",
+        F.expr(
+            f"CAST(floor(least(1.0, {_MANIFEST_TARGET} * sqrt(cnt) / denom / cnt)"
+            f" * {_MANIFEST_SCALE}) AS BIGINT)"
+        ).alias("keep_thr"),
+    )
+    keep = (
+        "CAST(conv(substr(md5(concat('manifest:', doc_id)), 1, 8), 16, 10) "
+        "AS BIGINT)"
+    )
+    return (
+        survivors.join(F.broadcast(thr), "lang")
+        .filter(F.expr(f"{keep} % {_MANIFEST_SCALE}") < F.col("keep_thr"))
+        .select("doc_id", "lang", "source")
+    )
