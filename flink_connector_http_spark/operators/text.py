@@ -1855,3 +1855,62 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(SUM(n_chars) AS DOUBLE) / SUM({w} + {n} + {p})"
         ).alias("chars_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# character trigram profiles per language (lang-id model table)
+# ---------------------------------------------------------------------------
+
+CHAR_NGRAM_TOP = 20
+
+_TRIGRAMS_SPARK = (
+    "transform(sequence(1, greatest(length(lower(text)) - 2, 0)), "
+    "i -> substr(lower(text), i, 3))"
+)
+_TRIGRAMS_DUCK = (
+    "list_transform(range(1, greatest(length(lower(text)) - 2, 0) + 1), "
+    "i -> substr(lower(text), i, 3))"
+)
+
+
+@register(
+    "text_char_trigram_profile",
+    oracle=f"""
+    SELECT lang, trigram, n, rk FROM (
+      SELECT lang, trigram, n,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n DESC, trigram) AS rk
+      FROM (
+        SELECT lang, trigram, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (
+          SELECT lang, unnest({_TRIGRAMS_DUCK}) AS trigram FROM documents
+        )
+        GROUP BY lang, trigram
+      )
+    ) t WHERE rk <= {CHAR_NGRAM_TOP}
+    """,
+    doc="Per-language character-trigram profile (top-k by frequency): the "
+        "model table a char-n-gram language identifier trains — the "
+        "char-level modality complement to the token-level stopword "
+        "heuristic (text_lang_id). One shuffle on (lang, trigram) with "
+        "map-side partials; the per-lang rank runs over the reduced "
+        "counts and reuses nothing from the fact scan. A sliding "
+        "substr-transform keeps trigram extraction inside codegen — no "
+        "Python, no explode-of-explode.",
+)
+def text_char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    tri = docs.select(
+        "lang", F.explode(F.expr(_TRIGRAMS_SPARK)).alias("trigram")
+    )
+    counts = tri.groupBy("lang", "trigram").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("trigram"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= CHAR_NGRAM_TOP)
+        .select("lang", "trigram", "n", "rk")
+    )

@@ -499,3 +499,55 @@ def stream_dedup_events_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     query.awaitTermination(300)
     return spark.table(name).select("user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# streaming window top-k (stream aggregation + serving-side rank)
+# ---------------------------------------------------------------------------
+
+TOPK_PER_WINDOW = 2
+
+
+@register(
+    "stream_window_topk",
+    # rank over CLOSED windows only (same append-mode cut as
+    # stream_window_events); the serving-side rank is deterministic with
+    # the (n_events, event_type) tie-break
+    oracle=f"""
+    WITH wm AS (
+      SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events
+    ),
+    closed AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+             event_type, COUNT(*) AS n_events
+      FROM events
+      GROUP BY window_start, event_type
+      HAVING window_start + INTERVAL 1 DAY <= (SELECT w FROM wm)
+    )
+    SELECT window_start, event_type, n_events, rk FROM (
+      SELECT window_start, event_type, n_events,
+             ROW_NUMBER() OVER (PARTITION BY window_start
+                                ORDER BY n_events DESC, event_type) AS rk
+      FROM closed
+    ) t WHERE rk <= {TOPK_PER_WINDOW}
+    """,
+    doc="Streaming window top-k — the lambda-serving composition: the "
+        "stream side maintains watermarked tumbling-window counts "
+        "(bounded state, append-only emission), and the rank runs on the "
+        "emitted CLOSED windows, where it is a cheap batch window over "
+        "one row per (window, key). Ranking inside the stream would need "
+        "retractions; ranking after emission needs none — the standard "
+        "split between streaming aggregation and serving-side ordering.",
+)
+def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    closed = stream_window_events(spark, sf_dir)
+    w = W.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        closed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOPK_PER_WINDOW)
+        .select("window_start", "event_type", "n_events", "rk")
+    )
