@@ -376,3 +376,128 @@ def pipeline_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.expr(f"{keep} % {_MANIFEST_SCALE}") < F.col("keep_thr"))
         .select("doc_id", "lang", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup signal agreement (text MinHash vs embedding LSH consistency audit)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_signal_agreement",
+    oracle="""
+    WITH text_pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i + 1] || ' ' ||
+                        string_split(text, ' ')[i + 2])) AS s
+          FROM documents
+        )
+      ) a JOIN (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i + 1] || ' ' ||
+                        string_split(text, ' ')[i + 2])) AS s
+          FROM documents
+        )
+      ) b ON a.s = b.s AND a.doc_id < b.doc_id
+      JOIN (SELECT doc_id, COUNT(DISTINCT s) AS c FROM (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i + 1] || ' ' ||
+                            string_split(text, ' ')[i + 2])) AS s
+              FROM documents)
+            GROUP BY doc_id) ca ON ca.doc_id = a.doc_id
+      JOIN (SELECT doc_id, COUNT(DISTINCT s) AS c FROM (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i + 1] || ' ' ||
+                            string_split(text, ' ')[i + 2])) AS s
+              FROM documents)
+            GROUP BY doc_id) cb ON cb.doc_id = b.doc_id
+      GROUP BY a.doc_id, b.doc_id, ca.c, cb.c
+      HAVING CAST(COUNT(*) AS DOUBLE) / (ca.c + cb.c - COUNT(*)) >= 0.8
+    ),
+    emb_pairs AS (
+      SELECT a_id, b_id FROM (
+    WITH sig AS (
+      SELECT vec_id, (CASE WHEN list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * ((('0x' || substr(md5(concat('0:', i)), 1, 8))::BIGINT / 2147483648.0) - 1.0))) > 0 THEN 1 ELSE 0 END + CASE WHEN list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * ((('0x' || substr(md5(concat('1:', i)), 1, 8))::BIGINT / 2147483648.0) - 1.0))) > 0 THEN 2 ELSE 0 END + CASE WHEN list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * ((('0x' || substr(md5(concat('2:', i)), 1, 8))::BIGINT / 2147483648.0) - 1.0))) > 0 THEN 4 ELSE 0 END + CASE WHEN list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * ((('0x' || substr(md5(concat('3:', i)), 1, 8))::BIGINT / 2147483648.0) - 1.0))) > 0 THEN 8 ELSE 0 END + CASE WHEN list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * ((('0x' || substr(md5(concat('4:', i)), 1, 8))::BIGINT / 2147483648.0) - 1.0))) > 0 THEN 16 ELSE 0 END + CASE WHEN list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * ((('0x' || substr(md5(concat('5:', i)), 1, 8))::BIGINT / 2147483648.0) - 1.0))) > 0 THEN 32 ELSE 0 END + CASE WHEN list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * ((('0x' || substr(md5(concat('6:', i)), 1, 8))::BIGINT / 2147483648.0) - 1.0))) > 0 THEN 64 ELSE 0 END + CASE WHEN list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * ((('0x' || substr(md5(concat('7:', i)), 1, 8))::BIGINT / 2147483648.0) - 1.0))) > 0 THEN 128 ELSE 0 END + CASE WHEN list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * ((('0x' || substr(md5(concat('8:', i)), 1, 8))::BIGINT / 2147483648.0) - 1.0))) > 0 THEN 256 ELSE 0 END + CASE WHEN list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * ((('0x' || substr(md5(concat('9:', i)), 1, 8))::BIGINT / 2147483648.0) - 1.0))) > 0 THEN 512 ELSE 0 END + CASE WHEN list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * ((('0x' || substr(md5(concat('10:', i)), 1, 8))::BIGINT / 2147483648.0) - 1.0))) > 0 THEN 1024 ELSE 0 END + CASE WHEN list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * ((('0x' || substr(md5(concat('11:', i)), 1, 8))::BIGINT / 2147483648.0) - 1.0))) > 0 THEN 2048 ELSE 0 END + CASE WHEN list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * ((('0x' || substr(md5(concat('12:', i)), 1, 8))::BIGINT / 2147483648.0) - 1.0))) > 0 THEN 4096 ELSE 0 END + CASE WHEN list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * ((('0x' || substr(md5(concat('13:', i)), 1, 8))::BIGINT / 2147483648.0) - 1.0))) > 0 THEN 8192 ELSE 0 END + CASE WHEN list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * ((('0x' || substr(md5(concat('14:', i)), 1, 8))::BIGINT / 2147483648.0) - 1.0))) > 0 THEN 16384 ELSE 0 END + CASE WHEN list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * ((('0x' || substr(md5(concat('15:', i)), 1, 8))::BIGINT / 2147483648.0) - 1.0))) > 0 THEN 32768 ELSE 0 END) AS sig FROM embeddings
+    ),
+    bands AS (
+      SELECT vec_id, band_id,
+             (sig >> (band_id * 4)) & 15 AS band_val
+      FROM sig CROSS JOIN (
+        SELECT unnest(range(4)) AS band_id
+      ) bs
+    ),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_val = y.band_val
+      WHERE x.vec_id < y.vec_id
+    )
+    SELECT cand.a_id, cand.b_id, round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
+    FROM cand
+    JOIN embeddings a ON a.vec_id = cand.a_id
+    JOIN embeddings b ON b.vec_id = cand.b_id
+    WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.45
+) e
+    ),
+    tagged AS (
+      SELECT COALESCE(t.a_id, e.a_id) AS a_id,
+             COALESCE(t.b_id, e.b_id) AS b_id,
+             t.a_id IS NOT NULL AS has_text,
+             e.a_id IS NOT NULL AS has_emb
+      FROM text_pairs t
+      FULL OUTER JOIN emb_pairs e
+        ON t.a_id = e.a_id AND t.b_id = e.b_id
+    )
+    SELECT CASE WHEN has_text AND has_emb THEN 'both'
+                WHEN has_text THEN 'text_only'
+                ELSE 'embedding_only' END AS signal,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM tagged GROUP BY signal
+    """,
+    doc="Multi-signal dedup audit: which near-dup pairs are caught by the "
+        "lexical signal (exact 3-gram Jaccard >= 0.8), the semantic "
+        "signal (embedding cosine-LSH), or both — the consistency "
+        "analysis that calibrates how much each dedup stage contributes "
+        "before spending 100 TB of compute on both. A full outer join on "
+        "the (a_id, b_id) pair key; both sides are the engine's own "
+        "deterministic operators, so even this meta-analysis is "
+        "hash-checked.",
+)
+def dedup_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import dedup_ngram_jaccard
+    from .similarity import dedup_embedding_lsh
+
+    text_pairs = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    emb_pairs = dedup_embedding_lsh(spark, sf_dir).select(
+        F.col("a_id").alias("e_a"), F.col("b_id").alias("e_b")
+    )
+    tagged = text_pairs.join(
+        emb_pairs,
+        (F.col("a_id") == F.col("e_a")) & (F.col("b_id") == F.col("e_b")),
+        "full_outer",
+    ).select(
+        F.col("a_id").isNotNull().alias("has_text"),
+        F.col("e_a").isNotNull().alias("has_emb"),
+    )
+    return (
+        tagged.select(
+            F.expr(
+                "CASE WHEN has_text AND has_emb THEN 'both' "
+                "WHEN has_text THEN 'text_only' "
+                "ELSE 'embedding_only' END"
+            ).alias("signal")
+        )
+        .groupBy("signal")
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_pairs"))
+    )
