@@ -980,3 +980,52 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST(COUNT(hit) AS DOUBLE) / {TOP_K}").alias("recall_at_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF recall monitor (same evaluation loop, second index family)
+# ---------------------------------------------------------------------------
+
+@register(
+    "sim_ivf_recall_eval",
+    oracle=f"""
+    WITH {_EXACT_TOPK_CTE},
+    ivf_topk AS (
+      SELECT q_id, neighbor_id FROM ({_IVF_ORACLE}) ivf
+    )
+    SELECT e.q_id,
+           CAST({TOP_K} AS BIGINT) AS k,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+           CAST(COUNT(a.neighbor_id) AS DOUBLE) / {TOP_K} AS recall_at_k
+    FROM exact_topk e
+    LEFT JOIN ivf_topk a
+      ON a.q_id = e.q_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.q_id
+    """,
+    doc=f"Recall@{TOP_K} of the IVF-style index against exact brute "
+        "force, per query — the same continuous monitor as "
+        "sim_ann_recall_eval over the second index family, so the two "
+        "families' recall/cost trade-off is measurable side by side "
+        "(LSH: uniform buckets, no training; IVF: data-adapted cells, "
+        "n_probe recall knob).",
+)
+def sim_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = sim_knn_bruteforce(spark, sf_dir).select("q_id", "neighbor_id")
+    ivf = sim_ann_ivf_topk(spark, sf_dir).select(
+        F.col("q_id").alias("a_q"), F.col("neighbor_id").alias("a_n"),
+        F.lit(1).alias("hit"),
+    )
+    return (
+        exact.join(
+            F.broadcast(ivf),
+            (F.col("q_id") == F.col("a_q"))
+            & (F.col("neighbor_id") == F.col("a_n")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.expr(f"CAST({TOP_K} AS BIGINT)").alias("k"),
+            F.expr("CAST(COUNT(hit) AS BIGINT)").alias("n_hit"),
+            F.expr(f"CAST(COUNT(hit) AS DOUBLE) / {TOP_K}").alias("recall_at_k"),
+        )
+    )

@@ -1914,3 +1914,77 @@ def text_char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= CHAR_NGRAM_TOP)
         .select("lang", "trigram", "n", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# skip-gram co-occurrence pairs (word2vec-style training table)
+# ---------------------------------------------------------------------------
+
+SKIPGRAM_WINDOW = 2  # offsets 1..2 on each side
+SKIPGRAM_TOP = 200
+
+#: (center, context) pairs for positive offsets 1..W, built from aligned
+#: slices — symmetric pairs come from emitting both orientations of each
+#: forward pair, so the corpus is scanned once
+def _skipgram_fwd_spark(off: int) -> str:
+    t = "split(lower(text), ' ')"
+    n = f"greatest(size({t}) - {off}, 0)"
+    return (
+        f"zip_with(slice({t}, 1, {n}), slice({t}, {off + 1}, {n}), "
+        f"(x, y) -> struct(x AS w, y AS c))"
+    )
+
+
+def _skipgram_fwd_duck(off: int) -> str:
+    t = "string_split(lower(text), ' ')"
+    return (
+        f"list_transform(range(1, greatest(len({t}) - {off}, 0) + 1), "
+        f"i -> struct_pack(w := {t}[i], c := {t}[i + {off}]))"
+    )
+
+
+@register(
+    "text_skipgram_pairs",
+    oracle=f"""
+    WITH fwd AS (
+      SELECT unnest(
+        {" || ".join(_skipgram_fwd_duck(o) for o in range(1, SKIPGRAM_WINDOW + 1))}
+      ) AS p
+      FROM documents
+    ),
+    sym AS (
+      SELECT p.w AS center, p.c AS context FROM fwd
+      UNION ALL
+      SELECT p.c, p.w FROM fwd
+    )
+    SELECT center, context, n FROM (
+      SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n
+      FROM sym GROUP BY center, context
+      ORDER BY n DESC, center, context
+      LIMIT {SKIPGRAM_TOP}
+    )
+    """,
+    doc=f"Skip-gram co-occurrence table (window ±{SKIPGRAM_WINDOW}): the "
+        "(center, context) count matrix word2vec/GloVe-style embedding "
+        "training consumes. Forward offsets are built once from aligned "
+        "array slices (codegen, no per-index re-split) and mirrored for "
+        "symmetry, so one corpus scan feeds one (center, context) "
+        "shuffle with map-side partials; top-k kept for a stable result.",
+)
+def text_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    fwd_expr = "concat(" + ", ".join(
+        _skipgram_fwd_spark(o) for o in range(1, SKIPGRAM_WINDOW + 1)
+    ) + ")"
+    fwd = docs.select(F.explode(F.expr(fwd_expr)).alias("p"))
+    sym = fwd.select(
+        F.col("p.w").alias("center"), F.col("p.c").alias("context")
+    ).unionAll(
+        fwd.select(F.col("p.c").alias("center"), F.col("p.w").alias("context"))
+    )
+    return (
+        sym.groupBy("center", "context")
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"))
+        .orderBy(F.desc("n"), F.asc("center"), F.asc("context"))
+        .limit(SKIPGRAM_TOP)
+    )
