@@ -66,7 +66,8 @@ _PRIORITY = [
     "http_datasource_read",
     "http_datasource_stream",
     "http_stream_enrich",
-    "http_sql_lateral_lookup",
+    "http_sql_lookup_join",
+    "http_sql_ddl_scan",
     # dedup family
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -114,7 +115,6 @@ _PRIORITY = [
     "q09_product_profit",
     "q_asof_latest_order",
     "q_sessionize_events",
-    "q_scd2_intervals",
 ]
 
 

@@ -62,6 +62,23 @@ __all__ = ["HttpDataSource", "register_http_datasource"]
 _HEADER_PREFIX = "header."
 
 
+def _require_url(options: Dict[str, str]) -> str:
+    """Spark does NOT forward ``OPTIONS`` of a persistent ``CREATE TABLE
+    ... USING http`` to Python data sources (they arrive empty at read/
+    write time) — fail with the workaround instead of a bare KeyError."""
+    try:
+        return options["url"]
+    except KeyError:
+        raise ValueError(
+            "http data source requires option 'url'. If you created a "
+            "persistent table (`CREATE TABLE ... USING http OPTIONS (...)`),"
+            " note Spark does not pass its OPTIONS through to Python data "
+            "sources — declare the relation as `CREATE [OR REPLACE] "
+            "TEMPORARY VIEW name USING http OPTIONS (...)` instead, or use "
+            "spark.read.format('http').options(...)."
+        ) from None
+
+
 def _headers_from_options(options: Dict[str, str]) -> Dict[str, str]:
     return {
         k[len(_HEADER_PREFIX):]: v
@@ -89,7 +106,7 @@ class HttpBatchReader(DataSourceReader):
     def __init__(self, options: Dict[str, str], schema: T.StructType) -> None:
         self.options = dict(options)
         self.read_schema = schema
-        self.url = options["url"]
+        self.url = _require_url(options)
         self.fmt = options.get("format", "json")
         self.page_param = options.get("page_param", "page")
         self.pages = int(options["pages"]) if "pages" in options else None
@@ -192,7 +209,7 @@ class HttpBatchWriter(DataSourceWriter):
     one-writer-per-subtask, ``sink/HttpSinkInternal.java:134-185``)."""
 
     def __init__(self, options: Dict[str, str], schema: T.StructType) -> None:
-        self.url = options["url"]
+        self.url = _require_url(options)
         self.options = dict(options)
         self.schema = schema
 
@@ -269,7 +286,7 @@ class HttpPollingStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options: Dict[str, str], schema: T.StructType) -> None:
         self.options = dict(options)
         self.read_schema = schema
-        self.url = options["url"]
+        self.url = _require_url(options)
         self.fmt = options.get("format", "json")
         self.page_param = options.get("page_param", "page")
         self.max_pages_per_batch = max(

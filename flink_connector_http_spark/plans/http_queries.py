@@ -523,34 +523,80 @@ def http_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "http_sql_lateral_lookup",
+    "http_sql_lookup_join",
     oracle="""
     SELECT s_suppkey, s_name, n_name
     FROM supplier JOIN nation ON n_nationkey = s_nationkey
     """,
-    doc="Pure-SQL lookup join via the http_get_json Python UDTF in a "
-        "LATERAL join — the ad-hoc SQL surface (`SELECT ... FROM t, "
-        "LATERAL http_get_json(url)`) mirroring the reference's "
-        "SQL-driven lookup table. Row-at-a-time by design and documented "
-        "as the slow path (sqlfn.py); the vectorized http_lookup_join "
-        "and the http DataSource remain the pipeline paths.",
+    doc="SQL-driven lookup join, fully vectorized: SQL derives the "
+        "DISTINCT probe keys (JVM), the Arrow mapInPandas lookup fetches "
+        "one request per distinct key, and SQL joins the enrichment view "
+        "back onto the probe (broadcast — the distinct-key side is tiny). "
+        "This replaces the row-at-a-time http_get_json LATERAL spelling "
+        "as the registered SQL surface; the UDTF remains an ad-hoc "
+        "convenience documented out of the pipeline path (sqlfn.py). "
+        "Request volume is bounded by distinct keys, not probe rows — "
+        "the shape that survives a 1000-executor fan-out.",
 )
-def http_sql_lateral_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sqlfn import register_http_sql_functions
-
-    register_http_sql_functions(spark)
+def http_sql_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stub = _stub_for(sf_dir)
     spark.read.parquet(f"{sf_dir}/supplier.parquet").createOrReplaceTempView(
         "supplier_v"
     )
-    base = stub.url("/nation")
-    return spark.sql(f"""
-        SELECT s.s_suppkey, s.s_name,
-               from_json(t.record,
-                         'n_name STRING, n_nationkey INT, n_regionkey INT'
-               ).n_name AS n_name
-        FROM supplier_v s,
-             LATERAL http_get_json(
-               concat('{base}?n_nationkey=', CAST(s.s_nationkey AS STRING))
-             ) t
+    keys = spark.sql("SELECT DISTINCT s_nationkey FROM supplier_v")
+    table = HttpLookupTable(
+        url=stub.url("/nation"),
+        schema=NATION_SCHEMA,
+        options=HttpLookupOptions(method="GET"),
+    )
+    enrichment = http_lookup_join(
+        keys, table, on={"s_nationkey": "n_nationkey"}, how="inner",
+        select=["n_name"],
+    )
+    enrichment.createOrReplaceTempView("nation_http_v")
+    return spark.sql("""
+        SELECT s.s_suppkey, s.s_name, n.n_name
+        FROM supplier_v s
+        JOIN nation_http_v n ON n.s_nationkey = s.s_nationkey
+    """)
+
+
+@register(
+    "http_sql_ddl_scan",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_acctbal
+    FROM supplier GROUP BY s_nationkey
+    """,
+    doc="SQL DDL surface: `CREATE TEMPORARY VIEW ... USING http OPTIONS "
+        "(...)` declares the paged REST endpoint as a SQL relation "
+        "(mirroring the reference's `CREATE TABLE ... WITH "
+        "('connector'='http')`, docs/.../table/http.md:84-121), then a "
+        "plain SQL aggregate runs over it — the scan fans page ranges out "
+        "across the cluster, aggregation is JVM codegen.",
+)
+def http_sql_ddl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datasource import register_http_datasource
+
+    register_http_datasource(spark)
+    stub = _stub_for(sf_dir)
+    spark.sql(f"""
+        CREATE OR REPLACE TEMPORARY VIEW suppliers_http
+        USING http
+        OPTIONS (
+          url '{stub.url("/suppliers-paged")}',
+          pages '{stub.supplier_pages}',
+          pages_per_partition '1',
+          schema 's_suppkey BIGINT, s_name STRING, s_nationkey INT,
+                  s_acctbal DOUBLE'
+        )
+    """)
+    return spark.sql("""
+        SELECT s_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_acctbal
+        FROM suppliers_http GROUP BY s_nationkey
     """)

@@ -19,12 +19,15 @@ reference's ``single-value`` / ``array`` result modes,
 
 **Scale honesty**: a UDTF runs row-at-a-time Python and fires one request
 per probe row — exactly the reference's per-row behavior, and the slow
-path here. It exists for ad-hoc SQL ergonomics and endpoint spelunking;
-pipelines should use :func:`~flink_connector_http_spark.lookup.http_lookup_join`
-(Arrow-vectorized, distinct-key dedup, per-executor cache, thread pool)
-or ``spark.read.format("http")`` (paged parallel scan). The transport is
-still keep-alive-pooled per executor thread, so the per-call cost is one
-round trip, not one connection.
+path here. It is therefore an AD-HOC convenience only (endpoint
+spelunking, one-off SQL) and is deliberately NOT part of the registered
+pipeline surface: the registered SQL spellings are
+``http_sql_lookup_join`` (SQL-derived distinct keys → Arrow-vectorized
+:func:`~flink_connector_http_spark.lookup.http_lookup_join` → SQL join
+back) and ``http_sql_ddl_scan`` (``CREATE TEMPORARY VIEW ... USING
+http``, paged parallel scan). The transport here is still
+keep-alive-pooled per executor thread, so the per-call cost is one round
+trip, not one connection.
 """
 
 from __future__ import annotations
