@@ -178,6 +178,7 @@ def _sink_options(options: Dict[str, str]) -> "HttpSinkOptions":
 
     kw: Dict[str, Any] = {}
     ints = {
+        "flush_batch_size": "flush_batch_size",
         "batch_size": "batch_size",
         "max_batch_bytes": "max_batch_bytes",
         "max_record_bytes": "max_record_bytes",

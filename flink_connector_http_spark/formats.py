@@ -15,12 +15,19 @@ custom-format walkthrough ``docs/content/docs/connectors/table/http.md:
   registry (``query_creators.py``, reference Q1-Q5) — that registry is the
   request-side SPI, mirroring how the reference routes
   ``lookup-request.format`` through its query creators.
-- **sink payload encode**: ``HttpSinkOptions.payload_format`` selects the
-  JVM-side serializer in ``write_http`` (``to_json`` / ``to_csv`` — both
-  stay inside whole-stage codegen; no Python in the row path).
+- **sink payload encode** (this module too): ``HttpSinkOptions.
+  payload_format`` selects the serializer in ``write_http``. The built-in
+  ``json`` / ``csv`` serialize JVM-side (``to_json`` / ``to_csv`` inside
+  whole-stage codegen; no Python in the row path). A CUSTOM format
+  registered with ``register_format(name, encoder=..., framing=...)``
+  supplies a Python ``row-dict -> bytes`` encoder (the Spark rendering of
+  the reference's ``SerializationSchemaElementConverter.java:30-62`` +
+  custom-format factory SPI) plus a batch framing rule: ``json-array``
+  (``[e1,e2,...]``), ``newline``, or ``concat`` (raw byte concatenation,
+  for length-prefixed binary protocols).
 
-Custom decoders registered with :func:`register_format` must be
-importable top-level functions so Spark can pickle them to executors.
+Custom codecs registered with :func:`register_format` must be importable
+top-level functions so Spark can pickle them to executors.
 """
 
 from __future__ import annotations
@@ -28,12 +35,15 @@ from __future__ import annotations
 import csv
 import io
 import json
-from typing import Any, Callable, Dict, List, Mapping
+from typing import Any, Callable, Dict, List, Mapping, Optional
 
 __all__ = [
     "FormatDecoder",
+    "FormatEncoder",
     "register_format",
     "resolve_decoder",
+    "resolve_encoder",
+    "encoder_framing",
     "registered_formats",
 ]
 
@@ -54,18 +64,47 @@ def decode_csv(body: bytes) -> List[Mapping[str, Any]]:
     return [dict(row) for row in csv.DictReader(io.StringIO(text))]
 
 
+#: row dict -> payload bytes (one request-entry payload)
+FormatEncoder = Callable[[Mapping[str, Any]], bytes]
+
+_FRAMINGS = ("json-array", "newline", "concat")
+
 _DECODERS: Dict[str, FormatDecoder] = {
     "json": decode_json,
     "csv": decode_csv,
 }
 
+#: name -> (encoder | None, framing). ``None`` encoder = serialized
+#: JVM-side in ``write_http`` (the fast path for the built-ins).
+_ENCODERS: Dict[str, tuple] = {
+    "json": (None, "json-array"),
+    "csv": (None, "newline"),
+}
 
-def register_format(name: str, decoder: FormatDecoder) -> None:
-    """Register a custom response decoder under ``name`` (the SPI hook —
-    reference custom-format registration, ``http.md:449-478``)."""
-    if not callable(decoder):
-        raise TypeError("decoder must be callable: bytes -> dict | list[dict]")
-    _DECODERS[name] = decoder
+
+def register_format(
+    name: str,
+    decoder: Optional[FormatDecoder] = None,
+    *,
+    encoder: Optional[FormatEncoder] = None,
+    framing: str = "newline",
+) -> None:
+    """Register a custom format under ``name`` (the SPI hook — reference
+    custom-format registration, ``http.md:449-478``): a response
+    ``decoder`` (lookup/source side), a sink payload ``encoder`` with its
+    batch ``framing``, or both under one name."""
+    if decoder is None and encoder is None:
+        raise TypeError("register_format needs a decoder and/or an encoder")
+    if decoder is not None:
+        if not callable(decoder):
+            raise TypeError("decoder must be callable: bytes -> dict | list[dict]")
+        _DECODERS[name] = decoder
+    if encoder is not None:
+        if not callable(encoder):
+            raise TypeError("encoder must be callable: row dict -> bytes")
+        if framing not in _FRAMINGS:
+            raise ValueError(f"framing must be one of {_FRAMINGS}, got {framing!r}")
+        _ENCODERS[name] = (encoder, framing)
 
 
 def resolve_decoder(name: str) -> FormatDecoder:
@@ -78,5 +117,24 @@ def resolve_decoder(name: str) -> FormatDecoder:
         ) from None
 
 
+def resolve_encoder(name: str) -> Optional[FormatEncoder]:
+    """The sink encoder for ``name`` (``None`` = built-in JVM-side path)."""
+    try:
+        return _ENCODERS[name][0]
+    except KeyError:
+        raise ValueError(
+            f"unknown sink payload format {name!r}; registered: "
+            f"{sorted(_ENCODERS)} (register_format(encoder=...) adds more)"
+        ) from None
+
+
+def encoder_framing(name: str) -> str:
+    """Batch framing rule for ``name``: json-array | newline | concat."""
+    try:
+        return _ENCODERS[name][1]
+    except KeyError:
+        raise ValueError(f"unknown sink payload format {name!r}") from None
+
+
 def registered_formats() -> List[str]:
-    return sorted(_DECODERS)
+    return sorted(set(_DECODERS) | set(_ENCODERS))

@@ -76,6 +76,11 @@ SINK_OPTION_KEYS = {
     "url": "url",
     "insert_method": "insert-method",
     "request_mode": "http.sink.writer.request.mode",
+    # TWO-STAGE batching, kept distinct as in the reference: the engine
+    # flush trigger (AsyncSink maxBatchSize, ``HttpSinkBuilder.java:70``)
+    # vs how many entries one HTTP request carries
+    # (``BatchRequestSubmitter.java:61-64``)
+    "flush_batch_size": "sink.batch.max-size",
     "batch_size": "http.sink.request.batch.size",
     "max_inflight": "sink.requests.max-inflight",
     "max_buffered": "sink.requests.max-buffered",
@@ -157,6 +162,12 @@ class HttpSinkOptions:
 
     insert_method: str = "POST"
     request_mode: str = "batch"                       # or "single"
+    # flush trigger (entries buffered before a flush fires) vs per-request
+    # framing size (entries per HTTP request within a flush) — the
+    # reference's sink.batch.max-size vs http.sink.request.batch.size.
+    # Defaults are equal (both 500), matching the reference's defaults;
+    # tune independently to e.g. flush 5000 at a time as 10 requests.
+    flush_batch_size: int = 500
     batch_size: int = 500
     max_inflight: int = 50
     max_buffered: int = 10_000
@@ -273,6 +284,7 @@ def sink_options_from_map(options: Mapping[str, str]) -> HttpSinkOptions:
     if k["request_mode"] in options:
         kwargs["request_mode"] = options[k["request_mode"]]
     for name, conv in (
+        ("flush_batch_size", int),
         ("batch_size", int), ("max_inflight", int), ("max_buffered", int),
         ("max_batch_bytes", int), ("max_record_bytes", int),
         ("writer_pool_size", int),

@@ -47,6 +47,7 @@ __all__ = [
     "write_http",
     "foreach_batch_http_sink",
     "rows_to_entries",
+    "ElementConverter",
 ]
 
 
@@ -74,6 +75,7 @@ class HttpSinkWriter:
         on_response: Optional[Callable[[HttpRequestSpec, object], None]] = None,
         clock: Callable[[], float] = time.monotonic,
         age_ticker: bool = True,
+        framing: Optional[str] = None,
     ) -> None:
         from .client import HttpTransport  # local import to keep pickling light
 
@@ -90,10 +92,21 @@ class HttpSinkWriter:
             allow_self_signed=options.allow_self_signed,
         )
         self.on_response = on_response
+        # batch framing follows the payload format's registered rule
+        # (json-array / newline / concat — formats.py SPI). For custom
+        # formats the caller resolves it driver-side (the registry is a
+        # driver-process object) and passes ``framing=`` explicitly.
+        if framing is None:
+            from .formats import encoder_framing
+
+            framing = encoder_framing(options.payload_format)
+        self._framing = framing
         headers = dict(options.headers)
         headers.setdefault(
             "Content-Type",
-            "application/json" if options.payload_format == "json" else "text/csv",
+            {"json": "application/json", "csv": "text/csv"}.get(
+                options.payload_format, "application/octet-stream"
+            ),
         )
         self.headers = preprocess_headers(headers, {AUTHORIZATION: basic_auth_value})
 
@@ -147,7 +160,7 @@ class HttpSinkWriter:
             if self._oldest_ts is None:
                 self._oldest_ts = self._clock()
             should_flush = (
-                len(self._buffer) >= self.options.batch_size
+                len(self._buffer) >= self.options.flush_batch_size
                 or self._buffer_bytes >= self.options.max_batch_bytes
                 or (
                     self.options.max_time_in_buffer > 0
@@ -205,11 +218,12 @@ class HttpSinkWriter:
             self._submit_batch(group)
 
     def _submit_batch(self, group: List[HttpSinkRequestEntry]) -> None:
-        if self.options.payload_format == "json":
+        if self._framing == "json-array":
             body = b"[" + b",".join(e.payload for e in group) + b"]"
-        else:
-            # row-oriented formats (csv): newline framing
+        elif self._framing == "newline":
             body = b"\n".join(e.payload for e in group)
+        else:  # concat: self-delimiting payloads (length-prefixed binary)
+            body = b"".join(e.payload for e in group)
         self._submit(group[0].method, body, record_count=len(group))
 
     # -- bounded-in-flight submission -------------------------------------------
@@ -289,6 +303,26 @@ def rows_to_entries(
         yield HttpSinkRequestEntry(method=method, payload=payload.encode("utf-8"))
 
 
+#: custom element converter: row -> HttpSinkRequestEntry | (method, bytes)
+#: (reference ``ElementConverter`` /
+#: ``SchemaLifecycleAwareElementConverter.java``)
+ElementConverter = Callable[[object], object]
+
+
+def _coerce_entry(out: object, default_method: str) -> HttpSinkRequestEntry:
+    if isinstance(out, HttpSinkRequestEntry):
+        return out
+    if isinstance(out, (bytes, bytearray)):
+        return HttpSinkRequestEntry(method=default_method, payload=bytes(out))
+    if isinstance(out, tuple) and len(out) == 2:
+        method, payload = out
+        return HttpSinkRequestEntry(method=str(method), payload=bytes(payload))
+    raise TypeError(
+        "element_converter must return HttpSinkRequestEntry, bytes, or "
+        f"(method, bytes); got {type(out).__name__}"
+    )
+
+
 def write_http(
     df: DataFrame,
     url: str,
@@ -296,6 +330,7 @@ def write_http(
     *,
     columns: Optional[List[str]] = None,
     on_response: Optional[Callable[[HttpRequestSpec, object], None]] = None,
+    element_converter: Optional[ElementConverter] = None,
 ) -> None:
     """Batch sink: serialize rows JVM-side with ``to_json(struct(...))``
     (or ``to_csv`` for ``payload_format="csv"``) and POST/PUT them per
@@ -306,24 +341,78 @@ def write_http(
     codegen; Python only sees ready-made payload strings. ``on_response``
     is the R12 request/response callback (a picklable top-level function —
     it runs on executors); it receives every (request spec, response).
+
+    Two custom-serialization hooks (reference
+    ``SerializationSchemaElementConverter.java:30-62`` + the custom-format
+    SPI, ``table/http.md:449-478``):
+
+    - ``element_converter=`` — a picklable ``Row -> HttpSinkRequestEntry``
+      (or ``-> bytes`` / ``-> (method, bytes)``) applied per row on the
+      executors; full control including per-row method.
+    - ``options.payload_format`` naming a format registered with
+      ``register_format(name, encoder=..., framing=...)`` — the encoder
+      maps each row dict to payload bytes, and the writer frames batches
+      by the format's rule (json-array / newline / concat).
+
+    Both are Python-in-the-row-path by nature (that is what "custom
+    serialization" means here) — the JVM ``to_json``/``to_csv`` built-ins
+    remain the fast path.
     """
+    from .formats import encoder_framing
+
+    sc = df.sparkSession.sparkContext
+    error_acc = sc.accumulator(0)
+    sent_acc = sc.accumulator(0)
+    # resolve framing here (driver): custom formats live in the driver's
+    # registry, which executors don't have
+    framing = encoder_framing(options.payload_format)
+
+    if element_converter is not None:
+        rows_df = df.select(*columns) if columns else df
+        default_method = options.insert_method
+
+        def sink_rows(rows) -> None:
+            writer = HttpSinkWriter(
+                url, options, on_response=on_response, framing=framing
+            )
+            try:
+                for row in rows:
+                    writer.write(_coerce_entry(
+                        element_converter(row), default_method
+                    ))
+            finally:
+                writer.close()
+            error_acc.add(writer.send_errors)
+            sent_acc.add(writer.records_sent)
+
+        rows_df.foreachPartition(sink_rows)
+        write_http.last_metrics = {  # type: ignore[attr-defined]
+            "numRecordsSend": sent_acc.value,
+            "numRecordsSendErrors": error_acc.value,
+        }
+        return
+
     struct_cols = [F.col(c) for c in (columns or df.columns)]
     if options.payload_format == "json":
         payload_col = F.to_json(F.struct(*struct_cols))
     elif options.payload_format == "csv":
         payload_col = F.to_csv(F.struct(*struct_cols))
     else:
-        raise ValueError(
-            f"unsupported sink payload_format {options.payload_format!r}; "
-            "expected 'json' or 'csv'"
+        from .formats import resolve_encoder
+
+        encoder = resolve_encoder(options.payload_format)  # raises if unknown
+        fmt_converter = _encoder_element_converter(encoder, options.insert_method)
+        write_http(
+            df, url, options, columns=columns, on_response=on_response,
+            element_converter=fmt_converter,
         )
+        return
     payloads = df.select(payload_col.alias("payload"))
-    sc = df.sparkSession.sparkContext
-    error_acc = sc.accumulator(0)
-    sent_acc = sc.accumulator(0)
 
     def sink_partition(rows) -> None:
-        writer = HttpSinkWriter(url, options, on_response=on_response)
+        writer = HttpSinkWriter(
+            url, options, on_response=on_response, framing=framing
+        )
         try:
             for row in rows:
                 writer.write(HttpSinkRequestEntry(
@@ -343,11 +432,24 @@ def write_http(
     }
 
 
+def _encoder_element_converter(encoder, method: str) -> ElementConverter:
+    """Adapt a registered format encoder (row dict -> bytes) to the
+    element-converter contract."""
+
+    def convert(row) -> HttpSinkRequestEntry:
+        return HttpSinkRequestEntry(
+            method=method, payload=encoder(row.asDict(recursive=True))
+        )
+
+    return convert
+
+
 def foreach_batch_http_sink(
     url: str,
     options: HttpSinkOptions = HttpSinkOptions(),
     *,
     columns: Optional[List[str]] = None,
+    element_converter: Optional[ElementConverter] = None,
 ) -> Callable[[DataFrame, int], None]:
     """Streaming sink adapter: ``writeStream.foreachBatch(...)`` body.
 
@@ -356,6 +458,9 @@ def foreach_batch_http_sink(
     """
 
     def sink(batch_df: DataFrame, _epoch_id: int) -> None:
-        write_http(batch_df, url, options, columns=columns)
+        write_http(
+            batch_df, url, options, columns=columns,
+            element_converter=element_converter,
+        )
 
     return sink
