@@ -422,21 +422,129 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # duplicate-cluster resolution: connected components over near-dup pairs
 # ---------------------------------------------------------------------------
 
-def connected_components(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
-    """Min-label propagation over an undirected pair graph:
-    ``(a_id, b_id)`` edges → ``(doc_id, cluster_id)`` where ``cluster_id``
-    is the smallest doc id in the node's connected component — the
-    canonical-document choice for a dedup pipeline (keep ``cluster_id``,
-    drop the rest).
+def connected_components(
+    pairs: DataFrame,
+    max_iterations: int = 50,
+    *,
+    method: str = "star",
+) -> DataFrame:
+    """Connected components over an undirected pair graph: ``(a_id,
+    b_id)`` edges → ``(doc_id, cluster_id)`` where ``cluster_id`` is the
+    smallest doc id in the node's component — the canonical-document
+    choice for a dedup pipeline (keep ``cluster_id``, drop the rest).
 
-    Iterative (a driver-coordinated loop; every step is a distributed
-    join + partial-aggregated min). Iteration count is bounded by the
-    component diameter: near-duplicate clusters are quasi-cliques, so in
-    practice 1-3 rounds converge. At extreme scale, swap the propagation
-    body for the alternating large-star/small-star contraction, which
-    converges in O(log n) rounds on pathological chain graphs; the
-    surrounding fixpoint loop and output contract stay identical.
+    ``method="star"`` (default) is alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14): each round is two distributed group-by-min +
+    join passes, and the edge set contracts toward per-component stars in
+    **O(log n) rounds even on pathological chain graphs** — the shape
+    that holds at 100 TB. ``method="propagate"`` is classic min-label
+    propagation, bounded by component diameter instead (fine for the
+    quasi-clique graphs near-dup pairs form; kept for comparison and as
+    the simpler oracle of the two).
+
+    Both are driver-coordinated fixpoint loops where every step is
+    distributed; no neighborhood is ever collected to one row
+    (``collect_set``-free — hub nodes with millions of neighbors stay
+    sharded). The number of rounds actually run is recorded on
+    ``connected_components.last_iterations``.
     """
+    if method == "star":
+        return _cc_star_contraction(pairs, max_iterations)
+    if method == "propagate":
+        return _cc_label_propagation(pairs, max_iterations)
+    raise ValueError(f"unknown method {method!r}; expected 'star' or 'propagate'")
+
+
+def _cc_star_contraction(pairs: DataFrame, max_iterations: int) -> DataFrame:
+    """Alternating large-star/small-star rounds until the edge set is a
+    fixpoint (per-component stars centered at the min node).
+
+    large-star: every node v in Γ(u) with v > u re-attaches to
+    m = min(Γ(u) ∪ {u}); small-star (on big→small directed edges): every
+    smaller neighbor re-attaches to m = min(Γ(u)) and u itself links to m.
+    Both are expressed per-edge (join against a groupBy-min), never
+    per-neighborhood-row.
+    """
+    # persist the pair source: it seeds both the edge set and the node
+    # inventory, and upstream may be an expensive minhash pipeline
+    pairs = pairs.persist()
+    nodes = (
+        pairs.select(F.col("a_id").alias("doc_id"))
+        .union(pairs.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+        .persist()
+    )
+    # each round references the edge set TWICE (the symmetric union), so
+    # carrying lineage across rounds would double the logical plan per
+    # iteration — exponential analysis cost. localCheckpoint truncates the
+    # plan at every round boundary (on a real cluster with an unreliable-
+    # executor concern, swap for reliable checkpoint(): same contract).
+    edges = (
+        pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    rounds = 0
+    for _ in range(max_iterations):
+        rounds += 1
+        # -- large-star: symmetric neighborhoods, larger neighbors hook to min
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # -- small-star: on big→small edges, all members hook to the min
+        e = large  # large-star output already points big→small (u > v)
+        mins2 = e.groupBy("u").agg(F.min("v").alias("m"))
+        per_edge = e.join(mins2, "u")
+        small = (
+            per_edge.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .union(mins2.select(F.col("u"), F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint()  # truncate lineage at the round boundary
+        )
+        # fixpoint when the edge set stops changing (count + order-
+        # independent xor hash — one tiny aggregate per round)
+        sig_row = small.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
+        edges = small
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    connected_components.last_iterations = rounds  # type: ignore[attr-defined]
+    # stars: every non-center node u carries exactly one edge (u, center)
+    labels = nodes.join(
+        edges.select(F.col("u").alias("doc_id"), F.col("v").alias("ctr")),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("ctr"), F.col("doc_id")).cast("long").alias("cluster_id"),
+    )
+    out = labels.persist()
+    out.count()  # materialize before releasing the lineage inputs
+    nodes.unpersist()
+    pairs.unpersist()
+    return out
+
+
+def _cc_label_propagation(pairs: DataFrame, max_iterations: int) -> DataFrame:
+    """Min-label propagation; rounds bounded by component diameter."""
     # persist the pair source FIRST: the undirected adjacency is a 2-branch
     # union, and materializing it without this would execute the upstream
     # pair pipeline (minhash + band join + verify) once per branch
@@ -447,10 +555,11 @@ def connected_components(pairs: DataFrame, max_iterations: int = 25) -> DataFram
     labels = (
         adj.select(F.col("src").alias("doc_id")).distinct()
         .select("doc_id", F.col("doc_id").alias("cluster_id"))
-        .persist()
+        .localCheckpoint()
     )
-    handles = [adj, labels]
+    rounds = 0
     for _ in range(max_iterations):
+        rounds += 1
         neigh = (
             adj.join(
                 labels.select(
@@ -464,20 +573,22 @@ def connected_components(pairs: DataFrame, max_iterations: int = 25) -> DataFram
             .select(F.col("src").alias("doc_id"), "neigh_min")
         )
         joined = labels.join(neigh, "doc_id", "left").persist()
-        handles.append(joined)
         n_changed = joined.filter(F.col("neigh_min") < F.col("cluster_id")).count()
+        # localCheckpoint per round: a diameter-bound loop would otherwise
+        # accumulate a linearly deeper plan (re-analyzed every round)
         labels = joined.select(
             "doc_id",
             F.least(
                 F.col("cluster_id"),
                 F.coalesce(F.col("neigh_min"), F.col("cluster_id")),
             ).alias("cluster_id"),
-        )
+        ).localCheckpoint()
+        joined.unpersist()
         if n_changed == 0:
             break
+    connected_components.last_iterations = rounds  # type: ignore[attr-defined]
     pairs.unpersist()
-    for h in handles[:-1]:
-        h.unpersist()
+    adj.unpersist()
     return labels.select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))
 
 
