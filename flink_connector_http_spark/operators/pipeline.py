@@ -297,9 +297,10 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 #: deterministic temperature mix over lang, verbatim from
-#: sample_temperature_mix (alpha = 0.5, sqrt for IEEE exactness)
-_MANIFEST_TARGET = 300
-_MANIFEST_SCALE = 1_000_000
+#: sample_temperature_mix (alpha = 0.5, sqrt for IEEE exactness) —
+#: imported so the two operators cannot silently drift apart
+from .text import MIX_SCALE as _MANIFEST_SCALE  # noqa: E402
+from .text import TEMP_TARGET as _MANIFEST_TARGET  # noqa: E402
 
 
 @register(

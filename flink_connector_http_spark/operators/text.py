@@ -1863,9 +1863,15 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CHAR_NGRAM_TOP = 20
 
+# the >= 3 guard matters: Spark's sequence(1, 0) yields the DESCENDING
+# [1, 0] (not an empty range like DuckDB's range(1, 1)), so an unguarded
+# short document would emit two spurious "trigrams" and diverge from the
+# oracle
 _TRIGRAMS_SPARK = (
-    "transform(sequence(1, greatest(length(lower(text)) - 2, 0)), "
-    "i -> substr(lower(text), i, 3))"
+    "CASE WHEN length(lower(text)) >= 3 THEN "
+    "transform(sequence(1, length(lower(text)) - 2), "
+    "i -> substr(lower(text), i, 3)) "
+    "ELSE array() END"
 )
 _TRIGRAMS_DUCK = (
     "list_transform(range(1, greatest(length(lower(text)) - 2, 0) + 1), "

@@ -81,9 +81,11 @@ def _ensure_parallelism(spark: SparkSession, df: DataFrame) -> DataFrame:
     expressions onto one core. Repartition to cluster parallelism when the
     scan is under-split. At real scale the input has thousands of splits and
     this is a no-op; Catalyst still pushes filters/pruning below the
-    repartition."""
+    repartition. The probe counts input FILES (metadata-only) rather than
+    planned partitions — ``df.rdd.getNumPartitions()`` would force a
+    deserialized-RDD plan conversion per load."""
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    if len(df.inputFiles()) < max(2, target // 2):
         return df.repartition(target)
     return df
 

@@ -1729,21 +1729,21 @@ def q21_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_scd2_intervals",
     oracle="""
     WITH ordered AS (
-      SELECT user_id, event_type, ts,
+      SELECT user_id, event_type, ts, event_id,
              LAG(event_type) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS prev_type
       FROM events
     ),
     changes AS (
-      SELECT user_id, event_type, ts AS valid_from
+      SELECT user_id, event_type, ts AS valid_from, event_id
       FROM ordered
       WHERE prev_type IS NULL OR event_type <> prev_type
     )
     SELECT user_id, event_type, valid_from,
            LEAD(valid_from) OVER (PARTITION BY user_id
-                                  ORDER BY valid_from) AS valid_to,
+                                  ORDER BY valid_from, event_id) AS valid_to,
            CAST(LEAD(valid_from) OVER (PARTITION BY user_id
-                                       ORDER BY valid_from) IS NULL
+                                       ORDER BY valid_from, event_id) IS NULL
                 AS BOOLEAN) AS is_current
     FROM changes
     """,
@@ -1765,9 +1765,14 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("prev_type").isNull()
             | (F.col("event_type") != F.col("prev_type"))
         )
-        .select("user_id", "event_type", F.col("ts").alias("valid_from"))
+        .select(
+            "user_id", "event_type", F.col("ts").alias("valid_from"),
+            "event_id",
+        )
     )
-    w_iv = Window.partitionBy("user_id").orderBy("valid_from")
+    # event_id tiebreak: two change points at an identical ts would
+    # otherwise get an engine-nondeterministic LEAD order
+    w_iv = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
     return changes.select(
         "user_id",
         "event_type",
@@ -1783,14 +1788,15 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SCD2_CTE = """
     ordered AS (
-      SELECT user_id, event_type, ts,
+      SELECT user_id, event_type, ts, event_id,
              LAG(event_type) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS prev_type
       FROM events
     ),
     intervals AS (
       SELECT user_id, event_type, ts AS valid_from,
-             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
       FROM ordered
       WHERE prev_type IS NULL OR event_type <> prev_type
     )
@@ -1821,15 +1827,21 @@ def q_pit_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir, "events", "orders")
     ev = t["events"]
     w_ev = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w_iv = Window.partitionBy("user_id").orderBy("valid_from")
+    # event_id tiebreak keeps LEAD deterministic when two change points
+    # share a timestamp (mirrors the oracle CTE exactly)
+    w_iv = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
     intervals = (
         ev.withColumn("prev_type", F.lag("event_type").over(w_ev))
         .filter(
             F.col("prev_type").isNull()
             | (F.col("event_type") != F.col("prev_type"))
         )
-        .select("user_id", "event_type", F.col("ts").alias("valid_from"))
+        .select(
+            "user_id", "event_type", F.col("ts").alias("valid_from"),
+            "event_id",
+        )
         .withColumn("valid_to", F.lead("valid_from").over(w_iv))
+        .drop("event_id")
     )
     o = t["orders"].select("o_orderkey", "o_custkey", "o_orderdate")
     return o.join(
