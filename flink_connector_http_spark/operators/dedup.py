@@ -615,8 +615,10 @@ _CLUSTERS_ORACLE = f"""
     "dedup_clusters",
     oracle=_CLUSTERS_ORACLE,
     doc="Duplicate-cluster resolution: MinHash-LSH near-dup pairs → "
-        "connected components (min-label propagation) → per-doc canonical "
-        "cluster id. The oracle recomputes components with a recursive CTE.",
+        "connected components (alternating star contraction, O(log n) "
+        "rounds) → per-doc canonical cluster id. The oracle recomputes "
+        "components with a recursive CTE.",
+    bench=True,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_lsh(spark, sf_dir).select("a_id", "b_id")

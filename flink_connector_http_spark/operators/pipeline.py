@@ -343,6 +343,7 @@ from .text import TEMP_TARGET as _MANIFEST_TARGET  # noqa: E402
         "stage reuses its standalone operator's expression text verbatim, "
         "and the whole flow stays one Catalyst plan with no "
         "materialization barrier.",
+    bench=True,
 )
 def pipeline_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window

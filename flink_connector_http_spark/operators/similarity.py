@@ -744,6 +744,7 @@ _KNN_GRAPH_ORACLE = f"""
         "point: candidates come from the one shuffle on (band_id, "
         "band_val), and the window shuffles on src_id — both key-balanced "
         "at 100 TB. Deterministic md5 planes -> exact DuckDB oracle.",
+    bench=True,
 )
 def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")["embeddings"]

@@ -538,6 +538,7 @@ TOPK_PER_WINDOW = 2
         "one row per (window, key). Ranking inside the stream would need "
         "retractions; ranking after emission needs none — the standard "
         "split between streaming aggregation and serving-side ordering.",
+    bench=True,
 )
 def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
