@@ -360,6 +360,103 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# winnowing fingerprints (local document fingerprinting, MOSS-style)
+# ---------------------------------------------------------------------------
+
+WINNOW_W = 4           # window of consecutive k-gram hashes per fingerprint
+MIN_SHARED_FP = 2      # pair threshold: shared selected fingerprints
+MAX_FP_POSTINGS = 50   # drop boilerplate fingerprints seen in > N docs
+
+#: positional k-gram hash array (3-gram shingles, md5→60-bit int) — unlike
+#: the minhash path the list is NOT dedup'd: winnowing is positional
+_KGRAM_HASHES_SPARK = f"transform({SHINGLES_SPARK}, s -> {md5_int60_spark('s')})"
+_KGRAM_HASHES_DUCK = (
+    f"list_transform({SHINGLES_DUCK}, s -> {md5_int60_duck('s')})"
+)
+
+#: window-min selection over the positional hash list (operates on a
+#: pre-computed `h` column). Guarantees: any shared run of >= w+k-1 tokens
+#: shares at least one selected fingerprint (Schleimer/Wilkerson/Aiken).
+_WINNOW_SPARK = (
+    f"CASE WHEN size(h) >= {WINNOW_W} THEN "
+    f"array_distinct(transform(sequence(1, size(h) - {WINNOW_W - 1}), "
+    f"j -> array_min(slice(h, j, {WINNOW_W})))) "
+    f"WHEN size(h) > 0 THEN array(array_min(h)) ELSE array() END"
+)
+_WINNOW_DUCK = (
+    f"CASE WHEN len(h) >= {WINNOW_W} THEN "
+    f"list_distinct(list_transform(range(1, len(h) - {WINNOW_W - 2}), "
+    f"j -> list_min(h[j:j + {WINNOW_W - 1}]))) "
+    f"WHEN len(h) > 0 THEN [list_min(h)] ELSE [] END"
+)
+
+
+@register(
+    "dedup_winnowing",
+    oracle=f"""
+    WITH hs AS (
+      SELECT doc_id, {_KGRAM_HASHES_DUCK} AS h FROM documents
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id, fp FROM (
+        SELECT doc_id, unnest({_WINNOW_DUCK}) AS fp FROM hs
+      )
+    ),
+    keep AS (
+      SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= {MAX_FP_POSTINGS}
+    ),
+    pruned AS (
+      SELECT fp.doc_id, fp.fp FROM fp JOIN keep USING (fp)
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a_id, b_id
+    HAVING COUNT(*) >= {MIN_SHARED_FP}
+    """,
+    doc="Winnowing fingerprint near-dup pairs (Schleimer/Wilkerson/Aiken "
+        "local fingerprinting, the MOSS algorithm): positional 3-gram "
+        f"hashes → min of every {WINNOW_W}-hash window → per-doc selected "
+        "fingerprint set → inverted-index self-join. Detection guarantee: "
+        f"any shared token run of length >= {WINNOW_W}+3-1 shares a "
+        "fingerprint — robust to insertions/reorderings that break "
+        "whole-document hashing. Scale: the index carries ~1/w of the "
+        "k-gram volume (the winnowing density bound), selection is a "
+        "per-row codegen expression with zero shuffle, and boilerplate "
+        f"fingerprints posting to > {MAX_FP_POSTINGS} docs are dropped "
+        "before the self-join (the standard hot-key cap that bounds the "
+        "pair blowup at corpus scale).",
+)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    fps = (
+        docs.select("doc_id", F.expr(_KGRAM_HASHES_SPARK).alias("h"))
+        .select("doc_id", F.explode(F.expr(_WINNOW_SPARK)).alias("fp"))
+        .distinct()
+    )
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") <= MAX_FP_POSTINGS)
+        .select("fp")
+    )
+    pruned = fps.join(keep, "fp", "left_semi")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_shared"))
+        .filter(F.col("n_shared") >= MIN_SHARED_FP)
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding-cosine near-duplicates
 # ---------------------------------------------------------------------------
 
