@@ -30,6 +30,8 @@ __all__ = [
     "stream_window_events",
     "session_counts",
     "stream_session_events",
+    "sliding_counts",
+    "stream_sliding_events",
     "attribution_join",
     "stream_attribution_join",
     "dedup_within_watermark",
@@ -551,4 +553,108 @@ def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         closed.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOPK_PER_WINDOW)
         .select("window_start", "event_type", "n_events", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sliding (overlapping) windows with watermark
+# ---------------------------------------------------------------------------
+
+SLIDE_WINDOW = "1 day"
+SLIDE_STEP = "12 hours"
+_SLIDE_US = 12 * 3600 * 1_000_000
+_SLIDES_PER_WINDOW = 2  # window / slide
+
+
+def sliding_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    watermark: str = WATERMARK,
+    window: str = SLIDE_WINDOW,
+    slide: str = SLIDE_STEP,
+) -> DataFrame:
+    """Sliding event-time window counts: every event lands in
+    window/slide overlapping windows (2 here). Same bounded-state story
+    as tumbling — state per (window, key) partial, evicted when the
+    watermark closes the window — but with window/slide times the window
+    count in flight."""
+    wm = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        wm.groupBy(F.window(ts_col, window, slide).alias("w"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                "CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE)"
+            ).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), key_col, "n_events", "sum_value")
+    )
+
+
+@register(
+    "stream_sliding_events",
+    # each event contributes to BOTH 12h-grid-aligned windows covering it:
+    # w_start ∈ {bucket(ts), bucket(ts) - 12h} (epoch-aligned integer
+    # bucket arithmetic — identical to Spark's epoch-origin window grid);
+    # append mode keeps only windows whose end the watermark passed
+    oracle=f"""
+    WITH wm AS (
+      SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events
+    ),
+    slid AS (
+      SELECT make_timestamp(
+               (epoch_us(ts) // {_SLIDE_US}) * {_SLIDE_US}
+               - k * {_SLIDE_US}) AS window_start,
+             event_type, value
+      FROM events CROSS JOIN (
+        SELECT unnest(range({_SLIDES_PER_WINDOW})) AS k
+      ) ks
+    )
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+    FROM slid
+    GROUP BY window_start, event_type
+    HAVING window_start + INTERVAL 1 DAY <= (SELECT w FROM wm)
+    """,
+    doc="Watermarked SLIDING-window streaming aggregation: 1-day windows "
+        "every 12 hours, so each event feeds two overlapping windows — "
+        "the moving-average/trailing-window shape tumbling windows can't "
+        "express. Append output emits each window exactly once at "
+        "watermark close; state in flight is (window/slide)x the "
+        "tumbling case but still bounded and independent of stream "
+        "length. The oracle replays Spark's epoch-aligned window grid "
+        "with integer bucket arithmetic.",
+)
+def stream_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    in_dir = tempfile.mkdtemp(prefix="stream_sliding_in_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(in_dir, "events.parquet"),
+    )
+    stream = normalize_events_ts(
+        spark.readStream.schema(raw_schema).parquet(in_dir),
+        target="timestamp",
+    )
+    query = (
+        sliding_counts(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_sliding_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table(name).select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
     )
