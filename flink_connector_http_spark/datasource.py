@@ -87,6 +87,26 @@ def _headers_from_options(options: Dict[str, str]) -> Dict[str, str]:
     }
 
 
+def _resolve_format(options: Dict[str, str], fmt: str):
+    """Resolve the response decoder for a Python-DataSource reader.
+
+    Spark runs the DataSource in its own Python worker — NOT the user's
+    driver process — so `register_format` calls made in user code are
+    invisible here. The custom-format SPI for this path is therefore an
+    IMPORT hook (the Spark analogue of the reference's factory-discovery
+    SPI, ``table/http.md:449-478``): pass ``format_module`` naming an
+    importable module whose import registers the format; it is imported
+    in whichever process resolves the name."""
+    mod = options.get("format_module")
+    if mod:
+        import importlib
+
+        importlib.import_module(mod)
+    from .formats import resolve_decoder
+
+    return resolve_decoder(fmt)
+
+
 def _coerce_record(rec: Dict[str, Any], schema: T.StructType) -> tuple:
     from .lookup import _coerce
 
@@ -114,6 +134,7 @@ class HttpBatchReader(DataSourceReader):
             1, int(options.get("pages_per_partition", "1"))
         )
         self.timeout = float(options.get("timeout", "30"))
+        self.decoder = _resolve_format(options, self.fmt)
 
     def partitions(self) -> Sequence[InputPartition]:
         if self.pages is None:
@@ -143,10 +164,9 @@ class HttpBatchReader(DataSourceReader):
     def read(self, partition: InputPartition) -> Iterator[tuple]:
         from .auth import AUTHORIZATION, basic_auth_value, preprocess_headers
         from .client import HttpTransport
-        from .formats import resolve_decoder
 
         transport = HttpTransport(timeout=self.timeout)
-        decoder = resolve_decoder(self.fmt)
+        decoder = self.decoder
         headers = preprocess_headers(
             _headers_from_options(self.options), {AUTHORIZATION: basic_auth_value}
         )
@@ -294,6 +314,7 @@ class HttpPollingStreamReader(SimpleDataSourceStreamReader):
             1, int(options.get("max_pages_per_batch", "10"))
         )
         self.timeout = float(options.get("timeout", "30"))
+        self._decoder = _resolve_format(options, self.fmt)
         self._transport = None
 
     # -- transport bits shared with HttpBatchReader ------------------------
@@ -302,12 +323,10 @@ class HttpPollingStreamReader(SimpleDataSourceStreamReader):
 
         from .auth import AUTHORIZATION, basic_auth_value, preprocess_headers
         from .client import HttpTransport
-        from .formats import resolve_decoder
         from .request import HttpRequestSpec
 
         if self._transport is None:
             self._transport = HttpTransport(timeout=self.timeout)
-            self._decoder = resolve_decoder(self.fmt)
             self._headers = preprocess_headers(
                 _headers_from_options(self.options),
                 {AUTHORIZATION: basic_auth_value},

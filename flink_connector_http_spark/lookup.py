@@ -74,7 +74,30 @@ class HttpLookupTable:
     options: HttpLookupOptions = field(default_factory=HttpLookupOptions)
 
     def fingerprint(self) -> Tuple:
-        return (self.url, self.schema.json(), repr(self.options))
+        # callables are fingerprinted by qualified NAME, not repr: a
+        # pickled function deserializes at a fresh address per task, and
+        # an address-bearing repr would miss the per-executor client cache
+        # on every task (one new connection pool per task instead of one
+        # per executor)
+        import dataclasses
+
+        def _tag(fn) -> str | None:
+            if fn is None:
+                return None
+            return (
+                f"{getattr(fn, '__module__', '?')}."
+                f"{getattr(fn, '__qualname__', type(fn).__name__)}"
+            )
+
+        o = self.options
+        base = dataclasses.replace(o, decoder=None, request_callback=None)
+        return (
+            self.url,
+            self.schema.json(),
+            repr(base),
+            _tag(o.decoder),
+            _tag(o.request_callback),
+        )
 
 
 # --- per-executor client singletons (python workers are reused across tasks) -
@@ -238,6 +261,26 @@ def http_lookup_join(
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     pairs = _normalize_on(on)
+
+    # CUSTOM named response formats resolve HERE (driver): the format
+    # registry is a driver-process object executors don't have, so the
+    # resolved callable ships inside the pickled options. Built-ins
+    # (json/csv) resolve anywhere and keep the common path untouched.
+    if (
+        table.options.decoder is None
+        and table.options.response_format not in ("json", "csv")
+    ):
+        import dataclasses
+
+        from .formats import resolve_decoder
+
+        table = dataclasses.replace(
+            table,
+            options=dataclasses.replace(
+                table.options,
+                decoder=resolve_decoder(table.options.response_format),
+            ),
+        )
 
     # projection pushdown incl. NESTED fields: prune the decode schema to
     # the requested columns (+ keys, needed for backfill). Dotted ``select``

@@ -320,3 +320,57 @@ class TestAsyncKnobs:
         assert out.count() == 20
         assert metrics["numLookupCalls"].value == 4   # distinct keys only
         assert metrics["numRowsEmitted"].value == 20
+
+
+class TestNamedCustomFormatExecutorShipping:
+    """A format registered by NAME must work on executors even though the
+    registry is a driver-process object: resolution happens driver-side
+    and the callable ships inside the pickled state. Nested decoders (not
+    importable on executors) prove the shipping actually happens."""
+
+    def test_named_decoder_through_lookup_join(self, spark, stub_server):
+        def shout_decoder(body: bytes):
+            rec = json.loads(body.decode("utf-8"))
+            rec["n_name"] = rec["n_name"].upper()
+            return rec
+
+        register_format("shout-json", shout_decoder)
+        stub_server.stub("/nation-shout", lambda req: StubResponse(
+            status=200,
+            body=json.dumps({
+                "n_nationkey": int(req.query.get("n_nationkey", ["0"])[0]),
+                "n_name": "quiet",
+            }).encode(),
+        ))
+        probe = spark.createDataFrame([Row(key=1), Row(key=2)])
+        table = HttpLookupTable(
+            url=stub_server.url("/nation-shout"),
+            schema=NATION_SCHEMA,
+            options=HttpLookupOptions(method="GET", response_format="shout-json"),
+        )
+        out = {r.key: r.n_name for r in
+               http_lookup_join(probe, table, on={"key": "n_nationkey"}).collect()}
+        assert out == {1: "QUIET", 2: "QUIET"}
+
+    def test_named_decoder_through_datasource_read(self, spark, stub_server):
+        """The DataSource runs in its OWN Python worker, where user-code
+        register_format calls never happened — the format_module option
+        (import-hook SPI) makes the registration reachable there."""
+        from flink_connector_http_spark.datasource import register_http_datasource
+
+        register_http_datasource(spark)
+        stub_server.stub("/feed-pipe", lambda req: StubResponse(
+            status=200,
+            body=(b"id|name\n1|a\n2|b"
+                  if req.query.get("page", ["0"])[0] == "0" else b"id|name"),
+        ))
+        df = (
+            spark.read.format("http")
+            .schema("id INT, name STRING")
+            .option("url", stub_server.url("/feed-pipe"))
+            .option("format", "pipe2")
+            .option("format_module", "tests.fixture_formats")
+            .option("pages", 1)
+            .load()
+        )
+        assert sorted((r.id, r.name) for r in df.collect()) == [(1, "a"), (2, "b")]
