@@ -191,6 +191,29 @@ def _minhash_sig_array_spark() -> str:
     )
 
 
+def _minhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, sig) LSH band keys: band key = md5 of the
+    concatenated 4-tuple of min-hashes."""
+    sigs = docs.select("doc_id", F.expr(_minhash_sig_array_spark()).alias("sig"))
+    per_band = 4
+    band_cols = []
+    for b in range(N_BANDS):
+        parts = ", ".join(
+            f"element_at(sig, {b * per_band + j + 1})" for j in range(per_band)
+        )
+        band_cols.append(F.expr(f"md5(concat_ws(',', {parts}))").alias(f"band{b}"))
+    banded = sigs.select("doc_id", *band_cols)
+    return banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("sig"))
+                for b in range(N_BANDS)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "bk.band_id", "bk.sig")
+
+
 @register(
     "dedup_minhash_lsh",
     oracle=_JACCARD_ORACLE,
@@ -201,25 +224,7 @@ def _minhash_sig_array_spark() -> str:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")["documents"]
-    sigs = docs.select("doc_id", F.expr(_minhash_sig_array_spark()).alias("sig"))
-    # band key = md5 of the concatenated 4-tuple of min-hashes
-    per_band = 4
-    band_cols = []
-    for b in range(N_BANDS):
-        parts = ", ".join(
-            f"element_at(sig, {b * per_band + j + 1})" for j in range(per_band)
-        )
-        band_cols.append(F.expr(f"md5(concat_ws(',', {parts}))").alias(f"band{b}"))
-    banded = sigs.select("doc_id", *band_cols)
-    bands = banded.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("sig"))
-                for b in range(N_BANDS)
-            ])
-        ).alias("bk"),
-    ).select("doc_id", "bk.band_id", "bk.sig")
+    bands = _minhash_bands(docs)
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
@@ -871,6 +876,99 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "CASE WHEN seen THEN 'dup_of_existing' "
                 "WHEN rn_in_batch > 1 THEN 'dup_in_batch' "
+                "ELSE 'novel' END"
+            ).alias("verdict"),
+        )
+    )
+
+
+@register(
+    "dedup_incremental_minhash",
+    # the oracle classifies new-batch docs against the exact-jaccard pair
+    # set: a_id < b_id and existing ids < INCR_SPLIT <= new ids, so an
+    # existing-new pair always has a = existing
+    oracle=f"""
+    WITH pairs AS (
+      {_JACCARD_ORACLE}
+    ),
+    new_docs AS (
+      SELECT doc_id FROM documents WHERE doc_id >= {INCR_SPLIT}
+    ),
+    dup_exist AS (
+      SELECT DISTINCT b_id AS doc_id FROM pairs WHERE a_id < {INCR_SPLIT}
+    ),
+    dup_batch AS (
+      SELECT DISTINCT b_id AS doc_id FROM pairs WHERE a_id >= {INCR_SPLIT}
+    )
+    SELECT n.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'near_dup_of_existing'
+                WHEN b.doc_id IS NOT NULL THEN 'near_dup_in_batch'
+                ELSE 'novel' END AS verdict
+    FROM new_docs n
+    LEFT JOIN dup_exist e ON e.doc_id = n.doc_id
+    LEFT JOIN dup_batch b ON b.doc_id = n.doc_id
+    """,
+    doc="Incremental NEAR-dup dedup (the fuzzy twin of dedup_incremental): "
+        "classify each new-batch document as near-duplicate of the "
+        "existing corpus, near-duplicate within the batch, or novel — "
+        "without ever re-pairing the existing corpus against itself. The "
+        "persistent day-to-day index is the LSH band table (8 small keys "
+        "per doc, not the text); candidates are only new-vs-existing and "
+        "new-vs-new band collisions, so daily work scales with batch "
+        "size, and exact-jaccard verification touches just the candidate "
+        "docs via the pruned shingle semi-join. Precedence matches the "
+        "exact variant: existing wins over in-batch (the in-batch partner "
+        "with the smaller doc_id stays novel and becomes the kept copy).",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    bands = _minhash_bands(docs)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    # only pairs whose LARGER side is in the new batch: new-vs-existing
+    # (a existing) and new-vs-new (both new); existing-vs-existing pairs
+    # are never generated — that's the incremental contract
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.doc_id") >= INCR_SPLIT),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+        .persist()
+    )
+    candidates.count()
+    cand_docs = (
+        candidates.select(F.col("a_id").alias("doc_id"))
+        .union(candidates.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    sh = _shingle_index(spark, sf_dir, cand_docs)
+    verified = _exact_jaccard(sh, candidates).persist()
+    dup_exist = (
+        verified.filter(F.col("a_id") < INCR_SPLIT)
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+        .withColumn("is_exist_dup", F.lit(True))
+    )
+    dup_batch = (
+        verified.filter(F.col("a_id") >= INCR_SPLIT)
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+        .withColumn("is_batch_dup", F.lit(True))
+    )
+    new_docs = docs.filter(F.col("doc_id") >= INCR_SPLIT).select("doc_id")
+    return (
+        new_docs.join(F.broadcast(dup_exist), "doc_id", "left")
+        .join(F.broadcast(dup_batch), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN is_exist_dup THEN 'near_dup_of_existing' "
+                "WHEN is_batch_dup THEN 'near_dup_in_batch' "
                 "ELSE 'novel' END"
             ).alias("verdict"),
         )
