@@ -1268,3 +1268,129 @@ def sim_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST(COUNT(hit) AS DOUBLE) / {TOP_K}").alias("recall_at_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means (Lloyd) iterations: deterministic seeds, fixed rounds
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+#: L2^2 of a float vector against a double centroid list, fixed-order fold
+_KM_DIST_SPARK = (
+    "aggregate(zip_with(embedding, cent, (x, y) -> "
+    "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+    "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_KM_DIST_DUCK = (
+    "list_sum(list_transform(e.embedding, (x, i) -> "
+    "(CAST(x AS DOUBLE) - c.cent[i]) * (CAST(x AS DOUBLE) - c.cent[i])))"
+)
+
+
+def _km_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, cluster, sq_dist): nearest centroid per vector — a
+    broadcast nested-loop join against the K-row centroid table, then a
+    partial-agg argmin on (vec_id)."""
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "k", F.expr(f"round({_KM_DIST_SPARK}, 6)").alias("d")
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct(F.col("d"), F.col("k"))).alias("best"))
+        .select(
+            "vec_id",
+            F.col("best.k").alias("cluster"),
+            F.col("best.d").alias("sq_dist"),
+        )
+    )
+
+
+def _km_update(emb: DataFrame, assign: DataFrame) -> DataFrame:
+    """New centroid table (k, cent): per-dimension mean of each cluster's
+    members — one shuffle on (cluster, dim) with map-side partials, then
+    the K-row array rebuild."""
+    per_dim = emb.join(assign.select("vec_id", "cluster"), "vec_id").select(
+        "cluster", F.posexplode("embedding").alias("pos", "x")
+    )
+    avg = per_dim.groupBy("cluster", "pos").agg(
+        F.expr("round(avg(CAST(x AS DOUBLE)), 6)").alias("v")
+    )
+    return avg.groupBy(F.col("cluster").alias("k")).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, v))), s -> s.v)"
+        ).alias("cent")
+    )
+
+
+@register(
+    "emb_kmeans_lloyd",
+    oracle=f"""
+    WITH dims AS (SELECT unnest(range({64})) AS pos),
+    it0 AS (
+      SELECT CAST(vec_id AS INT) AS k,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+      FROM embeddings WHERE vec_id < {KMEANS_K}
+    ),
+    s1 AS (
+      SELECT e.vec_id, c.k, round({_KM_DIST_DUCK}, 6) AS d
+      FROM embeddings e CROSS JOIN it0 c
+    ),
+    a1 AS (
+      SELECT vec_id, k AS cluster FROM (
+        SELECT vec_id, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, k) AS rk
+        FROM s1
+      ) t WHERE rk = 1
+    ),
+    c1dim AS (
+      SELECT a1.cluster AS k, dims.pos,
+             round(avg(CAST(e.embedding[dims.pos + 1] AS DOUBLE)), 6) AS v
+      FROM a1 JOIN embeddings e USING (vec_id) CROSS JOIN dims
+      GROUP BY k, dims.pos
+    ),
+    c1 AS (
+      SELECT k, list(v ORDER BY pos) AS cent FROM c1dim GROUP BY k
+    ),
+    s2 AS (
+      SELECT e.vec_id, c.k, round({_KM_DIST_DUCK}, 6) AS d
+      FROM embeddings e CROSS JOIN c1 c
+    )
+    SELECT vec_id, CAST(cluster AS INT) AS cluster, sq_dist FROM (
+      SELECT vec_id, k AS cluster, d AS sq_dist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, k) AS rk
+      FROM s2
+    ) t WHERE rk = 1
+    """,
+    doc=f"K-means (Lloyd) clustering, {KMEANS_ITERS} fixed iterations "
+        f"from deterministic seeds (the first {KMEANS_K} vectors): "
+        "assign = broadcast of the K-row centroid table + per-vector "
+        "argmin; update = one (cluster, dim) shuffle with map-side "
+        "partial averages. The iterative-ML shape on DataFrames — each "
+        "round is two narrow passes over the corpus and state is K×64 "
+        "doubles, so 1000 executors scan in parallel and nothing but the "
+        "tiny centroid table ever crosses rounds. Deterministic "
+        "tie-break (distance, then cluster id) and rounded centroid "
+        "means keep both engines bit-aligned.",
+)
+def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    centroids = (
+        emb.filter(F.col("vec_id") < KMEANS_K)
+        .select(
+            F.col("vec_id").cast("int").alias("k"),
+            F.expr(
+                "transform(embedding, x -> CAST(x AS DOUBLE))"
+            ).alias("cent"),
+        )
+    )
+    assign = None
+    for _ in range(KMEANS_ITERS):
+        assign = _km_assign(emb, centroids)
+        centroids = _km_update(emb, assign)
+    # final output reflects the assignment under the LAST-assigned
+    # centroids (iteration KMEANS_ITERS's assign step)
+    return assign.select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster"), "sq_dist"
+    )

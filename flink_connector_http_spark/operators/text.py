@@ -1994,3 +1994,49 @@ def text_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("center"), F.asc("context"))
         .limit(SKIPGRAM_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# feature-hashing TF vectors (the hashing-trick vectorizer)
+# ---------------------------------------------------------------------------
+
+HASHED_TF_DIM = 64
+
+
+@register(
+    "text_hashed_tf",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({md5_int32_duck('t')} % {HASHED_TF_DIM} AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    )
+    GROUP BY doc_id, bucket
+    """,
+    doc=f"Feature-hashing TF vectors (the hashing trick): tokens map to a "
+        f"FIXED {HASHED_TF_DIM}-bucket space via md5, so the vectorizer "
+        "needs no vocabulary build, no broadcast dictionary, and no "
+        "second corpus pass — the property that makes it the standard "
+        "first featurizer for classifier-based quality filtering at "
+        "corpus scale (collisions are the accepted trade). Sparse "
+        "(doc_id, bucket, tf) triplet output; one shuffle on "
+        "(doc_id, bucket) with map-side partials.",
+)
+def text_hashed_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.expr("split(lower(text), ' ')")).alias("t"),
+    )
+    return (
+        tok.select(
+            "doc_id",
+            F.expr(f"CAST({md5_int32_spark('t')} % {HASHED_TF_DIM} AS INT)").alias(
+                "bucket"
+            ),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("tf"))
+    )
