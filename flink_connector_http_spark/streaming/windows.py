@@ -436,6 +436,110 @@ def stream_attribution_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@register(
+    "stream_attribution_full",
+    # FULL OUTER: matched pairs emit on arrival; an unmatched purchase
+    # null-emits when the watermark passes the END of its match interval
+    # (p_ts + 1h — same cut as the left join); an unmatched click
+    # null-emits when the watermark passes its OWN timestamp (purchases
+    # that could still match it have p_ts < c_ts, impossible once the
+    # watermark is past c_ts)
+    oracle=f"""
+    WITH wm AS (
+      SELECT least(
+               date_trunc('milliseconds',
+                 (SELECT max(ts) FROM events WHERE event_type = 'purchase')),
+               date_trunc('milliseconds',
+                 (SELECT max(ts) FROM events WHERE event_type = 'click'))
+             ) - INTERVAL 1 HOUR AS w
+    ),
+    p AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase'),
+    c AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click'),
+    matched AS (
+      SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+             p.user_id AS user_id,
+             epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
+      FROM p JOIN c
+        ON p.user_id = c.user_id
+       AND c.ts > p.ts
+       AND c.ts <= p.ts + INTERVAL {ATTRIBUTION_WINDOW_S} SECONDS
+    )
+    SELECT * FROM matched
+    UNION ALL
+    SELECT p.event_id, CAST(NULL AS BIGINT), p.user_id, CAST(NULL AS BIGINT)
+    FROM p
+    WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.purchase_id = p.event_id)
+      AND p.ts + INTERVAL {ATTRIBUTION_WINDOW_S} SECONDS < (SELECT w FROM wm)
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT), c.event_id, c.user_id, CAST(NULL AS BIGINT)
+    FROM c
+    WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.click_id = c.event_id)
+      AND c.ts < (SELECT w FROM wm)
+    """,
+    doc="FULL OUTER stream-stream interval join — completes the streaming "
+        "join matrix (inner / left / full): matched purchase→click pairs "
+        "emit on arrival, unmatched rows null-emit exactly when the "
+        "watermark proves no partner can arrive (purchase: end of its "
+        "match window; click: its own timestamp, the lower bound on any "
+        "matching purchase). Both sides' state stays watermark-bounded; "
+        "the oracle reproduces both null cuts, so the emitted set is "
+        "hash-compared.",
+)
+def stream_attribution_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"stream_attr_full_{uuid.uuid4().hex[:8]}"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    in_dir = tempfile.mkdtemp(prefix="stream_attr_full_in_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(in_dir, "events.parquet"),
+    )
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        return (
+            normalize_events_ts(
+                spark.readStream.schema(raw_schema).parquet(in_dir),
+                target="timestamp",
+            )
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_event"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+        )
+
+    purchases = side("purchase", "p").withWatermark("p_ts", WATERMARK)
+    clicks = side("click", "c").withWatermark("c_ts", WATERMARK)
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("p_ts"))
+        & (F.col("c_ts") <= F.col("p_ts")
+           + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_S} SECONDS")),
+        "fullOuter",
+    ).select(
+        F.col("p_event").alias("purchase_id"),
+        F.col("c_event").alias("click_id"),
+        F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
+        F.expr("CAST(unix_micros(c_ts) - unix_micros(p_ts) AS BIGINT)").alias("gap_us"),
+    )
+    query = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation",
+                tempfile.mkdtemp(prefix="stream_attr_full_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------------------
 # streaming deduplication bounded by watermark (dropDuplicatesWithinWatermark)
 # ---------------------------------------------------------------------------
