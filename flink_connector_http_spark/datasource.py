@@ -135,6 +135,33 @@ class HttpBatchReader(DataSourceReader):
         )
         self.timeout = float(options.get("timeout", "30"))
         self.decoder = _resolve_format(options, self.fmt)
+        # filter pushdown → query params (see pushFilters)
+        self.filter_params_enabled = (
+            options.get("filter_params", "true").lower() == "true"
+        )
+        self.pushed_params: Dict[str, str] = {}
+
+    def pushFilters(self, filters):
+        """Equality filters on top-level columns become query parameters —
+        the scan-path analogue of the reference's lookup-key pushdown
+        (``GenericGetQueryCreator``: keys → ``?col=value``). Pushdown is
+        PARTIAL on purpose: every filter is also returned for Spark to
+        re-evaluate after the scan, so a server that ignores the extra
+        parameters still yields correct results, while a server that
+        honors them ships less data. Disable with ``filter_params
+        'false'`` for endpoints that reject unknown parameters."""
+        from pyspark.sql.datasource import EqualTo
+
+        if self.filter_params_enabled:
+            for f in filters:
+                if (
+                    isinstance(f, EqualTo)
+                    and len(f.attribute) == 1
+                    and isinstance(f.value, (str, int, float, bool))
+                    and f.attribute[0] != self.page_param
+                ):
+                    self.pushed_params[f.attribute[0]] = str(f.value)
+        return filters  # all re-evaluated by Spark (partial pushdown)
 
     def partitions(self) -> Sequence[InputPartition]:
         if self.pages is None:
@@ -150,8 +177,9 @@ class HttpBatchReader(DataSourceReader):
 
         from .request import HttpRequestSpec
 
+        params = {self.page_param: page, **self.pushed_params}
         sep = "&" if "?" in self.url else "?"
-        url = f"{self.url}{sep}{urlencode({self.page_param: page})}"
+        url = f"{self.url}{sep}{urlencode(params)}"
         spec = HttpRequestSpec(method="GET", url=url, headers=headers, body=None)
         resp = transport.send(spec)
         if resp.status != 200:
@@ -403,4 +431,7 @@ class HttpDataSource(DataSource):
 
 
 def register_http_datasource(spark) -> None:
+    # the reader implements pushFilters(); Spark refuses to construct such
+    # a reader unless Python-datasource filter pushdown is switched on
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(HttpDataSource)

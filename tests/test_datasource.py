@@ -7,7 +7,11 @@ import json
 import pytest
 
 from flink_connector_http_spark.datasource import register_http_datasource
-from flink_connector_http_spark.testing import StubHttpServer, json_response
+from flink_connector_http_spark.testing import (
+    StubHttpServer,
+    StubResponse,
+    json_response,
+)
 
 SCHEMA = "id BIGINT, name STRING, score DOUBLE"
 
@@ -209,3 +213,58 @@ def test_sql_udtf_array_explodes(spark, stub):
         f"SELECT record FROM http_get_json('{stub.url('/arr')}')"
     ).collect()
     assert sorted(r.record for r in rows) == ['{"v": 1}', '{"v": 2}', '{"v": 3}']
+
+
+class TestFilterPushdownToParams:
+    def test_equality_filter_reaches_endpoint_as_query_param(self, spark, stub):
+        """EqualTo filters push to the endpoint as ?col=value (partial
+        pushdown: Spark still re-evaluates, so a filtering server ships
+        less data and an ignoring server stays correct)."""
+        def responder(req):
+            cat = req.query.get("category", [None])[0]
+            page = int(req.query.get("page", ["0"])[0])
+            rows = [
+                {"id": 1, "category": "a", "v": 1.0},
+                {"id": 2, "category": "b", "v": 2.0},
+                {"id": 3, "category": "a", "v": 3.0},
+            ]
+            if cat is not None:  # server honors the pushed param
+                rows = [r for r in rows if r["category"] == cat]
+            body = rows if page == 0 else []
+            return StubResponse(status=200, body=json.dumps(body).encode())
+
+        stub.stub("/items", responder)
+        df = (
+            spark.read.format("http")
+            .schema("id BIGINT, category STRING, v DOUBLE")
+            .option("url", stub.url("/items"))
+            .option("pages", 1)
+            .load()
+            .filter("category = 'a'")
+        )
+        assert sorted(r.id for r in df.collect()) == [1, 3]
+        reqs = stub.recorded("/items")
+        assert all(r.query.get("category") == ["a"] for r in reqs)
+
+    def test_filter_params_false_keeps_url_clean(self, spark, stub):
+        def responder(req):
+            assert "category" not in req.query  # must NOT be pushed
+            body = [{"id": 1, "category": "a", "v": 1.0},
+                    {"id": 2, "category": "b", "v": 2.0}]
+            page = int(req.query.get("page", ["0"])[0])
+            return StubResponse(
+                status=200, body=json.dumps(body if page == 0 else []).encode()
+            )
+
+        stub.stub("/items2", responder)
+        df = (
+            spark.read.format("http")
+            .schema("id BIGINT, category STRING, v DOUBLE")
+            .option("url", stub.url("/items2"))
+            .option("pages", 1)
+            .option("filter_params", "false")
+            .load()
+            .filter("category = 'a'")
+        )
+        # Spark-side evaluation still filters correctly
+        assert [r.id for r in df.collect()] == [1]
