@@ -64,6 +64,7 @@ _PRIORITY = [
     "http_lookup_left_missing_keys",
     "http_sink_roundtrip",
     "http_datasource_read",
+    "http_datasource_filtered",
     "http_datasource_stream",
     "http_stream_enrich",
     "http_sql_lookup_join",
@@ -114,7 +115,6 @@ _PRIORITY = [
     "q03_shipping_priority",
     "q09_product_profit",
     "q_asof_latest_order",
-    "q_sessionize_events",
 ]
 
 

@@ -428,6 +428,34 @@ def http_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "http_datasource_filtered",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+    WHERE s_nationkey = 3
+    """,
+    doc="DataSource scan WITH filter pushdown under the oracle gate: the "
+        "equality predicate travels to the endpoint as ?s_nationkey=3 on "
+        "every page request (pushFilters → query params) AND is "
+        "re-evaluated by Spark — so this stub, which ignores the extra "
+        "parameter, still returns exactly the filtered set, proving the "
+        "partial-pushdown safety contract end-to-end.",
+)
+def http_datasource_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datasource import register_http_datasource
+
+    register_http_datasource(spark)
+    stub = _stub_for(sf_dir)
+    return (
+        spark.read.format("http")
+        .schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
+        .option("url", stub.url("/suppliers-paged"))
+        .option("pages", stub.supplier_pages)
+        .load()
+        .filter(F.col("s_nationkey") == 3)
+    )
+
+
+@register(
     "http_datasource_stream",
     oracle="""
     SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
