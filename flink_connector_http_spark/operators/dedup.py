@@ -1032,3 +1032,58 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
         .select("contained_id", "container_id", "containment")
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate-span coverage: per-doc fraction of shingles shared with others
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_span_coverage",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, unnest({SHINGLES_DUCK}) AS s FROM documents
+      )
+    ),
+    freq AS (
+      SELECT s, COUNT(*) AS n_docs FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN freq.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_shingles,
+           round(CAST(SUM(CASE WHEN freq.n_docs >= 2 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS dup_ratio
+    FROM sh JOIN freq ON freq.s = sh.s
+    GROUP BY sh.doc_id
+    """,
+    doc="Duplicate-span coverage: per document, the fraction of its "
+        "3-gram shingles that occur in at least one OTHER document — the "
+        "fine-grained span-level dedup signal (a doc can be 40% "
+        "boilerplate without any whole-document near-duplicate, which "
+        "pair-level Jaccard never surfaces). Two shuffles: shingle "
+        "frequency aggregation, then the shingle-keyed join back and the "
+        "per-doc reduce; frequencies are reduced BEFORE the join so the "
+        "wide side joins against (shingle, count), not raw postings. "
+        "The filtering policy this feeds drops or trims high-ratio docs "
+        "before training.",
+)
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_index(spark, sf_dir).persist()
+    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        sh.join(freq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_shingles"),
+            F.expr(
+                "CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_dup_shingles"),
+            F.expr(
+                "round(CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) "
+                "AS DOUBLE) / COUNT(*), 6)"
+            ).alias("dup_ratio"),
+        )
+    )
