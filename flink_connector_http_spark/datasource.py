@@ -189,7 +189,45 @@ class HttpBatchReader(DataSourceReader):
             decoded = [decoded]
         return decoded
 
-    def read(self, partition: InputPartition) -> Iterator[tuple]:
+    _ARROW_SAFE = (
+        T.StringType, T.IntegerType, T.LongType, T.ShortType, T.ByteType,
+        T.DoubleType, T.FloatType, T.BooleanType, T.DateType,
+        T.TimestampType, T.BinaryType,
+    )
+
+    def _arrow_schema(self):
+        """Arrow schema when every declared column is a flat arrow-safe
+        type, else None (→ per-row tuple emission). Decided ONCE so one
+        partition's iterator is homogeneous — mixing RecordBatches and
+        tuples in a single read() is undefined."""
+        if not all(
+            isinstance(f.dataType, self._ARROW_SAFE)
+            for f in self.read_schema.fields
+        ):
+            return None
+        try:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            return to_arrow_schema(self.read_schema)
+        except Exception:
+            return None
+
+    def _emit_page(self, records: List[dict], arrow_schema):
+        """One fetched page → one Arrow RecordBatch (columnar transfer to
+        the JVM, no per-row pickling) when the schema allows, else rows."""
+        rows = [_coerce_record(rec, self.read_schema) for rec in records]
+        if arrow_schema is None:
+            yield from rows
+            return
+        import pyarrow as pa
+
+        cols = [
+            pa.array([r[i] for r in rows], type=arrow_schema.field(i).type)
+            for i in range(len(arrow_schema))
+        ]
+        yield pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
+
+    def read(self, partition: InputPartition):
         from .auth import AUTHORIZATION, basic_auth_value, preprocess_headers
         from .client import HttpTransport
 
@@ -199,19 +237,20 @@ class HttpBatchReader(DataSourceReader):
             _headers_from_options(self.options), {AUTHORIZATION: basic_auth_value}
         )
         assert isinstance(partition, _PageRange)
+        arrow_schema = self._arrow_schema()
         if partition.end == -1:  # unpaged walk
             page = partition.start
             while True:
                 records = self._fetch_page(transport, decoder, headers, page)
                 if not records:
                     return
-                for rec in records:
-                    yield _coerce_record(rec, self.read_schema)
+                yield from self._emit_page(records, arrow_schema)
                 page += 1
         else:
             for page in range(partition.start, partition.end):
-                for rec in self._fetch_page(transport, decoder, headers, page):
-                    yield _coerce_record(rec, self.read_schema)
+                records = self._fetch_page(transport, decoder, headers, page)
+                if records:
+                    yield from self._emit_page(records, arrow_schema)
 
 
 class _SinkDone(WriterCommitMessage):
