@@ -2040,3 +2040,190 @@ def text_hashed_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("tf"))
     )
+
+
+# ---------------------------------------------------------------------------
+# character-entropy quality signal (compressibility proxy)
+# ---------------------------------------------------------------------------
+
+_ENT_CS_SPARK = "transform(sequence(1, length(lower(text)), 1), i -> substr(lower(text), i, 1))"
+_ENT_CS_DUCK = (
+    "list_transform(range(1, length(lower(text)) + 1), i -> substr(lower(text), i, 1))"
+)
+
+#: Shannon entropy (bits/char) of the character unigram distribution.
+#: ln() agrees bit-for-bit across engines on this corpus and round(6)
+#: absorbs any residual ulp/fold-order wiggle (verified 500/500 equal).
+_ENTROPY_SPARK = (
+    f"round(-aggregate(transform(array_distinct({_ENT_CS_SPARK}), c -> "
+    f"(CAST(size(filter({_ENT_CS_SPARK}, x -> x = c)) AS DOUBLE) / length(lower(text))) * "
+    f"ln(CAST(size(filter({_ENT_CS_SPARK}, x -> x = c)) AS DOUBLE) / length(lower(text)))), "
+    f"CAST(0 AS DOUBLE), (acc, v) -> acc + v) / ln(2.0), 6)"
+)
+_ENTROPY_DUCK = (
+    f"round(-list_sum(list_transform(list_distinct({_ENT_CS_DUCK}), c -> "
+    f"(CAST(len(list_filter({_ENT_CS_DUCK}, x -> x = c)) AS DOUBLE) / length(lower(text))) * "
+    f"ln(CAST(len(list_filter({_ENT_CS_DUCK}, x -> x = c)) AS DOUBLE) / length(lower(text))))) "
+    f"/ ln(2.0), 6)"
+)
+
+
+@register(
+    "text_char_entropy",
+    oracle=f"""
+    SELECT doc_id,
+           length(lower(text)) AS n_chars_ci,
+           {_ENTROPY_DUCK} AS entropy_bits
+    FROM documents
+    """,
+    doc="Character-entropy quality signal: Shannon entropy (bits/char) of "
+        "each document's character distribution — the cheap compressibility "
+        "proxy that flags repetitive boilerplate (low entropy) and "
+        "binary-ish noise (high entropy) without running a compressor. "
+        "Pure per-row codegen expression, zero shuffle, zero Python; the "
+        "policy gate composes with text_quality_filter's length/punct "
+        "signals.",
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return docs.select(
+        "doc_id",
+        F.expr("length(lower(text))").alias("n_chars_ci"),
+        F.expr(_ENTROPY_SPARK).alias("entropy_bits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV/theta sketch INTERSECTION: cross-source vocabulary overlap estimates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sketch_kmv_source_overlap",
+    # theta-sketch set algebra on the per-source KMV sketches: with
+    # theta = least(kth_min_a, kth_min_b), the hashes below theta form a
+    # uniform sample of each set, so |A∩B| ≈ common_below_theta *
+    # HASH_SPACE / theta and the Jaccard estimate is the below-theta ratio.
+    # All integer hashing + one fixed division — engine-exact.
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT source,
+             {md5_int60_duck("unnest(string_split(lower(text), ' '))")} AS hv
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, hv,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS rk
+      FROM h
+    ),
+    sk AS (SELECT source, hv FROM ranked WHERE rk <= {KMV_K}),
+    kth AS (SELECT source, MAX(hv) AS kth FROM sk GROUP BY source),
+    prs AS (
+      SELECT a.source AS a_src, b.source AS b_src,
+             least(a.kth, b.kth) AS theta
+      FROM kth a JOIN kth b ON a.source < b.source
+    ),
+    ca AS (
+      SELECT p.a_src, p.b_src, COUNT(*) AS na
+      FROM prs p JOIN sk ON sk.source = p.a_src AND sk.hv < p.theta
+      GROUP BY p.a_src, p.b_src
+    ),
+    cb AS (
+      SELECT p.a_src, p.b_src, COUNT(*) AS nb
+      FROM prs p JOIN sk ON sk.source = p.b_src AND sk.hv < p.theta
+      GROUP BY p.a_src, p.b_src
+    ),
+    cc AS (
+      SELECT p.a_src, p.b_src, COUNT(*) AS nc
+      FROM prs p
+      JOIN sk sa ON sa.source = p.a_src AND sa.hv < p.theta
+      JOIN sk sb ON sb.source = p.b_src AND sb.hv = sa.hv
+      GROUP BY p.a_src, p.b_src
+    )
+    SELECT p.a_src, p.b_src,
+           CAST(COALESCE(cc.nc, 0) AS BIGINT) AS n_common,
+           round(COALESCE(cc.nc, 0) * {_KMV_MAX} / p.theta, 6)
+             AS est_intersection,
+           round(CAST(COALESCE(cc.nc, 0) AS DOUBLE)
+                 / (ca.na + cb.nb - COALESCE(cc.nc, 0)), 6) AS est_jaccard
+    FROM prs p
+    JOIN ca ON ca.a_src = p.a_src AND ca.b_src = p.b_src
+    JOIN cb ON cb.a_src = p.a_src AND cb.b_src = p.b_src
+    LEFT JOIN cc ON cc.a_src = p.a_src AND cc.b_src = p.b_src
+    """,
+    doc="Cross-source vocabulary overlap via theta-sketch intersection of "
+        f"the per-source {KMV_K}-minimum-values sketches: below "
+        "theta = min(kth_a, kth_b) each sketch is a uniform hash sample, "
+        "so shared-hash counts scale to |A∩B| and a Jaccard estimate — "
+        "the set-algebra step KMV supports and HLL alone does not. At "
+        "100 TB only the K-hash sketches meet (pairs of 64-row sets, "
+        "broadcast-sized) — the full token sets never co-shuffle. Feeds "
+        "source-mix planning (which crawls duplicate each other's "
+        "vocabulary) and cross-source contamination triage.",
+)
+def sketch_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    hashes = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+        )
+        .select("source", F.expr(md5_int60_spark("token")).alias("hv"))
+        .distinct()
+    )
+    w = Window.partitionBy("source").orderBy("hv")
+    sk = (
+        hashes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KMV_K)
+        .select("source", "hv")
+        .persist()
+    )
+    kth = sk.groupBy("source").agg(F.max("hv").alias("kth"))
+    a, b = kth.alias("a"), kth.alias("b")
+    prs = (
+        a.join(b, F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("a_src"),
+            F.col("b.source").alias("b_src"),
+            F.least(F.col("a.kth"), F.col("b.kth")).alias("theta"),
+        )
+    )
+    prs = F.broadcast(prs)
+    ca = (
+        prs.join(sk, (sk["source"] == F.col("a_src")) & (sk["hv"] < F.col("theta")))
+        .groupBy("a_src", "b_src")
+        .agg(F.count(F.lit(1)).alias("na"))
+    )
+    cb = (
+        prs.join(sk, (sk["source"] == F.col("b_src")) & (sk["hv"] < F.col("theta")))
+        .groupBy("a_src", "b_src")
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    sa, sb = sk.alias("sa"), sk.alias("sb")
+    cc = (
+        prs.join(sa, (F.col("sa.source") == F.col("a_src"))
+                 & (F.col("sa.hv") < F.col("theta")))
+        .join(sb, (F.col("sb.source") == F.col("b_src"))
+              & (F.col("sb.hv") == F.col("sa.hv")))
+        .groupBy("a_src", "b_src")
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    return (
+        prs.join(F.broadcast(ca), ["a_src", "b_src"])
+        .join(F.broadcast(cb), ["a_src", "b_src"])
+        .join(F.broadcast(cc), ["a_src", "b_src"], "left")
+        .select(
+            "a_src",
+            "b_src",
+            F.expr("CAST(COALESCE(nc, 0) AS BIGINT)").alias("n_common"),
+            F.expr(
+                f"round(COALESCE(nc, 0) * {_KMV_MAX} / theta, 6)"
+            ).alias("est_intersection"),
+            F.expr(
+                "round(CAST(COALESCE(nc, 0) AS DOUBLE) "
+                "/ (na + nb - COALESCE(nc, 0)), 6)"
+            ).alias("est_jaccard"),
+        )
+    )
