@@ -1394,3 +1394,107 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign.select(
         "vec_id", F.col("cluster").cast("int").alias("cluster"), "sq_dist"
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the kNN graph (scaled-integer exact propagation)
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 2
+PR_SCALE = 10**12      # rank mass carried as integer micro-units
+PR_DAMP_NUM = 85       # damping 0.85 as an integer ratio
+PR_DAMP_DEN = 100
+
+
+@register(
+    "graph_pagerank_knn",
+    # all propagation is integer arithmetic (scaled mass, integer DIV), so
+    # both engines produce identical ranks with no float-summation order
+    # sensitivity; the only float op is the final display division
+    oracle=f"""
+    WITH knn AS (
+      {_KNN_GRAPH_ORACLE}
+    ),
+    edges AS (SELECT src_id, dst_id FROM knn),
+    nodes AS (SELECT vec_id FROM embeddings),
+    n AS (SELECT COUNT(*) AS n FROM nodes),
+    outdeg AS (SELECT src_id, COUNT(*) AS deg FROM edges GROUP BY src_id),
+    p0 AS (
+      SELECT vec_id, {PR_SCALE} // (SELECT n FROM n) AS p FROM nodes
+    ),
+    s1 AS (
+      SELECT e.dst_id, SUM(p0.p // o.deg) AS m
+      FROM edges e JOIN p0 ON p0.vec_id = e.src_id
+      JOIN outdeg o ON o.src_id = e.src_id
+      GROUP BY e.dst_id
+    ),
+    p1 AS (
+      SELECT nodes.vec_id,
+             ({PR_SCALE} * ({PR_DAMP_DEN} - {PR_DAMP_NUM}) // {PR_DAMP_DEN})
+               // (SELECT n FROM n)
+             + ({PR_DAMP_NUM} * COALESCE(s1.m, 0)) // {PR_DAMP_DEN} AS p
+      FROM nodes LEFT JOIN s1 ON s1.dst_id = nodes.vec_id
+    ),
+    s2 AS (
+      SELECT e.dst_id, SUM(p1.p // o.deg) AS m
+      FROM edges e JOIN p1 ON p1.vec_id = e.src_id
+      JOIN outdeg o ON o.src_id = e.src_id
+      GROUP BY e.dst_id
+    ),
+    p2 AS (
+      SELECT nodes.vec_id,
+             ({PR_SCALE} * ({PR_DAMP_DEN} - {PR_DAMP_NUM}) // {PR_DAMP_DEN})
+               // (SELECT n FROM n)
+             + ({PR_DAMP_NUM} * COALESCE(s2.m, 0)) // {PR_DAMP_DEN} AS p
+      FROM nodes LEFT JOIN s2 ON s2.dst_id = nodes.vec_id
+    )
+    SELECT vec_id, CAST(p AS BIGINT) AS rank_scaled,
+           CAST(p AS DOUBLE) / {PR_SCALE} AS pagerank
+    FROM p2
+    """,
+    doc=f"PageRank ({PR_ITERS} fixed iterations, damping 0.85) over the "
+        "approximate kNN graph — the centrality pass graph-curation "
+        "pipelines run to find prototypical vs isolated documents in a "
+        "semantic neighborhood graph. Rank mass is carried as scaled "
+        "INTEGERS (micro-units, integer division) so propagation is "
+        "exactly reproducible — no float-summation order sensitivity "
+        "across engines or partitionings. Each iteration is one "
+        "(dst) shuffle of edge contributions with map-side partial sums "
+        "plus a broadcast of the per-node degree; iteration state is one "
+        "bigint per node.",
+)
+def graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    edges = emb_knn_graph(spark, sf_dir).select("src_id", "dst_id").persist()
+    nodes = emb.select("vec_id")
+    n_row = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n")))
+    outdeg = edges.groupBy("src_id").agg(F.count(F.lit(1)).alias("deg"))
+    ed = edges.join(outdeg, "src_id").persist()
+
+    base = (
+        f"({PR_SCALE}L * ({PR_DAMP_DEN} - {PR_DAMP_NUM}) DIV {PR_DAMP_DEN}) DIV n"
+    )
+    p = nodes.crossJoin(n_row).select(
+        "vec_id", F.expr(f"{PR_SCALE}L DIV n").alias("p")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            ed.join(p, ed["src_id"] == p["vec_id"])
+            .select("dst_id", F.expr("p DIV deg").alias("c"))
+        )
+        sums = contrib.groupBy("dst_id").agg(F.sum("c").alias("m"))
+        p = (
+            nodes.join(sums, nodes["vec_id"] == sums["dst_id"], "left")
+            .crossJoin(n_row)
+            .select(
+                "vec_id",
+                F.expr(
+                    f"{base} + ({PR_DAMP_NUM} * COALESCE(m, 0L)) DIV {PR_DAMP_DEN}"
+                ).alias("p"),
+            )
+        )
+    return p.select(
+        "vec_id",
+        F.expr("CAST(p AS BIGINT)").alias("rank_scaled"),
+        F.expr(f"CAST(p AS DOUBLE) / {PR_SCALE}").alias("pagerank"),
+    )
