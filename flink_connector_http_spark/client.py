@@ -38,6 +38,7 @@ from .formats import resolve_decoder
 from .http_logger import logging_callback
 from .options import HttpLookupOptions
 from .query_creators import QueryCreator, resolve_query_creator
+from .ratelimit import TokenBucket
 from .request import HttpRequestSpec, build_lookup_request
 from .retry import HttpRetryError, RetryStats, run_with_retry
 from .status import HttpResponseChecker, parse_http_codes
@@ -245,6 +246,13 @@ class HttpPollingClient:
             proxy_user=options.proxy_user,
             proxy_password=options.proxy_password,
         )
+        # per-task request rate cap (SURVEY §7 scale addition; shared by
+        # the pull pool's threads so the cap covers async fan-out too)
+        self.rate_limiter = (
+            TokenBucket(options.rate_limit, options.rate_limit_burst)
+            if options.rate_limit
+            else None
+        )
         # response format SPI (reference lookup-request.format / format)
         self._decoder = options.decoder or resolve_decoder(options.response_format)
         # R12 request/response callback; default logs at DEBUG only
@@ -315,9 +323,17 @@ class HttpPollingClient:
         an opaque exchange for :meth:`publish`. I/O-bound — the async path
         runs this on the pull pool (``AsyncHttpTableLookupFunction.java:94-115``)."""
         spec = self.build_request(key_values)
+
+        def _fire() -> HttpResponse:
+            # each wire attempt (including retries) consumes a permit —
+            # the limiter bounds actual requests hitting the endpoint
+            if self.rate_limiter is not None:
+                self.rate_limiter.acquire()
+            return self.transport.send(spec)
+
         try:
             response = run_with_retry(
-                lambda: self.transport.send(spec),
+                _fire,
                 config=self.options.retry,
                 status_of=lambda r: r.status,
                 is_retriable_status=self.checker.is_temporal_error,

@@ -70,6 +70,12 @@ LOOKUP_OPTION_KEYS = {
     "cache_expire_after_write": "lookup.partial-cache.expire-after-write",
     "cache_expire_after_access": "lookup.partial-cache.expire-after-access",
     "cache_missing_key": "lookup.partial-cache.cache-missing-key",
+    # beyond-reference scale knob (SURVEY §7): per-task client-side rate
+    # limiting — the reference fires as fast as its pools allow, which at
+    # 1000 executors DDoSes the endpoint. Keys follow the reference's
+    # lookup-option naming style.
+    "rate_limit": "http.source.lookup.rate-limit.requests-per-second",
+    "rate_limit_burst": "http.source.lookup.rate-limit.burst",
 }
 
 SINK_OPTION_KEYS = {
@@ -99,6 +105,10 @@ SINK_OPTION_KEYS = {
     "server_ca": "http.security.cert.server",
     "client_cert": "http.security.cert.client",
     "client_key": "http.security.key.client",
+    # beyond-reference scale knob (SURVEY §7), sink side: bounds HTTP
+    # requests/second per writer task on top of the in-flight cap
+    "rate_limit": "http.sink.rate-limit.requests-per-second",
+    "rate_limit_burst": "http.sink.rate-limit.burst",
 }
 
 
@@ -154,6 +164,10 @@ class HttpLookupOptions:
     url_map: Mapping[str, str] = field(default_factory=dict)
     body_template: Optional[str] = None
     cache: Optional[LookupCacheConfig] = None         # None = no caching
+    # per-task request rate cap (requests/second); None = unlimited, the
+    # reference's (scale-unsafe) behavior. burst defaults to max(1, rate).
+    rate_limit: Optional[float] = None
+    rate_limit_burst: Optional[float] = None
 
 
 @dataclass(frozen=True)
@@ -187,6 +201,9 @@ class HttpSinkOptions:
     server_ca: Optional[str] = None
     client_cert: Optional[str] = None
     client_key: Optional[str] = None
+    # per-task request rate cap (requests/second); None = unlimited
+    rate_limit: Optional[float] = None
+    rate_limit_burst: Optional[float] = None
 
 
 def _collect_prefixed(options: Mapping[str, str], prefix: str) -> Dict[str, str]:
@@ -258,6 +275,9 @@ def lookup_options_from_map(options: Mapping[str, str]) -> HttpLookupOptions:
             kwargs[name] = options[k[name]]
     if k["oidc_expiry_reduction"] in options:
         kwargs["oidc_expiry_reduction"] = float(options[k["oidc_expiry_reduction"]])
+    for name in ("rate_limit", "rate_limit_burst"):
+        if k[name] in options:
+            kwargs[name] = float(options[k[name]])
     if k["allow_self_signed"] in options:
         kwargs["allow_self_signed"] = _as_bool(options[k["allow_self_signed"]])
     if k["proxy_port"] in options:
@@ -289,6 +309,7 @@ def sink_options_from_map(options: Mapping[str, str]) -> HttpSinkOptions:
         ("max_batch_bytes", int), ("max_record_bytes", int),
         ("writer_pool_size", int),
         ("max_time_in_buffer", float), ("request_timeout", float),
+        ("rate_limit", float), ("rate_limit_burst", float),
     ):
         if k[name] in options:
             kwargs[name] = conv(options[k[name]])

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from .auth import AUTHORIZATION, basic_auth_value, preprocess_headers
 from .options import HttpSinkOptions
+from .ratelimit import TokenBucket
 from .request import HttpRequestSpec
 from .status import SinkErrorCodeChecker
 from .types import HttpSinkRequestEntry
@@ -92,6 +93,14 @@ class HttpSinkWriter:
             allow_self_signed=options.allow_self_signed,
         )
         self.on_response = on_response
+        # per-task request rate cap (SURVEY §7 scale addition): acquired
+        # by the pool workers in _send_one, so a throttled endpoint
+        # backpressures through max_inflight into write()
+        self.rate_limiter = (
+            TokenBucket(options.rate_limit, options.rate_limit_burst)
+            if options.rate_limit
+            else None
+        )
         # batch framing follows the payload format's registered rule
         # (json-array / newline / concat — formats.py SPI). For custom
         # formats the caller resolves it driver-side (the registry is a
@@ -257,6 +266,8 @@ class HttpSinkWriter:
             self._inflight_records += record_count
 
     def _send_one(self, spec: HttpRequestSpec, record_count: int) -> None:
+        if self.rate_limiter is not None:
+            self.rate_limiter.acquire()
         try:
             response = self.transport.send(spec)
         except OSError:
