@@ -1087,3 +1087,76 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# blocked record linkage (fuzzy entity resolution)
+# ---------------------------------------------------------------------------
+
+LINK_MAX_DIST = 3
+
+
+@register(
+    "link_blocked_edit_distance",
+    oracle=f"""
+    WITH names AS (
+      SELECT p_name, string_split(p_name, ' ')[-1] AS block_key,
+             COUNT(*) AS n_rows
+      FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(a.n_rows AS BIGINT) AS rows_a,
+           CAST(b.n_rows AS BIGINT) AS rows_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM names a
+    JOIN names b
+      ON a.block_key = b.block_key AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= {LINK_MAX_DIST}
+    """,
+    doc=f"Blocked record linkage: candidate pairs share a blocking key "
+        "(the head noun — last token of the entity name), then survive an "
+        f"edit-distance gate (levenshtein <= {LINK_MAX_DIST}). Two-stage "
+        "entity-resolution shape, with the scale-critical twist of "
+        "linking DISTINCT names, not rows: the aggregate first collapses "
+        "exact duplicates (here 2000 rows -> 64 names; in a real catalog, "
+        "billions of rows -> millions of values), carrying the support "
+        "count, so the quadratic comparison never sees the duplicate "
+        "multiplicity — comparing at row level would emit m*(m-1)/2 "
+        "trivial pairs per repeated value. Blocking turns all-pairs into "
+        "an equi-join (one shuffle on block_key) and the distance work "
+        "happens only inside blocks; production blocking composes weak "
+        "keys (token + sorted-neighborhood + phonetic) and caps block "
+        "sizes — a hot block is a degenerate key, same treatment as any "
+        "skewed join key. The a<b canonical ordering emits each pair "
+        "once; levenshtein runs JVM-side (codegen'd), no Python in the "
+        "pair path. Row-level links recover by equi-joining part back on "
+        "p_name to each side.",
+)
+def link_blocked_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")["part"]
+    names = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_rows")).select(
+        "p_name",
+        "n_rows",
+        F.element_at(F.split("p_name", " "), -1).alias("block_key"),
+    )
+    a = names.alias("a")
+    b = names.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= LINK_MAX_DIST
+        )
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.col("a.n_rows").cast("bigint").alias("rows_a"),
+            F.col("b.n_rows").cast("bigint").alias("rows_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            .cast("bigint")
+            .alias("edit_dist"),
+        )
+    )

@@ -1498,3 +1498,121 @@ def graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(p AS BIGINT)").alias("rank_scaled"),
         F.expr(f"CAST(p AS DOUBLE) / {PR_SCALE}").alias("pagerank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting / clustering coefficient over the kNN graph
+# ---------------------------------------------------------------------------
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH knn AS (
+      {_KNN_GRAPH_ORACLE}
+    ),
+    und AS (
+      SELECT DISTINCT LEAST(src_id, dst_id) AS a, GREATEST(src_id, dst_id) AS b
+      FROM knn WHERE src_id <> dst_id
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+      ) ends GROUP BY node
+    ),
+    tcnt AS (
+      SELECT node, COUNT(*) AS triangles FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y AS node FROM tri
+        UNION ALL SELECT z AS node FROM tri
+      ) corners GROUP BY node
+    )
+    SELECT e.vec_id,
+           CAST(COALESCE(deg.degree, 0) AS BIGINT) AS degree,
+           CAST(COALESCE(tcnt.triangles, 0) AS BIGINT) AS triangles,
+           CASE WHEN COALESCE(deg.degree, 0) >= 2
+                THEN CAST(2 * COALESCE(tcnt.triangles, 0) AS DOUBLE)
+                     / (deg.degree * (deg.degree - 1))
+                ELSE CAST(0 AS DOUBLE) END AS clustering
+    FROM embeddings e
+    LEFT JOIN deg ON deg.node = e.vec_id
+    LEFT JOIN tcnt ON tcnt.node = e.vec_id
+    """,
+    doc="Per-node triangle count + local clustering coefficient over the "
+        "approximate kNN graph — the graph-curation signal that separates "
+        "tightly-knit semantic clusters (high clustering) from hub/bridge "
+        "nodes (high degree, low clustering). Counting uses the canonical "
+        "ordered-triple join: undirected edges stored once as (a<b), then "
+        "(x,y)J(y,z)J(x,z) so every triangle materializes exactly once "
+        "with no post-dedup. Scale: the kNN construction bounds every "
+        "node's degree by 2*GRAPH_K, so the candidate wedge join is at "
+        "most |V|*(2k)^2 rows — no power-law hotspot can form, which is "
+        "the known failure mode of triangle counting on natural graphs "
+        "(there, degree-ordering e1.a<e1.b already directs wedges at the "
+        "lower-degree endpoint, the standard mitigation). Every join is a "
+        "hash join on int keys; per-corner counts are one map-side-"
+        "combinable shuffle.",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    knn = emb_knn_graph(spark, sf_dir)
+    und = (
+        knn.filter(F.col("src_id") != F.col("dst_id"))
+        .select(
+            F.least("src_id", "dst_id").alias("a"),
+            F.greatest("src_id", "dst_id").alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+    e1 = und.alias("e1")
+    e2 = und.alias("e2")
+    e3 = und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tcnt = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        emb.select("vec_id")
+        .join(deg, F.col("vec_id") == deg["node"], "left")
+        .drop("node")
+        .join(tcnt, F.col("vec_id") == tcnt["node"], "left")
+        .drop("node")
+        .select(
+            "vec_id",
+            F.coalesce("degree", F.lit(0)).cast("bigint").alias("degree"),
+            F.coalesce("triangles", F.lit(0)).cast("bigint").alias("triangles"),
+            F.expr(
+                "CASE WHEN COALESCE(degree, 0) >= 2 "
+                "THEN CAST(2 * COALESCE(triangles, 0) AS DOUBLE) "
+                "     / (degree * (degree - 1)) "
+                "ELSE CAST(0 AS DOUBLE) END"
+            ).alias("clustering"),
+        )
+    )

@@ -2227,3 +2227,75 @@ def sketch_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# bottom-k uniform sample -> distribution quantile estimates
+# ---------------------------------------------------------------------------
+
+BOTTOMK_K = 200
+BOTTOMK_PCTS = (25, 50, 75, 90, 99)
+
+
+@register(
+    "sample_bottomk_quantiles",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, n_chars, md5(concat('bk:', doc_id)) AS h FROM documents
+    ),
+    samp AS (
+      SELECT doc_id, n_chars FROM hashed ORDER BY h, doc_id LIMIT {BOTTOMK_K}
+    ),
+    ranked AS (
+      SELECT n_chars,
+             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS r,
+             COUNT(*) OVER () AS cnt
+      FROM samp
+    ),
+    pcts AS (SELECT unnest([{", ".join(str(p) for p in BOTTOMK_PCTS)}]) AS pct)
+    SELECT CAST(pct AS INT) AS pct,
+           CAST(n_chars AS BIGINT) AS est_n_chars,
+           CAST(cnt AS BIGINT) AS sample_k
+    FROM pcts JOIN ranked ON ranked.r = (pct * ranked.cnt + 99) // 100
+    """,
+    doc=f"Distribution quantile estimates from a bottom-{BOTTOMK_K} "
+        "hash-order sample — the mergeable uniform-sample sketch: the k "
+        "lowest md5(doc_id) rows are a uniform random subset, any two "
+        "nodes' bottom-k sets merge into the corpus bottom-k, and re-runs "
+        "are reproducible because the 'randomness' is the hash. The "
+        "estimator reads the ceil(p*k) order statistic of the sample "
+        "(integer ceil-division, no float rank math). Scale: the sample "
+        "is a distributed top-k selection (per-partition bottom-k, then "
+        f"a {BOTTOMK_K}-row driver merge) — NO global sort of the corpus, "
+        "unlike exact quantiles; error is O(1/sqrt(k)) in rank, "
+        "independent of corpus size, so the same k serves 100 TB.",
+)
+def sample_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    hashed = docs.select(
+        "doc_id", "n_chars", F.expr("md5(concat('bk:', doc_id))").alias("h")
+    )
+    samp = hashed.orderBy("h", "doc_id").limit(BOTTOMK_K)
+    ranked = samp.select(
+        "n_chars",
+        F.row_number().over(Window.orderBy("n_chars", "doc_id")).alias("r"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("cnt"),
+    )
+    pcts = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in BOTTOMK_PCTS])).alias("pct")
+    )
+    return (
+        ranked.join(
+            F.broadcast(pcts),
+            F.col("r") == F.expr("(pct * cnt + 99) DIV 100"),
+        )
+        .select(
+            F.col("pct").cast("int").alias("pct"),
+            F.col("n_chars").cast("bigint").alias("est_n_chars"),
+            F.col("cnt").cast("bigint").alias("sample_k"),
+        )
+    )
