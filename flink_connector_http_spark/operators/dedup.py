@@ -1160,3 +1160,120 @@ def link_blocked_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("edit_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# longest common token run (exact-substring dedup signal)
+# ---------------------------------------------------------------------------
+
+RUN_HOT_CAP = 50   # ignore shingles present in more than this many docs
+RUN_MIN_SHINGLES = 3  # report pairs sharing >= 3 consecutive shingles
+
+
+@register(
+    "dedup_common_run_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks
+    ),
+    psh AS (
+      SELECT doc_id, i,
+             t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS s
+      FROM pos
+    ),
+    freq AS (
+      SELECT s, COUNT(DISTINCT doc_id) AS nd FROM psh GROUP BY s
+    ),
+    keep AS (
+      SELECT psh.doc_id, psh.i, psh.s
+      FROM psh JOIN freq ON freq.s = psh.s
+      WHERE freq.nd BETWEEN 2 AND {RUN_HOT_CAP}
+    ),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.i AS ia, a.i - b.i AS diag
+      FROM keep a JOIN keep b ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+      SELECT doc_a, doc_b, diag,
+             ia - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+                                     ORDER BY ia) AS island
+      FROM m
+    ),
+    runs AS (
+      SELECT doc_a, doc_b, COUNT(*) AS run_len
+      FROM isl GROUP BY doc_a, doc_b, diag, island
+    )
+    SELECT doc_a, doc_b,
+           CAST(MAX(run_len) AS BIGINT) AS max_run_shingles,
+           CAST(MAX(run_len) + 2 AS BIGINT) AS lcs_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_runs
+    FROM runs GROUP BY doc_a, doc_b
+    HAVING MAX(run_len) >= {RUN_MIN_SHINGLES}
+    """,
+    doc="Longest common token run per document pair — the exact-substring "
+        "dedup signal (the property suffix-array substring dedup targets) "
+        "re-expressed relationally: positioned 3-gram shingles matched "
+        "across docs land on (ia, ib) points; consecutive shared shingles "
+        "line up on one diagonal d = ia - ib, so the classic "
+        "gaps-and-islands window (ia - row_number per (pair, diagonal)) "
+        "recovers every maximal shared run and max(run)+2 is the longest "
+        "common substring in tokens. No suffix array, no per-pair "
+        "alignment loop — three shuffles total (shingle freq, the "
+        "shingle-keyed pair join, the (pair,diag) window+reduce). Scale "
+        f"guards: shingles in more than {RUN_HOT_CAP} docs are excluded "
+        "before the pair join (a boilerplate phrase would otherwise emit "
+        "O(freq^2) match points — the posting-cap treatment winnowing "
+        "uses), and singleton shingles are dropped (can never match). "
+        f"Pairs reported at >= {RUN_MIN_SHINGLES} consecutive shingles "
+        f"(>= {RUN_MIN_SHINGLES + 2} shared tokens).",
+)
+def dedup_common_run_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    psh = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.expr(SHINGLES_SPARK)).alias("p", "s"),
+        )
+        .select("doc_id", (F.col("p") + 1).alias("i"), "s")
+        .persist()
+    )
+    freq = psh.groupBy("s").agg(F.countDistinct("doc_id").alias("nd"))
+    keep = (
+        psh.join(freq, "s")
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= RUN_HOT_CAP))
+        .select("doc_id", "i", "s")
+    )
+    a = keep.alias("a")
+    b = keep.alias("b")
+    m = a.join(
+        b,
+        (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.i").alias("ia"),
+        (F.col("a.i") - F.col("b.i")).alias("diag"),
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("ia")
+    isl = m.select(
+        "doc_a", "doc_b", "diag",
+        (F.col("ia") - F.row_number().over(w)).alias("island"),
+    )
+    runs = isl.groupBy("doc_a", "doc_b", "diag", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("run_len").cast("bigint").alias("max_run_shingles"),
+            (F.max("run_len") + 2).cast("bigint").alias("lcs_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        )
+        .filter(F.col("max_run_shingles") >= RUN_MIN_SHINGLES)
+    )
