@@ -2442,3 +2442,106 @@ def q_user_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(n AS BIGINT)").alias("n_events"),
         F.expr(_SLOPE).alias("slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# winsorized robust aggregation (order-statistic clipping)
+# ---------------------------------------------------------------------------
+
+WINSOR_LO_PCT = 5
+WINSOR_HI_PCT = 95
+
+
+@register(
+    "q_winsorized_value_stats",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_type, value, event_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS r,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    bounds AS (
+      SELECT event_type, MAX(n) AS n,
+             MAX(CASE WHEN r = ({WINSOR_LO_PCT} * n + 99) // 100
+                      THEN value END) AS lo,
+             MAX(CASE WHEN r = ({WINSOR_HI_PCT} * n + 99) // 100
+                      THEN value END) AS hi
+      FROM ranked GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(b.n AS BIGINT) AS n_events,
+           CAST(CAST(b.lo AS DECIMAL(10,2)) AS DOUBLE) AS p_lo,
+           CAST(CAST(b.hi AS DECIMAL(10,2)) AS DOUBLE) AS p_hi,
+           round(CAST(SUM(CAST(e.value AS DECIMAL(10,2))) AS DOUBLE)
+                 / b.n, 6) AS raw_mean,
+           round(CAST(SUM(CAST(LEAST(GREATEST(e.value, b.lo), b.hi)
+                               AS DECIMAL(10,2))) AS DOUBLE)
+                 / b.n, 6) AS winsorized_mean,
+           CAST(SUM(CASE WHEN e.value < b.lo OR e.value > b.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM events e JOIN bounds b USING (event_type)
+    GROUP BY e.event_type, b.n, b.lo, b.hi
+    """,
+    doc=f"Winsorized robust mean per event_type: clip values to the exact "
+        f"p{WINSOR_LO_PCT:02d}/p{WINSOR_HI_PCT} ORDER STATISTICS (type-1 "
+        "quantile — the ceil(p*n)-th smallest actual data value, integer "
+        "ceil-division rank math, no float interpolation) and aggregate "
+        "the clipped column with DECIMAL-exact sums. The heavy-tail-"
+        "robust companion to q_value_outliers' z-scores: a single extreme "
+        "sensor reading moves a raw mean arbitrarily but a winsorized "
+        "mean by at most (hi-lo)/n. Two passes: a per-group rank window "
+        "(one shuffle, sort within group) to locate the two cut values, "
+        "then a broadcast of the tiny per-group bounds onto the scan for "
+        "the clipped aggregate. At 100 TB the rank pass is the cost "
+        "driver — swap in approx_percentile bounds when 0.1% rank error "
+        "is acceptable; the clipping aggregate is unchanged.",
+)
+def q_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type", "value", "event_id",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    bounds = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.expr(f"CASE WHEN r = ({WINSOR_LO_PCT} * n + 99) DIV 100 "
+                   "THEN value END")
+        ).alias("lo"),
+        F.max(
+            F.expr(f"CASE WHEN r = ({WINSOR_HI_PCT} * n + 99) DIV 100 "
+                   "THEN value END")
+        ).alias("hi"),
+    )
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "n", "lo", "hi")
+        .agg(
+            F.expr(
+                "round(CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE)"
+                " / n, 6)"
+            ).alias("raw_mean"),
+            F.expr(
+                "round(CAST(SUM(CAST(LEAST(GREATEST(value, lo), hi) "
+                "AS DECIMAL(10,2))) AS DOUBLE) / n, 6)"
+            ).alias("winsorized_mean"),
+            F.expr(
+                "CAST(SUM(CASE WHEN value < lo OR value > hi "
+                "THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_clipped"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.expr("CAST(CAST(lo AS DECIMAL(10,2)) AS DOUBLE)").alias("p_lo"),
+            F.expr("CAST(CAST(hi AS DECIMAL(10,2)) AS DOUBLE)").alias("p_hi"),
+            "raw_mean",
+            "winsorized_mean",
+            "n_clipped",
+        )
+    )
