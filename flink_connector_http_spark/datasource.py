@@ -134,6 +134,17 @@ class HttpBatchReader(DataSourceReader):
             1, int(options.get("pages_per_partition", "1"))
         )
         self.timeout = float(options.get("timeout", "30"))
+        # per-partition request rate cap (SURVEY §7 scale addition);
+        # the TokenBucket itself is built inside read() — it holds a
+        # lock, and reader objects must stay picklable
+        self.rate_limit = (
+            float(options["rate_limit"]) if "rate_limit" in options else None
+        )
+        self.rate_limit_burst = (
+            float(options["rate_limit_burst"])
+            if "rate_limit_burst" in options
+            else None
+        )
         self.decoder = _resolve_format(options, self.fmt)
         # filter pushdown → query params (see pushFilters)
         self.filter_params_enabled = (
@@ -172,11 +183,15 @@ class HttpBatchReader(DataSourceReader):
             for lo in range(0, self.pages, self.pages_per_partition)
         ]
 
-    def _fetch_page(self, transport, decoder, headers, page: int) -> List[dict]:
+    def _fetch_page(
+        self, transport, decoder, headers, page: int, limiter=None
+    ) -> List[dict]:
         from urllib.parse import urlencode
 
         from .request import HttpRequestSpec
 
+        if limiter is not None:
+            limiter.acquire()
         params = {self.page_param: page, **self.pushed_params}
         sep = "&" if "?" in self.url else "?"
         url = f"{self.url}{sep}{urlencode(params)}"
@@ -236,19 +251,28 @@ class HttpBatchReader(DataSourceReader):
         headers = preprocess_headers(
             _headers_from_options(self.options), {AUTHORIZATION: basic_auth_value}
         )
+        limiter = None
+        if self.rate_limit:
+            from .ratelimit import TokenBucket
+
+            limiter = TokenBucket(self.rate_limit, self.rate_limit_burst)
         assert isinstance(partition, _PageRange)
         arrow_schema = self._arrow_schema()
         if partition.end == -1:  # unpaged walk
             page = partition.start
             while True:
-                records = self._fetch_page(transport, decoder, headers, page)
+                records = self._fetch_page(
+                    transport, decoder, headers, page, limiter
+                )
                 if not records:
                     return
                 yield from self._emit_page(records, arrow_schema)
                 page += 1
         else:
             for page in range(partition.start, partition.end):
-                records = self._fetch_page(transport, decoder, headers, page)
+                records = self._fetch_page(
+                    transport, decoder, headers, page, limiter
+                )
                 if records:
                     yield from self._emit_page(records, arrow_schema)
 
@@ -286,6 +310,9 @@ def _sink_options(options: Dict[str, str]) -> "HttpSinkOptions":
         kw["error_codes"] = options["error_codes"]
     if "timeout" in options:
         kw["request_timeout"] = float(options["timeout"])
+    for opt in ("rate_limit", "rate_limit_burst"):
+        if opt in options:
+            kw[opt] = float(options[opt])
     headers = _headers_from_options(options)
     if headers:
         kw["headers"] = headers

@@ -2545,3 +2545,65 @@ def q_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_clipped",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY from_type, to_type
+    ),
+    totals AS (
+      SELECT from_type, SUM(n) AS total FROM trans GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type,
+           CAST(t.n AS BIGINT) AS n_transitions,
+           round(CAST(t.n AS DOUBLE) / tot.total, 6) AS p_transition
+    FROM trans t JOIN totals tot USING (from_type)
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+        "sequences: P(next event type | current) from LEAD pairs — the "
+        "behavioral model behind session simulation, anomaly scoring "
+        "(improbable transitions), and funnel-leak diagnosis; the "
+        "categorical sibling of the bigram LM over tokens. One shuffle "
+        "for the per-user sequence window (same partitioning the "
+        "sessionize/funnel family already uses), then two tiny "
+        "aggregates; probabilities are exact integer ratios divided once "
+        "at the end. The |types|^2-row result is broadcast-sized at any "
+        "corpus scale.",
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    trans = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = trans.groupBy("from_type").agg(F.sum("n").alias("total"))
+    return trans.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n_transitions"),
+        F.expr("round(CAST(n AS DOUBLE) / total, 6)").alias("p_transition"),
+    )

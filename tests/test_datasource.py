@@ -268,3 +268,33 @@ class TestFilterPushdownToParams:
         )
         # Spark-side evaluation still filters correctly
         assert [r.id for r in df.collect()] == [1]
+
+
+def test_read_with_rate_limit_option(spark, stub):
+    """rate_limit wires through the paged reader (wire-through smoke: a
+    generous cap must not change results; the token math itself is pinned
+    by tests/test_ratelimit.py on a fake clock)."""
+    pages = [[{"id": i, "name": f"n{i}", "score": 0.5}] for i in range(3)]
+    stub.stub("/rl", _paged_responder(pages))
+    df = (
+        spark.read.format("http")
+        .schema(SCHEMA)
+        .option("url", stub.url("/rl"))
+        .option("pages", 3)
+        .option("rate_limit", "1000")
+        .option("rate_limit_burst", "1")
+        .load()
+    )
+    assert sorted(r.id for r in df.collect()) == [0, 1, 2]
+
+
+def test_sink_options_rate_limit_mapping():
+    from flink_connector_http_spark.datasource import _sink_options
+
+    opts = _sink_options({
+        "url": "http://x/",
+        "rate_limit": "12.5",
+        "rate_limit_burst": "3",
+    })
+    assert opts.rate_limit == 12.5
+    assert opts.rate_limit_burst == 3.0
