@@ -1616,3 +1616,120 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# contrastive pair mining (embedding-model training data prep)
+# ---------------------------------------------------------------------------
+
+CONTRAST_POOL = 32   # shared negative pool (the in-batch-negatives analogue)
+CONTRAST_NEGS = 3    # negatives per anchor
+
+
+@register(
+    "sample_contrastive_pairs",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT vec_id, label,
+             LEAD(vec_id) OVER w AS nxt,
+             FIRST_VALUE(vec_id) OVER w AS fst,
+             COUNT(*) OVER (PARTITION BY label) AS n
+      FROM embeddings
+      WINDOW w AS (PARTITION BY label
+                   ORDER BY md5(concat('pp:', vec_id)), vec_id)
+    ),
+    pos AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label,
+             COALESCE(nxt, fst) AS partner_id, label AS partner_label,
+             'pos' AS pair_type, 1 AS rk
+      FROM ordered WHERE n >= 2
+    ),
+    pool AS (
+      SELECT vec_id AS neg_id, label AS neg_label FROM embeddings
+      ORDER BY md5(concat('np:', vec_id)), vec_id LIMIT {CONTRAST_POOL}
+    ),
+    negcand AS (
+      SELECT e.vec_id AS anchor_id, e.label AS anchor_label,
+             p.neg_id AS partner_id, p.neg_label AS partner_label,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY md5(concat('an:', e.vec_id, ':', p.neg_id)), p.neg_id
+             ) AS rk
+      FROM embeddings e JOIN pool p ON p.neg_label <> e.label
+    )
+    SELECT anchor_id, anchor_label, partner_id, partner_label,
+           pair_type, CAST(rk AS INT) AS rk
+    FROM pos
+    UNION ALL
+    SELECT anchor_id, anchor_label, partner_id, partner_label,
+           'neg' AS pair_type, CAST(rk AS INT) AS rk
+    FROM negcand WHERE rk <= {CONTRAST_NEGS}
+    """,
+    doc=f"Contrastive training-pair mining over labeled embeddings: one "
+        "positive per anchor (ring pairing — each label group is ordered "
+        "by a salted hash and every vector pairs with its successor, "
+        "wrapping at the end) plus "
+        f"{CONTRAST_NEGS} negatives drawn from a shared "
+        f"{CONTRAST_POOL}-vector pool (the distributed rendering of "
+        "in-batch negatives). Scale discipline: positives are LINEAR in "
+        "group size (one window pass), never the quadratic same-label "
+        "self-join; negatives join against a broadcast bottom-k pool, so "
+        "cost is n * pool, not n^2. Everything is hash-deterministic — "
+        "re-runs and repartitionings mine identical pairs, and the "
+        "per-anchor negative choice is an independent salted hash so "
+        "pool order does not bias which negatives an anchor sees.",
+)
+def sample_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    w = Window.partitionBy("label").orderBy(
+        F.expr("md5(concat('pp:', vec_id))"), F.asc("vec_id")
+    )
+    wl = Window.partitionBy("label")
+    ordered = emb.select(
+        "vec_id", "label",
+        F.lead("vec_id").over(w).alias("nxt"),
+        F.first("vec_id").over(w).alias("fst"),
+        F.count(F.lit(1)).over(wl).alias("n"),
+    )
+    pos = ordered.filter(F.col("n") >= 2).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.coalesce("nxt", "fst").alias("partner_id"),
+        F.col("label").alias("partner_label"),
+        F.lit("pos").alias("pair_type"),
+        F.lit(1).cast("int").alias("rk"),
+    )
+    pool = (
+        emb.select(
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.expr("md5(concat('np:', vec_id))").alias("h"),
+        )
+        .orderBy("h", "neg_id")
+        .limit(CONTRAST_POOL)
+        .drop("h")
+    )
+    wn = Window.partitionBy("anchor_id").orderBy(
+        F.expr("md5(concat('an:', anchor_id, ':', partner_id))"),
+        F.asc("partner_id"),
+    )
+    negcand = (
+        emb.select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+        )
+        .join(F.broadcast(pool), F.col("neg_label") != F.col("anchor_label"))
+        .select(
+            "anchor_id", "anchor_label",
+            F.col("neg_id").alias("partner_id"),
+            F.col("neg_label").alias("partner_label"),
+        )
+        .withColumn("rk", F.row_number().over(wn))
+        .filter(F.col("rk") <= CONTRAST_NEGS)
+        .select(
+            "anchor_id", "anchor_label", "partner_id", "partner_label",
+            F.lit("neg").alias("pair_type"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+    return pos.unionByName(negcand)
