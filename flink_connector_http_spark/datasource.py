@@ -47,6 +47,7 @@ from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
@@ -461,6 +462,99 @@ class HttpPollingStreamReader(SimpleDataSourceStreamReader):
         pass  # the page cursor lives in the checkpoint; nothing to ack
 
 
+class HttpDistributedStreamReader(DataSourceStreamReader):
+    """Executor-distributed streaming reader — the scale path for
+    high-volume paged feeds, used when the endpoint can report its head
+    (``pages_url`` option). Per micro-batch the DRIVER does exactly one
+    tiny head probe (``latestOffset``); the page-range data fetches fan
+    out to executors (``partitions`` → ``read``), unlike the fallback
+    :class:`HttpPollingStreamReader`, which pulls every page through the
+    driver. This is the Kafka-shaped contract: a cheap broker-side head
+    pointer makes offset discovery O(1) while data movement stays fully
+    parallel.
+
+    ``pages_url`` must return the count of published pages — either a
+    bare JSON integer or an object carrying it under ``pages_field``
+    (default ``"pages"``). Page ranges are replayed verbatim from the
+    checkpoint on recovery, so exactly-once holds iff published pages are
+    immutable (same contract as the simple reader). ``max_pages_per_batch``
+    caps a micro-batch after downtime; ``pages_per_partition`` sizes the
+    executor fan-out; ``rate_limit`` applies per partition task.
+    """
+
+    def __init__(self, options: Dict[str, str], schema: T.StructType) -> None:
+        # the batch reader supplies the executor-side fetch/emit machinery
+        # (keep-alive transport, format decode, arrow emission, rate limit)
+        self._batch = HttpBatchReader(options, schema)
+        self.options = dict(options)
+        self.pages_url = options["pages_url"]
+        self.pages_field = options.get("pages_field", "pages")
+        self.start_page = int(options.get("start_page", "0"))
+        self.max_pages_per_batch = max(
+            1, int(options.get("max_pages_per_batch", "64"))
+        )
+        self.pages_per_partition = max(
+            1, int(options.get("pages_per_partition", "1"))
+        )
+        self.timeout = float(options.get("timeout", "30"))
+        self._last: Optional[int] = None
+        self._transport = None
+
+    def _head_pages(self) -> int:
+        """One driver-side GET against the head endpoint."""
+        from .auth import AUTHORIZATION, basic_auth_value, preprocess_headers
+        from .client import HttpTransport
+        from .request import HttpRequestSpec
+
+        if self._transport is None:
+            self._transport = HttpTransport(timeout=self.timeout)
+            self._headers = preprocess_headers(
+                _headers_from_options(self.options),
+                {AUTHORIZATION: basic_auth_value},
+            )
+        resp = self._transport.send(HttpRequestSpec(
+            method="GET", url=self.pages_url, headers=self._headers, body=None
+        ))
+        if resp.status != 200:
+            raise IOError(
+                f"HTTP stream: head probe returned status {resp.status}"
+            )
+        payload = json.loads(resp.body)
+        head = payload[self.pages_field] if isinstance(payload, dict) else payload
+        return int(head)
+
+    def initialOffset(self) -> dict:
+        self._last = self.start_page
+        return {"page": self.start_page}
+
+    def latestOffset(self) -> dict:
+        head = self._head_pages()
+        if self._last is not None:
+            # cap catch-up batches; a feed head never moves backwards, so
+            # also guard against a transiently stale counter
+            head = max(self._last, min(head, self._last + self.max_pages_per_batch))
+        self._last = head
+        return {"page": head}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        lo, hi = int(start["page"]), int(end["page"])
+        if self._last is None or hi > self._last:
+            self._last = hi  # restart path: adopt the checkpointed cursor
+        if hi <= lo:
+            return [_PageRange(lo, lo)]  # empty batch
+        return [
+            _PageRange(p, min(p + self.pages_per_partition, hi))
+            for p in range(lo, hi, self.pages_per_partition)
+        ]
+
+    def read(self, partition: InputPartition):
+        # executor-side: identical fetch loop to the batch reader
+        return self._batch.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # page cursor lives in the checkpoint
+
+
 class HttpDataSource(DataSource):
     """``format("http")`` — paged REST reads, batched HTTP writes."""
 
@@ -489,6 +583,20 @@ class HttpDataSource(DataSource):
         self, schema: T.StructType, overwrite: bool
     ) -> DataSourceStreamWriter:
         return HttpStreamWriter(self.options, schema)
+
+    def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
+        """Executor-distributed reader when the feed exposes a head
+        endpoint (``pages_url``); otherwise raise so Spark falls back to
+        the driver-polling :meth:`simpleStreamReader`
+        (``pyspark.sql.datasource_internal._streamReader`` contract)."""
+        if "pages_url" in self.options:
+            return HttpDistributedStreamReader(self.options, schema)
+        from pyspark.errors import PySparkNotImplementedError
+
+        raise PySparkNotImplementedError(
+            errorClass="NOT_IMPLEMENTED",
+            messageParameters={"feature": "streamReader"},
+        )
 
     def simpleStreamReader(
         self, schema: T.StructType

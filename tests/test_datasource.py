@@ -298,3 +298,75 @@ def test_sink_options_rate_limit_mapping():
     })
     assert opts.rate_limit == 12.5
     assert opts.rate_limit_burst == 3.0
+
+
+def test_stream_read_distributed_head_endpoint(spark, stub, tmp_path):
+    """pages_url present → the DISTRIBUTED stream reader engages: the
+    driver probes only the head endpoint, executors fetch the page
+    ranges; checkpoint-resume ingests exactly the new pages."""
+    pages = [
+        [{"id": 10, "name": "a", "score": 0.5}],
+        [{"id": 11, "name": "b", "score": 1.5}],
+        [{"id": 12, "name": "c", "score": 2.5}],
+    ]
+    stub.stub("/dfeed", _paged_responder(pages))
+    stub.stub("/dfeed-head", lambda _req: json_response({"pages": len(pages)}))
+
+    out_dir = str(tmp_path / "out")
+
+    def start_query():
+        return (
+            spark.readStream.format("http")
+            .schema(SCHEMA)
+            .option("url", stub.url("/dfeed"))
+            .option("pages_url", stub.url("/dfeed-head"))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def output_ids():
+        return sorted(r.id for r in spark.read.parquet(out_dir).collect())
+
+    q = start_query()
+    q.awaitTermination(120)
+    assert output_ids() == [10, 11, 12]
+    # every data fetch hit /dfeed with a page param; the driver probe hit
+    # only /dfeed/head
+    data_reqs = [r for r in stub.recorded("/dfeed") if "page" in r.query]
+    assert sorted(int(r.query["page"][0]) for r in data_reqs) == [0, 1, 2]
+
+    # feed grows → resumed run picks up exactly the new page
+    pages.append([{"id": 13, "name": "d", "score": 3.5}])
+    q = start_query()
+    q.awaitTermination(120)
+    assert output_ids() == [10, 11, 12, 13]
+
+
+def test_stream_read_head_probe_bare_int(spark, stub, tmp_path):
+    """pages_url may return a bare JSON integer."""
+    pages = [[{"id": 1, "name": "x", "score": 0.0}]]
+    stub.stub("/bfeed", _paged_responder(pages))
+    stub.stub("/bfeed-head",
+              lambda _req: StubResponse(200, json.dumps(len(pages)).encode(),
+                                        {"Content-Type": "application/json"}))
+    q = (
+        spark.readStream.format("http")
+        .schema(SCHEMA)
+        .option("url", stub.url("/bfeed"))
+        .option("pages_url", stub.url("/bfeed-head"))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert [r.id for r in rows] == [1]
