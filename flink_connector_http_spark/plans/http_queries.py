@@ -143,6 +143,12 @@ class _DataStub:
             "n_nationkey", default=_404_nation)
         self.server.route_static("/suppliers-paged", supplier_pages_tbl,
                                  "page", default=_empty_array)
+        # head endpoint for the DISTRIBUTED stream reader: O(1) page-count
+        # probe (the broker-head analogue)
+        _head = response_bytes(
+            json.dumps({"pages": self.supplier_pages}).encode()
+        )
+        self.server.route("/suppliers-pages", lambda _q, _b: _head)
         self.server.start()
 
     def url(self, path: str) -> str:
@@ -486,6 +492,47 @@ def http_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName(name)
         .outputMode("append")
         .option("checkpointLocation", tempfile.mkdtemp(prefix="http_poll_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table(name)
+
+
+@register(
+    "http_datasource_stream_dist",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+    """,
+    doc="DISTRIBUTED stream read through the registered ``http`` "
+        "DataSource: ``pages_url`` names a head endpoint, so the driver's "
+        "offset discovery is one O(1) page-count probe per micro-batch "
+        "(the Kafka-broker-head analogue) and the page-range data fetches "
+        "fan out to executors (DataSourceStreamReader.partitions → read). "
+        "Same output contract as http_datasource_stream, which exercises "
+        "the driver-polling fallback — the two rows pin both stream-read "
+        "paths under the oracle.",
+)
+def http_datasource_stream_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from ..datasource import register_http_datasource
+
+    register_http_datasource(spark)
+    stub = _stub_for(sf_dir)
+    name = f"http_dist_{uuid.uuid4().hex[:8]}"
+    query = (
+        spark.readStream.format("http")
+        .schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
+        .option("url", stub.url("/suppliers-paged"))
+        .option("pages_url", stub.url("/suppliers-pages"))
+        .option("pages_per_partition", 2)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="http_dist_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
