@@ -2299,3 +2299,104 @@ def sample_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("bigint").alias("sample_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch rollup: daily user sketches merged to weekly (re-aggregation)
+# ---------------------------------------------------------------------------
+
+@register(
+    "sketch_kmv_user_rollup",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+             {md5_int60_duck("concat('u:', user_id)")} AS hv
+      FROM events
+    ),
+    daily AS (
+      SELECT day, hv FROM (
+        SELECT day, hv,
+               ROW_NUMBER() OVER (PARTITION BY day ORDER BY hv) AS rk
+        FROM h
+      ) t WHERE rk <= {KMV_K}
+    ),
+    wk AS (
+      SELECT DISTINCT CAST(date_trunc('week', day) AS DATE) AS week, hv
+      FROM daily
+    ),
+    wr AS (
+      SELECT week, hv,
+             ROW_NUMBER() OVER (PARTITION BY week ORDER BY hv) AS rk
+      FROM wk
+    ),
+    sk AS (
+      SELECT week, COUNT(*) AS sketch_size, MAX(hv) AS kth
+      FROM wr WHERE rk <= {KMV_K} GROUP BY week
+    ),
+    exact AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+             COUNT(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY 1
+    )
+    SELECT sk.week,
+           CAST(sk.sketch_size AS BIGINT) AS sketch_size,
+           round(CASE WHEN sk.sketch_size < {KMV_K}
+                      THEN CAST(sk.sketch_size AS DOUBLE)
+                      ELSE ({KMV_K} - 1) * CAST({_KMV_MAX} AS DOUBLE) / sk.kth
+                 END, 6) AS est_distinct_users,
+           CAST(exact.n_exact AS BIGINT) AS exact_distinct_users
+    FROM sk JOIN exact ON exact.week = sk.week
+    """,
+    doc=f"Sketch RE-AGGREGATION: daily {KMV_K}-minimum-values user "
+        "sketches merged to weekly distinct-user estimates FROM THE "
+        "SKETCH ROWS ALONE — no second pass over raw events. Correct "
+        "because bottom-k is a lattice merge: any hash in the weekly "
+        "bottom-k is necessarily in its own day's bottom-k, so "
+        "bottom-k(union of daily sketches) = bottom-k(week). This is the "
+        "pre-aggregated-rollup pattern (store tiny daily sketches, answer "
+        "any date-range distinct query later) that exact COUNT(DISTINCT) "
+        "fundamentally cannot do — its daily results do not compose. "
+        "Sub-k weeks fall back to the exact sketch count (the sketch "
+        "holds every value). The exact_distinct_users column is the "
+        "accuracy monitor, same pattern as the ANN recall evals.",
+)
+def sketch_kmv_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")["events"]
+    h = ev.select(
+        F.expr("CAST(date_trunc('day', ts) AS DATE)").alias("day"),
+        F.expr(md5_int60_spark("concat('u:', user_id)")).alias("hv"),
+    ).distinct()
+    wd = Window.partitionBy("day").orderBy("hv")
+    daily = (
+        h.withColumn("rk", F.row_number().over(wd))
+        .filter(F.col("rk") <= KMV_K)
+        .select("day", "hv")
+    )
+    wk = daily.select(
+        F.expr("CAST(date_trunc('week', day) AS DATE)").alias("week"), "hv"
+    ).distinct()
+    ww = Window.partitionBy("week").orderBy("hv")
+    sk = (
+        wk.withColumn("rk", F.row_number().over(ww))
+        .filter(F.col("rk") <= KMV_K)
+        .groupBy("week")
+        .agg(
+            F.count(F.lit(1)).alias("sketch_size"),
+            F.max("hv").alias("kth"),
+        )
+    )
+    exact = ev.groupBy(
+        F.expr("CAST(date_trunc('week', ts) AS DATE)").alias("week")
+    ).agg(F.countDistinct("user_id").alias("n_exact"))
+    return sk.join(exact, "week").select(
+        "week",
+        F.col("sketch_size").cast("bigint").alias("sketch_size"),
+        F.expr(
+            f"round(CASE WHEN sketch_size < {KMV_K} "
+            f"THEN CAST(sketch_size AS DOUBLE) "
+            f"ELSE ({KMV_K} - 1) * CAST({_KMV_MAX} AS DOUBLE) / kth END, 6)"
+        ).alias("est_distinct_users"),
+        F.col("n_exact").cast("bigint").alias("exact_distinct_users"),
+    )
