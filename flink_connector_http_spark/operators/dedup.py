@@ -1277,3 +1277,87 @@ def dedup_common_run_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("max_run_shingles") >= RUN_MIN_SHINGLES)
     )
+
+
+# ---------------------------------------------------------------------------
+# entity resolution: linkage pairs -> connected entity clusters
+# ---------------------------------------------------------------------------
+
+_LINK_PAIRS_ORACLE = f"""
+      SELECT a.p_name AS name_a, b.p_name AS name_b
+      FROM (SELECT p_name, string_split(p_name, ' ')[-1] AS block_key
+            FROM part GROUP BY p_name) a
+      JOIN (SELECT p_name, string_split(p_name, ' ')[-1] AS block_key
+            FROM part GROUP BY p_name) b
+        ON a.block_key = b.block_key AND a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) <= {LINK_MAX_DIST}
+"""
+
+
+@register(
+    "link_entity_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      {_LINK_PAIRS_ORACLE}
+    ),
+    edges AS (
+      SELECT name_a AS src, name_b AS dst FROM pairs
+      UNION ALL
+      SELECT name_b AS src, name_a AS dst FROM pairs
+    ),
+    walk(node, reach) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, w.reach FROM edges e JOIN walk w ON w.node = e.dst
+    ),
+    clusters AS (
+      SELECT node AS p_name, MIN(reach) AS canonical_name
+      FROM walk GROUP BY node
+    )
+    SELECT c.p_name, c.canonical_name, CAST(cnt.n AS BIGINT) AS n_names
+    FROM clusters c
+    JOIN (
+      SELECT canonical_name, COUNT(*) AS n FROM clusters GROUP BY canonical_name
+    ) cnt ON cnt.canonical_name = c.canonical_name
+    """,
+    doc="Entity resolution end-to-end: blocked edit-distance linkage "
+        "pairs -> connected components -> one canonical surface form per "
+        "entity (the lexicographic min of the cluster). Pairwise linkage "
+        "alone leaves A~B, B~C unresolved; the transitive closure is what "
+        "turns match pairs into merge groups — the same star-contraction "
+        "CC machinery dedup_clusters runs, reused on a string-keyed graph "
+        "by hashing names to 60-bit ids for propagation and joining the "
+        "names back for the canonical-form argmin. All stages distribute; "
+        "the cluster count map is a broadcast-sized aggregate.",
+)
+def link_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name_pairs = link_blocked_edit_distance(spark, sf_dir).select(
+        "name_a", "name_b"
+    ).persist()
+    ids = (
+        name_pairs.select(F.col("name_a").alias("p_name"))
+        .union(name_pairs.select(F.col("name_b").alias("p_name")))
+        .distinct()
+        .select("p_name", F.expr(md5_int60_spark("p_name")).alias("nid"))
+        .persist()
+    )
+    pair_ids = (
+        name_pairs.join(ids.withColumnRenamed("p_name", "name_a")
+                           .withColumnRenamed("nid", "a_id"), "name_a")
+        .join(ids.withColumnRenamed("p_name", "name_b")
+                 .withColumnRenamed("nid", "b_id"), "name_b")
+        .select("a_id", "b_id")
+    )
+    cc = connected_components(pair_ids)  # (doc_id=nid, cluster_id)
+    named = cc.join(ids, cc["doc_id"] == ids["nid"]).select(
+        "p_name", "cluster_id"
+    )
+    canon = named.groupBy("cluster_id").agg(
+        F.min("p_name").alias("canonical_name"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return named.join(F.broadcast(canon), "cluster_id").select(
+        "p_name",
+        "canonical_name",
+        F.col("n").cast("bigint").alias("n_names"),
+    )

@@ -2607,3 +2607,80 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_transitions"),
         F.expr("round(CAST(n AS DOUBLE) / total, 6)").alias("p_transition"),
     )
+
+
+# ---------------------------------------------------------------------------
+# decile lift analysis (marketing-style value concentration)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_decile_lift",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total_spend
+      FROM orders GROUP BY o_custkey
+    ),
+    tiled AS (
+      SELECT o_custkey, total_spend,
+             NTILE(10) OVER (ORDER BY total_spend DESC, o_custkey) AS decile
+      FROM spend
+    ),
+    per AS (
+      SELECT decile,
+             COUNT(*) AS n_customers,
+             SUM(total_spend) AS revenue
+      FROM tiled GROUP BY decile
+    ),
+    tot AS (SELECT SUM(revenue) AS t FROM per)
+    SELECT decile,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           CAST(revenue AS DOUBLE) AS revenue,
+           round(CAST(revenue AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE),
+                 6) AS revenue_share,
+           round(CAST(SUM(revenue) OVER (ORDER BY decile) AS DOUBLE)
+                 / CAST((SELECT t FROM tot) AS DOUBLE), 6) AS cum_share
+    FROM per
+    """,
+    doc="Decile lift: customers ranked by DECIMAL-exact total spend, cut "
+        "into NTILE(10) value tiers (deterministic — the ORDER BY carries "
+        "a full tie-break), then per-decile revenue share and the "
+        "cumulative lift curve. The whale-concentration diagnostic "
+        "(complement of q_pareto_brands' cumulative-share-by-entity). The "
+        "global NTILE is a single-partition sort over CUSTOMERS-after-"
+        "aggregation, not orders — the groupBy reduces first, which is "
+        "what keeps the global window viable (rank percentiles over "
+        "pre-aggregated entities, never raw events).",
+)
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")["orders"]
+    spend = orders.groupBy("o_custkey").agg(
+        F.expr("SUM(CAST(o_totalprice AS DECIMAL(12,2)))").alias("total_spend")
+    )
+    tiled = spend.withColumn(
+        "decile",
+        F.ntile(10).over(
+            Window.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
+        ),
+    )
+    per = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("total_spend").alias("revenue"),
+    )
+    tot = per.agg(F.sum("revenue").alias("t"))
+    wc = Window.orderBy("decile")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            F.col("n_customers").cast("bigint").alias("n_customers"),
+            F.col("revenue").cast("double").alias("revenue"),
+            F.expr("round(CAST(revenue AS DOUBLE) / CAST(t AS DOUBLE), 6)")
+            .alias("revenue_share"),
+            F.round(
+                F.sum(F.col("revenue")).over(wc).cast("double")
+                / F.col("t").cast("double"),
+                6,
+            ).alias("cum_share"),
+        )
+    )
