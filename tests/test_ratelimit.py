@@ -208,3 +208,30 @@ class TestSinkWiring:
         writer = HttpSinkWriter(stub_server.url("/sink"), HttpSinkOptions())
         assert writer.rate_limiter is None
         writer.close()
+
+
+class TestTokenBucketProperties:
+    def test_rate_invariant_under_arbitrary_configs(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            rate=st.floats(min_value=0.1, max_value=500),
+            burst=st.integers(min_value=1, max_value=32),
+            n=st.integers(min_value=1, max_value=100),
+        )
+        def check(rate, burst, n):
+            tl = FakeTimeline()
+            bucket = TokenBucket(rate, burst, clock=tl.clock, sleep=tl.sleep)
+            for _ in range(n):
+                bucket.acquire()
+            # permits granted over the elapsed fake-time window can never
+            # beat the configured envelope burst + rate*t ...
+            assert n <= burst + rate * tl.t + 1e-6 * max(1.0, rate * tl.t)
+            # ... and the limiter never over-throttles: the minimal legal
+            # schedule is (n - burst)/rate seconds
+            if n > burst:
+                assert tl.t <= (n - burst) / rate + 1e-6 * max(1.0, tl.t)
+
+        check()
