@@ -2684,3 +2684,89 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing with dyadic weights (integer-exact time-series smoothing)
+# ---------------------------------------------------------------------------
+
+EWMA_DEPTH = 10  # alpha = 1/2 → weights 2^-k, truncated at 10 lags
+
+_EWMA_CENTS = "CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT)"
+_EWMA_S = " + ".join(
+    f"COALESCE(lag(cents, {k}) OVER w, 0) * {1 << (EWMA_DEPTH - 1 - k)}"
+    for k in range(EWMA_DEPTH)
+)
+_EWMA_D = " + ".join(
+    f"(CASE WHEN lag(cents, {k}) OVER w IS NOT NULL "
+    f"THEN {1 << (EWMA_DEPTH - 1 - k)} ELSE 0 END)"
+    for k in range(EWMA_DEPTH)
+)
+
+
+@register(
+    "q_ewma_user_value",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_id, user_id, ts, {_EWMA_CENTS} AS cents FROM events
+    ),
+    s AS (
+      SELECT event_id, user_id, cents,
+             {_EWMA_S} AS s_scaled,
+             {_EWMA_D} AS d_scaled
+      FROM c
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id,
+           round(CAST(cents AS DOUBLE) / 100, 6) AS value,
+           round(CAST(s_scaled AS DOUBLE) / (CAST(d_scaled AS DOUBLE) * 100),
+                 6) AS ewma
+    FROM s
+    """,
+    doc=f"Per-user EWMA smoothing (alpha = 1/2, truncated at "
+        f"{EWMA_DEPTH} lags): weights 2^-k are DYADIC, so the whole "
+        "smoothing pipeline runs in scaled integers — value cents times "
+        "power-of-two weights, a COALESCE-lag fold, one integer division "
+        "at the end. Exactly reproducible under any partitioning or "
+        "engine, unlike a float pow()-weighted SUM OVER whose summation "
+        "order is unspecified; the short-series head renormalizes over "
+        "the lags that exist instead of decaying toward zero. One "
+        "shuffle on user_id (the window partition the sessionize/funnel "
+        "family already uses). The untruncated recursive EWMA is the "
+        "stateful-streaming sibling (applyInPandasWithState carrying one "
+        "running value per key).",
+)
+def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    ev = load(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = ev.select(
+        "event_id", "user_id", "ts", F.expr(_EWMA_CENTS).alias("cents")
+    )
+    s_col = reduce(
+        lambda a, b: a + b,
+        [
+            F.coalesce(F.lag("cents", k).over(w), F.lit(0))
+            * F.lit(1 << (EWMA_DEPTH - 1 - k))
+            for k in range(EWMA_DEPTH)
+        ],
+    )
+    d_col = reduce(
+        lambda a, b: a + b,
+        [
+            F.when(
+                F.lag("cents", k).over(w).isNotNull(),
+                F.lit(1 << (EWMA_DEPTH - 1 - k)),
+            ).otherwise(F.lit(0))
+            for k in range(EWMA_DEPTH)
+        ],
+    )
+    return c.select(
+        "event_id",
+        "user_id",
+        F.expr("round(CAST(cents AS DOUBLE) / 100, 6)").alias("value"),
+        F.round(
+            s_col.cast("double") / (d_col.cast("double") * F.lit(100.0)), 6
+        ).alias("ewma"),
+    )
