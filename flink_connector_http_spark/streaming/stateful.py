@@ -340,3 +340,147 @@ def stream_heavy_hitters(spark, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination(300)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# streaming EWMA (dyadic weights — the stateful sibling of q_ewma_user_value)
+# ---------------------------------------------------------------------------
+
+EWMA_STREAM_DEPTH = 10
+
+_EWMA_STATE_SCHEMA = T.StructType(
+    [T.StructField("recent", T.ArrayType(T.LongType()))]
+)
+
+
+def ewma_stream(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    cents_col: str,
+    order_cols: Sequence[str],
+    depth: int = EWMA_STREAM_DEPTH,
+) -> DataFrame:
+    """Continuous per-key EWMA (alpha = 1/2, truncated at ``depth`` lags)
+    over an integer ``cents`` column: each micro-batch emits the key's
+    smoothed value after consuming the batch.
+
+    State per key is the last ``depth`` cents values (≤ depth bigints, so
+    O(keys·depth) total — a bounded ring, not the stream). The weights
+    are dyadic (2^-k), so the smoothing arithmetic is scaled-integer and
+    bit-identical to the batch ``q_ewma_user_value`` — the batch/stream
+    parity every lambda-architecture consumer wants but float pow()
+    weighting cannot deliver. Rows within a batch are ordered by
+    ``order_cols`` before folding, keeping replay deterministic.
+    """
+    out_schema = T.StructType(
+        [df.schema[c] for c in key_cols]
+        + [T.StructField("ewma", T.DoubleType())]
+    )
+    names = list(key_cols)
+    ocols = list(order_cols)
+
+    def fn(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if not parts:
+            return
+        batch = pd.concat(parts).sort_values(ocols)
+        recent = list(state.get[0]) if state.exists else []
+        for cents in batch[cents_col]:
+            recent.insert(0, int(cents))
+        recent = recent[:depth]
+        state.update((recent,))
+        s = sum(c << (depth - 1 - k) for k, c in enumerate(recent))
+        d = sum(1 << (depth - 1 - k) for k in range(len(recent)))
+        yield pd.DataFrame(
+            [tuple(key) + (s / (d * 100),)], columns=names + ["ewma"]
+        )
+
+    return df.groupBy(*names).applyInPandasWithState(
+        fn, out_schema, _EWMA_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+@register(
+    "stream_ewma_user_value",
+    # availableNow over one parquet file = one micro-batch, so each user's
+    # single emission equals the batch EWMA at their LAST event — full
+    # hash-gate parity with q_ewma_user_value's final row per user.
+    # Unrounded doubles on both sides: numerator/denominator are exact
+    # integers < 2^53, so the one IEEE division is bit-identical.
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id, ts,
+             CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ),
+    s AS (
+      SELECT user_id,
+             COALESCE(lag(cents, 0) OVER w, 0) * 512 + COALESCE(lag(cents, 1) OVER w, 0) * 256
+             + COALESCE(lag(cents, 2) OVER w, 0) * 128 + COALESCE(lag(cents, 3) OVER w, 0) * 64
+             + COALESCE(lag(cents, 4) OVER w, 0) * 32 + COALESCE(lag(cents, 5) OVER w, 0) * 16
+             + COALESCE(lag(cents, 6) OVER w, 0) * 8 + COALESCE(lag(cents, 7) OVER w, 0) * 4
+             + COALESCE(lag(cents, 8) OVER w, 0) * 2 + COALESCE(lag(cents, 9) OVER w, 0) * 1
+               AS s_scaled,
+             (CASE WHEN lag(cents, 0) OVER w IS NOT NULL THEN 512 ELSE 0 END)
+             + (CASE WHEN lag(cents, 1) OVER w IS NOT NULL THEN 256 ELSE 0 END)
+             + (CASE WHEN lag(cents, 2) OVER w IS NOT NULL THEN 128 ELSE 0 END)
+             + (CASE WHEN lag(cents, 3) OVER w IS NOT NULL THEN 64 ELSE 0 END)
+             + (CASE WHEN lag(cents, 4) OVER w IS NOT NULL THEN 32 ELSE 0 END)
+             + (CASE WHEN lag(cents, 5) OVER w IS NOT NULL THEN 16 ELSE 0 END)
+             + (CASE WHEN lag(cents, 6) OVER w IS NOT NULL THEN 8 ELSE 0 END)
+             + (CASE WHEN lag(cents, 7) OVER w IS NOT NULL THEN 4 ELSE 0 END)
+             + (CASE WHEN lag(cents, 8) OVER w IS NOT NULL THEN 2 ELSE 0 END)
+             + (CASE WHEN lag(cents, 9) OVER w IS NOT NULL THEN 1 ELSE 0 END)
+               AS d_scaled,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM c
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(s_scaled AS DOUBLE) / (CAST(d_scaled AS DOUBLE) * 100) AS ewma
+    FROM s WHERE rn = 1
+    """,
+    doc="Streaming EWMA (applyInPandasWithState): the stateful sibling of "
+        "q_ewma_user_value — per-user dyadic-weight smoothing carrying a "
+        "bounded ring of the last 10 cents values as state, emitting the "
+        "current smoothed value each batch. Bit-identical batch/stream "
+        "parity: the oracle is the BATCH EWMA at each user's last event, "
+        "and the hash gate proves the stream converges to exactly it.",
+)
+def stream_ewma_user_value(spark, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    name = f"stream_ewma_{uuid.uuid4().hex[:8]}"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    in_dir = tempfile.mkdtemp(prefix="stream_ewma_in_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(in_dir, "events.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(in_dir)
+        .select(
+            "user_id", "ts", "event_id",
+            F.expr("CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT)")
+            .alias("cents"),
+        )
+    )
+    query = (
+        ewma_stream(stream, ["user_id"], "cents", ["ts", "event_id"])
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ewma_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table(name)
