@@ -64,6 +64,16 @@ def decode_csv(body: bytes) -> List[Mapping[str, Any]]:
     return [dict(row) for row in csv.DictReader(io.StringIO(text))]
 
 
+def decode_jsonl(body: bytes) -> List[Any]:
+    """JSON Lines (ndjson): one JSON object per line, blank lines
+    skipped — the common bulk/export media type."""
+    return [
+        json.loads(line)
+        for line in body.decode("utf-8").splitlines()
+        if line.strip()
+    ]
+
+
 #: row dict -> payload bytes (one request-entry payload)
 FormatEncoder = Callable[[Mapping[str, Any]], bytes]
 
@@ -72,6 +82,7 @@ _FRAMINGS = ("json-array", "newline", "concat")
 _DECODERS: Dict[str, FormatDecoder] = {
     "json": decode_json,
     "csv": decode_csv,
+    "jsonl": decode_jsonl,
 }
 
 #: name -> (encoder | None, framing). ``None`` encoder = serialized
@@ -79,6 +90,7 @@ _DECODERS: Dict[str, FormatDecoder] = {
 _ENCODERS: Dict[str, tuple] = {
     "json": (None, "json-array"),
     "csv": (None, "newline"),
+    "jsonl": (None, "newline"),  # to_json rows, newline-framed = ndjson
 }
 
 

@@ -113,9 +113,11 @@ class HttpSinkWriter:
         headers = dict(options.headers)
         headers.setdefault(
             "Content-Type",
-            {"json": "application/json", "csv": "text/csv"}.get(
-                options.payload_format, "application/octet-stream"
-            ),
+            {
+                "json": "application/json",
+                "csv": "text/csv",
+                "jsonl": "application/x-ndjson",
+            }.get(options.payload_format, "application/octet-stream"),
         )
         self.headers = preprocess_headers(headers, {AUTHORIZATION: basic_auth_value})
 
@@ -404,7 +406,9 @@ def write_http(
         return
 
     struct_cols = [F.col(c) for c in (columns or df.columns)]
-    if options.payload_format == "json":
+    if options.payload_format in ("json", "jsonl"):
+        # jsonl shares the JVM-side to_json row serializer; only the batch
+        # framing differs (newline -> ndjson bodies)
         payload_col = F.to_json(F.struct(*struct_cols))
     elif options.payload_format == "csv":
         payload_col = F.to_csv(F.struct(*struct_cols))

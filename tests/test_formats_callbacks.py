@@ -374,3 +374,38 @@ class TestNamedCustomFormatExecutorShipping:
             .load()
         )
         assert sorted((r.id, r.name) for r in df.collect()) == [(1, "a"), (2, "b")]
+
+
+class TestJsonlFormat:
+    def test_jsonl_decode_array_result(self, stub_server):
+        body = b'{"n_nationkey": 1, "n_name": "A"}\n\n{"n_nationkey": 2, "n_name": "B"}\n'
+        stub_server.stub("/jl", lambda _req: StubResponse(
+            200, body, {"Content-Type": "application/x-ndjson"}))
+        client = HttpPollingClient(
+            url=stub_server.url("/jl"),
+            options=HttpLookupOptions(
+                method="GET", response_format="jsonl", result_type="array"
+            ),
+        )
+        result = client.pull({"k": 1})
+        assert [dict(r) for r in result.rows] == [
+            {"n_nationkey": 1, "n_name": "A"},
+            {"n_nationkey": 2, "n_name": "B"},
+        ]
+
+    def test_jsonl_sink_newline_framing(self, spark, stub_server):
+        stub_server.stub_json("/jlsink", {"ok": True})
+        from flink_connector_http_spark import HttpSinkOptions, write_http
+
+        df = spark.createDataFrame([(1, "x"), (2, "y")], "id INT, name STRING")
+        write_http(
+            df.coalesce(1), stub_server.url("/jlsink"),
+            HttpSinkOptions(payload_format="jsonl"),
+        )
+        recorded = stub_server.recorded("/jlsink")
+        assert len(recorded) == 1
+        assert recorded[0].headers["Content-Type"] == "application/x-ndjson"
+        lines = [json.loads(x) for x in recorded[0].body.decode().split("\n")]
+        assert sorted(lines, key=lambda d: d["id"]) == [
+            {"id": 1, "name": "x"}, {"id": 2, "name": "y"},
+        ]
