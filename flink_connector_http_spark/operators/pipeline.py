@@ -503,3 +503,121 @@ def dedup_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("signal")
         .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG ingestion: chunk -> signed-hash embed -> simhash shard bucket
+# ---------------------------------------------------------------------------
+
+from .text import CHUNK_STRIDE as _RAG_STRIDE  # noqa: E402
+from .text import CHUNK_TOKENS as _RAG_CHUNK  # noqa: E402
+from .text import md5_int32_duck, md5_int32_spark  # noqa: E402
+
+RAG_DIM = 16  # signed-feature-hash embedding width
+
+_RAG_SIGN_SPARK = (
+    "CASE WHEN " + md5_int32_spark("concat('sg:', tok)") + " % 2 = 0 "
+    "THEN 1 ELSE -1 END"
+)
+
+
+@register(
+    "pipeline_rag_ingest",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+             list_slice(toks, i * {_RAG_STRIDE} + 1,
+                        i * {_RAG_STRIDE} + {_RAG_CHUNK}) AS chunk
+      FROM t, unnest(range(0,
+             greatest(1, CAST(ceil((len(toks) - {_RAG_CHUNK})
+                                   / {_RAG_STRIDE}.0) AS BIGINT) + 1)))
+             AS u(i)
+    ),
+    ct AS (
+      SELECT doc_id, chunk_idx, len(chunk) AS n_tokens, unnest(chunk) AS tok
+      FROM chunks WHERE len(chunk) > 0
+    ),
+    dims AS (
+      SELECT doc_id, chunk_idx, n_tokens,
+             CAST({md5_int32_duck('tok')} % {RAG_DIM} AS INT) AS dim,
+             SUM(CASE WHEN {md5_int32_duck("concat('sg:', tok)")} % 2 = 0
+                      THEN 1 ELSE -1 END) AS v
+      FROM ct GROUP BY doc_id, chunk_idx, n_tokens, dim
+    )
+    SELECT doc_id, chunk_idx, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(SUM(CASE WHEN v > 0 THEN 1 << dim ELSE 0 END) AS INT)
+             AS shard_bucket,
+           CAST(SUM(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS INT)
+             AS n_active_dims
+    FROM dims GROUP BY doc_id, chunk_idx, n_tokens
+    """,
+    doc=f"RAG ingestion pipeline in one DAG: overlap-chunk every document "
+        f"({_RAG_CHUNK}-token windows, stride {_RAG_STRIDE}), embed each "
+        f"chunk by SIGNED feature hashing into {RAG_DIM} dims (token -> "
+        "md5 bucket, +-1 sign from an independent salted hash — the "
+        "vocabulary-free embedding), and assign a simhash-style shard "
+        "bucket from the per-dimension sign pattern. The bucket is the "
+        "ANN shard key an index build would partition by — similar "
+        "chunks land in the same shard without any learned model or "
+        "codebook broadcast. Integer arithmetic end-to-end (sign sums, "
+        "bit folds), so the whole pipeline is hash-gate exact. Two "
+        "shuffles: (chunk, dim) sign reduce, then the per-chunk bit "
+        "fold; chunking itself is a shuffle-free 1-to-N explode.",
+)
+def pipeline_rag_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    n_chunks = (
+        f"greatest(1, CAST(ceil((size(toks) - {_RAG_CHUNK}) "
+        f"/ {_RAG_STRIDE}.0) AS BIGINT) + 1)"
+    )
+    chunks = (
+        docs.select("doc_id", F.expr("split(lower(text), ' ')").alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(0, {n_chunks} - 1)")).alias("i"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("int").alias("chunk_idx"),
+            F.expr(
+                f"slice(toks, i * {_RAG_STRIDE} + 1, {_RAG_CHUNK})"
+            ).alias("chunk"),
+        )
+        .filter(F.expr("size(chunk) > 0"))
+    )
+    ct = chunks.select(
+        "doc_id", "chunk_idx",
+        F.expr("size(chunk)").alias("n_tokens"),
+        F.explode("chunk").alias("tok"),
+    )
+    dims = (
+        ct.select(
+            "doc_id", "chunk_idx", "n_tokens",
+            F.expr(f"CAST({md5_int32_spark('tok')} % {RAG_DIM} AS INT)")
+            .alias("dim"),
+            F.expr(_RAG_SIGN_SPARK).alias("sign"),
+        )
+        .groupBy("doc_id", "chunk_idx", "n_tokens", "dim")
+        .agg(F.sum("sign").alias("v"))
+    )
+    return (
+        dims.groupBy("doc_id", "chunk_idx", "n_tokens")
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN v > 0 THEN shiftleft(1, dim) ELSE 0 END) "
+                "AS INT)"
+            ).alias("shard_bucket"),
+            F.expr(
+                "CAST(SUM(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS INT)"
+            ).alias("n_active_dims"),
+        )
+        .select(
+            "doc_id", "chunk_idx",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            "shard_bucket", "n_active_dims",
+        )
+    )
