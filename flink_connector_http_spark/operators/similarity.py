@@ -1733,3 +1733,141 @@ def sample_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pos.unionByName(negcand)
+
+
+# ---------------------------------------------------------------------------
+# modularity of the semantic-cluster partition over the kNN graph
+# ---------------------------------------------------------------------------
+
+@register(
+    "graph_modularity_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      {_LSH_DEDUP_ORACLE}
+    ),
+    cedges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION ALL
+      SELECT b_id AS src, a_id AS dst FROM pairs
+    ),
+    walk(vec_id, reach) AS (
+      SELECT DISTINCT src, src FROM cedges
+      UNION
+      SELECT e.src, w.reach FROM cedges e JOIN walk w ON w.vec_id = e.dst
+    ),
+    clus AS (
+      SELECT vec_id, MIN(reach) AS cluster_id FROM walk GROUP BY vec_id
+    ),
+    knn AS (
+      {_KNN_GRAPH_ORACLE}
+    ),
+    und AS (
+      SELECT DISTINCT LEAST(src_id, dst_id) AS a, GREATEST(src_id, dst_id) AS b
+      FROM knn WHERE src_id <> dst_id
+    ),
+    assign AS (
+      SELECT e.vec_id, COALESCE(c.cluster_id, e.vec_id) AS cl
+      FROM embeddings e LEFT JOIN clus c ON c.vec_id = e.vec_id
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+      ) ends GROUP BY node
+    ),
+    mm AS (SELECT COUNT(*) AS m FROM und),
+    ww AS (
+      SELECT COUNT(*) AS w
+      FROM und
+      JOIN assign ca ON ca.vec_id = und.a
+      JOIN assign cb ON cb.vec_id = und.b
+      WHERE ca.cl = cb.cl
+    ),
+    dc AS (
+      SELECT ass.cl, SUM(deg.d) AS dsum
+      FROM deg JOIN assign ass ON ass.vec_id = deg.node
+      GROUP BY ass.cl
+    ),
+    ss AS (SELECT SUM(dsum * dsum) AS s FROM dc)
+    SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_nodes,
+           CAST((SELECT m FROM mm) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(DISTINCT cl) FROM assign) AS BIGINT)
+             AS n_clusters,
+           CAST((SELECT w FROM ww) AS BIGINT) AS intra_edges,
+           round(CAST((SELECT w FROM ww) AS DOUBLE) / (SELECT m FROM mm)
+                 - CAST((SELECT s FROM ss) AS DOUBLE)
+                   / (4.0 * (SELECT m FROM mm) * (SELECT m FROM mm)),
+                 6) AS modularity
+    """,
+    doc="Newman modularity of the semantic-duplicate partition evaluated "
+        "on the kNN graph — the partition-quality monitor that closes "
+        "the graph-curation loop (clusters from cosine-LSH CC, structure "
+        "from the kNN neighborhood graph; vectors in no near-dup pair "
+        "count as singleton communities). Q = W/m - sum(D_c^2)/(4m^2) "
+        "computed from three INTEGER aggregates (intra-edge count, edge "
+        "count, per-community degree sums) with two IEEE divisions at "
+        "the end — order-independent, hash-gate exact. All joins are "
+        "int-keyed hash joins; the community degree table is "
+        "broadcast-sized.",
+)
+def graph_modularity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    und = (
+        emb_knn_graph(spark, sf_dir)
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .select(
+            F.least("src_id", "dst_id").alias("a"),
+            F.greatest("src_id", "dst_id").alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+    clus = emb_semantic_clusters(spark, sf_dir)
+    assign = (
+        emb.select("vec_id")
+        .join(clus.withColumnRenamed("vec_id", "cvid"),
+              F.col("vec_id") == F.col("cvid"), "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_id", F.col("vec_id")).alias("cl"),
+        )
+        .persist()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    mm = und.agg(F.count(F.lit(1)).alias("m"))
+    ww = (
+        und.join(assign.select(F.col("vec_id").alias("a"),
+                               F.col("cl").alias("cla")), "a")
+        .join(assign.select(F.col("vec_id").alias("b"),
+                            F.col("cl").alias("clb")), "b")
+        .filter(F.col("cla") == F.col("clb"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    dc = (
+        deg.join(assign.select(F.col("vec_id").alias("node"), "cl"), "node")
+        .groupBy("cl")
+        .agg(F.sum("d").alias("dsum"))
+    )
+    ss = dc.agg(F.sum(F.col("dsum") * F.col("dsum")).alias("s"))
+    n_nodes = emb.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_clusters = assign.agg(F.countDistinct("cl").alias("n_clusters"))
+    return (
+        n_nodes.crossJoin(F.broadcast(mm))
+        .crossJoin(F.broadcast(n_clusters))
+        .crossJoin(F.broadcast(ww))
+        .crossJoin(F.broadcast(ss))
+        .select(
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("m").cast("bigint").alias("n_edges"),
+            F.col("n_clusters").cast("bigint").alias("n_clusters"),
+            F.col("w").cast("bigint").alias("intra_edges"),
+            F.expr(
+                "round(CAST(w AS DOUBLE) / m "
+                "- CAST(s AS DOUBLE) / (4.0 * m * m), 6)"
+            ).alias("modularity"),
+        )
+    )
