@@ -2400,3 +2400,76 @@ def sketch_kmv_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("est_distinct_users"),
         F.col("n_exact").cast("bigint").alias("exact_distinct_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer step: adjacent symbol-pair counts over the weighted vocabulary
+# ---------------------------------------------------------------------------
+
+BPE_MERGE_TOPK = 20
+
+
+@register(
+    "text_bpe_merge_pairs",
+    oracle=f"""
+    WITH w AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+    ),
+    wf AS (
+      SELECT word, COUNT(*) AS f FROM w GROUP BY word
+    ),
+    p AS (
+      SELECT substr(word, i, 2) AS pair, SUM(f) AS cnt
+      FROM wf, unnest(range(1, length(word))) AS u(i)
+      GROUP BY pair
+    )
+    SELECT pair, CAST(cnt AS BIGINT) AS pair_count, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT pair, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rk
+      FROM p
+    ) t WHERE rk <= {BPE_MERGE_TOPK}
+    """,
+    doc=f"The BPE tokenizer-training step: corpus-weighted counts of "
+        "adjacent symbol pairs, whose argmax is the next merge rule. The "
+        "scale-critical move is counting over the DISTINCT-WORD table "
+        "weighted by word frequency, not over raw tokens — the vocabulary "
+        "is orders of magnitude smaller than the corpus (every real BPE "
+        "trainer's first optimization), so the quadratic-ish char-pair "
+        "explode runs on |vocab| rows and the corpus is touched exactly "
+        "once for the frequency count. Words shorter than 2 chars emit "
+        f"nothing; top {BPE_MERGE_TOPK} pairs returned with a total "
+        "order (count desc, pair).",
+)
+def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    wf = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    pairs = (
+        wf.filter(F.length("word") >= 2)  # sequence(1, 0) is DESCENDING in
+        # Spark — guard short words out before the explode
+        .select(
+            "word", "f",
+            F.explode(F.expr("sequence(1, length(word) - 1)")).alias("i"),
+        )
+        .select(F.expr("substr(word, i, 2)").alias("pair"), "f")
+        .groupBy("pair")
+        .agg(F.sum("f").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= BPE_MERGE_TOPK)
+        .select(
+            "pair",
+            F.col("cnt").cast("bigint").alias("pair_count"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
