@@ -1871,3 +1871,114 @@ def graph_modularity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("modularity"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-truncation (Matryoshka) retrieval evaluation
+# ---------------------------------------------------------------------------
+
+MRL_PREFIX_DIMS = 16  # evaluate the first quarter of the 64-dim vectors
+
+_COS_TRUNC_DUCK = (
+    f"list_dot_product(a.embedding[1:{MRL_PREFIX_DIMS}]::DOUBLE[], "
+    f"b.embedding[1:{MRL_PREFIX_DIMS}]::DOUBLE[]) / "
+    f"(sqrt(list_dot_product(a.embedding[1:{MRL_PREFIX_DIMS}]::DOUBLE[], "
+    f"a.embedding[1:{MRL_PREFIX_DIMS}]::DOUBLE[])) * "
+    f"sqrt(list_dot_product(b.embedding[1:{MRL_PREFIX_DIMS}]::DOUBLE[], "
+    f"b.embedding[1:{MRL_PREFIX_DIMS}]::DOUBLE[])))"
+)
+
+
+@register(
+    "emb_truncation_recall_eval",
+    oracle=f"""
+    WITH {_EXACT_TOPK_CTE},
+    trunc_scored AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+             round({_COS_TRUNC_DUCK}, 6) AS cosine
+      FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+    ),
+    trunc_topk AS (
+      SELECT q_id, neighbor_id FROM (
+        SELECT q_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM trunc_scored
+      ) t WHERE rk <= {TOP_K}
+    )
+    SELECT e.q_id,
+           CAST({MRL_PREFIX_DIMS} AS INT) AS prefix_dims,
+           CAST({TOP_K} AS BIGINT) AS k,
+           CAST(COUNT(tr.neighbor_id) AS BIGINT) AS n_hit,
+           CAST(COUNT(tr.neighbor_id) AS DOUBLE) / {TOP_K} AS recall_at_k
+    FROM exact_topk e
+    LEFT JOIN trunc_topk tr
+      ON tr.q_id = e.q_id AND tr.neighbor_id = e.neighbor_id
+    GROUP BY e.q_id
+    """,
+    doc=f"Embedding-truncation retrieval eval (the Matryoshka question): "
+        f"recall@{TOP_K} of exact search over only the first "
+        f"{MRL_PREFIX_DIMS} of 64 dimensions against full-dimension "
+        "exact top-k. This is the measurement that justifies (or "
+        "refuses) the 4x index-size/bandwidth cut of storing truncated "
+        "vectors — the third entry on the shared recall/cost axis next "
+        "to the LSH/IVF/PQ monitors, trading dimensions instead of "
+        "candidates or code precision. Same brute-force-vs-brute-force "
+        "shape as sim_ann_recall_eval: both sides exact, only the "
+        "metric changes; norms are hoisted per vector before the pair "
+        "join in the Spark plan.",
+)
+def emb_truncation_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+
+    def topk(emb_col_expr: str) -> DataFrame:
+        a = emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("q_id"),
+            F.expr(emb_col_expr).alias("a_emb"),
+        ).select(
+            "q_id", "a_emb",
+            F.expr(_NORM.format(col="a_emb")).alias("a_norm"),
+        )
+        b = emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(emb_col_expr).alias("b_emb"),
+        ).select(
+            "neighbor_id", "b_emb",
+            F.expr(_NORM.format(col="b_emb")).alias("b_norm"),
+        )
+        scored = (
+            a.join(b, F.col("neighbor_id") != F.col("q_id"))
+            .select(
+                "q_id", "neighbor_id",
+                F.expr(f"round({_DOT_AB} / (a_norm * b_norm), 6)")
+                .alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("q_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TOP_K)
+            .select("q_id", "neighbor_id")
+        )
+
+    exact = topk("embedding")
+    trunc = topk(f"slice(embedding, 1, {MRL_PREFIX_DIMS})")
+    return (
+        exact.join(
+            trunc.withColumnRenamed("neighbor_id", "hit_id"),
+            (exact["q_id"] == trunc["q_id"])
+            & (F.col("neighbor_id") == F.col("hit_id")),
+            "left",
+        )
+        .drop(trunc["q_id"])
+        .groupBy("q_id")
+        .agg(
+            F.lit(MRL_PREFIX_DIMS).cast("int").alias("prefix_dims"),
+            F.lit(TOP_K).cast("bigint").alias("k"),
+            F.count("hit_id").cast("bigint").alias("n_hit"),
+            (F.count("hit_id").cast("double") / TOP_K).alias("recall_at_k"),
+        )
+    )
