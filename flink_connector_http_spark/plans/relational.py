@@ -2770,3 +2770,53 @@ def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             s_col.cast("double") / (d_col.cast("double") * F.lit(100.0)), 6
         ).alias("ewma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# equi-depth histogram (quantile-bucketed profiling)
+# ---------------------------------------------------------------------------
+
+EQUIDEPTH_BUCKETS = 10
+
+
+@register(
+    "q_histogram_equidepth",
+    oracle=f"""
+    WITH tiled AS (
+      SELECT event_type, value,
+             NTILE({EQUIDEPTH_BUCKETS}) OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+             ) AS bucket
+      FROM events
+    )
+    SELECT event_type, CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(CAST(MIN(value) AS DECIMAL(10,2)) AS DOUBLE) AS lo,
+           CAST(CAST(MAX(value) AS DECIMAL(10,2)) AS DOUBLE) AS hi
+    FROM tiled GROUP BY event_type, bucket
+    """,
+    doc=f"Equi-DEPTH histogram: {EQUIDEPTH_BUCKETS} equal-count value "
+        "buckets per event_type via NTILE (full tie-break → "
+        "deterministic), with each bucket's row count and [lo, hi] value "
+        "bounds. The skew-robust complement of q_histogram_values' "
+        "equi-width bins — a heavy-tailed column gets resolution where "
+        "the data is, which is why engine optimizers store exactly this "
+        "shape as column statistics. One shuffle (per-type sort for the "
+        "rank), one reduce; at 100 TB swap NTILE for approx_percentile "
+        "cut points and keep the same output contract.",
+)
+def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    tiled = ev.select(
+        "event_type", "value",
+        F.ntile(EQUIDEPTH_BUCKETS).over(w).alias("bucket"),
+    )
+    return tiled.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.expr("CAST(CAST(MIN(value) AS DECIMAL(10,2)) AS DOUBLE)").alias("lo"),
+        F.expr("CAST(CAST(MAX(value) AS DECIMAL(10,2)) AS DOUBLE)").alias("hi"),
+    ).select(
+        "event_type", F.col("bucket").cast("int").alias("bucket"),
+        "n_rows", "lo", "hi",
+    )
