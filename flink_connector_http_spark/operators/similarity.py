@@ -1982,3 +1982,80 @@ def emb_truncation_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("hit_id").cast("double") / TOP_K).alias("recall_at_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# OOD scoring: distance to nearest label centroid
+# ---------------------------------------------------------------------------
+
+@register(
+    "emb_ood_nearest_centroid",
+    oracle=f"""
+    WITH cent AS (
+      SELECT label, i - 1 AS dim,
+             round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS c
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+      GROUP BY label, dim
+    ),
+    vec_dim AS ({_DIMS_DUCK}),
+    d2 AS (
+      SELECT v.vec_id, c.label AS cand_label,
+             round(SUM((v.x - c.c) * (v.x - c.c)), 6) AS dist2
+      FROM vec_dim v JOIN cent c ON c.dim = v.dim
+      GROUP BY v.vec_id, c.label
+    ),
+    best AS (
+      SELECT vec_id, cand_label, dist2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dist2, cand_label) AS rk
+      FROM d2
+    )
+    SELECT e.vec_id, e.label, b.cand_label AS nearest_label,
+           b.dist2 AS nearest_dist2,
+           CAST(CASE WHEN b.cand_label <> e.label THEN 1 ELSE 0 END AS INT)
+             AS is_mismatch
+    FROM embeddings e JOIN best b ON b.vec_id = e.vec_id AND b.rk = 1
+    """,
+    doc="Out-of-distribution / mislabel scoring: every vector's squared "
+        "distance to its NEAREST label centroid, with a mismatch flag "
+        "when that centroid is not the vector's own label — the two "
+        "standard curation signals (large nearest_dist2 = OOD candidate; "
+        "is_mismatch = label-noise candidate) from one pass. The "
+        "centroid table is |labels|*dims rows — broadcast-sized at any "
+        "corpus scale — so the scoring join is a broadcast hash join on "
+        "dim and the per-(vector,label) reduce carries |labels| partial "
+        "sums per vector; no pairwise vector join anywhere.",
+)
+def emb_ood_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy(F.col("label").alias("cand_label"), "dim")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
+    )
+    vec_dim = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "xf")
+    ).select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
+    d2 = (
+        vec_dim.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "cand_label")
+        .agg(
+            F.round(
+                F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))), 6
+            ).alias("dist2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist2", "cand_label")
+    best = d2.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return (
+        emb.select("vec_id", "label")
+        .join(best, "vec_id")
+        .select(
+            "vec_id", "label",
+            F.col("cand_label").alias("nearest_label"),
+            F.col("dist2").alias("nearest_dist2"),
+            F.expr(
+                "CAST(CASE WHEN cand_label <> label THEN 1 ELSE 0 END AS INT)"
+            ).alias("is_mismatch"),
+        )
+    )

@@ -2820,3 +2820,75 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.col("bucket").cast("int").alias("bucket"),
         "n_rows", "lo", "hi",
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (data-quality / anomaly screening)
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+# expected Benford proportions inlined as IDENTICAL literals in both the
+# Spark plan and the DuckDB oracle — computing log10 in each engine would
+# risk last-ulp libm divergence under the value-hash gate
+_BENFORD_EXPECTED = {d: _math.log10(1 + 1 / d) for d in range(1, 10)}
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN CAST({_BENFORD_EXPECTED[d]!r} AS DOUBLE)"
+    for d in range(1, 10)
+)
+
+
+@register(
+    "q_benford_audit",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    counts AS (
+      SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit
+    ),
+    tot AS (SELECT SUM(n) AS t FROM counts)
+    SELECT digit,
+           CAST(n AS BIGINT) AS n_orders,
+           round(CAST(n AS DOUBLE) / (SELECT t FROM tot), 6) AS observed_p,
+           round(CASE digit {_BENFORD_CASE} END, 6) AS expected_p,
+           round(abs(CAST(n AS DOUBLE) / (SELECT t FROM tot)
+                     - CASE digit {_BENFORD_CASE} END), 6) AS abs_dev
+    FROM counts
+    """,
+    doc="Benford first-digit audit over order totals: observed leading-"
+        "digit distribution vs the log10(1+1/d) law — the classic "
+        "fabricated-data / unit-mixing screen auditors run on financial "
+        "columns. The leading digit comes from integer string truncation "
+        "(FLOOR then CAST), never log10 of the value, so binning is "
+        "integer-exact; the expected proportions are Python-precomputed "
+        "literals inlined into BOTH plans, keeping libm out of the "
+        "comparison entirely. One narrow aggregate over the scan plus a "
+        "broadcast of the 9-row total.",
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")["orders"]
+    counts = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.expr(
+                "CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) "
+                "AS STRING), 1, 1) AS INT)"
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.agg(F.sum("n").alias("t"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.expr("round(CAST(n AS DOUBLE) / t, 6)").alias("observed_p"),
+        F.expr(f"round(CASE digit {_BENFORD_CASE} END, 6)").alias("expected_p"),
+        F.expr(
+            f"round(abs(CAST(n AS DOUBLE) / t "
+            f"- CASE digit {_BENFORD_CASE} END), 6)"
+        ).alias("abs_dev"),
+    )
