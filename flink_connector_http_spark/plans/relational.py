@@ -2892,3 +2892,164 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"- CASE digit {_BENFORD_CASE} END), 6)"
         ).alias("abs_dev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# market-basket association rules (support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+BASKET_MIN_PAIRS = 3  # report part pairs co-bought in >= 3 orders
+
+
+@register(
+    "q_market_basket",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items),
+    part_n AS (
+      SELECT l_partkey, COUNT(*) AS n_orders FROM items GROUP BY l_partkey
+    ),
+    pair_n AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS n_both
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY part_a, part_b
+    )
+    SELECT p.part_a, p.part_b,
+           CAST(p.n_both AS BIGINT) AS n_both,
+           CAST(na.n_orders AS BIGINT) AS n_a,
+           CAST(nb.n_orders AS BIGINT) AS n_b,
+           round(CAST(p.n_both AS DOUBLE) / na.n_orders, 6)
+             AS confidence_a_to_b,
+           round(CAST(p.n_both AS DOUBLE) * (SELECT n FROM n_orders)
+                 / (CAST(na.n_orders AS DOUBLE) * nb.n_orders), 6) AS lift
+    FROM pair_n p
+    JOIN part_n na ON na.l_partkey = p.part_a
+    JOIN part_n nb ON nb.l_partkey = p.part_b
+    WHERE p.n_both >= {BASKET_MIN_PAIRS}
+    """,
+    doc=f"Market-basket association rules: part pairs co-occurring in >= "
+        f"{BASKET_MIN_PAIRS} orders with confidence P(b|a) and lift "
+        "P(a,b)/(P(a)P(b)) as exact integer ratios. The basket self-join "
+        "is keyed on the order — pair volume per order is "
+        "(items_per_basket choose 2), bounded by basket size, NOT corpus "
+        "size, which is what separates this from an unbounded pair "
+        "explosion (a pathological mega-basket is the hot key; cap or "
+        "salt it like any skewed join). The canonical a<b ordering halves "
+        "the join output; per-part marginals broadcast back onto the "
+        "pair aggregate.",
+)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    items = li.select("l_orderkey", "l_partkey").distinct().persist()
+    n_orders = items.agg(F.countDistinct("l_orderkey").alias("n"))
+    part_n = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pair_n = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= BASKET_MIN_PAIRS)
+    )
+    na = part_n.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_orders").alias("na")
+    )
+    nb = part_n.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_orders").alias("nb")
+    )
+    return (
+        pair_n.join(F.broadcast(na), "part_a")
+        .join(F.broadcast(nb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a", "part_b",
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            F.expr("round(CAST(n_both AS DOUBLE) / na, 6)")
+            .alias("confidence_a_to_b"),
+            F.expr(
+                "round(CAST(n_both AS DOUBLE) * n "
+                "/ (CAST(na AS DOUBLE) * nb), 6)"
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (recency / frequency / monetary quintiles)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_rfm_segments",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, n_orders,
+             NTILE(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
+             NTILE(5) OVER (ORDER BY n_orders, o_custkey) AS f_score,
+             NTILE(5) OVER (ORDER BY spend, o_custkey) AS m_score
+      FROM base
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(n_orders) AS BIGINT) AS n_orders
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+    doc="RFM segmentation: per-customer recency (last order date), "
+        "frequency (order count), monetary (DECIMAL-exact spend) cut "
+        "into quintiles (NTILE with full tie-breaks — deterministic "
+        "segment assignment, unlike percentile-threshold variants that "
+        "waver on ties), then the classic 3-digit RFM segment code with "
+        "member counts. Higher score = better (more recent / more "
+        "frequent / higher spend). The three global NTILEs rank the "
+        "pre-aggregated CUSTOMER table, not orders — same "
+        "aggregate-then-rank discipline as q_decile_lift.",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")["orders"]
+    base = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr("SUM(CAST(o_totalprice AS DECIMAL(12,2)))").alias("spend"),
+    )
+    scored = base.select(
+        "o_custkey", "n_orders",
+        F.ntile(5).over(Window.orderBy("last_order", "o_custkey")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy("n_orders", "o_custkey")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy("spend", "o_custkey")).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+        )
+        .select(
+            "r_score", "f_score", "m_score",
+            F.expr(
+                "CAST(r_score * 100 + f_score * 10 + m_score AS INT)"
+            ).alias("segment"),
+            "n_customers", "n_orders",
+        )
+    )
