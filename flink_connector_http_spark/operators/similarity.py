@@ -2059,3 +2059,77 @@ def emb_ood_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_mismatch"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# centroid drift monitor (epoch-over-epoch embedding shift per label)
+# ---------------------------------------------------------------------------
+
+@register(
+    "emb_centroid_drift",
+    oracle=f"""
+    WITH vec_dim AS ({_DIMS_DUCK}),
+    labeled AS (
+      SELECT v.vec_id, e.label, v.dim, v.x, CAST(v.vec_id % 2 AS INT) AS epoch
+      FROM vec_dim v JOIN embeddings e ON e.vec_id = v.vec_id
+    ),
+    cent AS (
+      SELECT label, epoch, dim, round(avg(x), 6) AS c, COUNT(*) AS n
+      FROM labeled GROUP BY label, epoch, dim
+    ),
+    paired AS (
+      SELECT a.label, a.dim, a.c AS c0, b.c AS c1,
+             a.n AS n0, b.n AS n1
+      FROM cent a JOIN cent b
+        ON b.label = a.label AND b.dim = a.dim
+      WHERE a.epoch = 0 AND b.epoch = 1
+    )
+    SELECT label,
+           CAST(MAX(n0) AS BIGINT) AS n_epoch0,
+           CAST(MAX(n1) AS BIGINT) AS n_epoch1,
+           round(SUM((c1 - c0) * (c1 - c0)), 6) AS drift_sq,
+           round(MAX(abs(c1 - c0)), 6) AS max_dim_shift
+    FROM paired GROUP BY label
+    """,
+    doc="Embedding drift monitor: per-label centroid shift between two "
+        "cohorts (here vec_id parity stands in for ingestion epochs; in "
+        "production the epoch column is the embedding-model version or "
+        "crawl date). Reports squared L2 centroid displacement and the "
+        "worst single-dimension shift — the cheap early-warning signal "
+        "that an embedding model changed under an index, invalidating "
+        "stored vectors. Centroids round to 6dp BEFORE differencing, so "
+        "cross-engine float noise cannot masquerade as drift. Everything "
+        "reduces to |labels|x|epochs|x|dims| rows — broadcast-sized at "
+        "any corpus scale; the corpus is scanned exactly once.",
+)
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    labeled = emb.select(
+        "vec_id", "label",
+        F.expr("CAST(vec_id % 2 AS INT)").alias("epoch"),
+        F.posexplode("embedding").alias("dim", "xf"),
+    ).select("label", "epoch", "dim", F.col("xf").cast("double").alias("x"))
+    cent = labeled.groupBy("label", "epoch", "dim").agg(
+        F.round(F.avg("x"), 6).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a = cent.filter(F.col("epoch") == 0).select(
+        "label", "dim", F.col("c").alias("c0"), F.col("n").alias("n0")
+    )
+    b = cent.filter(F.col("epoch") == 1).select(
+        "label", "dim", F.col("c").alias("c1"), F.col("n").alias("n1")
+    )
+    return (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.max("n0").cast("bigint").alias("n_epoch0"),
+            F.max("n1").cast("bigint").alias("n_epoch1"),
+            F.round(
+                F.sum((F.col("c1") - F.col("c0")) * (F.col("c1") - F.col("c0"))),
+                6,
+            ).alias("drift_sq"),
+            F.round(F.max(F.abs(F.col("c1") - F.col("c0"))), 6)
+            .alias("max_dim_shift"),
+        )
+    )

@@ -3053,3 +3053,80 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_customers", "n_orders",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# shipping-delay SLA stats (exact day-difference order statistics)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_shipping_delay_stats",
+    oracle="""
+    WITH d AS (
+      SELECT o.o_orderpriority,
+             datediff('day', CAST(o.o_orderdate AS DATE),
+                      CAST(l.l_shipdate AS DATE)) AS delay_days,
+             l.l_orderkey, l.l_linenumber
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    ranked AS (
+      SELECT o_orderpriority, delay_days,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY delay_days, l_orderkey, l_linenumber)
+               AS r,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM d
+    )
+    SELECT o_orderpriority,
+           CAST(MAX(n) AS BIGINT) AS n_lines,
+           round(CAST(SUM(delay_days) AS DOUBLE) / MAX(n), 6) AS mean_days,
+           CAST(MAX(CASE WHEN r = (50 * n + 99) // 100
+                         THEN delay_days END) AS BIGINT) AS p50_days,
+           CAST(MAX(CASE WHEN r = (90 * n + 99) // 100
+                         THEN delay_days END) AS BIGINT) AS p90_days,
+           CAST(MAX(delay_days) AS BIGINT) AS max_days
+    FROM ranked GROUP BY o_orderpriority
+    """,
+    doc="Shipping-delay SLA profile per order priority: order-to-ship lag "
+        "in whole days (DATE datediff — integer-exact, no timestamp "
+        "float math), with mean as an exact integer ratio and p50/p90 as "
+        "type-1 order statistics (the ceil-rank pattern shared with the "
+        "winsorize operator). The operational twin of the TPC-H pricing "
+        "suite: one fact-to-dim broadcast join, one per-priority rank "
+        "window, one reduce.",
+)
+def q_shipping_delay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders = (
+        load(spark, sf_dir, "lineitem", "orders")[t]
+        for t in ("lineitem", "orders")
+    )
+    d = li.join(F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"]).select(
+        "o_orderpriority",
+        F.expr(
+            "datediff(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE))"
+        ).alias("delay_days"),
+        "l_orderkey", "l_linenumber",
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "delay_days", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = d.select(
+        "o_orderpriority", "delay_days",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.groupBy("o_orderpriority").agg(
+        F.max("n").cast("bigint").alias("n_lines"),
+        F.expr("round(CAST(SUM(delay_days) AS DOUBLE) / MAX(n), 6)")
+        .alias("mean_days"),
+        F.expr(
+            "CAST(MAX(CASE WHEN r = (50 * n + 99) DIV 100 "
+            "THEN delay_days END) AS BIGINT)"
+        ).alias("p50_days"),
+        F.expr(
+            "CAST(MAX(CASE WHEN r = (90 * n + 99) DIV 100 "
+            "THEN delay_days END) AS BIGINT)"
+        ).alias("p90_days"),
+        F.max("delay_days").cast("bigint").alias("max_days"),
+    )
