@@ -484,3 +484,151 @@ def stream_ewma_user_value(spark, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination(300)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# streaming anomaly detection: running z-score from exact sufficient stats
+# ---------------------------------------------------------------------------
+
+ANOM_MIN_PREFIX = 10   # need this many prior observations before flagging
+ANOM_Z = 3.0
+
+_ANOM_STATE_SCHEMA = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("s", T.LongType()),
+    T.StructField("ss", T.LongType()),
+])
+
+
+def anomaly_zscore_stream(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    cents_col: str,
+    order_cols: Sequence[str],
+    *,
+    min_prefix: int = ANOM_MIN_PREFIX,
+    z_threshold: float = ANOM_Z,
+) -> DataFrame:
+    """Continuous anomaly detection: each observation is scored against
+    the EXACT running mean/std of all strictly-preceding observations of
+    its key (population variance from integer sufficient statistics
+    n/sum/sum-of-squares carried as state — three bigints per key), and
+    emitted when |x - mean| > z * std. Integer state means the stream
+    is bit-reproducible and agrees exactly with the batch prefix-window
+    replay — no Welford float accumulation to drift across replays.
+    Rows are folded in ``order_cols`` order within each batch.
+    """
+    out_fields = [df.schema[c] for c in key_cols] + [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("z", T.DoubleType()),
+    ]
+    out_schema = T.StructType(out_fields)
+    names = list(key_cols)
+    ocols = list(order_cols)
+
+    def fn(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if not parts:
+            return
+        batch = pd.concat(parts).sort_values(ocols)
+        n, s, ss = state.get if state.exists else (0, 0, 0)
+        rows = []
+        for event_id, cents in zip(batch["event_id"], batch[cents_col]):
+            cents = int(cents)
+            if n >= min_prefix:
+                mean = s / n
+                var = (ss - s * s / n) / n
+                std = var ** 0.5 if var > 0 else 0.0
+                if abs(cents - mean) > z_threshold * std:
+                    z = (cents - mean) / std if std > 0 else float("inf")
+                    rows.append(
+                        tuple(key) + (int(event_id), cents / 100, round(z, 6))
+                    )
+            n, s, ss = n + 1, s + cents, ss + cents * cents
+        state.update((n, s, ss))
+        if rows:
+            yield pd.DataFrame(rows, columns=names + ["event_id", "value", "z"])
+
+    return df.groupBy(*names).applyInPandasWithState(
+        fn, out_schema, _ANOM_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+@register(
+    "stream_anomaly_zscore",
+    # single availableNow batch ⇒ each row is scored against its exact
+    # strictly-preceding prefix — identical to the batch prefix-window
+    # replay below (integer sufficient stats, same IEEE ops, both sides)
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, event_id, ts,
+             CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, event_id, cents,
+             COUNT(*) OVER w AS n_prev,
+             SUM(cents) OVER w AS s_prev,
+             SUM(cents * cents) OVER w AS ss_prev
+      FROM c
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id,
+           CAST(cents AS DOUBLE) / 100 AS value,
+           round((cents - CAST(s_prev AS DOUBLE) / n_prev)
+                 / sqrt((ss_prev - CAST(s_prev AS DOUBLE) * s_prev / n_prev)
+                        / n_prev), 6) AS z
+    FROM p
+    WHERE n_prev >= {ANOM_MIN_PREFIX}
+      AND abs(cents - CAST(s_prev AS DOUBLE) / n_prev)
+          > {ANOM_Z} * sqrt((ss_prev
+                             - CAST(s_prev AS DOUBLE) * s_prev / n_prev)
+                            / n_prev)
+    """,
+    doc="Streaming per-user anomaly detection (applyInPandasWithState): "
+        "every observation scored against the exact running mean/std of "
+        "its strictly-preceding history, carried as three INTEGER "
+        "sufficient statistics per key. The oracle replays the identical "
+        "math as a batch prefix window (ROWS ... 1 PRECEDING), and the "
+        "hash gate proves stream and batch agree bit-for-bit — the "
+        "monitoring-pipeline property that float Welford accumulators "
+        "lose across checkpoint replays.",
+)
+def stream_anomaly_zscore(spark, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    name = f"stream_anom_{uuid.uuid4().hex[:8]}"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    in_dir = tempfile.mkdtemp(prefix="stream_anom_in_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(in_dir, "events.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(in_dir)
+        .select(
+            "user_id", "ts", "event_id",
+            F.expr("CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT)")
+            .alias("cents"),
+        )
+    )
+    query = (
+        anomaly_zscore_stream(stream, ["user_id"], "cents", ["ts", "event_id"])
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_anom_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table(name)

@@ -79,3 +79,51 @@ def test_ewma_ring_truncates_at_depth(spark, tmp_path):
     got = spark.table("ewma_tr").collect()
     newest_first = [100 * (i + 1) for i in range(13, 3, -1)]
     assert got[0].ewma == exact_ewma(newest_first)
+
+
+def test_anomaly_zscore_state_across_batches(spark, tmp_path):
+    """Sufficient-stat state carries across batches: a spike in batch 2 is
+    judged against batch 1's history."""
+    from flink_connector_http_spark.streaming.stateful import (
+        anomaly_zscore_stream,
+    )
+
+    schema = T.StructType([
+        T.StructField("user", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("cents", T.LongType()),
+    ])
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def drop(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(in_dir))
+
+    # batch 1: 12 quiet observations around 100 (no flags: first 10 are
+    # warmup, remaining two are in-distribution)
+    drop([("u", i, 100 + (i % 3)) for i in range(12)])
+    query = (
+        anomaly_zscore_stream(
+            spark.readStream.schema(schema).parquet(str(in_dir)),
+            ["user"], "cents", ["event_id"],
+        )
+        .writeStream.format("memory")
+        .queryName("anom_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        assert spark.table("anom_t").count() == 0
+
+        # batch 2: a 100x spike must flag against the carried history
+        drop([("u", 100, 10000)])
+        query.processAllAvailable()
+        flagged = spark.table("anom_t").collect()
+        assert [(r.user, r.event_id) for r in flagged] == [("u", 100)]
+        assert flagged[0].z > 3
+    finally:
+        query.stop()
