@@ -2473,3 +2473,63 @@ def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# language-ID confusion matrix (classifier evaluation)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_lang_confusion",
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang AS lang_labeled,
+             CASE WHEN {_D['n_en_stop']} > {_D['n_es_stop']} THEN 'en'
+                  WHEN {_D['n_es_stop']} > {_D['n_en_stop']} THEN 'es'
+                  ELSE 'und' END AS lang_pred
+      FROM documents
+    ),
+    cells AS (
+      SELECT lang_labeled, lang_pred, COUNT(*) AS n
+      FROM pred GROUP BY lang_labeled, lang_pred
+    ),
+    row_tot AS (
+      SELECT lang_labeled, SUM(n) AS rt FROM cells GROUP BY lang_labeled
+    ),
+    col_tot AS (
+      SELECT lang_pred, SUM(n) AS ct FROM cells GROUP BY lang_pred
+    )
+    SELECT c.lang_labeled, c.lang_pred,
+           CAST(c.n AS BIGINT) AS n_docs,
+           round(CAST(c.n AS DOUBLE) / r.rt, 6) AS recall_share,
+           round(CAST(c.n AS DOUBLE) / t.ct, 6) AS precision_share
+    FROM cells c
+    JOIN row_tot r ON r.lang_labeled = c.lang_labeled
+    JOIN col_tot t ON t.lang_pred = c.lang_pred
+    """,
+    doc="Language-ID confusion matrix: the stopword-heuristic classifier "
+        "(text_lang_id) evaluated against the labeled lang column — each "
+        "(labeled, predicted) cell with its count, per-class recall "
+        "share (cell / labeled-class total), and precision share "
+        "(cell / predicted-class total) as exact integer ratios. The "
+        "classifier-eval pattern every quality-filter model needs before "
+        "it gates a corpus; the matrix is |langs|^2 rows, broadcast-"
+        "sized, and marginals reduce before the ratio join.",
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = text_lang_id(spark, sf_dir).select("lang_labeled", "lang_pred")
+    cells = pred.groupBy("lang_labeled", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_tot = cells.groupBy("lang_labeled").agg(F.sum("n").alias("rt"))
+    col_tot = cells.groupBy("lang_pred").agg(F.sum("n").alias("ct"))
+    return (
+        cells.join(F.broadcast(row_tot), "lang_labeled")
+        .join(F.broadcast(col_tot), "lang_pred")
+        .select(
+            "lang_labeled", "lang_pred",
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.expr("round(CAST(n AS DOUBLE) / rt, 6)").alias("recall_share"),
+            F.expr("round(CAST(n AS DOUBLE) / ct, 6)").alias("precision_share"),
+        )
+    )
