@@ -3130,3 +3130,68 @@ def q_shipping_delay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p90_days"),
         F.max("delay_days").cast("bigint").alias("max_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sequential pattern mining: frequent event-type trigrams
+# ---------------------------------------------------------------------------
+
+SEQ_PATTERN_TOPK = 15
+
+
+@register(
+    "q_event_trigram_patterns",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type AS e1,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    pat AS (
+      SELECT e1, e2, e3, COUNT(*) AS n
+      FROM seq WHERE e3 IS NOT NULL
+      GROUP BY e1, e2, e3
+    )
+    SELECT e1, e2, e3, CAST(n AS BIGINT) AS n_occurrences,
+           CAST(rk AS INT) AS rk
+    FROM (
+      SELECT e1, e2, e3, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, e1, e2, e3) AS rk
+      FROM pat
+    ) t WHERE rk <= {SEQ_PATTERN_TOPK}
+    """,
+    doc=f"Sequential pattern mining: the top {SEQ_PATTERN_TOPK} most "
+        "frequent length-3 event-type sequences across per-user "
+        "timelines (contiguous trigrams via double LEAD) — the order-2 "
+        "extension of q_markov_transitions that surfaces whole flows "
+        "(view→click→purchase vs view→click→abandon) rather than single "
+        "hops. One shuffle for the per-user sequence window (shared "
+        "partitioning with the sessionize/funnel/markov family), one "
+        "map-side-combinable count, and a "
+        "top-k over the tiny |types|^3 pattern space.",
+)
+def q_event_trigram_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    pat = (
+        seq.filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wr = Window.orderBy(F.desc("n"), F.asc("e1"), F.asc("e2"), F.asc("e3"))
+    return (
+        pat.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= SEQ_PATTERN_TOPK)
+        .select(
+            "e1", "e2", "e3",
+            F.col("n").cast("bigint").alias("n_occurrences"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
