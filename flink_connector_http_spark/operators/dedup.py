@@ -1361,3 +1361,137 @@ def link_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canonical_name",
         F.col("n").cast("bigint").alias("n_names"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator accuracy audit (signature agreement vs exact Jaccard)
+# ---------------------------------------------------------------------------
+
+EST_EVAL_MIN_AGREE = 16  # audit pairs agreeing on >= half the signature
+
+
+@register(
+    "dedup_minhash_estimate_eval",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, unnest({SHINGLES_DUCK}) AS s FROM documents
+      ) t0
+    ),
+    hs AS (
+      SELECT doc_id, s,
+             {md5_int32_duck('s')} AS h1,
+             ({md5_int32_duck("concat('b:', s)")} | 1) AS h2
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, i, MIN((h1 + i * h2) % 4294967296) AS m
+      FROM hs, unnest(range(0, 32)) AS t(i)
+      GROUP BY doc_id, i
+    ),
+    agree AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             SUM(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS k
+      FROM sig a JOIN sig b ON a.i = b.i AND a.doc_id < b.doc_id
+      GROUP BY a_id, b_id
+      HAVING SUM(CASE WHEN a.m = b.m THEN 1 ELSE 0 END)
+             >= {EST_EVAL_MIN_AGREE}
+    ),
+    ex AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a_id, b_id
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id)
+    SELECT g.a_id, g.b_id,
+           CAST(g.k AS BIGINT) AS n_agree,
+           round(CAST(g.k AS DOUBLE) / 32, 6) AS est_jaccard,
+           round(CAST(COALESCE(e.inter, 0) AS DOUBLE)
+                 / (ca.c + cb.c - COALESCE(e.inter, 0)), 6) AS exact_jaccard,
+           round(abs(CAST(g.k AS DOUBLE) / 32
+                     - CAST(COALESCE(e.inter, 0) AS DOUBLE)
+                       / (ca.c + cb.c - COALESCE(e.inter, 0))), 6) AS abs_err
+    FROM agree g
+    LEFT JOIN ex e ON e.a_id = g.a_id AND e.b_id = g.b_id
+    JOIN counts ca ON ca.doc_id = g.a_id
+    JOIN counts cb ON cb.doc_id = g.b_id
+    """,
+    doc="MinHash estimator accuracy audit: for every pair whose 32-slot "
+        "md5-affine signatures agree on >= half the slots, the sketch "
+        "estimate (agreements/32) side by side with the exact Jaccard "
+        "and the absolute error — the sketch-calibration twin of the ANN "
+        "recall monitors (it shows FALSE POSITIVES of signature "
+        "agreement; banding FNs are bounded analytically by the "
+        "(1-j^r)^b curve documented on dedup_minhash_lsh). Uses an "
+        "md5-based hash family so the signature itself is cross-engine "
+        "reproducible; positioned as a periodic audit over a corpus "
+        "sample — the all-pairs signature compare is O(n^2 * k) by "
+        "design, production runs point it at a few thousand sampled "
+        "docs.",
+)
+def dedup_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_index(spark, sf_dir).persist()
+    hs = sh.select(
+        "doc_id",
+        F.expr(md5_int32_spark("s")).alias("h1"),
+        F.expr(md5_int32_spark("concat('b:', s)") + " | 1").alias("h2"),
+    )
+    sig = (
+        hs.select(
+            "doc_id", "h1", "h2",
+            F.explode(F.expr("sequence(0, 31)")).alias("i"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min(F.expr("(h1 + i * h2) % 4294967296")).alias("m"))
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    agree = (
+        a.join(
+            b,
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(
+            F.expr("SUM(CASE WHEN a.m = b.m THEN 1 ELSE 0 END)").alias("k")
+        )
+        .filter(F.col("k") >= EST_EVAL_MIN_AGREE)
+    )
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    ex = (
+        sa.join(
+            sb,
+            (F.col("sa.s") == F.col("sb.s"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .groupBy(
+            F.col("sa.doc_id").alias("a_id"), F.col("sb.doc_id").alias("b_id")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    ca = counts.select(F.col("doc_id").alias("a_id"), F.col("c").alias("ca"))
+    cb = counts.select(F.col("doc_id").alias("b_id"), F.col("c").alias("cb"))
+    return (
+        agree.join(ex, ["a_id", "b_id"], "left")
+        .join(F.broadcast(ca), "a_id")
+        .join(F.broadcast(cb), "b_id")
+        .select(
+            "a_id", "b_id",
+            F.col("k").cast("bigint").alias("n_agree"),
+            F.expr("round(CAST(k AS DOUBLE) / 32, 6)").alias("est_jaccard"),
+            F.expr(
+                "round(CAST(COALESCE(inter, 0) AS DOUBLE) "
+                "/ (ca + cb - COALESCE(inter, 0)), 6)"
+            ).alias("exact_jaccard"),
+            F.expr(
+                "round(abs(CAST(k AS DOUBLE) / 32 "
+                "- CAST(COALESCE(inter, 0) AS DOUBLE) "
+                "/ (ca + cb - COALESCE(inter, 0))), 6)"
+            ).alias("abs_err"),
+        )
+    )

@@ -3195,3 +3195,63 @@ def q_event_trigram_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# daily active users: new vs returning decomposition
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_new_vs_returning",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events GROUP BY user_id, day
+    ),
+    first_seen AS (
+      SELECT user_id, MIN(day) AS first_day FROM d GROUP BY user_id
+    )
+    SELECT d.day,
+           CAST(COUNT(*) AS BIGINT) AS active_users,
+           CAST(SUM(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+           CAST(SUM(CASE WHEN d.day > f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS returning_users,
+           round(CAST(SUM(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS new_share
+    FROM d JOIN first_seen f ON f.user_id = d.user_id
+    GROUP BY d.day
+    """,
+    doc="Daily active users decomposed into new vs returning by each "
+        "user's first-seen day — the growth-accounting staple. The "
+        "(user, day) grain reduces FIRST (events collapse to at most one "
+        "row per user-day before anything joins), then the tiny "
+        "first-seen table broadcasts back; the double pass over events "
+        "that a naive MIN-window-over-raw-events plan would shuffle is "
+        "avoided entirely. Shares are exact integer ratios.",
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    d = ev.select(
+        "user_id", F.expr("CAST(date_trunc('day', ts) AS DATE)").alias("day")
+    ).distinct()
+    first_seen = d.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        d.join(F.broadcast(first_seen), "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("active_users"),
+            F.expr(
+                "CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) "
+                "AS BIGINT)"
+            ).alias("new_users"),
+            F.expr(
+                "CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END) "
+                "AS BIGINT)"
+            ).alias("returning_users"),
+            F.expr(
+                "round(CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) "
+                "AS DOUBLE) / COUNT(*), 6)"
+            ).alias("new_share"),
+        )
+    )
