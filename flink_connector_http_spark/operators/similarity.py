@@ -2133,3 +2133,94 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("max_dim_shift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity of the kNN graph
+# ---------------------------------------------------------------------------
+
+@register(
+    "graph_assortativity_knn",
+    oracle=f"""
+    WITH knn AS (
+      {_KNN_GRAPH_ORACLE}
+    ),
+    und AS (
+      SELECT DISTINCT LEAST(src_id, dst_id) AS a, GREATEST(src_id, dst_id) AS b
+      FROM knn WHERE src_id <> dst_id
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+      ) ends GROUP BY node
+    ),
+    pairs AS (
+      SELECT da.d AS x, db.d AS y
+      FROM und JOIN deg da ON da.node = und.a JOIN deg db ON db.node = und.b
+      UNION ALL
+      SELECT db.d AS x, da.d AS y
+      FROM und JOIN deg da ON da.node = und.a JOIN deg db ON db.node = und.b
+    ),
+    s AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM pairs
+    )
+    SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+           round((n * sxy - sx * sy)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+             AS assortativity
+    FROM s
+    """,
+    doc="Degree assortativity of the kNN graph: the Pearson correlation "
+        "of endpoint degrees over all directed edge incidences (each "
+        "undirected edge contributes both orientations, the standard "
+        "Newman convention). All five sufficient statistics are INTEGER "
+        "sums — degrees are counts — so the only float ops are the final "
+        "two sqrts and one division, order-independent and hash-gate "
+        "exact. Interpretation for curation: positive r means dense-"
+        "cluster cores link to cores (dedup clusters, boilerplate "
+        "families); strongly negative r flags hub-and-spoke topology "
+        "where a few generic documents neighbor everything — candidates "
+        "for the posting-cap treatment. One reduce over the edge list "
+        "after a broadcast-joined degree lookup.",
+)
+def graph_assortativity_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und = (
+        emb_knn_graph(spark, sf_dir)
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .select(
+            F.least("src_id", "dst_id").alias("a"),
+            F.greatest("src_id", "dst_id").alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("xa"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("xb"))
+    joined = und.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    pairs = joined.select(
+        F.col("xa").alias("x"), F.col("xb").alias("y")
+    ).unionAll(joined.select(F.col("xb").alias("x"), F.col("xa").alias("y")))
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ).select(
+        F.expr("CAST(n / 2 AS BIGINT)").alias("n_edges"),
+        F.expr(
+            "round((n * sxy - sx * sy) "
+            "/ (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) "
+            "* sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)"
+        ).alias("assortativity"),
+    )

@@ -3255,3 +3255,60 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("new_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifier combinations
+# ---------------------------------------------------------------------------
+
+K_ANON = 5
+
+
+@register(
+    "q_k_anonymity_audit",
+    oracle=f"""
+    WITH qi AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(FLOOR(CAST(value AS DECIMAL(10,2)) / 100) AS BIGINT)
+               AS value_band,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT SUM(n) AS t FROM qi)
+    SELECT event_type, day, value_band,
+           CAST(n AS BIGINT) AS group_size,
+           round(CAST(n AS DOUBLE) / (SELECT t FROM tot), 6) AS row_share
+    FROM qi WHERE n < {K_ANON}
+    """,
+    doc=f"k-anonymity audit (k = {K_ANON}): quasi-identifier combinations "
+        "— here (event_type, day, coarse value band) — whose group size "
+        "is below k, i.e. rows an adversary could re-identify by joining "
+        "on those attributes alone. The release-gating privacy check "
+        "that runs before a dataset export, listing each violating "
+        "combination with its size and the at-risk row share. The value "
+        "band uses DECIMAL floor division (integer-exact binning, the "
+        "generalization step of the anonymization itself); one "
+        "map-side-combinable aggregate over the scan plus a broadcast "
+        "1-row total — the audit costs one pass regardless of corpus "
+        "size.",
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    qi = ev.groupBy(
+        "event_type",
+        F.expr("CAST(date_trunc('day', ts) AS DATE)").alias("day"),
+        F.expr(
+            "CAST(FLOOR(CAST(value AS DECIMAL(10,2)) / 100) AS BIGINT)"
+        ).alias("value_band"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = qi.agg(F.sum("n").alias("t"))
+    return (
+        qi.filter(F.col("n") < K_ANON)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type", "day", "value_band",
+            F.col("n").cast("bigint").alias("group_size"),
+            F.expr("round(CAST(n AS DOUBLE) / t, 6)").alias("row_share"),
+        )
+    )
