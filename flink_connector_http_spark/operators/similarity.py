@@ -2224,3 +2224,81 @@ def graph_assortativity_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "* sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)"
         ).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cluster purity: semantic clusters vs labels
+# ---------------------------------------------------------------------------
+
+@register(
+    "emb_cluster_purity",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      {_LSH_DEDUP_ORACLE}
+    ),
+    cedges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION ALL
+      SELECT b_id AS src, a_id AS dst FROM pairs
+    ),
+    walk(vec_id, reach) AS (
+      SELECT DISTINCT src, src FROM cedges
+      UNION
+      SELECT e.src, w.reach FROM cedges e JOIN walk w ON w.vec_id = e.dst
+    ),
+    clus AS (
+      SELECT vec_id, MIN(reach) AS cluster_id FROM walk GROUP BY vec_id
+    ),
+    memb AS (
+      SELECT c.cluster_id, e.label, COUNT(*) AS n
+      FROM clus c JOIN embeddings e ON e.vec_id = c.vec_id
+      GROUP BY c.cluster_id, e.label
+    ),
+    top AS (
+      SELECT cluster_id, majority_label, n_majority, n_members FROM (
+        SELECT cluster_id, label AS majority_label, n AS n_majority,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY n DESC, label) AS rk,
+               SUM(n) OVER (PARTITION BY cluster_id) AS n_members
+        FROM memb
+      ) t WHERE rk = 1
+    )
+    SELECT cluster_id, majority_label,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_majority AS BIGINT) AS n_majority,
+           round(CAST(n_majority AS DOUBLE) / n_members, 6) AS purity
+    FROM top WHERE n_members >= 2
+    """,
+    doc="Cluster-purity evaluation: each multi-member semantic-duplicate "
+        "cluster scored by the share of its majority label — the "
+        "external-validity check for the unsupervised near-dup chain "
+        "(a low-purity cluster means cosine-LSH merged documents the "
+        "labels say are different: threshold too loose or embeddings "
+        "too coarse). Per-cluster label histograms are the only shuffle "
+        "beyond the clustering itself; the purity ratios are exact "
+        "integer fractions. Same eval discipline as the recall/confusion "
+        "monitors — every unsupervised index ships with its quality "
+        "probe.",
+)
+def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    clus = emb_semantic_clusters(spark, sf_dir)
+    memb = (
+        clus.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cluster_id", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n"), F.asc("label"))
+    wm = Window.partitionBy("cluster_id")
+    top = (
+        memb.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_members", F.sum("n").over(wm))
+        .filter((F.col("rk") == 1) & (F.col("n_members") >= 2))
+    )
+    return top.select(
+        "cluster_id",
+        F.col("label").alias("majority_label"),
+        F.col("n_members").cast("bigint").alias("n_members"),
+        F.col("n").cast("bigint").alias("n_majority"),
+        F.expr("round(CAST(n AS DOUBLE) / n_members, 6)").alias("purity"),
+    )

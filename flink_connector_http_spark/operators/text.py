@@ -2533,3 +2533,54 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("round(CAST(n AS DOUBLE) / ct, 6)").alias("precision_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# class-balanced downsampling (equalize strata to the smallest class)
+# ---------------------------------------------------------------------------
+
+@register(
+    "sample_balanced_downsample",
+    oracle="""
+    WITH sizes AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    floor_n AS (SELECT MIN(n) AS k FROM sizes),
+    ranked AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(concat('bal:', doc_id)), doc_id)
+               AS rk
+      FROM documents
+    )
+    SELECT lang, doc_id, rk
+    FROM ranked WHERE rk <= (SELECT k FROM floor_n)
+    """,
+    doc="Class-balanced downsampling: every language stratum cut to the "
+        "SMALLEST class's size by deterministic hash order — the "
+        "imbalance fix applied before training classifiers (language-ID, "
+        "quality gates) whose loss would otherwise be dominated by the "
+        "majority class. Differs from sample_stratified_exact's fixed "
+        "per-stratum k: the cut size is DATA-DEPENDENT (min class "
+        "count), computed as a 1-row broadcast, so re-runs under data "
+        "growth stay balanced without retuning. One shuffle on the "
+        "stratum key; hash order keeps previously-selected members "
+        "stable in expectation as classes grow.",
+)
+def sample_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    floor_n = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).agg(
+        F.min("n").alias("k")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.expr("md5(concat('bal:', doc_id))"), F.asc("doc_id")
+    )
+    return (
+        docs.select("lang", "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(floor_n))
+        .filter(F.col("rk") <= F.col("k"))
+        .select("lang", "doc_id", "rk")
+    )
