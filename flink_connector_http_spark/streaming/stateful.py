@@ -632,3 +632,135 @@ def stream_anomaly_zscore(spark, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination(300)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# streaming KMV distinct-count sketch (bottom-k state per key)
+# ---------------------------------------------------------------------------
+
+KMV_STREAM_K = 64
+_KMV_SPACE = float(1 << 60)
+
+_KMV_STATE_SCHEMA = T.StructType(
+    [T.StructField("mins", T.ArrayType(T.LongType()))]
+)
+
+
+def kmv_distinct_stream(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    hash_col: str,
+    k: int = KMV_STREAM_K,
+) -> DataFrame:
+    """Continuous distinct-count estimation: per-key bottom-``k`` set of
+    60-bit element hashes carried as state (≤ k bigints — O(keys·k)
+    total, stream-length independent), emitting the current estimate
+    each micro-batch. The same lattice-merge property the batch
+    ``sketch_kmv_user_rollup`` exploits makes the streaming update
+    trivially correct: bottom-k(state ∪ batch) is the exact bottom-k of
+    everything seen. Deterministic md5-derived hashes → replays emit
+    identical estimates."""
+    out_schema = T.StructType(
+        [df.schema[c] for c in key_cols] + [
+            T.StructField("sketch_size", T.LongType()),
+            T.StructField("est_distinct", T.DoubleType()),
+        ]
+    )
+    names = list(key_cols)
+
+    def fn(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        new_hashes = set()
+        for pdf in pdfs:
+            if len(pdf):
+                new_hashes.update(int(h) for h in pdf[hash_col])
+        if not new_hashes:
+            return
+        mins = set(state.get[0]) if state.exists else set()
+        mins |= new_hashes
+        mins = sorted(mins)[:k]
+        state.update((mins,))
+        size = len(mins)
+        est = float(size) if size < k else (k - 1) * _KMV_SPACE / mins[-1]
+        yield pd.DataFrame(
+            [tuple(key) + (size, est)],
+            columns=names + ["sketch_size", "est_distinct"],
+        )
+
+    return df.groupBy(*names).applyInPandasWithState(
+        fn, out_schema, _KMV_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+@register(
+    "stream_kmv_distinct_users",
+    # single availableNow batch ⇒ one emission per event_type holding the
+    # bottom-k estimate over all its users — identical to the batch KMV
+    # (unrounded doubles: both sides run (k-1)*space/kth on exact ints)
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(concat('u:', user_id)), 1, 15))::BIGINT AS hv
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, hv,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_tot
+      FROM h
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS sketch_size,
+           CASE WHEN COUNT(*) < {KMV_STREAM_K}
+                THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE ({KMV_STREAM_K} - 1) * CAST({_KMV_SPACE!r} AS DOUBLE)
+                     / MAX(hv)
+           END AS est_distinct
+    FROM ranked WHERE rk <= {KMV_STREAM_K}
+    GROUP BY event_type
+    """,
+    doc="Streaming distinct-user estimation per event_type "
+        "(applyInPandasWithState): bottom-64 md5-hash state per key, "
+        "current KMV estimate emitted each batch. The hash gate pins "
+        "stream/batch parity — the single-batch emission must equal the "
+        "batch KMV sketch bit-for-bit, the property that lets a serving "
+        "layer mix precomputed batch sketches with live streaming "
+        "updates on one estimator.",
+)
+def stream_kmv_distinct_users(spark, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    name = f"stream_kmv_{uuid.uuid4().hex[:8]}"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    in_dir = tempfile.mkdtemp(prefix="stream_kmv_in_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(in_dir, "events.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(in_dir)
+        .select(
+            "event_type",
+            F.expr(
+                "CAST(conv(substr(md5(concat('u:', user_id)), 1, 15), 16, 10) "
+                "AS BIGINT)"
+            ).alias("hv"),
+        )
+    )
+    query = (
+        kmv_distinct_stream(stream, ["event_type"], "hv")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_kmv_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table(name)
