@@ -23,6 +23,7 @@ from .options import (
     lookup_options_from_map,
     sink_options_from_map,
 )
+from .ratelimit import TokenBucket
 from .retry import RetryConfig
 from .sink import HttpSinkWriter, foreach_batch_http_sink, write_http
 from .status import HttpResponseChecker, SinkErrorCodeChecker, parse_http_codes
@@ -41,6 +42,7 @@ __all__ = [
     "LookupCacheConfig",
     "LruTtlCache",
     "RetryConfig",
+    "TokenBucket",
     "HttpResponseChecker",
     "SinkErrorCodeChecker",
     "parse_http_codes",
