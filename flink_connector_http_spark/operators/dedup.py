@@ -1356,7 +1356,10 @@ def link_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("p_name").alias("canonical_name"),
         F.count(F.lit(1)).alias("n"),
     )
-    return named.join(F.broadcast(canon), "cluster_id").select(
+    # no broadcast hint: the canonical map is per-cluster (grows with the
+    # entity count); the join reuses the cluster_id partitioning and AQE
+    # broadcasts when it is actually small
+    return named.join(canon, "cluster_id").select(
         "p_name",
         "canonical_name",
         F.col("n").cast("bigint").alias("n_names"),

@@ -3236,8 +3236,11 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.expr("CAST(date_trunc('day', ts) AS DATE)").alias("day")
     ).distinct()
     first_seen = d.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    # no broadcast hint: first_seen is per-user (corpus-sized at scale);
+    # the join co-partitions on user_id with d's aggregation, and AQE
+    # still broadcasts it when it happens to be small
     return (
-        d.join(F.broadcast(first_seen), "user_id")
+        d.join(first_seen, "user_id")
         .groupBy("day")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("active_users"),
