@@ -2205,7 +2205,8 @@ def graph_assortativity_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     da = deg.select(F.col("node").alias("a"), F.col("d").alias("xa"))
     db = deg.select(F.col("node").alias("b"), F.col("d").alias("xb"))
-    joined = und.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    # degree table is per-node (graph-sized): hint-free joins, AQE decides
+    joined = und.join(da, "a").join(db, "b")
     pairs = joined.select(
         F.col("xa").alias("x"), F.col("xb").alias("y")
     ).unionAll(joined.select(F.col("xb").alias("x"), F.col("xa").alias("y")))

@@ -2970,9 +2970,11 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = part_n.select(
         F.col("l_partkey").alias("part_b"), F.col("n_orders").alias("nb")
     )
+    # marginals are per-part (catalog-sized at scale): no broadcast hint,
+    # AQE upgrades the joins when the catalog actually fits
     return (
-        pair_n.join(F.broadcast(na), "part_a")
-        .join(F.broadcast(nb), "part_b")
+        pair_n.join(na, "part_a")
+        .join(nb, "part_b")
         .crossJoin(F.broadcast(n_orders))
         .select(
             "part_a", "part_b",
