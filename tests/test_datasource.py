@@ -401,3 +401,25 @@ def test_distributed_stream_catchup_cap(spark, stub, tmp_path):
         if "page" in r.query
     )
     assert data_pages == [0, 1, 2, 3, 4]  # each page fetched exactly once
+
+
+def test_read_jsonl_format(spark, stub):
+    """format 'jsonl' flows through the DataSource decoder registry."""
+    body = b'{"id": 1, "name": "a", "score": 0.5}\n{"id": 2, "name": "b", "score": 1.5}\n'
+
+    def respond(req):
+        page = int(req.query.get("page", ["0"])[0])
+        if page == 0:
+            return StubResponse(200, body, {"Content-Type": "application/x-ndjson"})
+        return StubResponse(200, b"", {})
+
+    stub.stub("/jl-items", respond)
+    df = (
+        spark.read.format("http")
+        .schema(SCHEMA)
+        .option("url", stub.url("/jl-items"))
+        .option("pages", 1)
+        .option("format", "jsonl")
+        .load()
+    )
+    assert sorted((r.id, r.name) for r in df.collect()) == [(1, "a"), (2, "b")]
