@@ -3317,3 +3317,59 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("round(CAST(n AS DOUBLE) / t, 6)").alias("row_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# day-of-week seasonality profile
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_seasonality_dow",
+    oracle="""
+    WITH base AS (
+      SELECT isodow(ts) - 1 AS dow,
+             event_type,
+             CAST(value AS DECIMAL(10,2)) AS v
+      FROM events
+    ),
+    per AS (
+      SELECT dow, event_type, COUNT(*) AS n, SUM(v) AS sv
+      FROM base GROUP BY dow, event_type
+    ),
+    tot AS (
+      SELECT event_type, SUM(n) AS tn FROM per GROUP BY event_type
+    )
+    SELECT CAST(p.dow AS INT) AS dow, p.event_type,
+           CAST(p.n AS BIGINT) AS n_events,
+           CAST(p.sv AS DOUBLE) AS total_value,
+           round(CAST(p.n AS DOUBLE) / t.tn, 6) AS day_share,
+           round(CAST(p.n AS DOUBLE) * 7 / t.tn, 6) AS seasonality_index
+    FROM per p JOIN tot t ON t.event_type = p.event_type
+    """,
+    doc="Day-of-week seasonality per event type: Monday-based weekday "
+        "share and the seasonality index (share x 7 — 1.0 means flat, "
+        "2.0 means that weekday carries double its uniform load), with "
+        "DECIMAL-exact value totals. Weekday extraction is Monday-based "
+        "in BOTH engines (Spark weekday(), DuckDB isodow-1) — the "
+        "classic cross-engine calendar trap where Sunday-based "
+        "dayofweek() silently shifts every bucket. One "
+        "map-side-combinable aggregate plus a |types|-row marginal "
+        "join.",
+)
+def q_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    per = ev.groupBy(
+        F.expr("weekday(ts)").alias("dow"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("SUM(CAST(value AS DECIMAL(10,2)))").alias("sv"),
+    )
+    tot = per.groupBy("event_type").agg(F.sum("n").alias("tn"))
+    return per.join(F.broadcast(tot), "event_type").select(
+        F.col("dow").cast("int").alias("dow"),
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("sv").cast("double").alias("total_value"),
+        F.expr("round(CAST(n AS DOUBLE) / tn, 6)").alias("day_share"),
+        F.expr("round(CAST(n AS DOUBLE) * 7 / tn, 6)").alias("seasonality_index"),
+    )
