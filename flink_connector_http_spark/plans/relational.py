@@ -3373,3 +3373,74 @@ def q_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("round(CAST(n AS DOUBLE) / tn, 6)").alias("day_share"),
         F.expr("round(CAST(n AS DOUBLE) * 7 / tn, 6)").alias("seasonality_index"),
     )
+
+
+# ---------------------------------------------------------------------------
+# inter-arrival gap statistics (per-user event cadence)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_interarrival_stats",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    gg AS (SELECT * FROM g WHERE gap_us IS NOT NULL),
+    ranked AS (
+      SELECT user_id, gap_us,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY gap_us, event_id) AS r,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM gg
+    )
+    SELECT user_id,
+           CAST(MAX(n) AS BIGINT) AS n_gaps,
+           round(CAST(SUM(gap_us) AS DOUBLE) / MAX(n) / 1000000, 6)
+             AS mean_gap_s,
+           round(CAST(MAX(CASE WHEN r = (50 * n + 99) // 100
+                               THEN gap_us END) AS DOUBLE) / 1000000, 6)
+             AS p50_gap_s,
+           round(CAST(MAX(gap_us) AS DOUBLE) / 1000000, 6) AS max_gap_s
+    FROM ranked GROUP BY user_id
+    """,
+    doc="Per-user inter-arrival cadence: microsecond-exact gaps between "
+        "consecutive events (epoch-micros LAG — integer arithmetic, no "
+        "timestamp float math or timezone dependence), reduced to count, "
+        "mean, type-1 median, and max per user. The cadence profile that "
+        "calibrates session-gap thresholds (q_sessionize_events' 3600 s "
+        "cut) and bot-vs-human heuristics from data instead of folklore. "
+        "Shares the per-user (ts, event_id) window partitioning the "
+        "whole behavioral family already shuffles on.",
+)
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id", "event_id",
+        (
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+            - F.lag(F.expr("unix_micros(CAST(ts AS TIMESTAMP))")).over(w)
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    wr = Window.partitionBy("user_id").orderBy("gap_us", "event_id")
+    wn = Window.partitionBy("user_id")
+    ranked = g.select(
+        "user_id", "gap_us",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.groupBy("user_id").agg(
+        F.max("n").cast("bigint").alias("n_gaps"),
+        F.expr(
+            "round(CAST(SUM(gap_us) AS DOUBLE) / MAX(n) / 1000000, 6)"
+        ).alias("mean_gap_s"),
+        F.expr(
+            "round(CAST(MAX(CASE WHEN r = (50 * n + 99) DIV 100 "
+            "THEN gap_us END) AS DOUBLE) / 1000000, 6)"
+        ).alias("p50_gap_s"),
+        F.expr("round(CAST(MAX(gap_us) AS DOUBLE) / 1000000, 6)")
+        .alias("max_gap_s"),
+    )
