@@ -404,6 +404,54 @@ def http_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(received, schema=schema)
 
 
+@register(
+    "http_sink_roundtrip_jsonl",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice >= 4000
+    """,
+    doc="Sink e2e on the JSON Lines payload format: rows -> JVM-side "
+        "to_json -> NEWLINE framing (ndjson bodies, "
+        "application/x-ndjson) -> POST; recorded bodies parse back "
+        "line-by-line and must equal the source rows. Pins the second "
+        "built-in wire format end-to-end under the oracle, next to "
+        "http_sink_roundtrip's JSON-array framing.",
+)
+def http_sink_roundtrip_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..testing import StubHttpServer
+
+    server = StubHttpServer()
+    server.stub_json("/collect-jsonl", {"ok": True})
+    server.start()
+
+    df = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") >= 4000))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    write_http(
+        df,
+        server.url("/collect-jsonl"),
+        HttpSinkOptions(insert_method="POST", request_mode="batch",
+                        batch_size=100, payload_format="jsonl"),
+    )
+
+    received = []
+    for req in server.recorded("/collect-jsonl"):
+        assert req.headers.get("Content-Type") == "application/x-ndjson"
+        received.extend(
+            json.loads(line) for line in req.body.decode().split("\n") if line
+        )
+    server.stop()
+    schema = T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+    ])
+    return spark.createDataFrame(received, schema=schema)
+
+
 # ---------------------------------------------------------------------------
 # the custom DataSource under the gate: spark.read.format("http")
 # ---------------------------------------------------------------------------
