@@ -37,6 +37,7 @@ from ..plans.registry import load, register
 from .text import (
     SHINGLES_DUCK,
     SHINGLES_SPARK,
+    TRAIN_PCT,
     md5_int32_duck,
     md5_int32_spark,
     md5_int60_duck,
@@ -1496,5 +1497,111 @@ def dedup_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "- CAST(COALESCE(inter, 0) AS DOUBLE) "
                 "/ (ca + cb - COALESCE(inter, 0))), 6)"
             ).alias("abs_err"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# train/eval split leakage audit (near-dups crossing the split boundary)
+# ---------------------------------------------------------------------------
+
+LEAK_JACCARD = 0.5  # looser than dedup's 0.8: leakage audits over-report
+
+
+@register(
+    "dedup_split_leakage",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, unnest({SHINGLES_DUCK}) AS s FROM documents
+      ) t0
+    ),
+    counts AS (
+      SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id
+    ),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(COUNT(*) AS DOUBLE) / (ca.c + cb.c - COUNT(*)) AS jaccard
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      JOIN counts ca ON ca.doc_id = a.doc_id
+      JOIN counts cb ON cb.doc_id = b.doc_id
+      GROUP BY a_id, b_id, ca.c, cb.c
+      HAVING CAST(COUNT(*) AS DOUBLE) / (ca.c + cb.c - COUNT(*))
+             >= {LEAK_JACCARD}
+    ),
+    spl AS (
+      SELECT doc_id,
+             CASE WHEN {md5_int32_duck("concat('split:', doc_id)")} % 100
+                       < {TRAIN_PCT}
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM documents
+    )
+    SELECT p.a_id, p.b_id, round(p.jaccard, 6) AS jaccard,
+           sa.split AS split_a, sb.split AS split_b
+    FROM pairs p
+    JOIN spl sa ON sa.doc_id = p.a_id
+    JOIN spl sb ON sb.doc_id = p.b_id
+    WHERE sa.split <> sb.split
+    """,
+    doc=f"Train/eval split leakage audit: near-duplicate pairs (3-gram "
+        f"Jaccard >= {LEAK_JACCARD} — deliberately looser than dedup's "
+        "0.8, an audit should over-report) whose members landed on "
+        "OPPOSITE sides of the hash split — the contamination that "
+        "silently inflates eval scores when dedup runs per-split instead "
+        "of before splitting. Composes the hash-split assignment (zero "
+        "shuffle, pure projection) onto the shingle-index pair join; at "
+        "corpus scale the pair source swaps to the minhash candidates "
+        "exactly as dedup_minhash_lsh does, with the same output "
+        "contract. An empty result is the release gate.",
+)
+def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import TRAIN_PCT, md5_int32_spark as _h32
+
+    sh = _shingle_index(spark, sf_dir).persist()
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("a_id"), F.col("c").alias("ca"))
+    cb = counts.select(F.col("doc_id").alias("b_id"), F.col("c").alias("cb"))
+    pairs = (
+        inter.join(F.broadcast(ca), "a_id")
+        .join(F.broadcast(cb), "b_id")
+        .select(
+            "a_id", "b_id",
+            (F.col("inter").cast("double")
+             / (F.col("ca") + F.col("cb") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= LEAK_JACCARD)
+    )
+    docs = load(spark, sf_dir, "documents")["documents"]
+    salted = _h32("concat('split:', doc_id)")
+    spl = docs.select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN {salted} % 100 < {TRAIN_PCT} "
+            "THEN 'train' ELSE 'eval' END"
+        ).alias("split"),
+    )
+    sa = spl.select(F.col("doc_id").alias("a_id"), F.col("split").alias("split_a"))
+    sb = spl.select(F.col("doc_id").alias("b_id"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "a_id")
+        .join(sb, "b_id")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select(
+            "a_id", "b_id",
+            F.round("jaccard", 6).alias("jaccard"),
+            "split_a", "split_b",
         )
     )
