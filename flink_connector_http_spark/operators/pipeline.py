@@ -621,3 +621,88 @@ def pipeline_rag_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shard_bucket", "n_active_dims",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# release-gate scorecard: every audit on one ship/no-ship row
+# ---------------------------------------------------------------------------
+
+# composing these gates needs their registrations resolved at import time
+from ..plans import relational as _gates_relational  # noqa: E402,F401
+from ..plans.registry import REGISTRY as _REG  # noqa: E402
+from . import dedup as _gates_dedup  # noqa: E402,F401
+
+#: (gate, source query, violation aggregate over its output, allowed)
+_GATES = (
+    ("split_leakage", "dedup_split_leakage", "COUNT(*)", 0),
+    ("benchmark_contamination", "text_contamination",
+     "SUM(CASE WHEN contaminated THEN 1 ELSE 0 END)", 0),
+    ("pii_documents", "text_pii_redact",
+     "SUM(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END)", 0),
+    ("referential_orphans", "q_integrity_orphans", "SUM(n)", 0),
+    ("k_anonymity_groups", "q_k_anonymity_audit", "COUNT(*)", 0),
+)
+
+_SCORECARD_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{gate}' AS gate, CAST({allowed} AS BIGINT) AS allowed, "
+    f"CAST(COALESCE({agg}, 0) AS BIGINT) AS n_violations, "
+    f"CASE WHEN COALESCE({agg}, 0) <= {allowed} "
+    f"THEN 'pass' ELSE 'fail' END AS verdict "
+    f"FROM ({_REG[name].oracle}) gate_{i}"
+    for i, (gate, name, agg, allowed) in enumerate(_GATES)
+)
+
+
+@register(
+    "pipeline_release_gates",
+    oracle=_SCORECARD_ORACLE,
+    doc="Release-gate scorecard: the five ship/no-ship audits — train/"
+        "eval split leakage, benchmark contamination, PII presence, "
+        "referential orphans, k-anonymity violations — reduced to one "
+        "row each (violation count vs allowance, pass/fail verdict) in "
+        "a single DAG. This is the artifact a data-release pipeline "
+        "actually blocks on; each underlying audit stays independently "
+        "runnable and oracle-gated, and the scorecard reuses their "
+        "exact oracle text so the two views can never drift. Every "
+        "branch reduces to one row before the union — the scorecard "
+        "adds five 1-row aggregates to whatever the audits already "
+        "cost. (The synthetic corpus intentionally fails the PII and "
+        "contamination gates — seeded findings prove the audits fire.)",
+)
+def pipeline_release_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.relational import q_integrity_orphans, q_k_anonymity_audit
+    from .dedup import dedup_split_leakage
+    from .text import text_contamination, text_pii_redact
+
+    sources = {
+        "dedup_split_leakage": dedup_split_leakage,
+        "text_contamination": text_contamination,
+        "text_pii_redact": text_pii_redact,
+        "q_integrity_orphans": q_integrity_orphans,
+        "q_k_anonymity_audit": q_k_anonymity_audit,
+    }
+    parts = []
+    for gate, name, agg, allowed in _GATES:
+        df = sources[name](spark, sf_dir)
+        parts.append(
+            df.agg(
+                F.expr(f"CAST(COALESCE({agg}, 0) AS BIGINT)")
+                .alias("n_violations")
+            )
+            .select(
+                F.lit(gate).alias("gate"),
+                F.lit(allowed).cast("bigint").alias("allowed"),
+                "n_violations",
+            )
+            .withColumn(
+                "verdict",
+                F.expr(
+                    f"CASE WHEN n_violations <= {allowed} "
+                    "THEN 'pass' ELSE 'fail' END"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
