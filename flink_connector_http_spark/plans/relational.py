@@ -3444,3 +3444,73 @@ def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("round(CAST(MAX(gap_us) AS DOUBLE) / 1000000, 6)")
         .alias("max_gap_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# XYZ demand-variability classification (companion to Pareto/ABC)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_xyz_demand_classes",
+    oracle="""
+    WITH weekly AS (
+      SELECT l_partkey,
+             CAST(date_trunc('week', l_shipdate) AS DATE) AS week,
+             SUM(CAST(l_quantity AS DECIMAL(10,2))) AS qty
+      FROM lineitem GROUP BY l_partkey, week
+    ),
+    stats AS (
+      SELECT l_partkey,
+             COUNT(*) AS n_weeks,
+             CAST(SUM(qty) AS DOUBLE) AS sx,
+             CAST(SUM(qty * qty) AS DOUBLE) AS sxx
+      FROM weekly GROUP BY l_partkey
+    )
+    SELECT l_partkey,
+           CAST(n_weeks AS BIGINT) AS n_weeks,
+           round(sx / n_weeks, 6) AS mean_weekly_qty,
+           round(sqrt((sxx - sx * sx / n_weeks) / n_weeks)
+                 / (sx / n_weeks), 6) AS cv,
+           CASE WHEN sqrt((sxx - sx * sx / n_weeks) / n_weeks)
+                     / (sx / n_weeks) < 0.5 THEN 'X'
+                WHEN sqrt((sxx - sx * sx / n_weeks) / n_weeks)
+                     / (sx / n_weeks) < 1.0 THEN 'Y'
+                ELSE 'Z' END AS xyz_class
+    FROM stats WHERE n_weeks >= 2 AND sx > 0
+    """,
+    doc="XYZ demand-variability classification: per part, the "
+        "coefficient of variation of weekly shipped quantity from "
+        "DECIMAL-exact sufficient statistics (one sqrt + one division of "
+        "exactly-reproducible doubles), cut into the standard X (<0.5, "
+        "steady), Y (<1.0, variable), Z (erratic) classes. The "
+        "forecastability axis that pairs with q_pareto_brands' value "
+        "axis into the ABC/XYZ inventory matrix. Two "
+        "map-side-combinable aggregates (week grain, then part grain); "
+        "single-week or zero-demand parts are excluded — a CV needs "
+        "dispersion to be defined.",
+)
+def q_xyz_demand_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    weekly = li.groupBy(
+        "l_partkey",
+        F.expr("CAST(date_trunc('week', l_shipdate) AS DATE)").alias("week"),
+    ).agg(F.expr("SUM(CAST(l_quantity AS DECIMAL(10,2)))").alias("qty"))
+    stats = weekly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_weeks"),
+        F.expr("CAST(SUM(qty) AS DOUBLE)").alias("sx"),
+        F.expr("CAST(SUM(qty * qty) AS DOUBLE)").alias("sxx"),
+    )
+    cv = "sqrt((sxx - sx * sx / n_weeks) / n_weeks) / (sx / n_weeks)"
+    return (
+        stats.filter((F.col("n_weeks") >= 2) & (F.col("sx") > 0))
+        .select(
+            "l_partkey",
+            F.col("n_weeks").cast("bigint").alias("n_weeks"),
+            F.expr("round(sx / n_weeks, 6)").alias("mean_weekly_qty"),
+            F.expr(f"round({cv}, 6)").alias("cv"),
+            F.expr(
+                f"CASE WHEN {cv} < 0.5 THEN 'X' "
+                f"WHEN {cv} < 1.0 THEN 'Y' ELSE 'Z' END"
+            ).alias("xyz_class"),
+        )
+    )
