@@ -2584,3 +2584,86 @@ def sample_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= F.col("k"))
         .select("lang", "doc_id", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary growth curve (Heaps'-law checkpoints)
+# ---------------------------------------------------------------------------
+
+VOCAB_CHECKPOINTS = (100, 200, 300, 400, 500)
+
+
+@register(
+    "text_vocab_growth",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    ),
+    firsts AS (
+      SELECT t, MIN(doc_id) AS first_doc FROM tok GROUP BY t
+    ),
+    doc_tok AS (
+      SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
+    ),
+    cps AS (
+      SELECT unnest([{", ".join(str(c) for c in VOCAB_CHECKPOINTS)}]) AS cp
+    ),
+    tt AS (
+      SELECT cp, SUM(d.n) AS total_tokens
+      FROM cps JOIN doc_tok d ON d.doc_id < cp GROUP BY cp
+    ),
+    vv AS (
+      SELECT cp, COUNT(*) AS vocab_size
+      FROM cps JOIN firsts f ON f.first_doc < cp GROUP BY cp
+    )
+    SELECT CAST(tt.cp AS INT) AS n_docs,
+           CAST(tt.total_tokens AS BIGINT) AS total_tokens,
+           CAST(vv.vocab_size AS BIGINT) AS vocab_size,
+           round(CAST(vv.vocab_size AS DOUBLE) / tt.total_tokens, 6)
+             AS type_token_ratio
+    FROM tt JOIN vv ON vv.cp = tt.cp
+    """,
+    doc="Vocabulary growth curve (the Heaps'-law measurement): cumulative "
+        "distinct-token count at document-count checkpoints, against "
+        "cumulative token volume. 'Cumulative distinct' sounds "
+        "inherently sequential; the FIRST-OCCURRENCE trick makes it one "
+        "distributed aggregate — a token is new at checkpoint c iff its "
+        "min doc_id < c, so one (token -> min doc) reduce serves every "
+        "checkpoint, no ordered scan, no re-processing per checkpoint. "
+        "A flattening curve (falling type/token ratio) is the classic "
+        "saturation signal that more same-source crawl adds tokens but "
+        "no vocabulary; a curve that will not flatten flags OCR noise / "
+        "serial-number text. Checkpoint joins are broadcasts of a "
+        f"{len(VOCAB_CHECKPOINTS)}-row list.",
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("t")
+    )
+    firsts = tok.groupBy("t").agg(F.min("doc_id").alias("first_doc"))
+    doc_tok = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    cps = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(c) for c in VOCAB_CHECKPOINTS])
+        ).alias("cp")
+    )
+    tt = (
+        doc_tok.join(F.broadcast(cps), F.col("doc_id") < F.col("cp"))
+        .groupBy("cp")
+        .agg(F.sum("n").alias("total_tokens"))
+    )
+    vv = (
+        firsts.join(F.broadcast(cps), F.col("first_doc") < F.col("cp"))
+        .groupBy("cp")
+        .agg(F.count(F.lit(1)).alias("vocab_size"))
+    )
+    return tt.join(vv, "cp").select(
+        F.col("cp").cast("int").alias("n_docs"),
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        F.col("vocab_size").cast("bigint").alias("vocab_size"),
+        F.expr(
+            "round(CAST(vocab_size AS DOUBLE) / total_tokens, 6)"
+        ).alias("type_token_ratio"),
+    )
