@@ -2667,3 +2667,98 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round(CAST(vocab_size AS DOUBLE) / total_tokens, 6)"
         ).alias("type_token_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# source distribution divergence (integer-exact total variation distance)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_source_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    ),
+    cnt AS (
+      SELECT source, t, COUNT(*) AS c FROM tok GROUP BY source, t
+    ),
+    tot AS (
+      SELECT source, SUM(c) AS n FROM cnt GROUP BY source
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             a.n AS na, b.n AS nb
+      FROM tot a JOIN tot b ON a.source < b.source
+    ),
+    joint AS (
+      SELECT p.source_a, p.source_b, p.na, p.nb,
+             COALESCE(ca.c, 0) AS cta, COALESCE(cb.c, 0) AS ctb
+      FROM pairs p
+      JOIN (SELECT DISTINCT t FROM cnt) v ON TRUE
+      LEFT JOIN cnt ca ON ca.source = p.source_a AND ca.t = v.t
+      LEFT JOIN cnt cb ON cb.source = p.source_b AND cb.t = v.t
+    )
+    SELECT source_a, source_b,
+           CAST(MAX(na) AS BIGINT) AS tokens_a,
+           CAST(MAX(nb) AS BIGINT) AS tokens_b,
+           round(CAST(SUM(abs(cta * nb - ctb * na)) AS DOUBLE)
+                 / (2.0 * MAX(na) * MAX(nb)), 6) AS tvd
+    FROM joint GROUP BY source_a, source_b
+    """,
+    doc="Domain-shift measurement: total-variation distance between every "
+        "pair of sources' unigram distributions, computed EXACTLY in "
+        "integers — TVD = sum|c_a*n_b - c_b*n_a| / (2*n_a*n_b) clears "
+        "the denominators, so the whole accumulation is a BIGINT sum "
+        "with one float division at the end (a naive sum of "
+        "|p_i - q_i| doubles is float-summation-order-dependent and "
+        "engine-divergent). TVD 0 = identical vocabular mix, 1 = "
+        "disjoint; the pairwise matrix drives source-mix rebalancing "
+        "and flags a crawl source that drifted. Shuffles on (source, "
+        "token) then token — both map-side combinable; the |sources|^2 "
+        "pair frame is broadcast-sized.",
+)
+def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    tok = docs.select(
+        "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("t")
+    )
+    cnt = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    a = tot.alias("a")
+    b = tot.alias("b")
+    pairs = a.join(b, F.col("a.source") < F.col("b.source")).select(
+        F.col("a.source").alias("source_a"),
+        F.col("b.source").alias("source_b"),
+        F.col("a.n").alias("na"),
+        F.col("b.n").alias("nb"),
+    )
+    vocab = cnt.select("t").distinct().withColumnRenamed("t", "vt")
+    ca = cnt.select(
+        F.col("source").alias("sa_key"), F.col("t").alias("ta"),
+        F.col("c").alias("cta"),
+    )
+    cb = cnt.select(
+        F.col("source").alias("sb_key"), F.col("t").alias("tb"),
+        F.col("c").alias("ctb"),
+    )
+    joint = (
+        pairs.join(F.broadcast(vocab), F.lit(True))
+        .join(ca, (F.col("source_a") == F.col("sa_key"))
+              & (F.col("vt") == F.col("ta")), "left")
+        .join(cb, (F.col("source_b") == F.col("sb_key"))
+              & (F.col("vt") == F.col("tb")), "left")
+        .select(
+            "source_a", "source_b", "na", "nb",
+            F.coalesce("cta", F.lit(0)).alias("cta"),
+            F.coalesce("ctb", F.lit(0)).alias("ctb"),
+        )
+    )
+    return joint.groupBy("source_a", "source_b").agg(
+        F.max("na").cast("bigint").alias("tokens_a"),
+        F.max("nb").cast("bigint").alias("tokens_b"),
+        F.expr(
+            "round(CAST(SUM(abs(cta * nb - ctb * na)) AS DOUBLE) "
+            "/ (2.0 * MAX(na) * MAX(nb)), 6)"
+        ).alias("tvd"),
+    )
