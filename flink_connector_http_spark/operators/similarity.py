@@ -2303,3 +2303,92 @@ def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_majority"),
         F.expr("round(CAST(n AS DOUBLE) / n_members, 6)").alias("purity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# power-iteration dominant direction (integer-exact linear algebra)
+# ---------------------------------------------------------------------------
+
+PI_QUANT = 1000      # milli-unit quantization of embedding values
+PI_RESCALE = 1024    # inter-iteration DIV keeps products inside BIGINT
+
+
+@register(
+    "emb_power_iteration_pc1",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, i - 1 AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * {PI_QUANT} + 0.5)
+                  AS BIGINT) AS qv
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cov AS (
+      SELECT a.dim AS di, b.dim AS dj, SUM(a.qv * b.qv) AS c
+      FROM q a JOIN q b ON b.vec_id = a.vec_id
+      GROUP BY di, dj
+    ),
+    v1 AS (
+      SELECT di AS dim, SUM(c) AS v FROM cov GROUP BY di
+    ),
+    v1s AS (
+      SELECT dim, v // {PI_RESCALE} AS v FROM v1
+    ),
+    v2 AS (
+      SELECT cov.di AS dim, SUM(cov.c * v1s.v) AS v
+      FROM cov JOIN v1s ON v1s.dim = cov.dj
+      GROUP BY cov.di
+    ),
+    mx AS (SELECT MAX(abs(v)) AS m FROM v2)
+    SELECT CAST(v2.dim AS INT) AS dim,
+           CAST(v2.v AS BIGINT) AS v2_scaled,
+           round(CAST(v2.v AS DOUBLE) / (SELECT m FROM mx), 6) AS loading
+    FROM v2
+    """,
+    doc="Dominant direction of the embedding second-moment (Gram) matrix "
+        "by two power iterations in EXACT integer arithmetic: values "
+        "milli-quantized to ints, the 64x64 moment matrix accumulated as "
+        "BIGINT products (map-side-combinable — the classic distributed "
+        "covariance outer-product reduce), iterations unrolled with one "
+        "integer-DIV rescale sized so every partial sum stays inside "
+        "64-bit range. No float accumulates across rows anywhere, so the "
+        "direction is bit-reproducible under any partitioning — the "
+        "same scaled-integer discipline as the PageRank operator applied "
+        "to linear algebra. The loading vector diagnoses anisotropy "
+        "(embedding collapse onto one axis — the known failure mode that "
+        "breaks cosine retrieval); full PCA belongs to MLlib, this is "
+        "the one-axis monitor a pipeline can afford per batch.",
+)
+def emb_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    q = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "xf")
+    ).select(
+        "vec_id", "dim",
+        F.expr(
+            f"CAST(floor(CAST(xf AS DOUBLE) * {PI_QUANT} + 0.5) AS BIGINT)"
+        ).alias("qv"),
+    )
+    a = q.alias("a")
+    b = q.alias("b")
+    cov = (
+        a.join(b, F.col("b.vec_id") == F.col("a.vec_id"))
+        .groupBy(F.col("a.dim").alias("di"), F.col("b.dim").alias("dj"))
+        .agg(F.sum(F.col("a.qv") * F.col("b.qv")).alias("c"))
+        .persist()
+    )
+    v1s = (
+        cov.groupBy(F.col("di").alias("dim"))
+        .agg(F.sum("c").alias("v"))
+        .select("dim", F.expr(f"v DIV {PI_RESCALE}").alias("v"))
+    )
+    v2 = (
+        cov.join(F.broadcast(v1s.withColumnRenamed("dim", "dj")), "dj")
+        .groupBy(F.col("di").alias("dim"))
+        .agg(F.sum(F.col("c") * F.col("v")).alias("v"))
+    )
+    mx = v2.agg(F.max(F.abs("v")).alias("m"))
+    return v2.crossJoin(F.broadcast(mx)).select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("v").cast("bigint").alias("v2_scaled"),
+        F.expr("round(CAST(v AS DOUBLE) / m, 6)").alias("loading"),
+    )
