@@ -3514,3 +3514,93 @@ def q_xyz_demand_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("xyz_class"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# session entry→exit flow matrix
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_session_entry_exit",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR date_diff('second', LAG(ts) OVER w, ts) > 3600
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    ),
+    ses AS (
+      SELECT user_id, sid,
+             FIRST_VALUE(event_type) OVER w2 AS entry_type,
+             LAST_VALUE(event_type) OVER (
+               PARTITION BY user_id, sid ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             ) AS exit_type,
+             COUNT(*) OVER (PARTITION BY user_id, sid) AS n_events,
+             ROW_NUMBER() OVER w2 AS rn
+      FROM s
+      WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY ts, event_id)
+    )
+    SELECT entry_type, exit_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS total_events,
+           round(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6)
+             AS avg_session_events
+    FROM ses WHERE rn = 1
+    GROUP BY entry_type, exit_type
+    """,
+    doc="Session entry→exit flow matrix: gap-sessionized (the 1h rule "
+        "q_sessionize_events established) sessions keyed by their first "
+        "and last event type — the Sankey-diagram source showing where "
+        "journeys start and where they die (view→purchase vs "
+        "view→view abandonment), with session counts and exact mean "
+        "session length per flow. One per-user sequence shuffle shared "
+        "with the whole behavioral family, then per-session window "
+        "reads; the |types|^2 flow matrix is broadcast-sized.",
+)
+def q_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    g = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(
+            prev_ts.isNull()
+            | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > 3600),
+            1,
+        ).otherwise(0).alias("new_session"),
+    )
+    s = g.withColumn(
+        "sid",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    w2 = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    w2full = w2.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ses = s.select(
+        "user_id", "sid",
+        F.first("event_type").over(w2).alias("entry_type"),
+        F.last("event_type").over(w2full).alias("exit_type"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("user_id", "sid")
+        ).alias("n_events"),
+        F.row_number().over(w2).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return ses.groupBy("entry_type", "exit_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("n_events").cast("bigint").alias("total_events"),
+        F.expr(
+            "round(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6)"
+        ).alias("avg_session_events"),
+    )
