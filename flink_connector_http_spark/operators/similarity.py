@@ -2392,3 +2392,50 @@ def emb_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").cast("bigint").alias("v2_scaled"),
         F.expr("round(CAST(v AS DOUBLE) / m, 6)").alias("loading"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hubness: in-degree concentration of the kNN graph
+# ---------------------------------------------------------------------------
+
+@register(
+    "graph_hubness_knn",
+    oracle=f"""
+    WITH knn AS (
+      {_KNN_GRAPH_ORACLE}
+    ),
+    indeg AS (
+      SELECT e.vec_id, COALESCE(k.n, 0) AS in_deg
+      FROM embeddings e
+      LEFT JOIN (
+        SELECT dst_id, COUNT(*) AS n FROM knn GROUP BY dst_id
+      ) k ON k.dst_id = e.vec_id
+    )
+    SELECT CAST(in_deg AS BIGINT) AS in_deg,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM indeg GROUP BY in_deg
+    """,
+    doc="Hubness profile of the kNN graph: the distribution of "
+        "IN-degrees — how many vectors appear in k others' neighbor "
+        "lists. In well-behaved embedding spaces the histogram "
+        "concentrates near k; a heavy right tail (hubs appearing in "
+        "hundreds of lists) plus a mass at zero (anti-hubs nobody "
+        "retrieves) is the classic high-dimensional hubness pathology "
+        "that silently degrades kNN search and graph-based dedup — the "
+        "diagnostic that says 'normalize, center, or reduce dimensions' "
+        "before trusting cosine retrieval. One count aggregate over the "
+        "graph edges plus the zero-degree left join; output is a "
+        "histogram, broadcast-sized regardless of corpus scale.",
+)
+def graph_hubness_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    knn = emb_knn_graph(spark, sf_dir)
+    k = knn.groupBy("dst_id").agg(F.count(F.lit(1)).alias("n"))
+    indeg = (
+        emb.select("vec_id")
+        .join(k, emb["vec_id"] == k["dst_id"], "left")
+        .select(F.coalesce("n", F.lit(0)).alias("in_deg"))
+    )
+    return indeg.groupBy("in_deg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors")
+    ).select(F.col("in_deg").cast("bigint").alias("in_deg"), "n_vectors")
