@@ -1605,3 +1605,60 @@ def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "split_a", "split_b",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster size distribution
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_cluster_size_dist",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      {_JACCARD_ORACLE}
+    ),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION ALL
+      SELECT b_id AS src, a_id AS dst FROM pairs
+    ),
+    walk(doc_id, reach) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, w.reach FROM edges e JOIN walk w ON w.doc_id = e.dst
+    ),
+    clusters AS (
+      SELECT doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY doc_id
+    ),
+    sizes AS (
+      SELECT cluster_id, COUNT(*) AS size FROM clusters GROUP BY cluster_id
+    )
+    SELECT CAST(size AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(size) AS BIGINT) AS n_docs,
+           CAST(SUM(size - 1) AS BIGINT) AS n_removable
+    FROM sizes GROUP BY size
+    """,
+    doc="Duplicate-cluster size histogram: how many near-dup clusters "
+        "exist at each size, with the doc count and the REMOVABLE count "
+        "(size-1 per cluster — what dedup will actually delete). The "
+        "distribution shape is the dedup-strategy signal: mostly pairs "
+        "means isolated copies (cheap), a power-law tail means template "
+        "farms where cluster-representative choice and the CC round "
+        "bound both matter. Two tiny aggregates on top of the clustering "
+        "the pipeline already ran.",
+)
+def dedup_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
+    clusters = connected_components(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("size")
+    )
+    return sizes.groupBy("size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("size").cast("bigint").alias("n_docs"),
+        F.expr("CAST(SUM(size - 1) AS BIGINT)").alias("n_removable"),
+    ).select(
+        F.col("size").cast("bigint").alias("cluster_size"),
+        "n_clusters", "n_docs", "n_removable",
+    )

@@ -3604,3 +3604,61 @@ def q_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6)"
         ).alias("avg_session_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of customer spend (inequality measure)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_spend_gini",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS s
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT s, ROW_NUMBER() OVER (ORDER BY s, o_custkey) AS r,
+             COUNT(*) OVER () AS n
+      FROM spend
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(SUM(s) AS DOUBLE) AS total_spend,
+           round(2.0 * CAST(SUM(r * s) AS DOUBLE)
+                 / (MAX(n) * CAST(SUM(s) AS DOUBLE))
+                 - (MAX(n) + 1.0) / MAX(n), 6) AS gini
+    FROM ranked
+    """,
+    doc="Gini coefficient of per-customer spend via the rank formula "
+        "G = 2*sum(r_i*x_i)/(n*sum(x_i)) - (n+1)/n: both accumulations "
+        "are EXACT (integer rank times DECIMAL spend — no float "
+        "accumulates across rows), the floats appear only in the final "
+        "three-term expression. The inequality summary behind the "
+        "decile/Pareto views — one number a dashboard tracks over time "
+        "to see concentration drift. Aggregate-then-rank discipline: "
+        "the global sort ranks CUSTOMERS after the per-customer "
+        "reduce, never raw orders.",
+)
+def q_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")["orders"]
+    spend = orders.groupBy("o_custkey").agg(
+        F.expr("SUM(CAST(o_totalprice AS DECIMAL(12,2)))").alias("s")
+    )
+    ranked = spend.select(
+        "s",
+        F.row_number().over(Window.orderBy("s", "o_custkey")).alias("r"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.expr("CAST(SUM(s) AS DOUBLE)").alias("total_spend"),
+        F.expr(
+            "round(2.0 * CAST(SUM(r * s) AS DOUBLE) "
+            "/ (MAX(n) * CAST(SUM(s) AS DOUBLE)) "
+            "- (MAX(n) + 1.0) / MAX(n), 6)"
+        ).alias("gini"),
+    )
