@@ -2762,3 +2762,56 @@ def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "/ (2.0 * MAX(na) * MAX(nb)), 6)"
         ).alias("tvd"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hapax legomena ratio (vocabulary richness per source)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_hapax_ratio",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    ),
+    cnt AS (
+      SELECT source, t, COUNT(*) AS c FROM tok GROUP BY source, t
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           round(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS hapax_share
+    FROM cnt GROUP BY source
+    """,
+    doc="Hapax legomena profile per source: the share of vocabulary "
+        "occurring exactly once — the classic corpus-linguistics "
+        "richness statistic and a sharp noise detector (OCR garbage and "
+        "serial-number text push hapax share toward 1; template spam "
+        "pushes it toward 0). Near-zero-extra-cost companion to "
+        "text_vocab_growth: one (source, token) count reduce, then a "
+        "per-source fold — both map-side combinable, shuffles carry the "
+        "vocabulary, never the corpus.",
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    cnt = (
+        docs.select(
+            "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("t")
+        )
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return cnt.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.expr(
+            "CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_hapax"),
+        F.expr(
+            "round(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
+            "/ COUNT(*), 6)"
+        ).alias("hapax_share"),
+    )

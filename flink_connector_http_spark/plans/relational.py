@@ -3662,3 +3662,52 @@ def q_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "- (MAX(n) + 1.0) / MAX(n), 6)"
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# catalog coverage: parts ever ordered, per brand
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_catalog_coverage",
+    oracle="""
+    WITH ordered AS (
+      SELECT DISTINCT l_partkey FROM lineitem
+    )
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CASE WHEN o.l_partkey IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ordered,
+           round(CAST(SUM(CASE WHEN o.l_partkey IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS coverage
+    FROM part p LEFT JOIN ordered o ON o.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    doc="Catalog coverage audit: per brand, how much of the part catalog "
+        "has EVER shipped — dead-inventory detection and the "
+        "completeness check for a fact table claimed to cover the "
+        "catalog. The fact side reduces to distinct keys FIRST (the "
+        "semi-join-shaped pre-aggregation), so the dimension joins "
+        "against |parts-with-sales| rows, not raw line items; coverage "
+        "ratios are exact integer fractions.",
+)
+def q_catalog_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, part = (
+        load(spark, sf_dir, "lineitem", "part")[t] for t in ("lineitem", "part")
+    )
+    ordered = li.select("l_partkey").distinct()
+    return (
+        part.join(ordered, part["p_partkey"] == ordered["l_partkey"], "left")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.expr(
+                "CAST(SUM(CASE WHEN l_partkey IS NOT NULL THEN 1 ELSE 0 END) "
+                "AS BIGINT)"
+            ).alias("n_ordered"),
+            F.expr(
+                "round(CAST(SUM(CASE WHEN l_partkey IS NOT NULL THEN 1 ELSE 0 "
+                "END) AS DOUBLE) / COUNT(*), 6)"
+            ).alias("coverage"),
+        )
+    )
