@@ -764,3 +764,104 @@ def stream_kmv_distinct_users(spark, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination(300)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# streaming first-seen detector (keyed-firsts changelog)
+# ---------------------------------------------------------------------------
+
+_SEEN_STATE_SCHEMA = T.StructType([T.StructField("seen", T.BooleanType())])
+
+
+def first_seen_stream(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    carry_cols: Sequence[str],
+) -> DataFrame:
+    """Emit exactly one row per key — the key's FIRST record in
+    ``order_cols`` order — across the whole stream. One boolean of state
+    per key; subsequent batches for a seen key emit nothing. The keyed
+    analogue of dropDuplicates for 'who/what arrived, and when' feeds
+    (new-user detectors, first-contact attribution) where only the
+    earliest record matters."""
+    out_schema = T.StructType(
+        [df.schema[c] for c in key_cols] + [df.schema[c] for c in carry_cols]
+    )
+    names = list(key_cols)
+    ocols = list(order_cols)
+    carry = list(carry_cols)
+
+    def fn(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            return
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if not parts:
+            return
+        first = pd.concat(parts).sort_values(ocols).iloc[0]
+        state.update((True,))
+        yield pd.DataFrame(
+            [tuple(key) + tuple(first[c] for c in carry)],
+            columns=names + carry,
+        )
+
+    return df.groupBy(*names).applyInPandasWithState(
+        fn, out_schema, _SEEN_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+@register(
+    "stream_first_seen_users",
+    # single availableNow batch ⇒ one row per user holding the earliest
+    # (ts, event_id) record — the relational argmin
+    oracle="""
+    SELECT user_id, event_id, event_type
+    FROM (
+      SELECT user_id, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rk
+      FROM events
+    ) t WHERE rk = 1
+    """,
+    doc="Streaming first-seen detector (applyInPandasWithState): one "
+        "boolean of state per key, one emission per key ever — each "
+        "user's earliest event with its type. The keyed-firsts "
+        "changelog that powers new-user counters and first-touch "
+        "attribution without replaying history; the oracle pins it to "
+        "the relational per-key argmin.",
+)
+def stream_first_seen_users(spark, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    name = f"stream_first_{uuid.uuid4().hex[:8]}"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    in_dir = tempfile.mkdtemp(prefix="stream_first_in_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(in_dir, "events.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(in_dir)
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    query = (
+        first_seen_stream(
+            stream, ["user_id"], ["ts", "event_id"], ["event_id", "event_type"]
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation",
+                tempfile.mkdtemp(prefix="stream_first_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table(name)
