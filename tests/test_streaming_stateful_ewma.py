@@ -127,3 +127,97 @@ def test_anomaly_zscore_state_across_batches(spark, tmp_path):
         assert flagged[0].z > 3
     finally:
         query.stop()
+
+
+def test_kmv_stream_merges_across_batches(spark, tmp_path):
+    """Bottom-k state merges with new batches: the estimate after two
+    batches equals the batch KMV over the union of elements."""
+    from flink_connector_http_spark.streaming.stateful import (
+        _KMV_SPACE,
+        kmv_distinct_stream,
+    )
+
+    schema = T.StructType([
+        T.StructField("grp", T.StringType()),
+        T.StructField("hv", T.LongType()),
+    ])
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def drop(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(in_dir))
+
+    import hashlib
+
+    def h(x):
+        return int(hashlib.md5(f"u:{x}".encode()).hexdigest()[:15], 16)
+
+    k = 8
+    drop([("g", h(i)) for i in range(20)])
+    query = (
+        kmv_distinct_stream(
+            spark.readStream.schema(schema).parquet(str(in_dir)),
+            ["grp"], "hv", k=k,
+        )
+        .writeStream.format("memory")
+        .queryName("kmv_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        drop([("g", h(i)) for i in range(15, 40)])  # overlap + new elements
+        query.processAllAvailable()
+        rows = spark.table("kmv_t").collect()
+        # second emission must equal the batch bottom-k over ALL 40
+        mins = sorted(h(i) for i in range(40))[:k]
+        want = (k - 1) * _KMV_SPACE / mins[-1]
+        assert rows[-1].sketch_size == k
+        assert rows[-1].est_distinct == want
+    finally:
+        query.stop()
+
+
+def test_first_seen_emits_once_per_key(spark, tmp_path):
+    from flink_connector_http_spark.streaming.stateful import first_seen_stream
+
+    schema = T.StructType([
+        T.StructField("user", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("kind", T.StringType()),
+    ])
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def drop(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(in_dir))
+
+    drop([("a", 2, "late"), ("a", 1, "first"), ("b", 5, "solo")])
+    query = (
+        first_seen_stream(
+            spark.readStream.schema(schema).parquet(str(in_dir)),
+            ["user"], ["seq"], ["seq", "kind"],
+        )
+        .writeStream.format("memory")
+        .queryName("first_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        got = sorted((r.user, r.seq, r.kind) for r in spark.table("first_t").collect())
+        assert got == [("a", 1, "first"), ("b", 5, "solo")]
+
+        # batch 2: seen keys stay silent, a new key emits its first row
+        drop([("a", 0, "earlier-but-too-late"), ("c", 9, "new")])
+        query.processAllAvailable()
+        got = sorted((r.user, r.seq, r.kind) for r in spark.table("first_t").collect())
+        assert got == [("a", 1, "first"), ("b", 5, "solo"), ("c", 9, "new")]
+    finally:
+        query.stop()
