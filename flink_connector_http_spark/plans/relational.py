@@ -3822,3 +3822,63 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# unit-price consistency audit (exact scaled-integer unit prices)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_unit_price_audit",
+    oracle="""
+    WITH u AS (
+      SELECT l_partkey,
+             (CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+              * 100)
+             // CAST(CAST(l_quantity AS DECIMAL(10,2)) * 100 AS BIGINT)
+               AS unit_scaled
+      FROM lineitem WHERE l_quantity > 0
+    )
+    SELECT l_partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(DISTINCT unit_scaled) AS BIGINT) AS n_distinct_units,
+           round(CAST(MIN(unit_scaled) AS DOUBLE) / 100, 6) AS min_unit,
+           round(CAST(MAX(unit_scaled) AS DOUBLE) / 100, 6) AS max_unit,
+           CAST(CASE WHEN COUNT(DISTINCT unit_scaled) > 1 THEN 1 ELSE 0 END
+                AS INT) AS inconsistent
+    FROM u GROUP BY l_partkey
+    """,
+    doc="Unit-price consistency audit: per part, the distinct "
+        "extended-price/quantity ratios across its line items — a part "
+        "sold at several unit prices flags entry errors, unrecorded "
+        "discounts, or a broken price pipeline. The ratio is computed in "
+        "SCALED INTEGERS (cents x 100 integer-divided by quantity "
+        "cents), so 'distinct unit price' is an exact equality class, "
+        "not a float-epsilon guess — the difference between an audit "
+        "and a heuristic. One aggregate keyed on the part; distinct "
+        "count is the only non-trivially-combinable piece and stays "
+        "bounded by per-part line counts.",
+)
+def q_unit_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    u = li.filter(F.col("l_quantity") > 0).select(
+        "l_partkey",
+        F.expr(
+            "(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) "
+            "* 100) DIV "
+            "CAST(CAST(l_quantity AS DECIMAL(10,2)) * 100 AS BIGINT)"
+        ).alias("unit_scaled"),
+    )
+    return u.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.countDistinct("unit_scaled").cast("bigint")
+        .alias("n_distinct_units"),
+        F.expr("round(CAST(MIN(unit_scaled) AS DOUBLE) / 100, 6)")
+        .alias("min_unit"),
+        F.expr("round(CAST(MAX(unit_scaled) AS DOUBLE) / 100, 6)")
+        .alias("max_unit"),
+        F.expr(
+            "CAST(CASE WHEN COUNT(DISTINCT unit_scaled) > 1 THEN 1 ELSE 0 "
+            "END AS INT)"
+        ).alias("inconsistent"),
+    )
