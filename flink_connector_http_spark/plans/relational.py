@@ -3882,3 +3882,83 @@ def q_unit_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "END AS INT)"
         ).alias("inconsistent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cohort LTV curve (cumulative spend by cohort age)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_cohort_ltv_curve",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey,
+             year(o_orderdate) * 12 + month(o_orderdate) AS midx,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      FROM orders
+    ),
+    first_m AS (
+      SELECT o_custkey, MIN(midx) AS cohort_m FROM o GROUP BY o_custkey
+    ),
+    cohort_sizes AS (
+      SELECT cohort_m, COUNT(*) AS n_customers FROM first_m GROUP BY cohort_m
+    ),
+    aged AS (
+      SELECT f.cohort_m, o.midx - f.cohort_m AS age_months, o.price
+      FROM o JOIN first_m f ON f.o_custkey = o.o_custkey
+    ),
+    per_age AS (
+      SELECT cohort_m, age_months, SUM(price) AS spend
+      FROM aged GROUP BY cohort_m, age_months
+    )
+    SELECT p.cohort_m,
+           CAST(p.age_months AS INT) AS age_months,
+           CAST(cs.n_customers AS BIGINT) AS n_customers,
+           CAST(p.spend AS DOUBLE) AS spend,
+           round(CAST(SUM(p.spend) OVER (PARTITION BY p.cohort_m
+                                         ORDER BY p.age_months) AS DOUBLE)
+                 / cs.n_customers, 6) AS cum_ltv_per_customer
+    FROM per_age p JOIN cohort_sizes cs ON cs.cohort_m = p.cohort_m
+    """,
+    doc="Cohort LTV curve: customers grouped by first-order month, spend "
+        "accumulated by cohort age — the lifetime-value ramp that "
+        "marketing payback math reads off. Months are INTEGER indexes "
+        "(year*12+month), never interval arithmetic, so ages are exact "
+        "in both engines; spend accumulates in DECIMAL with the one "
+        "float division (per-customer normalization) at the end. The "
+        "cumulative window runs over the per-(cohort, age) aggregate "
+        "(tiny), not raw orders — aggregate-then-window, the same "
+        "discipline as the Pareto/decile family.",
+)
+def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")["orders"]
+    o = orders.select(
+        "o_custkey",
+        F.expr("year(o_orderdate) * 12 + month(o_orderdate)").alias("midx"),
+        F.expr("CAST(o_totalprice AS DECIMAL(12,2))").alias("price"),
+    )
+    first_m = o.groupBy("o_custkey").agg(F.min("midx").alias("cohort_m"))
+    cohort_sizes = first_m.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    aged = o.join(first_m, "o_custkey").select(
+        "cohort_m", (F.col("midx") - F.col("cohort_m")).alias("age_months"),
+        "price",
+    )
+    per_age = aged.groupBy("cohort_m", "age_months").agg(
+        F.sum("price").alias("spend")
+    )
+    wc = Window.partitionBy("cohort_m").orderBy("age_months")
+    return (
+        per_age.join(F.broadcast(cohort_sizes), "cohort_m")
+        .select(
+            "cohort_m",
+            F.col("age_months").cast("int").alias("age_months"),
+            F.col("n_customers").cast("bigint").alias("n_customers"),
+            F.col("spend").cast("double").alias("spend"),
+            F.round(
+                F.sum("spend").over(wc).cast("double") / F.col("n_customers"),
+                6,
+            ).alias("cum_ltv_per_customer"),
+        )
+    )
