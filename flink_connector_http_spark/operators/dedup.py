@@ -1662,3 +1662,46 @@ def dedup_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("size").cast("bigint").alias("cluster_size"),
         "n_clusters", "n_docs", "n_removable",
     )
+
+
+# ---------------------------------------------------------------------------
+# shingle posting-list profile (the hot-key audit behind the caps)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_posting_profile",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, unnest({SHINGLES_DUCK}) AS s FROM documents
+      ) t0
+    ),
+    freq AS (
+      SELECT s, COUNT(*) AS df FROM sh GROUP BY s
+    )
+    SELECT CAST(df AS BIGINT) AS doc_frequency,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(df * (df - 1) / 2) AS BIGINT) AS pair_work
+    FROM freq GROUP BY df
+    """,
+    doc="Shingle posting-list profile: the doc-frequency histogram of "
+        "3-gram shingles, with the PAIR WORK column df*(df-1)/2 — "
+        "exactly the number of candidate pairs each frequency class "
+        "would inject into an inverted-index self-join. This is the "
+        "audit that turns the posting caps (dedup_common_run_pairs' "
+        f"{RUN_HOT_CAP}, winnowing's {MAX_FP_POSTINGS}) from folklore "
+        "constants into measured choices: read the histogram tail, see "
+        "where quadratic work concentrates, cap there. One "
+        "map-side-combinable reduce over the shingle index; output is a "
+        "histogram, constant-sized at any corpus scale.",
+)
+def dedup_posting_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_index(spark, sf_dir)
+    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    return freq.groupBy("df").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.expr("CAST(SUM(df * (df - 1) / 2) AS BIGINT)").alias("pair_work"),
+    ).select(
+        F.col("df").cast("bigint").alias("doc_frequency"),
+        "n_shingles", "pair_work",
+    )
