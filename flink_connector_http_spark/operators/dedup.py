@@ -1705,3 +1705,63 @@ def dedup_posting_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("df").cast("bigint").alias("doc_frequency"),
         "n_shingles", "pair_work",
     )
+
+
+# ---------------------------------------------------------------------------
+# structural template families (cheap pre-minhash template detector)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_template_families",
+    oracle="""
+    WITH sig AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             string_split(text, ' ')[1] AS first_tok,
+             string_split(text, ' ')[-1] AS last_tok
+      FROM documents
+    ),
+    fam AS (
+      SELECT n_tokens, first_tok, last_tok,
+             COUNT(*) AS n_docs, MIN(doc_id) AS exemplar_doc
+      FROM sig GROUP BY n_tokens, first_tok, last_tok
+      HAVING COUNT(*) >= 2
+    )
+    SELECT CAST(n_tokens AS BIGINT) AS n_tokens, first_tok, last_tok,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(exemplar_doc AS BIGINT) AS exemplar_doc
+    FROM fam
+    """,
+    doc="Structural template families: documents grouped by the cheap "
+        "frame signature (token count, first token, last token) — the "
+        "zero-pair-join pre-filter that catches form letters and "
+        "boilerplate scaffolds for pennies before MinHash spends real "
+        "work. A family here is a CANDIDATE set (same frame, possibly "
+        "different fill-ins) routed to the content-hash or near-dup "
+        "stages; the exemplar doc anchors inspection. One "
+        "map-side-combinable aggregate over a per-row projection — the "
+        "cheapest dedup signal in the repertoire, which is exactly why "
+        "crawl pipelines run it first.",
+)
+def dedup_template_families(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    sig = docs.select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").alias("n_tokens"),
+        F.expr("element_at(split(text, ' '), 1)").alias("first_tok"),
+        F.expr("element_at(split(text, ' '), -1)").alias("last_tok"),
+    )
+    return (
+        sig.groupBy("n_tokens", "first_tok", "last_tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("exemplar_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "first_tok", "last_tok",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("exemplar_doc").cast("bigint").alias("exemplar_doc"),
+        )
+    )

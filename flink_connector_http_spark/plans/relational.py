@@ -3962,3 +3962,52 @@ def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_ltv_per_customer"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# discount-band effectiveness
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_discount_effectiveness",
+    oracle="""
+    WITH banded AS (
+      SELECT CAST(CAST(l_discount AS DECIMAL(10,2)) * 100 AS BIGINT)
+               AS discount_pct,
+             CAST(l_quantity AS DECIMAL(10,2)) AS qty,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(10,2))) AS net
+      FROM lineitem
+    )
+    SELECT discount_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           round(CAST(SUM(qty) AS DOUBLE) / COUNT(*), 6) AS avg_quantity,
+           CAST(SUM(net) AS DOUBLE) AS net_revenue
+    FROM banded GROUP BY discount_pct
+    """,
+    doc="Discount-band effectiveness: line volume, average quantity, and "
+        "DECIMAL-exact net revenue per whole-percent discount band — the "
+        "'does discounting move volume' read. Discount percents come "
+        "from DECIMAL x100 integer banding (2-decimal discounts band "
+        "exactly; a double floor would misband the .29999 "
+        "representations). One map-side-combinable aggregate over the "
+        "fact scan.",
+)
+def q_discount_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    banded = li.select(
+        F.expr(
+            "CAST(CAST(l_discount AS DECIMAL(10,2)) * 100 AS BIGINT)"
+        ).alias("discount_pct"),
+        F.expr("CAST(l_quantity AS DECIMAL(10,2))").alias("qty"),
+        F.expr(
+            "CAST(l_extendedprice AS DECIMAL(12,2)) "
+            "* (1 - CAST(l_discount AS DECIMAL(10,2)))"
+        ).alias("net"),
+    )
+    return banded.groupBy("discount_pct").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.expr("round(CAST(SUM(qty) AS DOUBLE) / COUNT(*), 6)")
+        .alias("avg_quantity"),
+        F.expr("CAST(SUM(net) AS DOUBLE)").alias("net_revenue"),
+    )
