@@ -4011,3 +4011,62 @@ def q_discount_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("avg_quantity"),
         F.expr("CAST(SUM(net) AS DOUBLE)").alias("net_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# supplier concentration (Herfindahl–Hirschman index per part type)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_supplier_hhi",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_type, l.l_suppkey,
+             CAST(FLOOR(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))))
+                  AS BIGINT) AS units
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_type, l.l_suppkey
+    )
+    SELECT p_type,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           round(CAST(SUM(units * units) AS DOUBLE)
+                 / (CAST(SUM(units) AS DOUBLE) * SUM(units)), 6) AS hhi,
+           round(CAST(MAX(units) AS DOUBLE) / SUM(units), 6) AS top_share
+    FROM rev GROUP BY p_type
+    """,
+    doc="Supplier-concentration HHI per part type: sum of squared revenue "
+        "shares, computed with cleared denominators — SUM(units^2) and "
+        "SUM(units)^2 are both exact BIGINT-derived quantities (whole "
+        "currency units: truncation is identical in both engines and "
+        "shares are scale-invariant; cents-squared would overflow "
+        "BIGINT at this revenue volume), so the "
+        "index is two IEEE ops from exact integers rather than a "
+        "float-share accumulation. HHI > 0.25 is the antitrust-style "
+        "red-flag band; top_share pins the single-supplier dependency. "
+        "One fact-dim broadcast join and two map-side-combinable "
+        "reduces.",
+)
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, part = (
+        load(spark, sf_dir, "lineitem", "part")[t] for t in ("lineitem", "part")
+    )
+    rev = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_type", "l_suppkey")
+        .agg(
+            F.expr(
+                "CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))) "
+                "AS BIGINT)"
+            ).alias("units")
+        )
+    )
+    return rev.groupBy("p_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.expr(
+            "round(CAST(SUM(units * units) AS DOUBLE) "
+            "/ (CAST(SUM(units) AS DOUBLE) * SUM(units)), 6)"
+        ).alias("hhi"),
+        F.expr(
+            "round(CAST(MAX(units) AS DOUBLE) / SUM(units), 6)"
+        ).alias("top_share"),
+    )
