@@ -2439,3 +2439,62 @@ def graph_hubness_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return indeg.groupBy("in_deg").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vectors")
     ).select(F.col("in_deg").cast("bigint").alias("in_deg"), "n_vectors")
+
+
+# ---------------------------------------------------------------------------
+# embedding norm profile (normalization-health diagnostic)
+# ---------------------------------------------------------------------------
+
+@register(
+    "emb_norm_profile",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, label,
+             round(sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS nrm
+      FROM embeddings
+    ),
+    ranked AS (
+      SELECT label, nrm,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY nrm, vec_id) AS r,
+             COUNT(*) OVER (PARTITION BY label) AS cnt
+      FROM n
+    )
+    SELECT label,
+           CAST(MAX(cnt) AS BIGINT) AS n_vectors,
+           MIN(nrm) AS min_norm,
+           MAX(CASE WHEN r = (50 * cnt + 99) // 100 THEN nrm END) AS p50_norm,
+           MAX(nrm) AS max_norm
+    FROM ranked GROUP BY label
+    """,
+    doc="Embedding L2-norm profile per label (min / type-1 median / "
+        "max): the normalization-health check run before cosine "
+        "retrieval — a wide norm spread means dot-product and cosine "
+        "rankings diverge and un-normalized vectors will bias ANN "
+        "toward long vectors (one driver of the hubness pathology "
+        "graph_hubness_knn surfaces). Norms round to 6dp per row "
+        "(within-row float fold only), then rank math is the shared "
+        "type-1 order-statistic pattern; one per-label window pass.",
+)
+def emb_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    n = emb.select(
+        "vec_id", "label",
+        F.expr(f"round({_NORM.format(col='embedding')}, 6)").alias("nrm"),
+    )
+    wr = Window.partitionBy("label").orderBy("nrm", "vec_id")
+    wc = Window.partitionBy("label")
+    ranked = n.select(
+        "label", "nrm",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    return ranked.groupBy("label").agg(
+        F.max("cnt").cast("bigint").alias("n_vectors"),
+        F.min("nrm").alias("min_norm"),
+        F.expr(
+            "MAX(CASE WHEN r = (50 * cnt + 99) DIV 100 THEN nrm END)"
+        ).alias("p50_norm"),
+        F.max("nrm").alias("max_norm"),
+    )

@@ -4070,3 +4070,56 @@ def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round(CAST(MAX(units) AS DOUBLE) / SUM(units), 6)"
         ).alias("top_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# return-rate analysis per brand
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_return_rate_brand",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returned,
+           round(CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS return_rate,
+           CAST(SUM(CASE WHEN l.l_returnflag = 'R'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                         ELSE CAST(0 AS DECIMAL(12,2)) END)
+                AS DOUBLE) AS returned_value
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+    """,
+    doc="Return-rate profile per brand: returned-line share (exact "
+        "integer ratio) and DECIMAL-exact returned value — the "
+        "product-quality feedback loop reading, and a disguised "
+        "conditional-aggregation exercise (one scan computes both "
+        "branches; no second pass over returns). Fact-dim broadcast "
+        "join, one map-side-combinable reduce.",
+)
+def q_return_rate_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, part = (
+        load(spark, sf_dir, "lineitem", "part")[t] for t in ("lineitem", "part")
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.expr(
+                "CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) "
+                "AS BIGINT)"
+            ).alias("n_returned"),
+            F.expr(
+                "round(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 "
+                "END) AS DOUBLE) / COUNT(*), 6)"
+            ).alias("return_rate"),
+            F.expr(
+                "CAST(SUM(CASE WHEN l_returnflag = 'R' "
+                "THEN CAST(l_extendedprice AS DECIMAL(12,2)) "
+                "ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)"
+            ).alias("returned_value"),
+        )
+    )
