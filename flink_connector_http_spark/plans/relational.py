@@ -4123,3 +4123,78 @@ def q_return_rate_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("returned_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# nation-to-nation trade flow matrix
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_nation_trade_matrix",
+    oracle="""
+    WITH flows AS (
+      SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(10,2)))) AS revenue
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+      GROUP BY supp_nation, cust_nation
+    ),
+    tot AS (SELECT SUM(revenue) AS t FROM flows)
+    SELECT supp_nation, cust_nation,
+           CAST(revenue AS DOUBLE) AS revenue,
+           round(CAST(revenue AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE),
+                 6) AS flow_share,
+           CAST(CASE WHEN supp_nation = cust_nation THEN 1 ELSE 0 END AS INT)
+             AS domestic
+    FROM flows
+    """,
+    doc="Full nation-to-nation trade matrix: DECIMAL-exact discounted "
+        "revenue for every (supplier nation, customer nation) flow with "
+        "its global share and a domestic flag — the complete-matrix "
+        "generalization of TPC-H q07's two-nation slice, and the "
+        "origin-destination shape every marketplace/logistics dashboard "
+        "renders. Plan shape: the two nation dims and supplier/customer "
+        "broadcast onto the fact chain, orders co-join on the order key; "
+        "one final reduce to a |nations|^2 matrix (broadcast-sized).",
+)
+def q_nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "lineitem", "supplier", "nation", "orders",
+             "customer")
+    li, supp, nat, orders, cust = (
+        t["lineitem"], t["supplier"], t["nation"], t["orders"], t["customer"]
+    )
+    ns = nat.select(F.col("n_nationkey").alias("sk"),
+                    F.col("n_name").alias("supp_nation"))
+    nc = nat.select(F.col("n_nationkey").alias("ck"),
+                    F.col("n_name").alias("cust_nation"))
+    flows = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("sk"))
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("ck"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.expr(
+                "SUM(CAST(l_extendedprice AS DECIMAL(12,2)) "
+                "* (1 - CAST(l_discount AS DECIMAL(10,2))))"
+            ).alias("revenue")
+        )
+    )
+    tot = flows.agg(F.sum("revenue").alias("t"))
+    return flows.crossJoin(F.broadcast(tot)).select(
+        "supp_nation", "cust_nation",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.expr(
+            "round(CAST(revenue AS DOUBLE) / CAST(t AS DOUBLE), 6)"
+        ).alias("flow_share"),
+        F.expr(
+            "CAST(CASE WHEN supp_nation = cust_nation THEN 1 ELSE 0 END "
+            "AS INT)"
+        ).alias("domestic"),
+    )
