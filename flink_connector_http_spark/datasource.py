@@ -80,6 +80,22 @@ def _require_url(options: Dict[str, str]) -> str:
         ) from None
 
 
+def _transport_kwargs(options: Dict[str, str]) -> Dict[str, Any]:
+    """TLS/self-signed transport options (parity with the lookup/sink
+    sides — the reference shares http.security.* across every surface
+    via its common client factory)."""
+    kw: Dict[str, Any] = {}
+    if "server_ca" in options:
+        kw["server_ca"] = options["server_ca"]
+    if "client_cert" in options:
+        kw["client_cert"] = options["client_cert"]
+    if "client_key" in options:
+        kw["client_key"] = options["client_key"]
+    if options.get("allow_self_signed", "").lower() in ("true", "1", "yes"):
+        kw["allow_self_signed"] = True
+    return kw
+
+
 def _headers_from_options(options: Dict[str, str]) -> Dict[str, str]:
     return {
         k[len(_HEADER_PREFIX):]: v
@@ -247,7 +263,9 @@ class HttpBatchReader(DataSourceReader):
         from .auth import AUTHORIZATION, basic_auth_value, preprocess_headers
         from .client import HttpTransport
 
-        transport = HttpTransport(timeout=self.timeout)
+        transport = HttpTransport(
+            timeout=self.timeout, **_transport_kwargs(self.options)
+        )
         decoder = self.decoder
         headers = preprocess_headers(
             _headers_from_options(self.options), {AUTHORIZATION: basic_auth_value}
@@ -314,6 +332,12 @@ def _sink_options(options: Dict[str, str]) -> "HttpSinkOptions":
     for opt in ("rate_limit", "rate_limit_burst"):
         if opt in options:
             kw[opt] = float(options[opt])
+    # TLS parity (HttpSinkOptions carries these into the sink transport)
+    for opt in ("server_ca", "client_cert", "client_key"):
+        if opt in options:
+            kw[opt] = options[opt]
+    if options.get("allow_self_signed", "").lower() in ("true", "1", "yes"):
+        kw["allow_self_signed"] = True
     headers = _headers_from_options(options)
     if headers:
         kw["headers"] = headers
@@ -421,7 +445,9 @@ class HttpPollingStreamReader(SimpleDataSourceStreamReader):
         from .request import HttpRequestSpec
 
         if self._transport is None:
-            self._transport = HttpTransport(timeout=self.timeout)
+            self._transport = HttpTransport(
+                timeout=self.timeout, **_transport_kwargs(self.options)
+            )
             self._headers = preprocess_headers(
                 _headers_from_options(self.options),
                 {AUTHORIZATION: basic_auth_value},
@@ -507,7 +533,9 @@ class HttpDistributedStreamReader(DataSourceStreamReader):
         from .request import HttpRequestSpec
 
         if self._transport is None:
-            self._transport = HttpTransport(timeout=self.timeout)
+            self._transport = HttpTransport(
+                timeout=self.timeout, **_transport_kwargs(self.options)
+            )
             self._headers = preprocess_headers(
                 _headers_from_options(self.options),
                 {AUTHORIZATION: basic_auth_value},

@@ -194,3 +194,75 @@ class TestMutualTls:
             assert writer.send_errors == 0
         finally:
             server.stop()
+
+
+import json  # noqa: E402
+
+from flink_connector_http_spark.testing import json_response  # noqa: E402
+
+
+class TestDataSourceTls:
+    """http.security parity on the DataSource: the scan and sink paths
+    honor the same TLS options as the lookup client (the reference
+    shares one client factory across all surfaces)."""
+
+    def test_datasource_read_over_https(self, certs, spark):
+        from flink_connector_http_spark.datasource import register_http_datasource
+
+        register_http_datasource(spark)
+        server = _https_server(certs)
+        server.stub("/pages", lambda req: json_response(
+            [{"id": 1, "name": "tls"}]
+            if req.query.get("page", ["0"])[0] == "0" else []
+        ))
+        try:
+            df = (
+                spark.read.format("http")
+                .schema("id BIGINT, name STRING")
+                .option("url", server.url("/pages"))
+                .option("pages", 1)
+                .option("server_ca", certs["ca"])
+                .load()
+            )
+            assert [(r.id, r.name) for r in df.collect()] == [(1, "tls")]
+        finally:
+            server.stop()
+
+    def test_datasource_read_fails_closed_without_ca(self, certs, spark):
+        from flink_connector_http_spark.datasource import register_http_datasource
+
+        register_http_datasource(spark)
+        server = _https_server(certs)
+        try:
+            df = (
+                spark.read.format("http")
+                .schema("id BIGINT, name STRING")
+                .option("url", server.url("/pages"))
+                .option("pages", 1)
+                .load()
+            )
+            with pytest.raises(Exception):
+                df.collect()  # untrusted CA must not silently succeed
+        finally:
+            server.stop()
+
+    def test_datasource_write_over_https(self, certs, spark):
+        from flink_connector_http_spark.datasource import register_http_datasource
+
+        register_http_datasource(spark)
+        server = _https_server(certs)
+        server.stub_json("/ingest", {"ok": True})
+        try:
+            df = spark.createDataFrame([(1, "a")], "id INT, name STRING")
+            (
+                df.coalesce(1).write.format("http")
+                .option("url", server.url("/ingest"))
+                .option("server_ca", certs["ca"])
+                .mode("append")
+                .save()
+            )
+            got = [x for r in server.recorded("/ingest")
+                   for x in json.loads(r.body)]
+            assert got == [{"id": 1, "name": "a"}]
+        finally:
+            server.stop()
