@@ -93,6 +93,11 @@ def _transport_kwargs(options: Dict[str, str]) -> Dict[str, Any]:
         kw["client_key"] = options["client_key"]
     if options.get("allow_self_signed", "").lower() in ("true", "1", "yes"):
         kw["allow_self_signed"] = True
+    for opt in ("proxy_host", "proxy_user", "proxy_password"):
+        if opt in options:
+            kw[opt] = options[opt]
+    if "proxy_port" in options:
+        kw["proxy_port"] = int(options["proxy_port"])
     return kw
 
 

@@ -72,3 +72,32 @@ class TestProxyTransport:
         assert req.headers.get("Proxy-authorization") or req.headers.get(
             "Proxy-Authorization"
         )
+
+
+def test_datasource_read_through_proxy(stub_server, spark):
+    """Proxy options flow through the DataSource scan transport: the
+    stub acts as the proxy, the target host does not exist."""
+    import json as _json
+
+    from flink_connector_http_spark.datasource import register_http_datasource
+    from flink_connector_http_spark.testing import StubResponse
+
+    register_http_datasource(spark)
+
+    def respond(req):
+        page = req.query.get("page", ["0"])[0]
+        body = [{"id": 7, "name": "via-proxy"}] if page == "0" else []
+        return StubResponse(200, _json.dumps(body).encode(),
+                            {"Content-Type": "application/json"})
+
+    stub_server.stub("/items", respond)
+    df = (
+        spark.read.format("http")
+        .schema("id BIGINT, name STRING")
+        .option("url", "http://upstream.invalid/items")
+        .option("pages", 1)
+        .option("proxy_host", "127.0.0.1")
+        .option("proxy_port", stub_server.port)
+        .load()
+    )
+    assert [(r.id, r.name) for r in df.collect()] == [(7, "via-proxy")]
