@@ -101,6 +101,36 @@ def _transport_kwargs(options: Dict[str, str]) -> Dict[str, Any]:
     return kw
 
 
+def _auth_headers_factory(options: Dict[str, str]):
+    """Per-request header builder with auth parity: Basic auth values are
+    base64-encoded; when ``oidc_token_endpoint`` + ``oidc_token_request``
+    are set, a bearer token is fetched lazily and REWRITTEN PER REQUEST
+    (the reference's at-request-time rule, never at plan time) so a token
+    expiring mid-partition refreshes transparently. Returns a zero-arg
+    callable; construct it INSIDE read() — the OIDC manager holds a lock
+    and must not ride along in the pickled reader."""
+    from .auth import (
+        AUTHORIZATION,
+        OidcAccessTokenManager,
+        basic_auth_value,
+        preprocess_headers,
+    )
+
+    raw = _headers_from_options(options)
+    pre = {AUTHORIZATION: basic_auth_value}
+    if options.get("oidc_token_endpoint") and options.get("oidc_token_request"):
+        manager = OidcAccessTokenManager(
+            options["oidc_token_endpoint"],
+            options["oidc_token_request"],
+            expiry_reduction=float(options.get("oidc_expiry_reduction", "1")),
+        )
+        pre = {AUTHORIZATION: manager.authorization_preprocessor()}
+        raw.setdefault(AUTHORIZATION, "")
+        return lambda: preprocess_headers(dict(raw), pre)
+    static = preprocess_headers(raw, pre)
+    return lambda: static
+
+
 def _headers_from_options(options: Dict[str, str]) -> Dict[str, str]:
     return {
         k[len(_HEADER_PREFIX):]: v
@@ -217,7 +247,8 @@ class HttpBatchReader(DataSourceReader):
         params = {self.page_param: page, **self.pushed_params}
         sep = "&" if "?" in self.url else "?"
         url = f"{self.url}{sep}{urlencode(params)}"
-        spec = HttpRequestSpec(method="GET", url=url, headers=headers, body=None)
+        spec = HttpRequestSpec(method="GET", url=url, headers=headers(),
+                               body=None)
         resp = transport.send(spec)
         if resp.status != 200:
             raise IOError(f"HTTP read: page {page} returned status {resp.status}")
@@ -272,9 +303,7 @@ class HttpBatchReader(DataSourceReader):
             timeout=self.timeout, **_transport_kwargs(self.options)
         )
         decoder = self.decoder
-        headers = preprocess_headers(
-            _headers_from_options(self.options), {AUTHORIZATION: basic_auth_value}
-        )
+        headers = _auth_headers_factory(self.options)
         limiter = None
         if self.rate_limit:
             from .ratelimit import TokenBucket
@@ -453,14 +482,12 @@ class HttpPollingStreamReader(SimpleDataSourceStreamReader):
             self._transport = HttpTransport(
                 timeout=self.timeout, **_transport_kwargs(self.options)
             )
-            self._headers = preprocess_headers(
-                _headers_from_options(self.options),
-                {AUTHORIZATION: basic_auth_value},
-            )
+            self._headers = _auth_headers_factory(self.options)
         sep = "&" if "?" in self.url else "?"
         url = f"{self.url}{sep}{urlencode({self.page_param: page})}"
         resp = self._transport.send(
-            HttpRequestSpec(method="GET", url=url, headers=self._headers, body=None)
+            HttpRequestSpec(method="GET", url=url, headers=self._headers(),
+                            body=None)
         )
         if resp.status != 200:
             raise IOError(f"HTTP stream: page {page} returned status {resp.status}")
@@ -541,12 +568,10 @@ class HttpDistributedStreamReader(DataSourceStreamReader):
             self._transport = HttpTransport(
                 timeout=self.timeout, **_transport_kwargs(self.options)
             )
-            self._headers = preprocess_headers(
-                _headers_from_options(self.options),
-                {AUTHORIZATION: basic_auth_value},
-            )
+            self._headers = _auth_headers_factory(self.options)
         resp = self._transport.send(HttpRequestSpec(
-            method="GET", url=self.pages_url, headers=self._headers, body=None
+            method="GET", url=self.pages_url, headers=self._headers(),
+            body=None
         ))
         if resp.status != 200:
             raise IOError(

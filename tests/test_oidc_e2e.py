@@ -83,3 +83,43 @@ def test_oidc_lookup_fails_closed_without_token_config(spark, stub_server):
     out = http_lookup_join(probe, table, on={"cust_id": "id"})
     with pytest.raises(Exception, match="401"):
         out.count()
+
+
+def test_oidc_datasource_scan_sends_bearer(spark, stub_server):
+    """OIDC parity on the DataSource scan: the paged reader acquires a
+    bearer from the token endpoint and authenticates every page fetch."""
+    import json as _json
+
+    from flink_connector_http_spark.datasource import register_http_datasource
+    from flink_connector_http_spark.testing import StubResponse
+
+    register_http_datasource(spark)
+    issued = []
+
+    def token_responder(req):
+        assert req.body.decode() == TOKEN_REQUEST
+        issued.append(f"dtok-{len(issued)}")
+        return json_response({"access_token": issued[-1], "expires_in": 300})
+
+    def data_responder(req):
+        auth = req.headers.get("Authorization", "")
+        if not (auth.startswith("Bearer dtok-") and auth[7:] in issued):
+            return json_response({"error": "unauthorized"}, status=401)
+        page = req.query.get("page", ["0"])[0]
+        body = [{"id": int(page) + 1, "name": f"p{page}"}] if page in ("0", "1") else []
+        return StubResponse(200, _json.dumps(body).encode(),
+                            {"Content-Type": "application/json"})
+
+    stub_server.stub("/dstoken", token_responder)
+    stub_server.stub("/dsfeed", data_responder)
+    df = (
+        spark.read.format("http")
+        .schema("id BIGINT, name STRING")
+        .option("url", stub_server.url("/dsfeed"))
+        .option("pages", 2)
+        .option("oidc_token_endpoint", stub_server.url("/dstoken"))
+        .option("oidc_token_request", TOKEN_REQUEST)
+        .load()
+    )
+    assert sorted(r.id for r in df.collect()) == [1, 2]
+    assert issued  # a token was actually minted
