@@ -1765,3 +1765,127 @@ def dedup_template_families(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("exemplar_doc").cast("bigint").alias("exemplar_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH candidate funnel (cost observability for the banding pipeline)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_SIG_DUCK = f"""
+      SELECT doc_id, i, MIN((h1 + i * h2) % 4294967296) AS m
+      FROM (
+        SELECT doc_id,
+               {md5_int32_duck('s')} AS h1,
+               ({md5_int32_duck("concat('b:', s)")} | 1) AS h2
+        FROM (
+          SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, unnest({SHINGLES_DUCK}) AS s FROM documents
+          ) t0
+        ) sh
+      ) hs, unnest(range(0, 32)) AS t(i)
+      GROUP BY doc_id, i
+"""
+
+
+@register(
+    "dedup_lsh_funnel",
+    oracle=f"""
+    WITH sig AS (
+      {_FUNNEL_SIG_DUCK}
+    ),
+    docband AS (
+      SELECT doc_id, i // 4 AS band_id,
+             string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bkey
+      FROM sig GROUP BY doc_id, band_id
+    ),
+    buckets AS (
+      SELECT band_id, bkey, COUNT(*) AS n
+      FROM docband GROUP BY band_id, bkey
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM docband a JOIN docband b
+        ON a.band_id = b.band_id AND a.bkey = b.bkey
+           AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.a_id FROM cand c
+      JOIN ({_JACCARD_ORACLE}) j
+        ON j.a_id = c.a_id AND j.b_id = c.b_id
+    )
+    SELECT 'bucket_pair_slots' AS stage,
+           CAST(COALESCE(SUM(n * (n - 1) / 2), 0) AS BIGINT) AS n
+    FROM buckets
+    UNION ALL
+    SELECT 'distinct_candidates', CAST(COUNT(*) AS BIGINT) FROM cand
+    UNION ALL
+    SELECT 'verified_near_dups', CAST(COUNT(*) AS BIGINT) FROM verified
+    """,
+    doc="LSH candidate funnel: pair slots generated inside band buckets "
+        "-> distinct candidate pairs after dedup -> pairs surviving "
+        "exact-Jaccard verification. The three numbers ARE the cost "
+        "model of banded dedup (bucket quadratic work, join output, "
+        "verify workload) and their ratios are what you tune bands/rows "
+        "against — precision of the band stage is "
+        "verified/candidates, work amplification is slots/verified. "
+        "Built on the md5-affine signature family (the cross-engine "
+        "auditable twin of the production xxhash banding in "
+        "dedup_minhash_lsh — same 32x8x4 structure, different hash "
+        "seeds, so absolute counts differ from production but every "
+        "ratio behaves identically).",
+)
+def dedup_lsh_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_index(spark, sf_dir).persist()
+    hs = sh.select(
+        "doc_id",
+        F.expr(md5_int32_spark("s")).alias("h1"),
+        F.expr(md5_int32_spark("concat('b:', s)") + " | 1").alias("h2"),
+    )
+    sig = (
+        hs.select(
+            "doc_id", "h1", "h2",
+            F.explode(F.expr("sequence(0, 31)")).alias("i"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min(F.expr("(h1 + i * h2) % 4294967296")).alias("m"))
+    )
+    docband = (
+        sig.groupBy("doc_id", F.expr("i DIV 4").alias("band_id"))
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(i, m))),"
+                " x -> CAST(x.m AS STRING)), ',')"
+            ).alias("bkey")
+        )
+        .persist()
+    )
+    buckets = docband.groupBy("band_id", "bkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    slots = buckets.agg(
+        F.expr(
+            "CAST(COALESCE(SUM(n * (n - 1) DIV 2), 0) AS BIGINT)"
+        ).alias("n")
+    ).select(F.lit("bucket_pair_slots").alias("stage"), "n")
+    a = docband.alias("a")
+    b = docband.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+        .persist()
+    )
+    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
+        F.lit("distinct_candidates").alias("stage"), "n"
+    )
+    verified = (
+        _exact_jaccard(sh, cand)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.lit("verified_near_dups").alias("stage"), "n")
+    )
+    return slots.unionByName(n_cand).unionByName(verified)

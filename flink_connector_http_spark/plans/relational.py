@@ -4198,3 +4198,43 @@ def q_nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS INT)"
         ).alias("domestic"),
     )
+
+
+# ---------------------------------------------------------------------------
+# basket-size distribution
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_basket_size_dist",
+    oracle="""
+    WITH sizes AS (
+      SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem GROUP BY l_orderkey
+    ),
+    tot AS (SELECT COUNT(*) AS t FROM sizes)
+    SELECT CAST(n_lines AS BIGINT) AS basket_size,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           round(CAST(COUNT(*) AS DOUBLE) / (SELECT t FROM tot), 6)
+             AS order_share
+    FROM sizes GROUP BY n_lines
+    """,
+    doc="Basket-size distribution: how many line items orders carry, with "
+        "order shares — the denominator model behind the market-basket "
+        "pair-work bound (pairs per order = C(basket,2)) and the "
+        "fulfillment-cost driver. Two map-side-combinable reduces; the "
+        "histogram is constant-sized at any scale.",
+)
+def q_basket_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    sizes = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_lines"))
+    tot = sizes.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        sizes.groupBy("n_lines")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n_lines").cast("bigint").alias("basket_size"),
+            "n_orders",
+            F.expr("round(CAST(n_orders AS DOUBLE) / t, 6)")
+            .alias("order_share"),
+        )
+    )
