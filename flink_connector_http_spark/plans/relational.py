@@ -4238,3 +4238,55 @@ def q_basket_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("order_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# repeat-purchase rate per brand
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_repeat_purchase_rate",
+    oracle="""
+    WITH cp AS (
+      SELECT o.o_custkey, p.p_brand,
+             COUNT(DISTINCT l.l_orderkey) AS n_orders
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY o.o_custkey, p.p_brand
+    )
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_customer_brand_pairs,
+           CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repeat,
+           round(CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS repeat_rate
+    FROM cp GROUP BY p_brand
+    """,
+    doc="Repeat-purchase rate per brand: the share of (customer, brand) "
+        "relationships spanning two or more distinct orders — the "
+        "loyalty/consumable-vs-durable signal behind retention "
+        "forecasting. The (customer, brand) grain reduces before any "
+        "rate math (distinct order counts are per-pair bounded); "
+        "fact-to-dims are broadcast joins and the final reduce is "
+        "map-side combinable.",
+)
+def q_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "lineitem", "orders", "part")
+    li, orders, part = t["lineitem"], t["orders"], t["part"]
+    cp = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("o_custkey", "p_brand")
+        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    )
+    return cp.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customer_brand_pairs"),
+        F.expr(
+            "CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_repeat"),
+        F.expr(
+            "round(CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) "
+            "AS DOUBLE) / COUNT(*), 6)"
+        ).alias("repeat_rate"),
+    )
