@@ -1889,3 +1889,72 @@ def dedup_lsh_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("verified_near_dups").alias("stage"), "n")
     )
     return slots.unionByName(n_cand).unionByName(verified)
+
+
+# ---------------------------------------------------------------------------
+# sampled near-dup review queue (human QA artifact)
+# ---------------------------------------------------------------------------
+
+REVIEW_SAMPLE_K = 8
+REVIEW_SNIPPET = 80
+
+
+@register(
+    "dedup_review_sample",
+    oracle=f"""
+    WITH pairs AS (
+      {_JACCARD_ORACLE}
+    ),
+    sampled AS (
+      SELECT a_id, b_id, jaccard,
+             ROW_NUMBER() OVER (
+               ORDER BY md5(concat('rev:', a_id, ':', b_id)), a_id, b_id
+             ) AS rk
+      FROM pairs
+    )
+    SELECT s.rk, s.a_id, s.b_id, round(s.jaccard, 6) AS jaccard,
+           substr(da.text, 1, {REVIEW_SNIPPET}) AS snippet_a,
+           substr(db.text, 1, {REVIEW_SNIPPET}) AS snippet_b
+    FROM sampled s
+    JOIN documents da ON da.doc_id = s.a_id
+    JOIN documents db ON db.doc_id = s.b_id
+    WHERE s.rk <= {REVIEW_SAMPLE_K}
+    """,
+    doc=f"Near-dup review queue: a deterministic hash-order sample of "
+        f"{REVIEW_SAMPLE_K} verified near-dup pairs with "
+        f"{REVIEW_SNIPPET}-char snippets of both sides — the artifact a "
+        "human QA pass actually reads before a threshold change ships. "
+        "Hash-order sampling keeps the queue stable across re-runs "
+        "(graders see the same pairs until the pair set changes), and "
+        "snippets join back through the doc ids so the pair pipeline "
+        "never carries text. The general pattern: every automated gate "
+        "gets a bounded, reproducible human-inspection sample.",
+)
+def dedup_review_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    w = Window.orderBy(
+        F.expr("md5(concat('rev:', a_id, ':', b_id))"),
+        F.asc("a_id"), F.asc("b_id"),
+    )
+    sampled = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= REVIEW_SAMPLE_K)
+    )
+    da = docs.select(F.col("doc_id").alias("a_id"),
+                     F.expr(f"substr(text, 1, {REVIEW_SNIPPET})")
+                     .alias("snippet_a"))
+    db = docs.select(F.col("doc_id").alias("b_id"),
+                     F.expr(f"substr(text, 1, {REVIEW_SNIPPET})")
+                     .alias("snippet_b"))
+    return (
+        sampled.join(da, "a_id")
+        .join(db, "b_id")
+        .select(
+            "rk", "a_id", "b_id",
+            F.round("jaccard", 6).alias("jaccard"),
+            "snippet_a", "snippet_b",
+        )
+    )

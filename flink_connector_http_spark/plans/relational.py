@@ -4290,3 +4290,41 @@ def q_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS DOUBLE) / COUNT(*), 6)"
         ).alias("repeat_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# weekday x hour activity heatmap
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_activity_heatmap",
+    oracle="""
+    WITH cells AS (
+      SELECT isodow(ts) - 1 AS dow, hour(ts) AS hr, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(n) AS t FROM cells)
+    SELECT CAST(dow AS INT) AS dow, CAST(hr AS INT) AS hr,
+           CAST(n AS BIGINT) AS n_events,
+           round(CAST(n AS DOUBLE) / (SELECT t FROM tot), 6) AS cell_share
+    FROM cells
+    """,
+    doc="Weekday x hour activity heatmap (Monday-based weekday, the "
+        "cross-engine-safe spelling): the 7x24 grid every ops dashboard "
+        "renders and the capacity-planning input for micro-batch "
+        "scheduling. One map-side-combinable reduce to at most 168 "
+        "cells plus a 1-row broadcast total.",
+)
+def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    cells = ev.groupBy(
+        F.expr("weekday(ts)").alias("dow"),
+        F.expr("hour(ts)").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.agg(F.sum("n").alias("t"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        F.col("dow").cast("int").alias("dow"),
+        F.col("hr").cast("int").alias("hr"),
+        F.col("n").cast("bigint").alias("n_events"),
+        F.expr("round(CAST(n AS DOUBLE) / t, 6)").alias("cell_share"),
+    )
