@@ -1958,3 +1958,60 @@ def dedup_review_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "snippet_a", "snippet_b",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-source duplication flow matrix
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_source_flow",
+    oracle=f"""
+    WITH pairs AS (
+      {_JACCARD_ORACLE}
+    )
+    SELECT LEAST(da.source, db.source) AS source_x,
+           GREATEST(da.source, db.source) AS source_y,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN da.source = db.source THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_within,
+           round(MIN(p.jaccard), 6) AS min_jaccard
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.a_id
+    JOIN documents db ON db.doc_id = p.b_id
+    GROUP BY source_x, source_y
+    """,
+    doc="Cross-source duplication flow matrix: verified near-dup pairs "
+        "bucketed by their (unordered) source pair — the mirror/"
+        "syndication map that tells a crawl operator WHICH feeds "
+        "duplicate each other, versus within-source churn (n_within). "
+        "Off-diagonal mass is the actionable finding: two sources "
+        "mirroring each other should be deduped at fetch time, not "
+        "paid for twice through the whole pipeline. Source labels join "
+        "back through doc ids after the pair pipeline (pairs never "
+        "carry document payloads); LEAST/GREATEST canonicalizes the "
+        "matrix to one triangle.",
+)
+def dedup_source_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    da = docs.select(F.col("doc_id").alias("a_id"),
+                     F.col("source").alias("src_a"))
+    db = docs.select(F.col("doc_id").alias("b_id"),
+                     F.col("source").alias("src_b"))
+    return (
+        pairs.join(F.broadcast(da), "a_id")
+        .join(F.broadcast(db), "b_id")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.expr(
+                "CAST(SUM(CASE WHEN src_a = src_b THEN 1 ELSE 0 END) "
+                "AS BIGINT)"
+            ).alias("n_within"),
+            F.round(F.min("jaccard"), 6).alias("min_jaccard"),
+        )
+    )

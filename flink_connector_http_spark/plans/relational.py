@@ -4328,3 +4328,62 @@ def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_events"),
         F.expr("round(CAST(n AS DOUBLE) / t, 6)").alias("cell_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dormancy curve (time-since-last-activity distribution)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_dormancy_curve",
+    oracle="""
+    WITH horizon AS (
+      SELECT MAX(CAST(date_trunc('day', ts) AS DATE)) AS h FROM events
+    ),
+    last_seen AS (
+      SELECT user_id, MAX(CAST(date_trunc('day', ts) AS DATE)) AS last_day
+      FROM events GROUP BY user_id
+    ),
+    aged AS (
+      SELECT user_id,
+             datediff('day', last_day, (SELECT h FROM horizon))
+               AS days_dormant
+      FROM last_seen
+    ),
+    tot AS (SELECT COUNT(*) AS t FROM aged)
+    SELECT CAST(days_dormant AS INT) AS days_dormant,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           round(CAST(SUM(COUNT(*)) OVER (ORDER BY days_dormant) AS DOUBLE)
+                 / (SELECT t FROM tot), 6) AS cum_active_share
+    FROM aged GROUP BY days_dormant
+    """,
+    doc="Dormancy curve: users bucketed by whole days since their last "
+        "activity relative to the corpus horizon, with the cumulative "
+        "share still active within N days — the churn-risk CDF that "
+        "picks the inactivity threshold for win-back campaigns from "
+        "data rather than convention. Integer DATE day-diffs (no "
+        "timestamp float or timezone math); the cumulative window runs "
+        "over the tiny per-day aggregate.",
+)
+def q_dormancy_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    days = ev.select(
+        "user_id", F.expr("CAST(date_trunc('day', ts) AS DATE)").alias("day")
+    )
+    horizon = days.agg(F.max("day").alias("h"))
+    last_seen = days.groupBy("user_id").agg(F.max("day").alias("last_day"))
+    aged = last_seen.crossJoin(F.broadcast(horizon)).select(
+        F.expr("datediff(h, last_day)").alias("days_dormant")
+    )
+    tot = aged.agg(F.count(F.lit(1)).alias("t"))
+    per = aged.groupBy("days_dormant").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    wc = Window.orderBy("days_dormant")
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("days_dormant").cast("int").alias("days_dormant"),
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.round(
+            F.sum("n_users").over(wc).cast("double") / F.col("t"), 6
+        ).alias("cum_active_share"),
+    )
