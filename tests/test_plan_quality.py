@@ -14,6 +14,11 @@ is checked for the two patterns that do not survive a 100 TB input:
   Planning a query executes its builder, so any collect() in the build
   path runs here; builders stay lazy (the harness itself does the
   final collection).
+- ``BatchEvalPython`` — a row-at-a-time Python UDF in the hot path
+  serializes one row per Python call (~10-100x slower than Arrow
+  batches). The allowed Python islands are the Arrow-vectorized stages
+  only (``ArrowEvalPython`` / ``MapInPandas`` / ``FlatMapGroupsInPandas``),
+  and those only where HTTP I/O or binary decode genuinely needs Python.
 
 ``http_*`` (live stub servers) and ``stream_*`` (run-to-completion
 streaming) queries are exercised end-to-end by their own suites and the
@@ -40,5 +45,10 @@ def test_no_physical_cartesian_product(spark, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, (
         f"{name}: physical plan contains a non-broadcast cartesian join\n"
+        f"{plan[:2000]}"
+    )
+    assert "BatchEvalPython" not in plan, (
+        f"{name}: physical plan contains a row-at-a-time Python UDF "
+        f"(use built-in expressions or an Arrow-batched pandas stage)\n"
         f"{plan[:2000]}"
     )
