@@ -2498,3 +2498,143 @@ def emb_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p50_norm"),
         F.max("nrm").alias("max_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (bounded peeling) over the kNN graph
+# ---------------------------------------------------------------------------
+
+KCORE_K = 3        # minimum within-subgraph degree to stay in the core
+KCORE_ROUNDS = 3   # fixed peeling rounds (see doc for the fixpoint note)
+
+
+def _kcore_round_sql(i: int) -> str:
+    """One unrolled peeling round for the DuckDB oracle: survivors of
+    round ``i`` are nodes whose degree in the previous edge set meets
+    KCORE_K; the edge set contracts to survivor-survivor edges."""
+    prev_e = "und" if i == 0 else f"e{i}"
+    # AS MATERIALIZED: each round references the previous edge set three
+    # times; DuckDB would otherwise inline the CTE chain and re-evaluate
+    # the expensive kNN candidate join ~3^rounds times
+    return f"""
+    d{i} AS MATERIALIZED (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT a AS node FROM {prev_e} UNION ALL SELECT b AS node FROM {prev_e}
+      ) ends GROUP BY node
+    ),
+    s{i + 1} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {KCORE_K}),
+    e{i + 1} AS MATERIALIZED (
+      SELECT pe.a, pe.b FROM {prev_e} pe
+      JOIN s{i + 1} x ON x.node = pe.a
+      JOIN s{i + 1} y ON y.node = pe.b
+    )"""
+
+
+@register(
+    "graph_kcore_knn",
+    oracle=f"""
+    WITH knn AS (
+      {_KNN_GRAPH_ORACLE}
+    ),
+    und AS MATERIALIZED (
+      SELECT DISTINCT LEAST(src_id, dst_id) AS a, GREATEST(src_id, dst_id) AS b
+      FROM knn WHERE src_id <> dst_id
+    ),
+    {",".join(_kcore_round_sql(i) for i in range(KCORE_ROUNDS))},
+    dfin AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT a AS node FROM e{KCORE_ROUNDS}
+        UNION ALL SELECT b AS node FROM e{KCORE_ROUNDS}
+      ) ends GROUP BY node
+    )
+    SELECT emb.vec_id,
+           CAST(COALESCE(d0.deg, 0) AS BIGINT) AS degree0,
+           CAST(COALESCE(dfin.deg, 0) AS BIGINT) AS core_degree,
+           s{KCORE_ROUNDS}.node IS NOT NULL AS in_core
+    FROM embeddings emb
+    LEFT JOIN d0 ON d0.node = emb.vec_id
+    LEFT JOIN dfin ON dfin.node = emb.vec_id
+    LEFT JOIN s{KCORE_ROUNDS} ON s{KCORE_ROUNDS}.node = emb.vec_id
+    """,
+    doc=f"k-core decomposition (k={KCORE_K}, {KCORE_ROUNDS} fixed peeling "
+        "rounds) over the approximate kNN graph — the graph-curation gate "
+        "that keeps documents embedded in dense semantic neighborhoods "
+        "and sheds peripheral/noise nodes (low-degree after their "
+        "neighbors peel away). Each round is one map-side-combinable "
+        "degree count plus two int-key semi-joins contracting the edge "
+        "set; state between rounds is the surviving edge list only. "
+        "Rounds are FIXED (both engines unroll the same "
+        f"{KCORE_ROUNDS}) rather than run to fixpoint — on kNN graphs "
+        f"degree is bounded by 2*GRAPH_K={2 * GRAPH_K} so peeling "
+        "stabilizes in a handful of rounds; a production fixpoint loop "
+        "adds the connected_components-style signature check "
+        "(operators/dedup.py) with the same per-round plan-truncation "
+        "discipline.",
+)
+def graph_kcore_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    und = (
+        emb_knn_graph(spark, sf_dir)
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .select(
+            F.least("src_id", "dst_id").alias("a"),
+            F.greatest("src_id", "dst_id").alias("b"),
+        )
+        .dropDuplicates(["a", "b"])
+        .persist()
+    )
+
+    def degrees(edges: DataFrame) -> DataFrame:
+        return (
+            edges.select(F.col("a").alias("node"))
+            .unionAll(edges.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+
+    deg0 = degrees(und).persist()
+    # each round references the edge set THREE ways (two degree legs + the
+    # semi-join source), so carrying lineage across rounds would re-execute
+    # the whole kNN construction per round — localCheckpoint truncates the
+    # plan at every round boundary, exactly the connected_components
+    # discipline (operators/dedup.py)
+    edges = und.localCheckpoint()
+    survivors = None
+    for _ in range(KCORE_ROUNDS):
+        survivors = (
+            degrees(edges)
+            .filter(F.col("deg") >= KCORE_K)
+            .select("node")
+            .localCheckpoint()
+        )
+        edges = (
+            edges.join(
+                survivors.select(F.col("node").alias("a")), "a", "left_semi"
+            )
+            .join(survivors.select(F.col("node").alias("b")), "b", "left_semi")
+            .localCheckpoint()
+        )
+    dfin = degrees(edges)
+    return (
+        emb.select("vec_id")
+        .join(deg0.withColumnRenamed("node", "vec_id"), "vec_id", "left")
+        .withColumnRenamed("deg", "degree0_raw")
+        .join(
+            dfin.withColumnRenamed("node", "vec_id").withColumnRenamed(
+                "deg", "core_deg_raw"
+            ),
+            "vec_id",
+            "left",
+        )
+        .join(
+            survivors.select(F.col("node").alias("vec_id"), F.lit(True).alias("surv")),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.coalesce(F.col("degree0_raw"), F.lit(0)).cast("bigint").alias("degree0"),
+            F.coalesce(F.col("core_deg_raw"), F.lit(0)).cast("bigint").alias("core_degree"),
+            F.coalesce(F.col("surv"), F.lit(False)).alias("in_core"),
+        )
+    )
