@@ -4387,3 +4387,86 @@ def q_dormancy_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_users").over(wc).cast("double") / F.col("t"), 6
         ).alias("cum_active_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint scan over daily value series
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_changepoint_cusum",
+    # the centered cumulative sum n*prefix_t - t*total is the standard CUSUM
+    # statistic with the mean cleared to integers: dividing by n would leave
+    # engine-specific float rounding, multiplying through keeps every value
+    # an exact BIGINT in cent-day units
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(10,2))) * 100 AS BIGINT) AS cents
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    series AS (
+      SELECT event_type, day, cents,
+             ROW_NUMBER() OVER w AS t,
+             SUM(cents) OVER w AS prefix,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             SUM(cents) OVER (PARTITION BY event_type) AS total
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    cusum AS (
+      SELECT event_type, day, cents,
+             CAST(n * prefix - t * total AS BIGINT) AS cusum_scaled
+      FROM series
+    )
+    SELECT event_type, day, cents AS day_cents, cusum_scaled,
+           abs(cusum_scaled) = MAX(abs(cusum_scaled))
+             OVER (PARTITION BY event_type) AS is_peak
+    FROM cusum
+    """,
+    doc="CUSUM changepoint scan per event type: daily DECIMAL-exact value "
+        "totals, then the centered cumulative deviation n*prefix_t - "
+        "t*total (the classic CUSUM statistic scaled by n to stay in "
+        "exact integer cent-day units — no float mean, no division). The "
+        "day where |CUSUM| peaks is the single-changepoint estimate a "
+        "level-shift detector reports; is_peak flags it. Scale shape: one "
+        "map-side-combinable (type, day) aggregate, then windows keyed on "
+        "event_type over the ~365-row-per-type daily series — window "
+        "state is bounded by days, not events.",
+)
+def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    daily = ev.groupBy(
+        "event_type", F.expr("CAST(ts AS DATE)").alias("day")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(value AS DECIMAL(10,2))) * 100 AS BIGINT)"
+        ).alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    wt = Window.partitionBy("event_type")
+    series = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.row_number().over(w).alias("t"),
+        F.sum("cents").over(w).alias("prefix"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+        F.sum("cents").over(wt).alias("total"),
+    )
+    cusum = series.select(
+        "event_type",
+        "day",
+        "cents",
+        F.expr("CAST(n * prefix - t * total AS BIGINT)").alias("cusum_scaled"),
+    )
+    return cusum.select(
+        "event_type",
+        "day",
+        F.col("cents").alias("day_cents"),
+        "cusum_scaled",
+        (
+            F.abs(F.col("cusum_scaled"))
+            == F.max(F.abs(F.col("cusum_scaled"))).over(wt)
+        ).alias("is_peak"),
+    )
