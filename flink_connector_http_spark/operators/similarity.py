@@ -2638,3 +2638,115 @@ def graph_kcore_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("surv"), F.lit(False)).alias("in_core"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-truss (edge-support peeling) over the kNN graph
+# ---------------------------------------------------------------------------
+
+KTRUSS_K = 3        # every surviving edge sits in >= k-2 triangles
+KTRUSS_ROUNDS = 2   # fixed peeling rounds (same bounded-round contract as k-core)
+
+
+def _truss_round_sql(i: int) -> str:
+    """One unrolled support-peeling round: count per-edge triangle support
+    in the current edge set, keep edges meeting KTRUSS_K - 2. Triangles
+    use the ordered-wedge join (x<y<z), so each contributes exactly its
+    three canonical edges."""
+    prev_e = "und" if i == 0 else f"e{i}"
+    return f"""
+    tri{i} AS MATERIALIZED (
+      SELECT w1.a AS x, w1.b AS y, w2.b AS z
+      FROM {prev_e} w1
+      JOIN {prev_e} w2 ON w2.a = w1.b
+      JOIN {prev_e} w3 ON w3.a = w1.a AND w3.b = w2.b
+    ),
+    sup{i} AS MATERIALIZED (
+      SELECT a, b, COUNT(*) AS cnt FROM (
+        SELECT x AS a, y AS b FROM tri{i}
+        UNION ALL SELECT y, z FROM tri{i}
+        UNION ALL SELECT x, z FROM tri{i}
+      ) corners GROUP BY a, b
+    ),
+    e{i + 1} AS MATERIALIZED (
+      SELECT pe.a, pe.b FROM {prev_e} pe
+      JOIN sup{i} s ON s.a = pe.a AND s.b = pe.b
+      WHERE s.cnt >= {KTRUSS_K - 2}
+    )"""
+
+
+@register(
+    "graph_ktruss_knn",
+    oracle=f"""
+    WITH knn AS (
+      {_KNN_GRAPH_ORACLE}
+    ),
+    und AS MATERIALIZED (
+      SELECT DISTINCT LEAST(src_id, dst_id) AS a, GREATEST(src_id, dst_id) AS b
+      FROM knn WHERE src_id <> dst_id
+    ),
+    {",".join(_truss_round_sql(i) for i in range(KTRUSS_ROUNDS))}
+    SELECT und.a AS a_id, und.b AS b_id,
+           CAST(COALESCE(sup0.cnt, 0) AS BIGINT) AS support0,
+           e{KTRUSS_ROUNDS}.a IS NOT NULL AS in_truss
+    FROM und
+    LEFT JOIN sup0 ON sup0.a = und.a AND sup0.b = und.b
+    LEFT JOIN e{KTRUSS_ROUNDS}
+      ON e{KTRUSS_ROUNDS}.a = und.a AND e{KTRUSS_ROUNDS}.b = und.b
+    """,
+    doc=f"k-truss (k={KTRUSS_K}, {KTRUSS_ROUNDS} fixed peeling rounds) "
+        "over the approximate kNN graph: an edge survives only while it "
+        "participates in enough triangles among surviving edges — the "
+        "EDGE-level cohesion filter (k-core's node-level complement) that "
+        "strips bridge edges between semantic clusters while keeping "
+        "triangle-dense cluster interiors; what remains is the "
+        "high-precision edge set for cluster-then-dedup curation. Each "
+        "round is one ordered-wedge self-join (degree bounded by "
+        f"2*GRAPH_K={2 * GRAPH_K}, so wedges are O(|V|*4k^2) with no "
+        "power-law hotspot) plus a map-side-combinable per-edge count; "
+        "round boundaries localCheckpoint like connected_components, and "
+        "the oracle unrolls the same rounds with MATERIALIZED CTEs.",
+)
+def graph_ktruss_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und = (
+        emb_knn_graph(spark, sf_dir)
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .select(
+            F.least("src_id", "dst_id").alias("a"),
+            F.greatest("src_id", "dst_id").alias("b"),
+        )
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint()
+    )
+
+    def support(edges: DataFrame) -> DataFrame:
+        w1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        w2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
+        w3 = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
+        tri = w1.join(w2, "y").join(w3, ["x", "z"])
+        corners = (
+            tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+            .unionAll(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
+            .unionAll(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
+        )
+        return corners.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cnt"))
+
+    sup0 = support(und).persist()
+    edges = und
+    for r in range(KTRUSS_ROUNDS):
+        sup = sup0 if r == 0 else support(edges)
+        edges = (
+            edges.join(
+                sup.filter(F.col("cnt") >= KTRUSS_K - 2), ["a", "b"], "left_semi"
+            ).localCheckpoint()
+        )
+    return (
+        und.join(sup0, ["a", "b"], "left")
+        .join(edges.withColumn("surv", F.lit(True)), ["a", "b"], "left")
+        .select(
+            F.col("a").alias("a_id"),
+            F.col("b").alias("b_id"),
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("support0"),
+            F.coalesce(F.col("surv"), F.lit(False)).alias("in_truss"),
+        )
+    )
