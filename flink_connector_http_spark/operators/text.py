@@ -2815,3 +2815,62 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "/ COUNT(*), 6)"
         ).alias("hapax_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# readability scoring (Flesch reading ease, integer-count heuristic)
+# ---------------------------------------------------------------------------
+
+_WORD_RE = "[a-z0-9]+"
+_SENT_RE = "[.!?]+"
+_SYL_RE = "[aeiouy]+"
+
+
+@register(
+    "text_readability",
+    # all three inputs are exact integer regex-group counts over the same
+    # lowercased bytes; the score is one double expression over those
+    # integers, rounded to 6dp — identical in both engines
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '{_WORD_RE}')) AS w,
+             greatest(len(regexp_extract_all(text, '{_SENT_RE}')), 1) AS s,
+             len(regexp_extract_all(lower(text), '{_SYL_RE}')) AS y
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS n_words,
+           CAST(s AS INT) AS n_sentences,
+           CAST(y AS INT) AS n_syllables,
+           round(206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+                         - 84.6 * (CAST(y AS DOUBLE) / greatest(w, 1)), 6)
+             AS flesch
+    FROM c
+    """,
+    doc="Flesch reading-ease score per document from three integer "
+        "counts: words (alnum runs), sentences (terminal-punctuation "
+        "runs, floored at 1), and syllables approximated as vowel-group "
+        "runs — the classic cheap readability gate corpus curation uses "
+        "to downweight telegraphic or run-on text. Pure codegen'd per-row "
+        "regex counting, zero shuffle; the only floats are two divisions "
+        "of exact integers rounded at 6dp.",
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"CAST(size(regexp_extract_all(lower(text), '{_WORD_RE}', 0)) AS INT)"
+        ).alias("n_words"),
+        F.expr(
+            f"CAST(greatest(size(regexp_extract_all(text, '{_SENT_RE}', 0)), 1) AS INT)"
+        ).alias("n_sentences"),
+        F.expr(
+            f"CAST(size(regexp_extract_all(lower(text), '{_SYL_RE}', 0)) AS INT)"
+        ).alias("n_syllables"),
+        F.expr(
+            "round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)"
+            " - 84.6 * (CAST(n_syllables AS DOUBLE) / greatest(n_words, 1)), 6)"
+        ).alias("flesch"),
+    )
