@@ -865,3 +865,138 @@ def stream_first_seen_users(spark, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination(300)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# streaming CUSUM level-shift alarm (exact batch-stream parity)
+# ---------------------------------------------------------------------------
+
+CUSUM_K_CENTS = 6000    # reference level k (cents): drift below k resets
+CUSUM_H_CENTS = 50000   # alarm threshold h (cents of sustained excess)
+
+_CUSUM_STATE_SCHEMA = T.StructType([
+    T.StructField("pfx", T.LongType()),
+    T.StructField("mn", T.LongType()),
+])
+
+
+def cusum_stream(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    cents_col: str,
+    order_cols: Sequence[str],
+    *,
+    k_cents: int = CUSUM_K_CENTS,
+    h_cents: int = CUSUM_H_CENTS,
+) -> DataFrame:
+    """One-sided CUSUM alarm per key: the classic Page statistic
+    ``S_t = max(0, S_{t-1} + x_t - k)`` carried via the algebraic identity
+    ``S_t = P_t - min(0, min_{j<=t} P_j)`` where ``P`` is the running
+    prefix sum of ``x - k`` — so the whole state is TWO bigints per key
+    (prefix, running min), both exact integers, and the stream replays
+    bit-identically against the batch window form of the same identity.
+    A row is emitted whenever ``S_t > h`` (a sustained level shift above
+    the reference ``k``). Rows fold in ``order_cols`` order within each
+    batch."""
+    out_fields = [df.schema[c] for c in key_cols] + [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("s_scaled", T.LongType()),
+    ]
+    out_schema = T.StructType(out_fields)
+    names = list(key_cols)
+    ocols = list(order_cols)
+
+    def fn(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if not parts:
+            return
+        batch = pd.concat(parts).sort_values(ocols)
+        pfx, mn = state.get if state.exists else (0, 0)
+        rows = []
+        for event_id, cents in zip(batch["event_id"], batch[cents_col]):
+            pfx += int(cents) - k_cents
+            mn = min(mn, pfx)
+            s = pfx - mn
+            if s > h_cents:
+                rows.append(tuple(key) + (int(event_id), int(cents) / 100, s))
+        state.update((pfx, mn))
+        if rows:
+            yield pd.DataFrame(rows, columns=names + ["event_id", "value", "s_scaled"])
+
+    return df.groupBy(*names).applyInPandasWithState(
+        fn, out_schema, _CUSUM_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+@register(
+    "stream_cusum_alerts",
+    # batch replay of the same identity: S_t = pfx_t - min(0, min pfx)
+    # over the (ts, event_id) order — all integer cents, so the stream's
+    # two-bigint state reproduces the window computation exactly
+    oracle=f"""
+    WITH c AS (
+      SELECT event_id, event_type, ts,
+             CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ),
+    p AS (
+      SELECT event_id, event_type, ts, cents,
+             SUM(cents - {CUSUM_K_CENTS}) OVER w AS pfx
+      FROM c WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ),
+    m AS (
+      SELECT *, LEAST(MIN(pfx) OVER w2, 0) AS mn
+      FROM p WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )
+    SELECT event_type, event_id,
+           CAST(cents AS DOUBLE) / 100 AS value,
+           CAST(pfx - mn AS BIGINT) AS s_scaled
+    FROM m WHERE pfx - mn > {CUSUM_H_CENTS}
+    """,
+    doc=f"Streaming CUSUM level-shift alarm (applyInPandasWithState): "
+        f"per event type, Page's one-sided CUSUM against reference level "
+        f"k={CUSUM_K_CENTS} cents with alarm threshold h={CUSUM_H_CENTS} "
+        "— the drift detector a feature pipeline runs on incoming metric "
+        "streams. State per key is two exact bigints (prefix sum and its "
+        "running minimum: S_t = pfx - min(0, min pfx), the algebraic "
+        "form of max(0, S+x-k)) so state is O(keys), independent of "
+        "stream length, and the hash gate proves exact batch-stream "
+        "parity against the window-form oracle.",
+)
+def stream_cusum_alerts(spark, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    name = f"stream_cusum_{uuid.uuid4().hex[:8]}"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    in_dir = tempfile.mkdtemp(prefix="stream_cusum_in_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(in_dir, "events.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(in_dir)
+        .select(
+            "event_type", "ts", "event_id",
+            F.expr("CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT)")
+            .alias("cents"),
+        )
+    )
+    query = (
+        cusum_stream(stream, ["event_type"], "cents", ["ts", "event_id"])
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_cusum_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table(name)
