@@ -2874,3 +2874,66 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - 84.6 * (CAST(n_syllables AS DOUBLE) / greatest(n_words, 1)), 6)"
         ).alias("flesch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-fold cross-validation assignment + balance audit
+# ---------------------------------------------------------------------------
+
+KFOLDS = 5
+
+
+@register(
+    "sample_kfold_balance",
+    # fold = salted md5 of doc_id mod k (same determinism contract as
+    # sample_split_documents); the audit grid is (source x fold) with the
+    # per-source uniform deviation in exact integer per-mille
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, source,
+             {md5_int32_duck("concat('fold:', doc_id)")} % {KFOLDS} AS fold
+      FROM documents
+    ),
+    per AS (
+      SELECT source, fold, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM assigned GROUP BY source, fold
+    ),
+    tot AS (
+      SELECT source, SUM(n_docs) AS t FROM per GROUP BY source
+    )
+    SELECT p.source, CAST(p.fold AS INT) AS fold, p.n_docs,
+           round(CAST(p.n_docs AS DOUBLE) / t.t, 6) AS fold_share,
+           CAST(({KFOLDS} * 1000 * p.n_docs - 1000 * t.t) AS BIGINT)
+             AS dev_permille_scaled
+    FROM per p JOIN tot t ON t.source = p.source
+    """,
+    doc=f"k-fold CV assignment (k={KFOLDS}) with a per-source balance "
+        "audit: fold membership is a salted-md5 pure function of doc_id "
+        "(stable under repartitioning/appends — the sample_split_documents "
+        "contract), and the audit reports each (source, fold) cell's "
+        "share plus its deviation from the uniform 1/k in EXACT scaled "
+        "integers (k*1000*n - 1000*total: positive = oversubscribed "
+        "cell). A skewed cell means fold metrics won't be comparable. "
+        "One map-side-combinable aggregate on (source, fold) plus a "
+        "|sources|-row broadcast join.",
+)
+def sample_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    fold_hash = md5_int32_spark("concat('fold:', doc_id)")
+    assigned = docs.select(
+        "source",
+        F.expr(f"{fold_hash} % {KFOLDS}").alias("fold"),
+    )
+    per = assigned.groupBy("source", "fold").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs")
+    )
+    tot = per.groupBy("source").agg(F.sum("n_docs").alias("t"))
+    return per.join(F.broadcast(tot), "source").select(
+        "source",
+        F.col("fold").cast("int").alias("fold"),
+        "n_docs",
+        F.expr("round(CAST(n_docs AS DOUBLE) / t, 6)").alias("fold_share"),
+        F.expr(
+            f"CAST(({KFOLDS} * 1000 * n_docs - 1000 * t) AS BIGINT)"
+        ).alias("dev_permille_scaled"),
+    )

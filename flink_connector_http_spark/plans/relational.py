@@ -4470,3 +4470,99 @@ def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.max(F.abs(F.col("cusum_scaled"))).over(wt)
         ).alias("is_peak"),
     )
+
+
+# ---------------------------------------------------------------------------
+# time-bounded ordered funnel (conversion window)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_funnel_windowed",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id
+       AND e.ts > v.t_view AND e.ts <= v.t_view + INTERVAL 7 DAY
+      WHERE e.event_type = 'click'
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id
+       AND e.ts > c.t_click AND e.ts <= c.t_click + INTERVAL 7 DAY
+      WHERE e.event_type = 'purchase'
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewed,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clicked_7d,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased_7d,
+           round(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+                 / greatest((SELECT COUNT(*) FROM v), 1), 6) AS click_rate,
+           round(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+                 / greatest((SELECT COUNT(*) FROM c), 1), 6) AS purchase_rate
+    """,
+    doc="Time-bounded ordered funnel (the windowFunnel pattern): view, "
+        "then a click within 7 days of the first view, then a purchase "
+        "within 7 days of that first click — the bounded conversion "
+        "window is what separates campaign attribution from the "
+        "unbounded q_funnel_conversion. Same chained per-user "
+        "min-aggregation shape with a range upper bound added to each "
+        "join predicate; each stage's surviving cohort shrinks, so at "
+        "scale the build sides stay small and the range condition prunes "
+        "inside the join instead of post-filtering.",
+)
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_uid"), F.col("ts").alias("c_ts")
+    )
+    c = (
+        clicks.join(
+            v,
+            (F.col("c_uid") == F.col("user_id"))
+            & (F.col("c_ts") > F.col("t_view"))
+            & (F.col("c_ts") <= F.expr("t_view + INTERVAL 7 DAY")),
+        )
+        .groupBy("user_id")
+        .agg(F.min("c_ts").alias("t_click"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"), F.col("ts").alias("p_ts")
+    )
+    p = (
+        purchases.join(
+            c,
+            (F.col("p_uid") == F.col("user_id"))
+            & (F.col("p_ts") > F.col("t_click"))
+            & (F.col("p_ts") <= F.expr("t_click + INTERVAL 7 DAY")),
+        )
+        .groupBy("user_id")
+        .agg(F.min("p_ts").alias("t_purchase"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_viewed"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_clicked_7d"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchased_7d"))
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            F.col("n_viewed").cast("bigint").alias("n_viewed"),
+            F.col("n_clicked_7d").cast("bigint").alias("n_clicked_7d"),
+            F.col("n_purchased_7d").cast("bigint").alias("n_purchased_7d"),
+            F.expr(
+                "round(CAST(n_clicked_7d AS DOUBLE) / greatest(n_viewed, 1), 6)"
+            ).alias("click_rate"),
+            F.expr(
+                "round(CAST(n_purchased_7d AS DOUBLE) / greatest(n_clicked_7d, 1), 6)"
+            ).alias("purchase_rate"),
+        )
+    )
