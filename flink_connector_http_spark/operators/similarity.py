@@ -2750,3 +2750,103 @@ def graph_ktruss_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("surv"), F.lit(False)).alias("in_truss"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# diagonal-Mahalanobis outliers over int8 embedding codes
+# ---------------------------------------------------------------------------
+
+MAHAL_TOP_K = 20
+
+
+@register(
+    "emb_outlier_mahalanobis",
+    # per-dim mean/var come from EXACT integer moments of the int8 codes
+    # (n*ss - s*s stays in bigint at test scale; a 100 TB run lifts the
+    # moment sums to DECIMAL(38,0) — same expressions); the per-row
+    # distance folds dims in index order on both engines, then ranking is
+    # a distributed top-k, never a global window
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, {_QVEC_DUCK} AS qvec FROM embeddings
+    ),
+    pos AS (
+      SELECT vec_id, qvec, unnest(range(1, len(qvec) + 1)) AS dim FROM q
+    ),
+    stats AS (
+      SELECT dim,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(qvec[dim]) AS BIGINT) AS s,
+             CAST(SUM(CAST(qvec[dim] AS BIGINT) * qvec[dim]) AS BIGINT) AS ss
+      FROM pos GROUP BY dim
+    ),
+    vecs AS (
+      SELECT list(CAST(s AS DOUBLE) / n ORDER BY dim) AS means,
+             list(CAST(n * ss - s * s AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+                  ORDER BY dim) AS vars
+      FROM stats
+    ),
+    dist AS (
+      SELECT q.vec_id,
+             round(list_sum(list_transform(range(1, len(qvec) + 1),
+               d -> CASE WHEN vecs.vars[d] > 0
+                         THEN (qvec[d] - vecs.means[d]) * (qvec[d] - vecs.means[d])
+                              / vecs.vars[d]
+                         ELSE 0.0 END)), 6) AS mahalanobis
+      FROM q CROSS JOIN vecs
+    )
+    SELECT vec_id, mahalanobis,
+           CAST(ROW_NUMBER() OVER (ORDER BY mahalanobis DESC, vec_id) AS INT)
+             AS rk
+    FROM dist
+    ORDER BY mahalanobis DESC, vec_id LIMIT {MAHAL_TOP_K}
+    """,
+    doc=f"Top-{MAHAL_TOP_K} embedding outliers by diagonal Mahalanobis "
+        "distance: per-dimension mean/variance from exact integer moments "
+        "of the int8 codes (the emb_dim_stats trick — no float-summation "
+        "order sensitivity), broadcast as one 64-slot array row, then "
+        "each vector folds (q_d - mean_d)^2 / var_d in fixed index order "
+        "— the distributional-outlier gate that catches corrupt or "
+        "out-of-family vectors where plain L2-to-centroid misses "
+        "variance-scaled deviations. Scale shape: one moment aggregate "
+        "(64 groups, map-side partials), one broadcast of a 1-row stats "
+        "array, and a distributed TakeOrdered top-k — no global window, "
+        "no shuffle of the full distance set.",
+)
+def emb_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    q = emb.select("vec_id", F.expr(_QVEC_SPARK).alias("qvec"))
+    pos = q.select(
+        "vec_id", F.posexplode("qvec").alias("pos", "qv")
+    ).select((F.col("pos") + 1).alias("dim"), "qv")
+    stats = pos.groupBy("dim").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+        F.expr("CAST(SUM(qv) AS BIGINT)").alias("s"),
+        F.expr("CAST(SUM(CAST(qv AS BIGINT) * qv) AS BIGINT)").alias("ss"),
+    )
+    # one row holding the per-dim arrays; map_from_entries keeps the
+    # collect order irrelevant, the sequence lookup imposes index order
+    vecs = stats.agg(
+        F.expr(
+            "map_from_entries(collect_list(struct(dim, "
+            "CAST(s AS DOUBLE) / n))) AS means_map"
+        ),
+        F.expr(
+            "map_from_entries(collect_list(struct(dim, "
+            "CAST(n * ss - s * s AS DOUBLE) / (CAST(n AS DOUBLE) * n)))) "
+            "AS vars_map"
+        ),
+    )
+    dist = q.crossJoin(F.broadcast(vecs)).select(
+        "vec_id",
+        F.expr(
+            "round(aggregate(sequence(1, size(qvec)), CAST(0.0 AS DOUBLE), "
+            "(acc, d) -> acc + CASE WHEN vars_map[d] > 0 THEN "
+            "(element_at(qvec, d) - means_map[d]) * "
+            "(element_at(qvec, d) - means_map[d]) / vars_map[d] "
+            "ELSE 0.0 END), 6)"
+        ).alias("mahalanobis"),
+    )
+    top = dist.orderBy(F.desc("mahalanobis"), F.asc("vec_id")).limit(MAHAL_TOP_K)
+    w = Window.orderBy(F.desc("mahalanobis"), F.asc("vec_id"))
+    return top.withColumn("rk", F.row_number().over(w).cast("int"))
