@@ -706,3 +706,81 @@ def pipeline_release_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# curriculum ordering: quality gate → difficulty score → per-source phases
+# ---------------------------------------------------------------------------
+
+from .text import FLESCH_DUCK as _CURR_FLESCH_DUCK  # noqa: E402
+from .text import FLESCH_SPARK as _CURR_FLESCH_SPARK  # noqa: E402
+
+CURRICULUM_PHASES = 4
+
+
+@register(
+    "pipeline_curriculum_phases",
+    # quality gate verbatim from text_quality_filter, difficulty verbatim
+    # from text_readability (imported constants — no drift); the phase is
+    # the integer quartile (PHASES*(rn-1)) DIV cnt + 1, deterministic via
+    # the (flesch DESC, doc_id) tiebreak
+    oracle=f"""
+    WITH gated AS (
+      SELECT doc_id, source, {_CURR_FLESCH_DUCK} AS flesch
+      FROM documents WHERE {_QUALITY_DUCK}
+    ),
+    ranked AS (
+      SELECT source, flesch,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY flesch DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS cnt
+      FROM gated
+    )
+    SELECT source,
+           CAST(({CURRICULUM_PHASES} * (rn - 1)) // cnt + 1 AS INT) AS phase,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(flesch) AS min_flesch,
+           MAX(flesch) AS max_flesch
+    FROM ranked
+    GROUP BY source, ({CURRICULUM_PHASES} * (rn - 1)) // cnt + 1
+    """,
+    doc=f"Curriculum construction: quality-gated documents are ordered "
+        "easiest-first by Flesch readability within each source and cut "
+        f"into {CURRICULUM_PHASES} equal phases (integer quartile of the "
+        "per-source rank — deterministic tiebreak on doc_id), with "
+        "per-phase document counts and score ranges — the "
+        "easy-to-hard schedule curriculum-learning training runs consume. "
+        "Gate and score reuse the standalone operators' expression text "
+        "verbatim (imported constants), so the composition stays one "
+        "Catalyst plan: a per-row projection, one per-source window "
+        "(key-parallel across sources; within a giant source this is "
+        "Spark's standard range-partitioned sort), and a final "
+        "map-side-combinable aggregate.",
+)
+def pipeline_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    gated = docs.filter(F.expr(_QUALITY_SPARK)).select(
+        "doc_id", "source", F.expr(_CURR_FLESCH_SPARK).alias("flesch")
+    )
+    wr = Window.partitionBy("source").orderBy(F.desc("flesch"), F.asc("doc_id"))
+    wc = Window.partitionBy("source")
+    ranked = gated.select(
+        "source",
+        "flesch",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    return (
+        ranked.withColumn(
+            "phase",
+            F.expr(f"CAST(({CURRICULUM_PHASES} * (rn - 1)) DIV cnt + 1 AS INT)"),
+        )
+        .groupBy("source", "phase")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+            F.min("flesch").alias("min_flesch"),
+            F.max("flesch").alias("max_flesch"),
+        )
+    )

@@ -2825,6 +2825,24 @@ _WORD_RE = "[a-z0-9]+"
 _SENT_RE = "[.!?]+"
 _SYL_RE = "[aeiouy]+"
 
+#: standalone Flesch expressions over a ``text`` column — importable by
+#: composition operators (pipeline curriculum) so the score text cannot
+#: drift from text_readability's
+FLESCH_SPARK = (
+    f"round(206.835"
+    f" - 1.015 * (CAST(size(regexp_extract_all(lower(text), '{_WORD_RE}', 0)) AS DOUBLE)"
+    f"            / greatest(size(regexp_extract_all(text, '{_SENT_RE}', 0)), 1))"
+    f" - 84.6 * (CAST(size(regexp_extract_all(lower(text), '{_SYL_RE}', 0)) AS DOUBLE)"
+    f"           / greatest(size(regexp_extract_all(lower(text), '{_WORD_RE}', 0)), 1)), 6)"
+)
+FLESCH_DUCK = (
+    f"round(206.835"
+    f" - 1.015 * (CAST(len(regexp_extract_all(lower(text), '{_WORD_RE}')) AS DOUBLE)"
+    f"            / greatest(len(regexp_extract_all(text, '{_SENT_RE}')), 1))"
+    f" - 84.6 * (CAST(len(regexp_extract_all(lower(text), '{_SYL_RE}')) AS DOUBLE)"
+    f"           / greatest(len(regexp_extract_all(lower(text), '{_WORD_RE}')), 1)), 6)"
+)
+
 
 @register(
     "text_readability",
