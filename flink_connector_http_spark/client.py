@@ -37,7 +37,7 @@ from .auth import (
 from .formats import resolve_decoder
 from .http_logger import logging_callback
 from .options import HttpLookupOptions
-from .query_creators import QueryCreator, resolve_query_creator
+from .query_creators import LookupQueryInfo, QueryCreator, resolve_query_creator
 from .ratelimit import TokenBucket
 from .request import HttpRequestSpec, build_lookup_request
 from .retry import HttpRetryError, RetryStats, run_with_retry
@@ -322,7 +322,11 @@ class HttpPollingClient:
         """Network phase: build the request and run it with retries. Returns
         an opaque exchange for :meth:`publish`. I/O-bound — the async path
         runs this on the pull pool (``AsyncHttpTableLookupFunction.java:94-115``)."""
-        spec = self.build_request(key_values)
+        return self._exchange(self.build_request(key_values))
+
+    def _exchange(self, spec: HttpRequestSpec) -> Tuple:
+        """Fire one assembled request with the retry policy; shared by the
+        per-key and multi-key network phases."""
 
         def _fire() -> HttpResponse:
             # each wire attempt (including retries) consumes a permit —
@@ -397,6 +401,120 @@ class HttpPollingClient:
         says fail (continue-on-error off — reference
         ``JavaNetHttpPollingClient.java:166-199``)."""
         return self.publish(self.send(key_values))
+
+    # -- multi-key batch lookup (beyond-reference scale path) ------------------
+
+    def send_multi(self, batch_key_values: List[Mapping[str, Any]]) -> Tuple:
+        """Network phase for a multi-key batch lookup: ONE body-based
+        request whose payload is the JSON array of key objects. GET
+        upgrades to POST (the keys travel in the body); headers, auth
+        rewrite, TLS, retry, and rate limiting are identical to the
+        per-key path."""
+        import json as _json
+
+        raw_headers = dict(self.options.headers)
+        if self._seed_auth_header:
+            raw_headers.setdefault(AUTHORIZATION, "")
+        headers = preprocess_headers(raw_headers, self._preprocessors)
+        method = self.options.method.upper()
+        spec = build_lookup_request(
+            method="POST" if method == "GET" else method,
+            url=self.url,
+            query_info=LookupQueryInfo(
+                lookup_query=_json.dumps(
+                    [dict(kv) for kv in batch_key_values]
+                )
+            ),
+            headers=headers,
+        )
+        return self._exchange(spec)
+
+    def publish_multi(
+        self,
+        exchange: Tuple,
+        batch_key_values: List[Mapping[str, Any]],
+        key_names: List[str],
+    ) -> List[HttpLookupResult]:
+        """Classify + decode for a batch exchange, fanned back out per key:
+        the response is a JSON array of result objects each carrying its
+        key fields; rows are grouped by key tuple, keys with no matching
+        object read as empty results (the per-key emptiness rule then
+        applies downstream). Any transport/status/decode failure yields
+        the SAME failure result for every key in the batch (one request ⇒
+        one fate, like one per-key request's fate)."""
+        spec, response, failure = exchange
+        n = len(batch_key_values)
+        if failure is not None:
+            message, status_code = failure
+            base = self._on_failure(
+                HttpCompletionState.EXCEPTION, message, status_code=status_code
+            )
+            return [base] * n
+        if self.on_response is not None:
+            self.on_response(spec, response)
+        headers = response.header_map()
+        if response.status in self.ignored_codes:
+            base = HttpLookupResult(
+                rows=(),
+                status_code=response.status,
+                headers=headers,
+                completion_state=HttpCompletionState.IGNORE_STATUS_CODE,
+            )
+            return [base] * n
+        if not self.checker.is_successful(response.status):
+            base = self._on_failure(
+                HttpCompletionState.HTTP_ERROR_STATUS,
+                f"HTTP error status {response.status}",
+                status_code=response.status,
+                headers=headers,
+            )
+            return [base] * n
+        try:
+            payload = (
+                self._decoder(response.body) if response.body.strip() else []
+            )
+            if not isinstance(payload, list):
+                raise ValueError(
+                    "batch lookup expects an array response "
+                    "(one result object per matched key)"
+                )
+        except (ValueError, UnicodeDecodeError) as err:
+            base = self._on_failure(
+                HttpCompletionState.UNABLE_TO_DESERIALIZE_RESPONSE,
+                f"cannot deserialize response: {err}",
+                status_code=response.status,
+                headers=headers,
+            )
+            return [base] * n
+        grouped: Dict[Tuple, List[Mapping[str, Any]]] = {}
+        for row in payload:
+            if row is None:
+                continue
+            grouped.setdefault(
+                tuple(row.get(k) for k in key_names), []
+            ).append(row)
+        return [
+            HttpLookupResult(
+                rows=tuple(
+                    grouped.get(tuple(kv.get(k) for k in key_names), ())
+                ),
+                status_code=response.status,
+                headers=headers,
+                completion_state=HttpCompletionState.SUCCESS,
+            )
+            for kv in batch_key_values
+        ]
+
+    def pull_multi(
+        self,
+        batch_key_values: List[Mapping[str, Any]],
+        key_names: List[str],
+    ) -> List[HttpLookupResult]:
+        """One batch lookup: N distinct keys -> one HTTP request -> one
+        result per key, order-aligned with the input."""
+        return self.publish_multi(
+            self.send_multi(batch_key_values), batch_key_values, key_names
+        )
 
     def _on_failure(
         self,

@@ -372,13 +372,51 @@ def http_lookup_join(
                 else:
                     to_fetch.append(kt)
 
-            calls_acc.add(len(to_fetch))
+            batch_size = table_ref.options.lookup_batch_size
+            calls_acc.add(
+                -(-len(to_fetch) // batch_size) if (batch_size and to_fetch)
+                else len(to_fetch)
+            )
             cache_hits_acc.add(len(distinct) - len(to_fetch))
 
             def key_values_of(kt: Tuple) -> Dict[str, Any]:
                 return {_leaf_name(lk): v for (_pc, lk), v in zip(pairs, kt)}
 
-            if to_fetch:
+            if to_fetch and batch_size:
+                # multi-key batch mode: N distinct keys per request; chunks
+                # fetch concurrently on the pull pool under use_async
+                leaf_names = [_leaf_name(lk) for _, lk in pairs]
+                chunks = [
+                    to_fetch[i : i + batch_size]
+                    for i in range(0, len(to_fetch), batch_size)
+                ]
+
+                def fetch_chunk(chunk: List[Tuple]) -> List[Tuple]:
+                    kvs = [key_values_of(kt) for kt in chunk]
+                    return list(
+                        zip(chunk, client.pull_multi(kvs, leaf_names))
+                    )
+
+                if table_ref.options.use_async and len(chunks) > 1:
+                    workers = max(1, min(pool_size, len(chunks)))
+                    with ThreadPoolExecutor(max_workers=workers) as pool:
+                        fetched = [
+                            pair
+                            for part in pool.map(fetch_chunk, chunks)
+                            for pair in part
+                        ]
+                else:
+                    fetched = [
+                        pair for chunk in chunks for pair in fetch_chunk(chunk)
+                    ]
+                for kt, result in fetched:
+                    distinct[kt] = result
+                    if cache is not None and result.completion_state in (
+                        HttpCompletionState.SUCCESS,
+                    ):
+                        if result.rows or cache.config.cache_missing_key:
+                            cache.put(kt, result)
+            elif to_fetch:
                 if not table_ref.options.use_async or len(to_fetch) == 1:
                     # sync mode: strictly sequential per-key firing, the
                     # reference's synchronous LookupFunction semantics

@@ -76,6 +76,10 @@ LOOKUP_OPTION_KEYS = {
     # lookup-option naming style.
     "rate_limit": "http.source.lookup.rate-limit.requests-per-second",
     "rate_limit_burst": "http.source.lookup.rate-limit.burst",
+    # beyond-reference scale knob: multi-key batch lookup — one request
+    # carries up to N distinct keys (the reference fires one request per
+    # key, cache aside). Key follows the sink's request-batching naming.
+    "lookup_batch_size": "http.source.lookup.request.batch.size",
 }
 
 SINK_OPTION_KEYS = {
@@ -168,6 +172,13 @@ class HttpLookupOptions:
     # reference's (scale-unsafe) behavior. burst defaults to max(1, rate).
     rate_limit: Optional[float] = None
     rate_limit_burst: Optional[float] = None
+    # multi-key batch lookup: when set, up to this many distinct keys ride
+    # in ONE body-based request (JSON array of key objects; the endpoint
+    # answers with a JSON array of result objects carrying the key fields,
+    # matched back per key — absent keys read as empty results). Cuts the
+    # request volume by the batch factor vs the reference's per-key model.
+    # GET upgrades to POST for the batch request (keys travel in the body).
+    lookup_batch_size: Optional[int] = None
 
 
 @dataclass(frozen=True)

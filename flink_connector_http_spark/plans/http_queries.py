@@ -56,15 +56,19 @@ class _DataStub:
         _empty_array = response_bytes(b"[]")
 
         con = duckdb.connect()
-        customers = {
-            str(r[0]): response_bytes(json.dumps({
+        customer_rows = {
+            str(r[0]): {
                 "c_custkey": r[0], "c_name": r[1], "c_nationkey": r[2],
                 "c_acctbal": r[3], "c_mktsegment": r[4],
-            }).encode())
+            }
             for r in con.execute(
                 f"SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment "
                 f"FROM read_parquet('{sf_dir}/customer.parquet')"
             ).fetchall()
+        }
+        customers = {
+            k: response_bytes(json.dumps(row).encode())
+            for k, row in customer_rows.items()
         }
         nations = {
             r[0]: response_bytes(json.dumps(
@@ -129,9 +133,22 @@ class _DataStub:
             key = json.loads(body)["n_nationkey"]
             return nations.get(int(key), _404_nation)
 
+        def customers_batch(_query: str, body: bytes) -> bytes:
+            # multi-key batch endpoint: POST [{"c_custkey": N}, ...] ->
+            # JSON array of the matched customer objects (misses omitted)
+            keys = json.loads(body)
+            rows = [
+                row
+                for kv in keys
+                if (row := customer_rows.get(str(kv.get("c_custkey"))))
+                is not None
+            ]
+            return response_bytes(json.dumps(rows).encode())
+
         self.server = FastHttpStub()
         self.server.route_static("/customers", customers, "c_custkey",
                                  default=_404_customer)
+        self.server.route("/customers-batch", customers_batch)
         self.server.route("/nation-lookup", nation_post)
         self.server.route_static("/orders-by-customer", orders, "o_custkey",
                                  default=_empty_array)
@@ -210,6 +227,44 @@ def http_lookup_customers_get(spark: SparkSession, sf_dir: str) -> DataFrame:
         url=stub.url("/customers"),
         schema=CUSTOMER_SCHEMA,
         options=HttpLookupOptions(method="GET", use_async=True),
+    )
+    return http_lookup_join(
+        probe, table, on={"o_custkey": "c_custkey"}, how="inner",
+        select=["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+        num_partitions=32,
+    )
+
+
+@register(
+    "http_lookup_customers_batch",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    WHERE o_orderstatus = 'P'
+    """,
+    doc="Multi-key BATCH lookup join (beyond-reference scale path): up to "
+        "50 distinct probe keys ride in ONE POST whose body is the JSON "
+        "array of key objects; the endpoint answers with the matched "
+        "customer objects and rows fan back out per key — same flagship "
+        "semantics as http_lookup_customers_get with the request volume "
+        "cut by the batch factor (requests = ceil(distinct/50) per "
+        "partition, visible in the calls accumulator). The reference "
+        "fires one request per key, cache aside.",
+)
+def http_lookup_customers_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stub = _stub_for(sf_dir)
+    probe = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderstatus") == "P")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    table = HttpLookupTable(
+        url=stub.url("/customers-batch"),
+        schema=CUSTOMER_SCHEMA,
+        options=HttpLookupOptions(
+            method="GET", use_async=True, lookup_batch_size=50
+        ),
     )
     return http_lookup_join(
         probe, table, on={"o_custkey": "c_custkey"}, how="inner",

@@ -355,3 +355,86 @@ def test_url_template_query_creator_end_to_end(spark, stub_server):
     out = http_lookup_join(orders_df(spark, ids=(3,)), table, on={"cust_id": "id"})
     assert out.collect()[0].name == "carol"
     assert stub_server.recorded("/api/customers/3")
+
+
+# ---------------------------------------------------------------------------
+# multi-key batch lookup (beyond-reference scale path)
+# ---------------------------------------------------------------------------
+
+def batch_customers_responder(request):
+    keys = request.json()
+    rows = [CUSTOMERS[k["id"]] for k in keys if k["id"] in CUSTOMERS]
+    return json_response(rows)
+
+
+def test_batch_lookup_matches_per_key_results(spark, stub_server):
+    stub_server.stub("/customers-batch", batch_customers_responder)
+    table = HttpLookupTable(
+        url=stub_server.url("/customers-batch"),
+        schema=CUSTOMER_SCHEMA,
+        options=HttpLookupOptions(lookup_batch_size=10),
+    )
+    out = http_lookup_join(orders_df(spark), table, on={"cust_id": "id"})
+    rows = {r.order_id: r for r in out.collect()}
+    assert len(rows) == 4
+    assert rows[100].name == "alice" and rows[100].balance == 10.5
+    assert rows[101].name == "bob"
+    assert rows[103].id == 2
+
+
+def test_batch_lookup_chunks_requests(spark, stub_server):
+    stub_server.stub("/customers-batch", batch_customers_responder)
+    table = HttpLookupTable(
+        url=stub_server.url("/customers-batch"),
+        schema=CUSTOMER_SCHEMA,
+        options=HttpLookupOptions(lookup_batch_size=2),
+    )
+    df = orders_df(spark, ids=(1, 1, 2, 2, 3, 3, 1)).coalesce(1)
+    out = http_lookup_join(df, table, on={"cust_id": "id"})
+    assert out.count() == 7
+    recorded = stub_server.recorded("/customers-batch")
+    # 3 distinct keys / batch size 2 -> 2 POSTs, keys in the body
+    assert len(recorded) == 2
+    assert recorded[0].method == "POST"
+    sent = [k["id"] for req in recorded for k in req.json()]
+    assert sorted(sent) == [1, 2, 3]
+
+
+def test_batch_lookup_missing_keys_follow_join_semantics(spark, stub_server):
+    stub_server.stub("/customers-batch", batch_customers_responder)
+    table = HttpLookupTable(
+        url=stub_server.url("/customers-batch"),
+        schema=CUSTOMER_SCHEMA,
+        options=HttpLookupOptions(lookup_batch_size=10),
+    )
+    df = orders_df(spark, ids=(1, 99))  # 99 unknown to the endpoint
+    inner = http_lookup_join(df, table, on={"cust_id": "id"})
+    assert {r.order_id for r in inner.collect()} == {100}
+    left = http_lookup_join(df, table, on={"cust_id": "id"}, how="left")
+    rows = {r.order_id: r for r in left.collect()}
+    # null-enrichment row, all lookup columns null (same as the per-key
+    # path: key backfill applies to RETURNED rows with null key fields,
+    # not to no-result rows — reference table/http.md:712-714)
+    assert rows[101].name is None and rows[101].id is None
+    assert rows[100].name == "alice"
+
+
+def test_batch_lookup_failure_hits_every_key_in_chunk(spark, stub_server):
+    stub_server.stub_json("/customers-batch", {"err": "boom"}, status=400)
+    table = HttpLookupTable(
+        url=stub_server.url("/customers-batch"),
+        schema=CUSTOMER_SCHEMA,
+        options=HttpLookupOptions(
+            lookup_batch_size=10,
+            continue_on_error=True,
+            retry=RetryConfig(max_retries=0),
+        ),
+    )
+    out = http_lookup_join(
+        orders_df(spark, ids=(1, 2)), table, on={"cust_id": "id"},
+        metadata_columns=["http-status-code", "http-completion-state"],
+    )
+    rows = out.collect()
+    assert len(rows) == 2
+    assert all(r["http-status-code"] == 400 for r in rows)
+    assert all(r["http-completion-state"] == "HTTP_ERROR_STATUS" for r in rows)
