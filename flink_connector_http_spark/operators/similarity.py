@@ -2850,3 +2850,112 @@ def emb_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = dist.orderBy(F.desc("mahalanobis"), F.asc("vec_id")).limit(MAHAL_TOP_K)
     w = Window.orderBy(F.desc("mahalanobis"), F.asc("vec_id"))
     return top.withColumn("rk", F.row_number().over(w).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# IVF inverted-list balance audit (index-health monitor)
+# ---------------------------------------------------------------------------
+
+@register(
+    "sim_ivf_cell_balance",
+    # same coarse-quantizer assignment CTEs as sim_ann_ivf_topk; the audit
+    # is per-cell list length + share + uniform deviation in exact scaled
+    # integers (cells*1000*n - 1000*total), zero-length cells included
+    oracle=f"""
+    WITH cent AS MATERIALIZED (
+      SELECT label, i - 1 AS dim,
+             round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS c
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+      GROUP BY label, dim
+    ),
+    cent_norm AS (
+      SELECT label, sqrt(sum(c * c)) AS cn FROM cent GROUP BY label
+    ),
+    vec_dim AS ({_DIMS_DUCK}),
+    vec_norm AS (
+      SELECT vec_id, sqrt(sum(x * x)) AS vn FROM vec_dim GROUP BY vec_id
+    ),
+    scores AS (
+      SELECT v.vec_id, c.label,
+             round(sum(v.x * c.c) / (vn.vn * cn.cn), 6) AS cellcos
+      FROM vec_dim v JOIN cent c USING (dim)
+      JOIN vec_norm vn ON vn.vec_id = v.vec_id
+      JOIN cent_norm cn ON cn.label = c.label
+      GROUP BY v.vec_id, c.label, vn.vn, cn.cn
+    ),
+    assign AS (
+      SELECT vec_id, label,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cellcos DESC, label) AS crk
+      FROM scores
+    ),
+    cells AS (SELECT vec_id, label FROM assign WHERE crk = 1),
+    per AS (
+      SELECT cn.label,
+             CAST(COUNT(cells.vec_id) AS BIGINT) AS n_vectors
+      FROM cent_norm cn LEFT JOIN cells ON cells.label = cn.label
+      GROUP BY cn.label
+    ),
+    tot AS (
+      SELECT SUM(n_vectors) AS t, COUNT(*) AS n_cells FROM per
+    )
+    SELECT per.label, per.n_vectors,
+           round(CAST(per.n_vectors AS DOUBLE) / tot.t, 6) AS cell_share,
+           CAST(tot.n_cells * 1000 * per.n_vectors - 1000 * tot.t AS BIGINT)
+             AS dev_permille_scaled
+    FROM per CROSS JOIN tot
+    """,
+    doc="IVF inverted-list balance audit: the length, corpus share, and "
+        "exact scaled uniform-deviation of every coarse cell's posting "
+        "list (empty cells included) — the index-health monitor that "
+        "catches the IVF failure mode where a few hot cells absorb the "
+        "corpus and probing them degenerates toward a full scan (query "
+        "cost is the sum of probed list lengths, so balance IS the "
+        "latency model). Same assignment expressions as sim_ann_ivf_topk "
+        "(no drift); one broadcast of the tiny centroid set, one "
+        "assignment window keyed by vec_id, one |cells|-row aggregate.",
+)
+def sim_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
+        .groupBy("label")
+        .agg(F.expr(
+            "transform(sort_array(collect_list(struct(dim, c))), s -> s.c)"
+        ).alias("centroid"))
+        .select("label", "centroid",
+                F.expr(_NORM.format(col="centroid")).alias("c_norm"))
+    )
+    vecs = emb.select(
+        "vec_id", "embedding",
+        F.expr(_NORM.format(col="embedding")).alias("v_norm"),
+    )
+    scores = vecs.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label",
+        F.expr(f"round({_DOT_VC} / (v_norm * c_norm), 6)").alias("cellcos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cellcos"), F.asc("label"))
+    cells = (
+        scores.withColumn("crk", F.row_number().over(w))
+        .filter(F.col("crk") == 1)
+        .select("vec_id", "label")
+    )
+    per = (
+        cent.select("label")
+        .join(cells, "label", "left")
+        .groupBy("label")
+        .agg(F.expr("CAST(COUNT(vec_id) AS BIGINT)").alias("n_vectors"))
+    )
+    tot = per.agg(
+        F.sum("n_vectors").alias("t"), F.count(F.lit(1)).alias("n_cells")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "label",
+        "n_vectors",
+        F.expr("round(CAST(n_vectors AS DOUBLE) / t, 6)").alias("cell_share"),
+        F.expr(
+            "CAST(n_cells * 1000 * n_vectors - 1000 * t AS BIGINT)"
+        ).alias("dev_permille_scaled"),
+    )

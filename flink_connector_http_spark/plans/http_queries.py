@@ -251,6 +251,7 @@ def http_lookup_customers_get(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cut by the batch factor (requests = ceil(distinct/50) per "
         "partition, visible in the calls accumulator). The reference "
         "fires one request per key, cache aside.",
+    bench=True,
 )
 def http_lookup_customers_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     stub = _stub_for(sf_dir)
