@@ -438,3 +438,19 @@ def test_batch_lookup_failure_hits_every_key_in_chunk(spark, stub_server):
     assert len(rows) == 2
     assert all(r["http-status-code"] == 400 for r in rows)
     assert all(r["http-completion-state"] == "HTTP_ERROR_STATUS" for r in rows)
+
+
+def test_batch_lookup_calls_metric_counts_requests_not_keys(spark, stub_server):
+    stub_server.stub("/customers-batch", batch_customers_responder)
+    table = HttpLookupTable(
+        url=stub_server.url("/customers-batch"),
+        schema=CUSTOMER_SCHEMA,
+        options=HttpLookupOptions(lookup_batch_size=2),
+    )
+    df = orders_df(spark, ids=(1, 2, 3)).coalesce(1)
+    out = http_lookup_join(df, table, on={"cust_id": "id"})
+    from flink_connector_http_spark.lookup import http_lookup_join as op
+    assert out.count() == 3
+    # 3 distinct keys at batch size 2 -> 2 HTTP requests
+    assert op.last_metrics["numLookupCalls"].value == 2
+    assert op.last_metrics["numRowsEmitted"].value == 3
