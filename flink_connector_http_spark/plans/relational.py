@@ -4566,3 +4566,75 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("purchase_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# skyline (Pareto-front) query: cheapest-and-largest parts
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_skyline_parts",
+    # dominance test via one running max over distinct value pairs: with
+    # pairs ordered (price ASC, size DESC), every preceding row has
+    # strictly lower price OR equal price with strictly larger size — so
+    # "preceding max size >= mine" is exactly "somebody dominates me"
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT CAST(p_retailprice AS DECIMAL(10,2)) AS price, p_size
+      FROM part
+    ),
+    flagged AS (
+      SELECT price, p_size,
+             MAX(p_size) OVER (ORDER BY price ASC, p_size DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS best_prev
+      FROM pairs
+    ),
+    sky AS (
+      SELECT price, p_size FROM flagged
+      WHERE best_prev IS NULL OR best_prev < p_size
+    )
+    SELECT p.p_partkey, p.p_brand,
+           CAST(sky.price AS DOUBLE) AS price, p.p_size
+    FROM part p
+    JOIN sky ON CAST(p.p_retailprice AS DECIMAL(10,2)) = sky.price
+            AND p.p_size = sky.p_size
+    """,
+    doc="Skyline (Pareto-front) query: parts where no other part is both "
+        "cheaper-or-equal AND larger-or-equal with one strict — the "
+        "classic multi-criteria shortlist (minimize price, maximize "
+        "size). Dominance collapses to ONE running max over DISTINCT "
+        "(price, size) pairs ordered (price ASC, size DESC): any "
+        "preceding pair dominates iff its size reaches yours. The window "
+        "runs on the deduplicated pair set (orders of magnitude smaller "
+        "than the fact table); at 100 TB the standard refinement is "
+        "local-skyline-per-partition then merge — the local pass prunes "
+        "all but a sliver before this global step, same final window. "
+        "DECIMAL-cast prices keep the equality join exact.",
+)
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")["part"]
+    pairs = (
+        part.select(
+            F.expr("CAST(p_retailprice AS DECIMAL(10,2))").alias("price"),
+            "p_size",
+        )
+        .distinct()
+    )
+    w = (
+        Window.orderBy(F.asc("price"), F.desc("p_size"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sky = (
+        pairs.withColumn("best_prev", F.max("p_size").over(w))
+        .filter(F.col("best_prev").isNull() | (F.col("best_prev") < F.col("p_size")))
+        .select("price", "p_size")
+    )
+    return (
+        part.withColumn("price", F.expr("CAST(p_retailprice AS DECIMAL(10,2))"))
+        .join(F.broadcast(sky), ["price", "p_size"])
+        .select(
+            "p_partkey", "p_brand",
+            F.col("price").cast("double").alias("price"), "p_size",
+        )
+    )
