@@ -454,3 +454,24 @@ def test_batch_lookup_calls_metric_counts_requests_not_keys(spark, stub_server):
     # 3 distinct keys at batch size 2 -> 2 HTTP requests
     assert op.last_metrics["numLookupCalls"].value == 2
     assert op.last_metrics["numRowsEmitted"].value == 3
+
+
+def test_batch_lookup_composes_with_cache(spark, stub_server):
+    stub_server.stub("/customers-batch", batch_customers_responder)
+    table = HttpLookupTable(
+        url=stub_server.url("/customers-batch"),
+        schema=CUSTOMER_SCHEMA,
+        options=HttpLookupOptions(
+            lookup_batch_size=10,
+            cache=LookupCacheConfig(max_rows=100),
+        ),
+    )
+    df = orders_df(spark, ids=(1, 2)).coalesce(1)
+    out = http_lookup_join(df, table, on={"cust_id": "id"})
+    assert out.count() == 2
+    first = len(stub_server.recorded("/customers-batch"))
+    assert first == 1  # both keys in one request
+    # second run: every key served from the per-executor cache
+    out2 = http_lookup_join(df, table, on={"cust_id": "id"})
+    assert out2.count() == 2
+    assert len(stub_server.recorded("/customers-batch")) == first
