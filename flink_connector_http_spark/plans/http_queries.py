@@ -779,3 +779,56 @@ def http_sql_ddl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS total_acctbal
         FROM suppliers_http GROUP BY s_nationkey
     """)
+
+
+@register(
+    "http_sql_ddl_insert",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier WHERE s_acctbal >= 5000
+    """,
+    doc="SQL-DDL WRITE path under the oracle gate: `CREATE TEMPORARY VIEW "
+        "... USING http` then `INSERT INTO ... SELECT` pushes rows "
+        "through the DataSource batch writer (per-partition buffered "
+        "POSTs with JSON-array framing — distinct code from write_http's "
+        "foreachPartition sink, so both write surfaces are gate-checked); "
+        "the recorded request bodies must reassemble to exactly the "
+        "SELECT's rows. Mirrors the reference's DDL-first INSERT usage "
+        "(docs/.../table/http.md).",
+)
+def http_sql_ddl_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datasource import register_http_datasource
+    from ..testing import StubHttpServer
+
+    register_http_datasource(spark)
+    server = StubHttpServer()
+    server.stub_json("/ingest-ddl", {"ok": True})
+    server.start()
+
+    spark.sql(f"""
+        CREATE OR REPLACE TEMPORARY VIEW ingest_ddl_http
+        USING http
+        OPTIONS (
+          url '{server.url("/ingest-ddl")}',
+          schema 's_suppkey BIGINT, s_name STRING, s_acctbal DOUBLE',
+          method 'POST',
+          batch_size '100'
+        )
+    """)
+    spark.sql(f"""
+        INSERT INTO ingest_ddl_http
+        SELECT s_suppkey, s_name, s_acctbal
+        FROM parquet.`{sf_dir}/supplier.parquet`
+        WHERE s_acctbal >= 5000
+    """)
+
+    received = []
+    for req in server.recorded("/ingest-ddl"):
+        received.extend(json.loads(req.body))
+    server.stop()
+    schema = T.StructType([
+        T.StructField("s_suppkey", T.LongType()),
+        T.StructField("s_name", T.StringType()),
+        T.StructField("s_acctbal", T.DoubleType()),
+    ])
+    return spark.createDataFrame(received, schema=schema)
