@@ -58,6 +58,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # §2 core HTTP surface (reference flagship)
     "http_lookup_customers_get",
+    "http_lookup_customers_batch",
     "http_lookup_nation_post",
     "http_lookup_orders_array",
     "http_lookup_parts_csv",
@@ -69,6 +70,7 @@ _PRIORITY = [
     "http_stream_enrich",
     "http_sql_lookup_join",
     "http_sql_ddl_scan",
+    "http_sql_ddl_insert",
     # dedup family
     "dedup_exact",
     "dedup_minhash_lsh",
