@@ -3123,3 +3123,73 @@ def sim_mp_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST(COUNT(hit) AS DOUBLE) / {TOP_K}").alias("recall_at_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# binary signature search: Hamming top-k over the 16-bit sketches
+# ---------------------------------------------------------------------------
+
+HAM_MAX = 6  # candidate radius: prune before the per-query rank
+
+
+@register(
+    "sim_hamming_topk",
+    # pure integer pipeline end to end: signatures, xor, popcount, rank —
+    # nothing floats, so the gate is exact by construction
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, {_signature_duck('embedding')} AS sig FROM embeddings
+    ),
+    qs AS (SELECT vec_id AS q_id, sig AS q_sig FROM sig
+           WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT qs.q_id, s.vec_id AS neighbor_id,
+             bit_count(xor(qs.q_sig, s.sig)) AS hamming
+      FROM qs JOIN sig s ON s.vec_id <> qs.q_id
+      WHERE bit_count(xor(qs.q_sig, s.sig)) <= {HAM_MAX}
+    )
+    SELECT q_id, neighbor_id, CAST(hamming AS INT) AS hamming, rk FROM (
+      SELECT q_id, neighbor_id, hamming,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY hamming, neighbor_id) AS rk
+      FROM scored
+    ) t WHERE rk <= {TOP_K}
+    """,
+    doc=f"Binary-signature search: top-{TOP_K} neighbors by Hamming "
+        "distance over the 16-bit hyperplane sketches alone — the "
+        "binary-quantization retrieval mode where the index is 2 BYTES "
+        "per vector and similarity is xor+popcount (no float math "
+        "anywhere, so the gate is exact by construction; the standard "
+        "first stage before an exact re-rank of survivors). Scale shape: "
+        "the query sketches broadcast, the corpus is one narrow integer "
+        f"scan, and the radius prune (hamming <= {HAM_MAX}) bounds what "
+        "reaches the per-query rank — the shuffle carries survivors, not "
+        "the corpus.",
+)
+def sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    sig = emb.select(
+        "vec_id", F.expr(_signature_expr("embedding")).alias("sig")
+    )
+    qs = sig.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("sig").alias("q_sig")
+    )
+    scored = (
+        sig.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr("bit_count(q_sig ^ sig)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAM_MAX)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("hamming"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "q_id", "neighbor_id",
+            F.col("hamming").cast("int").alias("hamming"), "rk",
+        )
+    )
