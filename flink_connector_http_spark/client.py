@@ -40,7 +40,7 @@ from .options import HttpLookupOptions
 from .query_creators import LookupQueryInfo, QueryCreator, resolve_query_creator
 from .ratelimit import TokenBucket
 from .request import HttpRequestSpec, build_lookup_request
-from .retry import HttpRetryError, RetryStats, run_with_retry
+from .retry import CircuitBreaker, HttpRetryError, RetryStats, run_with_retry
 from .status import HttpResponseChecker, parse_http_codes
 from .tls import build_ssl_context
 from .types import HttpCompletionState, HttpLookupResult
@@ -253,6 +253,15 @@ class HttpPollingClient:
             if options.rate_limit
             else None
         )
+        # per-executor fail-fast guard (beyond-reference; see retry.py)
+        self.circuit_breaker = (
+            CircuitBreaker(
+                options.circuit_breaker_failures,
+                options.circuit_breaker_reset,
+            )
+            if options.circuit_breaker_failures
+            else None
+        )
         # response format SPI (reference lookup-request.format / format)
         self._decoder = options.decoder or resolve_decoder(options.response_format)
         # R12 request/response callback; default logs at DEBUG only
@@ -326,7 +335,13 @@ class HttpPollingClient:
 
     def _exchange(self, spec: HttpRequestSpec) -> Tuple:
         """Fire one assembled request with the retry policy; shared by the
-        per-key and multi-key network phases."""
+        per-key and multi-key network phases. The circuit breaker (when
+        configured) is consulted BEFORE the wire and fed the exchange
+        outcome: a successfully classified response closes it, an
+        exception / exhausted retry / error status counts as a failure."""
+        breaker = self.circuit_breaker
+        if breaker is not None and not breaker.allow():
+            return (spec, None, ("circuit breaker open: failing fast", None))
 
         def _fire() -> HttpResponse:
             # each wire attempt (including retries) consumes a permit —
@@ -348,9 +363,21 @@ class HttpPollingClient:
                 stats=self.retry_stats,
             )
         except HttpRetryError as err:
+            if breaker is not None:
+                breaker.record_failure()
             return (spec, None, (f"retries exhausted: {err}", err.status_code))
         except Exception as err:  # noqa: BLE001 — policy boundary
+            if breaker is not None:
+                breaker.record_failure()
             return (spec, None, (str(err), None))
+        if breaker is not None:
+            if (
+                self.checker.is_successful(response.status)
+                or response.status in self.ignored_codes
+            ):
+                breaker.record_success()
+            else:
+                breaker.record_failure()
         return (spec, response, None)
 
     def publish(self, exchange: Tuple) -> HttpLookupResult:

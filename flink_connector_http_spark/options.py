@@ -80,6 +80,11 @@ LOOKUP_OPTION_KEYS = {
     # carries up to N distinct keys (the reference fires one request per
     # key, cache aside). Key follows the sink's request-batching naming.
     "lookup_batch_size": "http.source.lookup.request.batch.size",
+    # beyond-reference resilience knob: per-executor circuit breaker —
+    # fail fast while the endpoint is down instead of hammering it with
+    # every task's full retry schedule
+    "circuit_breaker_failures": "http.source.lookup.circuit-breaker.failure-threshold",
+    "circuit_breaker_reset": "http.source.lookup.circuit-breaker.reset-timeout",
 }
 
 SINK_OPTION_KEYS = {
@@ -179,6 +184,12 @@ class HttpLookupOptions:
     # request volume by the batch factor vs the reference's per-key model.
     # GET upgrades to POST for the batch request (keys travel in the body).
     lookup_batch_size: Optional[int] = None
+    # circuit breaker: after this many CONSECUTIVE failed exchanges the
+    # per-executor client stops firing and fails fast (EXCEPTION-state
+    # results under continue_on_error) until the reset timeout elapses,
+    # then lets one half-open trial through. None = disabled.
+    circuit_breaker_failures: Optional[int] = None
+    circuit_breaker_reset: float = 30.0               # seconds
 
 
 @dataclass(frozen=True)

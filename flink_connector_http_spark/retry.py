@@ -11,11 +11,15 @@ Parity targets:
 
 from __future__ import annotations
 
+import threading
 import time
 from dataclasses import dataclass
 from typing import Callable, Iterator, Optional, TypeVar
 
-__all__ = ["RetryConfig", "HttpRetryError", "run_with_retry", "RetryStats"]
+__all__ = [
+    "RetryConfig", "HttpRetryError", "run_with_retry", "RetryStats",
+    "CircuitBreaker",
+]
 
 T = TypeVar("T")
 
@@ -126,3 +130,74 @@ def run_with_retry(
         status_code=last_status,
         cause=last_exc,
     )
+
+
+class CircuitBreaker:
+    """Per-executor fail-fast guard around the lookup client (a
+    beyond-reference protection: at 1000 executors a dead endpoint would
+    otherwise absorb every task's full retry schedule, turning an outage
+    into a retry storm).
+
+    Classic three-state machine, thread-safe:
+
+    - CLOSED: requests flow; ``failure_threshold`` CONSECUTIVE failures
+      trip the breaker.
+    - OPEN: :meth:`allow` returns False (callers fail fast without
+      touching the wire) until ``reset_timeout`` seconds pass.
+    - HALF-OPEN: after the timeout one trial request is let through; its
+      success closes the breaker, its failure re-opens it for another
+      full timeout.
+    """
+
+    def __init__(
+        self,
+        failure_threshold: int,
+        reset_timeout: float,
+        *,
+        clock: Callable[[], float] = time.monotonic,
+    ) -> None:
+        if failure_threshold < 1:
+            raise ValueError("failure_threshold must be >= 1")
+        self.failure_threshold = failure_threshold
+        self.reset_timeout = reset_timeout
+        self._clock = clock
+        self._lock = threading.Lock()
+        self._consecutive_failures = 0
+        self._opened_at: Optional[float] = None
+        self._half_open_in_flight = False
+
+    def allow(self) -> bool:
+        """True when a request may be fired now."""
+        with self._lock:
+            if self._opened_at is None:
+                return True
+            if self._clock() - self._opened_at >= self.reset_timeout:
+                if not self._half_open_in_flight:
+                    self._half_open_in_flight = True  # one trial request
+                    return True
+            return False
+
+    def record_success(self) -> None:
+        with self._lock:
+            self._consecutive_failures = 0
+            self._opened_at = None
+            self._half_open_in_flight = False
+
+    def record_failure(self) -> None:
+        with self._lock:
+            if self._half_open_in_flight:
+                # failed trial: re-open for another full timeout
+                self._opened_at = self._clock()
+                self._half_open_in_flight = False
+                return
+            self._consecutive_failures += 1
+            if (
+                self._opened_at is None
+                and self._consecutive_failures >= self.failure_threshold
+            ):
+                self._opened_at = self._clock()
+
+    @property
+    def is_open(self) -> bool:
+        with self._lock:
+            return self._opened_at is not None

@@ -466,12 +466,43 @@ def test_batch_lookup_composes_with_cache(spark, stub_server):
             cache=LookupCacheConfig(max_rows=100),
         ),
     )
-    df = orders_df(spark, ids=(1, 2)).coalesce(1)
-    out = http_lookup_join(df, table, on={"cust_id": "id"})
-    assert out.count() == 2
-    first = len(stub_server.recorded("/customers-batch"))
-    assert first == 1  # both keys in one request
-    # second run: every key served from the per-executor cache
-    out2 = http_lookup_join(df, table, on={"cust_id": "id"})
-    assert out2.count() == 2
-    assert len(stub_server.recorded("/customers-batch")) == first
+    # one probe row per Arrow batch INSIDE one task (same worker process,
+    # same per-executor cache): repeat keys in later batches must be
+    # served from cache, so only the two distinct keys hit the wire
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        df = orders_df(spark, ids=(1, 1, 2, 2)).coalesce(1)
+        out = http_lookup_join(df, table, on={"cust_id": "id"})
+        assert out.count() == 4
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    assert len(stub_server.recorded("/customers-batch")) == 2
+
+
+def test_circuit_breaker_short_circuits_after_threshold(spark, stub_server):
+    stub_server.stub_json("/customers", {"err": "down"}, status=400)
+    table = HttpLookupTable(
+        url=stub_server.url("/customers"),
+        schema=CUSTOMER_SCHEMA,
+        options=HttpLookupOptions(
+            continue_on_error=True,
+            retry=RetryConfig(max_retries=0),
+            circuit_breaker_failures=2,
+            circuit_breaker_reset=300.0,
+        ),
+    )
+    # 5 distinct keys in ONE partition, sequential firing: the first two
+    # 400s trip the breaker, the remaining three never touch the wire
+    df = orders_df(spark, ids=(1, 2, 3, 4, 5)).coalesce(1)
+    out = http_lookup_join(
+        df, table, on={"cust_id": "id"},
+        metadata_columns=["error-string", "http-completion-state"],
+    )
+    rows = sorted(out.collect(), key=lambda r: r.cust_id)
+    assert len(rows) == 5
+    assert len(stub_server.recorded("/customers")) == 2
+    assert rows[0]["http-completion-state"] == "HTTP_ERROR_STATUS"
+    assert rows[1]["http-completion-state"] == "HTTP_ERROR_STATUS"
+    for r in rows[2:]:
+        assert r["http-completion-state"] == "EXCEPTION"
+        assert "circuit breaker open" in r["error-string"]

@@ -380,3 +380,61 @@ class TestRequestAssembly:
     def test_flatten_key_row(self):
         flat = flatten_key_row({"id": 1, "details": {"nested": {"balance": "9.9"}}})
         assert flat == {"id": 1, "details.nested.balance": "9.9"}
+
+
+class TestCircuitBreaker:
+    def _clock(self):
+        t = {"now": 0.0}
+
+        def now():
+            return t["now"]
+
+        return t, now
+
+    def test_opens_after_consecutive_failures(self):
+        from flink_connector_http_spark.retry import CircuitBreaker
+
+        t, now = self._clock()
+        cb = CircuitBreaker(3, 30.0, clock=now)
+        for _ in range(2):
+            cb.record_failure()
+        assert cb.allow() and not cb.is_open
+        cb.record_failure()
+        assert cb.is_open and not cb.allow()
+
+    def test_success_resets_consecutive_count(self):
+        from flink_connector_http_spark.retry import CircuitBreaker
+
+        t, now = self._clock()
+        cb = CircuitBreaker(2, 30.0, clock=now)
+        cb.record_failure()
+        cb.record_success()
+        cb.record_failure()
+        assert not cb.is_open  # never two CONSECUTIVE failures
+
+    def test_half_open_trial_then_close(self):
+        from flink_connector_http_spark.retry import CircuitBreaker
+
+        t, now = self._clock()
+        cb = CircuitBreaker(1, 30.0, clock=now)
+        cb.record_failure()
+        assert not cb.allow()
+        t["now"] = 31.0
+        assert cb.allow()       # one half-open trial
+        assert not cb.allow()   # but only one
+        cb.record_success()
+        assert cb.allow() and not cb.is_open
+
+    def test_half_open_trial_failure_reopens(self):
+        from flink_connector_http_spark.retry import CircuitBreaker
+
+        t, now = self._clock()
+        cb = CircuitBreaker(1, 30.0, clock=now)
+        cb.record_failure()
+        t["now"] = 31.0
+        assert cb.allow()
+        cb.record_failure()     # trial failed -> re-open for a full timeout
+        t["now"] = 60.0
+        assert not cb.allow()
+        t["now"] = 61.1
+        assert cb.allow()
