@@ -4638,3 +4638,77 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("price").cast("double").alias("price"), "p_size",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# XmR (individuals / moving-range) control chart
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_control_chart_xmr",
+    # the classic XmR rule flags |x - mean| > 2.66 * avg moving range;
+    # clearing denominators makes the comparison pure integers:
+    #   100*(n-1)*|n*x - total|  vs  266*n*sum_MR
+    # (mean = total/n, MRbar = sum_MR/(n-1), 2.66 = 266/100)
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(10,2))) * 100 AS BIGINT) AS cents
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    mr AS (
+      SELECT event_type, day, cents,
+             abs(cents - lag(cents) OVER w) AS moving_range
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    stats AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(cents) AS total,
+             SUM(moving_range) AS sum_mr
+      FROM mr GROUP BY event_type
+    )
+    SELECT mr.event_type, mr.day, mr.cents AS day_cents,
+           CAST(mr.moving_range AS BIGINT) AS moving_range,
+           100 * (s.n - 1) * abs(s.n * mr.cents - s.total)
+             > 266 * s.n * s.sum_mr AS out_of_control
+    FROM mr JOIN stats s ON s.event_type = mr.event_type
+    """,
+    doc="XmR (individuals/moving-range) control chart per event type: "
+        "daily DECIMAL-exact totals, consecutive-day moving ranges, and "
+        "the classic |x - mean| > 2.66*MRbar out-of-control rule with "
+        "every denominator cleared so the flag is an exact integer "
+        "comparison (100*(n-1)*|n*x - total| vs 266*n*sum_MR) — the SPC "
+        "complement to CUSUM: XmR flags single-point excursions, CUSUM "
+        "accumulates small sustained shifts. One (type, day) aggregate "
+        "with map-side partials, one lag window over the short daily "
+        "series, one |types|-row broadcast join.",
+)
+def q_control_chart_xmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    daily = ev.groupBy(
+        "event_type", F.expr("CAST(ts AS DATE)").alias("day")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(value AS DECIMAL(10,2))) * 100 AS BIGINT)"
+        ).alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    mr = daily.select(
+        "event_type", "day", "cents",
+        F.abs(F.col("cents") - F.lag("cents").over(w)).alias("moving_range"),
+    )
+    stats = mr.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("total"),
+        F.sum("moving_range").alias("sum_mr"),
+    )
+    return mr.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        F.col("cents").alias("day_cents"),
+        F.col("moving_range").cast("bigint").alias("moving_range"),
+        F.expr(
+            "100 * (n - 1) * abs(n * cents - total) > 266 * n * sum_mr"
+        ).alias("out_of_control"),
+    )
