@@ -2955,3 +2955,100 @@ def sample_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(({KFOLDS} * 1000 * n_docs - 1000 * t) AS BIGINT)"
         ).alias("dev_permille_scaled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law slope fit over the token frequency distribution
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP_V = 500  # fit over the top-V vocabulary (distributed top-k)
+
+
+@register(
+    "text_zipf_slope",
+    # log-log OLS with the established float-determinism discipline:
+    # ln() is computed PER ROW and rounded to 6dp, then all sums run as
+    # DECIMAL (order-independent); the slope/intercept are single final
+    # divisions of exact decimals
+    oracle=f"""
+    WITH freq AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok <> '' GROUP BY tok
+    ),
+    ranked AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rk
+      FROM freq ORDER BY n DESC, tok LIMIT {ZIPF_TOP_V}
+    ),
+    xy AS (
+      SELECT CAST(round(ln(rk), 6) AS DECIMAL(18,6)) AS x,
+             CAST(round(ln(n), 6) AS DECIMAL(18,6)) AS y,
+             CAST(round(ln(rk) * ln(n), 6) AS DECIMAL(28,6)) AS xy,
+             CAST(round(ln(rk) * ln(rk), 6) AS DECIMAL(28,6)) AS xx
+      FROM ranked
+    ),
+    s AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(xy) AS sxy, SUM(xx) AS sxx
+      FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+           round((CAST(sy AS DOUBLE)
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE)) / n, 6) AS log_intercept
+    FROM s
+    """,
+    doc=f"Zipf-law fit: OLS slope of log-frequency vs log-rank over the "
+        f"top-{ZIPF_TOP_V} vocabulary — natural corpora fit ~-1; a "
+        "materially flatter slope is the synthetic/templated-text "
+        "signature and a steeper one flags vocabulary collapse, so the "
+        "single number is a cheap corpus-authenticity gate. Determinism: "
+        "per-row ln() rounded at 6dp then DECIMAL sums (order-"
+        "independent), one final division pair. Scale shape: one "
+        "vocabulary aggregate with map-side partials, a distributed "
+        f"top-{ZIPF_TOP_V} selection (TakeOrdered, no global sort), and "
+        "a single-row reduction.",
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    freq = (
+        docs.select(F.explode(F.expr(TOKS_SPARK)).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"))
+    )
+    top = freq.orderBy(F.desc("n"), F.asc("tok")).limit(ZIPF_TOP_V)
+    ranked = top.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("tok")))
+    )
+    xy = ranked.select(
+        F.expr("CAST(round(ln(rk), 6) AS DECIMAL(18,6))").alias("x"),
+        F.expr("CAST(round(ln(n), 6) AS DECIMAL(18,6))").alias("y"),
+        F.expr("CAST(round(ln(rk) * ln(n), 6) AS DECIMAL(28,6))").alias("xy"),
+        F.expr("CAST(round(ln(rk) * ln(rk), 6) AS DECIMAL(28,6))").alias("xx"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("xy").alias("sxy"),
+        F.sum("xx").alias("sxx"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.expr(
+            "round(CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / CAST(n * sxx - sx * sx AS DOUBLE), 6)"
+        ).alias("zipf_slope"),
+        F.expr(
+            "round((CAST(sy AS DOUBLE)"
+            " - CAST(n * sxy - sx * sy AS DOUBLE)"
+            "   / CAST(n * sxx - sx * sx AS DOUBLE)"
+            "   * CAST(sx AS DOUBLE)) / n, 6)"
+        ).alias("log_intercept"),
+    )
