@@ -4712,3 +4712,65 @@ def q_control_chart_xmr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "100 * (n - 1) * abs(n * cents - total) > 266 * n * sum_mr"
         ).alias("out_of_control"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU/WAU stickiness (engagement depth per week)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_dau_wau_stickiness",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('week', CAST(ts AS DATE)) AS week,
+             CAST(ts AS DATE) AS day,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+      FROM events GROUP BY week, day
+    ),
+    weekly AS (
+      SELECT date_trunc('week', CAST(ts AS DATE)) AS week,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+      FROM events GROUP BY week
+    ),
+    davg AS (
+      SELECT week, CAST(SUM(dau) AS BIGINT) AS dau_total,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY week
+    )
+    SELECT CAST(d.week AS DATE) AS week, d.dau_total, d.n_days, w.wau,
+           round(CAST(d.dau_total AS DOUBLE) / d.n_days / w.wau, 6)
+             AS stickiness
+    FROM davg d JOIN weekly w ON w.week = d.week
+    """,
+    doc="DAU/WAU stickiness per week: average daily active users divided "
+        "by weekly actives — the engagement-depth ratio (1/7 = users "
+        "show up once a week, 1.0 = every active user active every day) "
+        "growth dashboards track. Two distinct-count aggregates at "
+        "different grains joined on the |weeks|-row broadcast side; the "
+        "ratio is one final division of exact integers. Monday-based "
+        "week truncation in BOTH engines (the same cross-engine calendar "
+        "discipline as q_seasonality_dow).",
+)
+def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    base = ev.select(
+        F.expr("CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE)").alias("week"),
+        F.expr("CAST(ts AS DATE)").alias("day"),
+        "user_id",
+    )
+    daily = base.groupBy("week", "day").agg(
+        F.expr("CAST(COUNT(DISTINCT user_id) AS BIGINT)").alias("dau")
+    )
+    weekly = base.groupBy("week").agg(
+        F.expr("CAST(COUNT(DISTINCT user_id) AS BIGINT)").alias("wau")
+    )
+    davg = daily.groupBy("week").agg(
+        F.expr("CAST(SUM(dau) AS BIGINT)").alias("dau_total"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_days"),
+    )
+    return davg.join(F.broadcast(weekly), "week").select(
+        "week", "dau_total", "n_days", "wau",
+        F.expr(
+            "round(CAST(dau_total AS DOUBLE) / n_days / wau, 6)"
+        ).alias("stickiness"),
+    )
