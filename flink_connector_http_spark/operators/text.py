@@ -3052,3 +3052,64 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "   * CAST(sx AS DOUBLE)) / n, 6)"
         ).alias("log_intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis-Spirakis A-ES keys)
+# ---------------------------------------------------------------------------
+
+WEIGHTED_K = 50
+
+
+@register(
+    "sample_weighted_topk",
+    # A-ES: drawing k items by key u^(1/w) (u uniform, w the weight) is
+    # EXACTLY weighted sampling without replacement. Rank on ln(u)/w
+    # (monotone in the key), computed per row and rounded at 6dp so both
+    # engines order identically; u = (md5_int32 + 1) / 2^33 stays in (0,
+    # 0.5] — strictly positive, ln() defined
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             round(ln(({md5_int32_duck("concat('aes:', doc_id)")} + 1)
+                      / 8589934592.0) / n_chars, 6) AS sort_key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight, sort_key,
+           CAST(rk AS INT) AS rk
+    FROM (
+      SELECT doc_id, n_chars, sort_key,
+             ROW_NUMBER() OVER (ORDER BY sort_key DESC, doc_id) AS rk
+      FROM keyed
+    ) t WHERE rk <= {WEIGHTED_K}
+    """,
+    doc=f"Weighted sampling WITHOUT replacement (Efraimidis-Spirakis "
+        f"A-ES): {WEIGHTED_K} documents drawn with probability "
+        "proportional to length via the key u^(1/w) — the principled "
+        "way to length-weight a training subsample where independent "
+        "per-row coin flips (A-RES's cousin) cannot hit an exact k. "
+        "The 'randomness' is salted md5, so re-runs, repartitioning, "
+        "and engine choice all reproduce the same sample — and the "
+        "selection is a DISTRIBUTED top-k on the per-row key "
+        "(TakeOrdered: per-partition heads then one tiny merge, no "
+        "global sort), the property that lets the same k serve 100 TB.",
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    aes_hash = md5_int32_spark("concat('aes:', doc_id)")
+    u = f"({aes_hash} + 1) / 8589934592.0"
+    keyed = docs.filter(F.col("n_chars") > 0).select(
+        "doc_id",
+        "n_chars",
+        F.expr(f"round(ln({u}) / n_chars, 6)").alias("sort_key"),
+    )
+    top = keyed.orderBy(F.desc("sort_key"), F.asc("doc_id")).limit(WEIGHTED_K)
+    w = Window.orderBy(F.desc("sort_key"), F.asc("doc_id"))
+    return top.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("weight"),
+        "sort_key",
+        F.row_number().over(w).cast("int").alias("rk"),
+    )
