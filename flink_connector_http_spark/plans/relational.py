@@ -4774,3 +4774,91 @@ def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round(CAST(dau_total AS DOUBLE) / n_days / wau, 6)"
         ).alias("stickiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve over user activity lifetimes
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_survival_kaplan_meier",
+    # the KM product Π(1 - d/n) becomes a SUM via logs: per-day ln factor
+    # rounded at 6dp (exact integer d, n inputs), cumulative DECIMAL sum
+    # over the short day series, exp + round at the end — the established
+    # order-independent float discipline
+    oracle="""
+    WITH lifetime AS (
+      SELECT user_id, MAX(CAST(ts AS DATE)) AS last_day FROM events
+      GROUP BY user_id
+    ),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM lifetime),
+    deaths AS (
+      SELECT last_day AS day, CAST(COUNT(*) AS BIGINT) AS d
+      FROM lifetime GROUP BY last_day
+    ),
+    ordered AS (
+      SELECT day, d,
+             (SELECT n_users FROM total)
+               - COALESCE(SUM(d) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_at_risk
+      FROM deaths
+    ),
+    logged AS (
+      SELECT day, d, n_at_risk,
+             CAST(round(ln(1.0 - CAST(d AS DOUBLE) / n_at_risk + 1e-12), 6)
+                  AS DECIMAL(18,6)) AS lnf
+      FROM ordered WHERE n_at_risk > d
+    )
+    SELECT day, CAST(n_at_risk AS BIGINT) AS n_at_risk, d AS n_events,
+           round(exp(CAST(SUM(lnf) OVER (ORDER BY day) AS DOUBLE)), 6)
+             AS survival
+    FROM logged
+    """,
+    doc="Kaplan-Meier survival curve over user activity lifetimes (event "
+        "= last observed activity day): at-risk counts from a running "
+        "death total, and the KM product Π(1 - d/n) carried as a "
+        "cumulative sum of per-day rounded log factors (DECIMAL "
+        "accumulation — order-independent, so the curve is "
+        "engine-reproducible; a tiny epsilon guards the final day's "
+        "ln(0), and days where everyone at risk dies are the curve's "
+        "end). The survival curve is the principled churn model behind "
+        "q_dormancy_curve's empirical CDF. One per-user aggregate, then "
+        "all windows run over the |days|-row series.",
+)
+def q_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    lifetime = ev.groupBy("user_id").agg(
+        F.expr("MAX(CAST(ts AS DATE))").alias("last_day")
+    )
+    total = lifetime.agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_users"))
+    deaths = lifetime.groupBy(F.col("last_day").alias("day")).agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("d")
+    )
+    wprev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    ordered = deaths.crossJoin(F.broadcast(total)).select(
+        "day",
+        "d",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum("d").over(wprev), F.lit(0))
+        ).alias("n_at_risk"),
+    )
+    logged = ordered.filter(F.col("n_at_risk") > F.col("d")).select(
+        "day",
+        "d",
+        "n_at_risk",
+        F.expr(
+            "CAST(round(ln(1.0 - CAST(d AS DOUBLE) / n_at_risk + 1e-12), 6)"
+            " AS DECIMAL(18,6))"
+        ).alias("lnf"),
+    )
+    wcum = Window.orderBy("day")
+    return logged.select(
+        "day",
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d").alias("n_events"),
+        F.expr(
+            "round(exp(CAST(SUM(lnf) OVER (ORDER BY day) AS DOUBLE)), 6)"
+        ).alias("survival"),
+    )
