@@ -1000,3 +1000,181 @@ def stream_cusum_alerts(spark, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination(300)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# custom stateful sessionization (EventTimeTimeout: watermark-driven close)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 3_600_000_000  # 1h inactivity gap, matches session_window
+
+_SESSION_STATE_SCHEMA = T.StructType([
+    T.StructField("start_us", T.LongType()),
+    T.StructField("last_us", T.LongType()),
+    T.StructField("n", T.LongType()),
+])
+
+
+def sessionize_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_cols: Sequence[str],
+    *,
+    gap_us: int = SESSION_GAP_US,
+) -> DataFrame:
+    """Gap-based sessionization as a CUSTOM stateful operator — the
+    hand-rolled twin of ``session_window`` built on
+    ``applyInPandasWithState`` with **EventTimeTimeout**: a session closes
+    either when a later event of the same key arrives past the gap
+    (successor close, emitted immediately) or when the WATERMARK passes
+    its would-be end (timeout close — how the final session of a key
+    leaves state without another event ever arriving). State per key is
+    three bigints; the timeout timestamp is re-armed to ``last + gap`` on
+    every update, so state lifetime is bounded by the gap plus the
+    watermark delay. The input stream must carry a watermark on
+    ``ts_col`` (EventTimeTimeout requires one)."""
+    out_schema = T.StructType([
+        df.schema[key_col],
+        T.StructField("session_start_us", T.LongType()),
+        T.StructField("session_end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ])
+    ocols = list(order_cols)
+
+    def fn(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [key + (start_us, last_us + gap_us, n)],
+                columns=[key_col, "session_start_us", "session_end_us",
+                         "n_events"],
+            )
+            return
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if not parts:
+            return
+        batch = pd.concat(parts).sort_values(ocols)
+        # pandas datetime64 is NANOSECONDS; session math runs in micros
+        ts_us = (batch[ts_col].astype("int64") // 1000).tolist()
+        start_us, last_us, n = state.get if state.exists else (None, None, 0)
+        closed = []
+        for t in ts_us:
+            if start_us is None:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us >= gap_us:
+                closed.append((start_us, last_us + gap_us, n))
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us, n = max(last_us, t), n + 1
+        state.update((start_us, last_us, n))
+        # re-arm: the open session times out when the watermark passes its
+        # prospective end
+        state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+        if closed:
+            yield pd.DataFrame(
+                [key + c for c in closed],
+                columns=[key_col, "session_start_us", "session_end_us",
+                         "n_events"],
+            )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, _SESSION_STATE_SCHEMA, "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+@register(
+    "stream_session_stateful",
+    # emitted sessions = those closed by a SUCCESSOR event (every
+    # non-final session of a user — all data arrives in one availableNow
+    # batch) plus final sessions whose prospective end the final
+    # watermark (max ts - 1h) passed via EventTimeTimeout
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                          >= {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ),
+    agg AS (
+      SELECT user_id, sid,
+             MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 1 HOUR AS session_end,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             MAX(sid) OVER (PARTITION BY user_id) AS max_sid
+      FROM sess GROUP BY user_id, sid
+    ),
+    wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+    SELECT user_id, session_start, session_end, n_events
+    FROM agg
+    WHERE sid < max_sid OR session_end <= (SELECT w FROM wm)
+    """,
+    doc="Custom stateful sessionization (applyInPandasWithState + "
+        "EventTimeTimeout): the hand-rolled session operator for "
+        "semantics session_window cannot express (per-session custom "
+        "folds, emit-on-close side effects). Sessions close by successor "
+        "event immediately or by the watermark passing their prospective "
+        "end (timeout) — so unlike session_window, successor-closed "
+        "sessions emit without waiting for the watermark; the oracle "
+        "encodes exactly that hybrid rule. Three bigints of state per "
+        "key, timeout re-armed per update — state is bounded by gap + "
+        "watermark delay, independent of stream length.",
+)
+def stream_session_stateful(spark, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from ..plans.registry import normalize_events_ts
+
+    name = f"stream_sess_st_{uuid.uuid4().hex[:8]}"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    in_dir = tempfile.mkdtemp(prefix="stream_sess_st_in_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(in_dir, "events.parquet"),
+    )
+    stream = (
+        normalize_events_ts(
+            spark.readStream.schema(raw_schema).parquet(in_dir),
+            target="timestamp",
+        )
+        .withWatermark("ts", "1 hour")
+        .select("user_id", "ts", "event_id")
+    )
+    query = (
+        sessionize_stream(stream, "user_id", "ts", ["ts", "event_id"])
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="stream_sess_st_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    out = spark.table(name)
+    return out.select(
+        "user_id",
+        F.expr("CAST(timestamp_micros(session_start_us) AS TIMESTAMP_NTZ)")
+        .alias("session_start"),
+        F.expr("CAST(timestamp_micros(session_end_us) AS TIMESTAMP_NTZ)")
+        .alias("session_end"),
+        "n_events",
+    )

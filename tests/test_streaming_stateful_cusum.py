@@ -91,3 +91,80 @@ def test_cusum_keys_are_independent(spark, tmp_path):
         assert got == {("a", 2)}  # b never accumulates (50 < k)
     finally:
         query.stop()
+
+
+# ---------------------------------------------------------------------------
+# custom stateful sessionization: successor close + watermark timeout close
+# ---------------------------------------------------------------------------
+
+import datetime as dt
+
+from flink_connector_http_spark.streaming.stateful import (
+    SESSION_GAP_US,
+    sessionize_stream,
+)
+
+SESS_SCHEMA = T.StructType([
+    T.StructField("user", T.StringType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("seq", T.LongType()),
+])
+
+T0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+
+def _mins(m):
+    return T0 + dt.timedelta(minutes=m)
+
+
+def test_stateful_sessions_close_by_successor_and_timeout(spark, tmp_path):
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def drop(rows):
+        spark.createDataFrame(rows, SESS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(in_dir))
+
+    stream = (
+        spark.readStream.schema(SESS_SCHEMA)
+        .parquet(str(in_dir))
+        .withWatermark("ts", "1 hour")
+    )
+    query = (
+        sessionize_stream(stream, "user", "ts", ["ts", "seq"])
+        .writeStream.format("memory")
+        .queryName("sess_st")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        # batch 1: one open session (0min, 10min) — nothing emitted
+        drop([("a", _mins(0), 1), ("a", _mins(10), 2)])
+        query.processAllAvailable()
+        assert spark.table("sess_st").count() == 0
+
+        # batch 2: event 3h later closes it by SUCCESSOR immediately
+        drop([("a", _mins(180), 3)])
+        query.processAllAvailable()
+        rows = spark.table("sess_st").collect()
+        assert [(r.user, r.session_start_us, r.session_end_us, r.n_events)
+                for r in rows] == [
+            ("a", 1767225600000000, 1767229800000000, 2)  # start, 10min+1h
+        ]
+
+        # batch 3: far-future OTHER user advances the watermark past the
+        # open session's prospective end -> EventTimeTimeout closes it
+        drop([("b", _mins(600), 4)])
+        query.processAllAvailable()
+        drop([("b", _mins(601), 5)])  # one more batch so the timeout fires
+        query.processAllAvailable()
+        got = {
+            (r.user, r.n_events, r.session_end_us)
+            for r in spark.table("sess_st").collect()
+        }
+        # the timed-out session: the lone 3h event, end = 3h + 1h gap
+        assert ("a", 1, 1767236400000000 + SESSION_GAP_US) in got
+    finally:
+        query.stop()
