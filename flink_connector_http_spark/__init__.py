@@ -24,7 +24,7 @@ from .options import (
     sink_options_from_map,
 )
 from .ratelimit import TokenBucket
-from .retry import RetryConfig
+from .retry import CircuitBreaker, RetryConfig
 from .sink import HttpSinkWriter, foreach_batch_http_sink, write_http
 from .status import HttpResponseChecker, SinkErrorCodeChecker, parse_http_codes
 from .types import HttpCompletionState, HttpLookupResult, HttpSinkRequestEntry
@@ -41,6 +41,7 @@ __all__ = [
     "sink_options_from_map",
     "LookupCacheConfig",
     "LruTtlCache",
+    "CircuitBreaker",
     "RetryConfig",
     "TokenBucket",
     "HttpResponseChecker",
