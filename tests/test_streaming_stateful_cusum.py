@@ -168,3 +168,28 @@ def test_stateful_sessions_close_by_successor_and_timeout(spark, tmp_path):
         assert ("a", 1, 1767236400000000 + SESSION_GAP_US) in got
     finally:
         query.stop()
+
+
+# ---------------------------------------------------------------------------
+# property: the two-bigint carry equals Page's recursive statistic
+# ---------------------------------------------------------------------------
+
+from hypothesis import given
+from hypothesis import strategies as st
+
+
+@given(
+    xs=st.lists(st.integers(min_value=0, max_value=10_000), max_size=60),
+    k=st.integers(min_value=0, max_value=10_000),
+)
+def test_prefix_minus_running_min_identity(xs, k):
+    """S_t = max(0, S_{t-1} + x - k)  ==  pfx_t - min(0, min_{j<=t} pfx_j),
+    the identity that lets the stream carry TWO bigints instead of
+    replaying history."""
+    s = 0
+    pfx, mn = 0, 0
+    for x in xs:
+        s = max(0, s + x - k)
+        pfx += x - k
+        mn = min(mn, pfx)
+        assert s == pfx - min(mn, 0)
