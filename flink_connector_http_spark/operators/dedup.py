@@ -2015,3 +2015,92 @@ def dedup_source_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("jaccard"), 6).alias("min_jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# chunk-level cross-document duplication (sub-document dedup accounting)
+# ---------------------------------------------------------------------------
+
+DEDUP_CHUNK_TOKENS = 100  # non-overlapping dedup units (no stride overlap)
+
+
+@register(
+    "dedup_chunk_level",
+    # NON-overlapping chunks on purpose: dedup units must partition the
+    # document (the RAG chunker's 20-token overlap would double-count
+    # boundary duplication); a chunk is duplicated when its md5 appears
+    # in >= 2 distinct documents
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               list_slice(toks, i * {DEDUP_CHUNK_TOKENS} + 1,
+                          (i + 1) * {DEDUP_CHUNK_TOKENS}), ' ')) AS h
+      FROM t, unnest(range(0,
+             CAST(ceil(len(toks) / {DEDUP_CHUNK_TOKENS}.0) AS BIGINT)))
+             AS u(i)
+    ),
+    freq AS (
+      SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY h
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) FILTER (f.n_docs >= 2) AS BIGINT) AS n_dup_chunks,
+           round(CAST(COUNT(*) FILTER (f.n_docs >= 2) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_chunk_ratio
+    FROM chunks c JOIN freq f ON f.h = c.h
+    GROUP BY c.doc_id
+    """,
+    doc=f"Chunk-level cross-document duplication: documents cut into "
+        f"NON-overlapping {DEDUP_CHUNK_TOKENS}-token chunks, each hashed, "
+        "and a chunk counts as duplicated when its hash occurs in >= 2 "
+        "distinct documents — the sub-document dedup grain (Lee et al.'s "
+        "'Deduplicating Training Data' operates at exactly this level: "
+        "documents are usually partially duplicated, and doc-level "
+        "MinHash misses a half-copied page where chunk hashes catch it). "
+        "Per-doc output = removable chunk accounting for surgical "
+        "dedup. Scale shape: chunking is per-row array slicing (no "
+        "shuffle), then one shuffle on chunk hash for the frequency "
+        "count and one map-side-combinable per-doc aggregate — no pair "
+        "join anywhere, so cost is linear in corpus chunks.",
+)
+def dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    n_chunks_expr = (
+        f"CAST(ceil(size(toks) / {DEDUP_CHUNK_TOKENS}.0) AS BIGINT)"
+    )
+    chunks = (
+        docs.select("doc_id", F.expr("split(text, ' ')").alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(0, {n_chunks_expr} - 1)")).alias("i"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"md5(array_join(slice(toks, i * {DEDUP_CHUNK_TOKENS} + 1, "
+                f"{DEDUP_CHUNK_TOKENS}), ' '))"
+            ).alias("h"),
+        )
+    )
+    freq = chunks.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return (
+        chunks.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_chunks"),
+            F.expr(
+                "CAST(COUNT(*) FILTER (WHERE n_docs >= 2) AS BIGINT)"
+            ).alias("n_dup_chunks"),
+            F.expr(
+                "round(CAST(COUNT(*) FILTER (WHERE n_docs >= 2) AS DOUBLE)"
+                " / COUNT(*), 6)"
+            ).alias("dup_chunk_ratio"),
+        )
+    )
