@@ -4862,3 +4862,123 @@ def q_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round(exp(CAST(SUM(lnf) OVER (ORDER BY day) AS DOUBLE)), 6)"
         ).alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ABC x XYZ inventory matrix (value axis x forecastability axis)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_abc_xyz_matrix",
+    # ABC: cumulative DECIMAL revenue share over (revenue DESC, partkey)
+    # — A <= 80%, B <= 95%, C rest (denominators cleared: 100*cum vs
+    # 80*total). XYZ: the exact CV classes of q_xyz_demand_classes,
+    # reused verbatim. The matrix is the 9-cell join of the two.
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS revenue
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, revenue,
+             SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey) AS cum,
+             SUM(revenue) OVER () AS total
+      FROM rev
+    ),
+    abc AS (
+      SELECT l_partkey, revenue,
+             CASE WHEN 100 * cum <= 80 * total THEN 'A'
+                  WHEN 100 * cum <= 95 * total THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM ranked
+    ),
+    weekly AS (
+      SELECT l_partkey,
+             CAST(date_trunc('week', l_shipdate) AS DATE) AS week,
+             SUM(CAST(l_quantity AS DECIMAL(10,2))) AS qty
+      FROM lineitem GROUP BY l_partkey, week
+    ),
+    stats AS (
+      SELECT l_partkey,
+             COUNT(*) AS n_weeks,
+             CAST(SUM(qty) AS DOUBLE) AS sx,
+             CAST(SUM(qty * qty) AS DOUBLE) AS sxx
+      FROM weekly GROUP BY l_partkey
+    ),
+    xyz AS (
+      SELECT l_partkey,
+             CASE WHEN sqrt((sxx - sx * sx / n_weeks) / n_weeks)
+                       / (sx / n_weeks) < 0.5 THEN 'X'
+                  WHEN sqrt((sxx - sx * sx / n_weeks) / n_weeks)
+                       / (sx / n_weeks) < 1.0 THEN 'Y'
+                  ELSE 'Z' END AS xyz_class
+      FROM stats WHERE n_weeks >= 2 AND sx > 0
+    )
+    SELECT abc.abc_class, xyz.xyz_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(abc.revenue) AS DOUBLE) AS revenue_total
+    FROM abc JOIN xyz ON xyz.l_partkey = abc.l_partkey
+    GROUP BY abc.abc_class, xyz.xyz_class
+    """,
+    doc="ABC x XYZ inventory matrix: the value axis (cumulative-revenue "
+        "A/B/C cut at 80/95% with cleared-denominator integer "
+        "comparisons) crossed with the forecastability axis (the exact "
+        "weekly-CV X/Y/Z classes of q_xyz_demand_classes) — the 9-cell "
+        "segmentation stock policy hangs off (AX: automate replenishment; "
+        "CZ: make-to-order). ABC ranks the PRE-AGGREGATED part table "
+        "(aggregate-then-rank discipline), XYZ is two map-side "
+        "aggregates; the final join is part-grain with a 9-row result.",
+)
+def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    rev = li.groupBy("l_partkey").agg(
+        F.expr(
+            "SUM(CAST(l_extendedprice AS DECIMAL(12,2))"
+            " * (1 - CAST(l_discount AS DECIMAL(12,2))))"
+        ).alias("revenue")
+    )
+    wcum = Window.orderBy(F.desc("revenue"), F.asc("l_partkey"))
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    abc = rev.select(
+        "l_partkey",
+        "revenue",
+        F.sum("revenue").over(wcum).alias("cum"),
+        F.sum("revenue").over(wall).alias("total"),
+    ).select(
+        "l_partkey",
+        "revenue",
+        F.expr(
+            "CASE WHEN 100 * cum <= 80 * total THEN 'A' "
+            "WHEN 100 * cum <= 95 * total THEN 'B' ELSE 'C' END"
+        ).alias("abc_class"),
+    )
+    weekly = li.groupBy(
+        "l_partkey",
+        F.expr("CAST(date_trunc('week', l_shipdate) AS DATE)").alias("week"),
+    ).agg(F.expr("SUM(CAST(l_quantity AS DECIMAL(10,2)))").alias("qty"))
+    stats = weekly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_weeks"),
+        F.expr("CAST(SUM(qty) AS DOUBLE)").alias("sx"),
+        F.expr("CAST(SUM(qty * qty) AS DOUBLE)").alias("sxx"),
+    )
+    xyz = stats.filter((F.col("n_weeks") >= 2) & (F.col("sx") > 0)).select(
+        "l_partkey",
+        F.expr(
+            "CASE WHEN sqrt((sxx - sx * sx / n_weeks) / n_weeks)"
+            " / (sx / n_weeks) < 0.5 THEN 'X' "
+            "WHEN sqrt((sxx - sx * sx / n_weeks) / n_weeks)"
+            " / (sx / n_weeks) < 1.0 THEN 'Y' ELSE 'Z' END"
+        ).alias("xyz_class"),
+    )
+    return (
+        abc.join(xyz, "l_partkey")
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_parts"),
+            F.expr("CAST(SUM(revenue) AS DOUBLE)").alias("revenue_total"),
+        )
+    )
