@@ -438,3 +438,54 @@ class TestCircuitBreaker:
         assert not cb.allow()
         t["now"] = 61.1
         assert cb.allow()
+
+
+class TestOptionKeyCompleteness:
+    """Every typed option field maps to a reference-style option KEY (so a
+    new field cannot silently become accepted-but-ignored from the string
+    option surface). Python-object fields (callables, nested configs) and
+    the header map are the documented exemptions — they are passed as
+    Python values, not string options."""
+
+    LOOKUP_EXEMPT = {"decoder", "request_callback", "headers", "retry"}
+    SINK_EXEMPT = {"headers"}
+    # keys that intentionally address something other than a same-named
+    # dataclass field: the endpoint url (constructor arg), header prefix
+    # maps, and the flattened retry.*/cache.* sub-config keys
+    LOOKUP_KEY_ONLY = {
+        "url", "header_prefix",
+        "max_retries", "retry_strategy", "retry_fixed_delay",
+        "retry_initial_backoff", "retry_backoff_multiplier",
+        "retry_max_backoff",
+        "cache_max_rows", "cache_expire_after_write",
+        "cache_expire_after_access", "cache_missing_key",
+    }
+    SINK_KEY_ONLY = {"url", "header_prefix"}
+
+    def test_lookup_fields_all_keyed_or_exempt(self):
+        import dataclasses
+
+        from flink_connector_http_spark.options import (
+            LOOKUP_OPTION_KEYS,
+            HttpLookupOptions,
+        )
+
+        fields = {f.name for f in dataclasses.fields(HttpLookupOptions)}
+        unkeyed = fields - set(LOOKUP_OPTION_KEYS) - self.LOOKUP_EXEMPT
+        assert not unkeyed, f"lookup option fields without a key: {unkeyed}"
+        stale = set(LOOKUP_OPTION_KEYS) - fields - self.LOOKUP_KEY_ONLY
+        assert not stale, f"option keys without a field: {stale}"
+
+    def test_sink_fields_all_keyed_or_exempt(self):
+        import dataclasses
+
+        from flink_connector_http_spark.options import (
+            SINK_OPTION_KEYS,
+            HttpSinkOptions,
+        )
+
+        fields = {f.name for f in dataclasses.fields(HttpSinkOptions)}
+        unkeyed = fields - set(SINK_OPTION_KEYS) - self.SINK_EXEMPT
+        assert not unkeyed, f"sink option fields without a key: {unkeyed}"
+        stale = set(SINK_OPTION_KEYS) - fields - self.SINK_KEY_ONLY
+        assert not stale, f"option keys without a field: {stale}"
