@@ -2530,6 +2530,46 @@ def _kcore_round_sql(i: int) -> str:
     )"""
 
 
+def edge_degrees(edges: DataFrame) -> DataFrame:
+    """Per-node degree of an undirected ``(a, b)`` edge DataFrame (each
+    edge stored once, a < b) → ``(node, deg)``."""
+    return (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+def kcore_peel(edges: DataFrame, k: int, rounds: int):
+    """``rounds`` peeling rounds of k-core over an undirected ``(a, b)``
+    edge DataFrame: survivors of each round are nodes whose degree in the
+    current edge set meets ``k``; edges contract to survivor-survivor
+    pairs. Returns ``(final_edges, survivors)``. Each round references
+    the edge set THREE ways (two degree legs + the semi-join source), so
+    carrying lineage across rounds would re-execute the whole upstream
+    graph construction per round — localCheckpoint truncates the plan at
+    every round boundary, the connected_components discipline
+    (operators/dedup.py)."""
+    edges = edges.localCheckpoint()
+    survivors = None
+    for _ in range(rounds):
+        survivors = (
+            edge_degrees(edges)
+            .filter(F.col("deg") >= k)
+            .select("node")
+            .localCheckpoint()
+        )
+        edges = (
+            edges.join(
+                survivors.select(F.col("node").alias("a")), "a", "left_semi"
+            )
+            .join(survivors.select(F.col("node").alias("b")), "b", "left_semi")
+            .localCheckpoint()
+        )
+    return edges, survivors
+
+
 @register(
     "graph_kcore_knn",
     oracle=f"""
@@ -2583,38 +2623,9 @@ def graph_kcore_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["a", "b"])
         .persist()
     )
-
-    def degrees(edges: DataFrame) -> DataFrame:
-        return (
-            edges.select(F.col("a").alias("node"))
-            .unionAll(edges.select(F.col("b").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("deg"))
-        )
-
-    deg0 = degrees(und).persist()
-    # each round references the edge set THREE ways (two degree legs + the
-    # semi-join source), so carrying lineage across rounds would re-execute
-    # the whole kNN construction per round — localCheckpoint truncates the
-    # plan at every round boundary, exactly the connected_components
-    # discipline (operators/dedup.py)
-    edges = und.localCheckpoint()
-    survivors = None
-    for _ in range(KCORE_ROUNDS):
-        survivors = (
-            degrees(edges)
-            .filter(F.col("deg") >= KCORE_K)
-            .select("node")
-            .localCheckpoint()
-        )
-        edges = (
-            edges.join(
-                survivors.select(F.col("node").alias("a")), "a", "left_semi"
-            )
-            .join(survivors.select(F.col("node").alias("b")), "b", "left_semi")
-            .localCheckpoint()
-        )
-    dfin = degrees(edges)
+    deg0 = edge_degrees(und).persist()
+    edges, survivors = kcore_peel(und, KCORE_K, KCORE_ROUNDS)
+    dfin = edge_degrees(edges)
     return (
         emb.select("vec_id")
         .join(deg0.withColumnRenamed("node", "vec_id"), "vec_id", "left")
@@ -2675,6 +2686,45 @@ def _truss_round_sql(i: int) -> str:
     )"""
 
 
+def edge_support(edges: DataFrame) -> DataFrame:
+    """Per-edge triangle support of an undirected ``(a, b)`` edge
+    DataFrame (a < b): the ordered-wedge join materializes every triangle
+    x<y<z exactly once, each contributing its three canonical edges →
+    ``(a, b, cnt)``; zero-support edges are absent."""
+    w1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    w2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    w3 = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = w1.join(w2, "y").join(w3, ["x", "z"])
+    corners = (
+        tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+        .unionAll(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
+        .unionAll(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
+    )
+    return corners.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def ktruss_peel(
+    edges: DataFrame, k: int, rounds: int, *, support0: DataFrame = None
+) -> DataFrame:
+    """``rounds`` support-peeling rounds of k-truss over an undirected
+    ``(a, b)`` edge DataFrame: each round keeps edges participating in at
+    least ``k - 2`` triangles among surviving edges. ``support0`` lets
+    the caller reuse a precomputed first-round support. Round boundaries
+    localCheckpoint (see :func:`kcore_peel`)."""
+    for r in range(rounds):
+        sup = (
+            support0
+            if (r == 0 and support0 is not None)
+            else edge_support(edges)
+        )
+        edges = (
+            edges.join(
+                sup.filter(F.col("cnt") >= k - 2), ["a", "b"], "left_semi"
+            ).localCheckpoint()
+        )
+    return edges
+
+
 @register(
     "graph_ktruss_knn",
     oracle=f"""
@@ -2718,28 +2768,8 @@ def graph_ktruss_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["a", "b"])
         .localCheckpoint()
     )
-
-    def support(edges: DataFrame) -> DataFrame:
-        w1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
-        w2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
-        w3 = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
-        tri = w1.join(w2, "y").join(w3, ["x", "z"])
-        corners = (
-            tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
-            .unionAll(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
-            .unionAll(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
-        )
-        return corners.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cnt"))
-
-    sup0 = support(und).persist()
-    edges = und
-    for r in range(KTRUSS_ROUNDS):
-        sup = sup0 if r == 0 else support(edges)
-        edges = (
-            edges.join(
-                sup.filter(F.col("cnt") >= KTRUSS_K - 2), ["a", "b"], "left_semi"
-            ).localCheckpoint()
-        )
+    sup0 = edge_support(und).persist()
+    edges = ktruss_peel(und, KTRUSS_K, KTRUSS_ROUNDS, support0=sup0)
     return (
         und.join(sup0, ["a", "b"], "left")
         .join(edges.withColumn("surv", F.lit(True)), ["a", "b"], "left")
