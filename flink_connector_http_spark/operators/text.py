@@ -3113,3 +3113,107 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sort_key",
         F.row_number().over(w).cast("int").alias("rk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence between source token distributions
+# ---------------------------------------------------------------------------
+
+_JSD_TERM = """
+    CAST(round(
+      CASE WHEN cta > 0 THEN
+        0.5 * (CAST(cta AS DOUBLE) / na)
+            * ln(2.0 * (CAST(cta AS DOUBLE) / na)
+                 / ((CAST(cta AS DOUBLE) / na) + (CAST(ctb AS DOUBLE) / nb)))
+      ELSE 0.0 END
+      +
+      CASE WHEN ctb > 0 THEN
+        0.5 * (CAST(ctb AS DOUBLE) / nb)
+            * ln(2.0 * (CAST(ctb AS DOUBLE) / nb)
+                 / ((CAST(cta AS DOUBLE) / na) + (CAST(ctb AS DOUBLE) / nb)))
+      ELSE 0.0 END, 9) AS DECIMAL(20,9))
+"""
+
+
+@register(
+    "text_js_divergence",
+    # same per-row-rounded-then-DECIMAL-summed discipline as the corpus
+    # float aggregates: each token's JSD contribution is one double
+    # expression rounded at 9dp, the accumulation is exact DECIMAL
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    ),
+    cnt AS (
+      SELECT source, t, COUNT(*) AS c FROM tok GROUP BY source, t
+    ),
+    tot AS (
+      SELECT source, SUM(c) AS n FROM cnt GROUP BY source
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             a.n AS na, b.n AS nb
+      FROM tot a JOIN tot b ON a.source < b.source
+    ),
+    joint AS (
+      SELECT p.source_a, p.source_b, p.na, p.nb,
+             COALESCE(ca.c, 0) AS cta, COALESCE(cb.c, 0) AS ctb
+      FROM pairs p
+      JOIN (SELECT DISTINCT t FROM cnt) v ON TRUE
+      LEFT JOIN cnt ca ON ca.source = p.source_a AND ca.t = v.t
+      LEFT JOIN cnt cb ON cb.source = p.source_b AND cb.t = v.t
+    )
+    SELECT source_a, source_b,
+           round(CAST(SUM({_JSD_TERM}) AS DOUBLE), 6) AS jsd_nats
+    FROM joint GROUP BY source_a, source_b
+    """,
+    doc="Jensen-Shannon divergence (nats) between every source pair's "
+        "unigram distribution — the smooth, always-finite companion to "
+        "text_source_divergence's total-variation distance (JSD weighs "
+        "HOW different the disagreeing probability mass is, TVD only how "
+        "much; reading both separates 'long tail drifted' from 'head "
+        "vocabulary replaced'). Each token's contribution is one double "
+        "expression rounded at 9dp then summed as exact DECIMAL — no "
+        "float-summation order sensitivity. Same (source, token) / token "
+        "shuffle shape as the TVD pass; the pair frame is "
+        "broadcast-sized.",
+)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    tok = docs.select(
+        "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("t")
+    )
+    cnt = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    a = tot.alias("a")
+    b = tot.alias("b")
+    pairs = a.join(b, F.col("a.source") < F.col("b.source")).select(
+        F.col("a.source").alias("source_a"),
+        F.col("b.source").alias("source_b"),
+        F.col("a.n").alias("na"),
+        F.col("b.n").alias("nb"),
+    )
+    vocab = cnt.select("t").distinct()
+    ca = cnt.select(
+        F.col("source").alias("source_a"), F.col("t").alias("t"),
+        F.col("c").alias("ca_c"),
+    )
+    cb = cnt.select(
+        F.col("source").alias("source_b"), F.col("t").alias("t"),
+        F.col("c").alias("cb_c"),
+    )
+    joint = (
+        F.broadcast(pairs)
+        .crossJoin(vocab)
+        .join(ca, ["source_a", "t"], "left")
+        .join(cb, ["source_b", "t"], "left")
+        .select(
+            "source_a", "source_b", "na", "nb",
+            F.coalesce(F.col("ca_c"), F.lit(0)).alias("cta"),
+            F.coalesce(F.col("cb_c"), F.lit(0)).alias("ctb"),
+        )
+    )
+    return joint.groupBy("source_a", "source_b").agg(
+        F.expr(f"round(CAST(SUM({_JSD_TERM}) AS DOUBLE), 6)").alias("jsd_nats")
+    )
