@@ -3051,6 +3051,7 @@ _MP_ORACLE = f"""
         "see sim_mp_recall_eval vs sim_ann_recall_eval). Same "
         "md5-deterministic planes, so the oracle replays candidate "
         "generation exactly.",
+    bench=True,
 )
 def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")["embeddings"]
