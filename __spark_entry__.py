@@ -63,6 +63,7 @@ _PRIORITY = [
     "http_lookup_orders_array",
     "http_lookup_parts_csv",
     "http_lookup_left_missing_keys",
+    "http_lookup_region_oidc",
     "http_sink_roundtrip",
     "http_datasource_read",
     "http_datasource_filtered",

@@ -832,3 +832,71 @@ def http_sql_ddl_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("s_acctbal", T.DoubleType()),
     ])
     return spark.createDataFrame(received, schema=schema)
+
+
+@register(
+    "http_lookup_region_oidc",
+    oracle="""
+    SELECT n_nationkey, n_name, r_name
+    FROM nation JOIN region ON r_regionkey = n_regionkey
+    """,
+    doc="OIDC-protected lookup join under the oracle gate (R7): the stub "
+        "issues bearer tokens from a live token endpoint (client-"
+        "credentials form POST) and the data endpoint REJECTS requests "
+        "without a currently-valid bearer with 401 — so the hash-matched "
+        "result proves the token manager acquired, attached, and reused "
+        "the token for every enrichment request, not just that the join "
+        "logic works. Nation probe, region lookup by key, GET query "
+        "creator.",
+)
+def http_lookup_region_oidc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..testing import StubHttpServer, json_response
+
+    token_request = "grant_type=client_credentials&client_id=pipeline"
+    issued = []
+    regions = {
+        str(r[0]): {"r_regionkey": r[0], "r_name": r[1]}
+        for r in __import__("duckdb").sql(
+            f"SELECT r_regionkey, r_name "
+            f"FROM read_parquet('{sf_dir}/region.parquet')"
+        ).fetchall()
+    }
+
+    def token_responder(req):
+        issued.append(f"tok-{len(issued)}")
+        return json_response({"access_token": issued[-1], "expires_in": 300})
+
+    def region_responder(req):
+        auth = req.headers.get("Authorization", "")
+        if not (auth.startswith("Bearer tok-") and auth[7:] in issued):
+            return json_response({"error": "unauthorized"}, status=401)
+        key = req.query.get("r_regionkey", [""])[0]
+        row = regions.get(key)
+        if row is None:
+            return json_response({"error": "no such region"}, status=404)
+        return json_response(row)
+
+    server = StubHttpServer()
+    server.stub("/token", token_responder)
+    server.stub("/secure-region", region_responder)
+    server.start()
+
+    probe = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    table = HttpLookupTable(
+        url=server.url("/secure-region"),
+        schema=T.StructType([
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]),
+        options=HttpLookupOptions(
+            method="GET",
+            oidc_token_endpoint=server.url("/token"),
+            oidc_token_request=token_request,
+        ),
+    )
+    return http_lookup_join(
+        probe, table, on={"n_regionkey": "r_regionkey"}, how="inner",
+        select=["r_name"],
+    ).select("n_nationkey", "n_name", "r_name")
