@@ -4982,3 +4982,80 @@ def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(SUM(revenue) AS DOUBLE)").alias("revenue_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# seasonal-naive forecast backtest (the baseline every model must beat)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_forecast_snaive_eval",
+    # forecast(day d) = actual(d - 7): the seasonal-naive baseline. MAE
+    # accumulates in exact integer cents; MAPE clears denominators per
+    # row (1e6 * |err| / actual as BIGINT) and averages the scaled
+    # integers, so both metrics are engine-order-independent
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(10,2))) * 100 AS BIGINT) AS cents
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    paired AS (
+      SELECT a.event_type, a.day, a.cents,
+             f.cents AS forecast_cents
+      FROM daily a JOIN daily f
+        ON f.event_type = a.event_type AND f.day = a.day - 7
+      WHERE a.cents > 0
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(abs(cents - forecast_cents)) AS BIGINT) AS mae_cents_total,
+           round(CAST(SUM(abs(cents - forecast_cents)) AS DOUBLE)
+                 / COUNT(*) / 100, 6) AS mae,
+           round(CAST(SUM(1000000 * abs(cents - forecast_cents) // cents)
+                      AS DOUBLE) / COUNT(*) / 1e6, 6) AS mape
+    FROM paired GROUP BY event_type
+    """,
+    doc="Seasonal-naive forecast backtest: tomorrow looks like the same "
+        "weekday last week — the no-model baseline every demand forecast "
+        "must beat before it earns compute (a model that loses to sNaive "
+        "on MAE/MAPE is negative value). Per event type over the daily "
+        "series: MAE in exact integer cents; MAPE via per-row "
+        "cleared-denominator scaled integers (1e6*|err|/actual as "
+        "BIGINT, averaged exactly) — no float accumulation anywhere. "
+        "One (type, day) aggregate, then a self-join on the 7-day lag "
+        "key over the short daily series.",
+)
+def q_forecast_snaive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    daily = ev.groupBy(
+        "event_type", F.expr("CAST(ts AS DATE)").alias("day")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(value AS DECIMAL(10,2))) * 100 AS BIGINT)"
+        ).alias("cents")
+    )
+    f = daily.select(
+        F.col("event_type").alias("f_type"),
+        F.col("day").alias("f_day"),
+        F.col("cents").alias("forecast_cents"),
+    )
+    paired = daily.filter(F.col("cents") > 0).join(
+        f,
+        (F.col("f_type") == F.col("event_type"))
+        & (F.col("f_day") == F.expr("day - 7")),
+    )
+    return paired.groupBy("event_type").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_days"),
+        F.expr(
+            "CAST(SUM(abs(cents - forecast_cents)) AS BIGINT)"
+        ).alias("mae_cents_total"),
+        F.expr(
+            "round(CAST(SUM(abs(cents - forecast_cents)) AS DOUBLE)"
+            " / COUNT(*) / 100, 6)"
+        ).alias("mae"),
+        F.expr(
+            "round(CAST(SUM(1000000 * abs(cents - forecast_cents) DIV cents)"
+            " AS DOUBLE) / COUNT(*) / 1e6, 6)"
+        ).alias("mape"),
+    )
