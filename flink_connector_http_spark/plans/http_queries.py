@@ -900,3 +900,62 @@ def http_lookup_region_oidc(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe, table, on={"n_regionkey": "r_regionkey"}, how="inner",
         select=["r_name"],
     ).select("n_nationkey", "n_name", "r_name")
+
+
+@register(
+    "http_sink_idempotent_replay",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'P' AND o_totalprice >= 3000
+    """,
+    doc="At-least-once -> effectively-once: the sink's delivery guarantee "
+        "is micro-batch replay (the reference's level — it never retries "
+        "failed requests, S11/T4), so exactly-once is the ENDPOINT's job "
+        "via idempotency keys. This query ships every row with a "
+        "deterministic content key (xxhash64 of the business columns, "
+        "computed JVM-side in the payload), writes the SAME batch TWICE "
+        "(a simulated redelivery), and rebuilds the table from the "
+        "endpoint's key-deduplicated store — the hash gate proves "
+        "duplicate-free ingestion despite duplicated delivery. The key "
+        "is pure row content: replays collide, distinct rows never do.",
+)
+def http_sink_idempotent_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..testing import StubHttpServer
+
+    server = StubHttpServer()
+    server.stub_json("/idem-collect", {"ok": True})
+    server.start()
+
+    df = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter((F.col("o_orderstatus") == "P") & (F.col("o_totalprice") >= 3000))
+        .select(
+            "o_orderkey", "o_custkey", "o_totalprice",
+            F.expr(
+                "xxhash64(o_orderkey, o_custkey, o_totalprice)"
+            ).alias("idempotency_key"),
+        )
+    )
+    # deliver twice: an at-least-once redelivery of the whole batch
+    write_http(df, server.url("/idem-collect"),
+               HttpSinkOptions(insert_method="POST", batch_size=200))
+    write_http(df, server.url("/idem-collect"),
+               HttpSinkOptions(insert_method="POST", batch_size=200))
+
+    # endpoint-side idempotent store: last write per key wins
+    store = {}
+    for req in server.recorded("/idem-collect"):
+        for rec in json.loads(req.body):
+            store[rec["idempotency_key"]] = rec
+    server.stop()
+    schema = T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+    ])
+    rows = [
+        (r["o_orderkey"], r["o_custkey"], r["o_totalprice"])
+        for r in store.values()
+    ]
+    return spark.createDataFrame(rows, schema=schema)
