@@ -959,3 +959,65 @@ def http_sink_idempotent_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in store.values()
     ]
     return spark.createDataFrame(rows, schema=schema)
+
+
+@register(
+    "http_stream_enrich_batched",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    WHERE o_orderstatus = 'P'
+    """,
+    doc="Streaming temporal join through the MULTI-KEY batch lookup: the "
+        "micro-batch probe's distinct keys ride 50-per-POST (the "
+        "beyond-reference request-batching path) inside the same narrow "
+        "per-batch mapInPandas — proves the scale feature composes with "
+        "Structured Streaming unchanged. Same output contract and oracle "
+        "as http_stream_enrich, so the gate pins batch-mode and per-key "
+        "streaming enrichment to identical results.",
+)
+def http_stream_enrich_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from ..streaming import http_enrich_stream
+
+    stub = _stub_for(sf_dir)
+    name = f"http_enrich_b_{uuid.uuid4().hex[:8]}"
+    raw_schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+    in_dir = tempfile.mkdtemp(prefix="http_enrich_b_in_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/orders.parquet"),
+        os.path.join(in_dir, "orders.parquet"),
+    )
+    probe = (
+        spark.readStream.schema(raw_schema)
+        .parquet(in_dir)
+        .filter(F.col("o_orderstatus") == "P")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    table = HttpLookupTable(
+        url=stub.url("/customers-batch"),
+        schema=CUSTOMER_SCHEMA,
+        options=HttpLookupOptions(
+            method="GET", use_async=True, lookup_batch_size=50
+        ),
+    )
+    enriched = http_enrich_stream(
+        probe, table, on={"o_custkey": "c_custkey"}, how="inner",
+        select=["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+    query = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="http_enrich_b_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table(name)
