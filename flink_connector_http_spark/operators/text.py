@@ -3217,3 +3217,125 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joint.groupBy("source_a", "source_b").agg(
         F.expr(f"round(CAST(SUM({_JSD_TERM}) AS DOUBLE), 6)").alias("jsd_nats")
     )
+
+
+# ---------------------------------------------------------------------------
+# count-min width sweep: overcount vs memory, measured on the same corpus
+# ---------------------------------------------------------------------------
+
+CMS_SWEEP_WIDTHS = (64, 256)
+
+
+def _cms_w_bucket_spark(d: int, w: int) -> str:
+    salted = f"concat('cms{d}:', token)"
+    return f"{md5_int32_spark(salted)} % {w}"
+
+
+def _cms_w_bucket_duck(d: int, w: int) -> str:
+    salted = f"concat('cms{d}:', token)"
+    return f"{md5_int32_duck(salted)} % {w}"
+
+
+@register(
+    "sketch_cms_width_sweep",
+    # one token pass feeds BOTH widths (same salted md5 rows, different
+    # modulus); estimates are min-over-depth point queries per width —
+    # every number is an exact integer, so the sweep itself is under the
+    # hash gate
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ),
+    cells AS (
+      SELECT w, d, bucket, COUNT(*) AS c FROM (
+        SELECT token, ws.w, ds.d,
+               CASE {' '.join(f"WHEN ws.w = {w} AND ds.d = {d} THEN {_cms_w_bucket_duck(d, w)}" for w in CMS_SWEEP_WIDTHS for d in range(CMS_DEPTH))}
+               END AS bucket
+        FROM toks
+        CROSS JOIN (SELECT unnest([{', '.join(str(w) for w in CMS_SWEEP_WIDTHS)}]) AS w) ws
+        CROSS JOIN (SELECT unnest(range({CMS_DEPTH})) AS d) ds
+      ) b GROUP BY w, d, bucket
+    ),
+    heavy AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS true_count
+      FROM toks GROUP BY token
+      ORDER BY true_count DESC, token LIMIT {CMS_QUERY_K}
+    )
+    SELECT h.token, h.true_count, CAST(ws.w AS INT) AS width,
+           CAST(MIN(c.c) AS BIGINT) AS est_count,
+           CAST(MIN(c.c) - h.true_count AS BIGINT) AS overcount
+    FROM heavy h
+    CROSS JOIN (SELECT unnest([{', '.join(str(w) for w in CMS_SWEEP_WIDTHS)}]) AS w) ws
+    JOIN (SELECT unnest(range({CMS_DEPTH})) AS d) ds ON TRUE
+    JOIN cells c
+      ON c.w = ws.w AND c.d = ds.d
+     AND c.bucket = CASE {' '.join(f"WHEN ws.w = {w} AND ds.d = {d} THEN {_cms_w_bucket_duck(d, w).replace('token', 'h.token')}" for w in CMS_SWEEP_WIDTHS for d in range(CMS_DEPTH))}
+                    END
+    GROUP BY h.token, h.true_count, ws.w
+    """,
+    doc=f"Count-min width sweep: the SAME corpus sketched at widths "
+        f"{CMS_SWEEP_WIDTHS[0]} and {CMS_SWEEP_WIDTHS[1]} (identical "
+        "salted-md5 rows, different modulus) and point-queried on the "
+        "same top-k tokens — the measured overcount-vs-memory curve that "
+        "sizes a production sketch (theory bounds error by N*e/w; this "
+        "is the observed counterpart on real token skew, the CMS twin "
+        "of the b-bit MinHash audit). Exact integers end to end; one "
+        "token scan feeds both widths, cells merge cell-wise "
+        "(map-side-combinable), the probe side is k tokens broadcast.",
+)
+def sketch_cms_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    )
+    cells = (
+        toks.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(w).alias("w"),
+                        F.lit(d).alias("d"),
+                        F.expr(_cms_w_bucket_spark(d, w)).alias("bucket"),
+                    )
+                    for w in CMS_SWEEP_WIDTHS
+                    for d in range(CMS_DEPTH)
+                ])
+            ).alias("c")
+        )
+        .select("c.w", "c.d", "c.bucket")
+        .groupBy("w", "d", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    heavy = (
+        toks.groupBy("token")
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("true_count"))
+        .orderBy(F.desc("true_count"), F.asc("token"))
+        .limit(CMS_QUERY_K)
+    )
+    probes = heavy.select(
+        "token",
+        "true_count",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(w).alias("w"),
+                    F.lit(d).alias("d"),
+                    F.expr(_cms_w_bucket_spark(d, w)).alias("bucket"),
+                )
+                for w in CMS_SWEEP_WIDTHS
+                for d in range(CMS_DEPTH)
+            ])
+        ).alias("p"),
+    ).select("token", "true_count", "p.w", "p.d", "p.bucket")
+    return (
+        F.broadcast(probes)
+        .join(cells, ["w", "d", "bucket"])
+        .groupBy("token", "true_count", "w")
+        .agg(F.expr("CAST(MIN(c) AS BIGINT)").alias("est_count"))
+        .select(
+            "token", "true_count",
+            F.col("w").cast("int").alias("width"),
+            "est_count",
+            F.expr("CAST(est_count - true_count AS BIGINT)").alias("overcount"),
+        )
+    )
