@@ -3224,3 +3224,58 @@ def sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hamming").cast("int").alias("hamming"), "rk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN-graph symmetry audit (mutual-neighbor share per rank)
+# ---------------------------------------------------------------------------
+
+@register(
+    "graph_knn_symmetry",
+    oracle=f"""
+    WITH knn AS (
+      {_KNN_GRAPH_ORACLE}
+    ),
+    edges AS (SELECT src_id, dst_id, rk FROM knn)
+    SELECT CAST(e.rk AS INT) AS rk,
+           CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(COUNT(r.src_id) AS BIGINT) AS n_mutual,
+           round(CAST(COUNT(r.src_id) AS DOUBLE) / COUNT(*), 6)
+             AS mutual_share
+    FROM edges e
+    LEFT JOIN edges r
+      ON r.src_id = e.dst_id AND r.dst_id = e.src_id
+    GROUP BY e.rk
+    """,
+    doc="kNN-graph symmetry audit: per neighbor rank, the share of edges "
+        "whose reverse edge also exists — mutual-kNN edges are the "
+        "high-precision subset (hubness and boundary noise show up as "
+        "one-directional edges, and mutual-kNN graphs are the standard "
+        "cleanup before graph clustering; a LOW mutual share at rank 1 "
+        "is the red flag that the embedding space has asymmetric "
+        "neighborhoods). One self-join of the k*|V|-row edge list on the "
+        "reversed int-key pair, then a 3-row aggregate — the edge list "
+        "is k-bounded per node, so the join has no hotspot.",
+)
+def graph_knn_symmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = emb_knn_graph(spark, sf_dir).select("src_id", "dst_id", "rk").persist()
+    rev = edges.select(
+        F.col("src_id").alias("r_dst"), F.col("dst_id").alias("r_src"),
+        F.lit(1).alias("has_rev"),
+    ).drop_duplicates(["r_dst", "r_src"])
+    return (
+        edges.join(
+            rev,
+            (F.col("src_id") == F.col("r_src"))
+            & (F.col("dst_id") == F.col("r_dst")),
+            "left",
+        )
+        .groupBy(F.col("rk").cast("int").alias("rk"))
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_edges"),
+            F.expr("CAST(COUNT(has_rev) AS BIGINT)").alias("n_mutual"),
+            F.expr(
+                "round(CAST(COUNT(has_rev) AS DOUBLE) / COUNT(*), 6)"
+            ).alias("mutual_share"),
+        )
+    )
