@@ -3339,3 +3339,78 @@ def sketch_cms_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(est_count - true_count AS BIGINT)").alias("overcount"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# token burstiness (variance-to-mean ratio over documents)
+# ---------------------------------------------------------------------------
+
+BURST_TOP_V = 100
+
+
+@register(
+    "text_token_burstiness",
+    # VMR = var/mean over ALL docs (zeros included) collapses to
+    # (N*ss - s^2) / (N*s) with s = total count, ss = sum of squared
+    # per-doc counts, N = corpus size — exact integers, one final division
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents)
+      GROUP BY doc_id, tok
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    stats AS (
+      SELECT tok,
+             CAST(SUM(c) AS BIGINT) AS s,
+             CAST(SUM(c * c) AS BIGINT) AS ss,
+             CAST(COUNT(*) AS BIGINT) AS docs_with
+      FROM per_doc GROUP BY tok
+      ORDER BY s DESC, tok LIMIT {BURST_TOP_V}
+    )
+    SELECT tok, s AS total_count, docs_with,
+           round(CAST(n.n_docs * ss - s * s AS DOUBLE)
+                 / (n.n_docs * s), 6) AS vmr
+    FROM stats CROSS JOIN n
+    """,
+    doc=f"Token burstiness (Church & Gale): variance-to-mean ratio of "
+        f"per-document counts for the top-{BURST_TOP_V} tokens, zeros "
+        "included — VMR near 1 is Poisson-like function-word behavior, "
+        "VMR >> 1 marks bursty topical terms (the signal behind "
+        "burstiness-aware TF weighting and stopword induction; a "
+        "template-stamped corpus shows pathological VMR on its "
+        "boilerplate tokens). Cleared-denominator integers until one "
+        "final division. One (doc, token) aggregate, a distributed "
+        "top-V by total count, and a 1-row broadcast of the corpus "
+        "size.",
+)
+def text_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    per_doc = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("c"))
+    )
+    n = docs.agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"))
+    stats = (
+        per_doc.groupBy("tok")
+        .agg(
+            F.expr("CAST(SUM(c) AS BIGINT)").alias("s"),
+            F.expr("CAST(SUM(c * c) AS BIGINT)").alias("ss"),
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("docs_with"),
+        )
+        .orderBy(F.desc("s"), F.asc("tok"))
+        .limit(BURST_TOP_V)
+    )
+    return stats.crossJoin(F.broadcast(n)).select(
+        "tok",
+        F.col("s").alias("total_count"),
+        "docs_with",
+        F.expr(
+            "round(CAST(n_docs * ss - s * s AS DOUBLE) / (n_docs * s), 6)"
+        ).alias("vmr"),
+    )
