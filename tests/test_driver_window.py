@@ -1,39 +1,40 @@
 """Regression guard for the driver's 50-query correctness window.
 
 The grading driver samples the FIRST 50 entries of ``__spark_entry__.queries()``
-in dict order.  Round 2's verdict flagged that plain registration order
-front-loaded the relational suite and starved every other operator family of a
-driver oracle row; ``__spark_entry__._PRIORITY`` fixes that by stratifying the
-exposed order.  This test pins the property itself so a future module reshuffle
-cannot silently undo it.
+in dict order.  Round 2's verdict demanded stratified family coverage; round 3's
+verdict demands ROTATION: the §2 HTTP core (15 queries) stays pinned so the
+reference-flagship surface always has fresh driver evidence, while the other 35
+slots are filled with queries that have never earned a green driver CORRECTNESS
+row, so the whole registry accumulates driver-side oracle evidence across
+rounds.  This test pins both properties so a future reshuffle cannot silently
+undo them.
 """
 
 import __spark_entry__ as entry
 
 WINDOW = 50
-
-# every operator family must land >= 1 representative inside the window
-FAMILY_PREFIXES = {
-    "http lookup/sink/datasource": ("http_",),
-    "dedup": ("dedup_",),
-    "embedding similarity": ("sim_", "emb_"),
-    "text analysis": ("text_",),
-    "sketches": ("sketch_",),
-    "sampling": ("sample_",),
-    "multimodal": ("mm_",),
-    "streaming": ("stream_",),
-    "pipeline composition": ("pipeline_",),
-    "relational": ("q0", "q1", "q2", "q_"),
-}
+PINNED = 15
 
 
-def test_first_50_queries_cover_every_family():
-    window = list(entry.queries())[:WINDOW]
-    for family, prefixes in FAMILY_PREFIXES.items():
-        hits = [n for n in window if n.startswith(prefixes)]
-        assert hits, (
-            f"driver window lost the {family} family: no name with prefix "
-            f"{prefixes} in the first {WINDOW} of queries()"
+def test_window_starts_with_pinned_http_core():
+    window = list(entry.queries())[:PINNED]
+    assert window == [n for n in entry._PINNED if n in entry.queries()]
+    assert all(n.startswith("http_") for n in window)
+
+
+def test_rotating_slots_prefer_never_driver_checked_queries():
+    names = list(entry.queries())
+    seen = entry._driver_green_names()
+    rotating = [n for n in names[PINNED:WINDOW] if n not in entry._PINNED]
+    never_checked_total = [
+        n for n in names[PINNED:] if n not in seen and n not in entry._PINNED
+    ]
+    # as long as >= 35 queries lack driver evidence, every rotating slot
+    # must be spent on one of them
+    if len(never_checked_total) >= len(rotating):
+        stale = [n for n in rotating if n in seen]
+        assert not stale, (
+            f"rotating window slots wasted on already-driver-green queries: {stale}"
         )
 
 
