@@ -444,16 +444,28 @@ class HttpPollingClient:
             raw_headers.setdefault(AUTHORIZATION, "")
         headers = preprocess_headers(raw_headers, self._preprocessors)
         method = self.options.method.upper()
-        spec = build_lookup_request(
-            method="POST" if method == "GET" else method,
-            url=self.url,
-            query_info=LookupQueryInfo(
-                lookup_query=_json.dumps(
-                    [dict(kv) for kv in batch_key_values]
-                )
-            ),
-            headers=headers,
-        )
+        try:
+            spec = build_lookup_request(
+                method="POST" if method == "GET" else method,
+                url=self.url,
+                query_info=LookupQueryInfo(
+                    lookup_query=_json.dumps(
+                        [dict(kv) for kv in batch_key_values]
+                    )
+                ),
+                headers=headers,
+            )
+        except KeyError as err:
+            # a {{placeholder}} URL template has no batch-level value —
+            # multi-key batching sends keys in the body, so templated URLs
+            # are incompatible with it; surface a failure result instead
+            # of crashing the task out of pull_multi
+            return (None, None, (
+                f"batch lookup cannot resolve URL template {err}: multi-key "
+                "batching (http.source.lookup.request.batch.size) is "
+                "incompatible with {{placeholder}} URL templates — drop the "
+                "batch size or the template", None,
+            ))
         return self._exchange(spec)
 
     def publish_multi(
@@ -461,6 +473,7 @@ class HttpPollingClient:
         exchange: Tuple,
         batch_key_values: List[Mapping[str, Any]],
         key_names: List[str],
+        key_coercers: Optional[List] = None,
     ) -> List[HttpLookupResult]:
         """Classify + decode for a batch exchange, fanned back out per key:
         the response is a JSON array of result objects each carrying its
@@ -468,7 +481,14 @@ class HttpPollingClient:
         object read as empty results (the per-key emptiness rule then
         applies downstream). Any transport/status/decode failure yields
         the SAME failure result for every key in the batch (one request ⇒
-        one fate, like one per-key request's fate)."""
+        one fate, like one per-key request's fate).
+
+        ``key_coercers`` (one callable per key name, normally the declared-
+        schema ``_coerce``) canonicalizes BOTH the response rows' key fields
+        and the request keys before matching, so an endpoint that echoes
+        ``"42"`` for an int key 42 still enriches — the per-key path gets
+        this for free from schema decoding; the batch match must apply the
+        same types or silently return empty results for every key."""
         spec, response, failure = exchange
         n = len(batch_key_values)
         if failure is not None:
@@ -513,17 +533,28 @@ class HttpPollingClient:
                 headers=headers,
             )
             return [base] * n
+        def canon(values) -> Tuple:
+            if key_coercers is None:
+                return tuple(values)
+            out = []
+            for coerce, v in zip(key_coercers, values):
+                try:
+                    out.append(coerce(v))
+                except (ValueError, TypeError, ArithmeticError):
+                    out.append(v)  # uncoercible value matches only itself
+            return tuple(out)
+
         grouped: Dict[Tuple, List[Mapping[str, Any]]] = {}
         for row in payload:
             if row is None:
                 continue
             grouped.setdefault(
-                tuple(row.get(k) for k in key_names), []
+                canon(row.get(k) for k in key_names), []
             ).append(row)
         return [
             HttpLookupResult(
                 rows=tuple(
-                    grouped.get(tuple(kv.get(k) for k in key_names), ())
+                    grouped.get(canon(kv.get(k) for k in key_names), ())
                 ),
                 status_code=response.status,
                 headers=headers,
@@ -536,11 +567,13 @@ class HttpPollingClient:
         self,
         batch_key_values: List[Mapping[str, Any]],
         key_names: List[str],
+        key_coercers: Optional[List] = None,
     ) -> List[HttpLookupResult]:
         """One batch lookup: N distinct keys -> one HTTP request -> one
         result per key, order-aligned with the input."""
         return self.publish_multi(
-            self.send_multi(batch_key_values), batch_key_values, key_names
+            self.send_multi(batch_key_values), batch_key_values, key_names,
+            key_coercers,
         )
 
     def _on_failure(

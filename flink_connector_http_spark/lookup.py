@@ -201,6 +201,27 @@ def _leaf_name(dotted: str) -> str:
     return dotted.split(".")[-1]
 
 
+def _key_coercer(schema: T.StructType, dotted: str):
+    """Coercer for one lookup-key field: navigates the declared schema by
+    the dotted key path and closes over that field's ``_coerce``; identity
+    when the path is not declared (the match then stays value-exact)."""
+    data_type: Optional[T.DataType] = None
+    current: T.DataType = schema
+    for part in dotted.split("."):
+        if not isinstance(current, T.StructType):
+            current = None  # type: ignore[assignment]
+            break
+        match = next((f for f in current.fields if f.name == part), None)
+        if match is None:
+            current = None  # type: ignore[assignment]
+            break
+        current = match.dataType
+    data_type = current
+    if data_type is None:
+        return lambda v: v
+    return lambda v, dt=data_type: _coerce(v, dt)
+
+
 # --- nested projection pruning --------------------------------------------------
 
 def _prune_schema(struct: T.StructType, paths: "set[Tuple[str, ...]]") -> T.StructType:
@@ -386,6 +407,13 @@ def http_lookup_join(
                 # multi-key batch mode: N distinct keys per request; chunks
                 # fetch concurrently on the pull pool under use_async
                 leaf_names = [_leaf_name(lk) for _, lk in pairs]
+                # canonicalize response/request key values through the
+                # DECLARED schema types before matching (the per-key path
+                # coerces during decode; without this an endpoint echoing
+                # "42" for int key 42 reads as empty for every key)
+                key_coercers = [
+                    _key_coercer(table_ref.schema, lk) for _, lk in pairs
+                ]
                 chunks = [
                     to_fetch[i : i + batch_size]
                     for i in range(0, len(to_fetch), batch_size)
@@ -394,17 +422,50 @@ def http_lookup_join(
                 def fetch_chunk(chunk: List[Tuple]) -> List[Tuple]:
                     kvs = [key_values_of(kt) for kt in chunk]
                     return list(
-                        zip(chunk, client.pull_multi(kvs, leaf_names))
+                        zip(chunk,
+                            client.pull_multi(kvs, leaf_names, key_coercers))
                     )
 
                 if table_ref.options.use_async and len(chunks) > 1:
+                    # same per-request deadline as the per-key async path
+                    # (T2): a hung endpoint yields per-chunk timeout
+                    # results instead of stalling the task forever
+                    opts = table_ref.options
                     workers = max(1, min(pool_size, len(chunks)))
-                    with ThreadPoolExecutor(max_workers=workers) as pool:
-                        fetched = [
-                            pair
-                            for part in pool.map(fetch_chunk, chunks)
-                            for pair in part
+                    deadline = (
+                        None if opts.async_timeout is None
+                        else time.monotonic() + opts.async_timeout
+                    )
+                    pool = ThreadPoolExecutor(max_workers=workers)
+                    try:
+                        futs = [
+                            (chunk, pool.submit(fetch_chunk, chunk))
+                            for chunk in chunks
                         ]
+                        fetched = []
+                        for chunk, fut in futs:
+                            try:
+                                part = (
+                                    fut.result() if deadline is None
+                                    else fut.result(timeout=max(
+                                        0.0, deadline - time.monotonic()))
+                                )
+                            except FuturesTimeoutError:
+                                fut.cancel()
+                                kvs = [key_values_of(kt) for kt in chunk]
+                                part = list(zip(chunk, client.publish_multi(
+                                    (None, None, (
+                                        f"async batch lookup timed out after "
+                                        f"{opts.async_timeout}s", None,
+                                    )),
+                                    kvs, leaf_names,
+                                )))
+                            fetched.extend(part)
+                    finally:
+                        # don't block on hung in-flight requests: results
+                        # are already materialized at the deadline; the
+                        # abandoned sockets still die at request_timeout
+                        pool.shutdown(wait=False, cancel_futures=True)
                 else:
                     fetched = [
                         pair for chunk in chunks for pair in fetch_chunk(chunk)
@@ -454,8 +515,9 @@ def http_lookup_join(
                             ))
 
                     publish_size = max(1, opts.publish_pool_size)
-                    with ThreadPoolExecutor(max_workers=fetch_workers) as pull_pool, \
-                            ThreadPoolExecutor(max_workers=publish_size) as publish_pool:
+                    pull_pool = ThreadPoolExecutor(max_workers=fetch_workers)
+                    publish_pool = ThreadPoolExecutor(max_workers=publish_size)
+                    try:
                         send_futs = [
                             (kt, pull_pool.submit(client.send, key_values_of(kt)))
                             for kt in to_fetch
@@ -466,6 +528,12 @@ def http_lookup_join(
                             for kt, f in send_futs
                         ]
                         fetched = [(kt, pf.result()) for kt, pf in pub_futs]
+                    finally:
+                        # timeout results are already materialized — don't
+                        # let pool teardown block on a hung send future
+                        # (abandoned sockets still die at request_timeout)
+                        publish_pool.shutdown(wait=False, cancel_futures=True)
+                        pull_pool.shutdown(wait=False, cancel_futures=True)
                 for kt, result in fetched:
                     distinct[kt] = result
                     if cache is not None and result.completion_state in (

@@ -300,6 +300,16 @@ def lookup_options_from_map(options: Mapping[str, str]) -> HttpLookupOptions:
     for name in ("rate_limit", "rate_limit_burst"):
         if k[name] in options:
             kwargs[name] = float(options[k[name]])
+    if k["lookup_batch_size"] in options:
+        kwargs["lookup_batch_size"] = int(options[k["lookup_batch_size"]])
+    if k["circuit_breaker_failures"] in options:
+        kwargs["circuit_breaker_failures"] = int(
+            options[k["circuit_breaker_failures"]]
+        )
+    if k["circuit_breaker_reset"] in options:
+        kwargs["circuit_breaker_reset"] = float(
+            options[k["circuit_breaker_reset"]]
+        )
     if k["allow_self_signed"] in options:
         kwargs["allow_self_signed"] = _as_bool(options[k["allow_self_signed"]])
     if k["proxy_port"] in options:

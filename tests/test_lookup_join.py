@@ -479,6 +479,101 @@ def test_batch_lookup_composes_with_cache(spark, stub_server):
     assert len(stub_server.recorded("/customers-batch")) == 2
 
 
+def test_batch_lookup_coerces_string_typed_response_keys(spark, stub_server):
+    """An endpoint that echoes '42' (string) for int key 42 must still
+    enrich: response key fields are coerced through the DECLARED schema
+    before matching (round-3 ADVICE — the per-key path coerces during
+    decode; without this every batch key silently read empty)."""
+    def stringy_responder(request):
+        keys = request.json()
+        rows = [
+            {**CUSTOMERS[k["id"]], "id": str(k["id"])}
+            for k in keys if k["id"] in CUSTOMERS
+        ]
+        return json_response(rows)
+
+    stub_server.stub("/customers-batch-str", stringy_responder)
+    table = HttpLookupTable(
+        url=stub_server.url("/customers-batch-str"),
+        schema=CUSTOMER_SCHEMA,
+        options=HttpLookupOptions(lookup_batch_size=10),
+    )
+    out = http_lookup_join(orders_df(spark), table, on={"cust_id": "id"})
+    rows = {r.order_id: r for r in out.collect()}
+    assert len(rows) == 4
+    assert rows[100].name == "alice"
+    assert rows[100].id == 1  # decoded through the declared LongType
+    assert rows[103].name == "bob"
+
+
+def test_batch_lookup_templated_url_fails_soft_not_keyerror(spark, stub_server):
+    """lookup_batch_size + a {{placeholder}} URL: the batch body carries
+    the keys, so the template can't resolve — that must surface as a
+    failure RESULT (continue-on-error) or a lookup RuntimeError, never a
+    raw KeyError crashing the task (round-3 ADVICE)."""
+    table = HttpLookupTable(
+        url=stub_server.url("/api/customers/{{cid}}"),
+        schema=CUSTOMER_SCHEMA,
+        options=HttpLookupOptions(
+            lookup_batch_size=10, continue_on_error=True,
+        ),
+    )
+    out = http_lookup_join(
+        orders_df(spark, ids=(1, 2)), table, on={"cust_id": "id"},
+        metadata_columns=["http-completion-state", "error-string"],
+    )
+    rows = out.collect()
+    assert len(rows) == 2
+    assert all(r["http-completion-state"] == "EXCEPTION" for r in rows)
+    assert all("incompatible" in r["error-string"] for r in rows)
+
+    strict = HttpLookupTable(
+        url=stub_server.url("/api/customers/{{cid}}"),
+        schema=CUSTOMER_SCHEMA,
+        options=HttpLookupOptions(lookup_batch_size=10),
+    )
+    with pytest.raises(Exception) as excinfo:
+        http_lookup_join(
+            orders_df(spark, ids=(1,)), strict, on={"cust_id": "id"}
+        ).collect()
+    assert "KeyError" not in str(excinfo.value.__class__)
+
+
+def test_batch_lookup_async_timeout_yields_timeout_results(spark, stub_server):
+    """A hung endpoint under use_async + lookup_batch_size must produce
+    per-chunk timeout EXCEPTION results within the async deadline, not
+    stall the task indefinitely (round-3 ADVICE)."""
+    import time as _time
+
+    def slow_responder(request):
+        _time.sleep(5.0)
+        return json_response([])
+
+    stub_server.stub("/customers-batch-slow", slow_responder)
+    table = HttpLookupTable(
+        url=stub_server.url("/customers-batch-slow"),
+        schema=CUSTOMER_SCHEMA,
+        options=HttpLookupOptions(
+            lookup_batch_size=1,     # 2 distinct keys -> 2 chunks
+            use_async=True,
+            async_timeout=0.5,
+            continue_on_error=True,
+        ),
+    )
+    start = _time.monotonic()
+    out = http_lookup_join(
+        orders_df(spark, ids=(1, 2)).coalesce(1), table,
+        on={"cust_id": "id"},
+        metadata_columns=["http-completion-state", "error-string"],
+    )
+    rows = out.collect()
+    elapsed = _time.monotonic() - start
+    assert len(rows) == 2
+    assert all(r["http-completion-state"] == "EXCEPTION" for r in rows)
+    assert all("timed out" in r["error-string"] for r in rows)
+    assert elapsed < 4.5  # well under the 5 s hang (would be 10 s serial)
+
+
 def test_circuit_breaker_short_circuits_after_threshold(spark, stub_server):
     stub_server.stub_json("/customers", {"err": "down"}, status=400)
     table = HttpLookupTable(

@@ -489,3 +489,60 @@ class TestOptionKeyCompleteness:
         assert not unkeyed, f"sink option fields without a key: {unkeyed}"
         stale = set(SINK_OPTION_KEYS) - fields - self.SINK_KEY_ONLY
         assert not stale, f"option keys without a field: {stale}"
+
+    def test_lookup_string_options_reach_dataclass(self):
+        """Round-trip consumption guard (round-3 ADVICE): key EXISTENCE is
+        not enough — every scalar string option must actually land in the
+        parsed dataclass. The batch-size / circuit-breaker keys were once
+        declared but never parsed, silently disabling both features when
+        configured through the SQL-DDL string-option surface."""
+        from flink_connector_http_spark.options import (
+            LOOKUP_OPTION_KEYS as K,
+            lookup_options_from_map,
+        )
+
+        expected = {
+            "method": "PUT",
+            "request_timeout": 12.5,
+            "pull_pool_size": 3,
+            "publish_pool_size": 4,
+            "use_async": True,
+            "async_buffer_capacity": 77,
+            "async_timeout": 9.5,
+            "result_type": "array",
+            "success_codes": "2XX,!204",
+            "retry_codes": "503",
+            "ignored_codes": "404",
+            "continue_on_error": True,
+            "use_raw_auth_header": True,
+            "oidc_token_endpoint": "https://auth.example/token",
+            "oidc_token_request": "grant_type=x",
+            "oidc_expiry_reduction": 2.5,
+            "server_ca": "/ca.pem",
+            "client_cert": "/crt.pem",
+            "client_key": "/key.pem",
+            "proxy_host": "proxy.local",
+            "proxy_port": 3128,
+            "proxy_user": "u",
+            "proxy_password": "p",
+            "query_creator": "generic-json-url",
+            "body_template": "{}",
+            "response_format": "csv",
+            "allow_self_signed": True,
+            "rate_limit": 5.0,
+            "rate_limit_burst": 10.0,
+            "lookup_batch_size": 50,
+            "circuit_breaker_failures": 7,
+            "circuit_breaker_reset": 12.0,
+        }
+        opts = {K[f]: str(v) for f, v in expected.items()}
+        opts[K["method"]] = "put"  # parser uppercases
+        parsed = lookup_options_from_map(opts)
+        mismatched = {
+            f: (getattr(parsed, f), v)
+            for f, v in expected.items()
+            if getattr(parsed, f) != v
+        }
+        assert not mismatched, (
+            f"string options accepted but not consumed: {mismatched}"
+        )
