@@ -19,6 +19,118 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+# --- scale-curve data: a 10x key-remapped replica of the bench SF ----------
+#
+# No sf1 directory ships with the test data, so the scale point is built
+# locally (once, cached) by replicating the bench tables 10x with DISJOINT
+# key spaces — the composition a real 10x corpus has, not 10 exact copies:
+#
+# - every entity key (custkey/orderkey/partkey/suppkey/doc_id/vec_id/
+#   event_id/user_id) is offset per-replica by a 1e9 stride, foreign keys
+#   consistently with their parents, so join fan-in per key stays constant
+#   while key cardinality grows 10x (what happens at real scale);
+# - region/nation stay fixed (TPC-H dims don't scale with SF);
+# - document text is token-salted per replica (identical/near-identical
+#   text 10x over would manufacture near-dup clusters of size 10 and
+#   superlinear pair blowup in the dedup operators — real corpora grow
+#   mostly-new content);
+# - embeddings get a deterministic per-component perturbation for the
+#   same reason (10 identical vectors would pile into the same ANN buckets).
+
+SCALE_FACTOR = 10
+_KEY_STRIDE = 1_000_000_000
+
+
+def ensure_scale_dir(base_dir: str, factor: int = SCALE_FACTOR) -> str:
+    out = Path(__file__).resolve().parent / ".scale_bench" / f"x{factor}"
+    marker = out / "_SCALE_OK"
+    tag = f"{base_dir}:{factor}:v2"
+    if marker.exists() and marker.read_text() == tag:
+        return str(out)
+
+    import shutil
+
+    import duckdb
+
+    shutil.rmtree(out, ignore_errors=True)
+    out.mkdir(parents=True)
+    con = duckdb.connect()
+    rep = f"range({factor}) AS _r(i)"
+    S = _KEY_STRIDE
+    copies = {
+        "region": "SELECT * FROM {b}/region.parquet",
+        "nation": "SELECT * FROM {b}/nation.parquet",
+        "customer": f"""
+            SELECT c_custkey + i*{S} AS c_custkey, c_name, c_nationkey,
+                   c_acctbal, c_mktsegment
+            FROM '{{b}}/customer.parquet', {rep}""",
+        "supplier": f"""
+            SELECT s_suppkey + i*{S} AS s_suppkey, s_name, s_nationkey,
+                   s_acctbal
+            FROM '{{b}}/supplier.parquet', {rep}""",
+        "part": f"""
+            SELECT p_partkey + i*{S} AS p_partkey, p_name, p_brand, p_type,
+                   p_size, p_retailprice
+            FROM '{{b}}/part.parquet', {rep}""",
+        "orders": f"""
+            SELECT o_orderkey + i*{S} AS o_orderkey,
+                   o_custkey + i*{S} AS o_custkey,
+                   o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+            FROM '{{b}}/orders.parquet', {rep}""",
+        "lineitem": f"""
+            SELECT l_orderkey + i*{S} AS l_orderkey,
+                   l_partkey + i*{S} AS l_partkey,
+                   l_suppkey + i*{S} AS l_suppkey,
+                   l_linenumber, l_quantity, l_extendedprice, l_discount,
+                   l_tax, l_returnflag, l_linestatus, l_shipdate
+            FROM '{{b}}/lineitem.parquet', {rep}""",
+        "events": f"""
+            SELECT event_id + i*{S} AS event_id, ts,
+                   user_id + i*{S} AS user_id, event_type, value, props
+            FROM '{{b}}/events.parquet', {rep}""",
+        # token-level salting, not a prefix: replica i replaces every 5th
+        # token (at replica-dependent offsets) with a tagged token, so a
+        # replica's 3-shingle Jaccard vs its original is ~0.25 — below the
+        # near-dup LSH thresholds. A bare "rN " prefix left Jaccard ≈ 1
+        # and manufactured 10-wide near-dup clusters, which made the dedup
+        # scale numbers measure the synthetic corpus, not the operator.
+        "documents": f"""
+            WITH salted AS (
+              SELECT doc_id + i*{S} AS doc_id,
+                     CASE WHEN i = 0 THEN text
+                          ELSE array_to_string(list_transform(
+                              string_split(text, ' '),
+                              (w, j) -> CASE WHEN (j % 5) = (i % 5)
+                                        THEN 'r' || i || w ELSE w END), ' ')
+                     END AS text,
+                     lang, source
+              FROM '{{b}}/documents.parquet', {rep}
+            )
+            SELECT doc_id, text, lang, source,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM salted""",
+        # per-component deterministic perturbation (cosine to the original
+        # ~0.96 at i=1, falling with i): a scalar rescale would leave
+        # cosine EXACTLY 1 and stack 10 identical vectors into every ANN
+        # bucket
+        "embeddings": f"""
+            SELECT vec_id + i*{S} AS vec_id,
+                   list_transform(embedding,
+                       (x, j) -> CAST(x + 0.05 * i * sin(vec_id * 0.37 + j)
+                                      AS FLOAT)) AS embedding,
+                   label
+            FROM '{{b}}/embeddings.parquet', {rep}""",
+    }
+    for table, sql in copies.items():
+        if table in ("region", "nation"):
+            sql = f"SELECT * FROM '{base_dir}/{table}.parquet'"
+        else:
+            sql = sql.format(b=base_dir)
+        con.sql(f"COPY ({sql}) TO '{out}/{table}.parquet' (FORMAT PARQUET)")
+    con.close()
+    marker.write_text(tag)
+    return str(out)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -75,13 +187,14 @@ def main() -> None:
         except Exception:
             pass  # a warmup miss only costs timing accuracy, not the bench
 
-    # min of two timed runs per query: this test VM reclaims guest pages via
-    # virtio-balloon, which injects multi-second kernel stalls into single
-    # measurements (BENCH_r01 recorded 71 s for a query that standalone
-    # re-timing showed at 9.5 s). The min of two runs is the steady-state
-    # per-query cost — what the query actually takes when the host isn't
-    # stealing the pages back.
-    N_RUNS = 2
+    # min of three timed runs per query: this test VM reclaims guest pages
+    # via virtio-balloon, which injects multi-second kernel stalls into
+    # single measurements (BENCH_r01 recorded 71 s for a query that
+    # standalone re-timing showed at 9.5 s), and min-of-2 still left ±20%
+    # single-query jitter in the r2→r3 comparison. The min of three runs is
+    # the steady-state per-query cost — what the query actually takes when
+    # the host isn't stealing the pages back.
+    N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings = {}
     for spec in bench_specs:
         best = None
@@ -99,7 +212,7 @@ def main() -> None:
         "/root/testdata/sf0.01": 0.01,
         "/root/testdata/sf0.1": 0.1,
     }.get(sf_dir.rstrip("/"), sf_dir)
-    print(json.dumps({
+    result = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
@@ -107,7 +220,37 @@ def main() -> None:
         "sf": sf,
         "runs_per_query": N_RUNS,
         "agg": "min",
-    }))
+    }
+
+    # scale curve: one timed pass per query at 10x the bench SF (locally
+    # generated, key-remapped — see ensure_scale_dir). time_ratio ≈ 10 is
+    # linear scaling; >> 10 flags a superlinear operator. One run per query
+    # (not min-of-N): at 10x the data the signal dwarfs the VM jitter, and
+    # the curve is about the exponent, not the third decimal.
+    if os.environ.get("SPARK_GRAFT_SCALE_CURVE", "1") != "0":
+        scale_dir = ensure_scale_dir(sf_dir)
+        scale_timings = {}
+        for spec in bench_specs:
+            t0 = time.time()
+            try:
+                spec.fn(spark, scale_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                scale_timings[spec.name] = round(time.time() - t0, 3)
+            except Exception as err:  # record, never sink the whole bench
+                scale_timings[spec.name] = f"error: {err}"
+        ratios = {
+            name: round(scale_timings[name] / timings[name], 2)
+            for name in scale_timings
+            if isinstance(scale_timings[name], float) and timings.get(name)
+        }
+        result["scale_curve"] = {
+            "data_factor": SCALE_FACTOR,
+            "queries_sec": scale_timings,
+            "time_ratio": ratios,
+        }
+
+    print(json.dumps(result))
     spark.stop()
 
 

@@ -55,7 +55,13 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
-__all__ = ["HttpDataSource", "register_http_datasource"]
+__all__ = [
+    "HttpDataSource",
+    "register_http_datasource",
+    "http_create_table",
+    "http_attach_tables",
+    "http_drop_table",
+]
 
 #: option parity: http.source.lookup.header.* / http.sink.header.*.
 #: NOTE Spark lowercases DataSource option keys, so header NAMES arrive
@@ -67,17 +73,27 @@ def _require_url(options: Dict[str, str]) -> str:
     """Spark does NOT forward ``OPTIONS`` of a persistent ``CREATE TABLE
     ... USING http`` to Python data sources (they arrive empty at read/
     write time) — fail with the workaround instead of a bare KeyError."""
-    try:
+    if "url" in options:
         return options["url"]
-    except KeyError:
-        raise ValueError(
-            "http data source requires option 'url'. If you created a "
-            "persistent table (`CREATE TABLE ... USING http OPTIONS (...)`),"
-            " note Spark does not pass its OPTIONS through to Python data "
-            "sources — declare the relation as `CREATE [OR REPLACE] "
-            "TEMPORARY VIEW name USING http OPTIONS (...)` instead, or use "
-            "spark.read.format('http').options(...)."
-        ) from None
+    # `CREATE TABLE ... USING http LOCATION 'http://...'` (or option
+    # `path`) puts the endpoint in the storage path — accept it as the
+    # url, which makes the PERSISTENT catalog-table spelling work even
+    # though Spark drops a persistent table's OPTIONS for Python data
+    # sources (see below).
+    path = options.get("path", "")
+    if path.startswith(("http://", "https://")):
+        return path
+    raise ValueError(
+        "http data source requires option 'url'. If you created a "
+        "persistent table (`CREATE TABLE ... USING http OPTIONS (...)`),"
+        " note Spark does not pass its OPTIONS through to Python data "
+        "sources — put the endpoint in LOCATION (`CREATE TABLE name (...) "
+        "USING http LOCATION 'https://...'`, query string allowed), or "
+        "declare the relation as `CREATE [OR REPLACE] TEMPORARY VIEW name "
+        "USING http OPTIONS (...)`, or use "
+        f"spark.read.format('http').options(...). Received options: "
+        f"{sorted(options)}"
+    )
 
 
 def _transport_kwargs(options: Dict[str, str]) -> Dict[str, Any]:
@@ -667,3 +683,125 @@ def register_http_datasource(spark) -> None:
     # a reader unless Python-datasource filter pushdown is switched on
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(HttpDataSource)
+
+
+# --- persistent catalog-table spelling (reference DDL-first idiom) ----------
+#
+# The reference declares endpoints as PERMANENT tables:
+# ``CREATE TABLE ... WITH ('connector' = 'http', ...)``
+# (docs/content/docs/connectors/table/http.md:84-121). Spark cannot honor
+# that spelling directly for Python data sources — a persistent
+# ``CREATE TABLE ... USING http OPTIONS (...)`` stores NEITHER the provider
+# options nor the LOCATION where the reader can see them (they arrive empty;
+# verified on PySpark 4.1, see test_sql_ddl.py) — so the durable definition
+# lives in a tiny managed catalog table of our own and each session shadows
+# it with the equivalent TEMPORARY VIEW, which Spark resolves FIRST for
+# unqualified names. Net effect: definitions survive sessions (metastore-
+# backed like the reference's catalog), and plain ``SELECT``/``INSERT INTO``
+# by name work in any session after one ``http_attach_tables(spark)`` call
+# (the same one-call session setup as ``register_http_datasource``).
+
+_HTTP_TABLE_REGISTRY = "http_table_registry"
+
+
+def _options_sql(options: Dict[str, str]) -> str:
+    def q(v: str) -> str:
+        return "'" + str(v).replace("'", "''") + "'"
+
+    return ", ".join(f"{k} {q(v)}" for k, v in sorted(options.items()))
+
+
+def _registry_path(spark) -> str:
+    """Warehouse-backed registry location. Plain parquet (not saveAsTable):
+    a session with the default in-memory catalog loses table ENTRIES on
+    restart while the warehouse files persist — the files must be the
+    durable truth for definitions to survive sessions."""
+    from urllib.parse import urlparse
+
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    )
+    parsed = urlparse(wh)
+    base = parsed.path if parsed.scheme in ("", "file") else wh
+    return base.rstrip("/") + "/" + _HTTP_TABLE_REGISTRY
+
+
+def _registry_rows(spark) -> List[Dict[str, str]]:
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = spark.read.parquet(_registry_path(spark)).collect()
+    except AnalysisException:  # registry never written
+        return []
+    return [
+        {"name": r["name"], "options": json.loads(r["options_json"])}
+        for r in rows
+    ]
+
+
+def _write_registry(spark, rows: List[Dict[str, str]]) -> None:
+    data = [(r["name"], json.dumps(r["options"], sort_keys=True)) for r in rows]
+    spark.createDataFrame(
+        data or [("", "")], "name string, options_json string"
+    ).filter("name <> ''").coalesce(1).write.mode("overwrite").parquet(
+        _registry_path(spark)
+    )
+
+
+def _attach_one(spark, name: str, options: Dict[str, str]) -> None:
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW {name} "
+        f"USING http OPTIONS ({_options_sql(options)})"
+    )
+
+
+def http_create_table(
+    spark,
+    name: str,
+    *,
+    url: str,
+    schema: str,
+    replace: bool = False,
+    **options: str,
+) -> None:
+    """Durable ``CREATE TABLE``-equivalent for an HTTP endpoint: persists
+    the definition in the session catalog's warehouse (survives sessions)
+    and attaches it to this session immediately. ``schema`` is a DDL
+    string; extra keyword options are the same option map the TEMPORARY
+    VIEW spelling takes (method, pages, batch_size, header.*, ...)."""
+    opts = {"url": url, "schema": schema,
+            **{k: str(v) for k, v in options.items()}}
+    rows = _registry_rows(spark)
+    if any(r["name"] == name for r in rows):
+        if not replace:
+            raise ValueError(
+                f"http table {name!r} already exists "
+                "(pass replace=True to redefine)"
+            )
+        rows = [r for r in rows if r["name"] != name]
+    rows.append({"name": name, "options": opts})
+    _write_registry(spark, rows)
+    _attach_one(spark, name, opts)
+
+
+def http_attach_tables(spark) -> List[str]:
+    """Attach every registered HTTP table to this session (one call at
+    session start, after :func:`register_http_datasource`). Returns the
+    attached table names."""
+    names = []
+    for row in _registry_rows(spark):
+        _attach_one(spark, row["name"], row["options"])
+        names.append(row["name"])
+    return names
+
+
+def http_drop_table(spark, name: str, if_exists: bool = False) -> None:
+    """Remove a registered HTTP table: durable definition + this
+    session's view."""
+    rows = _registry_rows(spark)
+    if not any(r["name"] == name for r in rows):
+        if if_exists:
+            return
+        raise ValueError(f"http table {name!r} does not exist")
+    _write_registry(spark, [r for r in rows if r["name"] != name])
+    spark.catalog.dropTempView(name)

@@ -695,6 +695,17 @@ def sim_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 GRAPH_K = 3
 
+#: sorted-neighborhood window inside one LSH bucket: a member generates
+#: candidate pairs only with the ~2W bucket neighbors adjacent to it in a
+#: deterministic (md5) ordering. A 16-plane/4-band signature has a FIXED
+#: 64-bucket key space, so uncapped within-bucket pairing is Θ(n²) by
+#: construction (measured: 86× time for 10× data in the r3→r4 scale
+#: curve); chunked pairing keeps every node represented with ≥ W
+#: candidates per band and makes total pair volume Θ(n·W). At the test
+#: SFs (bucket occupancy ≲ 2W) the candidate set is near-identical to the
+#: exhaustive one.
+GRAPH_CAND_WINDOW = 64
+
 _KNN_GRAPH_ORACLE = f"""
     WITH sig AS (
       SELECT vec_id, {_signature_duck('embedding')} AS sig FROM embeddings
@@ -706,11 +717,30 @@ _KNN_GRAPH_ORACLE = f"""
         SELECT unnest(range({PLANE_BANDS})) AS band_id
       ) bs
     ),
+    chunked AS (
+      SELECT vec_id, band_id, band_val,
+             CAST(floor((ROW_NUMBER() OVER (
+                 PARTITION BY band_id, band_val
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+             ) - 1) / {GRAPH_CAND_WINDOW}) AS INT) AS chunk,
+             ROW_NUMBER() OVER (
+                 PARTITION BY band_id, band_val
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+             ) - 1 AS rnk
+      FROM bands
+    ),
+    zones AS (
+      SELECT vec_id, band_id, band_val, rnk, chunk AS zone FROM chunked
+      UNION ALL
+      SELECT vec_id, band_id, band_val, rnk, chunk + 1 FROM chunked
+    ),
     cand AS (
-      SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
-      FROM bands x JOIN bands y
+      SELECT DISTINCT least(x.vec_id, y.vec_id) AS a_id,
+                      greatest(x.vec_id, y.vec_id) AS b_id
+      FROM zones x JOIN chunked y
         ON x.band_id = y.band_id AND x.band_val = y.band_val
-      WHERE x.vec_id < y.vec_id
+       AND x.zone = y.chunk
+      WHERE x.rnk < y.rnk
     ),
     scored AS (
       SELECT cand.a_id, cand.b_id, round({COS_DUCK}, 6) AS cosine
@@ -768,23 +798,54 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             ])
         ).alias("bk"),
     ).select("vec_id", "embedding", "norm", "bk.band_id", "bk.band_val")
-    a = bands.select(
-        F.col("vec_id").alias("a_id"),
+    # sorted-neighborhood chunking inside each (band_id, band_val) bucket:
+    # the fixed 64-bucket key space of a 16-plane/4-band signature makes
+    # exhaustive within-bucket pairing Θ(n²); pairing each member with its
+    # own and the adjacent rank-chunk bounds candidates at Θ(n·W) while
+    # staying deterministic and SQL-replayable (see GRAPH_CAND_WINDOW).
+    wb = Window.partitionBy("band_id", "band_val").orderBy(
+        F.expr("md5(CAST(vec_id AS STRING))"), F.asc("vec_id")
+    )
+    chunked = bands.withColumn(
+        "rnk", F.row_number().over(wb) - F.lit(1)
+    ).withColumn(
+        "chunk", F.expr(f"CAST(floor(rnk / {GRAPH_CAND_WINDOW}) AS INT)")
+    )
+    zones = chunked.select(
+        "vec_id", "embedding", "norm", "band_id", "band_val", "rnk",
+        F.col("chunk").alias("zone"),
+    ).unionAll(
+        chunked.select(
+            "vec_id", "embedding", "norm", "band_id", "band_val", "rnk",
+            (F.col("chunk") + F.lit(1)).alias("zone"),
+        )
+    )
+    a = zones.select(
+        F.col("vec_id").alias("x_id"),
         F.col("embedding").alias("a_emb"),
         F.col("norm").alias("a_norm"),
+        F.col("rnk").alias("a_rnk"),
         "band_id",
         "band_val",
+        "zone",
     )
-    b = bands.select(
-        F.col("vec_id").alias("b_id"),
+    b = chunked.select(
+        F.col("vec_id").alias("y_id"),
         F.col("embedding").alias("b_emb"),
         F.col("norm").alias("b_norm"),
+        F.col("rnk").alias("b_rnk"),
         "band_id",
         "band_val",
+        F.col("chunk").alias("zone"),
     )
     scored = (
-        a.join(b, ["band_id", "band_val"])
-        .filter(F.col("a_id") < F.col("b_id"))
+        a.join(b, ["band_id", "band_val", "zone"])
+        .filter(F.col("a_rnk") < F.col("b_rnk"))
+        .select(
+            F.least("x_id", "y_id").alias("a_id"),
+            F.greatest("x_id", "y_id").alias("b_id"),
+            "a_emb", "a_norm", "b_emb", "b_norm",
+        )
         .dropDuplicates(["a_id", "b_id"])
         .select(
             "a_id",

@@ -118,6 +118,15 @@ SINK_OPTION_KEYS = {
     # requests/second per writer task on top of the in-flight cap
     "rate_limit": "http.sink.rate-limit.requests-per-second",
     "rate_limit_burst": "http.sink.rate-limit.burst",
+    # beyond-reference, OPT-IN (default 0 = reference parity: failed sink
+    # requests are never retried, HttpSinkWriter.java:114,129-135 — a
+    # marked upstream TODO). The sink is at-least-once either way; with an
+    # idempotency-keyed endpoint (http_sink_idempotent_replay) retry is
+    # strictly better: it converts transient 5xx/transport blips into
+    # successes instead of counting them as send errors.
+    "max_retries": "sink.max-retries",
+    "retry_delay": "sink.retry-delay",
+    "retry_backoff_multiplier": "sink.retry-backoff-multiplier",
 }
 
 
@@ -226,6 +235,13 @@ class HttpSinkOptions:
     # per-task request rate cap (requests/second); None = unlimited
     rate_limit: Optional[float] = None
     rate_limit_burst: Optional[float] = None
+    # opt-in bounded retry of failed sink requests (default 0 = reference
+    # parity: no retry). A request is retried on transport errors and on
+    # error-classified statuses, max_retries times, sleeping
+    # retry_delay * retry_backoff_multiplier**attempt between tries.
+    max_retries: int = 0
+    retry_delay: float = 0.5
+    retry_backoff_multiplier: float = 2.0
 
 
 def _collect_prefixed(options: Mapping[str, str], prefix: str) -> Dict[str, str]:
@@ -339,9 +355,10 @@ def sink_options_from_map(options: Mapping[str, str]) -> HttpSinkOptions:
         ("flush_batch_size", int),
         ("batch_size", int), ("max_inflight", int), ("max_buffered", int),
         ("max_batch_bytes", int), ("max_record_bytes", int),
-        ("writer_pool_size", int),
+        ("writer_pool_size", int), ("max_retries", int),
         ("max_time_in_buffer", float), ("request_timeout", float),
         ("rate_limit", float), ("rate_limit_burst", float),
+        ("retry_delay", float), ("retry_backoff_multiplier", float),
     ):
         if k[name] in options:
             kwargs[name] = conv(options[k[name]])

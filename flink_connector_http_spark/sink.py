@@ -268,22 +268,38 @@ class HttpSinkWriter:
             self._inflight_records += record_count
 
     def _send_one(self, spec: HttpRequestSpec, record_count: int) -> None:
-        if self.rate_limiter is not None:
-            self.rate_limiter.acquire()
-        try:
-            response = self.transport.send(spec)
-        except OSError:
+        """Send one framed request. Default (max_retries=0) is reference
+        parity: a failed request is counted, never retried
+        (``HttpSinkWriter.java:114,129-135``). With the OPT-IN
+        ``sink.max-retries`` each transport error or error-classified
+        status is retried with exponential backoff; only exhaustion counts
+        as send errors. At-least-once either way — with an idempotency-
+        keyed endpoint (http_sink_idempotent_replay) retry upgrades
+        transient blips to successes for free."""
+        attempts = 1 + max(0, self.options.max_retries)
+        for attempt in range(attempts):
+            if attempt:
+                time.sleep(
+                    self.options.retry_delay
+                    * self.options.retry_backoff_multiplier ** (attempt - 1)
+                )
+            if self.rate_limiter is not None:
+                self.rate_limiter.acquire()
+            try:
+                response = self.transport.send(spec)
+            except OSError:
+                continue  # transport error: next attempt (or fall out)
+            if self.on_response is not None:
+                self.on_response(spec, response)
             with self._lock:
-                self.send_errors += record_count
-            return
-        if self.on_response is not None:
-            self.on_response(spec, response)
-        with self._lock:
-            self.requests_sent += 1
+                self.requests_sent += 1
             if self.checker.is_error(response.status):
-                self.send_errors += record_count
-            else:
+                continue
+            with self._lock:
                 self.records_sent += record_count
+            return
+        with self._lock:
+            self.send_errors += record_count
 
     def close(self) -> None:
         self._closed.set()

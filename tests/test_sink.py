@@ -286,3 +286,71 @@ class TestFlushTriggers:
         writer.close()
         assert len(transport.sent) == 3
         assert writer.records_sent == 3
+
+
+class TestOptInSinkRetry:
+    """Opt-in ``sink.max-retries`` (beyond-reference; default 0 keeps the
+    reference's no-retry parity — see test_errors_counted_not_retried)."""
+
+    def test_retry_then_succeed(self, stub_server):
+        stub_server.stub_sequence("/sink-retry", [
+            StubResponse(status=503, body=b""),
+            StubResponse(status=503, body=b""),
+            json_response({"ok": True}),
+        ])
+        writer = HttpSinkWriter(
+            stub_server.url("/sink-retry"),
+            HttpSinkOptions(request_mode="single", max_retries=3,
+                            retry_delay=0.01),
+        )
+        writer.write(entries(1)[0])
+        writer.close()
+        assert len(stub_server.recorded("/sink-retry")) == 3
+        assert writer.send_errors == 0 and writer.records_sent == 1
+        assert writer.requests_sent == 3
+
+    def test_retry_exhausted_counts_errors_once(self, stub_server):
+        stub_server.stub_json("/sink-dead", {"err": True}, status=500)
+        writer = HttpSinkWriter(
+            stub_server.url("/sink-dead"),
+            HttpSinkOptions(request_mode="single", max_retries=2,
+                            retry_delay=0.01),
+        )
+        writer.write(entries(1)[0])
+        writer.close()
+        # 1 + 2 retries fired; ONE record's worth of errors recorded
+        assert len(stub_server.recorded("/sink-dead")) == 3
+        assert writer.send_errors == 1 and writer.records_sent == 0
+
+    def test_retry_recovers_transport_errors(self, stub_server):
+        # dead port first -> OSError; the writer itself retries only the
+        # same spec, so use an unroutable url with 0 retries vs 2 retries
+        writer = HttpSinkWriter(
+            "http://127.0.0.1:1/never",
+            HttpSinkOptions(request_mode="single", max_retries=2,
+                            retry_delay=0.01, request_timeout=0.3),
+        )
+        writer.write(entries(1)[0])
+        writer.close()
+        assert writer.send_errors == 1  # exhausted, counted once
+
+    def test_default_is_reference_parity_no_retry(self, stub_server):
+        stub_server.stub_json("/sink-once", {"err": True}, status=500)
+        writer = HttpSinkWriter(
+            stub_server.url("/sink-once"), HttpSinkOptions(request_mode="single")
+        )
+        writer.write(entries(1)[0])
+        writer.close()
+        assert len(stub_server.recorded("/sink-once")) == 1
+
+    def test_string_option_map_round_trip(self):
+        from flink_connector_http_spark.options import sink_options_from_map
+
+        opts = sink_options_from_map({
+            "sink.max-retries": "4",
+            "sink.retry-delay": "0.25",
+            "sink.retry-backoff-multiplier": "3.0",
+        })
+        assert opts.max_retries == 4
+        assert opts.retry_delay == 0.25
+        assert opts.retry_backoff_multiplier == 3.0

@@ -120,3 +120,71 @@ def test_http_get_json_udtf_adhoc_lateral(spark, stub_server):
              LATERAL http_get_json('{stub_server.url("/one")}') t
     """).collect()
     assert sorted((r.id, r.v) for r in rows) == [(0, "seven"), (1, "seven")]
+
+
+def test_persistent_http_table_lifecycle(http_format, stub_server):
+    """The durable catalog-table spelling (reference DDL-first idiom,
+    table/http.md:84-121): create -> plain-SQL read -> INSERT INTO ->
+    survives 'session restart' (views dropped, re-attached from the
+    warehouse-backed registry) -> drop."""
+    from flink_connector_http_spark.datasource import (
+        http_attach_tables,
+        http_create_table,
+        http_drop_table,
+    )
+
+    spark = http_format
+    pages = [[{"id": 1, "v": "a"}, {"id": 2, "v": "b"}], [{"id": 3, "v": "c"}]]
+    stub_server.stub("/perm-items", _paged(pages))
+    stub_server.stub_json("/perm-ingest", {"ok": True})
+
+    http_create_table(
+        spark, "perm_items", url=stub_server.url("/perm-items"),
+        schema="id BIGINT, v STRING", pages="2", replace=True,
+    )
+    http_create_table(
+        spark, "perm_ingest", url=stub_server.url("/perm-ingest"),
+        schema="id BIGINT, v STRING", method="POST", replace=True,
+    )
+    try:
+        # read by bare name, plain SQL
+        assert spark.sql("SELECT count(*) n FROM perm_items").collect()[0].n == 3
+        # write by bare name, plain SQL
+        spark.sql("INSERT INTO perm_ingest SELECT id, v FROM perm_items")
+        sent = [
+            rec for req in stub_server.recorded("/perm-ingest")
+            for rec in json.loads(req.body)
+        ]
+        assert sorted(r["id"] for r in sent) == [1, 2, 3]
+
+        # duplicate create without replace must refuse
+        with pytest.raises(ValueError, match="already exists"):
+            http_create_table(
+                spark, "perm_items", url="http://x/", schema="id BIGINT",
+            )
+
+        # simulate a fresh session: this session's views vanish, the
+        # durable definitions remain -> one attach call restores them
+        spark.catalog.dropTempView("perm_items")
+        spark.catalog.dropTempView("perm_ingest")
+        attached = http_attach_tables(spark)
+        assert {"perm_items", "perm_ingest"} <= set(attached)
+        assert spark.sql("SELECT max(id) m FROM perm_items").collect()[0].m == 3
+    finally:
+        http_drop_table(spark, "perm_items", if_exists=True)
+        http_drop_table(spark, "perm_ingest", if_exists=True)
+    assert not spark.catalog.tableExists("perm_items")
+    with pytest.raises(ValueError, match="does not exist"):
+        http_drop_table(spark, "perm_items")
+
+
+def test_read_load_url_as_path(http_format, stub_server):
+    """`spark.read.format('http').load(url)` — the endpoint rides in the
+    path argument like a file source's location."""
+    spark = http_format
+    stub_server.stub_json("/path-items", [{"id": 10}, {"id": 11}])
+    df = (
+        spark.read.format("http").schema("id BIGINT")
+        .load(stub_server.url("/path-items"))
+    )
+    assert sorted(r.id for r in df.collect()) == [10, 11]
