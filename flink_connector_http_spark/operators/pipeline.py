@@ -784,3 +784,136 @@ def pipeline_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("flesch").alias("max_flesch"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental snapshot diff (the daily-delta manifest at 100 TB)
+# ---------------------------------------------------------------------------
+
+#: deterministic snapshot membership: yesterday = docs whose md5 bucket is
+#: < 90, today = buckets >= 5 — so ~5% removed, ~10% added, ~85% retained.
+_SNAP_BUCKET_SPARK = (
+    "CAST(conv(substr(md5(concat('snap:', CAST(doc_id AS STRING))), 1, 8), "
+    "16, 10) AS BIGINT) % 100"
+)
+_SNAP_BUCKET_DUCK = (
+    "('0x' || substr(md5('snap:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT "
+    "% 100"
+)
+
+
+@register(
+    "pipeline_incremental_manifest",
+    oracle=f"""
+    WITH buckets AS (
+      SELECT doc_id, source, n_chars,
+             {_SNAP_BUCKET_DUCK} AS b, md5(text) AS content_hash
+      FROM documents
+    ),
+    yesterday AS (SELECT * FROM buckets WHERE b < 90),
+    today AS (SELECT * FROM buckets WHERE b >= 5),
+    diff AS (
+      SELECT COALESCE(t.source, y.source) AS source,
+             CASE WHEN y.doc_id IS NULL THEN 'added'
+                  WHEN t.doc_id IS NULL THEN 'removed'
+                  ELSE 'retained' END AS change,
+             COALESCE(t.n_chars, y.n_chars) AS n_chars
+      FROM yesterday y FULL OUTER JOIN today t ON y.doc_id = t.doc_id
+    )
+    SELECT source, change,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM diff GROUP BY source, change
+    """,
+    doc="Incremental corpus manifest: the daily-delta diff between two "
+        "snapshot membership sets — added / removed / retained documents "
+        "per source with byte accounting, via ONE full-outer join on "
+        "doc_id. This is the operator that turns a 100 TB reprocess into "
+        "an incremental job: downstream stages (dedup indexes, quality "
+        "gates, packing) consume the 'added'/'removed' slices instead of "
+        "the whole corpus. The join shuffles both sides on doc_id once; "
+        "the rollup is a tiny map-side-combined aggregate.",
+)
+def pipeline_incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    buckets = docs.select(
+        "doc_id", "source", "n_chars",
+        F.expr(_SNAP_BUCKET_SPARK).alias("b"),
+    )
+    y = buckets.filter("b < 90").select(
+        F.col("doc_id").alias("y_id"),
+        F.col("source").alias("y_source"),
+        F.col("n_chars").alias("y_chars"),
+    )
+    t = buckets.filter("b >= 5").select(
+        F.col("doc_id").alias("t_id"),
+        F.col("source").alias("t_source"),
+        F.col("n_chars").alias("t_chars"),
+    )
+    diff = y.join(t, F.col("y_id") == F.col("t_id"), "full_outer").select(
+        F.coalesce("t_source", "y_source").alias("source"),
+        F.expr(
+            "CASE WHEN y_id IS NULL THEN 'added' "
+            "WHEN t_id IS NULL THEN 'removed' ELSE 'retained' END"
+        ).alias("change"),
+        F.coalesce("t_chars", "y_chars").alias("n_chars"),
+    )
+    return diff.groupBy("source", "change").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+        F.expr("CAST(SUM(n_chars) AS BIGINT)").alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup-aware source mixing (effective token mass, each unique doc once)
+# ---------------------------------------------------------------------------
+
+@register(
+    "sample_dedup_aware_mix",
+    oracle="""
+    WITH copies AS (
+      SELECT doc_id, source, n_chars, md5(text) AS h,
+             COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS raw_docs,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS unique_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS raw_chars,
+           round(SUM(CAST(n_chars AS DOUBLE) / n_copies), 6)
+             AS effective_chars,
+           round(SUM(CAST(n_chars AS DOUBLE) / n_copies)
+                 / SUM(CAST(n_chars AS DOUBLE)), 6) AS dedup_discount
+    FROM copies GROUP BY source
+    """,
+    doc="Dedup-aware source mixing: each document's sampling mass is "
+        "down-weighted by its exact-duplicate multiplicity (1/n_copies), "
+        "so a source whose volume is inflated by syndicated copies "
+        "contributes its UNIQUE token mass to the mixture — the "
+        "correction between raw corpus shares and the shares a "
+        "train-once-per-unique-doc policy actually yields. One window "
+        "over the content hash (same shuffle the exact-dedup keep rule "
+        "uses) + a per-source rollup. The 1/n sum is exact-rational "
+        "before the final round, so the gate hash is stable.",
+)
+def sample_dedup_aware_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    copies = docs.select(
+        "doc_id", "source", "n_chars", F.expr("md5(text)").alias("h")
+    ).withColumn(
+        "n_copies", F.count("*").over(Window.partitionBy("h"))
+    )
+    return copies.groupBy("source").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("raw_docs"),
+        F.expr("CAST(COUNT(DISTINCT h) AS BIGINT)").alias("unique_docs"),
+        F.expr("CAST(SUM(n_chars) AS BIGINT)").alias("raw_chars"),
+        F.expr(
+            "round(SUM(CAST(n_chars AS DOUBLE) / n_copies), 6)"
+        ).alias("effective_chars"),
+        F.expr(
+            "round(SUM(CAST(n_chars AS DOUBLE) / n_copies)"
+            " / SUM(CAST(n_chars AS DOUBLE)), 6)"
+        ).alias("dedup_discount"),
+    )

@@ -3414,3 +3414,233 @@ def text_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round(CAST(n_docs * ss - s * s AS DOUBLE) / (n_docs * s), 6)"
         ).alias("vmr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML/markup stripping (the web-corpus extraction step before any gate)
+# ---------------------------------------------------------------------------
+
+#: deterministic HTML-ish wrapper around each document so the strip path
+#: exercises real tag/entity removal on the synthetic corpus: every 6th
+#: token is bolded, the whole body is fenced in structural tags, and an
+#: entity is injected per document. Spark transform() indexes 0-based,
+#: DuckDB list_transform() 1-based — the modulus predicates align them.
+_HTML_SPARK = (
+    "concat('<html><head><title>', source, '</title></head><body><p>', "
+    "array_join(transform(split(text, ' '), (w, j) -> "
+    "CASE WHEN j % 6 = 0 THEN concat('<b>', w, '</b>') ELSE w END), ' '), "
+    "' &amp; tail</p></body></html>')"
+)
+_HTML_DUCK = (
+    "'<html><head><title>' || source || '</title></head><body><p>' || "
+    "array_to_string(list_transform(string_split(text, ' '), (w, j) -> "
+    "CASE WHEN (j - 1) % 6 = 0 THEN '<b>' || w || '</b>' ELSE w END), ' ') || "
+    "' &amp; tail</p></body></html>'"
+)
+
+
+@register(
+    "text_html_strip",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, {_HTML_DUCK} AS html, text FROM documents
+    ),
+    stripped AS (
+      SELECT doc_id, html,
+             replace(regexp_replace(html, '<[^>]+>', '', 'g'),
+                     '&amp;', '&') AS clean
+      FROM raw
+    )
+    SELECT doc_id,
+           CAST(length(html) AS BIGINT) AS n_raw_chars,
+           CAST(length(clean) AS BIGINT) AS n_clean_chars,
+           CAST(length(html) - length(regexp_replace(html, '<', '', 'g'))
+                AS BIGINT) AS n_tags,
+           round(CAST(length(html) - length(clean) AS DOUBLE)
+                 / length(html), 6) AS markup_ratio
+    FROM stripped
+    """,
+    doc="HTML/markup stripping — the extraction step every web-scale "
+        "corpus runs before any quality gate: tags removed by one regex "
+        "pass, entities decoded, with per-doc markup-overhead accounting "
+        "(markup_ratio is the boilerplate-weight signal trafilatura-style "
+        "extractors threshold on). Pure JVM regexp codegen, zero shuffle, "
+        "zero Python — at 100 TB this is scan-bound, exactly as it should "
+        "be. The synthetic corpus is wrapped in a deterministic HTML "
+        "envelope so both engines strip REAL markup.",
+)
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    raw = docs.select("doc_id", F.expr(_HTML_SPARK).alias("html"))
+    stripped = raw.withColumn(
+        "clean",
+        F.expr("replace(regexp_replace(html, '<[^>]+>', ''), '&amp;', '&')"),
+    )
+    return stripped.select(
+        "doc_id",
+        F.expr("CAST(length(html) AS BIGINT)").alias("n_raw_chars"),
+        F.expr("CAST(length(clean) AS BIGINT)").alias("n_clean_chars"),
+        F.expr(
+            "CAST(length(html) - length(regexp_replace(html, '<', '')) "
+            "AS BIGINT)"
+        ).alias("n_tags"),
+        F.expr(
+            "round(CAST(length(html) - length(clean) AS DOUBLE)"
+            " / length(html), 6)"
+        ).alias("markup_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# boilerplate-line removal (cross-document repeated-line cleaning)
+# ---------------------------------------------------------------------------
+
+BOILER_LINE_TOKENS = 8   # a "line" = one non-overlapping 8-token run
+BOILER_MIN_DOCS = 3      # a line in >= 3 distinct docs is boilerplate
+
+_LINES_SPARK = (
+    f"transform(sequence(0, CAST(ceil(size(split(text, ' ')) / "
+    f"{BOILER_LINE_TOKENS}.0) AS INT) - 1), "
+    f"i -> array_join(slice(split(text, ' '), i * {BOILER_LINE_TOKENS} + 1, "
+    f"{BOILER_LINE_TOKENS}), ' '))"
+)
+_LINES_DUCK = (
+    f"list_transform(range(0, CAST(ceil(len(string_split(text, ' ')) / "
+    f"{BOILER_LINE_TOKENS}.0) AS INT)), "
+    f"i -> array_to_string(list_slice(string_split(text, ' '), "
+    f"i * {BOILER_LINE_TOKENS} + 1, (i + 1) * {BOILER_LINE_TOKENS}), ' '))"
+)
+
+
+@register(
+    "text_boilerplate_lines",
+    oracle=f"""
+    WITH lines AS (
+      SELECT doc_id, unnest({_LINES_DUCK}) AS line FROM documents
+    ),
+    freq AS (
+      SELECT line, COUNT(DISTINCT doc_id) AS docs_with
+      FROM lines GROUP BY line
+    ),
+    flagged AS (
+      SELECT l.doc_id, l.line,
+             CASE WHEN f.docs_with >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END
+               AS is_boiler
+      FROM lines l JOIN freq f USING (line)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(is_boiler) AS BIGINT) AS n_boilerplate,
+           round(CAST(SUM(is_boiler) AS DOUBLE) / COUNT(*), 6)
+             AS boilerplate_ratio
+    FROM flagged GROUP BY doc_id
+    """,
+    doc=f"Cross-document boilerplate-line removal (the C4/RefinedWeb "
+        "cleaning rule: a line repeated across many pages is navigation/"
+        f"footer chrome, not content): docs split into "
+        f"{BOILER_LINE_TOKENS}-token lines, a line appearing in >= "
+        f"{BOILER_MIN_DOCS} distinct documents is flagged, and each doc "
+        "reports its boilerplate line ratio — the removal mask. ONE "
+        "shuffle on the line value for the doc-frequency count plus one "
+        "on doc_id for the rollup; line frequency is a textbook "
+        "map-side-combine aggregate, so at 100 TB the wide exchange "
+        "carries (line, partial-count), not raw postings.",
+)
+def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    lines = docs.select(
+        "doc_id", F.explode(F.expr(_LINES_SPARK)).alias("line")
+    )
+    freq = lines.groupBy("line").agg(
+        F.expr("COUNT(DISTINCT doc_id)").alias("docs_with")
+    )
+    flagged = lines.join(freq, "line").select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN docs_with >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END"
+        ).alias("is_boiler"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_lines"),
+        F.expr("CAST(SUM(is_boiler) AS BIGINT)").alias("n_boilerplate"),
+        F.expr(
+            "round(CAST(SUM(is_boiler) AS DOUBLE) / COUNT(*), 6)"
+        ).alias("boilerplate_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# unicode/character-class profile (encoding-junk + casing quality signal)
+# ---------------------------------------------------------------------------
+
+def _charclass_exprs(engine: str) -> dict:
+    """Per-class character counts via regex removal deltas — identical
+    regex classes both engines; DuckDB needs the explicit 'g' flag."""
+    g = ", 'g'" if engine == "duck" else ""
+    n = "length(text)"
+    return {
+        "n_chars": f"CAST({n} AS BIGINT)",
+        "n_letters": (
+            f"CAST({n} - length(regexp_replace(text, '[A-Za-z]', ''{g})) AS BIGINT)"
+        ),
+        "n_digits": (
+            f"CAST({n} - length(regexp_replace(text, '[0-9]', ''{g})) AS BIGINT)"
+        ),
+        "n_spaces": (
+            f"CAST({n} - length(regexp_replace(text, ' ', ''{g})) AS BIGINT)"
+        ),
+        "n_upper": (
+            f"CAST({n} - length(regexp_replace(text, '[A-Z]', ''{g})) AS BIGINT)"
+        ),
+    }
+
+
+@register(
+    "text_unicode_profile",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id,
+             {_charclass_exprs('duck')['n_chars']} AS n_chars,
+             {_charclass_exprs('duck')['n_letters']} AS n_letters,
+             {_charclass_exprs('duck')['n_digits']} AS n_digits,
+             {_charclass_exprs('duck')['n_spaces']} AS n_spaces,
+             {_charclass_exprs('duck')['n_upper']} AS n_upper
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_letters, n_digits, n_spaces, n_upper,
+           CAST(n_chars - n_letters - n_digits - n_spaces AS BIGINT) AS n_other,
+           round(CAST(n_letters AS DOUBLE) / n_chars, 6) AS letter_ratio,
+           round(CAST(n_chars - n_letters - n_digits - n_spaces AS DOUBLE)
+                 / n_chars, 6) AS junk_ratio
+    FROM c
+    """,
+    doc="Character-class profile: per-document letter/digit/space/upper "
+        "counts and the junk ratio (everything else — the encoding-"
+        "garbage signal quality pipelines threshold to drop mojibake, "
+        "binary spill, and ascii-art pages). Pure codegen regex deltas in "
+        "one scan, no shuffle; a 100 TB pass is IO-bound.",
+)
+def text_unicode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    e = _charclass_exprs("spark")
+    c = docs.select(
+        "doc_id",
+        F.expr(e["n_chars"]).alias("n_chars"),
+        F.expr(e["n_letters"]).alias("n_letters"),
+        F.expr(e["n_digits"]).alias("n_digits"),
+        F.expr(e["n_spaces"]).alias("n_spaces"),
+        F.expr(e["n_upper"]).alias("n_upper"),
+    )
+    return c.select(
+        "doc_id", "n_chars", "n_letters", "n_digits", "n_spaces", "n_upper",
+        F.expr(
+            "CAST(n_chars - n_letters - n_digits - n_spaces AS BIGINT)"
+        ).alias("n_other"),
+        F.expr(
+            "round(CAST(n_letters AS DOUBLE) / n_chars, 6)"
+        ).alias("letter_ratio"),
+        F.expr(
+            "round(CAST(n_chars - n_letters - n_digits - n_spaces AS DOUBLE)"
+            " / n_chars, 6)"
+        ).alias("junk_ratio"),
+    )
