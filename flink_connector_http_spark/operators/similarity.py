@@ -3430,3 +3430,108 @@ def emb_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(SUM({_chunk_pairs_expr('c', GRAPH_CAND_WINDOW)}) AS BIGINT)"
         ).alias("chunked_pairs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# int4 scalar-quantization recall (the 8x-compression end of the axis)
+# ---------------------------------------------------------------------------
+
+#: per-vector symmetric int4 quantization: components scaled to [-7, 7]
+#: by the vector's max-abs (the int8 path's formula at 1/16 the levels)
+_Q4_SPARK = (
+    "transform({col}, x -> CAST(floor(CAST(x AS DOUBLE) * "
+    "(CASE WHEN array_max(transform({col}, y -> abs(CAST(y AS DOUBLE)))) = 0 "
+    "THEN CAST(0 AS DOUBLE) ELSE CAST(7 AS DOUBLE) / "
+    "array_max(transform({col}, y -> abs(CAST(y AS DOUBLE)))) END) + 0.5) AS BIGINT))"
+)
+_Q4_DUCK = (
+    "list_transform({col}, x -> CAST(floor(CAST(x AS DOUBLE) * "
+    "(CASE WHEN list_max(list_transform({col}, y -> abs(CAST(y AS DOUBLE)))) = 0 "
+    "THEN CAST(0 AS DOUBLE) ELSE CAST(7 AS DOUBLE) / "
+    "list_max(list_transform({col}, y -> abs(CAST(y AS DOUBLE)))) END) + 0.5) AS BIGINT))"
+)
+
+_INT4_TOPK_ORACLE = f"""
+      SELECT q_id, neighbor_id FROM (
+        SELECT q.q_id, c.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+                 CAST(list_sum(list_transform(range(1, 65),
+                   i -> q.qv[i] * c.cv[i])) AS BIGINT) DESC,
+                 c.neighbor_id) AS rk
+        FROM (
+          SELECT vec_id AS q_id, {_Q4_DUCK.format(col="embedding")} AS qv
+          FROM embeddings WHERE vec_id < {N_QUERIES}
+        ) q JOIN (
+          SELECT vec_id AS neighbor_id,
+                 {_Q4_DUCK.format(col="embedding")} AS cv
+          FROM embeddings
+        ) c ON c.neighbor_id <> q.q_id
+      ) t WHERE rk <= {TOP_K}
+"""
+
+
+@register(
+    "sim_int4_recall_eval",
+    oracle=f"""
+    WITH {_EXACT_TOPK_CTE},
+    int4_topk AS ({_INT4_TOPK_ORACLE})
+    SELECT e.q_id,
+           CAST({TOP_K} AS BIGINT) AS k,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+           CAST(COUNT(a.neighbor_id) AS DOUBLE) / {TOP_K} AS recall_at_k
+    FROM exact_topk e
+    LEFT JOIN int4_topk a
+      ON a.q_id = e.q_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.q_id
+    """,
+    doc=f"Recall@{TOP_K} of int4 scalar quantization (components in "
+        "[-7, 7], 8x smaller than float32, exact integer dot ranking) "
+        "against exact float cosine — the aggressive-compression end of "
+        "the measured recall/cost axis next to int8 (sim_knn_quantized), "
+        "PQ, IVF, LSH, multi-probe, and truncation. The dot products are "
+        "exact integers, so the eval is hash-stable with no float-order "
+        "discipline. Broadcast query set, zero shuffle on the corpus "
+        "scan, per-query top-k window — same plan shape as the int8 path.",
+)
+def sim_int4_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("a_q"),
+        F.expr(_Q4_SPARK.format(col="embedding")).alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("a_n"),
+        F.expr(_Q4_SPARK.format(col="embedding")).alias("cv"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("a_n") != F.col("a_q"))
+        .select(
+            "a_q", "a_n",
+            F.expr(
+                "CAST(aggregate(zip_with(qv, cv, (x, y) -> x * y), "
+                "CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT)"
+            ).alias("dot_q"),
+        )
+    )
+    wq = Window.partitionBy("a_q").orderBy(F.desc("dot_q"), F.asc("a_n"))
+    int4 = (
+        scored.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= TOP_K)
+        .select("a_q", "a_n", F.lit(1).alias("hit"))
+    )
+    exact = sim_knn_bruteforce(spark, sf_dir).select("q_id", "neighbor_id")
+    return (
+        exact.join(
+            F.broadcast(int4),
+            (F.col("q_id") == F.col("a_q"))
+            & (F.col("neighbor_id") == F.col("a_n")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.expr(f"CAST({TOP_K} AS BIGINT)").alias("k"),
+            F.expr("CAST(COUNT(hit) AS BIGINT)").alias("n_hit"),
+            F.expr(f"CAST(COUNT(hit) AS DOUBLE) / {TOP_K}").alias("recall_at_k"),
+        )
+    )
