@@ -2256,3 +2256,53 @@ def dedup_minhash_bbit_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"round(abs({est} - {exact}), 6)").alias("abs_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH band-plan audit (the S-curve that justifies the b x r configuration)
+# ---------------------------------------------------------------------------
+
+_BAND_ROWS = N_HASHES // N_BANDS  # 4 min-hashes per band
+
+
+@register(
+    "dedup_minhash_band_planner",
+    # pure closed-form math on a jaccard grid — both engines evaluate the
+    # same rounded-double expression on the same integers
+    oracle=f"""
+    SELECT round(j / 100.0, 2) AS jaccard,
+           round(pow(j / 100.0, {_BAND_ROWS}), 6) AS p_band_match,
+           round(1 - pow(1 - pow(j / 100.0, {_BAND_ROWS}), {N_BANDS}), 6)
+             AS p_candidate,
+           CAST({N_BANDS} AS BIGINT) AS n_bands,
+           CAST({_BAND_ROWS} AS BIGINT) AS rows_per_band
+    FROM (SELECT unnest(range(5, 100, 5)) AS j)
+    ORDER BY jaccard
+    """,
+    doc=f"MinHash LSH band-plan audit: the collision S-curve "
+        f"1-(1-j^r)^b for the configured plan (b={N_BANDS} bands x "
+        f"r={_BAND_ROWS} rows) over a Jaccard grid — the table that "
+        "justifies (or indicts) the dedup configuration before a 100 TB "
+        "campaign: read off the candidate probability at the target "
+        "near-dup threshold and at the just-below-threshold mass that "
+        "will flood the verifier. Pair it with dedup_posting_profile "
+        "(observed hot keys) and emb_lsh_bucket_audit (observed pair "
+        "volume): planned selectivity vs measured occupancy is the "
+        "whole LSH capacity story. Driver-side constant math, zero scan.",
+)
+def dedup_minhash_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = spark.range(1, 20).select(
+        (F.col("id") * 5).alias("jpct")
+    )
+    return grid.select(
+        F.expr("round(jpct / 100.0, 2)").alias("jaccard"),
+        F.expr(
+            f"round(pow(jpct / 100.0, {_BAND_ROWS}), 6)"
+        ).alias("p_band_match"),
+        F.expr(
+            f"round(1 - pow(1 - pow(jpct / 100.0, {_BAND_ROWS}), "
+            f"{N_BANDS}), 6)"
+        ).alias("p_candidate"),
+        F.expr(f"CAST({N_BANDS} AS BIGINT)").alias("n_bands"),
+        F.expr(f"CAST({_BAND_ROWS} AS BIGINT)").alias("rows_per_band"),
+    ).orderBy("jaccard")

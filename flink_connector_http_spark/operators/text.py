@@ -3644,3 +3644,93 @@ def text_unicode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / n_chars, 6)"
         ).alias("junk_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# char-trigram LM cross-entropy (the perplexity-filter proxy)
+# ---------------------------------------------------------------------------
+
+_LM_V = 27 ** 3  # [a-z ] alphabet -> bounded trigram vocabulary
+
+_CLEAN_SPARK = "regexp_replace(lower(text), '[^a-z ]', '')"
+_CLEAN_DUCK = "regexp_replace(lower(text), '[^a-z ]', '', 'g')"
+
+_TRIS_SPARK = (
+    f"transform(sequence(1, greatest(length({_CLEAN_SPARK}) - 2, 0)), "
+    f"i -> substr({_CLEAN_SPARK}, i, 3))"
+)
+_TRIS_DUCK = (
+    f"list_transform(range(1, greatest(length({_CLEAN_DUCK}) - 1, 1)), "
+    f"i -> substr({_CLEAN_DUCK}, i, 3))"
+)
+
+
+@register(
+    "text_char_lm_perplexity",
+    # per-trigram log2 term rounded to 6dp and summed as exact scaled
+    # integers (the module's rounded-log + cleared-denominator pattern),
+    # so the corpus-trained model scores every doc hash-identically
+    oracle=f"""
+    WITH tris AS (
+      SELECT doc_id, unnest({_TRIS_DUCK}) AS tri FROM documents
+    ),
+    model AS (
+      SELECT tri, CAST(COUNT(*) AS BIGINT) AS c FROM tris GROUP BY tri
+    ),
+    total AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM model),
+    terms AS (
+      SELECT tris.doc_id,
+             CAST(round(log2(CAST(model.c + 1 AS DOUBLE) / (total.t + {_LM_V})),
+                        6) * 1000000 AS BIGINT) AS term6
+      FROM tris JOIN model USING (tri) CROSS JOIN total
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           round(-CAST(SUM(term6) AS DOUBLE) / 1000000 / COUNT(*), 6)
+             AS cross_entropy_bits,
+           round(pow(2, round(-CAST(SUM(term6) AS DOUBLE) / 1000000
+                              / COUNT(*), 6)), 6) AS perplexity
+    FROM terms GROUP BY doc_id
+    """,
+    doc="Char-trigram LM cross-entropy per document — the perplexity-"
+        "filter proxy (CCNet-style: score every doc against a corpus-"
+        "trained LM, drop the high-perplexity junk tail and the "
+        "suspiciously-low boilerplate head). The model is the corpus's "
+        "own add-1-smoothed trigram distribution: its vocabulary is "
+        "BOUNDED at 27^3 regardless of corpus size, so the trained model "
+        "broadcasts to every executor and scoring is one broadcast join "
+        "over exploded trigrams — at 100 TB that is two passes (train "
+        "aggregate, score scan) with no wide shuffle of document data. "
+        "Per-trigram log terms are rounded then summed as exact scaled "
+        "integers, so the float never breaks the hash gate.",
+)
+def text_char_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    tris = docs.select(
+        "doc_id", F.explode(F.expr(_TRIS_SPARK)).alias("tri")
+    )
+    model = tris.groupBy("tri").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("c")
+    )
+    total = model.agg(F.expr("CAST(SUM(c) AS BIGINT)").alias("t"))
+    terms = (
+        tris.join(F.broadcast(model), "tri")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.expr(
+                f"CAST(round(log2(CAST(c + 1 AS DOUBLE) / (t + {_LM_V})), 6)"
+                " * 1000000 AS BIGINT)"
+            ).alias("term6"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_trigrams"),
+        F.expr(
+            "round(-CAST(SUM(term6) AS DOUBLE) / 1000000 / COUNT(*), 6)"
+        ).alias("cross_entropy_bits"),
+        F.expr(
+            "round(pow(2, round(-CAST(SUM(term6) AS DOUBLE) / 1000000"
+            " / COUNT(*), 6)), 6)"
+        ).alias("perplexity"),
+    )

@@ -182,7 +182,9 @@ def test_read_load_url_as_path(http_format, stub_server):
     """`spark.read.format('http').load(url)` — the endpoint rides in the
     path argument like a file source's location."""
     spark = http_format
-    stub_server.stub_json("/path-items", [{"id": 10}, {"id": 11}])
+    # finite pagination: page 0 has rows, page 1 is empty (the unpaged
+    # reader walks ?page=N until an empty page)
+    stub_server.stub("/path-items", _paged([[{"id": 10}, {"id": 11}]]))
     df = (
         spark.read.format("http").schema("id BIGINT")
         .load(stub_server.url("/path-items"))
