@@ -2295,7 +2295,7 @@ def dedup_minhash_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("id") * 5).alias("jpct")
     )
     return grid.select(
-        F.expr("round(jpct / 100.0, 2)").alias("jaccard"),
+        F.expr("round(CAST(jpct AS DOUBLE) / 100.0, 2)").alias("jaccard"),
         F.expr(
             f"round(pow(jpct / 100.0, {_BAND_ROWS}), 6)"
         ).alias("p_band_match"),

@@ -3655,9 +3655,14 @@ _LM_V = 27 ** 3  # [a-z ] alphabet -> bounded trigram vocabulary
 _CLEAN_SPARK = "regexp_replace(lower(text), '[^a-z ]', '')"
 _CLEAN_DUCK = "regexp_replace(lower(text), '[^a-z ]', '', 'g')"
 
+# CASE guard: Spark's sequence(1, 0) yields the DESCENDING [1, 0] (two bogus
+# trigrams for cleaned length <= 2) while DuckDB's range(1, 1) is empty, so
+# short docs must short-circuit to an empty array on the Spark side.
 _TRIS_SPARK = (
-    f"transform(sequence(1, greatest(length({_CLEAN_SPARK}) - 2, 0)), "
-    f"i -> substr({_CLEAN_SPARK}, i, 3))"
+    f"CASE WHEN length({_CLEAN_SPARK}) >= 3 THEN "
+    f"transform(sequence(1, length({_CLEAN_SPARK}) - 2), "
+    f"i -> substr({_CLEAN_SPARK}, i, 3)) "
+    f"ELSE CAST(array() AS array<string>) END"
 )
 _TRIS_DUCK = (
     f"list_transform(range(1, greatest(length({_CLEAN_DUCK}) - 1, 1)), "
@@ -3667,9 +3672,12 @@ _TRIS_DUCK = (
 
 @register(
     "text_char_lm_perplexity",
-    # per-trigram log2 term rounded to 6dp and summed as exact scaled
-    # integers (the module's rounded-log + cleared-denominator pattern),
-    # so the corpus-trained model scores every doc hash-identically
+    # no per-term rounding: Spark rounds doubles via the exact BigDecimal
+    # expansion while DuckDB rounds via x*10^n, so rounded per-term logs
+    # drift at ANY precision (observed at both 6dp and 4dp). Instead sum
+    # raw doubles and round only the final per-doc outputs at 3dp — the
+    # accumulated float error (~1e-12 over a few hundred terms) is nine
+    # orders of magnitude inside the 5e-4 rounding-boundary window.
     oracle=f"""
     WITH tris AS (
       SELECT doc_id, unnest({_TRIS_DUCK}) AS tri FROM documents
@@ -3680,16 +3688,13 @@ _TRIS_DUCK = (
     total AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM model),
     terms AS (
       SELECT tris.doc_id,
-             CAST(round(log2(CAST(model.c + 1 AS DOUBLE) / (total.t + {_LM_V})),
-                        6) * 1000000 AS BIGINT) AS term6
+             log2(CAST(model.c + 1 AS DOUBLE) / (total.t + {_LM_V})) AS term
       FROM tris JOIN model USING (tri) CROSS JOIN total
     )
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_trigrams,
-           round(-CAST(SUM(term6) AS DOUBLE) / 1000000 / COUNT(*), 6)
-             AS cross_entropy_bits,
-           round(pow(2, round(-CAST(SUM(term6) AS DOUBLE) / 1000000
-                              / COUNT(*), 6)), 6) AS perplexity
+           round(-SUM(term) / COUNT(*), 3) AS cross_entropy_bits,
+           round(pow(2, round(-SUM(term) / COUNT(*), 3)), 3) AS perplexity
     FROM terms GROUP BY doc_id
     """,
     doc="Char-trigram LM cross-entropy per document — the perplexity-"
@@ -3701,8 +3706,9 @@ _TRIS_DUCK = (
         "broadcasts to every executor and scoring is one broadcast join "
         "over exploded trigrams — at 100 TB that is two passes (train "
         "aggregate, score scan) with no wide shuffle of document data. "
-        "Per-trigram log terms are rounded then summed as exact scaled "
-        "integers, so the float never breaks the hash gate.",
+        "Raw log terms are summed and only the final per-doc outputs are "
+        "rounded (3dp), so engine-level float drift never breaks the "
+        "hash gate.",
 )
 def text_char_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")["documents"]
@@ -3719,18 +3725,16 @@ def text_char_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.expr(
-                f"CAST(round(log2(CAST(c + 1 AS DOUBLE) / (t + {_LM_V})), 6)"
-                " * 1000000 AS BIGINT)"
-            ).alias("term6"),
+                f"log2(CAST(c + 1 AS DOUBLE) / (t + {_LM_V}))"
+            ).alias("term"),
         )
     )
     return terms.groupBy("doc_id").agg(
         F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_trigrams"),
         F.expr(
-            "round(-CAST(SUM(term6) AS DOUBLE) / 1000000 / COUNT(*), 6)"
+            "round(-SUM(term) / COUNT(*), 3)"
         ).alias("cross_entropy_bits"),
         F.expr(
-            "round(pow(2, round(-CAST(SUM(term6) AS DOUBLE) / 1000000"
-            " / COUNT(*), 6)), 6)"
+            "round(pow(2, round(-SUM(term) / COUNT(*), 3)), 3)"
         ).alias("perplexity"),
     )
