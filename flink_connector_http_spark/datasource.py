@@ -41,6 +41,7 @@ bounded in-flight pool; nothing funnels through the driver.
 from __future__ import annotations
 
 import json
+import re
 from typing import Any, Dict, Iterator, List, Optional, Sequence
 
 from pyspark.sql import types as T
@@ -703,12 +704,30 @@ def register_http_datasource(spark) -> None:
 
 _HTTP_TABLE_REGISTRY = "http_table_registry"
 
+# Registered names become both SQL view identifiers and registry
+# subdirectory names, so they must be bare identifiers — anything else
+# would splice into the CREATE VIEW statement (SQL injection) or produce
+# hostile paths.
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _check_ident(name: str) -> str:
+    if not _IDENT_RE.match(name or ""):
+        raise ValueError(
+            f"http table name {name!r} must be a bare SQL identifier "
+            "([A-Za-z_][A-Za-z0-9_]*)"
+        )
+    return name
+
 
 def _options_sql(options: Dict[str, str]) -> str:
     def q(v: str) -> str:
         return "'" + str(v).replace("'", "''") + "'"
 
-    return ", ".join(f"{k} {q(v)}" for k, v in sorted(options.items()))
+    # keys as quoted string literals: Spark's OPTIONS grammar accepts
+    # STRING keys, and quoting makes dotted/dashed keys (header.*) safe
+    # instead of splicing raw text into the statement
+    return ", ".join(f"{q(k)} {q(v)}" for k, v in sorted(options.items()))
 
 
 def _registry_path(spark) -> str:
@@ -726,11 +745,50 @@ def _registry_path(spark) -> str:
     return base.rstrip("/") + "/" + _HTTP_TABLE_REGISTRY
 
 
+def _registry_fs(spark, path: str):
+    """(Hadoop FileSystem, Path) pair for any warehouse scheme."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _migrate_flat_registry(spark) -> None:
+    """One-time layout upgrade: the pre-round-5 registry was a single
+    overwrite-the-world parquet directory (flat part files under the
+    registry root). Rewrite each entry into its own ``<root>/<name>/``
+    subdirectory so create/drop touch only their own entry, then remove
+    the flat files. No-op once migrated."""
+    root = _registry_path(spark)
+    fs, jroot = _registry_fs(spark, root)
+    if not fs.exists(jroot):
+        return
+    flat = [
+        st.getPath()
+        for st in fs.listStatus(jroot)
+        if st.isFile() and not st.getPath().getName().startswith("_")
+    ]
+    if not flat:
+        return
+    rows = spark.read.parquet(*[p.toString() for p in flat]).collect()
+    for r in rows:
+        if r["name"]:
+            _write_entry(spark, r["name"], json.loads(r["options_json"]))
+    for st in fs.listStatus(jroot):
+        if st.isFile():
+            fs.delete(st.getPath(), False)
+
+
 def _registry_rows(spark) -> List[Dict[str, str]]:
     from pyspark.errors import AnalysisException
 
+    _migrate_flat_registry(spark)
     try:
-        rows = spark.read.parquet(_registry_path(spark)).collect()
+        rows = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(_registry_path(spark))
+            .collect()
+        )
     except AnalysisException:  # registry never written
         return []
     return [
@@ -739,18 +797,28 @@ def _registry_rows(spark) -> List[Dict[str, str]]:
     ]
 
 
-def _write_registry(spark, rows: List[Dict[str, str]]) -> None:
-    data = [(r["name"], json.dumps(r["options"], sort_keys=True)) for r in rows]
+def _write_entry(spark, name: str, options: Dict[str, str]) -> None:
+    """Write ONE table's definition to its own subdirectory. Concurrent
+    sessions defining different tables never touch each other's entries;
+    a failed write can only damage this one definition."""
     spark.createDataFrame(
-        data or [("", "")], "name string, options_json string"
-    ).filter("name <> ''").coalesce(1).write.mode("overwrite").parquet(
-        _registry_path(spark)
+        [(name, json.dumps(options, sort_keys=True))],
+        "name string, options_json string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        _registry_path(spark) + "/" + name
     )
+
+
+def _delete_entry(spark, name: str) -> None:
+    path = _registry_path(spark) + "/" + _check_ident(name)
+    fs, jpath = _registry_fs(spark, path)
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
 
 
 def _attach_one(spark, name: str, options: Dict[str, str]) -> None:
     spark.sql(
-        f"CREATE OR REPLACE TEMPORARY VIEW {name} "
+        f"CREATE OR REPLACE TEMPORARY VIEW {_check_ident(name)} "
         f"USING http OPTIONS ({_options_sql(options)})"
     )
 
@@ -762,25 +830,27 @@ def http_create_table(
     url: str,
     schema: str,
     replace: bool = False,
-    **options: str,
+    options: Optional[Dict[str, str]] = None,
+    **kw_options: str,
 ) -> None:
     """Durable ``CREATE TABLE``-equivalent for an HTTP endpoint: persists
     the definition in the session catalog's warehouse (survives sessions)
     and attaches it to this session immediately. ``schema`` is a DDL
-    string; extra keyword options are the same option map the TEMPORARY
-    VIEW spelling takes (method, pages, batch_size, header.*, ...)."""
+    string; extra options are the same option map the TEMPORARY VIEW
+    spelling takes — pass bare keys as keywords (method, pages,
+    batch_size, ...) and dotted/dashed keys (header.*) via the
+    ``options`` dict, which kwargs cannot spell."""
+    _check_ident(name)
     opts = {"url": url, "schema": schema,
-            **{k: str(v) for k, v in options.items()}}
-    rows = _registry_rows(spark)
-    if any(r["name"] == name for r in rows):
+            **{k: str(v) for k, v in (options or {}).items()},
+            **{k: str(v) for k, v in kw_options.items()}}
+    if any(r["name"] == name for r in _registry_rows(spark)):
         if not replace:
             raise ValueError(
                 f"http table {name!r} already exists "
                 "(pass replace=True to redefine)"
             )
-        rows = [r for r in rows if r["name"] != name]
-    rows.append({"name": name, "options": opts})
-    _write_registry(spark, rows)
+    _write_entry(spark, name, opts)
     _attach_one(spark, name, opts)
 
 
@@ -798,10 +868,9 @@ def http_attach_tables(spark) -> List[str]:
 def http_drop_table(spark, name: str, if_exists: bool = False) -> None:
     """Remove a registered HTTP table: durable definition + this
     session's view."""
-    rows = _registry_rows(spark)
-    if not any(r["name"] == name for r in rows):
+    if not any(r["name"] == name for r in _registry_rows(spark)):
         if if_exists:
             return
         raise ValueError(f"http table {name!r} does not exist")
-    _write_registry(spark, [r for r in rows if r["name"] != name])
+    _delete_entry(spark, name)
     spark.catalog.dropTempView(name)

@@ -419,17 +419,31 @@ def http_lookup_join(
                     for i in range(0, len(to_fetch), batch_size)
                 ]
 
-                def fetch_chunk(chunk: List[Tuple]) -> List[Tuple]:
+                def fetch_chunk(
+                    chunk: List[Tuple],
+                    abandoned: Optional[threading.Event] = None,
+                ) -> List[Tuple]:
                     kvs = [key_values_of(kt) for kt in chunk]
+                    exchange = client.send_multi(kvs)
+                    if abandoned is not None and abandoned.is_set():
+                        # the caller already reported this chunk as timed
+                        # out and discarded our result — skip the publish
+                        # phase so the dead thread fires NO on_response
+                        # observers and NO failure accounting
+                        return []
                     return list(
                         zip(chunk,
-                            client.pull_multi(kvs, leaf_names, key_coercers))
+                            client.publish_multi(
+                                exchange, kvs, leaf_names, key_coercers))
                     )
 
                 if table_ref.options.use_async and len(chunks) > 1:
-                    # same per-request deadline as the per-key async path
-                    # (T2): a hung endpoint yields per-chunk timeout
-                    # results instead of stalling the task forever
+                    # async_timeout here is a WHOLE-BATCH deadline (the
+                    # reference's table.exec.async-lookup.timeout bounds
+                    # the complete async operation the same way): once it
+                    # lapses, every not-yet-joined chunk is reported as
+                    # timed out — a hung endpoint yields timeout results
+                    # instead of stalling the task forever
                     opts = table_ref.options
                     workers = max(1, min(pool_size, len(chunks)))
                     deadline = (
@@ -439,11 +453,12 @@ def http_lookup_join(
                     pool = ThreadPoolExecutor(max_workers=workers)
                     try:
                         futs = [
-                            (chunk, pool.submit(fetch_chunk, chunk))
+                            (chunk, ev, pool.submit(fetch_chunk, chunk, ev))
                             for chunk in chunks
+                            for ev in (threading.Event(),)
                         ]
                         fetched = []
-                        for chunk, fut in futs:
+                        for chunk, ev, fut in futs:
                             try:
                                 part = (
                                     fut.result() if deadline is None
@@ -451,6 +466,7 @@ def http_lookup_join(
                                         0.0, deadline - time.monotonic()))
                                 )
                             except FuturesTimeoutError:
+                                ev.set()  # in-flight thread: publish no more
                                 fut.cancel()
                                 kvs = [key_values_of(kt) for kt in chunk]
                                 part = list(zip(chunk, client.publish_multi(

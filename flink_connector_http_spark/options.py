@@ -148,7 +148,10 @@ class HttpLookupOptions:
     # caps concurrent in-flight lookups (effective fetch concurrency =
     # min(pull_pool_size, async_buffer_capacity)); timeout is the deadline
     # per async request measured from submission — on expiry the lookup
-    # fails (or yields an EXCEPTION-state row under continue_on_error)
+    # fails (or yields an EXCEPTION-state row under continue_on_error).
+    # On the multi-key batch path the timeout is a WHOLE-BATCH deadline:
+    # all chunks share it, and chunks not joined when it lapses are
+    # reported timed out even if their response lands moments later
     async_buffer_capacity: int = 100                  # Flink default
     async_timeout: Optional[float] = None             # seconds; None = no deadline
     result_type: str = "single-value"                 # or "array"

@@ -574,6 +574,50 @@ def test_batch_lookup_async_timeout_yields_timeout_results(spark, stub_server):
     assert elapsed < 4.5  # well under the 5 s hang (would be 10 s serial)
 
 
+def test_batch_lookup_abandoned_chunk_fires_no_observers(
+    spark, stub_server, tmp_path
+):
+    """Round-4 ADVICE: when a chunk misses the whole-batch async deadline
+    its result is discarded — the still-running fetch thread must then
+    skip the publish phase entirely, firing NO on_response callback for
+    the orphaned exchange. One fast chunk + one hung chunk => exactly one
+    callback invocation, even after the hung response finally lands."""
+    import time as _time
+
+    marker = tmp_path / "on_response_calls.txt"
+
+    def responder(request):
+        keys = request.json()
+        if keys[0]["id"] == 2:  # the hung chunk
+            _time.sleep(2.0)
+        rows = [CUSTOMERS[k["id"]] for k in keys if k["id"] in CUSTOMERS]
+        return json_response(rows)
+
+    stub_server.stub("/customers-batch-orphan", responder)
+    mpath = str(marker)
+    table = HttpLookupTable(
+        url=stub_server.url("/customers-batch-orphan"),
+        schema=CUSTOMER_SCHEMA,
+        options=HttpLookupOptions(
+            lookup_batch_size=1,     # 2 distinct keys -> 2 chunks
+            use_async=True,
+            async_timeout=1.0,
+            continue_on_error=True,
+            request_callback=lambda s, r: open(mpath, "a").write("x"),
+        ),
+    )
+    out = http_lookup_join(
+        orders_df(spark, ids=(1, 2)).coalesce(1), table,
+        on={"cust_id": "id"},
+        metadata_columns=["http-completion-state"],
+    )
+    states = sorted(r["http-completion-state"] for r in out.collect())
+    assert states == ["EXCEPTION", "SUCCESS"]
+    # let the abandoned thread's response land and (not) publish
+    _time.sleep(2.5)
+    assert marker.read_text() == "x"
+
+
 def test_circuit_breaker_short_circuits_after_threshold(spark, stub_server):
     stub_server.stub_json("/customers", {"err": "down"}, status=400)
     table = HttpLookupTable(

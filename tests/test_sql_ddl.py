@@ -190,3 +190,105 @@ def test_read_load_url_as_path(http_format, stub_server):
         .load(stub_server.url("/path-items"))
     )
     assert sorted(r.id for r in df.collect()) == [10, 11]
+
+
+def test_persistent_table_name_validation_and_header_options(
+    http_format, stub_server
+):
+    """Round-5 hardening: registered names must be bare identifiers (they
+    are spliced into CREATE VIEW and become registry directory names), and
+    dotted keys like header.* — inexpressible as kwargs — ride in the
+    ``options`` dict and reach the wire as real request headers."""
+    from flink_connector_http_spark.datasource import (
+        http_create_table,
+        http_drop_table,
+    )
+
+    spark = http_format
+    for bad in ("has-dash", "has space", "x; DROP TABLE y", "", "1leading"):
+        with pytest.raises(ValueError, match="bare SQL identifier"):
+            http_create_table(
+                spark, bad, url="http://x/", schema="id BIGINT",
+            )
+
+    stub_server.stub("/hdr-items", _paged([[{"id": 7}]]))
+    http_create_table(
+        spark, "perm_hdr", url=stub_server.url("/hdr-items"),
+        schema="id BIGINT", replace=True,
+        options={"header.X-Api-Key": "sekret", "header.X-Tenant": "t-1"},
+    )
+    try:
+        assert spark.sql("SELECT id FROM perm_hdr").collect()[0].id == 7
+        req = stub_server.recorded("/hdr-items")[0]
+        headers = {k.lower(): v for k, v in req.headers.items()}
+        assert headers.get("x-api-key") == "sekret"
+        assert headers.get("x-tenant") == "t-1"
+    finally:
+        http_drop_table(spark, "perm_hdr", if_exists=True)
+
+
+def test_registry_per_entry_layout_and_flat_migration(
+    http_format, stub_server
+):
+    """Each definition lives in its own ``<registry>/<name>/`` directory
+    (create/drop touch only their entry), and a pre-round-5 flat registry
+    (part files directly under the root) is migrated in place on first
+    read."""
+    import json as _json
+    import os
+
+    from flink_connector_http_spark.datasource import (
+        _registry_path,
+        http_attach_tables,
+        http_create_table,
+        http_drop_table,
+    )
+
+    spark = http_format
+    stub_server.stub("/lay-items", _paged([[{"id": 1}]]))
+    http_create_table(
+        spark, "perm_lay_a", url=stub_server.url("/lay-items"),
+        schema="id BIGINT", replace=True,
+    )
+    http_create_table(
+        spark, "perm_lay_b", url=stub_server.url("/lay-items"),
+        schema="id BIGINT", replace=True,
+    )
+    root = _registry_path(spark)
+    try:
+        assert os.path.isdir(os.path.join(root, "perm_lay_a"))
+        assert os.path.isdir(os.path.join(root, "perm_lay_b"))
+        # dropping one entry leaves the other's directory untouched
+        before = os.listdir(os.path.join(root, "perm_lay_b"))
+        http_drop_table(spark, "perm_lay_a")
+        assert not os.path.exists(os.path.join(root, "perm_lay_a"))
+        assert os.listdir(os.path.join(root, "perm_lay_b")) == before
+
+        # simulate the legacy flat layout: one part file under the root
+        legacy = spark.createDataFrame(
+            [("perm_lay_flat", _json.dumps({
+                "url": stub_server.url("/lay-items"),
+                "schema": "id BIGINT",
+            }))],
+            "name string, options_json string",
+        )
+        tmp = root + "__flat_tmp"
+        legacy.coalesce(1).write.mode("overwrite").parquet(tmp)
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(tmp, f), os.path.join(root, f))
+        attached = http_attach_tables(spark)  # triggers migration
+        assert "perm_lay_flat" in attached
+        assert os.path.isdir(os.path.join(root, "perm_lay_flat"))
+        assert not [
+            f for f in os.listdir(root)
+            if os.path.isfile(os.path.join(root, f))
+            and not f.startswith("_")
+        ]
+        assert spark.sql("SELECT id FROM perm_lay_flat").collect()[0].id == 1
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        http_drop_table(spark, "perm_lay_b", if_exists=True)
+        http_drop_table(spark, "perm_lay_flat", if_exists=True)
