@@ -166,7 +166,19 @@ class _DataStub:
             json.dumps({"pages": self.supplier_pages}).encode()
         )
         self.server.route("/suppliers-pages", lambda _q, _b: _head)
-        self.server.start()
+        # multi-process stub (SO_REUSEPORT fork workers): one GIL-bound
+        # event loop saturates under the bench's 32-partition × 8-thread
+        # per-key GET fan-out and measures the harness, not the operator —
+        # the round-4 scale curve clocked per-key GET at 19.6× for 10×
+        # data against the 1-process stub; the same measurement reads
+        # 13.6× at 4 workers and 4.7× (healthy) at 8. All routes here are
+        # immutable precomputed bytes, so forked children serve
+        # identically. SPARK_GRAFT_STUB_PROCS=1 restores one process.
+        import os as _os
+
+        self.server.start(
+            workers=max(1, int(_os.environ.get("SPARK_GRAFT_STUB_PROCS", "8")))
+        )
 
     def url(self, path: str) -> str:
         return self.server.url(path)

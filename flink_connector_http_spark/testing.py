@@ -200,6 +200,7 @@ class FastHttpStub:
         self._loop: Optional[asyncio.AbstractEventLoop] = None
         self._thread: Optional[threading.Thread] = None
         self._server: Optional[asyncio.AbstractServer] = None
+        self._children: list = []
         self.port: Optional[int] = None
 
     def route(self, path: str, responder: FastResponder) -> None:
@@ -249,8 +250,19 @@ class FastHttpStub:
             except Exception:
                 pass
 
-    def start(self) -> "FastHttpStub":
+    def start(self, workers: int = 1) -> "FastHttpStub":
+        """Start serving. ``workers > 1`` (Linux) forks ``workers - 1``
+        extra server processes all accepting on the same port via
+        SO_REUSEPORT, so the kernel load-balances connections across
+        real OS processes — one GIL-bound event loop saturates near
+        ~10-20k req/s, which turns the *harness* into the measured
+        bottleneck once a 32-partition × 8-thread lookup join fans out
+        (the round-4 scale curve clocked the per-key GET path at 19.6×
+        for 10× data against the single-process stub). Routes must be
+        registered before start(); children inherit them via fork and
+        serve identical data, so route state must be immutable."""
         started = threading.Event()
+        reuse = workers > 1
 
         def run() -> None:
             loop = asyncio.new_event_loop()
@@ -259,7 +271,7 @@ class FastHttpStub:
 
             async def main() -> None:
                 self._server = await asyncio.start_server(
-                    self._handle, "127.0.0.1", 0
+                    self._handle, "127.0.0.1", 0, reuse_port=reuse
                 )
                 self.port = self._server.sockets[0].getsockname()[1]
                 started.set()
@@ -274,9 +286,52 @@ class FastHttpStub:
         self._thread = threading.Thread(target=run, daemon=True)
         self._thread.start()
         started.wait(timeout=10)
+        if workers > 1 and self.port is not None:
+            import multiprocessing
+
+            ctx = multiprocessing.get_context("fork")
+            for _ in range(workers - 1):
+                p = ctx.Process(
+                    target=self._child_serve, args=(self.port,), daemon=True
+                )
+                p.start()
+                self._children.append(p)
         return self
 
+    def _child_serve(self, port: int) -> None:
+        """Forked worker: a fresh event loop accepting on the shared
+        SO_REUSEPORT port. Dies with the parent (PDEATHSIG) so a killed
+        bench never leaks stub processes."""
+        try:  # Linux-only safety net; daemon=True already covers clean exit
+            import ctypes
+            import signal as _sig
+
+            ctypes.CDLL(None).prctl(1, _sig.SIGKILL)  # PR_SET_PDEATHSIG
+        except Exception:
+            pass
+        loop = asyncio.new_event_loop()
+        asyncio.set_event_loop(loop)
+
+        async def main() -> None:
+            server = await asyncio.start_server(
+                self._handle, "127.0.0.1", port, reuse_port=True
+            )
+            async with server:
+                await server.serve_forever()
+
+        try:
+            loop.run_until_complete(main())
+        except BaseException:
+            pass
+
     def stop(self) -> None:
+        for p in self._children:
+            try:
+                p.terminate()
+                p.join(timeout=5)
+            except Exception:
+                pass
+        self._children = []
         if self._loop is not None and self._server is not None:
             loop = self._loop
 
