@@ -696,15 +696,19 @@ def sim_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 GRAPH_K = 3
 
 #: sorted-neighborhood window inside one LSH bucket: a member generates
-#: candidate pairs only with the ~2W bucket neighbors adjacent to it in a
-#: deterministic (md5) ordering. A 16-plane/4-band signature has a FIXED
+#: candidate pairs only with the W bucket members preceding it in a
+#: deterministic (md5) ordering — one sliding ROWS frame, so each
+#: unordered pair is emitted exactly once (at the later member) and total
+#: pair volume is Θ(n·W). A 16-plane/4-band signature has a FIXED
 #: 64-bucket key space, so uncapped within-bucket pairing is Θ(n²) by
 #: construction (measured: 86× time for 10× data in the r3→r4 scale
-#: curve); chunked pairing keeps every node represented with ≥ W
-#: candidates per band and makes total pair volume Θ(n·W). At the test
-#: SFs (bucket occupancy ≲ 2W) the candidate set is near-identical to the
-#: exhaustive one.
-GRAPH_CAND_WINDOW = 64
+#: curve). r4 bounded it with rank-chunk zoning (same Θ(n·W) volume) but
+#: that shape needs a rank window PLUS a three-key self-join; the sliding
+#: frame is ONE window pass (collect_list over W PRECEDING..1 PRECEDING)
+#: with no self-join at all. W=32 × 4 bands gives every node up to ~128
+#: distinct candidates for a top-3 graph — halving W from 64 halved the
+#: dominant exact-cosine cost with no downstream-oracle change.
+GRAPH_CAND_WINDOW = 32
 
 _KNN_GRAPH_ORACLE = f"""
     WITH sig AS (
@@ -717,30 +721,18 @@ _KNN_GRAPH_ORACLE = f"""
         SELECT unnest(range({PLANE_BANDS})) AS band_id
       ) bs
     ),
-    chunked AS (
-      SELECT vec_id, band_id, band_val,
-             CAST(floor((ROW_NUMBER() OVER (
+    preds AS (
+      SELECT vec_id,
+             list(vec_id) OVER (
                  PARTITION BY band_id, band_val
                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-             ) - 1) / {GRAPH_CAND_WINDOW}) AS INT) AS chunk,
-             ROW_NUMBER() OVER (
-                 PARTITION BY band_id, band_val
-                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-             ) - 1 AS rnk
+                 ROWS BETWEEN {GRAPH_CAND_WINDOW} PRECEDING AND 1 PRECEDING
+             ) AS ps
       FROM bands
     ),
-    zones AS (
-      SELECT vec_id, band_id, band_val, rnk, chunk AS zone FROM chunked
-      UNION ALL
-      SELECT vec_id, band_id, band_val, rnk, chunk + 1 FROM chunked
-    ),
     cand AS (
-      SELECT DISTINCT least(x.vec_id, y.vec_id) AS a_id,
-                      greatest(x.vec_id, y.vec_id) AS b_id
-      FROM zones x JOIN chunked y
-        ON x.band_id = y.band_id AND x.band_val = y.band_val
-       AND x.zone = y.chunk
-      WHERE x.rnk < y.rnk
+      SELECT DISTINCT least(vec_id, p) AS a_id, greatest(vec_id, p) AS b_id
+      FROM (SELECT vec_id, unnest(ps) AS p FROM preds) t
     ),
     scored AS (
       SELECT cand.a_id, cand.b_id, round({COS_DUCK}, 6) AS cosine
@@ -778,16 +770,17 @@ _KNN_GRAPH_ORACLE = f"""
 )
 def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    # candidate generation is SKINNY (ids + band keys only): the 64-float
+    # embedding arrays would otherwise ride through the band explode, the
+    # rank-window shuffle, the zones union, AND both sides of the
+    # candidate self-join — r4 shipped exactly that and paid +30% at
+    # sf0.1. Arrays now appear only in the two scoring joins at the end.
     sig = emb.select(
         "vec_id",
-        "embedding",
-        F.expr(_NORM.format(col="embedding")).alias("norm"),
         F.expr(_signature_expr("embedding")).alias("sig"),
     )
     bands = sig.select(
         "vec_id",
-        "embedding",
-        "norm",
         F.explode(
             F.array(*[
                 F.struct(
@@ -797,68 +790,88 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for b in range(PLANE_BANDS)
             ])
         ).alias("bk"),
-    ).select("vec_id", "embedding", "norm", "bk.band_id", "bk.band_val")
-    # sorted-neighborhood chunking inside each (band_id, band_val) bucket:
-    # the fixed 64-bucket key space of a 16-plane/4-band signature makes
-    # exhaustive within-bucket pairing Θ(n²); pairing each member with its
-    # own and the adjacent rank-chunk bounds candidates at Θ(n·W) while
-    # staying deterministic and SQL-replayable (see GRAPH_CAND_WINDOW).
-    wb = Window.partitionBy("band_id", "band_val").orderBy(
-        F.expr("md5(CAST(vec_id AS STRING))"), F.asc("vec_id")
+    ).select("vec_id", "bk.band_id", "bk.band_val")
+    # sorted-neighborhood sliding window inside each (band_id, band_val)
+    # bucket: the fixed 64-bucket key space of a 16-plane/4-band signature
+    # makes exhaustive within-bucket pairing Θ(n²); pairing each member
+    # with its ≤W rank-predecessors bounds candidates at Θ(n·W) in ONE
+    # window pass — no rank self-join, no subtree recomputation (see
+    # GRAPH_CAND_WINDOW). Each unordered pair is emitted exactly once per
+    # band; the dropDuplicates below only merges cross-band repeats.
+    wb = (
+        Window.partitionBy("band_id", "band_val")
+        .orderBy(F.expr("md5(CAST(vec_id AS STRING))"), F.asc("vec_id"))
+        .rowsBetween(-GRAPH_CAND_WINDOW, -1)
     )
-    chunked = bands.withColumn(
-        "rnk", F.row_number().over(wb) - F.lit(1)
-    ).withColumn(
-        "chunk", F.expr(f"CAST(floor(rnk / {GRAPH_CAND_WINDOW}) AS INT)")
+    preds = bands.select(
+        "vec_id", F.collect_list("vec_id").over(wb).alias("ps")
     )
-    zones = chunked.select(
-        "vec_id", "embedding", "norm", "band_id", "band_val", "rnk",
-        F.col("chunk").alias("zone"),
-    ).unionAll(
-        chunked.select(
-            "vec_id", "embedding", "norm", "band_id", "band_val", "rnk",
-            (F.col("chunk") + F.lit(1)).alias("zone"),
-        )
+    # cross-band duplicate pairs survive here on purpose: deduping now
+    # would cost a dedicated (a_id, b_id) exchange; instead duplicates are
+    # collapsed after mirroring, inside the ONE src_id exchange both final
+    # windows share (the ~10-30% duplicate cosine evals are cheaper than a
+    # whole shuffle stage)
+    cand = preds.select("vec_id", F.explode("ps").alias("p")).select(
+        F.least("vec_id", "p").alias("a_id"),
+        F.greatest("vec_id", "p").alias("b_id"),
     )
-    a = zones.select(
-        F.col("vec_id").alias("x_id"),
-        F.col("embedding").alias("a_emb"),
-        F.col("norm").alias("a_norm"),
-        F.col("rnk").alias("a_rnk"),
-        "band_id",
-        "band_val",
-        "zone",
-    )
-    b = chunked.select(
-        F.col("vec_id").alias("y_id"),
-        F.col("embedding").alias("b_emb"),
-        F.col("norm").alias("b_norm"),
-        F.col("rnk").alias("b_rnk"),
-        "band_id",
-        "band_val",
-        F.col("chunk").alias("zone"),
+    # score once per undirected pair: two id-keyed joins against the
+    # vectors (AQE broadcasts the small side at test SFs; at corpus scale
+    # these are plain key-balanced shuffle joins on vec_id)
+    vecs = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(_NORM.format(col="embedding")).alias("norm"),
     )
     scored = (
-        a.join(b, ["band_id", "band_val", "zone"])
-        .filter(F.col("a_rnk") < F.col("b_rnk"))
-        .select(
-            F.least("x_id", "y_id").alias("a_id"),
-            F.greatest("x_id", "y_id").alias("b_id"),
-            "a_emb", "a_norm", "b_emb", "b_norm",
+        cand.join(
+            vecs.select(
+                F.col("vec_id").alias("a_id"),
+                F.col("embedding").alias("a_emb"),
+                F.col("norm").alias("a_norm"),
+            ),
+            "a_id",
         )
-        .dropDuplicates(["a_id", "b_id"])
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("b_id"),
+                F.col("embedding").alias("b_emb"),
+                F.col("norm").alias("b_norm"),
+            ),
+            "b_id",
+        )
         .select(
             "a_id",
             "b_id",
             F.expr(f"round({_DOT_AB} / (a_norm * b_norm), 6)").alias("cosine"),
         )
     )
+    # mirror via explode for the same single-evaluation reason as `zones`
     edges = scored.select(
-        F.col("a_id").alias("src_id"), F.col("b_id").alias("dst_id"), "cosine"
-    ).unionAll(
-        scored.select(
-            F.col("b_id").alias("src_id"), F.col("a_id").alias("dst_id"), "cosine"
-        )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a_id").alias("src_id"),
+                    F.col("b_id").alias("dst_id"),
+                    F.col("cosine"),
+                ),
+                F.struct(
+                    F.col("b_id").alias("src_id"),
+                    F.col("a_id").alias("dst_id"),
+                    F.col("cosine"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src_id", "e.dst_id", "e.cosine")
+    # ONE exchange serves both windows below: hash(src_id) satisfies the
+    # dedup window's (src_id, dst_id) clustering by the subset rule, so
+    # the planner inserts no second shuffle
+    edges = edges.repartition("src_id")
+    w_dup = Window.partitionBy("src_id", "dst_id").orderBy("dst_id")
+    edges = (
+        edges.withColumn("_rn", F.row_number().over(w_dup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
     w = Window.partitionBy("src_id").orderBy(F.desc("cosine"), F.asc("dst_id"))
     return (
@@ -3346,17 +3359,14 @@ def graph_knn_symmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LSH bucket-occupancy audit (the quadratic-pair-volume early warning)
 # ---------------------------------------------------------------------------
 
-#: chunked pair count for a bucket of c members at window W: q = c div W
-#: full chunks + an r = c mod W remainder; pairs = within-chunk pairs +
-#: adjacent-chunk cross pairs. Pure integer arithmetic → identical both
-#: engines.
-def _chunk_pairs_expr(c: str, w: int) -> str:
-    q = f"CAST(floor({c} / {w}) AS BIGINT)"
-    r = f"CAST({c} % {w} AS BIGINT)"
+#: sliding-window pair count for a bucket of c members at window W: the
+#: member at rank i pairs with min(i, W) predecessors, so
+#: Σ min(i, W) = C(c, 2) for c ≤ W+1, else W(W+1)/2 + (c-1-W)·W.
+#: Pure integer arithmetic → identical both engines.
+def _window_pairs_expr(c: str, w: int) -> str:
     return (
-        f"({q} * {w * (w - 1) // 2} + ({r} * ({r} - 1)) / 2"
-        f" + CASE WHEN {q} >= 1"
-        f" THEN ({q} - 1) * {w * w} + {w} * {r} ELSE 0 END)"
+        f"(CASE WHEN {c} <= {w + 1} THEN ({c} * ({c} - 1)) / 2"
+        f" ELSE {w * (w + 1) // 2} + ({c} - 1 - {w}) * {w} END)"
     )
 
 
@@ -3382,19 +3392,19 @@ def _chunk_pairs_expr(c: str, w: int) -> str:
            CAST(SUM(c) AS BIGINT) AS n_items,
            CAST(MAX(c) AS BIGINT) AS max_occupancy,
            CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS uncapped_pairs,
-           CAST(SUM({_chunk_pairs_expr('c', GRAPH_CAND_WINDOW)}) AS BIGINT)
-             AS chunked_pairs
+           CAST(SUM({_window_pairs_expr('c', GRAPH_CAND_WINDOW)}) AS BIGINT)
+             AS windowed_pairs
     FROM occ GROUP BY band_id
     """,
     doc=f"LSH bucket-occupancy audit: per band, the bucket count, max "
         "occupancy, the UNCAPPED candidate-pair volume Σ C(c,2), and the "
         f"pair volume under the {GRAPH_CAND_WINDOW}-rank sorted-"
-        "neighborhood chunking the kNN graph actually uses. This is the "
-        "pre-flight check that catches quadratic blowup BEFORE the pair "
-        "join runs: a fixed-key-space signature makes uncapped_pairs grow "
-        "as n² while chunked_pairs stays Θ(n·W) — the r4 scale curve "
-        "measured exactly that (86× time for 10× data uncapped, 1.3× "
-        "chunked). Cost: one shuffle on (band_id, band_val) for the "
+        "neighborhood sliding window the kNN graph actually uses. This is "
+        "the pre-flight check that catches quadratic blowup BEFORE the "
+        "pair generation runs: a fixed-key-space signature makes "
+        "uncapped_pairs grow as n² while windowed_pairs stays Θ(n·W) — "
+        "the r4 scale curve measured exactly that (86× time for 10× data "
+        "uncapped, healthy capped). Cost: one shuffle on (band_id, band_val) for the "
         "occupancy count, then a per-band rollup — run it before every "
         "large ANN/dedup campaign and resize the signature when "
         "max_occupancy drifts above a few× the window.",
@@ -3427,8 +3437,8 @@ def emb_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(MAX(c) AS BIGINT)").alias("max_occupancy"),
         F.expr("CAST(SUM(c * (c - 1) / 2) AS BIGINT)").alias("uncapped_pairs"),
         F.expr(
-            f"CAST(SUM({_chunk_pairs_expr('c', GRAPH_CAND_WINDOW)}) AS BIGINT)"
-        ).alias("chunked_pairs"),
+            f"CAST(SUM({_window_pairs_expr('c', GRAPH_CAND_WINDOW)}) AS BIGINT)"
+        ).alias("windowed_pairs"),
     )
 
 
