@@ -121,14 +121,19 @@ _PRIORITY = [
 ]
 
 
-# The first 15 _PRIORITY entries are the §2 HTTP core — pinned in the window
-# every round so the reference-flagship surface always has fresh driver
-# evidence.  The remaining 35 window slots ROTATE: queries that have never
-# earned a green driver CORRECTNESS row (across all CORRECTNESS_r*.json files
-# present in the repo) go first, in registration order, so every query in the
-# registry accumulates driver-side oracle evidence within a few rounds instead
-# of the same 50 being re-checked forever (round-3 verdict item #1).
-_PINNED = _PRIORITY[:15]
+# The first 8 _PRIORITY entries are the flagship §2 HTTP core — pinned in
+# the window every round so that surface always has fresh driver evidence.
+# HTTP entries 9-15 rotate right behind the never-checked backlog (they all
+# have multiple green driver rows already; pinning all 15 wasted 7 slots
+# per round while ~125 queries had none — round-4 verdict item #6).  The
+# remaining ~42 window slots ROTATE: queries that have never earned a green
+# driver CORRECTNESS row (across all CORRECTNESS_r*.json files present in
+# the repo) go first, NEWEST REGISTRATION FIRST, so the queries added in
+# the current round — the only ones no judge replica has ever exercised —
+# get driver rows the same round they land instead of joining the back of
+# the queue (round-4 shipped 2 broken late additions exactly that way).
+_PINNED = _PRIORITY[:8]
+_HTTP_ROTATING = _PRIORITY[8:15]
 
 
 def _driver_green_names() -> set[str]:
@@ -162,9 +167,18 @@ def _ordered_names() -> list[str]:
     pinned_set = set(pinned)
     seen = _driver_green_names()
     rest = [n for n in REGISTRY if n not in pinned_set]
-    never_checked = [n for n in rest if n not in seen]
-    already_green = [n for n in rest if n in seen]
-    return pinned + never_checked + already_green
+    # newest registration first: REGISTRY preserves insertion order, and
+    # operators added this round register last — they are the only ones
+    # with zero prior scrutiny, so they must land inside the window NOW
+    never_checked = [n for n in reversed(rest) if n not in seen]
+    http_rot = [
+        n for n in _HTTP_ROTATING if n in REGISTRY and n in seen
+    ]
+    http_rot_set = set(http_rot)
+    already_green = [
+        n for n in rest if n in seen and n not in http_rot_set
+    ]
+    return pinned + never_checked + http_rot + already_green
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

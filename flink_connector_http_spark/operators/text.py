@@ -3540,31 +3540,49 @@ _LINES_DUCK = (
         f"footer chrome, not content): docs split into "
         f"{BOILER_LINE_TOKENS}-token lines, a line appearing in >= "
         f"{BOILER_MIN_DOCS} distinct documents is flagged, and each doc "
-        "reports its boilerplate line ratio — the removal mask. ONE "
-        "shuffle on the line value for the doc-frequency count plus one "
-        "on doc_id for the rollup; line frequency is a textbook "
-        "map-side-combine aggregate, so at 100 TB the wide exchange "
-        "carries (line, partial-count), not raw postings.",
+        "reports its boilerplate line ratio — the removal mask. "
+        "Skew-guarded: lines pre-aggregate per (doc, line) so repeats "
+        "collapse before any wide exchange, doc frequency is a map-side-"
+        "combined COUNT(*) over the deduped pairs, and the per-doc join "
+        "attaches only the filtered boilerplate-line set (1 match per "
+        "row; a residual hot line is the textbook AQE skew-join split "
+        "case) — a cookie-banner line repeated across half the corpus "
+        "never funnels raw postings through one reducer.",
 )
 def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")["documents"]
     lines = docs.select(
         "doc_id", F.explode(F.expr(_LINES_SPARK)).alias("line")
     )
-    freq = lines.groupBy("line").agg(
-        F.expr("COUNT(DISTINCT doc_id)").alias("docs_with")
+    # skew guard (round-4 verdict): joining raw lines against full
+    # doc-frequency keys on the line VALUE makes one ubiquitous
+    # boilerplate line (cookie banner) a classic hot join key. Instead:
+    # (1) pre-aggregate per-(doc, line) so within-doc repeats collapse
+    #     and the later exchanges carry distinct pairs only;
+    # (2) doc frequency is then a plain map-side-combined COUNT(*) over
+    #     the deduped pairs (the COUNT DISTINCT expand goes away);
+    # (3) the join attaches only the FILTERED boilerplate-line set —
+    #     orders of magnitude smaller than full freq, 1 match per row
+    #     (no fan-out), and the residual hot left key is exactly the
+    #     shape AQE's skew-join split handles.
+    dl = lines.groupBy("doc_id", "line").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("cnt")
     )
-    flagged = lines.join(freq, "line").select(
-        "doc_id",
-        F.expr(
-            f"CASE WHEN docs_with >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END"
-        ).alias("is_boiler"),
+    boiler = (
+        dl.groupBy("line")
+        .agg(F.expr("COUNT(*)").alias("docs_with"))
+        .filter(F.col("docs_with") >= BOILER_MIN_DOCS)
+        .select("line", F.lit(1).alias("is_boiler"))
+    )
+    flagged = dl.join(boiler, "line", "left").select(
+        "doc_id", "cnt",
+        F.expr("COALESCE(is_boiler, 0)").alias("is_boiler"),
     )
     return flagged.groupBy("doc_id").agg(
-        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_lines"),
-        F.expr("CAST(SUM(is_boiler) AS BIGINT)").alias("n_boilerplate"),
+        F.expr("CAST(SUM(cnt) AS BIGINT)").alias("n_lines"),
+        F.expr("CAST(SUM(cnt * is_boiler) AS BIGINT)").alias("n_boilerplate"),
         F.expr(
-            "round(CAST(SUM(is_boiler) AS DOUBLE) / COUNT(*), 6)"
+            "round(CAST(SUM(cnt * is_boiler) AS DOUBLE) / SUM(cnt), 6)"
         ).alias("boilerplate_ratio"),
     )
 

@@ -2,18 +2,19 @@
 
 The grading driver samples the FIRST 50 entries of ``__spark_entry__.queries()``
 in dict order.  Round 2's verdict demanded stratified family coverage; round 3's
-verdict demands ROTATION: the §2 HTTP core (15 queries) stays pinned so the
-reference-flagship surface always has fresh driver evidence, while the other 35
-slots are filled with queries that have never earned a green driver CORRECTNESS
-row, so the whole registry accumulates driver-side oracle evidence across
-rounds.  This test pins both properties so a future reshuffle cannot silently
-undo them.
+demanded ROTATION; round 4's demanded a faster backlog drain: only the 8
+flagship HTTP-core queries stay pinned (the other 7 HTTP rows rotate behind
+the backlog — they already hold multiple green driver rows), and the ~42
+rotating slots go to queries that have never earned a green driver
+CORRECTNESS row, NEWEST REGISTRATION FIRST so same-round additions get
+driver scrutiny the round they land.  This test pins those properties so a
+future reshuffle cannot silently undo them.
 """
 
 import __spark_entry__ as entry
 
 WINDOW = 50
-PINNED = 15
+PINNED = 8
 
 
 def test_window_starts_with_pinned_http_core():
