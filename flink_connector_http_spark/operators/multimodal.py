@@ -8,26 +8,30 @@ REAL tested decode path:
 - **Real, stdlib-only**: PPM images (P6 binary / P3 ASCII, parsed by
   hand), uncompressed 24-bit BMP (row padding + bottom-up order), 8-bit
   non-interlaced PNG (``zlib`` inflate + per-scanline unfilter, all five
-  filter types, gray/RGB/palette/alpha color types), animated GIF
-  (hand-rolled block parse + LZW — doubles as the real VIDEO frame
-  source with per-frame means, fingerprints, and Graphic-Control
-  timestamps), and RIFF/WAVE audio (``wave`` module + numpy PCM math) —
-  no imaging/audio library needed, tested on generated bytes end-to-end.
-- **Real, gated**: remaining image formats (JPEG/16-bit PNG/…) route
-  through PIL when it is installed; other video containers (mp4/webm)
-  need pyav/opencv; absent the library they raise ``NotImplementedError``
-  (honest stub — this container ships no imaging libs).
+  filter types, gray/RGB/palette/alpha color types), baseline/extended-
+  sequential JPEG (marker parse, canonical huffman, dequant, vectorized
+  IDCT, any divisible chroma subsampling, restart intervals — round 5),
+  animated GIF (hand-rolled block parse + LZW — doubles as the real
+  VIDEO frame source with per-frame means, fingerprints, and
+  Graphic-Control timestamps), and RIFF/WAVE audio (``wave`` module +
+  numpy PCM math) — no imaging/audio library needed, tested on generated
+  bytes end-to-end.
+- **Real, gated**: remaining image shapes (progressive JPEG/16-bit
+  PNG/…) route through PIL when it is installed; other video containers
+  (mp4/webm) need pyav/opencv; absent the library they raise
+  ``NotImplementedError`` (honest stub — this container ships no imaging
+  libs).
 - **Deterministic fake**: the registered ``mm_*`` pipeline operators go
   through :func:`sniff_decode_image` / :func:`sniff_decode_audio` /
   :func:`sniff_decode_video_frames`, which dispatch real formats to the
   real decoders and everything else to the md5-digest fakes — so the
   DuckDB-oracle-checked queries stay exactly reproducible on the
-  synthetic corpus while a user feeding real PPM/BMP/GIF/PNG/WAV bytes
-  gets real features through the same operators.
+  synthetic corpus while a user feeding real PPM/BMP/GIF/PNG/JPEG/WAV
+  bytes gets real features through the same operators.
 - **Provenance, always**: every feature-producing ``mm_*`` operator emits
   a ``decode_mode`` column (``'real'``/``'fake'``) so digest-derived
-  pseudo-stats are visible, filterable data — a corpus of JPEGs shows up
-  as 100% ``fake`` instead of silently plausible garbage.
+  pseudo-stats are visible, filterable data — a corpus of progressive
+  JPEGs shows up as 100% ``fake`` instead of silently plausible garbage.
 """
 
 from __future__ import annotations
@@ -334,16 +338,318 @@ def decode_png(data: bytes) -> np.ndarray:
     return px  # colortype 2: already RGB
 
 
+# ---------------------------------------------------------------------------
+# baseline JPEG (stdlib+numpy: marker parse, huffman, dequant, IDCT, 4:2:0)
+# ---------------------------------------------------------------------------
+
+JPEG_SIG = b"\xff\xd8\xff"
+
+
+def is_jpeg(data: bytes) -> bool:
+    return data[:3] == JPEG_SIG
+
+
+#: scan-order → natural-order index map (the JPEG zigzag)
+_JPEG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+#: orthonormal 8-point DCT-II basis: spatial = _DCT_A.T @ coefs @ _DCT_A
+_DCT_A = np.cos(
+    (2 * np.arange(8)[None, :] + 1) * np.arange(8)[:, None] * np.pi / 16
+) * 0.5
+_DCT_A[0, :] = np.sqrt(1.0 / 8.0)
+
+#: SOF markers that are huffman-sequential (decodable here) vs not
+_SOF_SEQUENTIAL = frozenset({0xC0, 0xC1})
+_SOF_OTHER = frozenset(
+    {0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+)
+
+
+def _jpeg_build_huffman(bits, vals):
+    """(lengths histogram, symbol list) → {(code_len, code): symbol}
+    canonical JPEG Huffman decode table."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitReader:
+    """Entropy-segment bit reader: un-stuffs 0xFF00, byte-aligns and
+    consumes RSTn markers at restart boundaries, raises ValueError on any
+    other marker (truncated/corrupt stream)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            if self.data[self.pos + 1] != 0x00:
+                raise ValueError("JPEG marker inside entropy data")
+            self.pos += 2
+        else:
+            self.pos += 1
+        self.buf = (self.buf << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.buf >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self, n: int) -> None:
+        """Byte-align and consume the expected RSTn marker."""
+        self.buf = 0
+        self.nbits = 0
+        if not (
+            self.data[self.pos] == 0xFF
+            and self.data[self.pos + 1] == 0xD0 + (n & 7)
+        ):
+            raise ValueError("JPEG missing restart marker")
+        self.pos += 2
+
+
+def _jpeg_decode_huff(br: _JpegBitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("bad JPEG huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Real stdlib+numpy baseline-JPEG decode → top-down (height, width,
+    3) uint8 RGB.
+
+    Handles huffman-coded sequential DCT (SOF0/SOF1; the overwhelmingly
+    common web shape), grayscale or YCbCr, any integer chroma subsampling
+    whose factors divide the frame maximums (4:4:4, 4:2:2, 4:2:0, ...),
+    multiple DQT/DHT segments, 16-bit quant precision, and restart
+    intervals. Progressive (SOF2) and the arithmetic/lossless SOF
+    variants raise ``NotImplementedError`` honestly — the sniffer routes
+    those to the provenance-tagged fake path. Huffman decoding is pure
+    Python (fine for thumbnails/tests); IDCT is a vectorized numpy
+    tensor product over all blocks at once."""
+    import struct
+
+    if not is_jpeg(data):
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtables = {}
+    dc_tables = {}
+    ac_tables = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI before SOS
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        seg = data[pos + 2:pos + seglen]
+        if marker == 0xDB:  # DQT — one or more tables per segment
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 0xF
+                off += 1
+                if pq:  # 16-bit precision
+                    q = np.frombuffer(seg, dtype=">u2", count=64, offset=off)
+                    off += 128
+                else:
+                    q = np.frombuffer(seg, dtype=np.uint8, count=64, offset=off)
+                    off += 64
+                qtables[tq] = q.astype(np.int64)
+        elif marker in _SOF_SEQUENTIAL:
+            precision = seg[0]
+            if precision != 8:
+                raise NotImplementedError(
+                    f"only 8-bit JPEG samples decode stdlib-only "
+                    f"(got {precision})"
+                )
+            height, width = struct.unpack_from(">HH", seg, 1)
+            ncomp = seg[5]
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                )
+            frame = {"w": width, "h": height, "comps": comps}
+        elif marker in _SOF_OTHER:
+            kind = "progressive" if marker == 0xC2 else f"SOF{marker - 0xC0}"
+            raise NotImplementedError(
+                f"{kind} JPEG does not decode stdlib-only "
+                "(baseline/extended-sequential huffman only)"
+            )
+        elif marker == 0xC4:  # DHT — one or more tables per segment
+            off = 0
+            while off < len(seg):
+                tc, th = seg[off] >> 4, seg[off] & 0xF
+                bits = list(seg[off + 1:off + 17])
+                nval = sum(bits)
+                vals = list(seg[off + 17:off + 17 + nval])
+                off += 17 + nval
+                (ac_tables if tc else dc_tables)[th] = _jpeg_build_huffman(
+                    bits, vals
+                )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS — start entropy-coded data
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i:3 + 2 * i]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scan.append(
+                    {**comp, "dc": tt >> 4, "ac": tt & 0xF}
+                )
+            return _jpeg_decode_scan(
+                data, pos + seglen, frame, scan, qtables,
+                dc_tables, ac_tables, restart_interval,
+            )
+        pos += seglen
+    raise ValueError("JPEG has no SOS scan")
+
+
+def _jpeg_decode_scan(
+    data, pos, frame, scan, qtables, dc_tables, ac_tables, restart_interval
+):
+    width, height = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    for c in scan:
+        if hmax % c["h"] or vmax % c["v"]:
+            raise NotImplementedError(
+                "fractional JPEG chroma subsampling unsupported"
+            )
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    br = _JpegBitReader(data, pos)
+    preds = {c["id"]: 0 for c in scan}
+    # per component: flat list of dequantized coefficient blocks + the
+    # (block_row, block_col) grid position of each — IDCT happens once,
+    # vectorized, after the huffman loop
+    blocks = {c["id"]: [] for c in scan}
+    coords = {c["id"]: [] for c in scan}
+    n_rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            mcu_idx = my * mcus_x + mx
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                br.restart(n_rst)
+                n_rst = (n_rst + 1) & 7
+                preds = {c["id"]: 0 for c in scan}
+            for c in scan:
+                q = qtables[c["tq"]]
+                dct = dc_tables[c["dc"]]
+                act = ac_tables[c["ac"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = np.zeros(64, dtype=np.int64)
+                        t = _jpeg_decode_huff(br, dct)
+                        diff = _jpeg_extend(br.read_bits(t), t) if t else 0
+                        preds[c["id"]] += diff
+                        coef[0] = preds[c["id"]] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_decode_huff(br, act)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            coef[_JPEG_ZIGZAG[k]] = (
+                                _jpeg_extend(br.read_bits(s), s) * q[k]
+                            )
+                            k += 1
+                        blocks[c["id"]].append(coef)
+                        coords[c["id"]].append(
+                            (my * c["v"] + by, mx * c["h"] + bx)
+                        )
+    planes = {}
+    for c in scan:
+        arr = np.stack(blocks[c["id"]]).reshape(-1, 8, 8).astype(np.float64)
+        # spatial = A.T @ F @ A for every block at once
+        pix = np.einsum("ur,nuv,vc->nrc", _DCT_A, arr, _DCT_A) + 128.0
+        pix = np.clip(np.round(pix), 0, 255).astype(np.uint8)
+        plane = np.zeros(
+            (mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.uint8
+        )
+        for (brow, bcol), block in zip(coords[c["id"]], pix):
+            plane[brow * 8:brow * 8 + 8, bcol * 8:bcol * 8 + 8] = block
+        # chroma upsample to full resolution by sample replication
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        planes[c["id"]] = plane[:height, :width].astype(np.float64)
+    if len(scan) == 1:
+        y = np.clip(np.round(planes[scan[0]["id"]]), 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    if len(scan) != 3:
+        raise NotImplementedError(
+            f"{len(scan)}-component JPEG unsupported (grayscale/YCbCr only)"
+        )
+    y, cb, cr = (planes[c["id"]] for c in scan)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def decode_image(data: bytes) -> dict:
     """Real image decode → ``{width, height, mean_r, mean_g, mean_b}``
     (channel means normalized to 0..1, matching the fake decoder's range).
 
-    PPM (P6 binary / P3 ASCII), uncompressed 24-bit BMP, GIF, and 8-bit
-    non-interlaced PNG parse with the stdlib only; any other format needs
-    PIL and raises ``NotImplementedError`` without it.
+    PPM (P6 binary / P3 ASCII), uncompressed 24-bit BMP, GIF, 8-bit
+    non-interlaced PNG, and baseline/extended-sequential JPEG parse with
+    the stdlib only; any other format needs PIL and raises
+    ``NotImplementedError`` without it.
     """
-    if is_png(data):
-        rgb = decode_png(data)
+    if is_png(data) or is_jpeg(data):
+        rgb = decode_png(data) if is_png(data) else decode_jpeg(data)
         height, width = rgb.shape[:2]
         means = rgb.reshape(-1, 3).astype(np.float64).mean(axis=0) / 255.0
         return {
@@ -426,7 +732,8 @@ def decode_image(data: bytes) -> dict:
             "mean_b": float(means[2]),
         }
     raise NotImplementedError(
-        "only PPM, uncompressed 24-bit BMP, and GIF decode stdlib-only; "
+        "only PPM, uncompressed 24-bit BMP, GIF, 8-bit PNG, and baseline "
+        "JPEG decode stdlib-only; "
         "other image formats require PIL/pillow (not installed). Use "
         "fake_decode_image for the deterministic test path."
     )
@@ -529,11 +836,13 @@ _DECODE_ERRORS = (
 
 
 def sniff_decode_image(data: bytes) -> dict:
-    """PPM/BMP/GIF/PNG → real stdlib decode; anything else → deterministic
-    fake. Every result carries ``decode_mode`` (``'real'``/``'fake'``) so
-    downstream operators surface the provenance as data instead of
-    silently mixing real features with digest-derived pseudo-stats."""
-    if is_ppm(data) or is_bmp(data) or is_gif(data) or is_png(data):
+    """PPM/BMP/GIF/PNG/JPEG → real stdlib decode; anything else →
+    deterministic fake. Every result carries ``decode_mode``
+    (``'real'``/``'fake'``) so downstream operators surface the
+    provenance as data instead of silently mixing real features with
+    digest-derived pseudo-stats."""
+    if (is_ppm(data) or is_bmp(data) or is_gif(data) or is_png(data)
+            or is_jpeg(data)):
         try:
             return {**decode_image(data), "decode_mode": "real"}
         except _DECODE_ERRORS:  # unsupported variant OR corrupt bytes
@@ -889,6 +1198,11 @@ def _rgb_pixels(data: bytes):
             return decode_png(data), 255
         except NotImplementedError:  # 16-bit / interlaced variant
             return None
+    if is_jpeg(data):
+        try:
+            return decode_jpeg(data), 255
+        except NotImplementedError:  # progressive / exotic SOF
+            return None
     if is_ppm(data) and data[:2] == b"P6":
         magic, width, height, maxval, off = _ppm_header(data)
         if maxval < 256:
@@ -938,16 +1252,19 @@ def decode_and_resize(data: bytes, target: int) -> dict:
             "thumb": header + thumb_px.tobytes(),
         }
     raise NotImplementedError(
-        "only 8-bit P6 PPM and uncompressed 24-bit BMP resize stdlib-only; "
+        "only P6 PPM, uncompressed 24-bit BMP, 8-bit PNG, and baseline "
+        "JPEG resize stdlib-only; "
         "other image formats require PIL/pillow (not installed). Use "
         "fake_resize_image for the deterministic test path."
     )
 
 
 def sniff_resize_image(data: bytes, target: int) -> dict:
-    """PPM/BMP/PNG → real stdlib resize; anything else → deterministic
-    fake. The result carries ``decode_mode`` (``'real'``/``'fake'``)."""
-    if (is_ppm(data) and data[:2] == b"P6") or is_bmp(data) or is_png(data):
+    """PPM/BMP/PNG/JPEG → real stdlib resize; anything else →
+    deterministic fake. The result carries ``decode_mode``
+    (``'real'``/``'fake'``)."""
+    if ((is_ppm(data) and data[:2] == b"P6") or is_bmp(data)
+            or is_png(data) or is_jpeg(data)):
         try:
             return {**decode_and_resize(data, target), "decode_mode": "real"}
         except _DECODE_ERRORS:  # unsupported variant OR corrupt bytes
