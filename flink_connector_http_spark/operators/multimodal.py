@@ -1118,6 +1118,158 @@ def audio_features_from_binary(audio: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# audio frequency-domain features (real rfft; digest fake; oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+def audio_spectrum(data: bytes) -> dict:
+    """Real frequency-domain features for RIFF/WAVE PCM: dominant
+    frequency (argmax rfft magnitude bin, DC excluded) and spectral
+    centroid, both in Hz rounded to 2dp via the module's tie-proof
+    floor(x·100 + 0.5) rule. Channels mix down to mono before the FFT."""
+    if not is_wav(data):
+        raise NotImplementedError(
+            "only RIFF/WAVE PCM decodes stdlib-only; other audio formats "
+            "require soundfile/librosa (not installed)."
+        )
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        sample_rate = wf.getframerate()
+        n_frames = wf.getnframes()
+        sampwidth = wf.getsampwidth()
+        n_ch = wf.getnchannels()
+        raw = wf.readframes(n_frames)
+    if sampwidth not in _WAV_DTYPES:
+        raise NotImplementedError(f"unsupported WAV sample width {sampwidth}")
+    x = np.frombuffer(raw, dtype=_WAV_DTYPES[sampwidth]).astype(np.float64)
+    if sampwidth == 1:
+        x = (x - 128.0) / 128.0
+    else:
+        x = x / float(2 ** (8 * sampwidth - 1))
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).mean(axis=1)
+    if x.size < 2:
+        raise ValueError("too few samples for a spectrum")
+    mag = np.abs(np.fft.rfft(x))
+    freqs = np.fft.rfftfreq(x.size, d=1.0 / sample_rate)
+    dom_bin = 1 + int(np.argmax(mag[1:]))  # skip DC
+    total = float(mag[1:].sum())
+    centroid = float((freqs[1:] * mag[1:]).sum() / total) if total else 0.0
+    return {
+        "sample_rate": sample_rate,
+        "n_samples": int(x.size),
+        "dominant_hz": math.floor(freqs[dom_bin] * 100 + 0.5) / 100,
+        "centroid_hz": math.floor(centroid * 100 + 0.5) / 100,
+    }
+
+
+def fake_audio_spectrum(data: bytes) -> dict:
+    """Deterministic fake spectrum: digest-derived dominant bin and
+    centroid fraction over the same digest-derived rate/length as
+    :func:`fake_decode_audio`, SQL-replayable bit for bit."""
+    d = hashlib.md5(data).digest()
+    sample_rate = 8000 * (1 + d[0] % 6)
+    n_samples = 1000 + d[1] * 256 + d[2]
+    dom_bin = (d[4] * 256 + d[5]) % (n_samples // 2) + 1
+    dominant = math.floor(dom_bin * sample_rate * 100 / n_samples + 0.5) / 100
+    frac = (d[6] * 256 + d[7]) / 65535.0
+    centroid = math.floor(frac * sample_rate * 50 + 0.5) / 100
+    return {
+        "sample_rate": sample_rate,
+        "n_samples": n_samples,
+        "dominant_hz": dominant,
+        "centroid_hz": centroid,
+    }
+
+
+def sniff_audio_spectrum(data: bytes) -> dict:
+    """RIFF/WAVE → real rfft spectrum; anything else → deterministic
+    fake. Carries ``decode_mode`` like every mm_* feature row."""
+    if is_wav(data):
+        try:
+            return {**audio_spectrum(data), "decode_mode": "real"}
+        except _DECODE_ERRORS:
+            pass
+    return {**fake_audio_spectrum(data), "decode_mode": "fake"}
+
+
+AUDIO_SPECTRUM_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_samples", T.IntegerType()),
+    T.StructField("dominant_hz", T.DoubleType()),
+    T.StructField("centroid_hz", T.DoubleType()),
+    T.StructField("decode_mode", T.StringType()),
+])
+
+
+@register(
+    "mm_audio_spectrum",
+    # digest replay: d[i] = hex chars (2i+1, 2i+2); float ops are written
+    # in the exact same order as the Python fake so the doubles agree
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, md5('AUD0' || text) AS hx FROM documents
+    ), d AS (
+      SELECT doc_id,
+             8000 * (1 + ('0x' || substr(hx, 1, 2))::INT % 6) AS sample_rate,
+             1000 + ('0x' || substr(hx, 3, 2))::INT * 256
+                  + ('0x' || substr(hx, 5, 2))::INT AS n_samples,
+             ('0x' || substr(hx, 9, 2))::INT * 256
+                  + ('0x' || substr(hx, 11, 2))::INT AS dom_raw,
+             ('0x' || substr(hx, 13, 2))::INT * 256
+                  + ('0x' || substr(hx, 15, 2))::INT AS cen_raw
+      FROM h
+    )
+    SELECT doc_id,
+           CAST(sample_rate AS INT) AS sample_rate,
+           CAST(n_samples AS INT) AS n_samples,
+           floor((dom_raw % (n_samples // 2) + 1) * sample_rate * 100.0
+                 / n_samples + 0.5) / 100 AS dominant_hz,
+           floor(cen_raw / 65535.0 * sample_rate * 50 + 0.5) / 100
+             AS centroid_hz,
+           'fake' AS decode_mode
+    FROM d
+    """,
+    doc="Audio frequency-domain profiling: opaque audio binaries → "
+        "mapInPandas → dominant frequency + spectral centroid (the "
+        "speech/music/noise triage signals an audio-corpus curation pass "
+        "keys on — hum/tone artifacts pin the dominant bin, speech sits "
+        "in a centroid band). RIFF/WAVE runs a real numpy rfft; the "
+        "synthetic corpus routes to the digest fake the oracle replays. "
+        "Same Arrow 1→1 shape and decode_mode provenance as "
+        "mm_audio_features; at 100 TB the FFT cost is per-clip "
+        "embarrassingly parallel with no shuffle at all.",
+)
+def mm_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    audio = docs.select(
+        "doc_id",
+        F.encode(F.concat(F.lit("AUD0"), F.col("text")), "UTF-8").alias("audio"),
+    )
+    return audio_spectrum_from_binary(audio)
+
+
+def audio_spectrum_from_binary(audio: DataFrame) -> DataFrame:
+    """Arrow-batched spectrum extraction over ``(doc_id, audio binary)``."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["audio"].map(sniff_audio_spectrum)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "sample_rate": feats.map(
+                    lambda f: f["sample_rate"]).astype("int32"),
+                "n_samples": feats.map(
+                    lambda f: f["n_samples"]).astype("int32"),
+                "dominant_hz": feats.map(lambda f: f["dominant_hz"]),
+                "centroid_hz": feats.map(lambda f: f["centroid_hz"]),
+                "decode_mode": feats.map(lambda f: f["decode_mode"]),
+            })
+
+    return audio.mapInPandas(extract, schema=AUDIO_SPECTRUM_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # fake-video frame sampling (1→N decode shape, oracle-checked)
 # ---------------------------------------------------------------------------
 

@@ -3545,3 +3545,130 @@ def sim_int4_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST(COUNT(hit) AS DOUBLE) / {TOP_K}").alias("recall_at_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# label propagation over the kNN graph (semi-supervised label spread)
+# ---------------------------------------------------------------------------
+
+LP_ROUNDS = 2
+
+#: seed rule: nodes with vec_id % 3 == 0 hide their label (the
+#: "unlabeled pool"); the rest seed the propagation — a deterministic
+#: stand-in for the usual few-labeled/many-unlabeled curation setup
+_LP_UNLABELED = "vec_id % 3 = 0"
+
+
+@register(
+    "graph_label_propagation",
+    # votes are integer counts and the per-node winner is picked by a
+    # deterministic (count DESC, label ASC) window — no floats anywhere
+    oracle=f"""
+    WITH knn AS (
+      {_KNN_GRAPH_ORACLE}
+    ),
+    edges AS (SELECT src_id, dst_id FROM knn),
+    seeds AS (
+      SELECT vec_id,
+             CASE WHEN {_LP_UNLABELED} THEN NULL ELSE label END AS lab
+      FROM embeddings
+    ),
+    v1 AS (
+      SELECT e.src_id AS vec_id, s.lab, COUNT(*) AS c
+      FROM edges e JOIN seeds s ON s.vec_id = e.dst_id
+      WHERE s.lab IS NOT NULL
+      GROUP BY e.src_id, s.lab
+    ),
+    p1 AS (
+      SELECT vec_id, lab FROM (
+        SELECT vec_id, lab,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY c DESC, lab) AS rn
+        FROM v1
+      ) t WHERE rn = 1
+    ),
+    l1 AS (
+      SELECT s.vec_id,
+             COALESCE(s.lab, p1.lab) AS lab,
+             CASE WHEN s.lab IS NOT NULL THEN 0
+                  WHEN p1.lab IS NOT NULL THEN 1 END AS rnd
+      FROM seeds s LEFT JOIN p1 ON p1.vec_id = s.vec_id
+    ),
+    v2 AS (
+      SELECT e.src_id AS vec_id, l.lab, COUNT(*) AS c
+      FROM edges e JOIN l1 l ON l.vec_id = e.dst_id
+      WHERE l.lab IS NOT NULL
+      GROUP BY e.src_id, l.lab
+    ),
+    p2 AS (
+      SELECT vec_id, lab FROM (
+        SELECT vec_id, lab,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY c DESC, lab) AS rn
+        FROM v2
+      ) t WHERE rn = 1
+    )
+    SELECT l1.vec_id,
+           CAST(COALESCE(l1.lab, p2.lab) AS INT) AS label,
+           CAST(CASE WHEN l1.rnd IS NOT NULL THEN l1.rnd
+                     WHEN p2.lab IS NOT NULL THEN 2 END AS INT)
+             AS round_assigned
+    FROM l1 LEFT JOIN p2 ON p2.vec_id = l1.vec_id
+    """,
+    doc=f"Semi-supervised label propagation over the approximate kNN "
+        f"graph ({LP_ROUNDS} fixed rounds): a third of the nodes hide "
+        "their label, then each unlabeled node takes the majority label "
+        "of its already-labeled neighbors (ties break to the smallest "
+        "label), round by round — the cheap label-spreading pass that "
+        "extends a small seed of human/classifier labels across a "
+        "semantic neighborhood graph before training a data-curation "
+        "filter. round_assigned records provenance (0 = seed, 1..N = "
+        "propagation round, NULL = unreached). Each round is ONE "
+        "map-side-combined vote shuffle on the destination node plus a "
+        "deterministic window pick — integer counts only, no float "
+        "order sensitivity; state per round is one label per node.",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    edges = emb_knn_graph(spark, sf_dir).select("src_id", "dst_id").persist()
+    seeds = emb.select(
+        "vec_id",
+        F.expr(
+            f"CASE WHEN {_LP_UNLABELED} THEN NULL ELSE label END"
+        ).alias("lab"),
+    )
+    cur = seeds.withColumn(
+        "rnd", F.expr("CASE WHEN lab IS NOT NULL THEN 0 END")
+    )
+    for r in range(1, LP_ROUNDS + 1):
+        votes = (
+            edges.join(
+                cur.select(F.col("vec_id").alias("dst_id"), "lab"),
+                "dst_id",
+            )
+            .filter(F.col("lab").isNotNull())
+            .groupBy(F.col("src_id").alias("vec_id"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("lab"))
+        picked = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("lab").alias("new_lab"))
+        )
+        cur = (
+            cur.join(picked, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.expr("COALESCE(lab, new_lab)").alias("lab"),
+                F.expr(
+                    f"CASE WHEN rnd IS NOT NULL THEN rnd "
+                    f"WHEN new_lab IS NOT NULL THEN {r} END"
+                ).alias("rnd"),
+            )
+        )
+    return cur.select(
+        "vec_id",
+        F.col("lab").cast("int").alias("label"),
+        F.col("rnd").cast("int").alias("round_assigned"),
+    )

@@ -3756,3 +3756,279 @@ def text_char_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round(pow(2, round(-SUM(term) / COUNT(*), 3)), 3)"
         ).alias("perplexity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (hashed n-gram importance resampling)
+# ---------------------------------------------------------------------------
+
+#: hashed-feature dimensionality for the two unigram distributions — a
+#: FIXED bucket space, so both trained models broadcast regardless of
+#: corpus size (the DSIR design point: Xie et al. 2023, "Data Selection
+#: for Language Models via Importance Resampling" — hashed n-gram bag
+#: features make target/raw density estimation a pair of count vectors)
+DSIR_DIM = 64
+
+#: the "curated target" proxy on the synthetic corpus: English documents
+#: (DSIR's canonical use targets a small high-quality corpus and scores
+#: the big raw crawl against it)
+_DSIR_TARGET = "lang = 'en'"
+
+
+@register(
+    "sample_dsir_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST({md5_int32_duck('t')} % {DSIR_DIM} AS INT) AS bucket
+      FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        FROM documents
+      )
+    ),
+    tgt_docs AS (SELECT doc_id FROM documents WHERE {_DSIR_TARGET}),
+    model AS (
+      SELECT bucket,
+             CAST(COUNT(*) AS BIGINT) AS c_raw,
+             CAST(COUNT(*) FILTER (
+               WHERE doc_id IN (SELECT doc_id FROM tgt_docs)
+             ) AS BIGINT) AS c_tgt
+      FROM tok GROUP BY bucket
+    ),
+    totals AS (
+      SELECT CAST(SUM(c_raw) AS BIGINT) AS t_raw,
+             CAST(SUM(c_tgt) AS BIGINT) AS t_tgt
+      FROM model
+    ),
+    scored AS (
+      SELECT tok.doc_id,
+             log2((CAST(model.c_tgt + 1 AS DOUBLE) / (totals.t_tgt + {DSIR_DIM}))
+                  / (CAST(model.c_raw + 1 AS DOUBLE) / (totals.t_raw + {DSIR_DIM})))
+               AS term
+      FROM tok JOIN model USING (bucket) CROSS JOIN totals
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(SUM(term), 3) AS log2_weight,
+           round(SUM(term) / COUNT(*), 4) AS log2_weight_per_token,
+           CAST(max(CASE WHEN d.{_DSIR_TARGET}
+                    THEN 1 ELSE 0 END) AS INT) AS in_target
+    FROM scored s JOIN documents d USING (doc_id)
+    GROUP BY s.doc_id
+    """,
+    doc=f"DSIR importance weights (Xie et al. 2023): score every raw doc "
+        f"by how target-like its hashed-unigram bag is — log importance "
+        f"weight = Σ_tokens log2(p_target(bucket) / p_raw(bucket)), with "
+        f"add-1-smoothed {DSIR_DIM}-bucket hashed distributions trained "
+        "on the corpus itself (target = English docs here). The selection "
+        "signal behind quality-targeted pretraining-data sampling: rank "
+        "by weight, sample ∝ exp(weight). Both models are FIXED-size "
+        "count vectors → broadcast; scoring is one map-side pass over "
+        "exploded tokens + a doc_id rollup — two shuffles total at any "
+        "corpus size. Raw log terms are summed unrounded and only the "
+        "final outputs round (3/4dp), per the module's float-drift rule.",
+)
+def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.expr("split(lower(text), ' ')")).alias("t"),
+    ).select(
+        "doc_id",
+        F.expr(f"CAST({md5_int32_spark('t')} % {DSIR_DIM} AS INT)").alias(
+            "bucket"
+        ),
+    )
+    tgt_ids = docs.filter(F.expr(_DSIR_TARGET)).select("doc_id")
+    model = (
+        tok.join(F.broadcast(tgt_ids.withColumn("is_tgt", F.lit(1))),
+                 "doc_id", "left")
+        .groupBy("bucket")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("c_raw"),
+            F.expr("CAST(COUNT(is_tgt) AS BIGINT)").alias("c_tgt"),
+        )
+    )
+    totals = model.agg(
+        F.expr("CAST(SUM(c_raw) AS BIGINT)").alias("t_raw"),
+        F.expr("CAST(SUM(c_tgt) AS BIGINT)").alias("t_tgt"),
+    )
+    scored = (
+        tok.join(F.broadcast(model), "bucket")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.expr(
+                f"log2((CAST(c_tgt + 1 AS DOUBLE) / (t_tgt + {DSIR_DIM}))"
+                f" / (CAST(c_raw + 1 AS DOUBLE) / (t_raw + {DSIR_DIM})))"
+            ).alias("term"),
+        )
+    )
+    flags = docs.select(
+        "doc_id",
+        F.expr(
+            f"CAST(CASE WHEN {_DSIR_TARGET} THEN 1 ELSE 0 END AS INT)"
+        ).alias("in_target"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_tokens"),
+            F.expr("round(SUM(term), 3)").alias("log2_weight"),
+            F.expr("round(SUM(term) / COUNT(*), 4)").alias(
+                "log2_weight_per_token"
+            ),
+        )
+        .join(flags, "doc_id")
+        .select("doc_id", "n_tokens", "log2_weight",
+                "log2_weight_per_token", "in_target")
+    )
+
+
+# ---------------------------------------------------------------------------
+# context-length packing-efficiency curve (pretraining batch planning)
+# ---------------------------------------------------------------------------
+
+PACK_EFF_LENGTHS = (256, 512, 1024, 2048)
+
+
+@register(
+    "sample_packing_efficiency",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    lens AS (SELECT unnest(ARRAY{list(PACK_EFF_LENGTHS)}) AS seq_len)
+    SELECT CAST(seq_len AS INT) AS seq_len,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM((n_tokens + seq_len - 1) // seq_len) AS BIGINT)
+             AS padded_seqs,
+           CAST(SUM((n_tokens + seq_len - 1) // seq_len * seq_len
+                    - n_tokens) AS BIGINT) AS padded_waste,
+           round(CAST(SUM((n_tokens + seq_len - 1) // seq_len * seq_len
+                          - n_tokens) AS DOUBLE)
+                 / SUM((n_tokens + seq_len - 1) // seq_len * seq_len), 6)
+             AS waste_ratio,
+           CAST((SUM(n_tokens) + seq_len - 1) // seq_len AS BIGINT)
+             AS packed_seqs
+    FROM sized CROSS JOIN lens
+    GROUP BY seq_len ORDER BY seq_len
+    """,
+    doc=f"Context-length packing-efficiency curve over "
+        f"{PACK_EFF_LENGTHS}: for each candidate training sequence "
+        "length, the pad-every-doc-to-L cost (padded_seqs, padded_waste, "
+        "waste_ratio) vs the perfect-concat-packing floor (packed_seqs). "
+        "The table behind choosing a context length and a packing "
+        "strategy before a pretraining run — waste_ratio at short L and "
+        "the padded/packed gap at long L quantify what document-aware "
+        "packing buys. Pure closed-form integer math from per-doc token "
+        "counts; one scan, a 4-way explode of a constant array, and a "
+        "4-group aggregate — nothing here grows with corpus size except "
+        "the scan.",
+)
+def sample_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    sized = docs.select(
+        "doc_id",
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_tokens"),
+    )
+    lens = F.array(*[F.lit(n) for n in PACK_EFF_LENGTHS])
+    exploded = sized.select(
+        "n_tokens", F.explode(lens).alias("seq_len")
+    )
+    # integer ceil, not float: (n + L - 1) div L
+    ceil_seqs = "((n_tokens + seq_len - 1) DIV seq_len)"
+    return (
+        exploded.groupBy(F.col("seq_len").cast("int").alias("seq_len"))
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+            F.expr("CAST(SUM(n_tokens) AS BIGINT)").alias("total_tokens"),
+            F.expr(f"CAST(SUM({ceil_seqs}) AS BIGINT)").alias("padded_seqs"),
+            F.expr(
+                f"CAST(SUM({ceil_seqs} * seq_len - n_tokens) AS BIGINT)"
+            ).alias("padded_waste"),
+            F.expr(
+                f"round(CAST(SUM({ceil_seqs} * seq_len - n_tokens) AS DOUBLE)"
+                f" / SUM({ceil_seqs} * seq_len), 6)"
+            ).alias("waste_ratio"),
+            F.expr(
+                "CAST((SUM(n_tokens) + FIRST(seq_len) - 1)"
+                " DIV FIRST(seq_len) AS BIGINT)"
+            ).alias("packed_seqs"),
+        )
+        .orderBy("seq_len")
+    )
+
+
+# ---------------------------------------------------------------------------
+# mojibake / encoding-damage score (ftfy-style corpus hygiene signal)
+# ---------------------------------------------------------------------------
+
+#: classic UTF-8-read-as-Latin-1 damage markers (the ftfy repertoire):
+#: 'Ã' starts every mangled two-byte sequence, 'â€' every mangled
+#: punctuation triple, 'Â' precedes mangled NBSP/degree signs, and
+#: U+FFFD is the decoder's own white flag
+_MOJIBAKE_MARKERS = ("Ã", "â€", "Â", "�")
+
+
+def _count_expr(marker: str) -> str:
+    """Occurrence count of ``marker`` via length delta — the identical
+    expression works in both engines (length() counts characters and
+    replace() is plain substring replace in each)."""
+    esc = marker.replace("'", "''")
+    span = len(marker)
+    if span == 1:
+        return f"(length(text) - length(replace(text, '{esc}', '')))"
+    return (
+        f"((length(text) - length(replace(text, '{esc}', ''))) / {span})"
+    )
+
+
+@register(
+    "text_mojibake_score",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CAST({' + '.join(_count_expr(m) for m in _MOJIBAKE_MARKERS)}
+                AS BIGINT) AS n_mojibake,
+           CAST(length(text)
+                - length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g'))
+                AS BIGINT) AS n_non_ascii,
+           round(CAST(length(text)
+                      - length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g'))
+                      AS DOUBLE) / length(text), 6) AS non_ascii_ratio,
+           CAST(CASE WHEN {' + '.join(_count_expr(m) for m in _MOJIBAKE_MARKERS)} > 0
+                THEN 1 ELSE 0 END AS INT) AS suspect
+    FROM documents
+    """,
+    doc="Encoding-damage (mojibake) score, ftfy-style: counts the "
+        "canonical UTF-8-read-as-Latin-1 markers ('Ã', 'â€', 'Â', "
+        "U+FFFD) plus the non-ASCII character ratio per document — the "
+        "corpus-hygiene triage that separates double-encoded crawl junk "
+        "from legitimately non-Latin text (a zh doc has high "
+        "non_ascii_ratio and zero markers; a mangled en doc has both). "
+        "Pure per-row codegen string math; zero shuffles — at 100 TB "
+        "this is an IO-bound scan that rides along any other pass.",
+)
+def text_mojibake_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    moji = " + ".join(_count_expr(m) for m in _MOJIBAKE_MARKERS)
+    return docs.select(
+        "doc_id", "lang",
+        F.expr(f"CAST({moji} AS BIGINT)").alias("n_mojibake"),
+        F.expr(
+            "CAST(length(text)"
+            " - length(regexp_replace(text, '[\\\\x00-\\\\x7F]', ''))"
+            " AS BIGINT)"
+        ).alias("n_non_ascii"),
+        F.expr(
+            "round(CAST(length(text)"
+            " - length(regexp_replace(text, '[\\\\x00-\\\\x7F]', ''))"
+            " AS DOUBLE) / length(text), 6)"
+        ).alias("non_ascii_ratio"),
+        F.expr(
+            f"CAST(CASE WHEN {moji} > 0 THEN 1 ELSE 0 END AS INT)"
+        ).alias("suspect"),
+    )
