@@ -2306,3 +2306,143 @@ def dedup_minhash_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST({N_BANDS} AS BIGINT)").alias("n_bands"),
         F.expr(f"CAST({_BAND_ROWS} AS BIGINT)").alias("rows_per_band"),
     ).orderBy("jaccard")
+
+
+# ---------------------------------------------------------------------------
+# dedup threshold sweep (the what-if table before committing to a cutoff)
+# ---------------------------------------------------------------------------
+
+#: candidate thresholds swept; the floor bounds the pair materialization
+#: (at corpus scale the sweep runs over the LSH-verified pair set, which
+#: is already jaccard-floored — here the exact index plays that role)
+SWEEP_THETAS = (0.3, 0.5, 0.7, 0.8, 0.9)
+_SWEEP_FLOOR = 0.3
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, unnest({SHINGLES_DUCK}) AS s FROM documents
+      )
+    ), counts AS (
+      SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id
+    ), j AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(COUNT(*) AS DOUBLE) / (ca.c + cb.c - COUNT(*)) AS jac
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      JOIN counts ca ON ca.doc_id = a.doc_id
+      JOIN counts cb ON cb.doc_id = b.doc_id
+      GROUP BY a_id, b_id, ca.c, cb.c
+      HAVING CAST(COUNT(*) AS DOUBLE) / (ca.c + cb.c - COUNT(*))
+             >= {_SWEEP_FLOOR}
+    ),
+    th AS (
+      SELECT CAST(unnest(ARRAY{list(SWEEP_THETAS)}) AS DOUBLE) AS theta
+    ),
+    edges AS (
+      SELECT th.theta, j.a_id, j.b_id FROM j, th WHERE j.jac >= th.theta
+    ),
+    docs_in AS (
+      SELECT theta, a_id AS d FROM edges
+      UNION ALL SELECT theta, b_id FROM edges
+    ),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+    SELECT th.theta,
+           CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(di.n_docs, 0) AS BIGINT) AS n_docs_in_pairs,
+           CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed_greedy,
+           round(CAST(COALESCE(r.n_removed, 0) AS DOUBLE) / total.n, 6)
+             AS removed_frac
+    FROM th
+    LEFT JOIN (SELECT theta, COUNT(*) AS n_pairs FROM edges GROUP BY theta)
+      p ON p.theta = th.theta
+    LEFT JOIN (SELECT theta, COUNT(DISTINCT d) AS n_docs FROM docs_in
+               GROUP BY theta) di ON di.theta = th.theta
+    LEFT JOIN (SELECT theta, COUNT(DISTINCT b_id) AS n_removed FROM edges
+               GROUP BY theta) r ON r.theta = th.theta
+    CROSS JOIN total
+    ORDER BY th.theta
+    """,
+    doc=f"Near-dup threshold sweep over {SWEEP_THETAS}: for each candidate "
+        "Jaccard cutoff, the surviving pair count, the docs touched, and "
+        "the kill-list size under the keep-lowest-id rule (remove the "
+        "higher doc_id of every pair) with its corpus fraction — the "
+        "what-if table a dedup campaign reads BEFORE committing to a "
+        "threshold, where one number separates 'removes 2% boilerplate' "
+        "from 'guts 30% of the corpus'. Pairs are materialized once at "
+        f"the {_SWEEP_FLOOR} floor and swept by a constant 5-way "
+        "explode; at 100 TB the same sweep runs over the LSH-verified "
+        "pair set (already floored) instead of the exact index, so the "
+        "added cost over one dedup pass is a 5x fan-out of the PAIR "
+        "table only, never of the corpus.",
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    sh = _shingle_index(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("a_id"), F.col("c").alias("ca"))
+    cb = counts.select(F.col("doc_id").alias("b_id"), F.col("c").alias("cb"))
+    j = (
+        inter.join(F.broadcast(ca), "a_id")
+        .join(F.broadcast(cb), "b_id")
+        .select(
+            "a_id", "b_id",
+            (F.col("inter").cast("double")
+             / (F.col("ca") + F.col("cb") - F.col("inter"))).alias("jac"),
+        )
+        .filter(F.col("jac") >= _SWEEP_FLOOR)
+    )
+    edges = j.select(
+        "a_id", "b_id", "jac",
+        F.explode(F.array(*[F.lit(t) for t in SWEEP_THETAS])).alias("theta"),
+    ).filter(F.col("jac") >= F.col("theta"))
+    per_theta = edges.groupBy("theta").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_pairs"),
+        F.expr("CAST(COUNT(DISTINCT b_id) AS BIGINT)").alias(
+            "n_removed_greedy"
+        ),
+    )
+    docs_in = (
+        edges.select("theta", F.col("a_id").alias("d"))
+        .unionAll(edges.select("theta", F.col("b_id").alias("d")))
+        .groupBy("theta")
+        .agg(F.expr("CAST(COUNT(DISTINCT d) AS BIGINT)").alias(
+            "n_docs_in_pairs"))
+    )
+    total = docs.agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"))
+    thetas = spark.createDataFrame(
+        [(t,) for t in SWEEP_THETAS], "theta double"
+    )
+    return (
+        thetas.join(F.broadcast(per_theta), "theta", "left")
+        .join(F.broadcast(docs_in), "theta", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "theta",
+            F.expr("CAST(COALESCE(n_pairs, 0) AS BIGINT)").alias("n_pairs"),
+            F.expr(
+                "CAST(COALESCE(n_docs_in_pairs, 0) AS BIGINT)"
+            ).alias("n_docs_in_pairs"),
+            F.expr(
+                "CAST(COALESCE(n_removed_greedy, 0) AS BIGINT)"
+            ).alias("n_removed_greedy"),
+            F.expr(
+                "round(CAST(COALESCE(n_removed_greedy, 0) AS DOUBLE) / n, 6)"
+            ).alias("removed_frac"),
+        )
+        .orderBy("theta")
+    )

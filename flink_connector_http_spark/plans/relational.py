@@ -706,6 +706,58 @@ def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q12_shipping_modes",
+    oracle="""
+    SELECT l_returnflag AS ship_class,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 30 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="TPC-H Q12 shape (TPC-H Q12 proper keys on l_shipmode/commitdate/"
+        "receiptdate, which the reduced synthetic schema lacks — "
+        "returnflag stands in for shipmode and ship-lag > 30 days for "
+        "the late-commit predicate): per shipping class, how many line "
+        "items of high- vs low-priority orders shipped late in the "
+        "window. The year filter reaches the lineitem scan; the lag "
+        "predicate rides the orderkey join; one final 3-group aggregate.",
+)
+def q12_shipping_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "orders", "lineitem")
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        t["orders"]
+        .join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate")
+               >= F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")),
+        )
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+                " THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("high_line_count"),
+            F.expr(
+                "CAST(SUM(CASE WHEN o_orderpriority NOT IN "
+                "('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@register(
     "q13_customer_distribution",
     oracle="""
     SELECT c_count, COUNT(*) AS custdist
