@@ -188,6 +188,17 @@ class _PageRange(InputPartition):
         self.end = end
 
 
+class _CursorChain(InputPartition):
+    """Cursor-paginated read: the server hands back an opaque next-page
+    token, so the chain is INHERENTLY sequential — one partition walks
+    it. (Contrast ?page=N, where known page numbers parallelize; a
+    cursor API's parallel story is serving several disjoint chains as
+    several DataFrames, or the head-endpoint page mode.)"""
+
+    def __init__(self) -> None:
+        super().__init__(value=0)
+
+
 class HttpBatchReader(DataSourceReader):
     """Paged GET reader: each partition fetches its page slice and decodes
     records with the registered format decoder."""
@@ -198,6 +209,13 @@ class HttpBatchReader(DataSourceReader):
         self.url = _require_url(options)
         self.fmt = options.get("format", "json")
         self.page_param = options.get("page_param", "page")
+        # cursor mode: the response is an ENVELOPE {items_path: [...],
+        # cursor_path: "<opaque token>"}; the reader follows tokens until
+        # the server omits/nulls the cursor (GitHub/Slack/Stripe-style
+        # pagination — the other common REST shape next to ?page=N)
+        self.cursor_path = options.get("cursor_path")
+        self.cursor_param = options.get("cursor_param", "cursor")
+        self.items_path = options.get("items_path", "items")
         self.pages = int(options["pages"]) if "pages" in options else None
         self.pages_per_partition = max(
             1, int(options.get("pages_per_partition", "1"))
@@ -244,6 +262,8 @@ class HttpBatchReader(DataSourceReader):
         return filters  # all re-evaluated by Spark (partial pushdown)
 
     def partitions(self) -> Sequence[InputPartition]:
+        if self.cursor_path:
+            return [_CursorChain()]
         if self.pages is None:
             # unpaged: one partition walking pages until an empty response
             return [_PageRange(0, -1)]
@@ -326,8 +346,13 @@ class HttpBatchReader(DataSourceReader):
             from .ratelimit import TokenBucket
 
             limiter = TokenBucket(self.rate_limit, self.rate_limit_burst)
-        assert isinstance(partition, _PageRange)
         arrow_schema = self._arrow_schema()
+        if isinstance(partition, _CursorChain):
+            yield from self._read_cursor_chain(
+                transport, decoder, headers, limiter, arrow_schema
+            )
+            return
+        assert isinstance(partition, _PageRange)
         if partition.end == -1:  # unpaged walk
             page = partition.start
             while True:
@@ -345,6 +370,52 @@ class HttpBatchReader(DataSourceReader):
                 )
                 if records:
                     yield from self._emit_page(records, arrow_schema)
+
+    def _read_cursor_chain(
+        self, transport, decoder, headers, limiter, arrow_schema
+    ):
+        from urllib.parse import urlencode
+
+        from .request import HttpRequestSpec
+
+        cursor = None
+        seen = set()  # a server echoing a stale cursor must not loop us
+        while True:
+            if limiter is not None:
+                limiter.acquire()
+            params = dict(self.pushed_params)
+            if cursor is not None:
+                params[self.cursor_param] = cursor
+            sep = "&" if "?" in self.url else "?"
+            url = f"{self.url}{sep}{urlencode(params)}" if params else self.url
+            spec = HttpRequestSpec(
+                method="GET", url=url, headers=headers(), body=None
+            )
+            resp = transport.send(spec)
+            if resp.status != 200:
+                raise IOError(
+                    f"HTTP read: cursor page returned status {resp.status}"
+                )
+            envelope = decoder(resp.body)
+            if not isinstance(envelope, dict):
+                raise ValueError(
+                    "cursor-paginated endpoint must return an object "
+                    f"envelope with {self.items_path!r} and "
+                    f"{self.cursor_path!r} fields, got "
+                    f"{type(envelope).__name__}"
+                )
+            records = envelope.get(self.items_path) or []
+            if records:
+                yield from self._emit_page(records, arrow_schema)
+            cursor = envelope.get(self.cursor_path)
+            if cursor is None or cursor == "":
+                return
+            cursor = str(cursor)
+            if cursor in seen:
+                raise ValueError(
+                    f"cursor pagination loop: token {cursor!r} repeated"
+                )
+            seen.add(cursor)
 
 
 class _SinkDone(WriterCommitMessage):

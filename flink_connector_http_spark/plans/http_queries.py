@@ -166,6 +166,28 @@ class _DataStub:
             json.dumps({"pages": self.supplier_pages}).encode()
         )
         self.server.route("/suppliers-pages", lambda _q, _b: _head)
+        # cursor-paginated variant of the supplier feed: envelope pages
+        # {"items": [...], "next": "<idx>"} chained by opaque token —
+        # the GitHub/Slack/Stripe pagination shape
+        cursor_pages = {}
+        for i in range(self.supplier_pages):
+            env = {
+                "items": supplier_rows[i * page_size:(i + 1) * page_size],
+            }
+            if i + 1 < self.supplier_pages:
+                env["next"] = str(i + 1)
+            cursor_pages[str(i)] = response_bytes(json.dumps(env).encode())
+        first_cursor_page = cursor_pages["0"]
+
+        def suppliers_cursor(query: str, _body: bytes) -> bytes:
+            for part in query.split("&"):
+                if part.startswith("cursor="):
+                    return cursor_pages.get(
+                        part[len("cursor="):], _empty_array
+                    )
+            return first_cursor_page
+
+        self.server.route("/suppliers-cursor", suppliers_cursor)
         # multi-process stub (SO_REUSEPORT fork workers): one GIL-bound
         # event loop saturates under the bench's 32-partition × 8-thread
         # per-key GET fan-out and measures the harness, not the operator —
@@ -545,6 +567,36 @@ def http_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
         .option("url", stub.url("/suppliers-paged"))
         .option("pages", stub.supplier_pages)
+        .load()
+    )
+
+
+@register(
+    "http_datasource_cursor",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+    """,
+    doc="Cursor-paginated REST read through the ``http`` DataSource: the "
+        "endpoint answers envelope pages {items: [...], next: token} and "
+        "the reader follows opaque tokens until the server omits the "
+        "cursor (with repeated-token loop protection) — the GitHub/Slack/"
+        "Stripe pagination shape, complementing the parallel ?page=N "
+        "mode. A cursor chain is inherently sequential, so this runs as "
+        "ONE partition by design; the scale path for cursor APIs is "
+        "several disjoint chains (per shard/date) as separate reads, or "
+        "the head-endpoint page mode when the API offers it.",
+)
+def http_datasource_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datasource import register_http_datasource
+
+    register_http_datasource(spark)
+    stub = _stub_for(sf_dir)
+    return (
+        spark.read.format("http")
+        .schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
+        .option("url", stub.url("/suppliers-cursor"))
+        .option("cursor_path", "next")
+        .option("items_path", "items")
         .load()
     )
 

@@ -423,3 +423,89 @@ def test_read_jsonl_format(spark, stub):
         .load()
     )
     assert sorted((r.id, r.name) for r in df.collect()) == [(1, "a"), (2, "b")]
+
+
+# ---------------------------------------------------------------------------
+# cursor pagination (round 5)
+# ---------------------------------------------------------------------------
+
+
+def _cursor_responder(pages, cursor_path="next", items_path="items"):
+    """Envelope pages chained by opaque token: page i links to i+1."""
+
+    def respond(req):
+        cur = req.query.get("cursor", ["0"])[0]
+        i = int(cur)
+        env = {items_path: pages[i] if i < len(pages) else []}
+        if i + 1 < len(pages):
+            env[cursor_path] = str(i + 1)
+        return json_response(env)
+
+    return respond
+
+
+def test_read_cursor_chain(spark, stub):
+    pages = [
+        [{"id": 1, "name": "a", "score": 1.0}, {"id": 2, "name": "b", "score": 2.0}],
+        [{"id": 3, "name": "c", "score": 3.0}],
+        [{"id": 4, "name": "d", "score": 4.0}],
+    ]
+    stub.stub("/cursor-items", _cursor_responder(pages))
+    df = (
+        spark.read.format("http").schema(SCHEMA)
+        .option("url", stub.url("/cursor-items"))
+        .option("cursor_path", "next")
+        .load()
+    )
+    assert sorted(r.id for r in df.collect()) == [1, 2, 3, 4]
+    # inherently sequential: exactly one partition walks the chain
+    assert df.rdd.getNumPartitions() == 1
+
+
+def test_read_cursor_custom_field_names(spark, stub):
+    pages = [[{"id": 10, "name": "x", "score": 0.5}], [{"id": 11, "name": "y", "score": 0.6}]]
+
+    def respond(req):
+        cur = int(req.query.get("after", ["0"])[0])
+        env = {"data": pages[cur] if cur < len(pages) else []}
+        if cur + 1 < len(pages):
+            env["page_token"] = str(cur + 1)
+        return json_response(env)
+
+    stub.stub("/cursor-custom", respond)
+    df = (
+        spark.read.format("http").schema(SCHEMA)
+        .option("url", stub.url("/cursor-custom"))
+        .option("cursor_path", "page_token")
+        .option("cursor_param", "after")
+        .option("items_path", "data")
+        .load()
+    )
+    assert sorted(r.id for r in df.collect()) == [10, 11]
+
+
+def test_read_cursor_loop_protection(spark, stub):
+    # a buggy server echoing the same token forever must error, not hang
+    stub.stub_json("/cursor-loop", {
+        "items": [{"id": 1, "name": "a", "score": 1.0}], "next": "same",
+    })
+    df = (
+        spark.read.format("http").schema(SCHEMA)
+        .option("url", stub.url("/cursor-loop"))
+        .option("cursor_path", "next")
+        .load()
+    )
+    with pytest.raises(Exception, match="loop"):
+        df.collect()
+
+
+def test_read_cursor_rejects_bare_array_envelope(spark, stub):
+    stub.stub_json("/cursor-bare", [{"id": 1, "name": "a", "score": 1.0}])
+    df = (
+        spark.read.format("http").schema(SCHEMA)
+        .option("url", stub.url("/cursor-bare"))
+        .option("cursor_path", "next")
+        .load()
+    )
+    with pytest.raises(Exception, match="envelope"):
+        df.collect()
