@@ -282,11 +282,12 @@ def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
 def decode_png(data: bytes) -> np.ndarray:
     """Real stdlib PNG decode → top-down (height, width, 3) uint8 RGB.
 
-    Handles the non-interlaced 8-bit-depth cases (the overwhelmingly
-    common web/PNG-export shapes): grayscale (0), RGB (2), palette (3),
-    gray+alpha (4), RGBA (6) — ``zlib`` inflate of the concatenated IDAT
-    chunks, per-scanline unfiltering, palette expansion, alpha dropped.
-    16-bit or interlaced (Adam7) PNGs raise ``NotImplementedError``."""
+    Handles the non-interlaced 8- and 16-bit cases (the overwhelmingly
+    common web/PNG-export shapes): grayscale (0), RGB (2), palette (3,
+    8-bit), gray+alpha (4), RGBA (6) — ``zlib`` inflate of the
+    concatenated IDAT chunks, byte-wise per-scanline unfiltering (lag =
+    bytes/pixel), 16-bit high-byte downshift, palette expansion, alpha
+    dropped. Interlaced (Adam7) PNGs raise ``NotImplementedError``."""
     import struct
     import zlib
 
@@ -313,18 +314,29 @@ def decode_png(data: bytes) -> np.ndarray:
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if bitdepth != 8 or interlace != 0:
+    if bitdepth not in (8, 16) or interlace != 0 or (
+        bitdepth == 16 and colortype == 3
+    ):
         raise NotImplementedError(
-            "only 8-bit non-interlaced PNG decodes stdlib-only "
-            f"(got bit depth {bitdepth}, interlace {interlace})"
+            "only 8/16-bit non-interlaced PNG decodes stdlib-only "
+            f"(got bit depth {bitdepth}, color type {colortype}, "
+            f"interlace {interlace})"
         )
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(colortype)
     if channels is None:
         raise ValueError(f"bad PNG color type {colortype}")
     raw = zlib.decompress(bytes(idat))
-    stride = width * channels
-    px = _png_unfilter(raw, height, stride, channels)
-    px = px.reshape(height, width, channels)
+    # filters are byte-wise at every depth; the left lag is bytes/pixel
+    samp_bytes = bitdepth // 8
+    bpp = channels * samp_bytes
+    stride = width * bpp
+    px = _png_unfilter(raw, height, stride, bpp)
+    if bitdepth == 16:
+        # big-endian sample pairs → keep the high byte (the standard
+        # 16→8 downshift; exact /257 differs by at most 1 LSB)
+        px = px.reshape(height, width, channels, 2)[:, :, :, 0]
+    else:
+        px = px.reshape(height, width, channels)
     if colortype == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")
