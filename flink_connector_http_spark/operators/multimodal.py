@@ -7,8 +7,9 @@ REAL tested decode path:
 
 - **Real, stdlib-only**: PPM images (P6 binary / P3 ASCII, parsed by
   hand), uncompressed 24-bit BMP (row padding + bottom-up order), 8-bit
-  non-interlaced PNG (``zlib`` inflate + per-scanline unfilter, all five
-  filter types, gray/RGB/palette/alpha color types), baseline/extended-
+  PNG — 8/16-bit, plain or Adam7-interlaced (``zlib`` inflate +
+  byte-wise per-scanline unfilter, all five filter types,
+  gray/RGB/palette/alpha color types), baseline/extended-
   sequential JPEG (marker parse, canonical huffman, dequant, vectorized
   IDCT, any divisible chroma subsampling, restart intervals — round 5),
   animated GIF (hand-rolled block parse + LZW — doubles as the real
@@ -16,8 +17,8 @@ REAL tested decode path:
   Graphic-Control timestamps), and RIFF/WAVE audio (``wave`` module +
   numpy PCM math) — no imaging/audio library needed, tested on generated
   bytes end-to-end.
-- **Real, gated**: remaining image shapes (progressive JPEG/16-bit
-  PNG/…) route through PIL when it is installed; other video containers
+- **Real, gated**: remaining image shapes (progressive JPEG, 16-bit
+  palette PNG, …) route through PIL when it is installed; other video containers
   (mp4/webm) need pyav/opencv; absent the library they raise
   ``NotImplementedError`` (honest stub — this container ships no imaging
   libs).
@@ -279,15 +280,46 @@ def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+#: Adam7 pass geometry: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_deinterlace(raw: bytes, width: int, height: int,
+                     bpp: int) -> np.ndarray:
+    """Adam7: the inflated stream is SEVEN consecutive sub-images, each
+    filtered independently with its own scanline structure; unfilter each
+    pass and scatter its pixels onto the final (height, width*bpp) byte
+    grid at the pass's (start, step) lattice."""
+    out = np.zeros((height, width * bpp), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = pw * bpp
+        need = ph * (stride + 1)
+        sub = _png_unfilter(raw[pos:pos + need], ph, stride, bpp)
+        pos += need
+        sub = sub.reshape(ph, pw, bpp)
+        ys = y0 + dy * np.arange(ph)
+        xs = x0 + dx * np.arange(pw)
+        grid = out.reshape(height, width, bpp)
+        grid[np.ix_(ys, xs)] = sub
+    return out
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """Real stdlib PNG decode → top-down (height, width, 3) uint8 RGB.
 
-    Handles the non-interlaced 8- and 16-bit cases (the overwhelmingly
-    common web/PNG-export shapes): grayscale (0), RGB (2), palette (3,
-    8-bit), gray+alpha (4), RGBA (6) — ``zlib`` inflate of the
-    concatenated IDAT chunks, byte-wise per-scanline unfiltering (lag =
-    bytes/pixel), 16-bit high-byte downshift, palette expansion, alpha
-    dropped. Interlaced (Adam7) PNGs raise ``NotImplementedError``."""
+    Handles 8- and 16-bit, plain and Adam7-interlaced images:
+    grayscale (0), RGB (2), palette (3, 8-bit), gray+alpha (4), RGBA
+    (6) — ``zlib`` inflate of the concatenated IDAT chunks, byte-wise
+    per-scanline unfiltering (lag = bytes/pixel, per interlace pass),
+    16-bit high-byte downshift, palette expansion, alpha dropped."""
     import struct
     import zlib
 
@@ -314,11 +346,11 @@ def decode_png(data: bytes) -> np.ndarray:
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if bitdepth not in (8, 16) or interlace != 0 or (
+    if bitdepth not in (8, 16) or interlace not in (0, 1) or (
         bitdepth == 16 and colortype == 3
     ):
         raise NotImplementedError(
-            "only 8/16-bit non-interlaced PNG decodes stdlib-only "
+            "only 8/16-bit PNG decodes stdlib-only "
             f"(got bit depth {bitdepth}, color type {colortype}, "
             f"interlace {interlace})"
         )
@@ -329,14 +361,14 @@ def decode_png(data: bytes) -> np.ndarray:
     # filters are byte-wise at every depth; the left lag is bytes/pixel
     samp_bytes = bitdepth // 8
     bpp = channels * samp_bytes
-    stride = width * bpp
-    px = _png_unfilter(raw, height, stride, bpp)
-    if bitdepth == 16:
-        # big-endian sample pairs → keep the high byte (the standard
-        # 16→8 downshift; exact /257 differs by at most 1 LSB)
-        px = px.reshape(height, width, channels, 2)[:, :, :, 0]
+    if interlace == 1:
+        grid = _png_deinterlace(raw, width, height, bpp)
     else:
-        px = px.reshape(height, width, channels)
+        grid = _png_unfilter(raw, height, width * bpp, bpp)
+    # per pixel-channel keep the FIRST byte: the sample itself at 8-bit,
+    # the big-endian high byte at 16-bit (standard 16→8 downshift,
+    # at most 1 LSB off the exact /257 conversion)
+    px = grid.reshape(height, width, channels, samp_bytes)[:, :, :, 0]
     if colortype == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")
@@ -655,8 +687,9 @@ def decode_image(data: bytes) -> dict:
     """Real image decode → ``{width, height, mean_r, mean_g, mean_b}``
     (channel means normalized to 0..1, matching the fake decoder's range).
 
-    PPM (P6 binary / P3 ASCII), uncompressed 24-bit BMP, GIF, 8-bit
-    non-interlaced PNG, and baseline/extended-sequential JPEG parse with
+    PPM (P6 binary / P3 ASCII), uncompressed 24-bit BMP, GIF, PNG
+    (8/16-bit, plain or Adam7), and baseline/extended-sequential JPEG
+    parse with
     the stdlib only; any other format needs PIL and raises
     ``NotImplementedError`` without it.
     """
