@@ -9,7 +9,8 @@ REAL tested decode path:
   hand), uncompressed 24-bit BMP (row padding + bottom-up order), 8-bit
   PNG — 8/16-bit, plain or Adam7-interlaced (``zlib`` inflate +
   byte-wise per-scanline unfilter, all five filter types,
-  gray/RGB/palette/alpha color types), baseline/extended-
+  gray/RGB/palette/alpha color types), progressive (SOF2: spectral
+  selection + successive approximation) and baseline/extended-
   sequential JPEG (marker parse, canonical huffman, dequant, vectorized
   IDCT, any divisible chroma subsampling, restart intervals — round 5),
   animated GIF (hand-rolled block parse + LZW — doubles as the real
@@ -17,8 +18,8 @@ REAL tested decode path:
   Graphic-Control timestamps), and RIFF/WAVE audio (``wave`` module +
   numpy PCM math) — no imaging/audio library needed, tested on generated
   bytes end-to-end.
-- **Real, gated**: remaining image shapes (progressive JPEG, 16-bit
-  palette PNG, …) route through PIL when it is installed; other video containers
+- **Real, gated**: remaining image shapes (arithmetic-coded JPEG,
+  16-bit palette PNG, …) route through PIL when it is installed; other video containers
   (mp4/webm) need pyav/opencv; absent the library they raise
   ``NotImplementedError`` (honest stub — this container ships no imaging
   libs).
@@ -31,8 +32,8 @@ REAL tested decode path:
   bytes gets real features through the same operators.
 - **Provenance, always**: every feature-producing ``mm_*`` operator emits
   a ``decode_mode`` column (``'real'``/``'fake'``) so digest-derived
-  pseudo-stats are visible, filterable data — a corpus of progressive
-  JPEGs shows up as 100% ``fake`` instead of silently plausible garbage.
+  pseudo-stats are visible, filterable data — a corpus of unsupported
+  bytes shows up as 100% ``fake`` instead of silently plausible garbage.
 """
 
 from __future__ import annotations
@@ -411,10 +412,11 @@ _DCT_A = np.cos(
 ) * 0.5
 _DCT_A[0, :] = np.sqrt(1.0 / 8.0)
 
-#: SOF markers that are huffman-sequential (decodable here) vs not
+#: SOF markers: huffman sequential + progressive decode here; the
+#: arithmetic/lossless/differential variants refuse honestly
 _SOF_SEQUENTIAL = frozenset({0xC0, 0xC1})
 _SOF_OTHER = frozenset(
-    {0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+    {0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
 )
 
 
@@ -493,19 +495,260 @@ def _jpeg_extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
 
 
+class _JpegProgressiveState:
+    """Coefficient accumulator for progressive (SOF2) JPEG: scans arrive
+    as spectral bands ([Ss, Se]) at successive bit precision (Ah→Al) and
+    update per-component coefficient grids; reconstruction (dequant +
+    IDCT + upsample + color) happens once at EOI.
+
+    DC scans may interleave components in MCU order; AC scans are
+    single-component in the component's own block raster over its TRUE
+    (non-MCU-padded) block dims. First passes (Ah=0) huffman-decode
+    magnitudes shifted left by Al with EOB-run skipping; refinement
+    passes (Ah>0) add one bit per coefficient — newly-nonzero ±1<<Al via
+    run/size symbols, already-nonzero via inline correction bits (read
+    even inside EOB runs)."""
+
+    def __init__(self, frame) -> None:
+        self.frame = frame
+        self.hmax = max(c["h"] for c in frame["comps"])
+        self.vmax = max(c["v"] for c in frame["comps"])
+        for c in frame["comps"]:
+            if self.hmax % c["h"] or self.vmax % c["v"]:
+                raise NotImplementedError(
+                    "fractional JPEG chroma subsampling unsupported"
+                )
+        self.mcus_x = -(-frame["w"] // (8 * self.hmax))
+        self.mcus_y = -(-frame["h"] // (8 * self.vmax))
+        self.coefs = {}
+        self.dims = {}
+        for c in frame["comps"]:
+            gy = self.mcus_y * c["v"]
+            gx = self.mcus_x * c["h"]
+            self.coefs[c["id"]] = np.zeros((gy, gx, 64), dtype=np.int64)
+            cw = -(-(frame["w"] * c["h"]) // self.hmax)
+            ch = -(-(frame["h"] * c["v"]) // self.vmax)
+            self.dims[c["id"]] = (-(-ch // 8), -(-cw // 8))  # (bh, bw)
+        self.eobrun = 0
+        self.any_scan = False
+
+    def decode_scan(
+        self, data, pos, scan, dc_tables, ac_tables,
+        restart_interval, ss, se, ah, al,
+    ) -> int:
+        self.any_scan = True
+        br = _JpegBitReader(data, pos)
+        self.eobrun = 0
+        if ss == 0:
+            if se != 0:
+                raise ValueError("progressive DC scan must have Se = 0")
+            self._dc_scan(br, scan, dc_tables, restart_interval, ah, al)
+        else:
+            if len(scan) != 1:
+                raise ValueError(
+                    "progressive AC scan must be single-component"
+                )
+            self._ac_scan(
+                br, scan[0], ac_tables, restart_interval, ss, se, ah, al
+            )
+        # advance past trailing pad bits to the next marker
+        p = br.pos
+        while p + 1 < len(data) and not (
+            data[p] == 0xFF and data[p + 1] != 0x00
+        ):
+            p += 1
+        return p
+
+    def _dc_unit(self, br, block, table, preds, cid, ah, al) -> None:
+        if ah == 0:
+            t = _jpeg_decode_huff(br, table)
+            diff = _jpeg_extend(br.read_bits(t), t) if t else 0
+            preds[cid] += diff
+            block[0] = preds[cid] << al
+        elif br.read_bit():
+            # two's-complement OR appends the refinement bit for
+            # positive and negative DC values alike
+            block[0] |= 1 << al
+
+    def _dc_scan(self, br, scan, dc_tables, restart_interval, ah, al):
+        preds = {c["id"]: 0 for c in scan}
+        n_rst = 0
+        if len(scan) > 1:  # interleaved MCU order over the padded grid
+            for my in range(self.mcus_y):
+                for mx in range(self.mcus_x):
+                    unit = my * self.mcus_x + mx
+                    if restart_interval and unit and \
+                            unit % restart_interval == 0:
+                        br.restart(n_rst)
+                        n_rst = (n_rst + 1) & 7
+                        preds = {c["id"]: 0 for c in scan}
+                    for c in scan:
+                        table = dc_tables[c["dc"]] if ah == 0 else None
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                block = self.coefs[c["id"]][
+                                    my * c["v"] + by, mx * c["h"] + bx
+                                ]
+                                self._dc_unit(
+                                    br, block, table, preds, c["id"], ah, al
+                                )
+        else:  # single component: raster over TRUE block dims
+            c = scan[0]
+            table = dc_tables[c["dc"]] if ah == 0 else None
+            bh, bw = self.dims[c["id"]]
+            unit = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart_interval and unit and \
+                            unit % restart_interval == 0:
+                        br.restart(n_rst)
+                        n_rst = (n_rst + 1) & 7
+                        preds = {c["id"]: 0}
+                    unit += 1
+                    self._dc_unit(
+                        br, self.coefs[c["id"]][by, bx], table, preds,
+                        c["id"], ah, al,
+                    )
+
+    def _ac_scan(self, br, c, ac_tables, restart_interval, ss, se, ah, al):
+        table = ac_tables[c["ac"]]
+        bh, bw = self.dims[c["id"]]
+        grid = self.coefs[c["id"]]
+        unit = 0
+        n_rst = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and unit and \
+                        unit % restart_interval == 0:
+                    br.restart(n_rst)
+                    n_rst = (n_rst + 1) & 7
+                    self.eobrun = 0
+                unit += 1
+                if ah == 0:
+                    self._ac_first(br, table, grid[by, bx], ss, se, al)
+                else:
+                    self._ac_refine(br, table, grid[by, bx], ss, se, al)
+
+    def _ac_first(self, br, table, block, ss, se, al) -> None:
+        if self.eobrun > 0:
+            self.eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _jpeg_decode_huff(br, table)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r < 15:
+                    self.eobrun = (1 << r) - 1
+                    if r:
+                        self.eobrun += br.read_bits(r)
+                    return
+                k += 16  # ZRL
+            else:
+                k += r
+                if k > se:
+                    raise ValueError("JPEG AC index overflow")
+                block[_JPEG_ZIGZAG[k]] = (
+                    _jpeg_extend(br.read_bits(s), s) << al
+                )
+                k += 1
+
+    def _ac_refine(self, br, table, block, ss, se, al) -> None:
+        p1 = 1 << al
+        k = ss
+        if self.eobrun == 0:
+            while k <= se:
+                rs = _jpeg_decode_huff(br, table)
+                r, s = rs >> 4, rs & 0xF
+                val = 0
+                if s == 0:
+                    if r < 15:
+                        self.eobrun = 1 << r
+                        if r:
+                            self.eobrun += br.read_bits(r)
+                        break
+                    # r == 15: a run of 16 zero-history coefficients
+                else:
+                    # newly-nonzero coefficients refine in at ±1<<Al
+                    val = p1 if br.read_bit() else -p1
+                while k <= se:
+                    idx = _JPEG_ZIGZAG[k]
+                    if block[idx] != 0:
+                        # correction bit for an already-nonzero coef
+                        if br.read_bit() and not (abs(block[idx]) & p1):
+                            block[idx] += p1 if block[idx] > 0 else -p1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    block[_JPEG_ZIGZAG[k]] = val
+                k += 1
+        if self.eobrun > 0:
+            # correction bits continue through EOB-run blocks
+            while k <= se:
+                idx = _JPEG_ZIGZAG[k]
+                if block[idx] != 0:
+                    if br.read_bit() and not (abs(block[idx]) & p1):
+                        block[idx] += p1 if block[idx] > 0 else -p1
+                k += 1
+            self.eobrun -= 1
+
+    def reconstruct(self, qtables) -> np.ndarray:
+        frame = self.frame
+        height, width = frame["h"], frame["w"]
+        planes = {}
+        for c in frame["comps"]:
+            q_zz = qtables[c["tq"]]
+            q_nat = np.empty(64, dtype=np.int64)
+            q_nat[_JPEG_ZIGZAG] = q_zz
+            grid = self.coefs[c["id"]]
+            gy, gx = grid.shape[:2]
+            arr = (grid * q_nat[None, None, :]).astype(np.float64)
+            arr = arr.reshape(gy, gx, 8, 8)
+            pix = np.einsum("ur,yxuv,vc->yxrc", _DCT_A, arr, _DCT_A) + 128.0
+            plane = np.clip(np.round(pix), 0, 255).astype(np.uint8)
+            plane = plane.transpose(0, 2, 1, 3).reshape(gy * 8, gx * 8)
+            plane = np.repeat(
+                np.repeat(plane, self.vmax // c["v"], axis=0),
+                self.hmax // c["h"], axis=1,
+            )
+            planes[c["id"]] = plane[:height, :width].astype(np.float64)
+        comps = frame["comps"]
+        if len(comps) == 1:
+            y = np.clip(
+                np.round(planes[comps[0]["id"]]), 0, 255
+            ).astype(np.uint8)
+            return np.repeat(y[:, :, None], 3, axis=2)
+        if len(comps) != 3:
+            raise NotImplementedError(
+                f"{len(comps)}-component JPEG unsupported "
+                "(grayscale/YCbCr only)"
+            )
+        y, cb, cr = (planes[c["id"]] for c in comps)
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r, g, b], axis=2)
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Real stdlib+numpy baseline-JPEG decode → top-down (height, width,
-    3) uint8 RGB.
+    """Real stdlib+numpy JPEG decode → top-down (height, width, 3)
+    uint8 RGB.
 
     Handles huffman-coded sequential DCT (SOF0/SOF1; the overwhelmingly
-    common web shape), grayscale or YCbCr, any integer chroma subsampling
-    whose factors divide the frame maximums (4:4:4, 4:2:2, 4:2:0, ...),
-    multiple DQT/DHT segments, 16-bit quant precision, and restart
-    intervals. Progressive (SOF2) and the arithmetic/lossless SOF
-    variants raise ``NotImplementedError`` honestly — the sniffer routes
-    those to the provenance-tagged fake path. Huffman decoding is pure
-    Python (fine for thumbnails/tests); IDCT is a vectorized numpy
-    tensor product over all blocks at once."""
+    common web shape) AND progressive DCT (SOF2: spectral selection +
+    successive approximation via :class:`_JpegProgressiveState`),
+    grayscale or YCbCr, any integer chroma subsampling whose factors
+    divide the frame maximums (4:4:4, 4:2:2, 4:2:0, ...), multiple
+    DQT/DHT segments, 16-bit quant precision, and restart intervals.
+    The arithmetic/lossless/differential SOF variants raise
+    ``NotImplementedError`` honestly — the sniffer routes those to the
+    provenance-tagged fake path. Huffman decoding is pure Python (fine
+    for thumbnails/tests); IDCT is a vectorized numpy tensor product
+    over all blocks at once."""
     import struct
 
     if not is_jpeg(data):
@@ -515,6 +758,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     dc_tables = {}
     ac_tables = {}
     frame = None
+    prog = None
     restart_interval = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -523,7 +767,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
             break
         (seglen,) = struct.unpack_from(">H", data, pos)
         seg = data[pos + 2:pos + seglen]
@@ -539,7 +783,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     q = np.frombuffer(seg, dtype=np.uint8, count=64, offset=off)
                     off += 64
                 qtables[tq] = q.astype(np.int64)
-        elif marker in _SOF_SEQUENTIAL:
+        elif marker in _SOF_SEQUENTIAL or marker == 0xC2:
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError(
@@ -554,12 +798,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
-            frame = {"w": width, "h": height, "comps": comps}
+            frame = {
+                "w": width, "h": height, "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+            if marker == 0xC2:
+                prog = _JpegProgressiveState(frame)
         elif marker in _SOF_OTHER:
-            kind = "progressive" if marker == 0xC2 else f"SOF{marker - 0xC0}"
             raise NotImplementedError(
-                f"{kind} JPEG does not decode stdlib-only "
-                "(baseline/extended-sequential huffman only)"
+                f"SOF{marker - 0xC0} JPEG does not decode stdlib-only "
+                "(huffman sequential or progressive only)"
             )
         elif marker == 0xC4:  # DHT — one or more tables per segment
             off = 0
@@ -585,11 +833,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 scan.append(
                     {**comp, "dc": tt >> 4, "ac": tt & 0xF}
                 )
-            return _jpeg_decode_scan(
-                data, pos + seglen, frame, scan, qtables,
-                dc_tables, ac_tables, restart_interval,
+            if prog is None:
+                return _jpeg_decode_scan(
+                    data, pos + seglen, frame, scan, qtables,
+                    dc_tables, ac_tables, restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah_al = seg[3 + 2 * ns]
+            pos = prog.decode_scan(
+                data, pos + seglen, scan, dc_tables, ac_tables,
+                restart_interval, ss, se, ah_al >> 4, ah_al & 0xF,
             )
+            continue
         pos += seglen
+    if prog is not None and prog.any_scan:
+        return prog.reconstruct(qtables)
     raise ValueError("JPEG has no SOS scan")
 
 
