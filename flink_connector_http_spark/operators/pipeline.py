@@ -917,3 +917,77 @@ def sample_dedup_aware_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / SUM(CAST(n_chars AS DOUBLE)), 6)"
         ).alias("dedup_discount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# filter-ablation matrix (the every-gate-combination census)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_filter_ablation",
+    oracle=f"""
+    WITH gated AS (
+      SELECT doc_id, lang,
+             CAST({_D['n_tokens']} AS BIGINT) AS n_tokens,
+             CAST(CASE WHEN {_QUALITY_DUCK} THEN 1 ELSE 0 END AS INT)
+               AS g_quality,
+             CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS INT) AS g_lang,
+             CAST(CASE WHEN doc_id = MIN(doc_id) OVER (
+                 PARTITION BY md5(lower(text))
+             ) THEN 1 ELSE 0 END AS INT) AS g_unique
+      FROM documents
+    ),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+    SELECT g_quality, g_lang, g_unique,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           round(CAST(COUNT(*) AS DOUBLE) / total.n, 6) AS doc_frac
+    FROM gated CROSS JOIN total
+    GROUP BY g_quality, g_lang, g_unique, total.n
+    ORDER BY g_quality, g_lang, g_unique
+    """,
+    doc="Filter-ablation matrix: every combination of the pipeline's "
+        "gates (quality rules, target language, exact-dedup keeper) with "
+        "doc and token counts plus corpus fraction — the census that "
+        "shows what each gate removes ALONE vs what only the "
+        "intersection removes, read before re-ordering or dropping a "
+        "stage (a gate whose cells vanish under the others' intersection "
+        "is free to drop; one that carries unique mass is not). The "
+        "cube is 2^3 rows from one scan: the dedup-keeper flag is a "
+        "window over the content hash (one shuffle), the other gates "
+        "are per-row codegen; the rollup groups on three bits.",
+)
+def pipeline_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    w = Window.partitionBy(F.expr("md5(lower(text))"))
+    gated = docs.select(
+        "doc_id",
+        F.expr(f"CAST({_S['n_tokens']} AS BIGINT)").alias("n_tokens"),
+        F.expr(
+            f"CAST(CASE WHEN {_QUALITY_SPARK} THEN 1 ELSE 0 END AS INT)"
+        ).alias("g_quality"),
+        F.expr(
+            "CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS INT)"
+        ).alias("g_lang"),
+        (F.col("doc_id") == F.min("doc_id").over(w))
+        .cast("int").alias("g_unique"),
+    )
+    total = docs.agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"))
+    return (
+        gated.groupBy("g_quality", "g_lang", "g_unique")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+            F.expr("CAST(SUM(n_tokens) AS BIGINT)").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "g_quality", "g_lang", "g_unique", "n_docs", "n_tokens",
+            F.expr(
+                "round(CAST(n_docs AS DOUBLE) / n, 6)"
+            ).alias("doc_frac"),
+        )
+        .orderBy("g_quality", "g_lang", "g_unique")
+    )
