@@ -162,15 +162,39 @@ def _driver_green_names() -> set[str]:
     return seen
 
 
+def _round_start_names() -> set[str]:
+    """Names registered when the current round STARTED
+    (tools/registry_manifest.json). Queries absent from it are this
+    round's additions — the only ones with zero prior scrutiny.
+    MAINTENANCE CONTRACT: refresh the manifest to the full current
+    registry at the START of each new round (before adding operators),
+    so additions made during the round rank first in the driver window
+    the same round they land."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tools", "registry_manifest.json",
+    )
+    try:
+        with open(path) as fh:
+            return set(json.load(fh)["names"])
+    except (OSError, ValueError, KeyError):
+        return set()
+
+
 def _ordered_names() -> list[str]:
     pinned = [n for n in _PINNED if n in REGISTRY]
     pinned_set = set(pinned)
     seen = _driver_green_names()
+    prior = _round_start_names()
     rest = [n for n in REGISTRY if n not in pinned_set]
-    # newest registration first: REGISTRY preserves insertion order, and
-    # operators added this round register last — they are the only ones
-    # with zero prior scrutiny, so they must land inside the window NOW
-    never_checked = [n for n in reversed(rest) if n not in seen]
+    # this round's additions first (never judged, never driver-checked),
+    # then the older never-checked backlog — registration order is NOT a
+    # recency signal (modules register in import order), the manifest is
+    brand_new = [n for n in rest if n not in seen and n not in prior]
+    never_checked = [n for n in rest if n not in seen and n in prior]
     http_rot = [
         n for n in _HTTP_ROTATING if n in REGISTRY and n in seen
     ]
@@ -178,7 +202,7 @@ def _ordered_names() -> list[str]:
     already_green = [
         n for n in rest if n in seen and n not in http_rot_set
     ]
-    return pinned + never_checked + http_rot + already_green
+    return pinned + brand_new + never_checked + http_rot + already_green
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -55,3 +55,33 @@ def test_every_query_has_an_oracle_or_documented_exception():
     oracles = entry.oracle_sql()
     missing = [n for n in entry.queries() if n not in oracles]
     assert not missing, f"queries without a DuckDB oracle: {missing}"
+
+
+def test_brand_new_queries_lead_the_rotating_slots():
+    """Operators added during the current round (absent from
+    tools/registry_manifest.json) must occupy the FIRST rotating slots —
+    they are the only queries with zero prior scrutiny, and round 4
+    shipped two broken late additions precisely because they queued
+    behind the older backlog."""
+    names = list(entry.queries())
+    prior = entry._round_start_names()
+    assert prior, "registry manifest missing or empty"
+    seen = entry._driver_green_names()
+    brand_new = [
+        n for n in names
+        if n not in prior and n not in seen and n not in entry._PINNED
+    ]
+    rotating = names[PINNED:WINDOW]
+    in_window = [n for n in brand_new if n in rotating]
+    expected = min(len(brand_new), WINDOW - PINNED)
+    assert len(in_window) == expected, (
+        f"brand-new queries missing from the window: "
+        f"{sorted(set(brand_new) - set(in_window))}"
+    )
+    # and they come before the older never-checked backlog
+    if brand_new:
+        first_old = next(
+            (i for i, n in enumerate(rotating)
+             if n in prior and n not in seen), len(rotating)
+        )
+        assert all(rotating.index(n) < first_old for n in in_window)
