@@ -229,6 +229,19 @@ def main() -> None:
     # the curve is about the exponent, not the third decimal.
     if os.environ.get("SPARK_GRAFT_SCALE_CURVE", "1") != "0":
         scale_dir = ensure_scale_dir(sf_dir)
+        # build the scale-dir HTTP data stub OUTSIDE any timed window: its
+        # one-time construction (DuckDB reads + precomputing ~10x response
+        # bytes) otherwise lands inside the FIRST http query's single
+        # timed run and reads as a fake superlinear point (BENCH_r5 first
+        # draft: 13.1 s of which ~8 s was stub build)
+        try:
+            from flink_connector_http_spark.plans.http_queries import (
+                _stub_for,
+            )
+
+            _stub_for(scale_dir)
+        except Exception:
+            pass
         scale_timings = {}
         for spec in bench_specs:
             t0 = time.time()

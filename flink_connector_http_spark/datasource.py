@@ -216,6 +216,10 @@ class HttpBatchReader(DataSourceReader):
         self.cursor_path = options.get("cursor_path")
         self.cursor_param = options.get("cursor_param", "cursor")
         self.items_path = options.get("items_path", "items")
+        # RFC-5988 Link-header pagination: follow <url>; rel="next" from
+        # the named response header (GitHub's canonical shape); the body
+        # stays a bare record array, no envelope needed
+        self.cursor_header = options.get("cursor_header")
         self.pages = int(options["pages"]) if "pages" in options else None
         self.pages_per_partition = max(
             1, int(options.get("pages_per_partition", "1"))
@@ -262,7 +266,7 @@ class HttpBatchReader(DataSourceReader):
         return filters  # all re-evaluated by Spark (partial pushdown)
 
     def partitions(self) -> Sequence[InputPartition]:
-        if self.cursor_path:
+        if self.cursor_path or self.cursor_header:
             return [_CursorChain()]
         if self.pages is None:
             # unpaged: one partition walking pages until an empty response
@@ -371,6 +375,23 @@ class HttpBatchReader(DataSourceReader):
                 if records:
                     yield from self._emit_page(records, arrow_schema)
 
+    @staticmethod
+    def _link_next(resp_headers) -> Optional[str]:
+        """``<url>; rel="next"`` target from an RFC-5988 Link header
+        value list (case-insensitive header match, any rel ordering)."""
+        import re as _re
+
+        for name, value in resp_headers:
+            if name.lower() != "link":
+                continue
+            for part in value.split(","):
+                m = _re.search(r"<([^>]*)>", part)
+                if m and _re.search(
+                    r'rel\s*=\s*"?next"?', part, _re.IGNORECASE
+                ):
+                    return m.group(1)
+        return None
+
     def _read_cursor_chain(
         self, transport, decoder, headers, limiter, arrow_schema
     ):
@@ -379,15 +400,25 @@ class HttpBatchReader(DataSourceReader):
         from .request import HttpRequestSpec
 
         cursor = None
+        next_url = None
         seen = set()  # a server echoing a stale cursor must not loop us
         while True:
             if limiter is not None:
                 limiter.acquire()
-            params = dict(self.pushed_params)
-            if cursor is not None:
-                params[self.cursor_param] = cursor
-            sep = "&" if "?" in self.url else "?"
-            url = f"{self.url}{sep}{urlencode(params)}" if params else self.url
+            if self.cursor_header:
+                url = next_url or self.url
+                if self.pushed_params and next_url is None:
+                    sep = "&" if "?" in url else "?"
+                    url = f"{url}{sep}{urlencode(self.pushed_params)}"
+            else:
+                params = dict(self.pushed_params)
+                if cursor is not None:
+                    params[self.cursor_param] = cursor
+                sep = "&" if "?" in self.url else "?"
+                url = (
+                    f"{self.url}{sep}{urlencode(params)}" if params
+                    else self.url
+                )
             spec = HttpRequestSpec(
                 method="GET", url=url, headers=headers(), body=None
             )
@@ -396,18 +427,34 @@ class HttpBatchReader(DataSourceReader):
                 raise IOError(
                     f"HTTP read: cursor page returned status {resp.status}"
                 )
-            envelope = decoder(resp.body)
-            if not isinstance(envelope, dict):
+            decoded = decoder(resp.body)
+            if self.cursor_header:
+                records = (
+                    decoded if isinstance(decoded, list)
+                    else [decoded] if decoded else []
+                )
+                if records:
+                    yield from self._emit_page(records, arrow_schema)
+                next_url = self._link_next(resp.headers)
+                if not next_url:
+                    return
+                if next_url in seen:
+                    raise ValueError(
+                        f"cursor pagination loop: URL {next_url!r} repeated"
+                    )
+                seen.add(next_url)
+                continue
+            if not isinstance(decoded, dict):
                 raise ValueError(
                     "cursor-paginated endpoint must return an object "
                     f"envelope with {self.items_path!r} and "
                     f"{self.cursor_path!r} fields, got "
-                    f"{type(envelope).__name__}"
+                    f"{type(decoded).__name__}"
                 )
-            records = envelope.get(self.items_path) or []
+            records = decoded.get(self.items_path) or []
             if records:
                 yield from self._emit_page(records, arrow_schema)
-            cursor = envelope.get(self.cursor_path)
+            cursor = decoded.get(self.cursor_path)
             if cursor is None or cursor == "":
                 return
             cursor = str(cursor)

@@ -509,3 +509,35 @@ def test_read_cursor_rejects_bare_array_envelope(spark, stub):
     )
     with pytest.raises(Exception, match="envelope"):
         df.collect()
+
+
+def test_read_link_header_pagination(spark, stub):
+    """RFC-5988 Link-header chains: <url>; rel="next" from the response
+    header, bare-array bodies, absolute next URLs followed verbatim."""
+    pages = [
+        [{"id": 1, "name": "a", "score": 1.0}],
+        [{"id": 2, "name": "b", "score": 2.0}],
+        [{"id": 3, "name": "c", "score": 3.0}],
+    ]
+
+    def respond(req):
+        i = int(req.query.get("p", ["0"])[0])
+        body = pages[i] if i < len(pages) else []
+        resp = json_response(body)
+        if i + 1 < len(pages):
+            nxt = stub.url(f"/link-items?p={i + 1}")
+            resp.headers["Link"] = (
+                f'<{nxt}>; rel="next", '
+                f'<{stub.url("/link-items?p=0")}>; rel="first"'
+            )
+        return resp
+
+    stub.stub("/link-items", respond)
+    df = (
+        spark.read.format("http").schema(SCHEMA)
+        .option("url", stub.url("/link-items"))
+        .option("cursor_header", "Link")
+        .load()
+    )
+    assert sorted(r.id for r in df.collect()) == [1, 2, 3]
+    assert df.rdd.getNumPartitions() == 1
