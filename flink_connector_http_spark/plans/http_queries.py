@@ -188,6 +188,35 @@ class _DataStub:
             return first_cursor_page
 
         self.server.route("/suppliers-cursor", suppliers_cursor)
+        # Link-header variant: bare-array pages chained by
+        # `Link: <url>; rel="next"` (RFC-5988, the GitHub shape). The
+        # port is only known at request time, so responses are built
+        # lazily per request from the precomputed page arrays.
+        link_pages = [
+            json.dumps(
+                supplier_rows[i * page_size:(i + 1) * page_size]
+            ).encode()
+            for i in range(self.supplier_pages)
+        ]
+        server = self.server
+
+        def suppliers_link(query: str, _body: bytes) -> bytes:
+            page = 0
+            for part in query.split("&"):
+                if part.startswith("p="):
+                    page = int(part[2:])
+            body = link_pages[page] if page < len(link_pages) else b"[]"
+            extra = ""
+            if page + 1 < len(link_pages):
+                nxt = (f"http://127.0.0.1:{server.port}"
+                       f"/suppliers-link?p={page + 1}")
+                extra = f'Link: <{nxt}>; rel="next"\r\n'
+            return (
+                f"HTTP/1.1 200 S\r\nContent-Type: application/json\r\n"
+                f"{extra}Content-Length: {len(body)}\r\n\r\n"
+            ).encode("ascii") + body
+
+        self.server.route("/suppliers-link", suppliers_link)
         # multi-process stub (SO_REUSEPORT fork workers): one GIL-bound
         # event loop saturates under the bench's 32-partition × 8-thread
         # per-key GET fan-out and measures the harness, not the operator —
@@ -597,6 +626,32 @@ def http_datasource_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("url", stub.url("/suppliers-cursor"))
         .option("cursor_path", "next")
         .option("items_path", "items")
+        .load()
+    )
+
+
+@register(
+    "http_datasource_link",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+    """,
+    doc="RFC-5988 Link-header pagination through the ``http`` DataSource: "
+        "bare-array pages chained by `Link: <url>; rel=\"next\"` response "
+        "headers (the GitHub canonical shape), absolute next URLs "
+        "followed verbatim with repeated-target loop protection. Like "
+        "body-token cursors this is an inherently sequential chain — one "
+        "partition by design.",
+)
+def http_datasource_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datasource import register_http_datasource
+
+    register_http_datasource(spark)
+    stub = _stub_for(sf_dir)
+    return (
+        spark.read.format("http")
+        .schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
+        .option("url", stub.url("/suppliers-link"))
+        .option("cursor_header", "Link")
         .load()
     )
 
