@@ -4032,3 +4032,91 @@ def text_mojibake_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(CASE WHEN {moji} > 0 THEN 1 ELSE 0 END AS INT)"
         ).alias("suspect"),
     )
+
+
+# ---------------------------------------------------------------------------
+# shared-affix boilerplate (identical doc heads/tails across a source)
+# ---------------------------------------------------------------------------
+
+AFFIX_TOKENS = 8     # tokens compared at each end
+AFFIX_MIN_DOCS = 3   # docs sharing an affix to call it boilerplate
+
+_PREFIX_SPARK = (
+    f"array_join(slice({TOKS_SPARK}, 1, {AFFIX_TOKENS}), ' ')"
+)
+_SUFFIX_SPARK = (
+    f"array_join(slice({TOKS_SPARK}, -{AFFIX_TOKENS}, {AFFIX_TOKENS}), ' ')"
+)
+_PREFIX_DUCK = (
+    f"array_to_string(list_slice({TOKS_DUCK}, 1, {AFFIX_TOKENS}), ' ')"
+)
+_SUFFIX_DUCK = (
+    f"array_to_string(list_slice({TOKS_DUCK}, -{AFFIX_TOKENS}, -1), ' ')"
+)
+
+
+@register(
+    "text_affix_boilerplate",
+    oracle=f"""
+    WITH affixed AS (
+      SELECT doc_id, source,
+             {_PREFIX_DUCK} AS head,
+             {_SUFFIX_DUCK} AS tail
+      FROM documents
+      WHERE len({TOKS_DUCK}) >= {AFFIX_TOKENS}
+    ),
+    heads AS (
+      SELECT head, COUNT(*) AS n FROM affixed GROUP BY head
+    ),
+    tails AS (
+      SELECT tail, COUNT(*) AS n FROM affixed GROUP BY tail
+    )
+    SELECT a.doc_id, a.source,
+           CAST(CASE WHEN h.n >= {AFFIX_MIN_DOCS} THEN 1 ELSE 0 END AS INT)
+             AS head_boiler,
+           CAST(CASE WHEN t.n >= {AFFIX_MIN_DOCS} THEN 1 ELSE 0 END AS INT)
+             AS tail_boiler,
+           CAST(h.n AS BIGINT) AS head_docs,
+           CAST(t.n AS BIGINT) AS tail_docs
+    FROM affixed a
+    JOIN heads h ON h.head = a.head
+    JOIN tails t ON t.tail = a.tail
+    """,
+    doc=f"Shared-affix boilerplate detection: a document HEAD or TAIL "
+        f"({AFFIX_TOKENS} tokens) repeated across ≥ {AFFIX_MIN_DOCS} "
+        "documents is template chrome (site headers, footers, license "
+        "blocks) — the doc-level complement of the per-line "
+        "text_boilerplate_lines rule, and the cheap first cut at "
+        "template-families detection. Two map-side-combined affix "
+        "frequency aggregates plus two joins keyed on the affix string; "
+        "the affix is a FIXED-token prefix so key length is bounded and "
+        "a hot template affix is the standard AQE skew-split shape.",
+)
+def text_affix_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    affixed = docs.filter(
+        F.expr(f"size({TOKS_SPARK}) >= {AFFIX_TOKENS}")
+    ).select(
+        "doc_id", "source",
+        F.expr(_PREFIX_SPARK).alias("head"),
+        F.expr(_SUFFIX_SPARK).alias("tail"),
+    )
+    heads = affixed.groupBy("head").agg(F.expr("COUNT(*)").alias("hn"))
+    tails = affixed.groupBy("tail").agg(F.expr("COUNT(*)").alias("tn"))
+    return (
+        affixed.join(heads, "head")
+        .join(tails, "tail")
+        .select(
+            "doc_id", "source",
+            F.expr(
+                f"CAST(CASE WHEN hn >= {AFFIX_MIN_DOCS} THEN 1 ELSE 0 END"
+                " AS INT)"
+            ).alias("head_boiler"),
+            F.expr(
+                f"CAST(CASE WHEN tn >= {AFFIX_MIN_DOCS} THEN 1 ELSE 0 END"
+                " AS INT)"
+            ).alias("tail_boiler"),
+            F.expr("CAST(hn AS BIGINT)").alias("head_docs"),
+            F.expr("CAST(tn AS BIGINT)").alias("tail_docs"),
+        )
+    )
