@@ -347,6 +347,7 @@ def decode_png(data: bytes) -> np.ndarray:
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
+    _check_dims(width, height)
     if bitdepth not in (8, 16) or interlace not in (0, 1) or (
         bitdepth == 16 and colortype == 3
     ):
@@ -562,6 +563,8 @@ class _JpegProgressiveState:
     def _dc_unit(self, br, block, table, preds, cid, ah, al) -> None:
         if ah == 0:
             t = _jpeg_decode_huff(br, table)
+            if t > 16:
+                raise ValueError(f"bad JPEG DC size {t}")
             diff = _jpeg_extend(br.read_bits(t), t) if t else 0
             preds[cid] += diff
             block[0] = preds[cid] << al
@@ -791,13 +794,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     f"(got {precision})"
                 )
             height, width = struct.unpack_from(">HH", seg, 1)
+            _check_dims(width, height)
             ncomp = seg[5]
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
-                comps.append(
-                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
-                )
+                ch, cv = hv >> 4, hv & 0xF
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise ValueError(
+                        f"bad JPEG sampling factors {ch}x{cv}"
+                    )
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             frame = {
                 "w": width, "h": height, "comps": comps,
                 "progressive": marker == 0xC2,
@@ -829,9 +836,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             scan = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i:3 + 2 * i]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                matches = [c for c in frame["comps"] if c["id"] == cs]
+                if not matches:
+                    raise ValueError(
+                        f"JPEG scan references unknown component {cs}"
+                    )
                 scan.append(
-                    {**comp, "dc": tt >> 4, "ac": tt & 0xF}
+                    {**matches[0], "dc": tt >> 4, "ac": tt & 0xF}
                 )
             if prog is None:
                 return _jpeg_decode_scan(
@@ -887,6 +898,8 @@ def _jpeg_decode_scan(
                     for bx in range(c["h"]):
                         coef = np.zeros(64, dtype=np.int64)
                         t = _jpeg_decode_huff(br, dct)
+                        if t > 16:
+                            raise ValueError(f"bad JPEG DC size {t}")
                         diff = _jpeg_extend(br.read_bits(t), t) if t else 0
                         preds[c["id"]] += diff
                         coef[0] = preds[c["id"]] * q[0]
@@ -1128,14 +1141,27 @@ def fake_decode_audio(data: bytes) -> dict:
 # decoders; a mapInPandas task over a dirty 100 TB corpus must degrade such
 # rows to the fake path — one poisoned blob may NOT kill the whole task.
 _DECODE_ERRORS = (
-    NotImplementedError,  # honest unsupported variant (16-bit PNG, RLE BMP)
+    NotImplementedError,  # honest unsupported variant (arith JPEG, RLE BMP)
     ValueError,
     zlib.error,
     struct.error,
     EOFError,
     IndexError,
+    KeyError,  # corrupt table/component ids → missing dict entries
+    ZeroDivisionError,  # corrupt zero sampling factors
+    OverflowError,  # corrupt huffman tables yield absurd magnitude sizes
     wave.Error,
 )
+
+#: decoded-image pixel budget: a corrupt/crafted header advertising huge
+#: dimensions must fail fast as bad data, not as a task-killing
+#: multi-GiB allocation
+_MAX_DECODE_PIXELS = 64_000_000
+
+
+def _check_dims(width: int, height: int) -> None:
+    if width <= 0 or height <= 0 or width * height > _MAX_DECODE_PIXELS:
+        raise ValueError(f"implausible image dimensions {width}x{height}")
 
 
 def sniff_decode_image(data: bytes) -> dict:

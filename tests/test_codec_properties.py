@@ -1,0 +1,142 @@
+"""Property-based codec tests (hypothesis): the stdlib PNG/JPEG decoders
+against randomized images, dimensions, filter choices, and byte-level
+corruption. Three invariant classes:
+
+1. PNG roundtrips are EXACT for every color type / depth / interlace mode.
+2. Progressive JPEG decodes BIT-IDENTICAL to the baseline encoding of the
+   same image (the successive-approximation bits must reassemble the same
+   quantized coefficients); baseline roundtrip error is bounded by DCT
+   rounding at unit quantization.
+3. The sniffers NEVER raise — arbitrary bytes and corrupted real files
+   always produce a provenance-tagged feature row.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from jpeg_ref import make_jpeg, make_progressive_jpeg
+from test_multimodal import make_png
+
+from flink_connector_http_spark.operators.multimodal import (
+    decode_jpeg,
+    decode_png,
+    sniff_decode_audio,
+    sniff_decode_image,
+    sniff_decode_video_frames,
+    sniff_resize_image,
+)
+
+
+def _rand_img(draw, max_dim=25, channels=3, dtype=np.uint8):
+    h = draw(st.integers(1, max_dim))
+    w = draw(st.integers(1, max_dim))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    hi = 65536 if dtype == np.uint16 else 256
+    shape = (h, w, channels) if channels else (h, w)
+    return rng.integers(0, hi, size=shape, dtype=dtype)
+
+
+@st.composite
+def rgb8(draw):
+    return _rand_img(draw)
+
+
+@st.composite
+def png_case(draw):
+    """(pixels, colortype, bitdepth, interlace, filters) across the full
+    supported matrix."""
+    colortype = draw(st.sampled_from([0, 2, 4, 6]))
+    bitdepth = draw(st.sampled_from([8, 16]))
+    interlace = draw(st.sampled_from([0, 1]))
+    channels = {0: 0, 2: 3, 4: 2, 6: 4}[colortype]
+    dtype = np.uint16 if bitdepth == 16 else np.uint8
+    px = _rand_img(draw, channels=channels, dtype=dtype)
+    filters = draw(st.lists(st.integers(0, 4), min_size=1, max_size=5))
+    return px, colortype, bitdepth, interlace, filters
+
+
+@settings(max_examples=30, deadline=None)
+@given(png_case())
+def test_png_roundtrip_exact_all_modes(case):
+    px, colortype, bitdepth, interlace, filters = case
+    blob = make_png(px, colortype=colortype, bitdepth=bitdepth,
+                    interlace=interlace, filters=filters)
+    out = decode_png(blob)
+    ref = (px >> 8).astype(np.uint8) if bitdepth == 16 else px
+    if colortype == 0:  # grayscale replicates across channels
+        assert (out[:, :, 0] == ref).all()
+        assert (out[:, :, 1] == ref).all()
+    elif colortype == 4:  # gray+alpha: gray replicated, alpha dropped
+        assert (out[:, :, 0] == ref[:, :, 0]).all()
+        assert (out[:, :, 2] == ref[:, :, 0]).all()
+    else:  # RGB / RGBA: alpha dropped
+        assert (out == ref[:, :, :3]).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(rgb8(), st.sampled_from(["444", "420"]), st.booleans())
+def test_jpeg_progressive_matches_baseline(rgb, subsampling, grayscale):
+    base = decode_jpeg(
+        make_jpeg(rgb, subsampling=subsampling, grayscale=grayscale)
+    )
+    prog = decode_jpeg(
+        make_progressive_jpeg(
+            rgb, subsampling=subsampling, grayscale=grayscale
+        )
+    )
+    assert (base == prog).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(rgb8(), st.integers(0, 3))
+def test_jpeg_baseline_roundtrip_bounded_error(rgb, restart):
+    out = decode_jpeg(make_jpeg(rgb, restart_interval=restart))
+    # unit luma quantization: error is DCT coefficient rounding only,
+    # which cannot move any pixel more than a few levels
+    assert out.shape == rgb.shape
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 8
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_sniffers_never_raise_on_arbitrary_bytes(blob):
+    assert sniff_decode_image(blob)["decode_mode"] in ("real", "fake")
+    assert sniff_resize_image(blob, 8)["decode_mode"] in ("real", "fake")
+    assert sniff_decode_audio(blob)["decode_mode"] in ("real", "fake")
+    frames = sniff_decode_video_frames(blob, 3)
+    assert all(f["decode_mode"] in ("real", "fake") for f in frames)
+
+
+@st.composite
+def corrupted_real_file(draw):
+    """A valid PNG/JPEG with one byte flipped or a truncation."""
+    rgb = _rand_img(draw, max_dim=12)
+    kind = draw(st.sampled_from(["png", "jpeg", "prog"]))
+    if kind == "png":
+        blob = bytearray(make_png(rgb))
+    elif kind == "jpeg":
+        blob = bytearray(make_jpeg(rgb))
+    else:
+        blob = bytearray(make_progressive_jpeg(rgb))
+    if draw(st.booleans()) and len(blob) > 12:
+        cut = draw(st.integers(9, len(blob) - 1))
+        return bytes(blob[:cut])
+    pos = draw(st.integers(8, len(blob) - 1))
+    blob[pos] ^= draw(st.integers(1, 255))
+    return bytes(blob)
+
+
+@settings(max_examples=60, deadline=None)
+@given(corrupted_real_file())
+def test_sniffers_never_raise_on_corrupted_real_files(blob):
+    out = sniff_decode_image(blob)
+    assert out["decode_mode"] in ("real", "fake")
+    rz = sniff_resize_image(blob, 8)
+    assert rz["decode_mode"] in ("real", "fake")
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
