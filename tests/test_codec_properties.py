@@ -112,30 +112,44 @@ def test_sniffers_never_raise_on_arbitrary_bytes(blob):
 
 @st.composite
 def corrupted_real_file(draw):
-    """A valid PNG/JPEG with one byte flipped or a truncation."""
+    """A valid PNG/JPEG/GIF/WAV with a byte flipped or a truncation."""
+    from test_multimodal import make_gif, make_wav
+
     rgb = _rand_img(draw, max_dim=12)
-    kind = draw(st.sampled_from(["png", "jpeg", "prog"]))
+    kind = draw(st.sampled_from(["png", "jpeg", "prog", "gif", "wav"]))
     if kind == "png":
         blob = bytearray(make_png(rgb))
     elif kind == "jpeg":
         blob = bytearray(make_jpeg(rgb))
-    else:
+    elif kind == "prog":
         blob = bytearray(make_progressive_jpeg(rgb))
+    elif kind == "gif":
+        blob = bytearray(make_gif(
+            [[0, 1, 2, 3, 3, 2, 1, 0]],
+            palette=[(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)],
+            size=(4, 2),
+        ))
+    else:
+        blob = bytearray(make_wav(n_samples=200))
     if draw(st.booleans()) and len(blob) > 12:
         cut = draw(st.integers(9, len(blob) - 1))
-        return bytes(blob[:cut])
+        return kind, bytes(blob[:cut])
     pos = draw(st.integers(8, len(blob) - 1))
     blob[pos] ^= draw(st.integers(1, 255))
-    return bytes(blob)
+    return kind, bytes(blob)
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=100, deadline=None)
 @given(corrupted_real_file())
-def test_sniffers_never_raise_on_corrupted_real_files(blob):
+def test_sniffers_never_raise_on_corrupted_real_files(case):
+    kind, blob = case
     out = sniff_decode_image(blob)
     assert out["decode_mode"] in ("real", "fake")
     rz = sniff_resize_image(blob, 8)
     assert rz["decode_mode"] in ("real", "fake")
+    assert sniff_decode_audio(blob)["decode_mode"] in ("real", "fake")
+    frames = sniff_decode_video_frames(blob, 2)
+    assert all(f["decode_mode"] in ("real", "fake") for f in frames)
 
 
 if __name__ == "__main__":
