@@ -4120,3 +4120,85 @@ def text_affix_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(tn AS BIGINT)").alias("tail_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable log-binned quantile sketch (the re-aggregatable p50/p90/p99)
+# ---------------------------------------------------------------------------
+
+#: quarter-octave bins: bin = floor(log2(x) * 4) — relative value error
+#: within a bin is bounded at 2^(1/4) ≈ 19%, and the sketch is a plain
+#: (bin → count) map, so daily sub-sketches MERGE by adding counts (the
+#: property exact quantiles lack: a p99 of p99s is meaningless, a summed
+#: bin histogram re-yields the true sketch)
+_QBIN_SPARK = "CAST(FLOOR(log2(CAST(n_chars AS DOUBLE)) * 4) AS INT)"
+_QBIN_DUCK = "CAST(FLOOR(log2(CAST(n_chars AS DOUBLE)) * 4) AS INT)"
+
+
+@register(
+    "sketch_logbin_quantiles",
+    oracle=f"""
+    WITH b AS (
+      SELECT source, {_QBIN_DUCK} AS bin, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY source, bin
+    ),
+    w AS (
+      SELECT source, bin, c,
+             SUM(c) OVER (PARTITION BY source ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(c) OVER (PARTITION BY source) AS tot
+      FROM b
+    )
+    SELECT source,
+           CAST(MAX(tot) AS BIGINT) AS n_docs,
+           CAST(MIN(CASE WHEN cum >= CEIL(0.50 * tot) THEN bin END) AS INT)
+             AS p50_bin,
+           CAST(MIN(CASE WHEN cum >= CEIL(0.90 * tot) THEN bin END) AS INT)
+             AS p90_bin,
+           CAST(MIN(CASE WHEN cum >= CEIL(0.99 * tot) THEN bin END) AS INT)
+             AS p99_bin,
+           CAST(COUNT(*) AS BIGINT) AS sketch_bins
+    FROM w GROUP BY source
+    """,
+    doc="Mergeable log-binned quantile sketch over document lengths per "
+        "source: quarter-octave bins (relative error ≤ 2^(1/4)) whose "
+        "(bin → count) map MERGES by addition — the re-aggregation "
+        "property exact quantiles lack, so daily per-source sketches "
+        "roll up to weekly/corpus sketches without re-scanning (same "
+        "discipline as sketch_kmv_user_rollup). p50/p90/p99 read off "
+        "the cumulative histogram as integer bin ids (gate-stable). "
+        "One map-side-combined shuffle on (source, bin); sketch size is "
+        "bounded by the bin range regardless of corpus size.",
+)
+def sketch_logbin_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    b = docs.select(
+        "source", F.expr(_QBIN_SPARK).alias("bin")
+    ).groupBy("source", "bin").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("source").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("source")
+    wdf = b.select(
+        "source", "bin", "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_tot).alias("tot"),
+    )
+    def qbin(q: float, alias: str):
+        return F.expr(
+            f"CAST(MIN(CASE WHEN cum >= CEIL({q} * tot) THEN bin END)"
+            " AS INT)"
+        ).alias(alias)
+
+    return wdf.groupBy("source").agg(
+        F.expr("CAST(MAX(tot) AS BIGINT)").alias("n_docs"),
+        qbin(0.50, "p50_bin"),
+        qbin(0.90, "p90_bin"),
+        qbin(0.99, "p99_bin"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("sketch_bins"),
+    )
