@@ -1178,3 +1178,156 @@ def stream_session_stateful(spark, sf_dir: str) -> DataFrame:
         .alias("session_end"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming log-binned quantile sketch (mergeable bin-map state per key)
+# ---------------------------------------------------------------------------
+
+_QSK_STATE_SCHEMA = T.StructType([
+    T.StructField("bins", T.ArrayType(T.IntegerType())),
+    T.StructField("counts", T.ArrayType(T.LongType())),
+])
+
+
+def logbin_quantile_stream(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    bin_col: str,
+) -> DataFrame:
+    """Continuous per-key quantile monitoring: the state is the same
+    (bin → count) map the batch ``sketch_logbin_quantiles`` builds, so
+    the streaming update is plain count addition (the sketch's merge
+    law) and state size is bounded by the bin RANGE — never by stream
+    length. Each micro-batch emits the keys it touched with the current
+    p50/p90/p99 bin ids read off the cumulative histogram."""
+    import math
+
+    out_schema = T.StructType(
+        [df.schema[c] for c in key_cols] + [
+            T.StructField("n_docs", T.LongType()),
+            T.StructField("p50_bin", T.IntegerType()),
+            T.StructField("p90_bin", T.IntegerType()),
+            T.StructField("p99_bin", T.IntegerType()),
+            T.StructField("sketch_bins", T.LongType()),
+        ]
+    )
+    names = list(key_cols)
+
+    def fn(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        fresh: dict = {}
+        for pdf in pdfs:
+            for b in pdf[bin_col]:
+                b = int(b)
+                fresh[b] = fresh.get(b, 0) + 1
+        if not fresh:
+            return
+        if state.exists:
+            bins, counts = state.get
+            merged = dict(zip((int(b) for b in bins),
+                              (int(c) for c in counts)))
+        else:
+            merged = {}
+        for b, c in fresh.items():
+            merged[b] = merged.get(b, 0) + c
+        items = sorted(merged.items())
+        state.update(([b for b, _ in items], [c for _, c in items]))
+        tot = sum(c for _, c in items)
+        qbins = []
+        for q in (0.50, 0.90, 0.99):
+            need = math.ceil(q * tot)
+            cum = 0
+            pick = items[-1][0]
+            for b, c in items:
+                cum += c
+                if cum >= need:
+                    pick = b
+                    break
+            qbins.append(pick)
+        yield pd.DataFrame(
+            [tuple(key) + (tot, qbins[0], qbins[1], qbins[2], len(items))],
+            columns=names + ["n_docs", "p50_bin", "p90_bin", "p99_bin",
+                             "sketch_bins"],
+        )
+
+    return df.groupBy(*names).applyInPandasWithState(
+        fn, out_schema, _QSK_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+@register(
+    "stream_logbin_quantiles",
+    # single availableNow batch ⇒ one emission per source equal to the
+    # batch sketch (integer bin ids; ceil(q*tot) evaluated identically)
+    oracle="""
+    WITH b AS (
+      SELECT source,
+             CAST(FLOOR(log2(CAST(n_chars AS DOUBLE)) * 4) AS INT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY source, bin
+    ),
+    w AS (
+      SELECT source, bin, c,
+             SUM(c) OVER (PARTITION BY source ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(c) OVER (PARTITION BY source) AS tot
+      FROM b
+    )
+    SELECT source,
+           CAST(MAX(tot) AS BIGINT) AS n_docs,
+           CAST(MIN(CASE WHEN cum >= CEIL(0.50 * tot) THEN bin END) AS INT)
+             AS p50_bin,
+           CAST(MIN(CASE WHEN cum >= CEIL(0.90 * tot) THEN bin END) AS INT)
+             AS p90_bin,
+           CAST(MIN(CASE WHEN cum >= CEIL(0.99 * tot) THEN bin END) AS INT)
+             AS p99_bin,
+           CAST(COUNT(*) AS BIGINT) AS sketch_bins
+    FROM w GROUP BY source
+    """,
+    doc="Streaming per-source length-quantile monitoring "
+        "(applyInPandasWithState): the state is the mergeable (bin → "
+        "count) map of sketch_logbin_quantiles, updated by count "
+        "addition each micro-batch and bounded by the bin range — "
+        "stream-length-independent state for continuous p50/p90/p99 "
+        "drift watch over an ingest feed. The hash gate pins "
+        "stream/batch parity: the single-batch emission must equal the "
+        "batch sketch exactly, so live monitors and precomputed batch "
+        "sketches read as one estimator.",
+)
+def stream_logbin_quantiles(spark, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    name = f"stream_qsk_{uuid.uuid4().hex[:8]}"
+    docs_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    in_dir = tempfile.mkdtemp(prefix="stream_qsk_in_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/documents.parquet"),
+        os.path.join(in_dir, "documents.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .parquet(in_dir)
+        .select(
+            "source",
+            F.expr(
+                "CAST(FLOOR(log2(CAST(n_chars AS DOUBLE)) * 4) AS INT)"
+            ).alias("bin"),
+        )
+    )
+    query = (
+        logbin_quantile_stream(stream, ["source"], "bin")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="stream_qsk_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table(name)
