@@ -991,3 +991,92 @@ def pipeline_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g_quality", "g_lang", "g_unique")
     )
+
+
+# ---------------------------------------------------------------------------
+# snapshot distribution drift (the ingest-monitoring tripwire)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_distribution_drift",
+    oracle="""
+    WITH tagged AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN 'prev' ELSE 'curr' END AS snap,
+             lang, source,
+             CAST(FLOOR(log2(CAST(n_chars AS DOUBLE)) * 4) AS INT) AS len_bin
+      FROM documents
+    ),
+    unpivoted AS (
+      SELECT snap, 'lang' AS col, lang AS val FROM tagged
+      UNION ALL SELECT snap, 'source', source FROM tagged
+      UNION ALL SELECT snap, 'len_bin', CAST(len_bin AS VARCHAR) FROM tagged
+    ),
+    counts AS (
+      SELECT col, val,
+             CAST(COUNT(*) FILTER (WHERE snap = 'prev') AS BIGINT) AS n_prev,
+             CAST(COUNT(*) FILTER (WHERE snap = 'curr') AS BIGINT) AS n_curr
+      FROM unpivoted GROUP BY col, val
+    ),
+    tot AS (
+      SELECT col, SUM(n_prev) AS t_prev, SUM(n_curr) AS t_curr
+      FROM counts GROUP BY col
+    )
+    SELECT c.col, c.val, c.n_prev, c.n_curr,
+           round(CAST(c.n_prev AS DOUBLE) / t.t_prev, 6) AS share_prev,
+           round(CAST(c.n_curr AS DOUBLE) / t.t_curr, 6) AS share_curr,
+           round(abs(CAST(c.n_prev AS DOUBLE) / t.t_prev
+                     - CAST(c.n_curr AS DOUBLE) / t.t_curr), 6) AS abs_drift
+    FROM counts c JOIN tot t ON t.col = c.col
+    """,
+    doc="Snapshot distribution drift: per-value shares of the monitored "
+        "columns (lang, source, quarter-octave length bin) in the "
+        "previous vs current snapshot with absolute drift — the ingest "
+        "tripwire that catches a broken crawler (one source's share "
+        "collapses), a language-ID regression (lang mix shifts), or a "
+        "truncation bug (length bins migrate) BEFORE a full pipeline "
+        "run. doc_id parity stands in for the snapshot tag on the "
+        "synthetic corpus; in production the tag is the ingest "
+        "partition. One unpivot scan + one map-side-combined (col, val) "
+        "aggregate; value cardinality (langs × sources × ~40 bins) "
+        "bounds the output at any corpus size.",
+)
+def pipeline_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    tagged = docs.select(
+        F.expr(
+            "CASE WHEN doc_id % 2 = 0 THEN 'prev' ELSE 'curr' END"
+        ).alias("snap"),
+        "lang", "source",
+        F.expr(
+            "CAST(FLOOR(log2(CAST(n_chars AS DOUBLE)) * 4) AS INT)"
+        ).alias("len_bin"),
+    )
+    unpivoted = tagged.selectExpr(
+        "snap",
+        "stack(3, 'lang', lang, 'source', source, "
+        "'len_bin', CAST(len_bin AS STRING)) AS (col, val)",
+    )
+    counts = unpivoted.groupBy("col", "val").agg(
+        F.expr(
+            "CAST(COUNT(CASE WHEN snap = 'prev' THEN 1 END) AS BIGINT)"
+        ).alias("n_prev"),
+        F.expr(
+            "CAST(COUNT(CASE WHEN snap = 'curr' THEN 1 END) AS BIGINT)"
+        ).alias("n_curr"),
+    )
+    tot = counts.groupBy("col").agg(
+        F.expr("SUM(n_prev)").alias("t_prev"),
+        F.expr("SUM(n_curr)").alias("t_curr"),
+    )
+    return counts.join(F.broadcast(tot), "col").select(
+        "col", "val", "n_prev", "n_curr",
+        F.expr("round(CAST(n_prev AS DOUBLE) / t_prev, 6)").alias(
+            "share_prev"),
+        F.expr("round(CAST(n_curr AS DOUBLE) / t_curr, 6)").alias(
+            "share_curr"),
+        F.expr(
+            "round(abs(CAST(n_prev AS DOUBLE) / t_prev"
+            " - CAST(n_curr AS DOUBLE) / t_curr), 6)"
+        ).alias("abs_drift"),
+    )
