@@ -1071,13 +1071,65 @@ def fake_decode_image(data: bytes) -> dict:
 _WAV_DTYPES = {1: np.uint8, 2: "<i2", 4: "<i4"}
 
 
+def _riff_chunks(data: bytes):
+    """(chunk id, payload) pairs of a RIFF container (word-aligned)."""
+    import struct
+
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        yield cid, data[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+
+
+def _decode_law_wav(data: bytes):
+    """G.711 µ-law/A-law WAV (format codes 7/6 — the telephony-corpus
+    shapes the ``wave`` module refuses): manual RIFF parse + ``audioop``
+    expansion to 16-bit linear. Returns (sample_rate, channels,
+    float64 samples in [-1, 1]) or raises NotImplementedError for other
+    compressed formats."""
+    import struct
+
+    try:
+        import audioop  # removed in Python 3.13; present on 3.11
+    except ImportError as err:  # pragma: no cover - 3.13+ environments
+        raise NotImplementedError(
+            "mu-law/A-law WAV needs the stdlib audioop module"
+        ) from err
+    fmt_code = channels = sample_rate = None
+    raw = None
+    for cid, chunk in _riff_chunks(data):
+        if cid == b"fmt " and len(chunk) >= 8:
+            fmt_code, channels, sample_rate = struct.unpack_from(
+                "<HHI", chunk, 0
+            )
+        elif cid == b"data":
+            raw = chunk
+    if fmt_code is None or raw is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if fmt_code == 7:
+        lin = audioop.ulaw2lin(raw, 2)
+    elif fmt_code == 6:
+        lin = audioop.alaw2lin(raw, 2)
+    else:
+        raise NotImplementedError(
+            f"compressed WAV format {fmt_code} does not decode "
+            "stdlib-only (PCM, mu-law, and A-law do)"
+        )
+    x = np.frombuffer(lin, dtype="<i2").astype(np.float64) / 32768.0
+    return sample_rate, max(1, channels), x
+
+
 def decode_audio(data: bytes) -> dict:
     """Real audio decode → ``{sample_rate, n_samples, duration_s, rms}``.
 
-    RIFF/WAVE PCM (8/16/32-bit, any channel count) decodes with the stdlib
-    ``wave`` module; samples are normalized to [-1, 1] and ``rms`` is the
-    root-mean-square over all channels (0..1 range, matching the fake
-    decoder). Other containers/codecs raise ``NotImplementedError``.
+    RIFF/WAVE PCM (8/16/32-bit, any channel count) decodes with the
+    stdlib ``wave`` module; G.711 µ-law/A-law (telephony corpora) via
+    manual RIFF parse + ``audioop`` expansion. Samples are normalized to
+    [-1, 1] and ``rms`` is the root-mean-square over all channels (0..1
+    range, matching the fake decoder). Other containers/codecs raise
+    ``NotImplementedError``.
     """
     if not is_wav(data):
         raise NotImplementedError(
@@ -1085,6 +1137,24 @@ def decode_audio(data: bytes) -> dict:
             "require soundfile/librosa (not installed). Use "
             "fake_decode_audio for the deterministic test path."
         )
+    try:
+        return _decode_audio_pcm(data)
+    except wave.Error:
+        sample_rate, channels, x = _decode_law_wav(data)
+        n_samples = x.size // channels
+        rms = float(np.sqrt(np.mean(np.square(x)))) if x.size else 0.0
+        duration_s = (
+            math.floor(n_samples * 1_000_000 / sample_rate + 0.5) / 1e6
+        )
+        return {
+            "sample_rate": sample_rate,
+            "n_samples": n_samples,
+            "duration_s": duration_s,
+            "rms": rms,
+        }
+
+
+def _decode_audio_pcm(data: bytes) -> dict:
     with wave.open(io.BytesIO(data), "rb") as wf:
         sample_rate = wf.getframerate()
         n_samples = wf.getnframes()
@@ -1461,19 +1531,26 @@ def audio_spectrum(data: bytes) -> dict:
             "only RIFF/WAVE PCM decodes stdlib-only; other audio formats "
             "require soundfile/librosa (not installed)."
         )
-    with wave.open(io.BytesIO(data), "rb") as wf:
-        sample_rate = wf.getframerate()
-        n_frames = wf.getnframes()
-        sampwidth = wf.getsampwidth()
-        n_ch = wf.getnchannels()
-        raw = wf.readframes(n_frames)
-    if sampwidth not in _WAV_DTYPES:
-        raise NotImplementedError(f"unsupported WAV sample width {sampwidth}")
-    x = np.frombuffer(raw, dtype=_WAV_DTYPES[sampwidth]).astype(np.float64)
-    if sampwidth == 1:
-        x = (x - 128.0) / 128.0
-    else:
-        x = x / float(2 ** (8 * sampwidth - 1))
+    try:
+        with wave.open(io.BytesIO(data), "rb") as wf:
+            sample_rate = wf.getframerate()
+            n_frames = wf.getnframes()
+            sampwidth = wf.getsampwidth()
+            n_ch = wf.getnchannels()
+            raw = wf.readframes(n_frames)
+        if sampwidth not in _WAV_DTYPES:
+            raise NotImplementedError(
+                f"unsupported WAV sample width {sampwidth}"
+            )
+        x = np.frombuffer(raw, dtype=_WAV_DTYPES[sampwidth]).astype(
+            np.float64
+        )
+        if sampwidth == 1:
+            x = (x - 128.0) / 128.0
+        else:
+            x = x / float(2 ** (8 * sampwidth - 1))
+    except wave.Error:  # G.711 mu-law/A-law telephony WAV
+        sample_rate, n_ch, x = _decode_law_wav(data)
     if n_ch > 1:
         x = x.reshape(-1, n_ch).mean(axis=1)
     if x.size < 2:
