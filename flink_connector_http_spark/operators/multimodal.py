@@ -1083,39 +1083,96 @@ def _riff_chunks(data: bytes):
         pos += 8 + size + (size & 1)
 
 
+#: IMA/DVI ADPCM tables (public spec constants)
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int64)
+_IMA_INDEX = np.array(
+    [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8],
+    dtype=np.int64,
+)
+
+
+def _ima_adpcm_decode(raw: bytes, block_align: int) -> np.ndarray:
+    """Mono IMA-ADPCM WAV payload → float64 samples in [-1, 1]. Each
+    block: 4-byte header (first sample as i16, step index, reserved)
+    then low-nibble-first 4-bit codes; per-nibble predictor/step update
+    follows the IMA reference algorithm."""
+    import struct as _struct
+
+    out = []
+    for b0 in range(0, len(raw), block_align):
+        block = raw[b0:b0 + block_align]
+        if len(block) < 4:
+            break
+        pred = _struct.unpack_from("<h", block, 0)[0]
+        idx = min(max(block[2], 0), 88)
+        out.append(pred)
+        for byte in block[4:]:
+            for nib in (byte & 0xF, byte >> 4):
+                step = int(_IMA_STEPS[idx])
+                diff = step >> 3
+                if nib & 4:
+                    diff += step
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 1:
+                    diff += step >> 2
+                pred = pred - diff if nib & 8 else pred + diff
+                pred = min(32767, max(-32768, pred))
+                idx = min(88, max(0, idx + int(_IMA_INDEX[nib])))
+                out.append(pred)
+    return np.array(out, dtype=np.float64) / 32768.0
+
+
 def _decode_law_wav(data: bytes):
-    """G.711 µ-law/A-law WAV (format codes 7/6 — the telephony-corpus
-    shapes the ``wave`` module refuses): manual RIFF parse + ``audioop``
-    expansion to 16-bit linear. Returns (sample_rate, channels,
-    float64 samples in [-1, 1]) or raises NotImplementedError for other
-    compressed formats."""
+    """Compressed WAV fallback for the shapes the ``wave`` module
+    refuses: G.711 µ-law/A-law (format codes 7/6, via ``audioop``
+    expansion) and mono IMA/DVI ADPCM (0x11, pure-python block decode).
+    Returns (sample_rate, channels, float64 samples in [-1, 1]) or
+    raises NotImplementedError for other compressed formats."""
     import struct
 
-    try:
-        import audioop  # removed in Python 3.13; present on 3.11
-    except ImportError as err:  # pragma: no cover - 3.13+ environments
-        raise NotImplementedError(
-            "mu-law/A-law WAV needs the stdlib audioop module"
-        ) from err
     fmt_code = channels = sample_rate = None
+    fmt_chunk = None
     raw = None
     for cid, chunk in _riff_chunks(data):
         if cid == b"fmt " and len(chunk) >= 8:
             fmt_code, channels, sample_rate = struct.unpack_from(
                 "<HHI", chunk, 0
             )
+            fmt_chunk = chunk
         elif cid == b"data":
             raw = chunk
     if fmt_code is None or raw is None:
         raise ValueError("WAV missing fmt/data chunk")
-    if fmt_code == 7:
-        lin = audioop.ulaw2lin(raw, 2)
-    elif fmt_code == 6:
-        lin = audioop.alaw2lin(raw, 2)
+    if fmt_code in (6, 7):
+        try:
+            import audioop  # removed in Python 3.13; present on 3.11
+        except ImportError as err:  # pragma: no cover - 3.13+ envs
+            raise NotImplementedError(
+                "mu-law/A-law WAV needs the stdlib audioop module"
+            ) from err
+        lin = (audioop.ulaw2lin(raw, 2) if fmt_code == 7
+               else audioop.alaw2lin(raw, 2))
+    elif fmt_code == 0x11:  # IMA/DVI ADPCM
+        if channels != 1:
+            raise NotImplementedError(
+                "multichannel IMA-ADPCM WAV unsupported (mono only)"
+            )
+        block_align = struct.unpack_from("<H", fmt_chunk, 12)[0] \
+            if fmt_chunk is not None and len(fmt_chunk) >= 14 else 256
+        return sample_rate, 1, _ima_adpcm_decode(raw, block_align)
     else:
         raise NotImplementedError(
             f"compressed WAV format {fmt_code} does not decode "
-            "stdlib-only (PCM, mu-law, and A-law do)"
+            "stdlib-only (PCM, mu-law, A-law, and mono IMA-ADPCM do)"
         )
     x = np.frombuffer(lin, dtype="<i2").astype(np.float64) / 32768.0
     return sample_rate, max(1, channels), x
