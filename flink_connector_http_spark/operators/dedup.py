@@ -2446,3 +2446,69 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("theta")
     )
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe split (the constructive counterpart of dedup_split_leakage)
+# ---------------------------------------------------------------------------
+
+SAFE_SPLIT_TRAIN_PCT = 90
+
+
+@register(
+    "sample_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      {_JACCARD_ORACLE}
+    ),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION ALL
+      SELECT b_id AS src, a_id AS dst FROM pairs
+    ),
+    walk(doc_id, reach) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, w.reach FROM edges e JOIN walk w ON w.doc_id = e.dst
+    ),
+    clusters AS (
+      SELECT doc_id, CAST(MIN(reach) AS BIGINT) AS cluster_id
+      FROM walk GROUP BY doc_id
+    ),
+    assigned AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN ('0x' || substr(md5(concat('split:', cluster_id)), 1, 8))
+                     ::BIGINT % 100 < {SAFE_SPLIT_TRAIN_PCT}
+                THEN 'train' ELSE 'eval' END AS split
+    FROM assigned
+    """,
+    doc=f"Leakage-safe train/eval split: the assignment unit is the "
+        "NEAR-DUP CLUSTER, not the document — every member of a "
+        "connected component of near-duplicate pairs hashes to the same "
+        f"side ({SAFE_SPLIT_TRAIN_PCT}/"
+        f"{100 - SAFE_SPLIT_TRAIN_PCT} by cluster-id hash), so the "
+        "train→eval contamination dedup_split_leakage AUDITS is "
+        "impossible by construction (a doc-level hash split puts "
+        "near-identical docs on both sides). Singleton docs are their "
+        "own cluster. Cost on top of one dedup pass: a left join of the "
+        "cluster map plus a per-row hash — the split rides the dedup "
+        "campaign's output at any corpus size.",
+)
+def sample_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    clusters = dedup_clusters(spark, sf_dir)
+    assigned = docs.select("doc_id").join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.expr("COALESCE(cluster_id, doc_id)").alias("cluster_id"),
+    )
+    return assigned.select(
+        "doc_id", "cluster_id",
+        F.expr(
+            "CASE WHEN CAST(conv(substr(md5(concat('split:', cluster_id)),"
+            f" 1, 8), 16, 10) AS BIGINT) % 100 < {SAFE_SPLIT_TRAIN_PCT} "
+            "THEN 'train' ELSE 'eval' END"
+        ).alias("split"),
+    )
