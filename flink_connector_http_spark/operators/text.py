@@ -4202,3 +4202,98 @@ def sketch_logbin_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         qbin(0.99, "p99_bin"),
         F.expr("CAST(COUNT(*) AS BIGINT)").alias("sketch_bins"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL union proof (sub-sketches merge to the direct global sketch)
+# ---------------------------------------------------------------------------
+
+_HLL_LZ_DUCK = "length(regexp_extract(substr(hx, 3, 13), '^0*'))"
+_HLL_DIG_DUCK = f"substr(hx, 3 + {_HLL_LZ_DUCK}, 1)"
+_HLL_LZ_SPARK = "length(regexp_extract(substr(hx, 3, 13), '^0*', 0))"
+_HLL_DIG_SPARK = f"substr(hx, 3 + {_HLL_LZ_SPARK}, 1)"
+
+_HLL_EST = (
+    f"round({HLL_NUM} / (CAST(SUM(CAST(1 AS BIGINT) << (53 - m)) AS BIGINT)"
+    f" + ({HLL_M} - COUNT(*)) * (CAST(1 AS BIGINT) << 53)), 4)"
+)
+
+
+@register(
+    "sketch_hll_union",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT source, md5(unnest({SHINGLES_DUCK_LOWER})) AS hx
+      FROM documents
+    ),
+    sub AS (
+      SELECT source, ('0x' || substr(hx, 1, 2))::BIGINT AS idx,
+             MAX({_hll_rho(_HLL_LZ_DUCK, _HLL_DIG_DUCK)}) AS m
+      FROM h GROUP BY source, idx
+    ),
+    merged AS (SELECT idx, MAX(m) AS m FROM sub GROUP BY idx),
+    direct AS (
+      SELECT idx, MAX(m) AS m FROM (
+        SELECT DISTINCT ('0x' || substr(hx, 1, 2))::BIGINT AS idx,
+               {_hll_rho(_HLL_LZ_DUCK, _HLL_DIG_DUCK)} AS m
+        FROM h
+      ) t GROUP BY idx
+    ),
+    em AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS registers_hit, {_HLL_EST} AS est
+      FROM merged
+    ),
+    ed AS (SELECT {_HLL_EST} AS est FROM direct),
+    ns AS (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources FROM h)
+    SELECT ns.n_sources, em.registers_hit,
+           em.est AS est_merged, ed.est AS est_direct,
+           CAST(CASE WHEN em.est = ed.est THEN 1 ELSE 0 END AS INT)
+             AS merged_equals_direct
+    FROM em CROSS JOIN ed CROSS JOIN ns
+    """,
+    doc=f"HLL union proof: per-source HLL({HLL_M}) sub-sketches merged by "
+        "per-register MAX must yield EXACTLY the sketch built from the "
+        "whole corpus directly — the lattice property that lets a fleet "
+        "sketch shards independently and union the 256-register maps at "
+        "the coordinator (same discipline as the KMV weekly rollup). The "
+        "hash gate pins merged_equals_direct = 1 in both engines. At "
+        "100 TB the merge step moves sources × 256 registers, never "
+        "shingles.",
+)
+def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    h = (
+        docs.select("source", F.explode(F.expr(SHINGLES_SPARK_LOWER)).alias("s"))
+        .select("source", F.expr("md5(s)").alias("hx"))
+        .distinct()
+    )
+    rho = _hll_rho(_HLL_LZ_SPARK, _HLL_DIG_SPARK)
+    idx = "CAST(conv(substr(hx, 1, 2), 16, 10) AS BIGINT)"
+    sub = h.select(
+        "source", F.expr(idx).alias("idx"), F.expr(rho).alias("rho")
+    ).groupBy("source", "idx").agg(F.expr("MAX(rho)").alias("m"))
+    merged = sub.groupBy("idx").agg(F.expr("MAX(m)").alias("m"))
+    direct = (
+        h.select(F.expr(idx).alias("idx"), F.expr(rho).alias("rho"))
+        .distinct()
+        .groupBy("idx").agg(F.expr("MAX(rho)").alias("m"))
+    )
+    em = merged.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("registers_hit"),
+        F.expr(_HLL_EST).alias("est_merged"),
+    )
+    ed = direct.agg(F.expr(_HLL_EST).alias("est_direct"))
+    ns = h.agg(
+        F.expr("CAST(COUNT(DISTINCT source) AS BIGINT)").alias("n_sources")
+    )
+    return (
+        em.crossJoin(F.broadcast(ed))
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "n_sources", "registers_hit", "est_merged", "est_direct",
+            F.expr(
+                "CAST(CASE WHEN est_merged = est_direct THEN 1 ELSE 0 END"
+                " AS INT)"
+            ).alias("merged_equals_direct"),
+        )
+    )
