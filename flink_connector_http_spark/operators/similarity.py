@@ -3672,3 +3672,147 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lab").cast("int").alias("label"),
         F.col("rnd").cast("int").alias("round_assigned"),
     )
+
+
+# ---------------------------------------------------------------------------
+# beam search over the kNN graph (the HNSW-layer-0 query-time walk)
+# ---------------------------------------------------------------------------
+
+BEAM_QUERIES = 10   # smallest vec_ids serve as the query set
+BEAM_WIDTH = 4      # frontier kept per query per round
+BEAM_TOPK = 3       # final neighbors returned
+
+
+@register(
+    "graph_beam_search",
+    oracle=f"""
+    WITH knn AS (
+      {_KNN_GRAPH_ORACLE}
+    ),
+    gedges AS (SELECT src_id, dst_id FROM knn),
+    deg AS (SELECT src_id, COUNT(*) AS c FROM gedges GROUP BY src_id),
+    entry AS (
+      SELECT src_id AS nid FROM deg ORDER BY c DESC, src_id LIMIT 1
+    ),
+    q AS (
+      SELECT vec_id AS q_id FROM embeddings ORDER BY vec_id
+      LIMIT {BEAM_QUERIES}
+    ),
+    c1 AS (
+      SELECT nid FROM entry
+      UNION
+      SELECT e.dst_id FROM gedges e JOIN entry ON entry.nid = e.src_id
+    ),
+    s1 AS (
+      SELECT q.q_id, c1.nid, round({COS_DUCK}, 6) AS cosine
+      FROM q CROSS JOIN c1
+      JOIN embeddings a ON a.vec_id = q.q_id
+      JOIN embeddings b ON b.vec_id = c1.nid
+    ),
+    f1 AS (
+      SELECT q_id, nid, cosine FROM (
+        SELECT q_id, nid, cosine,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cosine DESC, nid) AS rk
+        FROM s1
+      ) t WHERE rk <= {BEAM_WIDTH}
+    ),
+    c2 AS (
+      SELECT q_id, nid FROM f1
+      UNION
+      SELECT f1.q_id, e.dst_id FROM f1 JOIN gedges e ON e.src_id = f1.nid
+    ),
+    s2 AS (
+      SELECT c2.q_id, c2.nid, round({COS_DUCK}, 6) AS cosine
+      FROM c2
+      JOIN embeddings a ON a.vec_id = c2.q_id
+      JOIN embeddings b ON b.vec_id = c2.nid
+    )
+    SELECT q_id, nid AS neighbor_id, cosine, CAST(rk AS INT) AS rk FROM (
+      SELECT q_id, nid, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, nid) AS rk
+      FROM s2
+    ) t WHERE rk <= {BEAM_TOPK}
+    """,
+    doc=f"Graph beam search (the HNSW-layer-0 query-time walk, "
+        f"deterministic): from a max-degree entry node, {BEAM_QUERIES} "
+        f"queries expand the kNN graph for 2 rounds keeping a "
+        f"{BEAM_WIDTH}-wide frontier by exact cosine, then return each "
+        f"query's top-{BEAM_TOPK} of the final candidate set — the "
+        "query-time counterpart of the build-time emb_knn_graph, and "
+        "the access pattern an ANN serving layer runs per request. "
+        "Every hop is an equi-join against the edge list (frontier × "
+        "degree candidates, never all-pairs), scoring joins are "
+        "id-keyed; rounds are unrolled so the whole walk is ONE "
+        "Catalyst plan with no driver iteration.",
+)
+def graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    edges = emb_knn_graph(spark, sf_dir).select("src_id", "dst_id").persist()
+    deg = edges.groupBy("src_id").agg(F.count(F.lit(1)).alias("c"))
+    entry = (
+        deg.orderBy(F.desc("c"), F.asc("src_id")).limit(1)
+        .select(F.col("src_id").alias("nid"))
+    )
+    q = emb.orderBy("vec_id").limit(BEAM_QUERIES).select(
+        F.col("vec_id").alias("q_id")
+    )
+    vecs = emb.select(
+        "vec_id", "embedding",
+        F.expr(_NORM.format(col="embedding")).alias("norm"),
+    )
+
+    def score(cand: DataFrame) -> DataFrame:
+        """(q_id, nid) → + exact cosine via two id-keyed joins."""
+        return (
+            cand.join(
+                vecs.select(
+                    F.col("vec_id").alias("q_id"),
+                    F.col("embedding").alias("a_emb"),
+                    F.col("norm").alias("a_norm"),
+                ),
+                "q_id",
+            )
+            .join(
+                vecs.select(
+                    F.col("vec_id").alias("nid"),
+                    F.col("embedding").alias("b_emb"),
+                    F.col("norm").alias("b_norm"),
+                ),
+                "nid",
+            )
+            .select(
+                "q_id", "nid",
+                F.expr(
+                    f"round({_DOT_AB} / (a_norm * b_norm), 6)"
+                ).alias("cosine"),
+            )
+        )
+
+    c1 = entry.unionByName(
+        edges.join(F.broadcast(entry), edges["src_id"] == entry["nid"])
+        .select(F.col("dst_id").alias("nid"))
+    ).distinct()
+    s1 = score(q.crossJoin(F.broadcast(c1)))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("nid"))
+    f1 = (
+        s1.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= BEAM_WIDTH)
+        .select("q_id", "nid")
+    )
+    c2 = f1.unionByName(
+        f1.join(edges, f1["nid"] == edges["src_id"])
+        .select("q_id", F.col("dst_id").alias("nid"))
+    ).distinct()
+    s2 = score(c2)
+    return (
+        s2.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= BEAM_TOPK)
+        .select(
+            "q_id",
+            F.col("nid").alias("neighbor_id"),
+            "cosine",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
