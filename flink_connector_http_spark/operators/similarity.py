@@ -3816,3 +3816,123 @@ def graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+@register(
+    "graph_beam_recall_eval",
+    oracle=f"""
+    WITH knn AS (
+      {_KNN_GRAPH_ORACLE}
+    ),
+    gedges AS (SELECT src_id, dst_id FROM knn),
+    deg AS (SELECT src_id, COUNT(*) AS c FROM gedges GROUP BY src_id),
+    entry AS (
+      SELECT src_id AS nid FROM deg ORDER BY c DESC, src_id LIMIT 1
+    ),
+    q AS (
+      SELECT vec_id AS q_id FROM embeddings ORDER BY vec_id
+      LIMIT {BEAM_QUERIES}
+    ),
+    c1 AS (
+      SELECT nid FROM entry
+      UNION
+      SELECT e.dst_id FROM gedges e JOIN entry ON entry.nid = e.src_id
+    ),
+    s1 AS (
+      SELECT q.q_id, c1.nid, round({COS_DUCK}, 6) AS cosine
+      FROM q CROSS JOIN c1
+      JOIN embeddings a ON a.vec_id = q.q_id
+      JOIN embeddings b ON b.vec_id = c1.nid
+    ),
+    f1 AS (
+      SELECT q_id, nid FROM (
+        SELECT q_id, nid,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cosine DESC, nid) AS rk
+        FROM s1
+      ) t WHERE rk <= {BEAM_WIDTH}
+    ),
+    c2 AS (
+      SELECT q_id, nid FROM f1
+      UNION
+      SELECT f1.q_id, e.dst_id FROM f1 JOIN gedges e ON e.src_id = f1.nid
+    ),
+    s2 AS (
+      SELECT c2.q_id, c2.nid, round({COS_DUCK}, 6) AS cosine
+      FROM c2
+      JOIN embeddings a ON a.vec_id = c2.q_id
+      JOIN embeddings b ON b.vec_id = c2.nid
+    ),
+    beam AS (
+      SELECT q_id, nid FROM (
+        SELECT q_id, nid,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cosine DESC, nid) AS rk
+        FROM s2
+      ) t WHERE rk <= {BEAM_TOPK}
+    ),
+    exact AS (
+      SELECT q_id, nid FROM (
+        SELECT q.q_id, b.vec_id AS nid,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                                  ORDER BY round({COS_DUCK}, 6) DESC,
+                                           b.vec_id) AS rk
+        FROM q
+        JOIN embeddings a ON a.vec_id = q.q_id
+        CROSS JOIN embeddings b
+      ) t WHERE rk <= {BEAM_TOPK}
+    )
+    SELECT e.q_id,
+           CAST(COUNT(b.nid) AS BIGINT) AS n_hit,
+           round(CAST(COUNT(b.nid) AS DOUBLE) / {BEAM_TOPK}, 6)
+             AS recall_at_{BEAM_TOPK}
+    FROM exact e LEFT JOIN beam b
+      ON b.q_id = e.q_id AND b.nid = e.nid
+    GROUP BY e.q_id
+    """,
+    doc=f"Beam-search recall@{BEAM_TOPK}: the walk's top-{BEAM_TOPK} per "
+        "query against the exact cosine baseline over the whole corpus "
+        "(self included, as the walk may return it) — the serving-layer "
+        "accuracy number that decides beam width and round count before "
+        "deployment, same measurement discipline as the "
+        "LSH/IVF/PQ/int8/int4 recall evals. The exact side is the "
+        f"brute-force {BEAM_QUERIES}-query broadcast scan; everything "
+        "else reuses the beam plan.",
+)
+def graph_beam_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    beam = graph_beam_search(spark, sf_dir).select(
+        "q_id", F.col("neighbor_id").alias("nid")
+    )
+    q = emb.orderBy("vec_id").limit(BEAM_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("a_emb"),
+        F.expr(_NORM.format(col="embedding")).alias("a_norm"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("b_emb"),
+        F.expr(_NORM.format(col="embedding")).alias("b_norm"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("nid"))
+    exact = (
+        F.broadcast(q).crossJoin(corpus)
+        .select(
+            "q_id", "nid",
+            F.expr(f"round({_DOT_AB} / (a_norm * b_norm), 6)").alias(
+                "cosine"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= BEAM_TOPK)
+        .select("q_id", "nid")
+    )
+    return (
+        exact.join(beam.withColumn("hit", F.lit(1)), ["q_id", "nid"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.expr("CAST(COUNT(hit) AS BIGINT)").alias("n_hit"),
+            F.expr(
+                f"round(CAST(COUNT(hit) AS DOUBLE) / {BEAM_TOPK}, 6)"
+            ).alias(f"recall_at_{BEAM_TOPK}"),
+        )
+    )
