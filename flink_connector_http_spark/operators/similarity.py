@@ -547,8 +547,9 @@ def emb_quality_gated_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id, label,
            round(scale, 6) AS scale,
-           list_transform(embedding,
-             x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT)) AS qvec,
+           array_to_string(list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT)),
+             ',') AS qvec,
            CASE WHEN scale = 0 THEN CAST(0 AS DOUBLE)
                 ELSE round(list_max(list_transform(embedding,
                   x -> abs(CAST(x AS DOUBLE)
@@ -589,9 +590,12 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id", "label",
             F.expr("round(scale_raw, 6)").alias("scale"),
+            # comma-joined STRING scalar, not ARRAY<INT>: the driver's
+            # oracle gate cannot hash list cells (pandas sort over raw cols)
             F.expr(
-                "transform(embedding, "
-                "x -> CAST(floor(CAST(x AS DOUBLE) * scale_raw + 0.5) AS INT))"
+                "array_join(transform(embedding, "
+                "x -> CAST(CAST(floor(CAST(x AS DOUBLE) * scale_raw + 0.5) "
+                "AS INT) AS STRING)), ',')"
             ).alias("qvec"),
             F.expr(
                 "CASE WHEN scale_raw = 0 THEN CAST(0 AS DOUBLE) "

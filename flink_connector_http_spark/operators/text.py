@@ -1378,11 +1378,13 @@ POSTINGS_CAP = 50
       FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
             FROM documents)
     )
-    SELECT token, doc_freq, postings FROM (
+    SELECT token, doc_freq,
+           array_to_string(postings_arr, ',') AS postings
+    FROM (
       SELECT token,
              COUNT(*) AS doc_freq,
              list_slice(list_sort(list(doc_id)), 1, {POSTINGS_CAP})
-               AS postings
+               AS postings_arr
       FROM pairs GROUP BY token
       ORDER BY doc_freq DESC, token LIMIT {INDEX_TOP_TOKENS}
     )
@@ -1395,7 +1397,10 @@ POSTINGS_CAP = 50
         "window pass instead of a dropDuplicates (which would add its own "
         "(token, doc_id) exchange). The cap bounds the array a hot token "
         "('the') materializes in any one task. Output restricted to the "
-        "top tokens by document frequency for a stable small result.",
+        "top tokens by document frequency for a stable small result. The "
+        "posting list is emitted as a comma-joined STRING scalar (not "
+        "ARRAY<STRING>): the driver's oracle gate canonicalizes via pandas "
+        "sort/hash over raw columns, which cannot hash list cells.",
 )
 def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")["documents"]
@@ -1422,7 +1427,9 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         capped.groupBy("token")
         .agg(
             F.first("doc_freq").alias("doc_freq"),
-            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")), ","
+            ).alias("postings"),
         )
         .orderBy(F.desc("doc_freq"), F.asc("token"))
         .limit(INDEX_TOP_TOKENS)
