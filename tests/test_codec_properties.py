@@ -13,7 +13,7 @@ corruption. Three invariant classes:
 
 import numpy as np
 import pytest
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from jpeg_ref import make_jpeg, make_progressive_jpeg
@@ -139,8 +139,52 @@ def corrupted_real_file(draw):
     return kind, bytes(blob)
 
 
+# Pinned counterexamples — both escaped a sniffer with a bare RuntimeError
+# (stdlib chunk.py/wave.py seek past EOF) before RuntimeError entered
+# _DECODE_ERRORS. Fresh hypothesis draws do NOT reliably re-find either
+# input (a 560-green run once shipped with the bug live), so they are
+# pinned here permanently.
+#: round-5 falsifying example: odd fmt-chunk size (0x11) + data chunk
+#: declaring 0x190 bytes over a truncated payload → chunk.seek RuntimeError
+WAV_CRASHER_R5 = (
+    b"RIFF\xb4\x01\x00\x00WAVEfmt \x11\x00\x00\x00\x01\x00\x01\x00"
+    b"\x80>\x00\x00\x00}\x00\x00\x02\x00\x10\x00data\x90\x01\x00\x00"
+    + bytes(range(48))
+)
+#: round-6 crafted escape: fmt chunk size 0x07000010 seeks past EOF
+WAV_CRASHER_R6 = bytes.fromhex(
+    "52494646a400000057415645666d74201000000701000100401f0000803e"
+)
+
+
+def test_pinned_wav_crashers_degrade_to_fake():
+    """Regression: the two known RuntimeError-escaping WAV blobs must
+    degrade to the fake path in every audio sniffer, never raise."""
+    from flink_connector_http_spark.operators.multimodal import (
+        sniff_audio_spectrum,
+    )
+
+    for blob in (WAV_CRASHER_R5, WAV_CRASHER_R6):
+        assert sniff_decode_audio(blob)["decode_mode"] == "fake"
+        assert sniff_audio_spectrum(blob)["decode_mode"] == "fake"
+
+
+def test_r5_crasher_still_exercises_bare_runtimeerror_path():
+    """The r5 blob must keep raising bare RuntimeError out of stdlib wave —
+    if this stops holding, the pin above no longer guards the
+    RuntimeError entry in _DECODE_ERRORS and needs a new counterexample."""
+    import io
+    import wave
+
+    with pytest.raises(RuntimeError) as exc:
+        wave.open(io.BytesIO(WAV_CRASHER_R5))
+    assert type(exc.value) is RuntimeError  # bare, not a subclass
+
+
 @settings(max_examples=100, deadline=None)
 @given(corrupted_real_file())
+@example(case=("wav", WAV_CRASHER_R5))
+@example(case=("wav", WAV_CRASHER_R6))
 def test_sniffers_never_raise_on_corrupted_real_files(case):
     kind, blob = case
     out = sniff_decode_image(blob)
