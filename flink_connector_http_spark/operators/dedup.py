@@ -1935,14 +1935,16 @@ def dedup_review_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")["documents"]
     pairs = dedup_minhash_lsh(spark, sf_dir)
-    w = Window.orderBy(
-        F.expr("md5(concat('rev:', a_id, ':', b_id))"),
-        F.asc("a_id"), F.asc("b_id"),
-    )
-    sampled = (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= REVIEW_SAMPLE_K)
-    )
+    # Distributed top-k (TakeOrdered: per-partition heads + one tiny
+    # merge) bounds the sort to REVIEW_SAMPLE_K rows; the ranking window
+    # then runs over just those k rows, never the full unbounded pair set.
+    keyed = pairs.withColumn(
+        "rev_key", F.expr("md5(concat('rev:', a_id, ':', b_id))"))
+    top = keyed.orderBy(
+        F.asc("rev_key"), F.asc("a_id"), F.asc("b_id"),
+    ).limit(REVIEW_SAMPLE_K)
+    w = Window.orderBy(F.asc("rev_key"), F.asc("a_id"), F.asc("b_id"))
+    sampled = top.withColumn("rk", F.row_number().over(w)).drop("rev_key")
     da = docs.select(F.col("doc_id").alias("a_id"),
                      F.expr(f"substr(text, 1, {REVIEW_SNIPPET})")
                      .alias("snippet_a"))

@@ -50,6 +50,144 @@ D_DISC = "CAST(l_discount AS DECIMAL(10,2))"
 D_TOTAL = "CAST(o_totalprice AS DECIMAL(10,2))"
 
 
+def _range_bucket(
+    df: DataFrame, bucket_expr: str, n_buckets: int = 64
+) -> DataFrame:
+    """Deterministic order-respecting range buckets: ``percentile_approx``
+    on ``bucket_expr`` (one tiny agg, broadcast back) assigns each row a
+    ``__bucket`` in [0, n_buckets) that ascends with the expression —
+    ties always share a bucket, so per-bucket windows + a bounded
+    bucket-summary pass reconstruct any global ordered computation
+    without a single-partition exchange. Adds ``__bkey`` and ``__bucket``."""
+    keyed = df.withColumn("__bkey", F.expr(bucket_expr).cast("double"))
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = keyed.agg(
+        F.percentile_approx("__bkey", fracs, 10000).alias("__bs"))
+    return (
+        keyed.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "__bucket",
+            F.expr(
+                "aggregate(__bs, 0, (acc, b) -> "
+                "acc + CASE WHEN __bkey > b THEN 1 ELSE 0 END)"
+            ),
+        )
+        .drop("__bs")
+    )
+
+
+def _global_rank(
+    df: DataFrame,
+    bucket_expr: str,
+    order_cols: list,
+    rank_col: str = "__rank",
+    n_buckets: int = 64,
+    with_total: bool = False,
+) -> DataFrame:
+    """Global 1-based ROW_NUMBER over ``order_cols`` WITHOUT a
+    single-partition window: a naive ``Window.orderBy`` funnels every row
+    through one task's sort, which is the classic 100x scale-killer for
+    entity-grain ranking (customers, parts, pairs).
+
+    Two-phase distributed rank instead:
+      1. ``percentile_approx`` on ``bucket_expr`` (one tiny agg, ~10 KB
+         broadcast) yields ``n_buckets`` order-respecting range buckets —
+         ties on the bucket key always land in the same bucket, so any
+         ordering refinement by tie-break columns stays intra-bucket;
+      2. per-bucket ``row_number`` windows run in PARALLEL;
+      3. bucket-count prefix offsets (a window over <= ``n_buckets``
+         rows — bounded, never data-sized) are broadcast back and added.
+
+    The result is EXACT regardless of boundary quality; boundary skew only
+    costs balance, not correctness. ``bucket_expr`` must be a numeric SQL
+    expression that ASCENDS with ``order_cols`` (negate for DESC sorts).
+    ``with_total`` additionally attaches the total row count as ``__n``
+    (from the bucket totals — no extra scan of the input).
+    """
+    bucketed = _range_bucket(df, bucket_expr, n_buckets)
+    w_local = Window.partitionBy("__bucket").orderBy(*order_cols)
+    local = bucketed.withColumn("__lrank", F.row_number().over(w_local))
+    # <= n_buckets rows: the only sequential step is over bucket TOTALS
+    w_off = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1)
+    offsets = (
+        bucketed.groupBy("__bucket")
+        .agg(F.count(F.lit(1)).alias("__bc"))
+        .withColumn(
+            "__off", F.coalesce(F.sum("__bc").over(w_off), F.lit(0)))
+    )
+    if with_total:
+        w_all = Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)
+        offsets = offsets.withColumn("__n", F.sum("__bc").over(w_all))
+    offsets = offsets.drop("__bc")
+    out = (
+        local.join(F.broadcast(offsets), "__bucket")
+        .withColumn(
+            rank_col, (F.col("__off") + F.col("__lrank")).cast("bigint"))
+        .drop("__bkey", "__bucket", "__lrank", "__off")
+    )
+    return out
+
+
+def _global_cumsum(
+    df: DataFrame,
+    bucket_expr: str,
+    order_cols: list,
+    value_col: str,
+    cum_col: str = "__cum",
+    n_buckets: int = 64,
+    with_total: bool = False,
+) -> DataFrame:
+    """Global running SUM of ``value_col`` over ``order_cols`` without a
+    single-partition window — same two-phase shape as ``_global_rank``:
+    parallel per-bucket cumsums + a prefix sum over <= ``n_buckets``
+    bucket TOTALS broadcast back. ``with_total`` attaches the grand
+    total as ``__total`` (from the same bucket totals, no extra scan)."""
+    bucketed = _range_bucket(df, bucket_expr, n_buckets)
+    w_local = (
+        Window.partitionBy("__bucket")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bucketed.withColumn("__lcum", F.sum(value_col).over(w_local))
+    w_off = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1)
+    offsets = (
+        bucketed.groupBy("__bucket")
+        .agg(F.sum(value_col).alias("__bt"))
+        .withColumn("__off", F.sum("__bt").over(w_off))
+    )
+    if with_total:
+        w_all = Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)
+        offsets = offsets.withColumn("__total", F.sum("__bt").over(w_all))
+    offsets = offsets.drop("__bt")
+    return (
+        local.join(F.broadcast(offsets), "__bucket")
+        .withColumn(
+            cum_col,
+            F.coalesce(F.col("__off"), F.lit(0)) + F.col("__lcum"))
+        .drop("__bkey", "__bucket", "__lcum", "__off")
+    )
+
+
+def _ntile_expr(k: int, rank_col: str = "__rank", n_col: str = "__n") -> str:
+    """Exact NTILE(k) from a global rank and total count: the first
+    ``n % k`` tiles get ``n div k + 1`` rows, the rest ``n div k`` —
+    the same tile assignment as the window function, computed from the
+    two-phase rank so no single-partition NTILE window is needed."""
+    q = f"(CAST({n_col} AS BIGINT) DIV {k})"
+    r = f"(CAST({n_col} AS BIGINT) % {k})"
+    big = f"({r} * ({q} + 1))"
+    return (
+        f"CAST(CASE WHEN {rank_col} <= {big} "
+        f"THEN CEIL({rank_col} / CAST({q} + 1 AS DOUBLE)) "
+        f"ELSE {r} + CEIL(({rank_col} - {big}) / CAST({q} AS DOUBLE)) "
+        f"END AS INT)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # q01 — pricing summary (TPC-H Q1 shape)
 # ---------------------------------------------------------------------------
@@ -2699,22 +2837,28 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a full tie-break), then per-decile revenue share and the "
         "cumulative lift curve. The whale-concentration diagnostic "
         "(complement of q_pareto_brands' cumulative-share-by-entity). The "
-        "global NTILE is a single-partition sort over CUSTOMERS-after-"
-        "aggregation, not orders — the groupBy reduces first, which is "
-        "what keeps the global window viable (rank percentiles over "
-        "pre-aggregated entities, never raw events).",
+        "NTILE is computed from a TWO-PHASE distributed rank "
+        "(_global_rank: range buckets -> parallel per-bucket row_number "
+        "-> bucket-count prefix offsets), so no single task ever sorts "
+        "the full customer set; the only remaining global window runs "
+        "over the 10 decile rows.",
 )
 def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")["orders"]
     spend = orders.groupBy("o_custkey").agg(
         F.expr("SUM(CAST(o_totalprice AS DECIMAL(12,2)))").alias("total_spend")
     )
-    tiled = spend.withColumn(
-        "decile",
-        F.ntile(10).over(
-            Window.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
-        ),
+    # two-phase distributed rank (see _global_rank): NTILE over all
+    # customers without funnelling them through one task's sort
+    ranked = _global_rank(
+        spend,
+        "-total_spend",
+        [F.desc("total_spend"), F.asc("o_custkey")],
+        with_total=True,
     )
+    tiled = ranked.withColumn(
+        "decile", F.expr(_ntile_expr(10))
+    ).drop("__rank", "__n")
     per = tiled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("total_spend").alias("revenue"),
@@ -3076,9 +3220,10 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segment assignment, unlike percentile-threshold variants that "
         "waver on ties), then the classic 3-digit RFM segment code with "
         "member counts. Higher score = better (more recent / more "
-        "frequent / higher spend). The three global NTILEs rank the "
-        "pre-aggregated CUSTOMER table, not orders — same "
-        "aggregate-then-rank discipline as q_decile_lift.",
+        "frequent / higher spend). Each quintile comes from a TWO-PHASE "
+        "distributed rank (_global_rank) over the pre-aggregated "
+        "CUSTOMER table — exact NTILE semantics with no "
+        "single-partition sort anywhere in the plan.",
 )
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")["orders"]
@@ -3087,11 +3232,29 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.expr("SUM(CAST(o_totalprice AS DECIMAL(12,2)))").alias("spend"),
     )
-    scored = base.select(
+    # three chained two-phase ranks (see _global_rank) — each quintile
+    # assignment is exact NTILE(5) without a single-partition sort over
+    # the customer set
+    ranked = _global_rank(
+        base, "CAST(unix_date(CAST(last_order AS DATE)) AS DOUBLE)",
+        [F.asc("last_order"), F.asc("o_custkey")],
+        rank_col="__r_rank", with_total=True,
+    )
+    ranked = _global_rank(
+        ranked, "CAST(n_orders AS DOUBLE)",
+        [F.asc("n_orders"), F.asc("o_custkey")],
+        rank_col="__f_rank",
+    )
+    ranked = _global_rank(
+        ranked, "CAST(spend AS DOUBLE)",
+        [F.asc("spend"), F.asc("o_custkey")],
+        rank_col="__m_rank",
+    )
+    scored = ranked.select(
         "o_custkey", "n_orders",
-        F.ntile(5).over(Window.orderBy("last_order", "o_custkey")).alias("r_score"),
-        F.ntile(5).over(Window.orderBy("n_orders", "o_custkey")).alias("f_score"),
-        F.ntile(5).over(Window.orderBy("spend", "o_custkey")).alias("m_score"),
+        F.expr(_ntile_expr(5, "__r_rank")).alias("r_score"),
+        F.expr(_ntile_expr(5, "__f_rank")).alias("f_score"),
+        F.expr(_ntile_expr(5, "__m_rank")).alias("m_score"),
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")
@@ -3688,23 +3851,22 @@ def q_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "accumulates across rows), the floats appear only in the final "
         "three-term expression. The inequality summary behind the "
         "decile/Pareto views — one number a dashboard tracks over time "
-        "to see concentration drift. Aggregate-then-rank discipline: "
-        "the global sort ranks CUSTOMERS after the per-customer "
-        "reduce, never raw orders.",
+        "to see concentration drift. The rank comes from a TWO-PHASE "
+        "distributed computation (_global_rank) over the pre-aggregated "
+        "customer table — no single-partition sort anywhere.",
 )
 def q_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")["orders"]
     spend = orders.groupBy("o_custkey").agg(
         F.expr("SUM(CAST(o_totalprice AS DECIMAL(12,2)))").alias("s")
     )
-    ranked = spend.select(
-        "s",
-        F.row_number().over(Window.orderBy("s", "o_custkey")).alias("r"),
-        F.count(F.lit(1)).over(
-            Window.rowsBetween(Window.unboundedPreceding,
-                               Window.unboundedFollowing)
-        ).alias("n"),
-    )
+    # two-phase distributed rank (see _global_rank): no single task ever
+    # sorts the full customer set; __n rides along from the bucket totals
+    ranked = _global_rank(
+        spend, "CAST(s AS DOUBLE)",
+        [F.asc("s"), F.asc("o_custkey")],
+        with_total=True,
+    ).select("s", F.col("__rank").alias("r"), F.col("__n").alias("n"))
     return ranked.agg(
         F.max("n").cast("bigint").alias("n_customers"),
         F.expr("CAST(SUM(s) AS DOUBLE)").alias("total_spend"),
@@ -4657,12 +4819,11 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "classic multi-criteria shortlist (minimize price, maximize "
         "size). Dominance collapses to ONE running max over DISTINCT "
         "(price, size) pairs ordered (price ASC, size DESC): any "
-        "preceding pair dominates iff its size reaches yours. The window "
-        "runs on the deduplicated pair set (orders of magnitude smaller "
-        "than the fact table); at 100 TB the standard refinement is "
-        "local-skyline-per-partition then merge — the local pass prunes "
-        "all but a sliver before this global step, same final window. "
-        "DECIMAL-cast prices keep the equality join exact.",
+        "preceding pair dominates iff its size reaches yours. The "
+        "running max is computed TWO-PHASE (_range_bucket: parallel "
+        "per-bucket windows + a prefix max over bucket summaries), so "
+        "even a fact-table-sized pair set never funnels through one "
+        "task. DECIMAL-cast prices keep the equality join exact.",
 )
 def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")["part"]
@@ -4673,12 +4834,29 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    w = (
-        Window.orderBy(F.asc("price"), F.desc("p_size"))
+    # two-phase running max (same bucketing as _global_rank): per-bucket
+    # windows in parallel + a prefix max over <= 64 bucket SUMMARIES —
+    # equal prices share a bucket, so "max size over earlier buckets"
+    # plus the intra-bucket preceding max is exactly the global
+    # preceding max, with no single-partition sort over the pair set
+    bucketed = _range_bucket(pairs, "CAST(price AS DOUBLE)")
+    w_local = (
+        Window.partitionBy("__bucket")
+        .orderBy(F.asc("price"), F.desc("p_size"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    local = bucketed.withColumn("local_prev", F.max("p_size").over(w_local))
+    w_prior = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1)
+    prior = (
+        bucketed.groupBy("__bucket")
+        .agg(F.max("p_size").alias("bucket_max"))
+        .withColumn("prior_max", F.max("bucket_max").over(w_prior))
+        .select("__bucket", "prior_max")
+    )
     sky = (
-        pairs.withColumn("best_prev", F.max("p_size").over(w))
+        local.join(F.broadcast(prior), "__bucket")
+        .withColumn("best_prev", F.greatest("local_prev", "prior_max"))
         .filter(F.col("best_prev").isNull() | (F.col("best_prev") < F.col("p_size")))
         .select("price", "p_size")
     )
@@ -4979,9 +5157,10 @@ def q_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "comparisons) crossed with the forecastability axis (the exact "
         "weekly-CV X/Y/Z classes of q_xyz_demand_classes) — the 9-cell "
         "segmentation stock policy hangs off (AX: automate replenishment; "
-        "CZ: make-to-order). ABC ranks the PRE-AGGREGATED part table "
-        "(aggregate-then-rank discipline), XYZ is two map-side "
-        "aggregates; the final join is part-grain with a 9-row result.",
+        "CZ: make-to-order). The ABC cumulative share is a TWO-PHASE "
+        "distributed running sum (_global_cumsum — no single-partition "
+        "window over parts), XYZ is two map-side aggregates; the final "
+        "join is part-grain with a 9-row result.",
 )
 def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")["lineitem"]
@@ -4991,15 +5170,17 @@ def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * (1 - CAST(l_discount AS DECIMAL(12,2))))"
         ).alias("revenue")
     )
-    wcum = Window.orderBy(F.desc("revenue"), F.asc("l_partkey"))
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    abc = rev.select(
+    # two-phase distributed running sum (see _global_cumsum): the
+    # cumulative-revenue cut never funnels the part table through one task
+    abc = _global_cumsum(
+        rev, "-revenue",
+        [F.desc("revenue"), F.asc("l_partkey")],
+        "revenue", with_total=True,
+    ).select(
         "l_partkey",
         "revenue",
-        F.sum("revenue").over(wcum).alias("cum"),
-        F.sum("revenue").over(wall).alias("total"),
+        F.col("__cum").alias("cum"),
+        F.col("__total").alias("total"),
     ).select(
         "l_partkey",
         "revenue",

@@ -52,3 +52,57 @@ def test_no_physical_cartesian_product(spark, name):
         f"(use built-in expressions or an Arrow-batched pandas stage)\n"
         f"{plan[:2000]}"
     )
+
+
+# Global (unpartitioned) windows compile to Window <- Sort <- Exchange
+# SinglePartition: EVERY input row funnels through ONE task's sort. That
+# is fine over a provably bounded input (bucket summaries, deciles,
+# brand/day grains) and a 100x scale-killer over entity-grain input
+# (customers, parts, pairs). Entity-grain rankings must use the
+# two-phase patterns instead (plans/relational._global_rank /
+# _global_cumsum, operators/text.sample_pack_batches). Queries listed
+# here have been inspected: every single-partition window in their plan
+# runs over a BOUNDED domain. A new query tripping this lint either
+# gets the two-phase treatment or an entry here with a justification.
+BOUNDED_GLOBAL_WINDOW_OK = {
+    # <= 64 _range_bucket summaries (+ a 10-row decile cum_share)
+    "q_decile_lift": "bucket offsets (<=64 rows) + 10 decile rows",
+    "q_rfm_segments": "3x bucket offsets (<=64 rows each)",
+    "q_spend_gini": "bucket offsets (<=64 rows)",
+    "q_skyline_parts": "bucket max summaries (<=64 rows)",
+    "q_abc_xyz_matrix": "bucket sum offsets (<=64 rows)",
+    "dedup_review_sample": "rank within the 40-row top-k sample",
+    # bounded-domain grains
+    "q_pareto_brands": "brand grain (25 brands)",
+    "q_dormancy_curve": "distinct dormancy-day counts (day domain)",
+    "q_survival_kaplan_meier": "day grain (date domain)",
+    "sample_pack_batches": "256 hash-prefix bucket totals",
+    # rank within a distributed top-k (orderBy().limit(k) precedes)
+    "sample_weighted_topk": "window over the k=limit rows only",
+}
+
+
+def _window_over_single_partition(plan: str) -> bool:
+    import re
+
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if re.search(r"\bWindow(GroupLimit)?\b", ln):
+            for nxt in lines[i + 1:i + 4]:
+                if "Exchange SinglePartition" in nxt:
+                    return True
+    return False
+
+
+@pytest.mark.parametrize("name", BATCH_QUERIES)
+def test_no_unbounded_single_partition_window(spark, name):
+    df = REGISTRY[name].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if _window_over_single_partition(plan):
+        assert name in BOUNDED_GLOBAL_WINDOW_OK, (
+            f"{name}: physical plan has a global Window over Exchange "
+            f"SinglePartition and is not in the bounded-domain allowlist. "
+            f"Use _global_rank/_global_cumsum (plans/relational.py) for "
+            f"entity-grain ranking, or add an allowlist entry with the "
+            f"bounded-domain justification.\n{plan[:2000]}"
+        )
