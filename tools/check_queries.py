@@ -31,21 +31,36 @@ def normalize(v):
         return v
     if hasattr(v, "isoformat"):
         return v.isoformat()
-    if isinstance(v, list):
-        return tuple(normalize(x) for x in v)
-    if isinstance(v, dict):
-        return tuple(sorted((k, normalize(x)) for k, x in v.items()))
     return v
 
 
 def rowset(columns, rows):
-    """(sorted column names, multiset of value-tuples in that column order)."""
+    """(sorted column names, canonically ordered value-tuples).
+
+    DRIVER-FAITHFUL canonicalization: the grading driver sorts a raw
+    pandas DataFrame with ``sort_values`` over the name-sorted columns —
+    list/map cells make that raise ``TypeError: unhashable type`` even
+    when the values are correct. This replica used to tuple-ize lists and
+    sort by ``repr``, which MASKED exactly that ERR class (round-5's only
+    red driver row passed here). Reproduce the driver's path instead: raw
+    values into pandas, multi-column ``sort_values``, no pre-conversion.
+    Positional column labels keep duplicate names unambiguous."""
+    import pandas as pd
+
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     names = [columns[i] for i in order]
-    vals = sorted(
-        (tuple(normalize(r[i]) for i in order) for r in rows),
-        key=repr,
-    )
+    df = pd.DataFrame(list(rows), columns=range(len(columns)))
+    if len(columns):
+        df = df[order]
+        df.columns = range(len(order))
+    if len(df):
+        # multi-column sort_values factorizes (hashes) each column — the
+        # same operation that ERRs in the driver on unhashable cells
+        df = df.sort_values(list(range(len(order))), kind="stable")
+    vals = [
+        tuple(normalize(v) for v in row)
+        for row in df.itertuples(index=False, name=None)
+    ]
     return names, vals
 
 
@@ -183,8 +198,16 @@ def main() -> int:
         t_oracle = time.time() - t1
         spark_types = {f.name: coarse_spark(f.dataType) for f in df.schema.fields}
 
-        s_names, s_vals = rowset(spark_cols, spark_rows)
-        o_names, o_vals = rowset(oracle_cols, oracle_rows)
+        try:
+            s_names, s_vals = rowset(spark_cols, spark_rows)
+            o_names, o_vals = rowset(oracle_cols, oracle_rows)
+        except TypeError as e:
+            # exactly what the driver's gate reports for ARRAY/MAP output
+            # columns — a shape defect in the query, not a wrong answer
+            print(f"[{name}] SHAPE FAIL (driver would ERR): "
+                  f"TypeError: {str(e)[:200]}")
+            failures.append(name)
+            continue
         problems = []
         type_diffs = {
             n: (spark_types[n], oracle_types[n])
