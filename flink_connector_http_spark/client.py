@@ -474,6 +474,7 @@ class HttpPollingClient:
         batch_key_values: List[Mapping[str, Any]],
         key_names: List[str],
         key_coercers: Optional[List] = None,
+        abandoned=None,
     ) -> List[HttpLookupResult]:
         """Classify + decode for a batch exchange, fanned back out per key:
         the response is a JSON array of result objects each carrying its
@@ -491,6 +492,16 @@ class HttpPollingClient:
         same types or silently return empty results for every key."""
         spec, response, failure = exchange
         n = len(batch_key_values)
+        # `abandoned` (a threading.Event) marks a chunk whose caller
+        # already reported it as timed out and discarded this result: a
+        # straggler thread that raced past the caller-side check must
+        # fire NO observers and NO failure accounting. Re-checked here —
+        # immediately before the first side effect — so the double-fire
+        # window shrinks from "whole classify+decode phase" to the
+        # instants between these checks and the calls they guard (an
+        # unavoidable residue short of a lock around every observer).
+        if abandoned is not None and abandoned.is_set():
+            return []
         if failure is not None:
             message, status_code = failure
             base = self._on_failure(
@@ -498,6 +509,8 @@ class HttpPollingClient:
             )
             return [base] * n
         if self.on_response is not None:
+            if abandoned is not None and abandoned.is_set():
+                return []
             self.on_response(spec, response)
         headers = response.header_map()
         if response.status in self.ignored_codes:

@@ -410,6 +410,10 @@ class HttpBatchReader(DataSourceReader):
                 if self.pushed_params and next_url is None:
                     sep = "&" if "?" in url else "?"
                     url = f"{url}{sep}{urlencode(self.pushed_params)}"
+                # seed with every FETCHED url (incl. page 1): a Link
+                # chain cycling back to the first page must error before
+                # re-emitting its rows, not after
+                seen.add(url)
             else:
                 params = dict(self.pushed_params)
                 if cursor is not None:
@@ -890,7 +894,10 @@ def _migrate_flat_registry(spark) -> None:
         return
     rows = spark.read.parquet(*[p.toString() for p in flat]).collect()
     for r in rows:
-        if r["name"]:
+        # a non-identifier legacy name (e.g. a crafted '../x') is skipped,
+        # not written: _write_entry enforces _check_ident, and one bad row
+        # must not wedge the migration for every valid table
+        if r["name"] and _IDENT_RE.match(r["name"]):
             _write_entry(spark, r["name"], json.loads(r["options_json"]))
     for st in fs.listStatus(jroot):
         if st.isFile():
@@ -918,12 +925,15 @@ def _registry_rows(spark) -> List[Dict[str, str]]:
 def _write_entry(spark, name: str, options: Dict[str, str]) -> None:
     """Write ONE table's definition to its own subdirectory. Concurrent
     sessions defining different tables never touch each other's entries;
-    a failed write can only damage this one definition."""
+    a failed write can only damage this one definition. The name is
+    validated HERE too (not only at the SQL entry points): legacy rows
+    fed in by _migrate_flat_registry must never become path segments
+    like '../x' at migration time."""
     spark.createDataFrame(
         [(name, json.dumps(options, sort_keys=True))],
         "name string, options_json string",
     ).coalesce(1).write.mode("overwrite").parquet(
-        _registry_path(spark) + "/" + name
+        _registry_path(spark) + "/" + _check_ident(name)
     )
 
 

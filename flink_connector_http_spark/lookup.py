@@ -429,12 +429,16 @@ def http_lookup_join(
                         # the caller already reported this chunk as timed
                         # out and discarded our result — skip the publish
                         # phase so the dead thread fires NO on_response
-                        # observers and NO failure accounting
+                        # observers and NO failure accounting (re-checked
+                        # inside publish_multi right before its first
+                        # side effect, closing the race where the caller
+                        # abandons between this check and the publish)
                         return []
                     return list(
                         zip(chunk,
                             client.publish_multi(
-                                exchange, kvs, leaf_names, key_coercers))
+                                exchange, kvs, leaf_names, key_coercers,
+                                abandoned=abandoned))
                     )
 
                 if table_ref.options.use_async and len(chunks) > 1:

@@ -541,3 +541,35 @@ def test_read_link_header_pagination(spark, stub):
     )
     assert sorted(r.id for r in df.collect()) == [1, 2, 3]
     assert df.rdd.getNumPartitions() == 1
+
+
+def test_read_link_cycle_to_first_page_errors_before_refetch(spark, stub):
+    """A Link chain that cycles back to page 1 must raise the pagination-
+    loop error BEFORE re-fetching (and re-emitting) page 1's rows: the
+    seen-set is seeded with every fetched URL including the initial one."""
+    calls = {"n0": 0}
+
+    def respond(req):
+        i = int(req.query.get("p", ["0"])[0])
+        if i == 0:
+            calls["n0"] += 1
+            resp = json_response([{"id": 1, "name": "a", "score": 1.0}])
+            resp.headers["Link"] = (
+                f'<{stub.url("/link-cycle?p=1")}>; rel="next"'
+            )
+        else:
+            resp = json_response([{"id": 2, "name": "b", "score": 2.0}])
+            # cycles back to the exact initial URL
+            resp.headers["Link"] = f'<{stub.url("/link-cycle")}>; rel="next"'
+        return resp
+
+    stub.stub("/link-cycle", respond)
+    df = (
+        spark.read.format("http").schema(SCHEMA)
+        .option("url", stub.url("/link-cycle"))
+        .option("cursor_header", "Link")
+        .load()
+    )
+    with pytest.raises(Exception, match="pagination loop"):
+        df.collect()
+    assert calls["n0"] == 1  # page 1 fetched exactly once, never re-emitted

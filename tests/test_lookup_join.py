@@ -645,3 +645,64 @@ def test_circuit_breaker_short_circuits_after_threshold(spark, stub_server):
     for r in rows[2:]:
         assert r["http-completion-state"] == "EXCEPTION"
         assert "circuit breaker open" in r["error-string"]
+
+
+def test_publish_multi_rechecks_abandoned_event_before_side_effects():
+    """Round-5 ADVICE residual race: the caller can abandon a chunk
+    BETWEEN fetch_chunk's check and the publish phase. publish_multi now
+    re-checks the event itself — at entry and again right before firing
+    on_response — so a straggler that raced past the caller-side check
+    still fires no observers and no failure accounting."""
+    import threading
+
+    from flink_connector_http_spark.client import (
+        HttpPollingClient,
+        HttpResponse,
+    )
+
+    calls = []
+    client = HttpPollingClient(
+        url="http://unused.invalid/",
+        options=HttpLookupOptions(
+            method="GET",
+            request_callback=lambda s, r: calls.append("fired"),
+        ),
+    )
+    resp = HttpResponse(200, [], b'[{"id": 1, "name": "a"}]')
+    exchange = (object(), resp, None)
+
+    # abandoned before entry: nothing fires, empty result
+    ev = threading.Event()
+    ev.set()
+    assert client.publish_multi(exchange, [{"id": 1}], ["id"],
+                                abandoned=ev) == []
+    assert calls == []
+
+    # abandoned BETWEEN the entry check and on_response (the exact race):
+    # first is_set() poll says alive, second says abandoned
+    class _FlipEvent:
+        def __init__(self):
+            self.polls = 0
+
+        def is_set(self):
+            self.polls += 1
+            return self.polls >= 2
+
+    flip = _FlipEvent()
+    assert client.publish_multi(exchange, [{"id": 1}], ["id"],
+                                abandoned=flip) == []
+    assert calls == []
+    assert flip.polls >= 2
+
+    # failure-path accounting is also suppressed for an abandoned chunk
+    ev2 = threading.Event()
+    ev2.set()
+    fail_exchange = (None, None, ("boom", None))
+    assert client.publish_multi(fail_exchange, [{"id": 1}], ["id"],
+                                abandoned=ev2) == []
+    assert calls == []
+
+    # sanity: a live chunk still publishes and fires exactly one callback
+    out = client.publish_multi(exchange, [{"id": 1}], ["id"])
+    assert len(out) == 1 and out[0].rows
+    assert calls == ["fired"]

@@ -292,3 +292,57 @@ def test_registry_per_entry_layout_and_flat_migration(
         shutil.rmtree(tmp, ignore_errors=True)
         http_drop_table(spark, "perm_lay_b", if_exists=True)
         http_drop_table(spark, "perm_lay_flat", if_exists=True)
+
+
+def test_write_entry_validates_and_migration_skips_traversal_names(
+    http_format, stub_server
+):
+    """_write_entry enforces the bare-identifier rule itself (not only the
+    SQL entry points), so a crafted legacy registry row cannot become a
+    path traversal at migration time; migration skips such rows instead
+    of wedging on them."""
+    import json as _json
+    import os
+    import shutil
+
+    from flink_connector_http_spark.datasource import (
+        _registry_path,
+        _write_entry,
+        http_attach_tables,
+        http_drop_table,
+    )
+
+    spark = http_format
+    with pytest.raises(ValueError, match="bare SQL identifier"):
+        _write_entry(spark, "../evil", {"url": "http://x/"})
+
+    stub_server.stub("/mig-items", _paged([[{"id": 5}]]))
+    root = _registry_path(spark)
+    parent = os.path.dirname(root)
+    tmp = root + "__flat_tmp2"
+    try:
+        legacy = spark.createDataFrame(
+            [
+                ("perm_mig_good", _json.dumps({
+                    "url": stub_server.url("/mig-items"),
+                    "schema": "id BIGINT",
+                })),
+                ("../evil_mig", _json.dumps({"url": "http://x/"})),
+            ],
+            "name string, options_json string",
+        )
+        legacy.coalesce(1).write.mode("overwrite").parquet(tmp)
+        os.makedirs(root, exist_ok=True)
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(tmp, f), os.path.join(root, f))
+        attached = http_attach_tables(spark)  # triggers migration
+        assert "perm_mig_good" in attached
+        assert os.path.isdir(os.path.join(root, "perm_mig_good"))
+        # the traversal name produced NO directory anywhere
+        assert not os.path.exists(os.path.join(parent, "evil_mig"))
+        assert not os.path.exists(os.path.join(root, "..", "evil_mig"))
+        assert spark.sql("SELECT id FROM perm_mig_good").collect()[0].id == 5
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        http_drop_table(spark, "perm_mig_good", if_exists=True)
