@@ -195,16 +195,35 @@ def main() -> None:
     # the steady-state per-query cost — what the query actually takes when
     # the host isn't stealing the pages back.
     N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # the five historically noisiest queries get min-of-5 plus their raw
+    # samples recorded, so round-over-round swings can be read against a
+    # MEASURED noise band instead of guessed error bars (rounds 5-7 drifted
+    # ±15-20% with no way to tell VM stalls from regressions)
+    NOISY = {
+        "dedup_clusters", "emb_knn_graph", "sim_ann_lsh_multiprobe",
+        "q01_pricing_summary", "pipeline_corpus_manifest",
+    }
+    N_RUNS_NOISY = max(N_RUNS, int(os.environ.get(
+        "SPARK_GRAFT_BENCH_RUNS_NOISY", "5")))
     timings = {}
+    noise_band = {}
     for spec in bench_specs:
-        best = None
-        for _ in range(N_RUNS):
+        runs = N_RUNS_NOISY if spec.name in NOISY else N_RUNS
+        samples = []
+        for _ in range(runs):
             t0 = time.time()
             df = spec.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            elapsed = time.time() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        timings[spec.name] = round(best, 3)
+            samples.append(round(time.time() - t0, 3))
+        timings[spec.name] = min(samples)
+        if spec.name in NOISY:
+            noise_band[spec.name] = {
+                "samples": samples,
+                "min": min(samples),
+                "max": max(samples),
+                "spread_pct": round(
+                    100.0 * (max(samples) - min(samples)) / min(samples), 1),
+            }
 
     total = round(sum(timings.values()), 3)
     sf = {
@@ -219,6 +238,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "runs_per_query": N_RUNS,
+        "runs_per_query_noisy": N_RUNS_NOISY,
+        "noise_band": noise_band,
         "agg": "min",
     }
 
@@ -262,6 +283,38 @@ def main() -> None:
             "queries_sec": scale_timings,
             "time_ratio": ratios,
         }
+
+        # per-key GET saturation sweep: the reference-parity lookup (ONE
+        # GET per distinct key) against stub endpoint capacities of
+        # 1/4/8 worker processes at 1x and 10x data. Separates "the
+        # operator is superlinear" from "the endpoint saturates" — the
+        # per-key path's scale story is endpoint-bound BY DESIGN (the
+        # batch lookup is the scale path); this measures exactly where.
+        if os.environ.get("SPARK_GRAFT_GET_SWEEP", "1") != "0":
+            from flink_connector_http_spark.plans import http_queries as hq
+
+            sweep = {}
+            for label, d in (("1x", sf_dir), ("10x", scale_dir)):
+                for workers in (1, 4, 8):
+                    with hq._SERVERS_LOCK:
+                        old = hq._SERVERS.pop(d, None)
+                    if old is not None:
+                        old.server.stop()
+                    os.environ["SPARK_GRAFT_STUB_PROCS"] = str(workers)
+                    try:
+                        hq._stub_for(d)  # build OUTSIDE the timed window
+                        t0 = time.time()
+                        hq.http_lookup_customers_get(spark, d).write.format(
+                            "noop").mode("overwrite").save()
+                        sweep[f"{label}_workers{workers}"] = round(
+                            time.time() - t0, 3)
+                    except Exception as err:  # record, never sink the bench
+                        sweep[f"{label}_workers{workers}"] = f"error: {err}"
+            os.environ.pop("SPARK_GRAFT_STUB_PROCS", None)
+            result["per_key_get_saturation"] = {
+                "query": "http_lookup_customers_get",
+                "sweep_sec": sweep,
+            }
 
     print(json.dumps(result))
     spark.stop()
