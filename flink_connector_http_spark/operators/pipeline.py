@@ -1080,3 +1080,288 @@ def pipeline_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - CAST(n_curr AS DOUBLE) / t_curr), 6)"
         ).alias("abs_drift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (the lexical-ranking baseline every RAG pipeline ships)
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("sort", "merge", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+#: rational idf — identical text in both engines; ln() of it would rank
+#: identically per-term but expose libm differences (same design choice
+#: as text_tfidf_topk's _IDF)
+def _bm25_score_expr(tf_of) -> str:
+    """One fixed left-to-right chain: term1 + term2 + term3, each term a
+    pure rational function of exact integers (tf, df, n, dl) and avgdl
+    (one double division of exact BIGINTs) — no cross-row float
+    accumulation, no libm, so both engines produce bit-identical scores.
+    ``tf_of(term)`` renders the engine's tf expression for a term."""
+    parts = []
+    for i, t in enumerate(BM25_TERMS):
+        tf = tf_of(t)
+        # every non-binary-exact constant is CAST(... AS DOUBLE): a bare
+        # literal like 2.2 parses as DECIMAL in Spark but DOUBLE in
+        # DuckDB, and the exact-decimal intermediate drifts from the
+        # double path at the rounding boundary
+        k1 = f"CAST({BM25_K1} AS DOUBLE)"
+        k1p1 = f"CAST({BM25_K1 + 1.0} AS DOUBLE)"
+        b = f"CAST({BM25_B} AS DOUBLE)"
+        idf = f"((CAST(n AS DOUBLE) - df{i} + 0.5) / (df{i} + 0.5))"
+        sat = (
+            f"({tf} * {k1p1}"
+            f" / ({tf} + {k1} * (1.0 - {b}"
+            f" + {b} * dl / avgdl)))"
+        )
+        parts.append(f"{idf} * {sat}")
+    return "round(" + " + ".join(parts) + ", 6)"
+
+
+def _tf_spark(term: str) -> str:
+    return f"size(filter(split(lower(text), ' '), x -> x = '{term}'))"
+
+
+def _tf_duck(term: str) -> str:
+    return f"len(list_filter(string_split(lower(text), ' '), x -> x = '{term}'))"
+
+
+_BM25_STATS_DUCK = ", ".join(
+    f"CAST(SUM(CASE WHEN {_tf_duck(t)} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS df{i}"
+    for i, t in enumerate(BM25_TERMS)
+)
+_BM25_STATS_SPARK = [
+    (
+        f"CAST(SUM(CASE WHEN {_tf_spark(t)} > 0 THEN 1 ELSE 0 END)"
+        f" AS BIGINT)",
+        f"df{i}",
+    )
+    for i, t in enumerate(BM25_TERMS)
+]
+
+
+@register(
+    "search_bm25_topk",
+    oracle=f"""
+    WITH stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(len(string_split(lower(text), ' '))) AS DOUBLE)
+               / COUNT(*) AS avgdl,
+             {_BM25_STATS_DUCK}
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl,
+             {_bm25_score_expr(_tf_duck)} AS score
+      FROM documents CROSS JOIN stats
+    )
+    SELECT doc_id, dl, score,
+           ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+    FROM (
+      SELECT * FROM scored WHERE score > 0
+      ORDER BY score DESC, doc_id LIMIT {BM25_TOP_K}
+    ) t
+    """,
+    doc=f"BM25 top-{BM25_TOP_K} retrieval for a fixed {len(BM25_TERMS)}-"
+        "term query (k1=1.2, b=0.75, rational idf — cross-engine "
+        "deterministic, no libm). The corpus statistics (N, avgdl, per-"
+        "term document frequencies) are ONE tiny aggregate broadcast to "
+        "a zero-shuffle scoring scan; selection is a distributed "
+        "TakeOrdered top-k (per-partition heaps + one small merge, never "
+        "a global sort), then ranks over the k survivors only. The "
+        "classic lexical-retrieval operator of a RAG data pipeline, "
+        "complementing search_hybrid_rrf's rank fusion.",
+)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    stats = docs.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+        F.expr(
+            "CAST(SUM(size(split(lower(text), ' '))) AS DOUBLE) / COUNT(*)"
+        ).alias("avgdl"),
+        *[F.expr(e).alias(a) for e, a in _BM25_STATS_SPARK],
+    )
+    scored = (
+        docs.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(size(split(lower(text), ' ')) AS BIGINT)"
+            ).alias("dl"),
+            F.expr(_bm25_score_expr(_tf_spark)).alias("score"),
+            "n", "avgdl",
+            *[f"df{i}" for i in range(len(BM25_TERMS))],
+        )
+        .filter(F.col("score") > 0)
+        .select("doc_id", "dl", "score")
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25_TOP_K)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rk", F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
+# Dirichlet-smoothed query-likelihood retrieval (the LM-based ranker)
+# ---------------------------------------------------------------------------
+
+QL_MU = 2000
+QL_TOP_K = 20
+
+
+def _ql_score_expr(tf_of) -> str:
+    """Product-form query likelihood Π_t (tf + μ·cf_t/ctot) / (dl + μ):
+    the standard formulation takes logs, but a fixed left-to-right product
+    of per-term rationals ranks identically and avoids libm entirely.
+    Scaled by 1e9 so the 4dp round keeps resolution at corpus-typical
+    magnitudes."""
+    mu = f"CAST({QL_MU} AS DOUBLE)"
+    factors = [
+        f"(({tf_of(t)} + {mu} * cf{i} / ctot) / (dl + {mu}))"
+        for i, t in enumerate(BM25_TERMS)
+    ]
+    return "round(1e9 * " + " * ".join(factors) + ", 4)"
+
+
+_QL_STATS_DUCK = ", ".join(
+    f"CAST(SUM({_tf_duck(t)}) AS BIGINT) AS cf{i}"
+    for i, t in enumerate(BM25_TERMS)
+)
+_QL_STATS_SPARK = [
+    (f"CAST(SUM({_tf_spark(t)}) AS BIGINT)", f"cf{i}")
+    for i, t in enumerate(BM25_TERMS)
+]
+
+
+@register(
+    "search_lm_dirichlet_topk",
+    oracle=f"""
+    WITH stats AS (
+      SELECT CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT)
+               AS ctot,
+             {_QL_STATS_DUCK}
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl,
+             {_ql_score_expr(_tf_duck)} AS score
+      FROM documents CROSS JOIN stats
+    )
+    SELECT doc_id, dl, score,
+           ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+    FROM (
+      SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT {QL_TOP_K}
+    ) t
+    """,
+    doc=f"Dirichlet-smoothed query-likelihood retrieval (μ={QL_MU}) for "
+        "the same fixed query as search_bm25_topk — the LM-based ranking "
+        "family next to BM25's tf-saturation family. Smoothing from the "
+        "collection model means every document scores (missing terms "
+        "fall back to μ·cf/|C|), the property that distinguishes QL from "
+        "tf-only rankers. Product form instead of the usual log-sum: a "
+        "fixed-order product of per-term rationals ranks identically "
+        "and is bit-deterministic across engines (no libm). Same scale "
+        "shape as BM25: one broadcast stats row, zero-shuffle scoring, "
+        "distributed top-k.",
+)
+def search_lm_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    stats = docs.agg(
+        F.expr(
+            "CAST(SUM(size(split(lower(text), ' '))) AS BIGINT)"
+        ).alias("ctot"),
+        *[F.expr(e).alias(a) for e, a in _QL_STATS_SPARK],
+    )
+    scored = (
+        docs.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(size(split(lower(text), ' ')) AS BIGINT)"
+            ).alias("dl"),
+            F.expr(_ql_score_expr(_tf_spark)).alias("score"),
+        )
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(QL_TOP_K)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rk", F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
+# token-budget training plan (epochs per source under a fixed budget)
+# ---------------------------------------------------------------------------
+
+TRAIN_BUDGET_TOKENS = 10_000_000
+
+
+@register(
+    "pipeline_token_budget_plan",
+    # alpha = 0.5 temperature weights via sqrt (IEEE correctly rounded,
+    # same determinism argument as sample_temperature_mix); every other
+    # number is an exact BIGINT or one division of exact BIGINTs
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source,
+             CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT)
+               AS unique_tokens
+      FROM documents GROUP BY source
+    ),
+    z AS (SELECT SUM(sqrt(CAST(unique_tokens AS DOUBLE))) AS denom
+          FROM per_source)
+    SELECT source, unique_tokens,
+           CAST(floor({TRAIN_BUDGET_TOKENS} *
+                      sqrt(CAST(unique_tokens AS DOUBLE))
+                      / (SELECT denom FROM z)) AS BIGINT)
+             AS allocated_tokens,
+           round(floor({TRAIN_BUDGET_TOKENS} *
+                       sqrt(CAST(unique_tokens AS DOUBLE))
+                       / (SELECT denom FROM z))
+                 / CAST(unique_tokens AS DOUBLE), 4) AS epochs,
+           round(floor({TRAIN_BUDGET_TOKENS} *
+                       sqrt(CAST(unique_tokens AS DOUBLE))
+                       / (SELECT denom FROM z))
+                 / CAST({TRAIN_BUDGET_TOKENS} AS DOUBLE), 6) AS budget_share
+    FROM per_source
+    """,
+    doc=f"Token-budget training plan: temperature-weighted (alpha=0.5) "
+        f"allocation of a {TRAIN_BUDGET_TOKENS:,}-token budget across "
+        "sources, with the resulting epoch count (allocated / unique — "
+        "epochs > 1 means the source repeats, the quantity data-mixing "
+        "papers bound to avoid memorization) and each source's budget "
+        "share. The planning artifact a mixing run ships alongside "
+        "sample_temperature_mix's document sample: one tiny per-source "
+        "census, everything else scalar arithmetic — at 100 TB this is "
+        "one map-side-combined aggregate.",
+)
+def pipeline_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    per_source = docs.groupBy("source").agg(
+        F.expr(
+            "CAST(SUM(size(split(lower(text), ' '))) AS BIGINT)"
+        ).alias("unique_tokens")
+    )
+    z = per_source.agg(
+        F.expr("SUM(sqrt(CAST(unique_tokens AS DOUBLE)))").alias("denom")
+    )
+    alloc = (
+        f"CAST(floor({TRAIN_BUDGET_TOKENS} * "
+        f"sqrt(CAST(unique_tokens AS DOUBLE)) / denom) AS BIGINT)"
+    )
+    return per_source.crossJoin(F.broadcast(z)).select(
+        "source", "unique_tokens",
+        F.expr(alloc).alias("allocated_tokens"),
+        F.expr(
+            f"round({alloc} / CAST(unique_tokens AS DOUBLE), 4)"
+        ).alias("epochs"),
+        F.expr(
+            f"round({alloc} / CAST({TRAIN_BUDGET_TOKENS} AS DOUBLE), 6)"
+        ).alias("budget_share"),
+    )
