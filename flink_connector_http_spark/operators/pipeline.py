@@ -1365,3 +1365,108 @@ def pipeline_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"round({alloc} / CAST({TRAIN_BUDGET_TOKENS} AS DOUBLE), 6)"
         ).alias("budget_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ranker agreement: BM25 vs Dirichlet-QL top-k overlap and displacement
+# ---------------------------------------------------------------------------
+
+@register(
+    "search_rank_agreement",
+    # all agreement statistics are exact-integer (counts, rank sums); the
+    # only floats are two final single divisions
+    oracle=f"""
+    WITH bm_stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(len(string_split(lower(text), ' '))) AS DOUBLE)
+               / COUNT(*) AS avgdl,
+             {_BM25_STATS_DUCK}
+      FROM documents
+    ),
+    bm_scored AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl,
+             {_bm25_score_expr(_tf_duck)} AS score
+      FROM documents CROSS JOIN bm_stats
+    ),
+    bm25 AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+      FROM (SELECT * FROM bm_scored WHERE score > 0
+            ORDER BY score DESC, doc_id LIMIT {BM25_TOP_K}) t
+    ),
+    ql_stats AS (
+      SELECT CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT)
+               AS ctot,
+             {_QL_STATS_DUCK}
+      FROM documents
+    ),
+    ql_scored AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl,
+             {_ql_score_expr(_tf_duck)} AS score
+      FROM documents CROSS JOIN ql_stats
+    ),
+    ql AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+      FROM (SELECT * FROM ql_scored
+            ORDER BY score DESC, doc_id LIMIT {QL_TOP_K}) t
+    )
+    SELECT CAST(COUNT(CASE WHEN bm25.doc_id IS NOT NULL
+                            AND ql.doc_id IS NOT NULL THEN 1 END) AS BIGINT)
+             AS n_overlap,
+           round(CAST(COUNT(CASE WHEN bm25.doc_id IS NOT NULL
+                                  AND ql.doc_id IS NOT NULL THEN 1 END)
+                      AS DOUBLE) / COUNT(*), 6) AS overlap_jaccard,
+           CAST(COALESCE(SUM(CASE WHEN bm25.doc_id IS NOT NULL
+                                   AND ql.doc_id IS NOT NULL
+                             THEN abs(bm25.rk - ql.rk) END), 0) AS BIGINT)
+             AS sum_displacement,
+           round(CAST(COALESCE(SUM(CASE WHEN bm25.doc_id IS NOT NULL
+                                         AND ql.doc_id IS NOT NULL
+                                   THEN abs(bm25.rk - ql.rk) END), 0)
+                      AS DOUBLE)
+                 / greatest(1, COUNT(CASE WHEN bm25.doc_id IS NOT NULL
+                                           AND ql.doc_id IS NOT NULL
+                                     THEN 1 END)), 4) AS mean_displacement
+    FROM bm25 FULL OUTER JOIN ql ON bm25.doc_id = ql.doc_id
+    """,
+    doc=f"Retrieval-eval artifact: agreement between the BM25 and "
+        "Dirichlet-QL rankers for the shared fixed query — top-"
+        f"{BM25_TOP_K} overlap count, Jaccard over the union, and the "
+        "Spearman-footrule displacement (sum/mean |rank difference|) on "
+        "the overlap. Divergence between ranking families flags "
+        "length-normalization pathologies in a corpus (QL's smoothing "
+        "punishes long documents differently from BM25's b-term). Both "
+        "rankings reuse the registered operators' exact plans; the "
+        "agreement join runs on two k-row lists.",
+)
+def search_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bm = search_bm25_topk(spark, sf_dir).select(
+        F.col("doc_id").alias("bm_doc"), F.col("rk").alias("bm_rk"))
+    ql = search_lm_dirichlet_topk(spark, sf_dir).select(
+        F.col("doc_id").alias("ql_doc"), F.col("rk").alias("ql_rk"))
+    joined = bm.join(
+        ql, bm.bm_doc == ql.ql_doc, "full_outer"
+    ).select(
+        F.expr(
+            "CASE WHEN bm_doc IS NOT NULL AND ql_doc IS NOT NULL"
+            " THEN 1 END"
+        ).alias("hit"),
+        F.expr(
+            "CASE WHEN bm_doc IS NOT NULL AND ql_doc IS NOT NULL"
+            " THEN abs(bm_rk - ql_rk) END"
+        ).alias("disp"),
+    )
+    return joined.agg(
+        F.expr("CAST(COUNT(hit) AS BIGINT)").alias("n_overlap"),
+        F.expr(
+            "round(CAST(COUNT(hit) AS DOUBLE) / COUNT(*), 6)"
+        ).alias("overlap_jaccard"),
+        F.expr(
+            "CAST(COALESCE(SUM(disp), 0) AS BIGINT)"
+        ).alias("sum_displacement"),
+        F.expr(
+            "round(CAST(COALESCE(SUM(disp), 0) AS DOUBLE)"
+            " / greatest(1, COUNT(hit)), 4)"
+        ).alias("mean_displacement"),
+    )

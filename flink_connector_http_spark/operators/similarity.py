@@ -3940,3 +3940,81 @@ def graph_beam_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"recall_at_{BEAM_TOPK}"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-geometry profile: cosine histogram over deterministic stride pairs
+# ---------------------------------------------------------------------------
+
+COS_PROFILE_STRIDE = 37  # deterministic pseudo-random pairing, no sampling RNG
+COS_PROFILE_BINS = 20    # [-1, 1) in 0.1 steps
+
+
+@register(
+    "emb_cosine_stride_profile",
+    # mean per bin via EXACT integer accumulation: the 6dp-rounded cosine
+    # (identical doubles in both engines — same fold order) is scaled to
+    # an exact BIGINT micro-unit before summing, so no raw-double SUM
+    # whose accumulation order could differ between engines
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             round({COS_DUCK}, 6) AS cosine
+      FROM embeddings a
+      JOIN embeddings b ON b.vec_id = a.vec_id + {COS_PROFILE_STRIDE}
+    ),
+    binned AS (
+      SELECT least({COS_PROFILE_BINS - 1}, greatest(0,
+               CAST(floor((cosine + 1.0) * 10) AS INT))) AS bin,
+             CAST(round(cosine * 1000000, 0) AS BIGINT) AS cos_micro
+      FROM pairs
+    )
+    SELECT bin,
+           round(-1.0 + bin * 0.1, 1) AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(CAST(SUM(cos_micro) AS DOUBLE)
+                 / (COUNT(*) * 1000000.0), 6) AS mean_cosine
+    FROM binned GROUP BY bin
+    """,
+    doc=f"Corpus-geometry health profile: the distribution of pairwise "
+        f"cosines over deterministic stride-{COS_PROFILE_STRIDE} pairs "
+        f"(vec i vs vec i+{COS_PROFILE_STRIDE} — a fixed pseudo-random "
+        "pairing with NO RNG and NO quadratic pair blowup: exactly one "
+        "pair per vector, a self-equi-join on a shifted key). A healthy "
+        "embedding space concentrates near 0; mass near 1 flags "
+        "duplicated/collapsed vectors (hubness, mode collapse) and "
+        "shifts of the histogram over snapshots flag embedding-model "
+        "drift. Per-bin means accumulate in exact integer micro-units — "
+        "no cross-row float summation anywhere.",
+)
+def emb_cosine_stride_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    a = emb.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.expr(_NORM.format(col="embedding")).alias("a_norm"),
+    )
+    b = emb.select(
+        (F.col("vec_id") - COS_PROFILE_STRIDE).alias("a_id"),
+        F.col("embedding").alias("b_emb"),
+        F.expr(_NORM.format(col="embedding")).alias("b_norm"),
+    )
+    pairs = a.join(b, "a_id").select(
+        F.expr(f"round({_DOT_AB} / (a_norm * b_norm), 6)").alias("cosine")
+    )
+    binned = pairs.select(
+        F.expr(
+            f"least({COS_PROFILE_BINS - 1}, greatest(0, "
+            f"CAST(floor((cosine + 1.0) * 10) AS INT)))"
+        ).alias("bin"),
+        F.expr("CAST(round(cosine * 1000000, 0) AS BIGINT)").alias(
+            "cos_micro"),
+    )
+    return binned.groupBy("bin").agg(
+        F.expr("round(-1.0 + bin * 0.1, 1)").alias("bin_lo"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_pairs"),
+        F.expr(
+            "round(CAST(SUM(cos_micro) AS DOUBLE)"
+            " / (COUNT(*) * 1000000.0), 6)"
+        ).alias("mean_cosine"),
+    ).select("bin", "bin_lo", "n_pairs", "mean_cosine")
