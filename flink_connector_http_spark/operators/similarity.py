@@ -3970,7 +3970,7 @@ COS_PROFILE_BINS = 20    # [-1, 1) in 0.1 steps
       FROM pairs
     )
     SELECT bin,
-           round(-1.0 + bin * 0.1, 1) AS bin_lo,
+           round(-1.0 + bin * CAST(0.1 AS DOUBLE), 1) AS bin_lo,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
            round(CAST(SUM(cos_micro) AS DOUBLE)
                  / (COUNT(*) * 1000000.0), 6) AS mean_cosine
@@ -4011,7 +4011,7 @@ def emb_cosine_stride_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_micro"),
     )
     return binned.groupBy("bin").agg(
-        F.expr("round(-1.0 + bin * 0.1, 1)").alias("bin_lo"),
+        F.expr("round(-1.0 + bin * CAST(0.1 AS DOUBLE), 1)").alias("bin_lo"),
         F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_pairs"),
         F.expr(
             "round(CAST(SUM(cos_micro) AS DOUBLE)"
