@@ -103,6 +103,15 @@ def _global_rank(
     expression that ASCENDS with ``order_cols`` (negate for DESC sorts).
     ``with_total`` additionally attaches the total row count as ``__n``
     (from the bucket totals — no extra scan of the input).
+
+    Cost shape: the three phases each recompute ``df``'s lineage (bounds
+    agg, per-bucket windows, offset counts) — for a pre-aggregated input
+    that is up to three pruned-column scans of the underlying fact table,
+    all map-side-combined. That trade is deliberate: re-scanning a
+    columnar projection across the cluster scales linearly, while the
+    single-partition sort this replaces pins the whole entity set to ONE
+    task. Callers on hot paths can persist the input first if the
+    aggregate is small enough to cache.
     """
     bucketed = _range_bucket(df, bucket_expr, n_buckets)
     w_local = Window.partitionBy("__bucket").orderBy(*order_cols)
