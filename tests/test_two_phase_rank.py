@@ -98,3 +98,30 @@ def test_global_rank_null_keys_sort_first(spark):
         for r in df.withColumn("rk", F.row_number().over(w)).collect()
     }
     assert rows == naive
+
+
+# hypothesis sweep: arbitrary duplicate-heavy integer data must rank
+# identically to the naive window, whatever the bucket boundaries land on
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    vals=st.lists(st.integers(-1000, 1000), min_size=1, max_size=120),
+    buckets=st.sampled_from([2, 8, 64]),
+)
+def test_global_rank_property_random_data(spark, vals, buckets):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+    got = {
+        r["id"]: r["__rank"]
+        for r in _global_rank(
+            df, "CAST(v AS DOUBLE)", [F.asc("v"), F.asc("id")],
+            n_buckets=buckets,
+        ).collect()
+    }
+    order = sorted(range(len(vals)), key=lambda i: (vals[i], i))
+    naive = {i: rk + 1 for rk, i in enumerate(order)}
+    assert got == naive
