@@ -40,7 +40,24 @@ from .options import HttpLookupOptions
 from .query_creators import LookupQueryInfo, QueryCreator, resolve_query_creator
 from .ratelimit import TokenBucket
 from .request import HttpRequestSpec, build_lookup_request
-from .retry import CircuitBreaker, HttpRetryError, RetryStats, run_with_retry
+from .retry import (
+    CircuitBreaker,
+    HttpRetryError,
+    RetryStats,
+    parse_retry_after,
+    run_with_retry,
+)
+
+
+def _retry_after_hint(response: "HttpResponse"):
+    """Seconds the server asked us to wait, from the first parseable
+    ``Retry-After`` header of a retriable response (None if absent)."""
+    for name, value in response.headers:
+        if name.lower() == "retry-after":
+            hint = parse_retry_after(value)
+            if hint is not None:
+                return hint
+    return None
 from .status import HttpResponseChecker, parse_http_codes
 from .tls import build_ssl_context
 from .types import HttpCompletionState, HttpLookupResult
@@ -361,6 +378,9 @@ class HttpPollingClient:
                 # flaky upstream, which is the same transport-failure class
                 retriable_exceptions=(OSError, http.client.HTTPException),
                 stats=self.retry_stats,
+                # honor the server's Retry-After hint on 429/503 (capped
+                # at the backoff ceiling — see run_with_retry)
+                retry_after_of=_retry_after_hint,
             )
         except HttpRetryError as err:
             if breaker is not None:

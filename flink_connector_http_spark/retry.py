@@ -18,7 +18,7 @@ from typing import Callable, Iterator, Optional, TypeVar
 
 __all__ = [
     "RetryConfig", "HttpRetryError", "run_with_retry", "RetryStats",
-    "CircuitBreaker",
+    "CircuitBreaker", "parse_retry_after",
 ]
 
 T = TypeVar("T")
@@ -86,6 +86,28 @@ class RetryStats:
     successful_with_retry: int = 0
 
 
+def parse_retry_after(value: str, *, now: Optional[Callable[[], float]] = None) -> Optional[float]:
+    """Seconds to wait from an RFC 9110 ``Retry-After`` value: either
+    delta-seconds (``"120"``) or an HTTP-date (``"Wed, 21 Oct 2015
+    07:28:00 GMT"``). Returns None for unparseable values; negative
+    results clamp to 0 (a date in the past means "retry now")."""
+    value = (value or "").strip()
+    if not value:
+        return None
+    try:
+        return max(0.0, float(int(value)))
+    except ValueError:
+        pass
+    try:
+        from email.utils import parsedate_to_datetime
+
+        dt = parsedate_to_datetime(value)
+    except (TypeError, ValueError):
+        return None
+    wall = time.time if now is None else now
+    return max(0.0, dt.timestamp() - wall())
+
+
 def run_with_retry(
     send: Callable[[], T],
     *,
@@ -95,6 +117,7 @@ def run_with_retry(
     retriable_exceptions: tuple = (OSError,),
     sleep: Callable[[float], None] = time.sleep,
     stats: Optional[RetryStats] = None,
+    retry_after_of: Optional[Callable[[T], Optional[float]]] = None,
 ) -> T:
     """Invoke ``send`` up to ``max_retries + 1`` times.
 
@@ -102,11 +125,18 @@ def run_with_retry(
     its response status is retriable. Non-retriable responses are returned
     as-is (caller classifies success/error). Exhaustion raises
     :class:`HttpRetryError`.
+
+    ``retry_after_of`` (optional) extracts the server's ``Retry-After``
+    hint (seconds) from a retriable response: the next sleep becomes
+    ``max(policy delay, hint)`` capped at ``config.max_backoff`` — a
+    429/503 with an honest hint is respected instead of hammered, but a
+    hostile header can never stall a task longer than the backoff cap.
     """
     delays = config.delays()
     last_status: Optional[int] = None
     last_exc: Optional[BaseException] = None
     for attempt in range(1, config.max_attempts + 1):
+        server_hint: Optional[float] = None
         try:
             response = send()
         except retriable_exceptions as exc:  # noqa: PERF203 — retry loop
@@ -121,8 +151,13 @@ def run_with_retry(
                         stats.successful_with_retry += 1
                 return response
             last_status, last_exc = status, None
+            if retry_after_of is not None:
+                server_hint = retry_after_of(response)
         if attempt < config.max_attempts:
-            sleep(next(delays))
+            delay = next(delays)
+            if server_hint is not None:
+                delay = min(max(delay, server_hint), config.max_backoff)
+            sleep(delay)
     raise HttpRetryError(
         f"HTTP request failed after {config.max_attempts} attempts"
         + (f" (last status {last_status})" if last_status is not None else "")

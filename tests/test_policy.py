@@ -546,3 +546,83 @@ class TestOptionKeyCompleteness:
         assert not mismatched, (
             f"string options accepted but not consumed: {mismatched}"
         )
+
+
+class TestRetryAfter:
+    def test_parse_delta_seconds(self):
+        from flink_connector_http_spark.retry import parse_retry_after
+
+        assert parse_retry_after("120") == 120.0
+        assert parse_retry_after(" 0 ") == 0.0
+        assert parse_retry_after("") is None
+        assert parse_retry_after("soon") is None
+
+    def test_parse_http_date_clamps_past_to_zero(self):
+        from flink_connector_http_spark.retry import parse_retry_after
+
+        assert parse_retry_after(
+            "Wed, 21 Oct 2015 07:28:00 GMT", now=lambda: 1445412480.0
+        ) == 0.0
+        # 1445412480 = that date; 60s earlier clock -> 60s wait
+        assert parse_retry_after(
+            "Wed, 21 Oct 2015 07:28:00 GMT", now=lambda: 1445412480.0 - 60
+        ) == 60.0
+        assert parse_retry_after(
+            "Wed, 21 Oct 2015 07:28:00 GMT", now=lambda: 1445412480.0 + 999
+        ) == 0.0
+
+    def test_hint_stretches_policy_delay(self):
+        responses = iter([(429, 5.0), (429, None), (200, None)])
+        sleeps = []
+        result = run_with_retry(
+            lambda: next(responses),
+            config=RetryConfig(max_retries=3, fixed_delay=1.0),
+            status_of=lambda r: r[0],
+            is_retriable_status=lambda s: s == 429,
+            sleep=sleeps.append,
+            retry_after_of=lambda r: r[1],
+        )
+        assert result == (200, None)
+        # first sleep honors the 5s hint; second falls back to policy
+        assert sleeps == [5.0, 1.0]
+
+    def test_hint_never_exceeds_backoff_cap(self):
+        responses = iter([(503, 99999.0), (200, None)])
+        sleeps = []
+        run_with_retry(
+            lambda: next(responses),
+            config=RetryConfig(
+                max_retries=2, strategy="exponential-delay",
+                initial_backoff=1.0, max_backoff=30.0,
+            ),
+            status_of=lambda r: r[0],
+            is_retriable_status=lambda s: s == 503,
+            sleep=sleeps.append,
+            retry_after_of=lambda r: r[1],
+        )
+        assert sleeps == [30.0]  # hostile header capped at max_backoff
+
+    def test_hint_smaller_than_policy_keeps_policy(self):
+        responses = iter([(429, 0.2), (200, None)])
+        sleeps = []
+        run_with_retry(
+            lambda: next(responses),
+            config=RetryConfig(max_retries=2, fixed_delay=1.0),
+            status_of=lambda r: r[0],
+            is_retriable_status=lambda s: s == 429,
+            sleep=sleeps.append,
+            retry_after_of=lambda r: r[1],
+        )
+        assert sleeps == [1.0]  # never retry FASTER than the policy
+
+    def test_client_extracts_header_case_insensitively(self):
+        from flink_connector_http_spark.client import (
+            HttpResponse,
+            _retry_after_hint,
+        )
+
+        resp = HttpResponse(429, [("RETRY-AFTER", "7")], b"")
+        assert _retry_after_hint(resp) == 7.0
+        assert _retry_after_hint(HttpResponse(429, [], b"")) is None
+        assert _retry_after_hint(
+            HttpResponse(429, [("Retry-After", "junk")], b"")) is None
