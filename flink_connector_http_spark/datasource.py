@@ -42,7 +42,7 @@ from __future__ import annotations
 
 import json
 import re
-from typing import Any, Dict, Iterator, List, Optional, Sequence
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
 
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
@@ -608,6 +608,11 @@ class HttpPollingStreamReader(SimpleDataSourceStreamReader):
         self.timeout = float(options.get("timeout", "30"))
         self._decoder = _resolve_format(options, self.fmt)
         self._transport = None
+        # conditional-GET state for the poll hot loop: when caught up,
+        # every trigger re-fetches the SAME head page — if the endpoint
+        # publishes ETag/Last-Modified, revalidate instead of re-download
+        # (one entry: only the most recent page URL is ever re-polled)
+        self._cond_cache: Optional[Tuple[str, str, str, List[dict]]] = None
 
     # -- transport bits shared with HttpBatchReader ------------------------
     def _fetch_page(self, page: int) -> List[dict]:
@@ -624,15 +629,32 @@ class HttpPollingStreamReader(SimpleDataSourceStreamReader):
             self._headers = _auth_headers_factory(self.options)
         sep = "&" if "?" in self.url else "?"
         url = f"{self.url}{sep}{urlencode({self.page_param: page})}"
+        headers = dict(self._headers())
+        cached = self._cond_cache
+        if cached is not None and cached[0] == url:
+            _, etag, last_mod, _records = cached
+            if etag:
+                headers["If-None-Match"] = etag
+            if last_mod:
+                headers["If-Modified-Since"] = last_mod
         resp = self._transport.send(
-            HttpRequestSpec(method="GET", url=url, headers=self._headers(),
+            HttpRequestSpec(method="GET", url=url, headers=headers,
                             body=None)
         )
+        if resp.status == 304 and cached is not None and cached[0] == url:
+            return cached[3]  # not modified: the validated cached page
         if resp.status != 200:
             raise IOError(f"HTTP stream: page {page} returned status {resp.status}")
         decoded = self._decoder(resp.body)
         if isinstance(decoded, dict):
             decoded = [decoded]
+        validators = {k.lower(): v for k, v in resp.headers}
+        etag = validators.get("etag", "")
+        last_mod = validators.get("last-modified", "")
+        if etag or last_mod:
+            self._cond_cache = (url, etag, last_mod, decoded)
+        elif cached is not None and cached[0] == url:
+            self._cond_cache = None  # this URL stopped validating
         return decoded
 
     # -- SimpleDataSourceStreamReader contract -----------------------------

@@ -573,3 +573,60 @@ def test_read_link_cycle_to_first_page_errors_before_refetch(spark, stub):
     with pytest.raises(Exception, match="pagination loop"):
         df.collect()
     assert calls["n0"] == 1  # page 1 fetched exactly once, never re-emitted
+
+
+def test_stream_reader_revalidates_head_page_with_etag(stub):
+    """When caught up, the polling stream reader re-fetches the SAME head
+    page every trigger. If the endpoint publishes an ETag, the second
+    poll must send If-None-Match and accept a 304 (serving the cached
+    decode) instead of re-downloading — and a CHANGED page (new ETag,
+    200) must flow through normally."""
+    from flink_connector_http_spark.datasource import (
+        HttpPollingStreamReader,
+    )
+
+    state = {"rows": [{"id": 1, "name": "a", "score": 1.0}], "etag": '"v1"'}
+
+    def respond(req):
+        if req.query.get("p", ["0"])[0] != "0":
+            return json_response([])  # head: only page 0 has data
+        inm = {k.lower(): v for k, v in req.headers.items()}.get(
+            "if-none-match")
+        if inm == state["etag"]:
+            return StubResponse(status=304, body=b"", headers={})
+        resp = json_response(state["rows"])
+        resp.headers["ETag"] = state["etag"]
+        return resp
+
+    stub.stub("/feed", respond)
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ])
+    reader = HttpPollingStreamReader(
+        {"url": stub.url("/feed"), "page_param": "p",
+         "max_pages_per_batch": "5"},
+        schema,
+    )
+    rows1, off1 = reader.read({"page": 0})
+    assert [r[0] for r in rows1] == [1] and off1 == {"page": 1}
+
+    # caught up: page 1 is empty; the feed's head page 0 was consumed.
+    # simulate the steady-state poll of page 0 again (e.g. recovery
+    # replay): must revalidate, get 304, and serve the cached decode
+    rows2, _ = reader.read({"page": 0})
+    assert [r[0] for r in rows2] == [1]
+    reqs = [r for r in stub.recorded("/feed")
+            if r.query.get("p", ["0"])[0] == "0"]
+    assert len(reqs) >= 2
+    sent = {k.lower(): v for k, v in reqs[-1].headers.items()}
+    assert sent.get("if-none-match") == '"v1"'
+
+    # content changes: new ETag -> full 200 flows through
+    state["rows"] = [{"id": 2, "name": "b", "score": 2.0}]
+    state["etag"] = '"v2"'
+    rows3, _ = reader.read({"page": 0})
+    assert [r[0] for r in rows3] == [2]
