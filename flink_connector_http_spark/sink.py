@@ -277,23 +277,33 @@ class HttpSinkWriter:
         keyed endpoint (http_sink_idempotent_replay) retry upgrades
         transient blips to successes for free."""
         attempts = 1 + max(0, self.options.max_retries)
+        server_hint = None
         for attempt in range(attempts):
             if attempt:
-                time.sleep(
+                delay = (
                     self.options.retry_delay
                     * self.options.retry_backoff_multiplier ** (attempt - 1)
                 )
+                if server_hint is not None:
+                    # honor Retry-After like the lookup path: never retry
+                    # faster than policy, never stall past the 60s ceiling
+                    delay = min(max(delay, server_hint), 60.0)
+                time.sleep(delay)
             if self.rate_limiter is not None:
                 self.rate_limiter.acquire()
             try:
                 response = self.transport.send(spec)
             except OSError:
+                server_hint = None
                 continue  # transport error: next attempt (or fall out)
             if self.on_response is not None:
                 self.on_response(spec, response)
             with self._lock:
                 self.requests_sent += 1
             if self.checker.is_error(response.status):
+                from .client import _retry_after_hint
+
+                server_hint = _retry_after_hint(response)
                 continue
             with self._lock:
                 self.records_sent += record_count

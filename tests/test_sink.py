@@ -354,3 +354,28 @@ class TestOptInSinkRetry:
         assert opts.max_retries == 4
         assert opts.retry_delay == 0.25
         assert opts.retry_backoff_multiplier == 3.0
+
+
+def test_sink_retry_honors_retry_after_hint(stub_server, monkeypatch):
+    """A 429 carrying Retry-After stretches the sink's next retry sleep
+    to the hint (capped; never faster than policy)."""
+    import flink_connector_http_spark.sink as sink_mod
+
+    sleeps = []
+    monkeypatch.setattr(sink_mod.time, "sleep", sleeps.append)
+    stub_server.stub_sequence("/sink-429", [
+        StubResponse(status=429, body=b"", headers={"Retry-After": "3"}),
+        StubResponse(status=429, body=b""),
+        json_response({"ok": True}),
+    ])
+    writer = HttpSinkWriter(
+        stub_server.url("/sink-429"),
+        HttpSinkOptions(request_mode="single", max_retries=3,
+                        retry_delay=0.5),
+    )
+    writer.write(entries(1)[0])
+    writer.close()
+    assert writer.records_sent == 1 and writer.send_errors == 0
+    # first sleep honors the 3s hint; second (no header) is pure policy
+    assert sleeps[0] == 3.0
+    assert sleeps[1] == pytest.approx(0.5 * 2.0)  # default multiplier 2.0
