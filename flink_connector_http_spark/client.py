@@ -112,6 +112,40 @@ class _NoDelayHTTPSConnection(http.client.HTTPSConnection):
         self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
 
 
+def _decompress_response(
+    headers: List[Tuple[str, str]], body: bytes
+) -> Tuple[List[Tuple[str, str]], bytes]:
+    """Transparent gzip/deflate decoding: when the server honored our
+    Accept-Encoding, hand every consumer plain bytes and drop the
+    now-inaccurate Content-Encoding/Content-Length headers (the same
+    contract as every mainstream HTTP client). Unknown encodings pass
+    through untouched — classification/decode failures stay upstream
+    policy decisions."""
+    encoding = ""
+    for name, value in headers:
+        if name.lower() == "content-encoding":
+            encoding = value.strip().lower()
+            break
+    if encoding in ("gzip", "x-gzip"):
+        import gzip as _gzip
+
+        body = _gzip.decompress(body)
+    elif encoding == "deflate":
+        import zlib as _zlib
+
+        try:
+            body = _zlib.decompress(body)
+        except _zlib.error:  # raw-deflate servers omit the zlib wrapper
+            body = _zlib.decompress(body, -_zlib.MAX_WBITS)
+    else:
+        return headers, body
+    headers = [
+        (n, v) for n, v in headers
+        if n.lower() not in ("content-encoding", "content-length")
+    ]
+    return headers, body
+
+
 class HttpTransport:
     """One configured transport: TLS + proxy + timeout.
 
@@ -119,7 +153,13 @@ class HttpTransport:
     (scheme, authority) per thread — HTTP keep-alive matters at scale:
     a lookup join fires thousands of requests per task, and per-request
     TCP+TLS setup dominates otherwise. Proxied requests fall back to a
-    urllib opener (rare path, correctness over speed)."""
+    urllib opener (rare path, correctness over speed).
+
+    Compression: requests advertise ``Accept-Encoding: gzip, deflate``
+    (unless the caller set the header explicitly) and responses are
+    transparently decompressed — at ingest scale the JSON feeds this
+    connector reads compress 5-10x, so the wire cost of a 100 TB-adjacent
+    pipeline drops by the same factor when the endpoint cooperates."""
 
     def __init__(
         self,
@@ -160,9 +200,22 @@ class HttpTransport:
     def send(self, spec: HttpRequestSpec) -> HttpResponse:
         """Issue one request; non-2xx responses return normally (policy
         classification happens upstream, like the reference's client)."""
+        if not any(n.lower() == "accept-encoding" for n in spec.headers):
+            spec = HttpRequestSpec(
+                method=spec.method,
+                url=spec.url,
+                headers={**dict(spec.headers),
+                         "Accept-Encoding": "gzip, deflate"},
+                body=spec.body,
+            )
         if self._use_proxy:
-            return self._send_urllib(spec)
-        return self._send_keepalive(spec)
+            resp = self._send_urllib(spec)
+        else:
+            resp = self._send_keepalive(spec)
+        headers, body = _decompress_response(resp.headers, resp.body)
+        if body is not resp.body:
+            return HttpResponse(resp.status, headers, body)
+        return resp
 
     def _send_urllib(self, spec: HttpRequestSpec) -> HttpResponse:
         req = urllib.request.Request(

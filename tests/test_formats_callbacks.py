@@ -409,3 +409,73 @@ class TestJsonlFormat:
         assert sorted(lines, key=lambda d: d["id"]) == [
             {"id": 1, "name": "x"}, {"id": 2, "name": "y"},
         ]
+
+
+class TestTransparentCompression:
+    def test_gzip_response_decoded_and_headers_cleaned(self, stub_server):
+        import gzip as _gzip
+        import json as _json
+
+        payload = _json.dumps({"n_nationkey": 9, "n_name": "GZ"}).encode()
+
+        def responder(req):
+            hdrs = {k.lower(): v for k, v in req.headers.items()}
+            assert "gzip" in hdrs.get("accept-encoding", "")
+            return StubResponse(
+                status=200,
+                body=_gzip.compress(payload),
+                headers={"Content-Type": "application/json",
+                         "Content-Encoding": "gzip"},
+            )
+
+        stub_server.stub("/gz", responder)
+        client = HttpPollingClient(
+            url=stub_server.url("/gz"),
+            options=HttpLookupOptions(method="GET", response_format="json"),
+        )
+        result = client.pull({"n_nationkey": 9})
+        assert result.rows[0]["n_name"] == "GZ"
+        # decoded body => stale content-encoding/length headers dropped
+        assert "content-encoding" not in {
+            k.lower() for k in result.headers
+        }
+
+    def test_deflate_raw_and_zlib_both_decode(self):
+        import zlib as _zlib
+
+        from flink_connector_http_spark.client import _decompress_response
+
+        raw = b'{"ok": 1}'
+        for blob in (_zlib.compress(raw),
+                     _zlib.compress(raw)[2:-4]):  # raw-deflate variant
+            headers, body = _decompress_response(
+                [("Content-Encoding", "deflate"), ("X-Keep", "y")], blob)
+            assert body == raw
+            assert headers == [("X-Keep", "y")]
+
+    def test_unknown_encoding_passes_through(self):
+        from flink_connector_http_spark.client import _decompress_response
+
+        headers, body = _decompress_response(
+            [("Content-Encoding", "br")], b"\x00\x01")
+        assert body == b"\x00\x01"
+        assert ("Content-Encoding", "br") in headers
+
+    def test_explicit_accept_encoding_not_overridden(self, stub_server):
+        from tests.stub_server import json_response
+
+        seen = {}
+
+        def responder(req):
+            seen.update({k.lower(): v for k, v in req.headers.items()})
+            return json_response([{"n_nationkey": 1, "n_name": "X"}])
+
+        stub_server.stub("/noenc", responder)
+        from flink_connector_http_spark.client import HttpTransport
+        from flink_connector_http_spark.request import HttpRequestSpec
+
+        HttpTransport().send(HttpRequestSpec(
+            method="GET", url=stub_server.url("/noenc"),
+            headers={"Accept-Encoding": "identity"},
+        ))
+        assert seen.get("accept-encoding") == "identity"
