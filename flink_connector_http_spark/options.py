@@ -127,6 +127,9 @@ SINK_OPTION_KEYS = {
     "max_retries": "sink.max-retries",
     "retry_delay": "sink.retry-delay",
     "retry_backoff_multiplier": "sink.retry-backoff-multiplier",
+    # beyond-reference, OPT-IN: gzip request bodies (endpoint must accept
+    # Content-Encoding: gzip)
+    "gzip_request_body": "sink.gzip-request-body",
 }
 
 
@@ -245,6 +248,10 @@ class HttpSinkOptions:
     max_retries: int = 0
     retry_delay: float = 0.5
     retry_backoff_multiplier: float = 2.0
+    # opt-in gzip request bodies (Content-Encoding: gzip): JSON batches
+    # compress 5-10x, so a 5 MiB flush crosses the wire as ~0.5-1 MiB —
+    # off by default because the endpoint must accept encoded bodies
+    gzip_request_body: bool = False
 
 
 def _collect_prefixed(options: Mapping[str, str], prefix: str) -> Dict[str, str]:
@@ -371,6 +378,8 @@ def sink_options_from_map(options: Mapping[str, str]) -> HttpSinkOptions:
             kwargs[name] = options[k[name]]
     if k["allow_self_signed"] in options:
         kwargs["allow_self_signed"] = _as_bool(options[k["allow_self_signed"]])
+    if k["gzip_request_body"] in options:
+        kwargs["gzip_request_body"] = _as_bool(options[k["gzip_request_body"]])
     headers = _collect_prefixed(options, k["header_prefix"])
     if headers:
         kwargs["headers"] = headers

@@ -261,7 +261,13 @@ class HttpSinkWriter:
             if n_pending < self.options.max_inflight:
                 break
             self._drain_one()
-        spec = HttpRequestSpec(method=method, url=self.url, headers=self.headers, body=body)
+        headers = self.headers
+        if self.options.gzip_request_body and body:
+            import gzip as _gzip
+
+            body = _gzip.compress(body, compresslevel=6)
+            headers = {**dict(headers), "Content-Encoding": "gzip"}
+        spec = HttpRequestSpec(method=method, url=self.url, headers=headers, body=body)
         future = self._pool.submit(self._send_one, spec, record_count)
         with self._lock:
             self._pending[future] = record_count

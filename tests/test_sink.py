@@ -379,3 +379,34 @@ def test_sink_retry_honors_retry_after_hint(stub_server, monkeypatch):
     # first sleep honors the 3s hint; second (no header) is pure policy
     assert sleeps[0] == 3.0
     assert sleeps[1] == pytest.approx(0.5 * 2.0)  # default multiplier 2.0
+
+
+def test_sink_gzip_request_body_opt_in(stub_server):
+    """sink.gzip-request-body compresses the framed batch and marks it
+    Content-Encoding: gzip; the payload gunzips back to the exact JSON
+    frame. Default stays uncompressed (reference parity)."""
+    import gzip as _gzip
+    import json as _json
+
+    stub_server.stub_json("/gzsink", {"ok": True})
+    writer = HttpSinkWriter(
+        stub_server.url("/gzsink"),
+        HttpSinkOptions(request_mode="batch", batch_size=10,
+                        gzip_request_body=True),
+    )
+    for e in entries(3):
+        writer.write(e)
+    writer.close()
+    req = stub_server.recorded("/gzsink")[0]
+    hdrs = {k.lower(): v for k, v in req.headers.items()}
+    assert hdrs.get("content-encoding") == "gzip"
+    frame = _json.loads(_gzip.decompress(req.body))
+    assert len(frame) == 3
+    assert writer.records_sent == 3 and writer.send_errors == 0
+
+    # option-map spelling reaches the flag
+    from flink_connector_http_spark.options import sink_options_from_map
+
+    opts = sink_options_from_map({"sink.gzip-request-body": "true"})
+    assert opts.gzip_request_body is True
+    assert sink_options_from_map({}).gzip_request_body is False
