@@ -3544,6 +3544,75 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# l-diversity audit (the homogeneity-attack counterpart of k-anonymity)
+# ---------------------------------------------------------------------------
+
+L_DIV_K = 15  # bottom-k lowest-diversity groups reported
+
+
+@register(
+    "q_l_diversity_audit",
+    oracle=f"""
+    WITH qi AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(FLOOR(CAST(value AS DECIMAL(10,2)) / 100) AS BIGINT)
+               AS value_band,
+             CAST(COUNT(*) AS BIGINT) AS group_size,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+      FROM events GROUP BY 1, 2, 3
+    ),
+    eligible AS (
+      SELECT *, round(CAST(n_distinct_users AS DOUBLE) / group_size, 6)
+               AS diversity_ratio
+      FROM qi WHERE group_size >= {{K_ANON}}
+    )
+    SELECT event_type, day, value_band, group_size, n_distinct_users,
+           diversity_ratio,
+           ROW_NUMBER() OVER (ORDER BY diversity_ratio, n_distinct_users,
+                              event_type, day, value_band) AS rk
+    FROM (
+      SELECT * FROM eligible
+      ORDER BY diversity_ratio, n_distinct_users, event_type, day,
+               value_band
+      LIMIT {{L_DIV_K}}
+    ) t
+    """.format(K_ANON=K_ANON, L_DIV_K=L_DIV_K),
+    doc=f"l-diversity audit: among quasi-identifier groups that PASS the "
+        f"k-anonymity size check, the {L_DIV_K} LOWEST-diversity groups "
+        "(distinct identities / group size) — the homogeneity-attack "
+        "surface k-anonymity misses (a 50-row group belonging to 2 "
+        "users still leaks who was there). Bottom-k instead of a fixed "
+        "l threshold so the audit reports the worst offenders at every "
+        "corpus scale; selection is a distributed TakeOrdered (never a "
+        "global sort), ranks assigned over the k survivors.",
+)
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    qi = ev.groupBy(
+        "event_type",
+        F.expr("CAST(date_trunc('day', ts) AS DATE)").alias("day"),
+        F.expr(
+            "CAST(FLOOR(CAST(value AS DECIMAL(10,2)) / 100) AS BIGINT)"
+        ).alias("value_band"),
+    ).agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("group_size"),
+        F.expr("CAST(COUNT(DISTINCT user_id) AS BIGINT)").alias(
+            "n_distinct_users"),
+    )
+    eligible = qi.filter(F.col("group_size") >= K_ANON).withColumn(
+        "diversity_ratio",
+        F.expr("round(CAST(n_distinct_users AS DOUBLE) / group_size, 6)"),
+    )
+    order = [
+        F.asc("diversity_ratio"), F.asc("n_distinct_users"),
+        F.asc("event_type"), F.asc("day"), F.asc("value_band"),
+    ]
+    top = eligible.orderBy(*order).limit(L_DIV_K)
+    w = Window.orderBy(*order)
+    return top.withColumn("rk", F.row_number().over(w))
+
+
 # day-of-week seasonality profile
 # ---------------------------------------------------------------------------
 
