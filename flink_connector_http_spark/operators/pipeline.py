@@ -1470,3 +1470,95 @@ def search_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / greatest(1, COUNT(hit)), 4)"
         ).alias("mean_displacement"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rocchio pseudo-relevance feedback (query expansion from the top-ranked docs)
+# ---------------------------------------------------------------------------
+
+PRF_FEEDBACK_DOCS = 5
+PRF_TERMS = 10
+#: original query terms plus corpus stopwords are never expansion candidates
+PRF_EXCLUDE = BM25_TERMS + ("the", "a", "")
+
+_PRF_EXCLUDE_SQL = "(" + ", ".join(f"'{t}'" for t in PRF_EXCLUDE) + ")"
+
+
+@register(
+    "search_rocchio_prf",
+    oracle=f"""
+    WITH stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(len(string_split(lower(text), ' '))) AS DOUBLE)
+               / COUNT(*) AS avgdl,
+             {_BM25_STATS_DUCK}
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl,
+             {_bm25_score_expr(_tf_duck)} AS score
+      FROM documents CROSS JOIN stats
+    ),
+    feedback AS (
+      SELECT doc_id FROM scored WHERE score > 0
+      ORDER BY score DESC, doc_id LIMIT {PRF_FEEDBACK_DOCS}
+    ),
+    toks AS (
+      SELECT d.doc_id,
+             unnest(string_split(lower(d.text), ' ')) AS term
+      FROM documents d JOIN feedback f ON f.doc_id = d.doc_id
+    ),
+    cand AS (
+      SELECT term,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS total_tf
+      FROM toks WHERE term NOT IN {_PRF_EXCLUDE_SQL}
+      GROUP BY term
+    )
+    SELECT term, n_docs, total_tf,
+           ROW_NUMBER() OVER (ORDER BY n_docs DESC, total_tf DESC, term)
+             AS rk
+    FROM (
+      SELECT * FROM cand
+      ORDER BY n_docs DESC, total_tf DESC, term LIMIT {PRF_TERMS}
+    ) t
+    """,
+    doc=f"Rocchio-style pseudo-relevance feedback: run the registered "
+        f"BM25 ranker, take its top-{PRF_FEEDBACK_DOCS} documents as the "
+        f"(pseudo-)relevant set, and emit the {PRF_TERMS} best expansion "
+        "terms — ranked by feedback-set document frequency then total "
+        "term frequency — excluding the original query terms and "
+        "stopwords. The classic query-expansion step of a lexical "
+        "retrieval pipeline (Rocchio's beta term with integer-exact "
+        "weights; no alpha/gamma float mixing, so ranking is fully "
+        "deterministic across engines). Scale shape: the feedback set "
+        "is k rows broadcast into the token explode, so the expansion "
+        "scan touches only k documents regardless of corpus size, and "
+        "term selection is a distributed TakeOrdered top-k.",
+)
+def search_rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    feedback = (
+        search_bm25_topk(spark, sf_dir)
+        .filter(F.col("rk") <= PRF_FEEDBACK_DOCS)
+        .select("doc_id")
+    )
+    toks = (
+        docs.join(F.broadcast(feedback), "doc_id")
+        .select(
+            "doc_id",
+            F.explode(F.expr("split(lower(text), ' ')")).alias("term"),
+        )
+        .filter(~F.col("term").isin(*PRF_EXCLUDE))
+    )
+    cand = toks.groupBy("term").agg(
+        F.expr("CAST(COUNT(DISTINCT doc_id) AS BIGINT)").alias("n_docs"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("total_tf"),
+    )
+    order = [F.desc("n_docs"), F.desc("total_tf"), F.asc("term")]
+    top = cand.orderBy(*order).limit(PRF_TERMS)
+    w = Window.orderBy(*order)
+    return top.withColumn("rk", F.row_number().over(w))

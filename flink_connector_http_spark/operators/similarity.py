@@ -4018,3 +4018,110 @@ def emb_cosine_stride_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (COUNT(*) * 1000000.0), 6)"
         ).alias("mean_cosine"),
     ).select("bin", "bin_lo", "n_pairs", "mean_cosine")
+
+
+# ---------------------------------------------------------------------------
+# hard-negative / hard-positive triplet mining
+# ---------------------------------------------------------------------------
+
+HN_ANCHORS = 32  # fixed anchor set: vec_id < 32
+
+
+@register(
+    "sample_hard_negatives",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+             b.vec_id AS cand_id, b.label AS cand_label,
+             round({COS_DUCK}, 6) AS cosine
+      FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {HN_ANCHORS}
+    ),
+    pos AS (
+      SELECT anchor_id, anchor_label,
+             cand_id AS pos_id, cosine AS pos_cos,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                ORDER BY cosine, cand_id) AS rk
+      FROM pairs WHERE cand_label = anchor_label
+    ),
+    neg AS (
+      SELECT anchor_id, cand_id AS neg_id, cosine AS neg_cos,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                ORDER BY cosine DESC, cand_id) AS rk
+      FROM pairs WHERE cand_label <> anchor_label
+    )
+    SELECT p.anchor_id, p.anchor_label, p.pos_id, p.pos_cos,
+           n.neg_id, n.neg_cos,
+           round(n.neg_cos - p.pos_cos, 6) AS margin
+    FROM pos p JOIN neg n ON n.anchor_id = p.anchor_id
+    WHERE p.rk = 1 AND n.rk = 1
+    """,
+    doc=f"Triplet mining for metric-learning / contrastive training: for "
+        f"each of {HN_ANCHORS} fixed anchors, the HARDEST positive "
+        "(same-label vector with the LOWEST cosine — the pair the model "
+        "most struggles to pull together) and the HARDEST negative "
+        "(different-label vector with the HIGHEST cosine — the impostor "
+        "it most struggles to push apart), plus the triplet margin "
+        "neg_cos - pos_cos (positive margin = a violating triplet worth "
+        "training on). Complements sample_contrastive_pairs, which mines "
+        "hash-random pairs; this is the cosine-hardness variant. Float "
+        "discipline: per-side norms computed once per vector, fixed "
+        "fold order, 6dp round before ranking (see "
+        "dedup_embedding_cosine). Scale shape: the anchor set is a "
+        "broadcast k-row table scanned against the corpus (k*n, never "
+        "n^2), and per-anchor argmin/argmax are rank-1 windows over "
+        "k partitions; at production scale the candidate scan drops in "
+        "for an LSH/IVF candidate set (sim_ann_* operators) unchanged.",
+)
+def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    anchors = emb.filter(F.col("vec_id") < HN_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("a_emb"),
+        F.expr(_NORM.format(col="embedding")).alias("a_norm"),
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        F.col("embedding").alias("b_emb"),
+        F.expr(_NORM.format(col="embedding")).alias("b_norm"),
+    )
+    pairs = (
+        F.broadcast(anchors)
+        .join(cand, F.col("cand_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id", "anchor_label", "cand_id", "cand_label",
+            F.expr(f"round({_DOT_AB} / (a_norm * b_norm), 6)").alias(
+                "cosine"),
+        )
+    )
+    wp = Window.partitionBy("anchor_id").orderBy(
+        F.asc("cosine"), F.asc("cand_id"))
+    pos = (
+        pairs.filter(F.col("cand_label") == F.col("anchor_label"))
+        .withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") == 1)
+        .select(
+            "anchor_id", "anchor_label",
+            F.col("cand_id").alias("pos_id"),
+            F.col("cosine").alias("pos_cos"),
+        )
+    )
+    wn = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id"))
+    neg = (
+        pairs.filter(F.col("cand_label") != F.col("anchor_label"))
+        .withColumn("rk", F.row_number().over(wn))
+        .filter(F.col("rk") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("neg_id"),
+            F.col("cosine").alias("neg_cos"),
+        )
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id", "anchor_label", "pos_id", "pos_cos",
+        "neg_id", "neg_cos",
+        F.expr("round(neg_cos - pos_cos, 6)").alias("margin"),
+    )

@@ -3613,6 +3613,123 @@ def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rk", F.row_number().over(w))
 
 
+# ---------------------------------------------------------------------------
+# t-closeness audit (the attribute-disclosure counterpart of l-diversity)
+# ---------------------------------------------------------------------------
+
+T_CLOSE_K = 15  # top-k highest-skew groups reported
+
+
+@register(
+    "q_t_closeness_audit",
+    oracle=f"""
+    WITH gt AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(FLOOR(CAST(value AS DECIMAL(10,2)) / 100) AS BIGINT)
+               AS value_band,
+             event_type,
+             CAST(COUNT(*) AS BIGINT) AS c_gt
+      FROM events GROUP BY 1, 2, 3
+    ),
+    grp AS (
+      SELECT day, value_band, CAST(SUM(c_gt) AS BIGINT) AS group_size
+      FROM gt GROUP BY day, value_band
+    ),
+    gl AS (
+      SELECT event_type, CAST(SUM(c_gt) AS BIGINT) AS c_t FROM gt
+      GROUP BY event_type
+    ),
+    tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_total FROM gl),
+    dev AS (
+      SELECT g.day, g.value_band, g.group_size,
+             CAST(SUM(ABS(COALESCE(x.c_gt, 0) * t.n_total
+                          - o.c_t * g.group_size)) AS BIGINT) AS numer,
+             t.n_total
+      FROM grp g
+      CROSS JOIN gl o
+      CROSS JOIN tot t
+      LEFT JOIN gt x ON x.day = g.day AND x.value_band = g.value_band
+                    AND x.event_type = o.event_type
+      WHERE g.group_size >= {K_ANON}
+      GROUP BY g.day, g.value_band, g.group_size, t.n_total
+    ),
+    scored AS (
+      SELECT day, value_band, group_size,
+             round(CAST(numer AS DOUBLE)
+                   / (2 * group_size * n_total), 6) AS tvd
+      FROM dev
+    )
+    SELECT day, value_band, group_size, tvd,
+           ROW_NUMBER() OVER (ORDER BY tvd DESC, group_size DESC,
+                              day, value_band) AS rk
+    FROM (
+      SELECT * FROM scored
+      ORDER BY tvd DESC, group_size DESC, day, value_band
+      LIMIT {T_CLOSE_K}
+    ) t
+    """,
+    doc=f"t-closeness audit, completing the release-gating privacy trio "
+        "(k-anonymity = group too small, l-diversity = identities too "
+        "concentrated, t-closeness = SENSITIVE-ATTRIBUTE distribution "
+        "too far from the corpus baseline). Quasi-identifier here is "
+        "(day, coarse value band); the sensitive attribute is the event "
+        "type: a group whose event-type mix diverges sharply from the "
+        "global mix leaks that attribute even when it passes k and l. "
+        f"Distance is total variation, reported for the {T_CLOSE_K} "
+        "worst k-eligible groups. Float discipline: TVD's numerator "
+        "SUM |c_gt*N - c_t*n_g| is computed entirely in BIGINT (exact, "
+        "order-independent), with ONE double division at the end — no "
+        "accumulated float sums to drift between engines. Scale shape: "
+        "all three distributions derive from one map-side-combinable "
+        "(day, band, type) aggregate; the group x type grid is a "
+        "broadcast of the tiny type table against eligible groups "
+        "(linear in groups, never quadratic), and selection is a "
+        "distributed TakeOrdered top-k.",
+)
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    gt = ev.groupBy(
+        F.expr("CAST(date_trunc('day', ts) AS DATE)").alias("day"),
+        F.expr(
+            "CAST(FLOOR(CAST(value AS DECIMAL(10,2)) / 100) AS BIGINT)"
+        ).alias("value_band"),
+        "event_type",
+    ).agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("c_gt"))
+    grp = gt.groupBy("day", "value_band").agg(
+        F.expr("CAST(SUM(c_gt) AS BIGINT)").alias("group_size")
+    )
+    glob = gt.groupBy("event_type").agg(
+        F.expr("CAST(SUM(c_gt) AS BIGINT)").alias("c_t")
+    )
+    tot = glob.agg(F.expr("CAST(SUM(c_t) AS BIGINT)").alias("n_total"))
+    dev = (
+        grp.filter(F.col("group_size") >= K_ANON)
+        .crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(tot))
+        .join(gt, ["day", "value_band", "event_type"], "left")
+        .groupBy("day", "value_band", "group_size", "n_total")
+        .agg(
+            F.expr(
+                "CAST(SUM(ABS(COALESCE(c_gt, 0) * n_total"
+                " - c_t * group_size)) AS BIGINT)"
+            ).alias("numer")
+        )
+    )
+    scored = dev.select(
+        "day", "value_band", "group_size",
+        F.expr(
+            "round(CAST(numer AS DOUBLE) / (2 * group_size * n_total), 6)"
+        ).alias("tvd"),
+    )
+    order = [
+        F.desc("tvd"), F.desc("group_size"), F.asc("day"),
+        F.asc("value_band"),
+    ]
+    top = scored.orderBy(*order).limit(T_CLOSE_K)
+    w = Window.orderBy(*order)
+    return top.withColumn("rk", F.row_number().over(w))
+
+
 # day-of-week seasonality profile
 # ---------------------------------------------------------------------------
 
