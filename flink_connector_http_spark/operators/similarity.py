@@ -4125,3 +4125,118 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_id", "neg_cos",
         F.expr("round(neg_cos - pos_cos, 6)").alias("margin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# link prediction on the kNN graph (common-neighbor / Jaccard scoring)
+# ---------------------------------------------------------------------------
+
+LINKPRED_TOP_K = 20
+
+
+@register(
+    "graph_link_prediction",
+    oracle=f"""
+    WITH knn AS (
+      {_KNN_GRAPH_ORACLE}
+    ),
+    und AS (
+      SELECT DISTINCT LEAST(src_id, dst_id) AS a,
+             GREATEST(src_id, dst_id) AS b
+      FROM knn WHERE src_id <> dst_id
+    ),
+    adj AS (
+      SELECT a AS u, b AS v FROM und
+      UNION ALL SELECT b AS u, a AS v FROM und
+    ),
+    deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM adj GROUP BY u),
+    cand AS (
+      SELECT e1.u AS u, e2.v AS v,
+             CAST(COUNT(DISTINCT e1.v) AS BIGINT) AS n_common
+      FROM adj e1 JOIN adj e2 ON e2.u = e1.v
+      WHERE e1.u < e2.v
+      GROUP BY e1.u, e2.v
+    ),
+    nonedge AS (
+      SELECT c.u, c.v, c.n_common
+      FROM cand c LEFT JOIN und ON und.a = c.u AND und.b = c.v
+      WHERE und.a IS NULL
+    ),
+    scored AS (
+      SELECT ne.u, ne.v, ne.n_common,
+             du.degree AS deg_u, dv.degree AS deg_v,
+             round(CAST(ne.n_common AS DOUBLE)
+                   / (du.degree + dv.degree - ne.n_common), 6) AS jaccard
+      FROM nonedge ne
+      JOIN deg du ON du.node = ne.u
+      JOIN deg dv ON dv.node = ne.v
+    )
+    SELECT u, v, n_common, deg_u, deg_v, jaccard,
+           ROW_NUMBER() OVER (ORDER BY jaccard DESC, n_common DESC, u, v)
+             AS rk
+    FROM (
+      SELECT * FROM scored
+      ORDER BY jaccard DESC, n_common DESC, u, v LIMIT {LINKPRED_TOP_K}
+    ) t
+    """,
+    doc=f"Link prediction over the approximate kNN graph: the "
+        f"{LINKPRED_TOP_K} strongest NON-edges, scored by common-"
+        "neighbor count and neighborhood Jaccard — the classic "
+        "missing-link signal used to densify a near-duplicate graph "
+        "(two documents sharing most of their neighbors are near-dups "
+        "the banded LSH pass missed) or to propose semantic-cluster "
+        "merges. Candidates are distance-2 pairs from one bounded "
+        "self-join of the symmetrized adjacency (degree <= k, so the "
+        "join emits <= n*k^2 rows — never all pairs); existing edges "
+        "are anti-joined out; Jaccard is ONE double division of exact "
+        "BIGINTs; selection is a distributed TakeOrdered top-k.",
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = emb_knn_graph(spark, sf_dir).select("src_id", "dst_id")
+    und = (
+        edges.filter(F.col("src_id") != F.col("dst_id"))
+        .select(
+            F.least("src_id", "dst_id").alias("a"),
+            F.greatest("src_id", "dst_id").alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+    adj = und.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionAll(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    deg = adj.groupBy(F.col("u").alias("node")).agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("degree")
+    )
+    e1 = adj.select(F.col("u"), F.col("v").alias("w"))
+    e2 = adj.select(F.col("u").alias("w2"), F.col("v"))
+    cand = (
+        e1.join(e2, (e1["w"] == e2["w2"]) & (e1["u"] < e2["v"]))
+        .groupBy("u", "v")
+        .agg(F.expr("CAST(COUNT(DISTINCT w) AS BIGINT)").alias("n_common"))
+    )
+    nonedge = cand.join(
+        und,
+        (cand["u"] == und["a"]) & (cand["v"] == und["b"]),
+        "left_anti",
+    )
+    scored = (
+        nonedge.join(deg.withColumnRenamed("degree", "deg_u"),
+                     nonedge["u"] == F.col("node"))
+        .drop("node")
+        .join(deg.withColumnRenamed("degree", "deg_v"),
+              F.col("v") == F.col("node"))
+        .drop("node")
+        .select(
+            "u", "v", "n_common", "deg_u", "deg_v",
+            F.expr(
+                "round(CAST(n_common AS DOUBLE)"
+                " / (deg_u + deg_v - n_common), 6)"
+            ).alias("jaccard"),
+        )
+    )
+    order = [F.desc("jaccard"), F.desc("n_common"), F.asc("u"), F.asc("v")]
+    top = scored.orderBy(*order).limit(LINKPRED_TOP_K)
+    w = Window.orderBy(*order)
+    return top.withColumn("rk", F.row_number().over(w))

@@ -4304,3 +4304,126 @@ def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("merged_equals_direct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# interpolated Kneser-Ney bigram language model
+# ---------------------------------------------------------------------------
+
+KN_DISCOUNT = "0.75"  # binary-exact literal (3/4) — safe in both engines
+KN_TOP_K = 20
+
+#: identical expression text in Spark SQL and DuckDB: one fixed tree of
+#: integer-exact inputs (c, total, n_follow, n_prec, b_types) with three
+#: double divisions — no cross-row float accumulation, no libm
+_KN_PROB = (
+    f"round(greatest(CAST(c AS DOUBLE) - {KN_DISCOUNT}, CAST(0 AS DOUBLE))"
+    " / total"
+    f" + ({KN_DISCOUNT} * n_follow / total)"
+    " * (CAST(n_prec AS DOUBLE) / b_types), 6)"
+)
+
+
+@register(
+    "text_kneser_ney_bigram",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
+    ),
+    bigrams AS (
+      SELECT ts[i] AS w1, ts[i + 1] AS w2
+      FROM toks, unnest(range(1, len(ts))) AS u(i)
+    ),
+    counts AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+      FROM bigrams GROUP BY w1, w2
+    ),
+    ctx AS (
+      SELECT w1, CAST(SUM(c) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_follow
+      FROM counts GROUP BY w1
+    ),
+    cont AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_prec
+      FROM counts GROUP BY w2
+    ),
+    btypes AS (SELECT CAST(COUNT(*) AS BIGINT) AS b_types FROM counts),
+    scored AS (
+      SELECT counts.w1, counts.w2, c, total, n_follow, n_prec,
+             {_KN_PROB} AS p_kn
+      FROM counts
+      JOIN ctx ON ctx.w1 = counts.w1
+      JOIN cont ON cont.w2 = counts.w2
+      CROSS JOIN btypes
+    )
+    SELECT w1, w2, c AS c_bigram, total AS c_context, n_follow, n_prec,
+           p_kn,
+           ROW_NUMBER() OVER (ORDER BY c DESC, w1, w2) AS rk
+    FROM (
+      SELECT * FROM scored ORDER BY c DESC, w1, w2 LIMIT {KN_TOP_K}
+    ) t
+    """,
+    doc=f"Interpolated Kneser-Ney bigram LM (discount d = 0.75): "
+        "P(w2|w1) = max(c - d, 0)/c(w1) + d*N1+(w1,.)/c(w1) * "
+        "N1+(.,w2)/|bigram types| — the absolute-discount backoff whose "
+        "continuation count (how many DISTINCT contexts a word follows) "
+        "famously fixes the 'san francisco' pathology of raw-frequency "
+        f"backoff. Reported for the {KN_TOP_K} most frequent bigrams "
+        "with all count components. Complements text_bigram_lm (MLE "
+        "next-token table) and text_char_lm_perplexity (char-level "
+        "scoring). The discount 0.75 is a binary-exact literal and every "
+        "other input is an exact BIGINT, so the three-division smoothing "
+        "expression is bit-deterministic across engines. Scale shape: "
+        "all four count tables derive from ONE map-side-combinable "
+        "(w1,w2) aggregate; the type total is a 1-row broadcast; "
+        "selection is a distributed TakeOrdered top-k.",
+)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    bigrams = docs.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(split(lower(text), ' '), 1, "
+                "size(split(lower(text), ' ')) - 1), "
+                "slice(split(lower(text), ' '), 2, "
+                "size(split(lower(text), ' ')) - 1), "
+                "(x, y) -> struct(x AS w1, y AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    counts = bigrams.groupBy("w1", "w2").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("c")
+    )
+    ctx = counts.groupBy("w1").agg(
+        F.expr("CAST(SUM(c) AS BIGINT)").alias("total"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_follow"),
+    )
+    cont = counts.groupBy("w2").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_prec")
+    )
+    btypes = counts.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("b_types")
+    )
+    scored = (
+        counts.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(btypes))
+        .select(
+            "w1", "w2", "c", "total", "n_follow", "n_prec",
+            F.expr(_KN_PROB).alias("p_kn"),
+        )
+    )
+    order = [F.desc("c"), F.asc("w1"), F.asc("w2")]
+    top = scored.orderBy(*order).limit(KN_TOP_K)
+    w = Window.orderBy(*order)
+    return (
+        top.withColumn("rk", F.row_number().over(w))
+        .select(
+            "w1", "w2",
+            F.col("c").alias("c_bigram"),
+            F.col("total").alias("c_context"),
+            "n_follow", "n_prec", "p_kn", "rk",
+        )
+    )

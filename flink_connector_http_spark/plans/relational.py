@@ -3730,6 +3730,87 @@ def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rk", F.row_number().over(w))
 
 
+# ---------------------------------------------------------------------------
+# Hoover (Robin Hood) inequality index per nation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_hoover_index",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS s
+      FROM orders GROUP BY o_custkey
+    ),
+    tagged AS (
+      SELECT n_name, s
+      FROM spend
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+    ),
+    grp AS (
+      SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             SUM(s) AS s_tot
+      FROM tagged GROUP BY n_name
+    ),
+    dev AS (
+      SELECT t.n_name, g.n_customers, g.s_tot,
+             SUM(ABS(g.n_customers * t.s - g.s_tot)) AS d
+      FROM tagged t JOIN grp g ON g.n_name = t.n_name
+      GROUP BY t.n_name, g.n_customers, g.s_tot
+    )
+    SELECT n_name, n_customers,
+           CAST(s_tot AS DOUBLE) AS total_spend,
+           round(CAST(d AS DOUBLE)
+                 / (2 * n_customers * CAST(s_tot AS DOUBLE)), 6) AS hoover
+    FROM dev
+    """,
+    doc="Hoover (Robin Hood) index of per-customer spend within each "
+        "nation: the share of total spend that would have to move "
+        "between customers to equalize them, Sum|x_i - mu| / (2*Sum x). "
+        "The log-free inequality complement to q_spend_gini — unlike "
+        "Gini it needs NO global rank at all, so it scales as a plain "
+        "two-level aggregate. Float discipline: the deviation sum runs "
+        "entirely in DECIMAL (n*x_i - S is exact — integer count times "
+        "exact DECIMAL spend), floats appear only in the single final "
+        "division. Scale shape: customer-grain aggregate, broadcast of "
+        "the 25-row nation totals back onto it, second "
+        "map-side-combinable aggregate — no windows, no sorts.",
+)
+def q_hoover_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "orders", "customer", "nation")
+    spend = t["orders"].groupBy("o_custkey").agg(
+        F.expr("SUM(CAST(o_totalprice AS DECIMAL(12,2)))").alias("s")
+    )
+    tagged = (
+        spend.join(
+            F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+            spend["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(F.broadcast(t["nation"]),
+              F.col("n_nationkey") == F.col("c_nationkey"))
+        .select("n_name", "s")
+    )
+    grp = tagged.groupBy("n_name").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_customers"),
+        F.expr("SUM(s)").alias("s_tot"),
+    )
+    dev = (
+        tagged.join(F.broadcast(grp), "n_name")
+        .groupBy("n_name", "n_customers", "s_tot")
+        .agg(F.expr("SUM(ABS(n_customers * s - s_tot))").alias("d"))
+    )
+    return dev.select(
+        "n_name", "n_customers",
+        F.expr("CAST(s_tot AS DOUBLE)").alias("total_spend"),
+        F.expr(
+            "round(CAST(d AS DOUBLE)"
+            " / (2 * n_customers * CAST(s_tot AS DOUBLE)), 6)"
+        ).alias("hoover"),
+    )
+
+
 # day-of-week seasonality profile
 # ---------------------------------------------------------------------------
 
