@@ -1562,3 +1562,254 @@ def search_rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = cand.orderBy(*order).limit(PRF_TERMS)
     w = Window.orderBy(*order)
     return top.withColumn("rk", F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
+# nDCG ranking-quality eval (integer-exact harmonic discount)
+# ---------------------------------------------------------------------------
+
+#: LCM(2..21): scaling every harmonic discount 1/(rank+1) for ranks
+#: 1..20 to an exact integer, so DCG accumulates in BIGINT instead of
+#: an order-sensitive float sum (and no log2 — libm-free by design)
+NDCG_SCALE = 232792560
+
+
+def _ndcg_discount(rank_col: str, duck: bool = False) -> str:
+    op = "//" if duck else "DIV"  # same exact integer division, two spellings
+    return f"({NDCG_SCALE} {op} ({rank_col} + 1))"
+
+
+@register(
+    "search_ndcg_eval",
+    oracle=f"""
+    WITH stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(len(string_split(lower(text), ' '))) AS DOUBLE)
+               / COUNT(*) AS avgdl,
+             {_BM25_STATS_DUCK}
+      FROM documents
+    ),
+    bm_scored AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl,
+             {_bm25_score_expr(_tf_duck)} AS score
+      FROM documents CROSS JOIN stats
+    ),
+    bm25 AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+      FROM (SELECT * FROM bm_scored WHERE score > 0
+            ORDER BY score DESC, doc_id LIMIT {BM25_TOP_K}) t
+    ),
+    ql_stats AS (
+      SELECT CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT)
+               AS ctot,
+             {_QL_STATS_DUCK}
+      FROM documents
+    ),
+    ql_scored AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl,
+             {_ql_score_expr(_tf_duck)} AS score
+      FROM documents CROSS JOIN ql_stats
+    ),
+    ql AS (
+      SELECT doc_id,
+             CAST({QL_TOP_K} + 1
+                  - ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                  AS BIGINT) AS gain,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+      FROM (SELECT * FROM ql_scored
+            ORDER BY score DESC, doc_id LIMIT {QL_TOP_K}) t
+    ),
+    dcg AS (
+      SELECT CAST(SUM(COALESCE(ql.gain, 0)
+                      * {_ndcg_discount('bm25.rk', duck=True)}) AS BIGINT)
+               AS dcg_scaled,
+             CAST(COUNT(ql.doc_id) AS BIGINT) AS n_graded_hit
+      FROM bm25 LEFT JOIN ql ON ql.doc_id = bm25.doc_id
+    ),
+    ideal AS (
+      SELECT CAST(SUM(gain * {_ndcg_discount('rk', duck=True)}) AS BIGINT)
+               AS ideal_scaled
+      FROM ql
+    )
+    SELECT n_graded_hit, dcg_scaled, ideal_scaled,
+           round(CAST(dcg_scaled AS DOUBLE) / ideal_scaled, 6) AS ndcg
+    FROM dcg CROSS JOIN ideal
+    """,
+    doc=f"nDCG eval of the BM25 ranking against graded relevance derived "
+        "from the Dirichlet-QL ranker (QL rank r gets gain "
+        f"{QL_TOP_K}+1-r, unranked gets 0) — the graded-gain companion "
+        "to search_rank_agreement's rank-displacement view. Twist for "
+        "determinism: the discount is HARMONIC 1/(rank+1) scaled by "
+        f"LCM(2..21) = {NDCG_SCALE}, so DCG and ideal-DCG accumulate as "
+        "exact BIGINTs in any order and the only float op is the final "
+        "division (log2-discounted nDCG would drag in libm and an "
+        "order-sensitive float sum). Both rankings reuse the registered "
+        "operators' plans; the eval join runs on two k-row lists.",
+)
+def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bm = search_bm25_topk(spark, sf_dir).select("doc_id", "rk")
+    ql = search_lm_dirichlet_topk(spark, sf_dir).select(
+        F.col("doc_id").alias("ql_doc"),
+        F.expr(f"CAST({QL_TOP_K} + 1 - rk AS BIGINT)").alias("gain"),
+        F.col("rk").alias("ql_rk"),
+    )
+    dcg = (
+        bm.join(ql, bm["doc_id"] == ql["ql_doc"], "left")
+        .agg(
+            F.expr(
+                f"CAST(SUM(COALESCE(gain, 0) * {_ndcg_discount('rk')})"
+                " AS BIGINT)"
+            ).alias("dcg_scaled"),
+            F.expr("CAST(COUNT(ql_doc) AS BIGINT)").alias("n_graded_hit"),
+        )
+    )
+    ideal = ql.agg(
+        F.expr(
+            f"CAST(SUM(gain * {_ndcg_discount('ql_rk')}) AS BIGINT)"
+        ).alias("ideal_scaled")
+    )
+    return (
+        dcg.crossJoin(F.broadcast(ideal))
+        .select(
+            "n_graded_hit", "dcg_scaled", "ideal_scaled",
+            F.expr(
+                "round(CAST(dcg_scaled AS DOUBLE) / ideal_scaled, 6)"
+            ).alias("ndcg"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# extractive snippet windows for the top-ranked documents
+# ---------------------------------------------------------------------------
+
+SNIPPET_WINDOW = 10
+SNIPPET_DOCS = 5
+
+
+@register(
+    "search_snippet_windows",
+    oracle=f"""
+    WITH stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(len(string_split(lower(text), ' '))) AS DOUBLE)
+               / COUNT(*) AS avgdl,
+             {_BM25_STATS_DUCK}
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl,
+             {_bm25_score_expr(_tf_duck)} AS score
+      FROM documents CROSS JOIN stats
+    ),
+    top_docs AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+               AS doc_rk
+      FROM (SELECT * FROM scored WHERE score > 0
+            ORDER BY score DESC, doc_id LIMIT {SNIPPET_DOCS}) t
+    ),
+    toks AS (
+      SELECT d.doc_id, td.doc_rk,
+             string_split(lower(d.text), ' ') AS ts
+      FROM documents d JOIN top_docs td ON td.doc_id = d.doc_id
+    ),
+    hits AS (
+      SELECT doc_id, i AS pos
+      FROM toks, unnest(range(1, len(ts) + 1)) AS u(i)
+      WHERE ts[i] IN {str(BM25_TERMS)}
+    ),
+    starts AS (
+      SELECT doc_id, s
+      FROM toks,
+           unnest(range(1, greatest(1, len(ts) - {SNIPPET_WINDOW} + 1) + 1))
+             AS u(s)
+    ),
+    windows AS (
+      SELECT st.doc_id, st.s,
+             CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM starts st JOIN hits h
+        ON h.doc_id = st.doc_id
+       AND h.pos >= st.s AND h.pos < st.s + {SNIPPET_WINDOW}
+      GROUP BY st.doc_id, st.s
+    ),
+    best AS (
+      SELECT doc_id, s, n_hits,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY n_hits DESC, s) AS rk
+      FROM windows
+    )
+    SELECT t.doc_id, t.doc_rk,
+           CAST(b.s AS BIGINT) AS best_start, b.n_hits,
+           array_to_string(
+             ts[b.s:least(b.s + {SNIPPET_WINDOW} - 1, len(ts))], ' ')
+             AS snippet
+    FROM best b
+    JOIN toks t ON t.doc_id = b.doc_id
+    WHERE b.rk = 1
+    """,
+    doc=f"Extractive snippet selection — the display/RAG-context step "
+        f"after retrieval: for each of the BM25 top-{SNIPPET_DOCS} "
+        f"documents, the {SNIPPET_WINDOW}-token window containing the "
+        "most query-term hits (earliest window on ties), emitted as the "
+        "joined snippet string with its start offset and hit count. "
+        "All-integer scoring (hit counts and positions — nothing to "
+        "drift), and the candidate-window expansion is bounded: it "
+        "explodes positions only for the k top-ranked documents, never "
+        "the corpus, so cost is k * doc_length * window regardless of "
+        "corpus size.",
+)
+def search_snippet_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    top_docs = (
+        search_bm25_topk(spark, sf_dir)
+        .filter(F.col("rk") <= SNIPPET_DOCS)
+        .select("doc_id", F.col("rk").alias("doc_rk"))
+    )
+    toks = docs.join(F.broadcast(top_docs), "doc_id").select(
+        "doc_id", "doc_rk",
+        F.expr("split(lower(text), ' ')").alias("ts"),
+    )
+    terms_sql = str(BM25_TERMS)
+    hits = toks.select(
+        "doc_id",
+        F.posexplode("ts").alias("pos0", "tok"),
+    ).filter(F.expr(f"tok IN {terms_sql}")).select(
+        "doc_id", F.expr("pos0 + 1").alias("pos")
+    )
+    starts = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"sequence(1, greatest(1, size(ts) - {SNIPPET_WINDOW} + 1))"
+            )
+        ).alias("s"),
+    )
+    windows = (
+        starts.join(
+            hits,
+            (starts["doc_id"] == hits["doc_id"])
+            & (hits["pos"] >= starts["s"])
+            & (hits["pos"] < starts["s"] + SNIPPET_WINDOW),
+        )
+        .groupBy(starts["doc_id"].alias("doc_id"), "s")
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_hits"))
+    )
+    wb = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("s"))
+    best = (
+        windows.withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("s").cast("bigint").alias("best_start"),
+                "n_hits")
+    )
+    return best.join(toks, "doc_id").select(
+        "doc_id", "doc_rk", "best_start", "n_hits",
+        F.expr(
+            f"array_join(slice(ts, CAST(best_start AS INT),"
+            f" {SNIPPET_WINDOW}), ' ')"
+        ).alias("snippet"),
+    )

@@ -3811,6 +3811,83 @@ def q_hoover_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# sample-ratio-mismatch (SRM) audit for a hash-randomized A/B split
+# ---------------------------------------------------------------------------
+
+#: chi-square 5% critical value for df=1, as the exact rational 384/100 —
+#: the flag compares (n0-n1)^2 * 100 > 384 * (n0+n1) entirely in integers
+SRM_CRIT_NUM = 384
+
+_SRM_ARM_SPARK = (
+    "CAST(conv(substr(md5(concat('srm:', user_id)), 1, 8), 16, 10)"
+    " AS BIGINT) % 2"
+)
+_SRM_ARM_DUCK = (
+    "(('0x' || substr(md5(concat('srm:', user_id)), 1, 8))::BIGINT) % 2"
+)
+
+
+@register(
+    "q_srm_check",
+    oracle=f"""
+    WITH armed AS (
+      SELECT event_type, {_SRM_ARM_DUCK} AS arm FROM events
+    ),
+    counts AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_arm0,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_arm1
+      FROM armed GROUP BY event_type
+    )
+    SELECT event_type, n_arm0, n_arm1,
+           round(CAST((n_arm0 - n_arm1) * (n_arm0 - n_arm1) AS DOUBLE)
+                 / (n_arm0 + n_arm1), 6) AS chi2,
+           CASE WHEN (n_arm0 - n_arm1) * (n_arm0 - n_arm1) * 100
+                     > {SRM_CRIT_NUM} * (n_arm0 + n_arm1)
+                THEN 1 ELSE 0 END AS srm_flag
+    FROM counts
+    """,
+    doc="Sample-ratio-mismatch audit for a deterministic 50/50 hash "
+        "split of users (md5 parity — the same salted-hash assignment "
+        "an online experiment would use): per event type, the chi-square "
+        "statistic (o0-o1)^2/(o0+o1) against the expected equal split, "
+        "flagged at the df=1 5% critical value. SRM is the standard "
+        "guardrail that invalidates an A/B readout when randomization "
+        "or logging is skewed. Determinism: the flag comparison runs "
+        "entirely in integers ((diff^2)*100 vs 384*total — no float "
+        "boundary), chi2 itself is one double division for display. "
+        "Scale: one map-side-combinable conditional aggregate over the "
+        "scan; the md5 arm assignment is JVM-side codegen.",
+)
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    counts = ev.select(
+        "event_type", F.expr(_SRM_ARM_SPARK).alias("arm")
+    ).groupBy("event_type").agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_arm0"),
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_arm1"),
+    )
+    return counts.select(
+        "event_type", "n_arm0", "n_arm1",
+        F.expr(
+            "round(CAST((n_arm0 - n_arm1) * (n_arm0 - n_arm1) AS DOUBLE)"
+            " / (n_arm0 + n_arm1), 6)"
+        ).alias("chi2"),
+        F.expr(
+            "CASE WHEN (n_arm0 - n_arm1) * (n_arm0 - n_arm1) * 100"
+            f" > {SRM_CRIT_NUM} * (n_arm0 + n_arm1)"
+            " THEN 1 ELSE 0 END"
+        ).alias("srm_flag"),
+    )
+
+
 # day-of-week seasonality profile
 # ---------------------------------------------------------------------------
 
