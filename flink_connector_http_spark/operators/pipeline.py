@@ -1813,3 +1813,264 @@ def search_snippet_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" {SNIPPET_WINDOW}), ' ')"
         ).alias("snippet"),
     )
+
+
+# ---------------------------------------------------------------------------
+# maximal-marginal-relevance (MMR) diversified reranking
+# ---------------------------------------------------------------------------
+
+from .dedup import COS_DUCK as _MMR_COS_DUCK  # noqa: E402
+from .dedup import _DOT_AB as _MMR_DOT  # noqa: E402
+from .dedup import _NORM as _MMR_NORM  # noqa: E402
+
+MMR_POOL = 20   # rerank pool: BM25 top-k that carry an embedding
+MMR_K = 5       # diversified selections
+#: lambda = 0.5 — binary-exact, so 0.5*rel - 0.5*max_sim is a fixed pair
+#: of exact halvings and one subtraction on already-6dp-rounded inputs
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR as plain CTE stages (no recursion): step t
+    scores every unselected candidate 0.5*rel - 0.5*max(sim to the
+    selected set) and picks the argmax. K and the pool are fixed small
+    constants, so unrolling is exact and engine-portable."""
+    head = f"""
+    WITH stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(len(string_split(lower(text), ' '))) AS DOUBLE)
+               / COUNT(*) AS avgdl,
+             {_BM25_STATS_DUCK}
+      FROM documents
+    ),
+    bm_scored AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl,
+             {_bm25_score_expr(_tf_duck)} AS score
+      FROM documents CROSS JOIN stats
+    ),
+    cand AS (
+      SELECT t.doc_id, t.score AS rel, e.embedding
+      FROM (SELECT * FROM bm_scored WHERE score > 0
+            ORDER BY score DESC, doc_id LIMIT {MMR_POOL}) t
+      JOIN embeddings e ON e.vec_id = t.doc_id
+    ),
+    sims AS (
+      SELECT a.doc_id AS sa, b.doc_id AS sb,
+             round({_MMR_COS_DUCK}, 6) AS sim
+      FROM cand a JOIN cand b ON b.doc_id <> a.doc_id
+    ),
+    sel1 AS (
+      SELECT doc_id, 1 AS step, rel, CAST(0 AS DOUBLE) AS max_sim_prev,
+             round(0.5 * rel, 6) AS mmr_score
+      FROM cand ORDER BY rel DESC, doc_id LIMIT 1
+    ),
+    selall1 AS (SELECT * FROM sel1)"""
+    stages = []
+    for t in range(2, MMR_K + 1):
+        p = t - 1
+        stages.append(f""",
+    scored{t} AS (
+      SELECT c.doc_id, c.rel, MAX(s.sim) AS max_sim
+      FROM cand c
+      JOIN sims s ON s.sa = c.doc_id
+      JOIN selall{p} pr ON pr.doc_id = s.sb
+      WHERE c.doc_id NOT IN (SELECT doc_id FROM selall{p})
+      GROUP BY c.doc_id, c.rel
+    ),
+    sel{t} AS (
+      SELECT doc_id, {t} AS step, rel, max_sim AS max_sim_prev,
+             round(0.5 * rel - 0.5 * max_sim, 6) AS mmr_score
+      FROM scored{t}
+      ORDER BY round(0.5 * rel - 0.5 * max_sim, 6) DESC, doc_id LIMIT 1
+    ),
+    selall{t} AS (SELECT * FROM selall{p} UNION ALL SELECT * FROM sel{t})""")
+    tail = f"""
+    SELECT doc_id, CAST(step AS BIGINT) AS step, rel, max_sim_prev,
+           mmr_score
+    FROM selall{MMR_K}"""
+    return head + "".join(stages) + tail
+
+
+@register(
+    "search_mmr_rerank",
+    oracle=_mmr_oracle(),
+    doc=f"Maximal-marginal-relevance reranking: from the BM25 top-"
+        f"{MMR_POOL} (those carrying an embedding), greedily select "
+        f"{MMR_K} results maximizing 0.5*relevance - 0.5*max-cosine-to-"
+        "already-selected — the standard diversification step between "
+        "retrieval and a RAG context window, killing near-duplicate "
+        "hits that BM25 ranks adjacently. Greedy selection is "
+        "implemented as K bounded DataFrame iterations over the "
+        "broadcast k-row pool (rerankers are top-k-bounded by "
+        "construction — corpus scale never enters the loop); the oracle "
+        "unrolls the same greedy recurrence into K CTE stages. "
+        "Determinism: relevance and pairwise cosines are 6dp-rounded "
+        "before the loop, lambda=0.5 is binary-exact, ties break on "
+        "doc_id.",
+)
+def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    pool = (
+        search_bm25_topk(spark, sf_dir)
+        .filter(F.col("rk") <= MMR_POOL)
+        .select("doc_id", F.col("score").alias("rel"))
+    )
+    cand = (
+        pool.join(emb, pool["doc_id"] == emb["vec_id"])
+        .select(
+            "doc_id", "rel",
+            F.col("embedding").alias("a_emb"),
+            F.expr(_MMR_NORM.format(col="embedding")).alias("a_norm"),
+        )
+        .persist()
+    )
+    right = cand.select(
+        F.col("doc_id").alias("sb"),
+        F.col("a_emb").alias("b_emb"),
+        F.col("a_norm").alias("b_norm"),
+    )
+    sims = (
+        cand.select("doc_id", "a_emb", "a_norm")
+        .join(right, F.col("sb") != F.col("doc_id"))
+        .select(
+            F.col("doc_id").alias("sa"), "sb",
+            F.expr(f"round({_MMR_DOT} / (a_norm * b_norm), 6)").alias(
+                "sim"),
+        )
+        .persist()
+    )
+    first = (
+        cand.orderBy(F.desc("rel"), F.asc("doc_id")).limit(1)
+        .select(
+            "doc_id", F.lit(1).cast("bigint").alias("step"), "rel",
+            F.expr("CAST(0 AS DOUBLE)").alias("max_sim_prev"),
+            F.expr("round(0.5 * rel, 6)").alias("mmr_score"),
+        )
+    )
+    sel = first
+    for t in range(2, MMR_K + 1):
+        prev_ids = sel.select("doc_id")
+        scored = (
+            cand.select("doc_id", "rel")
+            .join(prev_ids, "doc_id", "left_anti")
+            .join(sims, F.col("doc_id") == F.col("sa"))
+            .join(
+                F.broadcast(prev_ids.withColumnRenamed("doc_id", "pid")),
+                F.col("sb") == F.col("pid"),
+            )
+            .groupBy("doc_id", "rel")
+            .agg(F.max("sim").alias("max_sim"))
+        )
+        pick = (
+            scored.withColumn(
+                "mmr_score",
+                F.expr("round(0.5 * rel - 0.5 * max_sim, 6)"),
+            )
+            .orderBy(F.desc("mmr_score"), F.asc("doc_id"))
+            .limit(1)
+            .select(
+                "doc_id", F.lit(t).cast("bigint").alias("step"), "rel",
+                F.col("max_sim").alias("max_sim_prev"), "mmr_score",
+            )
+        )
+        sel = sel.unionAll(pick)
+    return sel
+
+
+# ---------------------------------------------------------------------------
+# per-source dataset card (the release-documentation scorecard)
+# ---------------------------------------------------------------------------
+
+CARD_SHORT_CHARS = 100
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle=f"""
+    WITH per_lang AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source, lang
+    ),
+    top_lang AS (
+      SELECT source, lang, n,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n DESC, lang) AS rk
+      FROM per_lang
+    ),
+    base AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT)
+               AS total_tokens,
+             CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+             CAST(SUM(CASE WHEN n_chars < {CARD_SHORT_CHARS}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM documents GROUP BY source
+    )
+    SELECT b.source, n_docs, total_chars, total_tokens,
+           round(CAST(total_tokens AS DOUBLE) / n_docs, 4)
+             AS mean_doc_tokens,
+           n_langs, t.lang AS top_lang,
+           round(CAST(t.n AS DOUBLE) / n_docs, 6) AS top_lang_share,
+           round(CAST(n_docs - n_unique AS DOUBLE) / n_docs, 6)
+             AS dup_rate,
+           round(CAST(n_short AS DOUBLE) / n_docs, 6) AS short_frac
+    FROM base b JOIN top_lang t ON t.source = b.source AND t.rk = 1
+    """,
+    doc="Per-source dataset card — the one-row-per-source scorecard a "
+        "corpus release ships with (datasheets-for-datasets style): "
+        "volume (docs, chars, whitespace tokens, mean doc length), "
+        "language mix (distinct languages, dominant language and its "
+        "share), exact-duplicate rate (1 - distinct text hashes / "
+        "docs), and the short-document fraction. Every ratio is one "
+        "double division of exact BIGINTs rounded at the boundary. "
+        "Scale shape: ONE map-side-combinable aggregate per source "
+        "(the distinct-hash count shuffles md5s, not documents) plus a "
+        "per-source top-1 language window over the tiny "
+        "(source x lang) table.",
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    per_lang = docs.groupBy("source", "lang").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n")
+    )
+    wl = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("lang"))
+    top_lang = (
+        per_lang.withColumn("rk", F.row_number().over(wl))
+        .filter(F.col("rk") == 1)
+        .select("source", F.col("lang").alias("top_lang"),
+                F.col("n").alias("top_n"))
+    )
+    base = docs.groupBy("source").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+        F.expr("CAST(SUM(n_chars) AS BIGINT)").alias("total_chars"),
+        F.expr(
+            "CAST(SUM(size(split(lower(text), ' '))) AS BIGINT)"
+        ).alias("total_tokens"),
+        F.expr("CAST(COUNT(DISTINCT md5(text)) AS BIGINT)").alias(
+            "n_unique"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN n_chars < {CARD_SHORT_CHARS}"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_short"),
+        F.expr("CAST(COUNT(DISTINCT lang) AS BIGINT)").alias("n_langs"),
+    )
+    return base.join(F.broadcast(top_lang), "source").select(
+        "source", "n_docs", "total_chars", "total_tokens",
+        F.expr(
+            "round(CAST(total_tokens AS DOUBLE) / n_docs, 4)"
+        ).alias("mean_doc_tokens"),
+        "n_langs", "top_lang",
+        F.expr("round(CAST(top_n AS DOUBLE) / n_docs, 6)").alias(
+            "top_lang_share"),
+        F.expr(
+            "round(CAST(n_docs - n_unique AS DOUBLE) / n_docs, 6)"
+        ).alias("dup_rate"),
+        F.expr(
+            "round(CAST(n_short AS DOUBLE) / n_docs, 6)"
+        ).alias("short_frac"),
+    )
