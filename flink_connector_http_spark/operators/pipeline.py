@@ -1931,7 +1931,7 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sims = (
         cand.select("doc_id", "a_emb", "a_norm")
-        .join(right, F.col("sb") != F.col("doc_id"))
+        .join(F.broadcast(right), F.col("sb") != F.col("doc_id"))
         .select(
             F.col("doc_id").alias("sa"), "sb",
             F.expr(f"round({_MMR_DOT} / (a_norm * b_norm), 6)").alias(
