@@ -3888,6 +3888,107 @@ def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# two-sample Kolmogorov-Smirnov distance (binned ECDF)
+# ---------------------------------------------------------------------------
+
+KS_TYPE_A = "click"
+KS_TYPE_B = "purchase"
+KS_BIN = 10  # value-band width; the band domain is bounded (~60 bands)
+
+
+@register(
+    "q_ks_two_sample",
+    oracle=f"""
+    WITH binned AS (
+      SELECT CAST(FLOOR(CAST(value AS DECIMAL(10,2)) / {KS_BIN}) AS BIGINT)
+               AS band,
+             CAST(SUM(CASE WHEN event_type = '{KS_TYPE_A}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN event_type = '{KS_TYPE_B}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM events
+      WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT band,
+             SUM(ca) OVER (ORDER BY band) AS cum_a,
+             SUM(cb) OVER (ORDER BY band) AS cum_b,
+             SUM(ca) OVER () AS n_a,
+             SUM(cb) OVER () AS n_b
+      FROM binned
+    )
+    SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
+           CAST(MAX(n_b) AS BIGINT) AS n_b,
+           CAST(COUNT(*) AS BIGINT) AS n_bands,
+           round(CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
+                 / (MAX(n_a) * MAX(n_b)), 6) AS d_stat,
+           round(CAST(1.358 AS DOUBLE)
+                 * sqrt(CAST(MAX(n_a) + MAX(n_b) AS DOUBLE)
+                        / (MAX(n_a) * MAX(n_b))), 6) AS ks_critical
+    FROM cum
+    """,
+    doc=f"Two-sample Kolmogorov-Smirnov distance between the "
+        f"'{KS_TYPE_A}' and '{KS_TYPE_B}' value distributions over "
+        f"width-{KS_BIN} bins — the standard distribution-shift test a "
+        "pipeline runs between snapshots or cohorts, next to "
+        "pipeline_distribution_drift's chi-square view. The supremum "
+        "|F_a - F_b| is computed on the common denominator n_a*n_b "
+        "(|cum_a*n_b - cum_b*n_a| — exact integers, ONE double "
+        "division at the end), and the 5% critical value "
+        "1.358*sqrt((n_a+n_b)/(n_a*n_b)) uses only IEEE-exact sqrt of "
+        "one division. The cumulative window runs over the BOUNDED "
+        "value-band domain (~60 rows), never entity-grain data.",
+)
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    binned = (
+        ev.filter(F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B))
+        .groupBy(
+            F.expr(
+                f"CAST(FLOOR(CAST(value AS DECIMAL(10,2)) / {KS_BIN})"
+                " AS BIGINT)"
+            ).alias("band")
+        )
+        .agg(
+            F.expr(
+                f"CAST(SUM(CASE WHEN event_type = '{KS_TYPE_A}'"
+                " THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("ca"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN event_type = '{KS_TYPE_B}'"
+                " THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("cb"),
+        )
+    )
+    wcum = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = binned.select(
+        "band",
+        F.sum("ca").over(wcum).alias("cum_a"),
+        F.sum("cb").over(wcum).alias("cum_b"),
+        F.sum("ca").over(wall).alias("n_a"),
+        F.sum("cb").over(wall).alias("n_b"),
+    )
+    return cum.agg(
+        F.expr("CAST(MAX(n_a) AS BIGINT)").alias("n_a"),
+        F.expr("CAST(MAX(n_b) AS BIGINT)").alias("n_b"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_bands"),
+        F.expr(
+            "round(CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS DOUBLE)"
+            " / (MAX(n_a) * MAX(n_b)), 6)"
+        ).alias("d_stat"),
+        F.expr(
+            "round(CAST(1.358 AS DOUBLE)"
+            " * sqrt(CAST(MAX(n_a) + MAX(n_b) AS DOUBLE)"
+            " / (MAX(n_a) * MAX(n_b))), 6)"
+        ).alias("ks_critical"),
+    )
+
+
 # day-of-week seasonality profile
 # ---------------------------------------------------------------------------
 

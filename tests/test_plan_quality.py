@@ -79,6 +79,9 @@ BOUNDED_GLOBAL_WINDOW_OK = {
     "sample_pack_batches": "256 hash-prefix bucket totals",
     # rank within a distributed top-k (orderBy().limit(k) precedes)
     "sample_weighted_topk": "window over the k=limit rows only",
+    "q_ks_two_sample": "cumulative ECDF over the value-band grain "
+                       "(~60 width-10 bins — bounded by the value range, "
+                       "not the row count)",
 }
 
 
