@@ -4240,3 +4240,99 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.orderBy(*order).limit(LINKPRED_TOP_K)
     w = Window.orderBy(*order)
     return top.withColumn("rk", F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
+# label homophily of the kNN graph (embedding-quality diagnostic)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_embedding_homophily",
+    oracle=f"""
+    WITH knn AS (
+      {_KNN_GRAPH_ORACLE}
+    ),
+    und AS (
+      SELECT DISTINCT LEAST(src_id, dst_id) AS a,
+             GREATEST(src_id, dst_id) AS b
+      FROM knn WHERE src_id <> dst_id
+    ),
+    lab AS (
+      SELECT u.a, u.b, ea.label AS la, eb.label AS lb
+      FROM und u
+      JOIN embeddings ea ON ea.vec_id = u.a
+      JOIN embeddings eb ON eb.vec_id = u.b
+    ),
+    per_label AS (
+      SELECT label,
+             CAST(SUM(n_edges) AS BIGINT) AS n_edges,
+             CAST(SUM(n_same) AS BIGINT) AS n_same
+      FROM (
+        SELECT la AS label, COUNT(*) AS n_edges,
+               SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS n_same
+        FROM lab GROUP BY la
+        UNION ALL
+        SELECT lb AS label, COUNT(*) AS n_edges,
+               SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS n_same
+        FROM lab WHERE la <> lb GROUP BY lb
+      ) ends GROUP BY label
+    )
+    SELECT label, n_edges, n_same,
+           round(CAST(n_same AS DOUBLE) / n_edges, 6) AS homophily
+    FROM per_label
+    """,
+    doc="Label homophily of the approximate kNN graph, per label: of the "
+        "undirected edges incident to each label, the fraction whose "
+        "endpoints SHARE that label. The one-number embedding-quality "
+        "eval behind graph-based curation — high homophily means "
+        "neighbors agree with supervision (kNN classification and "
+        "label-propagation cleaning will work), low homophily flags an "
+        "embedding/label mismatch before a pipeline trusts either. "
+        "Same-label edges count once toward their shared label; mixed "
+        "edges count toward both endpoint labels. All-integer counts "
+        "with one final division; edges come from the registered kNN "
+        "graph (banded LSH, no cross join) joined to the label table.",
+)
+def graph_embedding_homophily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    edges = emb_knn_graph(spark, sf_dir).select("src_id", "dst_id")
+    und = (
+        edges.filter(F.col("src_id") != F.col("dst_id"))
+        .select(
+            F.least("src_id", "dst_id").alias("a"),
+            F.greatest("src_id", "dst_id").alias("b"),
+        )
+        .distinct()
+    )
+    labels = emb.select("vec_id", "label")
+    lab = (
+        und.join(labels.withColumnRenamed("vec_id", "a")
+                 .withColumnRenamed("label", "la"), "a")
+        .join(labels.withColumnRenamed("vec_id", "b")
+              .withColumnRenamed("label", "lb"), "b")
+        .select("a", "b", "la", "lb")
+    )
+    ends_a = lab.groupBy(F.col("la").alias("label")).agg(
+        F.expr("COUNT(*)").alias("n_edges"),
+        F.expr("SUM(CASE WHEN la = lb THEN 1 ELSE 0 END)").alias("n_same"),
+    )
+    ends_b = lab.filter(F.col("la") != F.col("lb")).groupBy(
+        F.col("lb").alias("label")
+    ).agg(
+        F.expr("COUNT(*)").alias("n_edges"),
+        F.expr("SUM(CASE WHEN la = lb THEN 1 ELSE 0 END)").alias("n_same"),
+    )
+    per_label = (
+        ends_a.unionAll(ends_b)
+        .groupBy("label")
+        .agg(
+            F.expr("CAST(SUM(n_edges) AS BIGINT)").alias("n_edges"),
+            F.expr("CAST(SUM(n_same) AS BIGINT)").alias("n_same"),
+        )
+    )
+    return per_label.select(
+        "label", "n_edges", "n_same",
+        F.expr("round(CAST(n_same AS DOUBLE) / n_edges, 6)").alias(
+            "homophily"),
+    )
