@@ -2074,3 +2074,143 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round(CAST(n_short AS DOUBLE) / n_docs, 6)"
         ).alias("short_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MAP / precision@k ranking-quality eval (integer-exact average precision)
+# ---------------------------------------------------------------------------
+
+#: NDCG_SCALE = LCM(1..21), so it is divisible by every rank 1..20 and
+#: every AP term j/rk scales to an exact integer j * (SCALE // rk)
+AP_SCALE = NDCG_SCALE
+
+
+@register(
+    "search_map_eval",
+    oracle=f"""
+    WITH stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(len(string_split(lower(text), ' '))) AS DOUBLE)
+               / COUNT(*) AS avgdl,
+             {_BM25_STATS_DUCK}
+      FROM documents
+    ),
+    bm_scored AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl,
+             {_bm25_score_expr(_tf_duck)} AS score
+      FROM documents CROSS JOIN stats
+    ),
+    bm25 AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+      FROM (SELECT * FROM bm_scored WHERE score > 0
+            ORDER BY score DESC, doc_id LIMIT {BM25_TOP_K}) t
+    ),
+    ql_stats AS (
+      SELECT CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT)
+               AS ctot,
+             {_QL_STATS_DUCK}
+      FROM documents
+    ),
+    ql_scored AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl,
+             {_ql_score_expr(_tf_duck)} AS score
+      FROM documents CROSS JOIN ql_stats
+    ),
+    ql AS (
+      SELECT doc_id
+      FROM (SELECT * FROM ql_scored
+            ORDER BY score DESC, doc_id LIMIT {QL_TOP_K}) t
+    ),
+    marked AS (
+      SELECT bm25.rk, ql.doc_id AS rel_doc
+      FROM bm25 LEFT JOIN ql ON ql.doc_id = bm25.doc_id
+    ),
+    hits AS (
+      SELECT rk, ROW_NUMBER() OVER (ORDER BY rk) AS j
+      FROM marked WHERE rel_doc IS NOT NULL
+    ),
+    apx AS (
+      SELECT CAST(COALESCE(SUM(j * ({AP_SCALE} // rk)), 0) AS BIGINT)
+               AS ap_scaled
+      FROM hits
+    ),
+    cnts AS (
+      SELECT
+        CAST(COUNT(*) FILTER (rel_doc IS NOT NULL AND rk <= 5)
+             AS BIGINT) AS hits_at_5,
+        CAST(COUNT(*) FILTER (rel_doc IS NOT NULL AND rk <= 10)
+             AS BIGINT) AS hits_at_10,
+        CAST(COUNT(*) FILTER (rel_doc IS NOT NULL) AS BIGINT) AS hits_at_20
+      FROM marked
+    )
+    SELECT CAST({QL_TOP_K} AS BIGINT) AS n_relevant,
+           hits_at_5, hits_at_10, hits_at_20, ap_scaled,
+           round(CAST(hits_at_5 AS DOUBLE) / 5, 6) AS p_at_5,
+           round(CAST(hits_at_10 AS DOUBLE) / 10, 6) AS p_at_10,
+           round(CAST(hits_at_20 AS DOUBLE) / {BM25_TOP_K}, 6) AS p_at_20,
+           round(CAST(hits_at_20 AS DOUBLE) / {QL_TOP_K}, 6)
+             AS recall_at_20,
+           round(CAST(ap_scaled AS DOUBLE)
+                 / (CAST({AP_SCALE} AS DOUBLE) * {QL_TOP_K}), 6) AS map
+    FROM cnts CROSS JOIN apx
+    """,
+    doc=f"MAP / precision@k eval of the BM25 ranking against the "
+        f"Dirichlet-QL top-{QL_TOP_K} as the binary relevant set — the "
+        "set-based companion to search_ndcg_eval's graded view. Average "
+        "precision runs integer-exact: the j-th relevant hit at rank r "
+        f"contributes j/r, scaled by LCM(1..21) = {AP_SCALE} so the sum "
+        "accumulates in BIGINT in any order; the only float ops are the "
+        "final single divisions. The eval joins two k-row lists (both "
+        "rankings reuse the registered operators' distributed "
+        "orderBy().limit(k) plans), so the windows here see at most "
+        f"{BM25_TOP_K} rows.",
+)
+def search_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    bm = search_bm25_topk(spark, sf_dir).select("doc_id", "rk")
+    ql = search_lm_dirichlet_topk(spark, sf_dir).select(
+        F.col("doc_id").alias("ql_doc")
+    )
+    marked = bm.join(F.broadcast(ql), bm["doc_id"] == ql["ql_doc"], "left")
+    hits = marked.filter(F.col("ql_doc").isNotNull()).select("rk")
+    w = Window.orderBy("rk")  # <= BM25_TOP_K rows by construction
+    apx = (
+        hits.withColumn("j", F.row_number().over(w))
+        .agg(
+            F.expr(
+                f"CAST(COALESCE(SUM(j * ({AP_SCALE} DIV rk)), 0) AS BIGINT)"
+            ).alias("ap_scaled")
+        )
+    )
+    cnts = marked.agg(
+        F.expr(
+            "CAST(COUNT(*) FILTER (WHERE ql_doc IS NOT NULL AND rk <= 5)"
+            " AS BIGINT)"
+        ).alias("hits_at_5"),
+        F.expr(
+            "CAST(COUNT(*) FILTER (WHERE ql_doc IS NOT NULL AND rk <= 10)"
+            " AS BIGINT)"
+        ).alias("hits_at_10"),
+        F.expr(
+            "CAST(COUNT(*) FILTER (WHERE ql_doc IS NOT NULL) AS BIGINT)"
+        ).alias("hits_at_20"),
+    )
+    return cnts.crossJoin(F.broadcast(apx)).select(
+        F.expr(f"CAST({QL_TOP_K} AS BIGINT)").alias("n_relevant"),
+        "hits_at_5", "hits_at_10", "hits_at_20", "ap_scaled",
+        F.expr("round(CAST(hits_at_5 AS DOUBLE) / 5, 6)").alias("p_at_5"),
+        F.expr("round(CAST(hits_at_10 AS DOUBLE) / 10, 6)").alias("p_at_10"),
+        F.expr(
+            f"round(CAST(hits_at_20 AS DOUBLE) / {BM25_TOP_K}, 6)"
+        ).alias("p_at_20"),
+        F.expr(
+            f"round(CAST(hits_at_20 AS DOUBLE) / {QL_TOP_K}, 6)"
+        ).alias("recall_at_20"),
+        F.expr(
+            f"round(CAST(ap_scaled AS DOUBLE)"
+            f" / (CAST({AP_SCALE} AS DOUBLE) * {QL_TOP_K}), 6)"
+        ).alias("map"),
+    )

@@ -4336,3 +4336,94 @@ def graph_embedding_homophily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("round(CAST(n_same AS DOUBLE) / n_edges, 6)").alias(
             "homophily"),
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding anisotropy profile (mean-vector concentration per label)
+# ---------------------------------------------------------------------------
+
+@register(
+    "emb_anisotropy_stats",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label, {_QVEC_DUCK} AS qvec FROM embeddings
+    ),
+    pos AS (
+      SELECT label, qvec,
+             unnest(range(1, len(qvec) + 1)) AS dim
+      FROM q
+    ),
+    per_dim AS (
+      SELECT label, dim,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(qvec[dim]) AS BIGINT) AS sd,
+             CAST(SUM(CAST(qvec[dim] AS BIGINT) * qvec[dim]) AS BIGINT)
+               AS ssq_d
+      FROM pos GROUP BY label, dim
+    ),
+    per_label AS (
+      SELECT label,
+             CAST(MAX(n) AS BIGINT) AS n_vectors,
+             CAST(SUM(sd * sd) AS BIGINT) AS sum_vec_dot,
+             CAST(SUM(ssq_d) AS BIGINT) AS sum_norm_sq
+      FROM per_dim GROUP BY label
+    )
+    SELECT label, n_vectors, sum_norm_sq, sum_vec_dot,
+           round(CAST(sum_norm_sq AS DOUBLE) / n_vectors, 6)
+             AS mean_norm_sq,
+           CASE WHEN n_vectors > 1 THEN
+             round(CAST(sum_vec_dot - sum_norm_sq AS DOUBLE)
+                   / (CAST(n_vectors AS DOUBLE) * (n_vectors - 1)), 6)
+           END AS avg_pair_dot,
+           CASE WHEN n_vectors > 1 AND sum_norm_sq > 0 THEN
+             round(CAST(n_vectors AS DOUBLE)
+                   * (sum_vec_dot - sum_norm_sq)
+                   / (CAST(n_vectors - 1 AS DOUBLE) * sum_norm_sq), 6)
+           END AS anisotropy
+    FROM per_label
+    """,
+    doc="Per-label embedding anisotropy (Ethayarajh-style mean pairwise "
+        "similarity): how concentrated a label's vectors are around a "
+        "common direction — near-1 anisotropy means the space has "
+        "collapsed (every pair looks similar, cosine retrieval loses "
+        "contrast), near-0 means isotropic spread. The identity "
+        "avg_{{i != j}} <x_i, x_j> = (||sum x||^2 - sum ||x_i||^2) / "
+        "(n(n-1)) turns the quadratic all-pairs sum into two linear "
+        "passes; over int8 codes (the emb_dim_stats discipline) both "
+        "sides accumulate as exact BIGINTs in any partition order — "
+        "int8*int8 fits dim*127^2*n, overflow only past ~5e8 vectors "
+        "per label. Two shuffles on (label, dim) then label keys; no "
+        "pairwise join anywhere.",
+)
+def emb_anisotropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    exploded = emb.select(
+        "label", F.posexplode(F.expr(_QVEC_SPARK)).alias("dim", "qv")
+    )
+    per_dim = exploded.groupBy("label", "dim").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+        F.expr("CAST(SUM(qv) AS BIGINT)").alias("sd"),
+        F.expr("CAST(SUM(CAST(qv AS BIGINT) * qv) AS BIGINT)").alias("ssq_d"),
+    )
+    per_label = per_dim.groupBy("label").agg(
+        F.expr("CAST(MAX(n) AS BIGINT)").alias("n_vectors"),
+        F.expr("CAST(SUM(sd * sd) AS BIGINT)").alias("sum_vec_dot"),
+        F.expr("CAST(SUM(ssq_d) AS BIGINT)").alias("sum_norm_sq"),
+    )
+    return per_label.select(
+        "label", "n_vectors", "sum_norm_sq", "sum_vec_dot",
+        F.expr(
+            "round(CAST(sum_norm_sq AS DOUBLE) / n_vectors, 6)"
+        ).alias("mean_norm_sq"),
+        F.expr(
+            "CASE WHEN n_vectors > 1 THEN"
+            " round(CAST(sum_vec_dot - sum_norm_sq AS DOUBLE)"
+            " / (CAST(n_vectors AS DOUBLE) * (n_vectors - 1)), 6) END"
+        ).alias("avg_pair_dot"),
+        F.expr(
+            "CASE WHEN n_vectors > 1 AND sum_norm_sq > 0 THEN"
+            " round(CAST(n_vectors AS DOUBLE)"
+            " * (sum_vec_dot - sum_norm_sq)"
+            " / (CAST(n_vectors - 1 AS DOUBLE) * sum_norm_sq), 6) END"
+        ).alias("anisotropy"),
+    )

@@ -5746,3 +5746,93 @@ def q_forecast_snaive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DOUBLE) / COUNT(*) / 1e6, 6)"
         ).alias("mape"),
     )
+
+
+# ---------------------------------------------------------------------------
+# chi-square independence audit (event type x weekday contingency cells)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_chi_square_cells",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, isodow(ts) - 1 AS dow FROM events
+    ),
+    obs AS (
+      SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n
+      FROM base GROUP BY event_type, dow
+    ),
+    rows_t AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS row_tot
+      FROM obs GROUP BY event_type
+    ),
+    cols_t AS (
+      SELECT dow, CAST(SUM(n) AS BIGINT) AS col_tot
+      FROM obs GROUP BY dow
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tot FROM obs),
+    grid AS (
+      SELECT r.event_type, c.dow, r.row_tot, c.col_tot, t.n_tot
+      FROM rows_t r CROSS JOIN cols_t c CROSS JOIN tot t
+    )
+    SELECT g.event_type, CAST(g.dow AS INT) AS dow,
+           CAST(COALESCE(o.n, 0) AS BIGINT) AS observed,
+           CAST(g.row_tot * g.col_tot AS BIGINT) AS expected_x_n,
+           CAST(COALESCE(o.n, 0) * g.n_tot - g.row_tot * g.col_tot
+                AS BIGINT) AS dev_x_n,
+           round(CAST(COALESCE(o.n, 0) * g.n_tot
+                      - g.row_tot * g.col_tot AS DOUBLE)
+                 * (COALESCE(o.n, 0) * g.n_tot - g.row_tot * g.col_tot)
+                 / (CAST(g.row_tot AS DOUBLE) * g.col_tot), 4)
+             AS contrib_x_n
+    FROM grid g LEFT JOIN obs o
+      ON o.event_type = g.event_type AND o.dow = g.dow
+    """,
+    doc="Chi-square independence audit of event type vs weekday: the "
+        "full contingency grid (including zero cells — a LEFT JOIN from "
+        "the marginals cross product, which a naive GROUP BY silently "
+        "drops) with per-cell observed count, N-scaled expected count "
+        "(row_tot * col_tot = E*N, exact BIGINT), N-scaled deviation "
+        "O*N - E*N, and the N-scaled chi-square contribution "
+        "(dev^2 / (row_tot * col_tot) = N * (O-E)^2/E) — cells with "
+        "|contrib| large are the dependence drivers. Everything up to "
+        "the last per-cell division is exact integer arithmetic, so no "
+        "cross-row float accumulation anywhere; the global statistic is "
+        "the reader's sum over the ~|types| x 7 bounded grid. BIGINT "
+        "scaling holds to ~3e9 events (O*N < 2^63); past that, audit "
+        "per date-partition. Weekday is Monday-based in both engines "
+        "(Spark weekday(), DuckDB isodow-1). One shuffle on the cell "
+        "keys; marginals broadcast.",
+)
+def q_chi_square_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    base = ev.select("event_type", F.expr("weekday(ts)").alias("dow"))
+    obs = base.groupBy("event_type", "dow").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n")
+    )
+    rows_t = obs.groupBy("event_type").agg(
+        F.expr("CAST(SUM(n) AS BIGINT)").alias("row_tot")
+    )
+    cols_t = obs.groupBy("dow").agg(
+        F.expr("CAST(SUM(n) AS BIGINT)").alias("col_tot")
+    )
+    tot = obs.agg(F.expr("CAST(SUM(n) AS BIGINT)").alias("n_tot"))
+    grid = rows_t.crossJoin(F.broadcast(cols_t)).crossJoin(F.broadcast(tot))
+    return (
+        grid.join(F.broadcast(obs), ["event_type", "dow"], "left")
+        .select(
+            "event_type",
+            F.col("dow").cast("int").alias("dow"),
+            F.expr("CAST(COALESCE(n, 0) AS BIGINT)").alias("observed"),
+            F.expr("CAST(row_tot * col_tot AS BIGINT)").alias("expected_x_n"),
+            F.expr(
+                "CAST(COALESCE(n, 0) * n_tot - row_tot * col_tot AS BIGINT)"
+            ).alias("dev_x_n"),
+            F.expr(
+                "round(CAST(COALESCE(n, 0) * n_tot - row_tot * col_tot"
+                " AS DOUBLE)"
+                " * (COALESCE(n, 0) * n_tot - row_tot * col_tot)"
+                " / (CAST(row_tot AS DOUBLE) * col_tot), 4)"
+            ).alias("contrib_x_n"),
+        )
+    )
