@@ -1,0 +1,142 @@
+"""Cross-checks for the round-8 eval/stats operators (second wave).
+
+The DuckDB oracle gate pins engine parity; these tests pin the SEMANTICS
+against independent brute-force implementations — a shared-formula bug
+(wrong AP definition, wrong pairwise identity, wrong expected-count
+algebra) would pass the oracle on both sides and only fail here.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from fractions import Fraction
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_map_eval_matches_naive(spark):
+    """AP / P@k from the integer-scaled plan must equal a literal
+    Fraction-exact average precision over the two collected rankings."""
+    from flink_connector_http_spark.operators.pipeline import (
+        AP_SCALE,
+        QL_TOP_K,
+        search_bm25_topk,
+        search_lm_dirichlet_topk,
+        search_map_eval,
+    )
+
+    got = search_map_eval(spark, SF).collect()[0]
+
+    bm = [
+        r["doc_id"]
+        for r in search_bm25_topk(spark, SF).orderBy("rk").collect()
+    ]
+    rel = {
+        r["doc_id"] for r in search_lm_dirichlet_topk(spark, SF).collect()
+    }
+    assert len(rel) == QL_TOP_K
+
+    hits_so_far = 0
+    ap = Fraction(0)
+    hits_at = {}
+    for rank, doc in enumerate(bm, start=1):
+        if doc in rel:
+            hits_so_far += 1
+            ap += Fraction(hits_so_far, rank)
+        hits_at[rank] = hits_so_far
+    ap /= QL_TOP_K
+
+    assert got["hits_at_5"] == hits_at.get(5, hits_so_far)
+    assert got["hits_at_10"] == hits_at.get(10, hits_so_far)
+    assert got["hits_at_20"] == hits_so_far
+    # the scaled BIGINT is exactly AP * SCALE * |R|
+    assert got["ap_scaled"] == ap * AP_SCALE * QL_TOP_K
+    assert got["map"] == round(float(ap), 6)
+    assert got["p_at_5"] == round(hits_at.get(5, 0) / 5, 6)
+    assert got["recall_at_20"] == round(hits_so_far / QL_TOP_K, 6)
+    # sanity: the two rankers genuinely overlap on this corpus
+    assert 0 < hits_so_far <= QL_TOP_K
+
+
+def test_anisotropy_matches_bruteforce_pairs(spark):
+    """The linear-pass identity (||sum x||^2 - sum ||x||^2) / (n(n-1))
+    must equal the O(n^2) brute-force mean pairwise dot product over the
+    same int8 codes."""
+    import pyspark.sql.functions as F
+
+    from flink_connector_http_spark.operators.similarity import (
+        _QVEC_SPARK,
+        emb_anisotropy_stats,
+    )
+    from flink_connector_http_spark.plans.registry import load
+
+    got = {r["label"]: r for r in emb_anisotropy_stats(spark, SF).collect()}
+
+    emb = load(spark, SF, "embeddings")["embeddings"]
+    rows = emb.select(
+        "label", F.expr(_QVEC_SPARK).alias("qvec")
+    ).collect()
+    by_label: dict[int, list[list[int]]] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(r["qvec"])
+
+    assert set(by_label) == set(got)
+    for label, vecs in by_label.items():
+        n = len(vecs)
+        pair_sum = 0
+        for i in range(n):
+            for j in range(n):
+                if i != j:
+                    pair_sum += sum(a * b for a, b in zip(vecs[i], vecs[j]))
+        norm_sum = sum(sum(x * x for x in v) for v in vecs)
+        g = got[label]
+        assert g["n_vectors"] == n
+        assert g["sum_norm_sq"] == norm_sum
+        # identity check: sum_vec_dot = pair_sum + norm_sum exactly
+        assert g["sum_vec_dot"] == pair_sum + norm_sum
+        assert g["avg_pair_dot"] == round(pair_sum / (n * (n - 1)), 6)
+
+
+def test_chi_square_cells_match_counter(spark):
+    """Per-cell observed/expected/deviation must match a Counter-based
+    contingency table, including zero cells the grid must not drop."""
+    from flink_connector_http_spark.plans.registry import load
+    import pyspark.sql.functions as F
+
+    from flink_connector_http_spark.plans.relational import (
+        q_chi_square_cells,
+    )
+
+    got = {
+        (r["event_type"], r["dow"]): r
+        for r in q_chi_square_cells(spark, SF).collect()
+    }
+
+    ev = load(spark, SF, "events")["events"]
+    obs = Counter(
+        (r["event_type"], r["dow"])
+        for r in ev.select(
+            "event_type", F.expr("weekday(ts)").alias("dow")
+        ).collect()
+    )
+    types = {t for t, _ in obs}
+    days = {d for _, d in obs}
+    n_tot = sum(obs.values())
+    row_tot = Counter()
+    col_tot = Counter()
+    for (t, d), n in obs.items():
+        row_tot[t] += n
+        col_tot[d] += n
+
+    assert set(got) == {(t, d) for t in types for d in days}
+    for (t, d), g in got.items():
+        o = obs.get((t, d), 0)
+        exp_xn = row_tot[t] * col_tot[d]
+        dev = o * n_tot - exp_xn
+        assert g["observed"] == o
+        assert g["expected_x_n"] == exp_xn
+        assert g["dev_x_n"] == dev
+        assert g["contrib_x_n"] == round(dev * dev / exp_xn, 4)
+    # the grid includes at least one zero cell OR covers every cell —
+    # both cases exercised: assert grid size is |types| x |days|
+    assert len(got) == len(types) * len(days)
