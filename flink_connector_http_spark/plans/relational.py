@@ -5836,3 +5836,113 @@ def q_chi_square_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contrib_x_n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# two-sample Mann-Whitney U (binned ranks, tie-aware via half-counts)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_mann_whitney_u",
+    oracle=f"""
+    WITH binned AS (
+      SELECT CAST(FLOOR(CAST(value AS DECIMAL(10,2)) / {KS_BIN}) AS BIGINT)
+               AS band,
+             CAST(SUM(CASE WHEN event_type = '{KS_TYPE_A}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN event_type = '{KS_TYPE_B}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM events
+      WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT band, ca, cb,
+             COALESCE(SUM(cb) OVER (ORDER BY band
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cb_below,
+             SUM(ca) OVER () AS n_a,
+             SUM(cb) OVER () AS n_b
+      FROM binned
+    ),
+    u AS (
+      SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
+             CAST(MAX(n_b) AS BIGINT) AS n_b,
+             CAST(SUM(ca * (2 * cb_below + cb)) AS BIGINT) AS u2_a
+      FROM cum
+    )
+    SELECT n_a, n_b, u2_a,
+           CAST(u2_a AS DOUBLE) / 2 AS u_a,
+           round(CAST(u2_a - n_a * n_b AS DOUBLE) / (n_a * n_b), 6)
+             AS rank_biserial,
+           round(CAST(u2_a - n_a * n_b AS DOUBLE)
+                 / (2 * sqrt(CAST(n_a AS DOUBLE) * n_b
+                             * (n_a + n_b + 1) / 12)), 6) AS z_score
+    FROM u
+    """,
+    doc=f"Two-sample Mann-Whitney U between the '{KS_TYPE_A}' and "
+        f"'{KS_TYPE_B}' value distributions — the rank-based "
+        "location-shift companion to q_ks_two_sample's supremum view "
+        "(U detects a median shift KS may under-weight; KS detects "
+        f"shape changes U misses). Values share the width-{KS_BIN} "
+        "bands; within-band pairs count as ties. Everything is exact "
+        "integer arithmetic on the DOUBLED statistic "
+        "u2 = sum(ca * (2*cb_below + cb)) — each A-observation scores "
+        "2 per B below its band and 1 per tied B — so partial sums "
+        "commute exactly; u_a = u2/2 is a binary-exact halving, and "
+        "the only rounding floats are the rank-biserial effect size "
+        "(2U/(n_a n_b) - 1) and the normal-approximation z-score "
+        "(no tie correction in sigma; with ~60 bands the correction "
+        "is <1% and the doubled U itself is the hashable evidence). "
+        "BIGINT holds to ~2e9 observations per arm (u2 < 2^63). The "
+        "cumulative window runs over the bounded value-band domain "
+        "(~60 rows), never entity-grain data.",
+)
+def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    binned = (
+        ev.filter(F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B))
+        .groupBy(
+            F.expr(
+                f"CAST(FLOOR(CAST(value AS DECIMAL(10,2)) / {KS_BIN})"
+                " AS BIGINT)"
+            ).alias("band")
+        )
+        .agg(
+            F.expr(
+                f"CAST(SUM(CASE WHEN event_type = '{KS_TYPE_A}'"
+                " THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("ca"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN event_type = '{KS_TYPE_B}'"
+                " THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("cb"),
+        )
+    )
+    wbelow = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, -1)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = binned.select(
+        "band", "ca", "cb",
+        F.coalesce(F.sum("cb").over(wbelow), F.lit(0)).alias("cb_below"),
+        F.sum("ca").over(wall).alias("n_a"),
+        F.sum("cb").over(wall).alias("n_b"),
+    )
+    u = cum.agg(
+        F.expr("CAST(MAX(n_a) AS BIGINT)").alias("n_a"),
+        F.expr("CAST(MAX(n_b) AS BIGINT)").alias("n_b"),
+        F.expr("CAST(SUM(ca * (2 * cb_below + cb)) AS BIGINT)").alias("u2_a"),
+    )
+    return u.select(
+        "n_a", "n_b", "u2_a",
+        F.expr("CAST(u2_a AS DOUBLE) / 2").alias("u_a"),
+        F.expr(
+            "round(CAST(u2_a - n_a * n_b AS DOUBLE) / (n_a * n_b), 6)"
+        ).alias("rank_biserial"),
+        F.expr(
+            "round(CAST(u2_a - n_a * n_b AS DOUBLE)"
+            " / (2 * sqrt(CAST(n_a AS DOUBLE) * n_b"
+            " * (n_a + n_b + 1) / 12)), 6)"
+        ).alias("z_score"),
+    )

@@ -82,6 +82,8 @@ BOUNDED_GLOBAL_WINDOW_OK = {
     "q_ks_two_sample": "cumulative ECDF over the value-band grain "
                        "(~60 width-10 bins — bounded by the value range, "
                        "not the row count)",
+    "q_mann_whitney_u": "cumulative rank counts over the same bounded "
+                        "value-band grain as q_ks_two_sample",
 }
 
 

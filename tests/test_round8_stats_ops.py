@@ -140,3 +140,47 @@ def test_chi_square_cells_match_counter(spark):
     # the grid includes at least one zero cell OR covers every cell —
     # both cases exercised: assert grid size is |types| x |days|
     assert len(got) == len(types) * len(days)
+
+
+def test_mann_whitney_u_matches_pair_counting(spark):
+    """The doubled U from cumulative band counts must equal literal
+    O(n_a * n_b) pair counting (2 per win, 1 per within-band tie)."""
+    import pyspark.sql.functions as F
+
+    from flink_connector_http_spark.plans.registry import load
+    from flink_connector_http_spark.plans.relational import (
+        KS_BIN,
+        KS_TYPE_A,
+        KS_TYPE_B,
+        q_mann_whitney_u,
+    )
+
+    got = q_mann_whitney_u(spark, SF).collect()[0]
+
+    ev = load(spark, SF, "events")["events"]
+    rows = ev.filter(
+        F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B)
+    ).select(
+        "event_type",
+        F.expr(
+            f"CAST(FLOOR(CAST(value AS DECIMAL(10,2)) / {KS_BIN})"
+            " AS BIGINT)"
+        ).alias("band"),
+    ).collect()
+    a = [r["band"] for r in rows if r["event_type"] == KS_TYPE_A]
+    b = [r["band"] for r in rows if r["event_type"] == KS_TYPE_B]
+
+    u2 = 0
+    for x in a:
+        for y in b:
+            if x > y:
+                u2 += 2
+            elif x == y:
+                u2 += 1
+
+    assert got["n_a"] == len(a)
+    assert got["n_b"] == len(b)
+    assert got["u2_a"] == u2
+    assert got["u_a"] == u2 / 2
+    assert got["rank_biserial"] == round(
+        (u2 - len(a) * len(b)) / (len(a) * len(b)), 6)
