@@ -4427,3 +4427,183 @@ def emb_anisotropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (CAST(n_vectors - 1 AS DOUBLE) * sum_norm_sq), 6) END"
         ).alias("anisotropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-cluster conductance (cut quality of the semantic partition)
+# ---------------------------------------------------------------------------
+
+@register(
+    "graph_cluster_conductance",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      {_LSH_DEDUP_ORACLE}
+    ),
+    cedges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION ALL
+      SELECT b_id AS src, a_id AS dst FROM pairs
+    ),
+    walk(vec_id, reach) AS (
+      SELECT DISTINCT src, src FROM cedges
+      UNION
+      SELECT e.src, w.reach FROM cedges e JOIN walk w ON w.vec_id = e.dst
+    ),
+    clus AS (
+      SELECT vec_id, MIN(reach) AS cluster_id FROM walk GROUP BY vec_id
+    ),
+    knn AS (
+      {_KNN_GRAPH_ORACLE}
+    ),
+    und AS (
+      SELECT DISTINCT LEAST(src_id, dst_id) AS a, GREATEST(src_id, dst_id) AS b
+      FROM knn WHERE src_id <> dst_id
+    ),
+    assign AS (
+      SELECT e.vec_id, COALESCE(c.cluster_id, e.vec_id) AS cl
+      FROM embeddings e LEFT JOIN clus c ON c.vec_id = e.vec_id
+    ),
+    members AS (
+      SELECT cl, CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM assign GROUP BY cl HAVING COUNT(*) >= 2
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+      ) ends GROUP BY node
+    ),
+    vol AS (
+      SELECT ass.cl, CAST(SUM(deg.d) AS BIGINT) AS volume
+      FROM deg JOIN assign ass ON ass.vec_id = deg.node
+      GROUP BY ass.cl
+    ),
+    lab AS (
+      SELECT ca.cl AS cla, cb.cl AS clb
+      FROM und
+      JOIN assign ca ON ca.vec_id = und.a
+      JOIN assign cb ON cb.vec_id = und.b
+    ),
+    internal AS (
+      SELECT cla AS cl, CAST(COUNT(*) AS BIGINT) AS internal_edges
+      FROM lab WHERE cla = clb GROUP BY cla
+    ),
+    cut AS (
+      SELECT cl, CAST(COUNT(*) AS BIGINT) AS cut_edges FROM (
+        SELECT cla AS cl FROM lab WHERE cla <> clb
+        UNION ALL
+        SELECT clb AS cl FROM lab WHERE cla <> clb
+      ) t GROUP BY cl
+    ),
+    mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und)
+    SELECT CAST(me.cl AS BIGINT) AS cluster_id, me.n_members,
+           COALESCE(v.volume, 0) AS volume,
+           COALESCE(i.internal_edges, 0) AS internal_edges,
+           COALESCE(c.cut_edges, 0) AS cut_edges,
+           CASE WHEN LEAST(COALESCE(v.volume, 0),
+                           2 * mm.m - COALESCE(v.volume, 0)) > 0
+                THEN round(CAST(COALESCE(c.cut_edges, 0) AS DOUBLE)
+                           / LEAST(COALESCE(v.volume, 0),
+                                   2 * mm.m - COALESCE(v.volume, 0)), 6)
+           END AS conductance
+    FROM members me CROSS JOIN mm
+    LEFT JOIN vol v ON v.cl = me.cl
+    LEFT JOIN internal i ON i.cl = me.cl
+    LEFT JOIN cut c ON c.cl = me.cl
+    """,
+    doc="Per-cluster conductance of the semantic-duplicate partition on "
+        "the kNN graph: cut_edges / min(volume, 2m - volume) for every "
+        "non-singleton cluster, with the exact integer cut/volume/"
+        "internal counts alongside — the per-community complement to "
+        "graph_modularity_clusters' single global score (a partition can "
+        "have good modularity while individual clusters leak badly; "
+        "conductance names the leakers). Near-zero = a well-separated "
+        "duplicate family; near-1 = a cluster the LSH threshold glued "
+        "together that the neighborhood structure contradicts. All "
+        "counts are exact integers from int-keyed hash joins; the single "
+        "division per cluster is the only float op. Cluster cardinality "
+        "is bounded by the near-dup pair support, so the output is a "
+        "short audit table, not entity-grain.",
+)
+def graph_cluster_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    und = (
+        emb_knn_graph(spark, sf_dir)
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .select(
+            F.least("src_id", "dst_id").alias("a"),
+            F.greatest("src_id", "dst_id").alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+    clus = emb_semantic_clusters(spark, sf_dir)
+    assign = (
+        emb.select("vec_id")
+        .join(clus.withColumnRenamed("vec_id", "cvid"),
+              F.col("vec_id") == F.col("cvid"), "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_id", F.col("vec_id")).alias("cl"),
+        )
+        .persist()
+    )
+    members = (
+        assign.groupBy("cl")
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    vol = (
+        deg.join(assign.select(F.col("vec_id").alias("node"), "cl"), "node")
+        .groupBy("cl")
+        .agg(F.expr("CAST(SUM(d) AS BIGINT)").alias("volume"))
+    )
+    lab = (
+        und.join(assign.select(F.col("vec_id").alias("a"),
+                               F.col("cl").alias("cla")), "a")
+        .join(assign.select(F.col("vec_id").alias("b"),
+                            F.col("cl").alias("clb")), "b")
+        .select("cla", "clb")
+        .persist()
+    )
+    internal = (
+        lab.filter(F.col("cla") == F.col("clb"))
+        .groupBy(F.col("cla").alias("cl"))
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("internal_edges"))
+    )
+    cut = (
+        lab.filter(F.col("cla") != F.col("clb"))
+        .select(F.col("cla").alias("cl"))
+        .unionAll(
+            lab.filter(F.col("cla") != F.col("clb"))
+            .select(F.col("clb").alias("cl"))
+        )
+        .groupBy("cl")
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("cut_edges"))
+    )
+    mm = und.agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("m"))
+    return (
+        members.crossJoin(F.broadcast(mm))
+        .join(F.broadcast(vol), "cl", "left")
+        .join(F.broadcast(internal), "cl", "left")
+        .join(F.broadcast(cut), "cl", "left")
+        .select(
+            F.col("cl").cast("bigint").alias("cluster_id"),
+            "n_members",
+            F.expr("COALESCE(volume, 0)").alias("volume"),
+            F.expr("COALESCE(internal_edges, 0)").alias("internal_edges"),
+            F.expr("COALESCE(cut_edges, 0)").alias("cut_edges"),
+            F.expr(
+                "CASE WHEN LEAST(COALESCE(volume, 0),"
+                " 2 * m - COALESCE(volume, 0)) > 0"
+                " THEN round(CAST(COALESCE(cut_edges, 0) AS DOUBLE)"
+                " / LEAST(COALESCE(volume, 0),"
+                " 2 * m - COALESCE(volume, 0)), 6) END"
+            ).alias("conductance"),
+        )
+    )
