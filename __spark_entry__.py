@@ -190,9 +190,10 @@ def _ordered_names() -> list[str]:
     seen = _driver_green_names()
     prior = _round_start_names()
     rest = [n for n in REGISTRY if n not in pinned_set]
-    # this round's additions first (never judged, never driver-checked),
-    # then the older never-checked backlog — registration order is NOT a
-    # recency signal (modules register in import order), the manifest is
+    # the old never-driver-checked backlog first (finishing its drain
+    # gives every pre-round query at least one driver oracle row), then
+    # this round's additions — registration order is NOT a recency
+    # signal (modules register in import order), the manifest is
     brand_new = [n for n in rest if n not in seen and n not in prior]
     never_checked = [n for n in rest if n not in seen and n in prior]
     http_rot = [
@@ -202,7 +203,7 @@ def _ordered_names() -> list[str]:
     already_green = [
         n for n in rest if n in seen and n not in http_rot_set
     ]
-    return pinned + brand_new + never_checked + http_rot + already_green
+    return pinned + never_checked + brand_new + http_rot + already_green
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
