@@ -4607,3 +4607,106 @@ def graph_cluster_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conductance"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# label-centroid distance matrix (class-confusion structure)
+# ---------------------------------------------------------------------------
+
+@register(
+    "emb_centroid_distance_matrix",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label, {_QVEC_DUCK} AS qvec FROM embeddings
+    ),
+    pos AS (
+      SELECT label, qvec,
+             unnest(range(1, len(qvec) + 1)) AS dim
+      FROM q
+    ),
+    per_dim AS (
+      SELECT label, dim,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(qvec[dim]) AS BIGINT) AS sd
+      FROM pos GROUP BY label, dim
+    ),
+    pairs AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(MAX(a.n) AS BIGINT) AS n_a,
+             CAST(MAX(b.n) AS BIGINT) AS n_b,
+             CAST(SUM(a.sd * b.sd) AS BIGINT) AS dot_ab,
+             CAST(SUM(a.sd * a.sd) AS BIGINT) AS dot_aa,
+             CAST(SUM(b.sd * b.sd) AS BIGINT) AS dot_bb,
+             CAST(SUM((a.sd * b.n - b.sd * a.n)
+                      * (a.sd * b.n - b.sd * a.n)) AS BIGINT)
+               AS dist2_num
+      FROM per_dim a JOIN per_dim b
+        ON a.dim = b.dim AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT label_a, label_b, n_a, n_b, dot_ab,
+           round(CAST(dot_ab AS DOUBLE)
+                 / (sqrt(CAST(dot_aa AS DOUBLE))
+                    * sqrt(CAST(dot_bb AS DOUBLE))), 6) AS cos_centroid,
+           round(sqrt(CAST(dist2_num AS DOUBLE))
+                 / (CAST(n_a AS DOUBLE) * n_b), 6) AS dist_centroid
+    FROM pairs
+    """,
+    doc="Pairwise label-centroid geometry (the class-confusion map an "
+        "embedding eval starts from): for every unordered label pair, "
+        "the cosine between centroids and the euclidean centroid "
+        "distance, from per-(label, dim) INTEGER sums of the int8 codes "
+        "— no per-vector pairing anywhere, the label-pair grid is "
+        "bounded (|labels|^2/2 rows). Two identities keep it exact: the "
+        "count cancels in centroid cosine (cos(S_a/n_a, S_b/n_b) = "
+        "cos(S_a, S_b)), and squared distance rides the common "
+        "denominator (n_a n_b)^2 so the numerator is an exact BIGINT "
+        "(holds to ~1e8 vectors/label before sd*n products near 2^63). "
+        "One (label, dim) shuffle, then a 640-row broadcast self-join "
+        "on dim.",
+)
+def emb_centroid_distance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    exploded = emb.select(
+        "label", F.posexplode(F.expr(_QVEC_SPARK)).alias("dim", "qv")
+    )
+    per_dim = exploded.groupBy("label", "dim").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+        F.expr("CAST(SUM(qv) AS BIGINT)").alias("sd"),
+    )
+    a = per_dim.select(
+        F.col("label").alias("la"), "dim",
+        F.col("n").alias("na"), F.col("sd").alias("sda"),
+    )
+    b = per_dim.select(
+        F.col("label").alias("lb"), F.col("dim").alias("dimb"),
+        F.col("n").alias("nb"), F.col("sd").alias("sdb"),
+    )
+    pairs = (
+        a.join(F.broadcast(b),
+               (F.col("dim") == F.col("dimb")) & (F.col("la") < F.col("lb")))
+        .groupBy(F.col("la").alias("label_a"), F.col("lb").alias("label_b"))
+        .agg(
+            F.expr("CAST(MAX(na) AS BIGINT)").alias("n_a"),
+            F.expr("CAST(MAX(nb) AS BIGINT)").alias("n_b"),
+            F.expr("CAST(SUM(sda * sdb) AS BIGINT)").alias("dot_ab"),
+            F.expr("CAST(SUM(sda * sda) AS BIGINT)").alias("dot_aa"),
+            F.expr("CAST(SUM(sdb * sdb) AS BIGINT)").alias("dot_bb"),
+            F.expr(
+                "CAST(SUM((sda * nb - sdb * na) * (sda * nb - sdb * na))"
+                " AS BIGINT)"
+            ).alias("dist2_num"),
+        )
+    )
+    return pairs.select(
+        "label_a", "label_b", "n_a", "n_b", "dot_ab",
+        F.expr(
+            "round(CAST(dot_ab AS DOUBLE)"
+            " / (sqrt(CAST(dot_aa AS DOUBLE))"
+            " * sqrt(CAST(dot_bb AS DOUBLE))), 6)"
+        ).alias("cos_centroid"),
+        F.expr(
+            "round(sqrt(CAST(dist2_num AS DOUBLE))"
+            " / (CAST(n_a AS DOUBLE) * n_b), 6)"
+        ).alias("dist_centroid"),
+    )

@@ -4427,3 +4427,83 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_follow", "n_prec", "p_kn", "rk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cumulative vocabulary coverage (how far the head of Zipf carries you)
+# ---------------------------------------------------------------------------
+
+COVERAGE_TOP_K = 50
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    counts AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM toks GROUP BY token
+    ),
+    tot AS (SELECT CAST(SUM(n_occurrences) AS BIGINT) AS n_total FROM counts),
+    topk AS (
+      SELECT token, n_occurrences
+      FROM counts
+      ORDER BY n_occurrences DESC, token
+      LIMIT {COVERAGE_TOP_K}
+    )
+    SELECT CAST(ROW_NUMBER() OVER w AS BIGINT) AS rk,
+           token, n_occurrences,
+           CAST(SUM(n_occurrences) OVER w AS BIGINT) AS cum_occurrences,
+           round(CAST(SUM(n_occurrences) OVER w AS DOUBLE) / tot.n_total, 6)
+             AS cum_share
+    FROM topk CROSS JOIN tot
+    WINDOW w AS (ORDER BY n_occurrences DESC, token)
+    """,
+    doc=f"Cumulative corpus coverage of the top-{COVERAGE_TOP_K} "
+        "vocabulary types — the Zipf-head profile behind tokenizer and "
+        "stopword decisions (how much of the token mass the first k "
+        "types absorb; a too-steep curve flags boilerplate, a too-flat "
+        "one flags mojibake or shredded tokenization). Counts are exact "
+        "BIGINTs; the cumulative window runs over the k retrieved rows "
+        "only (distributed TakeOrdered precedes it, the "
+        "sample_weighted_topk pattern), and each cum_share is a single "
+        "integer division rounded per row — nothing order-sensitive "
+        "anywhere.",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    counts = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_occurrences"))
+    )
+    tot = counts.agg(
+        F.expr("CAST(SUM(n_occurrences) AS BIGINT)").alias("n_total")
+    )
+    topk = counts.orderBy(
+        F.desc("n_occurrences"), F.asc("token")
+    ).limit(COVERAGE_TOP_K)
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return (
+        topk.crossJoin(F.broadcast(tot))
+        .select(
+            F.row_number().over(w).cast("bigint").alias("rk"),
+            "token", "n_occurrences",
+            F.sum("n_occurrences").over(w).cast("bigint").alias(
+                "cum_occurrences"),
+            "n_total",
+        )
+        .select(
+            "rk", "token", "n_occurrences", "cum_occurrences",
+            F.expr(
+                "round(CAST(cum_occurrences AS DOUBLE) / n_total, 6)"
+            ).alias("cum_share"),
+        )
+    )

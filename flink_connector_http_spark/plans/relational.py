@@ -5946,3 +5946,73 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * (n_a + n_b + 1) / 12)), 6)"
         ).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# lag-1 autocorrelation of daily event value (time-series persistence)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_autocorr_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(18,2)) AS dv
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.dv AS x, b.dv AS y
+      FROM daily a JOIN daily b ON b.day = a.day + INTERVAL 1 DAY
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy
+      FROM pairs
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           round((n * sxy - sx * sy) /
+                 (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9)
+             AS r_lag1
+    FROM stats
+    """,
+    doc="Lag-1 autocorrelation of the daily event-value series — the "
+        "persistence/momentum diagnostic behind q_trend_wow and "
+        "q_forecast_snaive_eval (near 0 means yesterday tells you "
+        "nothing; strongly positive means smoothing/seasonal models "
+        "apply). Consecutive days pair by an equi-join on day+1 over the "
+        "BOUNDED date grain (no global window, no sort); the Pearson "
+        "sufficient statistics accumulate as exact DECIMALs (day sums "
+        "re-cast to DECIMAL(18,2) so the quadratic products stay inside "
+        "DECIMAL(38) exactly at any corpus scale) and convert to double "
+        "once, so the result is independent of partition merge order. "
+        "One scan, map-side partials, then a tiny day-grain self-join.",
+)
+def q_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    daily = ev.groupBy(F.expr("CAST(ts AS DATE)").alias("day")).agg(
+        F.expr(
+            "CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(18,2))"
+        ).alias("dv")
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("dv").alias("x"))
+    b = daily.select(F.col("day").alias("db"), F.col("dv").alias("y"))
+    pairs = a.join(F.broadcast(b), F.expr("db = date_add(da, 1)"))
+    stats = pairs.agg(
+        F.expr("CAST(COUNT(*) AS DOUBLE)").alias("n"),
+        F.expr("CAST(SUM(x) AS DOUBLE)").alias("sx"),
+        F.expr("CAST(SUM(y) AS DOUBLE)").alias("sy"),
+        F.expr("CAST(SUM(x * x) AS DOUBLE)").alias("sxx"),
+        F.expr("CAST(SUM(y * y) AS DOUBLE)").alias("syy"),
+        F.expr("CAST(SUM(x * y) AS DOUBLE)").alias("sxy"),
+    )
+    return stats.select(
+        F.expr("CAST(n AS BIGINT)").alias("n_pairs"),
+        F.expr(
+            "round((n * sxy - sx * sy) /"
+            " (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9)"
+        ).alias("r_lag1"),
+    )
