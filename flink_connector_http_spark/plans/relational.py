@@ -6016,3 +6016,117 @@ def q_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9)"
         ).alias("r_lag1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil inequality decomposition (between / within nations)
+# ---------------------------------------------------------------------------
+
+#: per-customer Theil term (x/X_g)·ln(x·N_g/X_g): one double expression
+#: rounded at 9dp then summed as exact DECIMAL — the text_js_divergence
+#: discipline for log-bearing aggregates (no float-summation order
+#: sensitivity; ln feeds from identical IEEE ops in both engines)
+_THEIL_TERM = """
+    CAST(round(
+      CASE WHEN cents > 0 THEN
+        (CAST(cents AS DOUBLE) / x_g)
+        * ln(CAST(cents AS DOUBLE) * n_g / x_g)
+      ELSE 0.0 END, 9) AS DECIMAL(20,9))
+"""
+
+
+@register(
+    "q_theil_decomposition",
+    oracle=f"""
+    WITH spend AS (
+      SELECT c.c_nationkey AS nationkey, o.o_custkey AS custkey,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100)
+                  AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(cents) AS BIGINT) AS x_g
+      FROM spend GROUP BY nationkey
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n_tot,
+             CAST(SUM(x_g) AS BIGINT) AS x_tot
+      FROM g
+    ),
+    within AS (
+      SELECT s.nationkey, SUM({_THEIL_TERM}) AS t_g
+      FROM (SELECT sp.nationkey, sp.cents, gg.n_g, gg.x_g
+            FROM spend sp JOIN g gg ON gg.nationkey = sp.nationkey) s
+      GROUP BY s.nationkey
+    )
+    SELECT g.nationkey, g.n_g AS n_customers, g.x_g AS spend_cents,
+           round(CAST(g.x_g AS DOUBLE) / t.x_tot, 6) AS spend_share,
+           round(CAST(w.t_g AS DOUBLE), 6) AS theil_within,
+           round((CAST(g.x_g AS DOUBLE) / t.x_tot)
+                 * ln((CAST(g.x_g AS DOUBLE) / t.x_tot)
+                      / (CAST(g.n_g AS DOUBLE) / t.n_tot)), 6)
+             AS between_term
+    FROM g JOIN within w ON w.nationkey = g.nationkey CROSS JOIN tot t
+    """,
+    doc="Theil-T inequality decomposition of customer spend by nation — "
+        "the additive complement to q_spend_gini/q_hoover_index: total "
+        "Theil splits exactly into a between-nations part (is inequality "
+        "driven by rich vs poor MARKETS?) and a within-nation part "
+        "(Σ share_g · T_g — rich vs poor customers inside each market), "
+        "which Gini cannot do. Spend is exact integer cents; each "
+        "customer's log term is one double expression rounded at 9dp "
+        "then summed as exact DECIMAL (the text_js_divergence "
+        "discipline), so nothing depends on partition merge order. "
+        "Customer grain only ever feeds a groupBy — no global window, "
+        "no sort; the output is the bounded 25-nation grid.",
+)
+def q_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "orders", "customer")
+    orders, customer = t["orders"], t["customer"]
+    spend = (
+        orders.join(customer,
+                    orders["o_custkey"] == customer["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("o_custkey").alias("custkey"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100)"
+                " AS BIGINT)"
+            ).alias("cents")
+        )
+    )
+    g = spend.groupBy("nationkey").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_g"),
+        F.expr("CAST(SUM(cents) AS BIGINT)").alias("x_g"),
+    )
+    tot = g.agg(
+        F.expr("CAST(SUM(n_g) AS BIGINT)").alias("n_tot"),
+        F.expr("CAST(SUM(x_g) AS BIGINT)").alias("x_tot"),
+    )
+    within = (
+        spend.join(F.broadcast(g), "nationkey")
+        .groupBy("nationkey")
+        .agg(F.expr(f"SUM({_THEIL_TERM})").alias("t_g"))
+    )
+    return (
+        g.join(F.broadcast(within), "nationkey")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "nationkey",
+            F.col("n_g").alias("n_customers"),
+            F.col("x_g").alias("spend_cents"),
+            F.expr("round(CAST(x_g AS DOUBLE) / x_tot, 6)").alias(
+                "spend_share"),
+            F.expr("round(CAST(t_g AS DOUBLE), 6)").alias("theil_within"),
+            F.expr(
+                "round((CAST(x_g AS DOUBLE) / x_tot)"
+                " * ln((CAST(x_g AS DOUBLE) / x_tot)"
+                " / (CAST(n_g AS DOUBLE) / n_tot)), 6)"
+            ).alias("between_term"),
+        )
+    )

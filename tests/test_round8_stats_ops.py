@@ -184,3 +184,51 @@ def test_mann_whitney_u_matches_pair_counting(spark):
     assert got["u_a"] == u2 / 2
     assert got["rank_biserial"] == round(
         (u2 - len(a) * len(b)) / (len(a) * len(b)), 6)
+
+
+def test_theil_decomposition_identity(spark):
+    """Between + spend-share-weighted within must reassemble (to the
+    rounding tolerance) the total Theil computed naively from raw
+    per-customer cents — the additivity that makes the decomposition
+    meaningful."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from flink_connector_http_spark.plans.registry import load
+    from flink_connector_http_spark.plans.relational import (
+        q_theil_decomposition,
+    )
+
+    rows = q_theil_decomposition(spark, SF).collect()
+    assert len(rows) > 1
+
+    t = load(spark, SF, "orders", "customer")
+    spend = (
+        t["orders"].join(
+            t["customer"],
+            t["orders"]["o_custkey"] == t["customer"]["c_custkey"])
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT)"
+        ).alias("cents"))
+        .collect()
+    )
+    cents = [r["cents"] for r in spend]
+    n, x = len(cents), sum(cents)
+    t_total = sum(
+        (c / x) * math.log(c * n / x) for c in cents if c > 0
+    )
+
+    reassembled = sum(
+        r["spend_share"] * r["theil_within"] + r["between_term"]
+        for r in rows
+    )
+    # 25 nations x 6dp rounding on three factors — tolerance well above
+    # accumulated rounding, far below any formula error
+    assert abs(reassembled - t_total) < 1e-4
+    # within-group Theil is nonnegative; between terms sum to >= 0
+    assert all(r["theil_within"] >= 0 for r in rows)
+    assert sum(r["between_term"] for r in rows) >= -1e-9
+    # per-nation member counts cover every spending customer exactly once
+    assert sum(r["n_customers"] for r in rows) == n
