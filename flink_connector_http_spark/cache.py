@@ -30,6 +30,9 @@ class LookupCacheConfig:
     expire_after_write: Optional[float] = None   # seconds
     expire_after_access: Optional[float] = None  # seconds
     cache_missing_key: bool = True
+    #: beyond-reference: on TTL expiry, revalidate with If-None-Match
+    #: instead of refetching when the cached response carried an ETag
+    revalidate: bool = False
 
     def fingerprint(self) -> Tuple:
         return (
@@ -37,6 +40,7 @@ class LookupCacheConfig:
             self.expire_after_write,
             self.expire_after_access,
             self.cache_missing_key,
+            self.revalidate,
         )
 
 
@@ -83,6 +87,28 @@ class LruTtlCache:
             self._data.move_to_end(key)
             self.hits += 1
             return value
+
+    def probe(self, key: Hashable) -> Tuple[Any, str]:
+        """Like :meth:`get`, but an expired entry is RETAINED and returned
+        as ``(value, "stale")`` so the caller can revalidate it (HTTP
+        conditional GET) instead of refetching the body. Returns
+        ``(value, "fresh")`` on a live hit and ``(None, "absent")`` on a
+        true miss. Hit/miss counters move exactly as in :meth:`get`
+        (stale counts as a miss — the wire is still touched)."""
+        with self._lock:
+            now = self._clock()
+            entry = self._data.get(key, self._MISSING)
+            if entry is self._MISSING:
+                self.misses += 1
+                return None, "absent"
+            value, written, accessed = entry
+            if self._expired(written, accessed, now):
+                self.misses += 1
+                return value, "stale"
+            self._data[key] = (value, written, now)
+            self._data.move_to_end(key)
+            self.hits += 1
+            return value, "fresh"
 
     def contains(self, key: Hashable) -> bool:
         sentinel = object()

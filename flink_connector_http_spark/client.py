@@ -403,7 +403,7 @@ class HttpPollingClient:
         runs this on the pull pool (``AsyncHttpTableLookupFunction.java:94-115``)."""
         return self._exchange(self.build_request(key_values))
 
-    def _exchange(self, spec: HttpRequestSpec) -> Tuple:
+    def _exchange(self, spec: HttpRequestSpec, also_success: Tuple = ()) -> Tuple:
         """Fire one assembled request with the retry policy; shared by the
         per-key and multi-key network phases. The circuit breaker (when
         configured) is consulted BEFORE the wire and fed the exchange
@@ -447,6 +447,7 @@ class HttpPollingClient:
             if (
                 self.checker.is_successful(response.status)
                 or response.status in self.ignored_codes
+                or response.status in also_success
             ):
                 breaker.record_success()
             else:
@@ -501,6 +502,32 @@ class HttpPollingClient:
         says fail (continue-on-error off — reference
         ``JavaNetHttpPollingClient.java:166-199``)."""
         return self.publish(self.send(key_values))
+
+    def pull_conditional(
+        self,
+        key_values: Mapping[str, Any],
+        etag: str,
+        cached_result: "HttpLookupResult",
+    ) -> "HttpLookupResult":
+        """Conditional lookup (beyond-reference): the same request with
+        ``If-None-Match: <etag>``. A 304 revalidates ``cached_result``
+        without re-downloading the body (the caller refreshes its cache
+        TTL); any other status flows through the normal classify/decode
+        path and replaces the entry. 304 counts as success for the
+        circuit breaker — the endpoint answered exactly as asked."""
+        base = self.build_request(key_values)
+        headers = dict(base.headers)
+        headers["If-None-Match"] = etag
+        spec = HttpRequestSpec(
+            method=base.method, url=base.url, headers=headers, body=base.body
+        )
+        exchange = self._exchange(spec, also_success=(304,))
+        sent_spec, response, failure = exchange
+        if failure is None and response is not None and response.status == 304:
+            if self.on_response is not None:
+                self.on_response(sent_spec, response)
+            return cached_result
+        return self.publish(exchange)
 
     # -- multi-key batch lookup (beyond-reference scale path) ------------------
 

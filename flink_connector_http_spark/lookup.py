@@ -116,6 +116,18 @@ def _client_for(table: HttpLookupTable) -> HttpPollingClient:
         return client
 
 
+def _etag_of(result: Optional["HttpLookupResult"]) -> Optional[str]:
+    """First ETag header of a cached lookup result (case-insensitive),
+    or None when the endpoint published no validator — in which case an
+    expired entry refetches normally."""
+    if result is None or not result.headers:
+        return None
+    for name, values in result.headers.items():
+        if name.lower() == "etag" and values:
+            return values[0]
+    return None
+
+
 # --- JSON value → declared Spark type coercion --------------------------------
 
 def _coerce(value: Any, data_type: T.DataType) -> Any:
@@ -386,22 +398,54 @@ def http_lookup_join(
 
             # --- cache probe + thread-pooled fetch ----------------------------
             to_fetch: List[Tuple] = []
-            for kt in distinct:
-                cached = cache.get(kt) if cache is not None else None
-                if cached is not None:
-                    distinct[kt] = cached
-                else:
-                    to_fetch.append(kt)
-
+            # (key, etag, stale result) triples for conditional refresh
+            to_revalidate: List[Tuple[Tuple, str, HttpLookupResult]] = []
             batch_size = table_ref.options.lookup_batch_size
-            calls_acc.add(
-                -(-len(to_fetch) // batch_size) if (batch_size and to_fetch)
-                else len(to_fetch)
+            revalidating = (
+                cache is not None and cache.config.revalidate
+                and not batch_size  # conditional GET is a per-key exchange
             )
-            cache_hits_acc.add(len(distinct) - len(to_fetch))
+            for kt in distinct:
+                if cache is None:
+                    to_fetch.append(kt)
+                    continue
+                if revalidating:
+                    value, state = cache.probe(kt)
+                    if state == "fresh":
+                        distinct[kt] = value
+                        continue
+                    etag = _etag_of(value) if state == "stale" else None
+                    if etag:
+                        to_revalidate.append((kt, etag, value))
+                    else:
+                        to_fetch.append(kt)
+                else:
+                    cached = cache.get(kt)
+                    if cached is not None:
+                        distinct[kt] = cached
+                    else:
+                        to_fetch.append(kt)
+
+            calls_acc.add(
+                (-(-len(to_fetch) // batch_size) if (batch_size and to_fetch)
+                 else len(to_fetch)) + len(to_revalidate)
+            )
+            cache_hits_acc.add(
+                len(distinct) - len(to_fetch) - len(to_revalidate)
+            )
 
             def key_values_of(kt: Tuple) -> Dict[str, Any]:
                 return {_leaf_name(lk): v for (_pc, lk), v in zip(pairs, kt)}
+
+            # --- conditional refresh of expired entries (If-None-Match) -------
+            for kt, etag, prev in to_revalidate:
+                result = client.pull_conditional(
+                    key_values_of(kt), etag, prev
+                )
+                distinct[kt] = result
+                if result.completion_state in (HttpCompletionState.SUCCESS,):
+                    if result.rows or cache.config.cache_missing_key:
+                        cache.put(kt, result)  # 304 → same body, fresh TTL
 
             if to_fetch and batch_size:
                 # multi-key batch mode: N distinct keys per request; chunks

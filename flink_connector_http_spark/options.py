@@ -70,6 +70,8 @@ LOOKUP_OPTION_KEYS = {
     "cache_expire_after_write": "lookup.partial-cache.expire-after-write",
     "cache_expire_after_access": "lookup.partial-cache.expire-after-access",
     "cache_missing_key": "lookup.partial-cache.cache-missing-key",
+    # beyond-reference: ETag revalidation of expired entries
+    "cache_revalidate": "lookup.partial-cache.revalidate",
     # beyond-reference scale knob (SURVEY §7): per-task client-side rate
     # limiting — the reference fires as fast as its pools allow, which at
     # 1000 executors DDoSes the endpoint. Keys follow the reference's
@@ -350,6 +352,8 @@ def lookup_options_from_map(options: Mapping[str, str]) -> HttpLookupOptions:
             cache_kwargs["expire_after_access"] = float(options[k["cache_expire_after_access"]])
         if k["cache_missing_key"] in options:
             cache_kwargs["cache_missing_key"] = _as_bool(options[k["cache_missing_key"]])
+        if k["cache_revalidate"] in options:
+            cache_kwargs["revalidate"] = _as_bool(options[k["cache_revalidate"]])
         kwargs["cache"] = LookupCacheConfig(**cache_kwargs)  # type: ignore[arg-type]
     return HttpLookupOptions(**kwargs)  # type: ignore[arg-type]
 

@@ -706,3 +706,115 @@ def test_publish_multi_rechecks_abandoned_event_before_side_effects():
     out = client.publish_multi(exchange, [{"id": 1}], ["id"])
     assert len(out) == 1 and out[0].rows
     assert calls == ["fired"]
+
+
+def test_cache_revalidates_with_etag(spark, stub_server):
+    """Expired cache entries with an ETag refresh via If-None-Match: the
+    endpoint answers 304 (no body) and the cached rows are served with a
+    fresh TTL — one full download total."""
+    calls = {"full": 0, "cond": 0}
+
+    def responder(request):
+        if request.headers.get("If-None-Match") == '"v1"':
+            calls["cond"] += 1
+            return StubResponse(status=304, headers={"ETag": '"v1"'})
+        calls["full"] += 1
+        return StubResponse(
+            status=200,
+            body=json.dumps(CUSTOMERS[1]).encode(),
+            headers={"Content-Type": "application/json", "ETag": '"v1"'},
+        )
+
+    stub_server.stub("/customers", responder)
+    table = HttpLookupTable(
+        url=stub_server.url("/customers"), schema=CUSTOMER_SCHEMA,
+        options=HttpLookupOptions(cache=LookupCacheConfig(
+            # expire_after_write=0 -> every entry is stale on the next
+            # probe, so the revalidation path fires deterministically
+            # (no sleeps, no timing dependence)
+            max_rows=100, expire_after_write=0.0, revalidate=True,
+        )),
+    )
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        df = orders_df(spark, ids=(1, 1, 1, 1)).coalesce(1)
+        out = http_lookup_join(df, table, on={"cust_id": "id"}).collect()
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    assert len(out) == 4
+    assert all(r.name == "alice" for r in out)
+    assert calls["full"] == 1          # exactly one body download
+    assert calls["cond"] == 3          # every later probe revalidated
+
+
+def test_cache_revalidation_replaces_changed_entry(spark, stub_server):
+    """A changed resource (etag mismatch -> 200 with a new body) replaces
+    the cached rows instead of resurrecting the stale ones."""
+    # the resource version LIVE at each successive request: v1, then the
+    # edit lands before the second probe, then stable
+    resources = [('"v1"', "alice"), ('"v2"', "alice-renamed"),
+                 ('"v2"', "alice-renamed")]
+    state = {"i": 0}
+
+    def responder(request):
+        etag, name = resources[min(state["i"], len(resources) - 1)]
+        state["i"] += 1
+        if request.headers.get("If-None-Match") == etag:
+            return StubResponse(status=304, headers={"ETag": etag})
+        return StubResponse(
+            status=200,
+            body=json.dumps({"id": 1, "name": name, "balance": 1.0}).encode(),
+            headers={"Content-Type": "application/json", "ETag": etag},
+        )
+
+    stub_server.stub("/customers", responder)
+    table = HttpLookupTable(
+        url=stub_server.url("/customers"), schema=CUSTOMER_SCHEMA,
+        options=HttpLookupOptions(cache=LookupCacheConfig(
+            max_rows=100, expire_after_write=0.0, revalidate=True,
+        )),
+    )
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        df = orders_df(spark, ids=(1, 1, 1)).coalesce(1)
+        out = http_lookup_join(df, table, on={"cust_id": "id"}).collect()
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    names = sorted(r.name for r in out)
+    # first probe downloads v1; second probe's conditional GET gets the
+    # CHANGED resource (200 v2) and replaces the entry; third revalidates
+    # v2 with a 304
+    assert names == ["alice", "alice-renamed", "alice-renamed"]
+
+
+def test_cache_probe_states_and_option_key():
+    """probe() keeps expired entries for revalidation; the DDL option key
+    maps into LookupCacheConfig.revalidate."""
+    from flink_connector_http_spark.cache import LruTtlCache
+    from flink_connector_http_spark.options import lookup_options_from_map
+
+    now = [0.0]
+    cache = LruTtlCache(
+        LookupCacheConfig(max_rows=10, expire_after_write=5.0,
+                          revalidate=True),
+        clock=lambda: now[0],
+    )
+    assert cache.probe("k") == (None, "absent")
+    cache.put("k", "v")
+    assert cache.probe("k") == ("v", "fresh")
+    now[0] = 6.0
+    value, state = cache.probe("k")
+    assert (value, state) == ("v", "stale")
+    # the stale entry is retained (get() would have deleted it)
+    assert cache.probe("k") == ("v", "stale")
+    cache.put("k", "v2")  # refresh after revalidation
+    assert cache.probe("k") == ("v2", "fresh")
+
+    opts = lookup_options_from_map({
+        "url": "http://x/",
+        "lookup.cache": "PARTIAL",
+        "lookup.partial-cache.expire-after-write": "30",
+        "lookup.partial-cache.revalidate": "true",
+    })
+    assert opts.cache.revalidate is True
+    assert opts.cache.expire_after_write == 30.0

@@ -459,6 +459,7 @@ class TestOptionKeyCompleteness:
         "retry_max_backoff",
         "cache_max_rows", "cache_expire_after_write",
         "cache_expire_after_access", "cache_missing_key",
+        "cache_revalidate",
     }
     SINK_KEY_ONLY = {"url", "header_prefix"}
 
