@@ -6130,3 +6130,87 @@ def q_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("between_term"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# per-nation Gini coefficient (group-local inequality, partitioned ranks)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_gini_by_nation",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_nationkey AS nationkey, o.o_custkey AS custkey,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100)
+                  AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT nationkey, cents,
+             ROW_NUMBER() OVER (PARTITION BY nationkey
+                                ORDER BY cents, custkey) AS rk
+      FROM spend
+    ),
+    agg AS (
+      SELECT nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(cents) AS BIGINT) AS total_cents,
+             CAST(SUM(rk * cents) AS BIGINT) AS weighted_cents
+      FROM ranked GROUP BY nationkey
+    )
+    SELECT nationkey, n_customers, total_cents,
+           round((2.0 * weighted_cents)
+                 / (CAST(n_customers AS DOUBLE) * total_cents)
+                 - (CAST(n_customers + 1 AS DOUBLE) / n_customers), 6)
+             AS gini
+    FROM agg
+    """,
+    doc="Per-nation Gini coefficient of customer spend — the group-local "
+        "counterpart to the corpus-wide q_spend_gini and the "
+        "within-nation companion to q_theil_decomposition (Theil says "
+        "how much inequality lives inside each market, Gini says how "
+        "concentrated each market's own distribution is; the two "
+        "disagree exactly when a market has a thick middle and extreme "
+        "tails). Ranks come from a window PARTITIONED BY nation — "
+        "group-local sorts that parallelize across nations, never a "
+        "global single-partition funnel — and the weighted sum "
+        "sum(rank * cents) is exact BIGINT, so the only float math is "
+        "the closed-form G = 2*W/(n*T) - (n+1)/n per 25-row output. "
+        "2.0 is binary-exact; ties break on custkey for deterministic "
+        "ranks.",
+)
+def q_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "orders", "customer")
+    spend = (
+        t["orders"].join(
+            t["customer"],
+            t["orders"]["o_custkey"] == t["customer"]["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("o_custkey").alias("custkey"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100)"
+                " AS BIGINT)"
+            ).alias("cents")
+        )
+    )
+    w = Window.partitionBy("nationkey").orderBy("cents", "custkey")
+    ranked = spend.select(
+        "nationkey", "cents", F.row_number().over(w).alias("rk")
+    )
+    agg = ranked.groupBy("nationkey").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_customers"),
+        F.expr("CAST(SUM(cents) AS BIGINT)").alias("total_cents"),
+        F.expr("CAST(SUM(rk * cents) AS BIGINT)").alias("weighted_cents"),
+    )
+    return agg.select(
+        "nationkey", "n_customers", "total_cents",
+        F.expr(
+            "round((2.0 * weighted_cents)"
+            " / (CAST(n_customers AS DOUBLE) * total_cents)"
+            " - (CAST(n_customers + 1 AS DOUBLE) / n_customers), 6)"
+        ).alias("gini"),
+    )
