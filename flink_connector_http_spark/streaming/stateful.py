@@ -1331,3 +1331,151 @@ def stream_logbin_quantiles(spark, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination(300)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# streaming distribution-drift monitor (first batch = baseline histogram)
+# ---------------------------------------------------------------------------
+
+#: fixed value-bucket edges: <50, <150, <300, rest — the bucket count (not
+#: the stream) bounds the state, and fixed edges keep every micro-batch's
+#: histogram comparable to the baseline
+DRIFT_EDGES = (50.0, 150.0, 300.0)
+
+_DRIFT_STATE_SCHEMA = T.StructType([
+    T.StructField("baseline", T.ArrayType(T.LongType())),
+    T.StructField("batch_seq", T.LongType()),
+])
+
+
+def value_drift_stream(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-key streaming drift monitor: the FIRST micro-batch's value
+    histogram becomes the key's baseline; every batch (including the
+    first) emits its own histogram plus the total-variation distance to
+    the baseline — the ingest tripwire (``pipeline_distribution_drift``)
+    as a continuously-running stateful operator.
+
+    State per key is the frozen baseline histogram and a batch counter:
+    O(keys · buckets) bigints, bounded by the bucket count, never by
+    stream length. TVD is computed fresh per emission from exact integer
+    counts (one float expression per row), so emissions are deterministic
+    given batch boundaries.
+    """
+    nb = len(DRIFT_EDGES) + 1
+    out_schema = T.StructType(
+        [df.schema[c] for c in key_cols]
+        + [T.StructField("batch_seq", T.LongType()),
+           T.StructField("n_events", T.LongType())]
+        + [T.StructField(f"b{i}", T.LongType()) for i in range(nb)]
+        + [T.StructField("tvd_vs_baseline", T.DoubleType())]
+    )
+    names = list(key_cols)
+
+    def bucket_of(v: float) -> int:
+        for i, edge in enumerate(DRIFT_EDGES):
+            if v < edge:
+                return i
+        return nb - 1
+
+    def fn(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if not parts:
+            return
+        counts = [0] * nb
+        for pdf in parts:
+            for v in pdf[value_col]:
+                counts[bucket_of(float(v))] += 1
+        if state.exists:
+            baseline, seq = state.get
+            baseline = [int(b) for b in baseline]
+            seq = int(seq) + 1
+        else:
+            baseline = list(counts)
+            seq = 1
+        state.update((baseline, seq))
+        n_base = sum(baseline)
+        n_cur = sum(counts)
+        tvd = 0.5 * sum(
+            abs(c / n_cur - b / n_base)
+            for c, b in zip(counts, baseline)
+        )
+        yield pd.DataFrame(
+            [tuple(key) + (seq, n_cur, *counts, round(tvd, 6))],
+            columns=names + ["batch_seq", "n_events"]
+            + [f"b{i}" for i in range(nb)] + ["tvd_vs_baseline"],
+        )
+
+    return df.groupBy(*names).applyInPandasWithState(
+        fn, out_schema, _DRIFT_STATE_SCHEMA, "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "stream_value_drift",
+    # availableNow over one parquet file = one micro-batch → every event
+    # type's first batch IS its baseline, so tvd = 0.0 and the histogram
+    # equals the relational GROUP BY. Multi-batch baseline freezing and
+    # nonzero drift are pinned by tests/test_streaming_stateful_drift.py.
+    oracle=f"""
+    SELECT event_type,
+           CAST(1 AS BIGINT) AS batch_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN CAST(value AS DOUBLE) < {DRIFT_EDGES[0]}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+           CAST(SUM(CASE WHEN CAST(value AS DOUBLE) >= {DRIFT_EDGES[0]}
+                          AND CAST(value AS DOUBLE) < {DRIFT_EDGES[1]}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+           CAST(SUM(CASE WHEN CAST(value AS DOUBLE) >= {DRIFT_EDGES[1]}
+                          AND CAST(value AS DOUBLE) < {DRIFT_EDGES[2]}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+           CAST(SUM(CASE WHEN CAST(value AS DOUBLE) >= {DRIFT_EDGES[2]}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+           CAST(0.0 AS DOUBLE) AS tvd_vs_baseline
+    FROM events GROUP BY event_type
+    """,
+    doc="Streaming distribution-drift monitor: per event type, the first "
+        "micro-batch's value histogram freezes as the baseline and every "
+        "batch emits its histogram + total-variation distance against "
+        "it — pipeline_distribution_drift's tripwire running "
+        "continuously instead of per snapshot. State is O(types x 4 "
+        "buckets), bounded by the fixed bucket edges.",
+)
+def stream_value_drift(spark, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    name = f"stream_drift_{uuid.uuid4().hex[:8]}"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    in_dir = tempfile.mkdtemp(prefix="stream_drift_in_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(in_dir, "events.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(in_dir)
+        .select("event_type", "value")
+    )
+    query = (
+        value_drift_stream(stream, ["event_type"], "value")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="stream_drift_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table(name)
