@@ -23,11 +23,28 @@ def spark():
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # ~1200 tests share this one JVM; the 1g default heap fills with
+        # broadcast blocks / persisted graph intermediates late in the
+        # run (OutOfMemoryError at ~80% in round 8's full pass)
+        .config("spark.driver.memory", "6g")
         .getOrCreate()
     )
     session.sparkContext.setLogLevel("WARN")
     yield session
     session.stop()
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_spark_cache():
+    """Drop cached/persisted DataFrames between test modules — the graph
+    operators persist() intermediates that otherwise accumulate across
+    the whole session-scoped JVM."""
+    yield
+    from pyspark.sql import SparkSession
+
+    session = SparkSession.getActiveSession()
+    if session is not None:
+        session.catalog.clearCache()
 
 
 @pytest.fixture()

@@ -57,31 +57,42 @@ def test_every_query_has_an_oracle_or_documented_exception():
     assert not missing, f"queries without a DuckDB oracle: {missing}"
 
 
-def test_brand_new_queries_lead_the_rotating_slots():
-    """Operators added during the current round (absent from
-    tools/registry_manifest.json) must occupy the FIRST rotating slots —
-    they are the only queries with zero prior scrutiny, and round 4
-    shipped two broken late additions precisely because they queued
-    behind the older backlog."""
+def test_backlog_drains_before_brand_new_queries():
+    """The old never-driver-checked backlog must occupy the FIRST
+    rotating slots so every pre-round query earns a driver oracle row
+    (the round-7 verdict's 'drain the final 18' requirement); this
+    round's additions fill the remaining slots. Round 4's broken late
+    additions — the reason brand-new once led — are covered since round
+    5 by the full-registry replica gate with the driver-faithful
+    canonicalizer, which every addition passes before commit."""
     names = list(entry.queries())
     prior = entry._round_start_names()
     assert prior, "registry manifest missing or empty"
     seen = entry._driver_green_names()
+    backlog = [
+        n for n in names
+        if n in prior and n not in seen and n not in entry._PINNED
+    ]
     brand_new = [
         n for n in names
         if n not in prior and n not in seen and n not in entry._PINNED
     ]
     rotating = names[PINNED:WINDOW]
-    in_window = [n for n in brand_new if n in rotating]
-    expected = min(len(brand_new), WINDOW - PINNED)
-    assert len(in_window) == expected, (
-        f"brand-new queries missing from the window: "
-        f"{sorted(set(brand_new) - set(in_window))}"
+    # every backlog query fits in the window (or the window is all backlog)
+    expected_backlog = min(len(backlog), WINDOW - PINNED)
+    assert len([n for n in backlog if n in rotating]) == expected_backlog, (
+        f"backlog queries missing from the window: "
+        f"{sorted(set(backlog[:expected_backlog]) - set(rotating))}"
     )
-    # and they come before the older never-checked backlog
-    if brand_new:
-        first_old = next(
-            (i for i, n in enumerate(rotating)
-             if n in prior and n not in seen), len(rotating)
+    # backlog strictly precedes brand-new in the rotation
+    if backlog and brand_new:
+        last_backlog = max(
+            rotating.index(n) for n in backlog if n in rotating
         )
-        assert all(rotating.index(n) < first_old for n in in_window)
+        firsts = [rotating.index(n) for n in brand_new if n in rotating]
+        assert all(i > last_backlog for i in firsts)
+    # and the remaining slots are filled by brand-new additions
+    remaining = WINDOW - PINNED - expected_backlog
+    assert len([n for n in brand_new if n in rotating]) == min(
+        len(brand_new), remaining
+    )
