@@ -6214,3 +6214,68 @@ def q_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - (CAST(n_customers + 1 AS DOUBLE) / n_customers), 6)"
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# repeated-event audit (same user, same type, same day — replay detector)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_event_replay_audit",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, CAST(ts AS DATE) AS event_date,
+             CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT user_id, event_type, event_date,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT cents) AS BIGINT) AS n_distinct_values,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents,
+           CASE WHEN COUNT(DISTINCT cents) < COUNT(*) THEN 1 ELSE 0 END
+             AS exact_replay_flag
+    FROM e
+    GROUP BY 1, 2, 3
+    HAVING COUNT(*) >= 2
+    """,
+    doc="Repeated-event audit: the same user firing the same event type "
+        "more than once on one day — the replay / double-submit / "
+        "at-least-once-duplicate detector run before any event stream is "
+        "trusted for billing or training labels. Values compare as exact "
+        "DECIMAL cents (float equality would silently split groups); "
+        "exact_replay_flag = 1 marks groups where two events carry the "
+        "IDENTICAL amount (likely a transport replay — what "
+        "stream_dedup_events_watermark would have suppressed), flag = 0 "
+        "marks organic same-day repeats with different values. One "
+        "map-side-combinable aggregate on the (user, type, day) key — "
+        "the group key is the audit predicate, so no self-join and no "
+        "pair explosion at any scale; HAVING prunes to the anomalies.",
+)
+def q_event_replay_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    e = ev.select(
+        "user_id", "event_type",
+        F.expr("CAST(ts AS DATE)").alias("event_date"),
+        F.expr(
+            "CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    return (
+        e.groupBy("user_id", "event_type", "event_date")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_events"),
+            F.expr("CAST(COUNT(DISTINCT cents) AS BIGINT)").alias(
+                "n_distinct_values"),
+            F.expr("CAST(MIN(cents) AS BIGINT)").alias("min_cents"),
+            F.expr("CAST(MAX(cents) AS BIGINT)").alias("max_cents"),
+        )
+        .filter(F.col("n_events") >= 2)
+        .select(
+            "user_id", "event_type", "event_date", "n_events",
+            "n_distinct_values", "min_cents", "max_cents",
+            F.expr(
+                "CASE WHEN n_distinct_values < n_events THEN 1 ELSE 0 END"
+            ).alias("exact_replay_flag"),
+        )
+    )
