@@ -4710,3 +4710,81 @@ def emb_centroid_distance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (CAST(n_a AS DOUBLE) * n_b), 6)"
         ).alias("dist_centroid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# two-NN intrinsic-dimension estimate (Facco et al. MLE over the kNN graph)
+# ---------------------------------------------------------------------------
+
+@register(
+    "emb_intrinsic_dimension",
+    oracle=f"""
+    WITH knn AS (
+      {_KNN_GRAPH_ORACLE}
+    ),
+    two_nn AS (
+      SELECT src_id,
+             MAX(CASE WHEN rk = 1 THEN cosine END) AS c1,
+             MAX(CASE WHEN rk = 2 THEN cosine END) AS c2
+      FROM knn WHERE rk <= 2 GROUP BY src_id
+    ),
+    terms AS (
+      SELECT src_id,
+             CASE WHEN c2 IS NOT NULL AND c1 < 1 THEN
+               CAST(round(ln((1 - c2) / (1 - c1)), 9) AS DECIMAL(20,9))
+             END AS t
+      FROM two_nn
+    ),
+    agg AS (
+      SELECT CAST(COUNT(t) AS BIGINT) AS n_used,
+             CAST(COUNT(*) - COUNT(t) AS BIGINT) AS n_excluded,
+             CAST(SUM(t) AS DOUBLE) AS sum_log_ratio
+      FROM terms
+    )
+    SELECT n_used, n_excluded,
+           round(sum_log_ratio, 6) AS sum_log_ratio,
+           CASE WHEN sum_log_ratio > 0 THEN
+             round(n_used / sum_log_ratio, 4)
+           END AS id_mle
+    FROM agg
+    """,
+    doc="Two-NN intrinsic-dimension estimate (Facco et al. 2017 MLE: "
+        "ID = n / Σ ln(d2/d1) over each point's two nearest neighbors) "
+        "on cosine distance from the approximate kNN graph — the "
+        "manifold-dimension diagnostic behind embedding-capacity and "
+        "truncation decisions (an ID far below the ambient 64 dims says "
+        "aggressive PQ/truncation is safe; emb_truncation_recall_eval "
+        "then verifies it empirically). Distances derive from the "
+        "graph's 6dp-rounded cosines (hash-stable inputs), each node's "
+        "log-ratio is one double expression rounded at 9dp then "
+        "DECIMAL-summed (the JSD discipline), and nodes with a "
+        "duplicate nearest neighbor (d1 = 0) or a single neighbor are "
+        "excluded and counted. No new shuffles beyond the kNN graph's "
+        "own plan plus one src_id aggregation.",
+)
+def emb_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    knn = emb_knn_graph(spark, sf_dir)
+    two_nn = knn.filter(F.col("rk") <= 2).groupBy("src_id").agg(
+        F.expr("MAX(CASE WHEN rk = 1 THEN cosine END)").alias("c1"),
+        F.expr("MAX(CASE WHEN rk = 2 THEN cosine END)").alias("c2"),
+    )
+    terms = two_nn.select(
+        F.expr(
+            "CASE WHEN c2 IS NOT NULL AND c1 < 1 THEN"
+            " CAST(round(ln((1 - c2) / (1 - c1)), 9) AS DECIMAL(20,9))"
+            " END"
+        ).alias("t")
+    )
+    agg = terms.agg(
+        F.expr("CAST(COUNT(t) AS BIGINT)").alias("n_used"),
+        F.expr("CAST(COUNT(*) - COUNT(t) AS BIGINT)").alias("n_excluded"),
+        F.expr("CAST(SUM(t) AS DOUBLE)").alias("sum_log_ratio"),
+    )
+    return agg.select(
+        "n_used", "n_excluded",
+        F.expr("round(sum_log_ratio, 6)").alias("sum_log_ratio"),
+        F.expr(
+            "CASE WHEN sum_log_ratio > 0 THEN"
+            " round(n_used / sum_log_ratio, 4) END"
+        ).alias("id_mle"),
+    )
