@@ -2514,3 +2514,111 @@ def sample_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "THEN 'train' ELSE 'eval' END"
         ).alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# keeper-policy eval: what keep-lowest-id costs vs keep-best-quality
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_keeper_policy_eval",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      {_JACCARD_ORACLE}
+    ),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION ALL
+      SELECT b_id AS src, a_id AS dst FROM pairs
+    ),
+    walk(doc_id, reach) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, w.reach FROM edges e JOIN walk w ON w.doc_id = e.dst
+    ),
+    clusters AS (
+      SELECT doc_id, CAST(MIN(reach) AS BIGINT) AS cluster_id
+      FROM walk GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT c.cluster_id, c.doc_id, {_UNIQ_RATIO_DUCK} AS uniq_ratio,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY {_UNIQ_RATIO_DUCK} DESC, c.doc_id)
+               AS rk_best,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY c.doc_id) AS rk_id
+      FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    per AS (
+      SELECT cluster_id,
+             MAX(CASE WHEN rk_best = 1 THEN doc_id END) AS best_doc,
+             MAX(CASE WHEN rk_best = 1 THEN uniq_ratio END) AS best_ratio,
+             MAX(CASE WHEN rk_id = 1 THEN doc_id END) AS minid_doc,
+             MAX(CASE WHEN rk_id = 1 THEN uniq_ratio END) AS minid_ratio
+      FROM ranked GROUP BY cluster_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(CASE WHEN best_doc = minid_doc THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_agree,
+           round(CAST(SUM(CASE WHEN best_doc = minid_doc THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS agree_rate,
+           round(CAST(SUM(CAST(round(best_ratio - minid_ratio, 9)
+                               AS DECIMAL(20,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_quality_delta
+    FROM per
+    """,
+    doc="Keeper-policy evaluation: for every near-dup cluster, compare "
+        "the document the CHEAP policy keeps (lowest doc_id — what "
+        "kill-list pipelines default to because it needs no quality "
+        "join) against the keep-best-quality choice (dedup_keep_best), "
+        "and report the agreement rate plus the mean lexical-diversity "
+        "quality forfeited — the measurement that decides whether the "
+        "quality join is worth adding to a 100 TB dedup campaign. "
+        "Per-cluster deltas are differences of two per-row-deterministic "
+        "ratios, rounded at 9dp and DECIMAL-summed; both rankings run "
+        "in cluster-partitioned windows over the clustered (semi-join-"
+        "sized) fraction of the corpus only.",
+)
+def dedup_keeper_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    clusters = dedup_clusters(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")["documents"]
+    quality = docs.select(
+        "doc_id", F.expr(_UNIQ_RATIO_SPARK).alias("uniq_ratio")
+    )
+    joined = clusters.join(quality, "doc_id")
+    w_best = Window.partitionBy("cluster_id").orderBy(
+        F.desc("uniq_ratio"), F.asc("doc_id")
+    )
+    w_id = Window.partitionBy("cluster_id").orderBy(F.asc("doc_id"))
+    ranked = joined.select(
+        "cluster_id", "doc_id", "uniq_ratio",
+        F.row_number().over(w_best).alias("rk_best"),
+        F.row_number().over(w_id).alias("rk_id"),
+    )
+    per = ranked.groupBy("cluster_id").agg(
+        F.expr("MAX(CASE WHEN rk_best = 1 THEN doc_id END)").alias(
+            "best_doc"),
+        F.expr("MAX(CASE WHEN rk_best = 1 THEN uniq_ratio END)").alias(
+            "best_ratio"),
+        F.expr("MAX(CASE WHEN rk_id = 1 THEN doc_id END)").alias(
+            "minid_doc"),
+        F.expr("MAX(CASE WHEN rk_id = 1 THEN uniq_ratio END)").alias(
+            "minid_ratio"),
+    )
+    return per.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_clusters"),
+        F.expr(
+            "CAST(SUM(CASE WHEN best_doc = minid_doc THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("n_agree"),
+        F.expr(
+            "round(CAST(SUM(CASE WHEN best_doc = minid_doc THEN 1 ELSE 0 "
+            "END) AS DOUBLE) / COUNT(*), 6)"
+        ).alias("agree_rate"),
+        F.expr(
+            "round(CAST(SUM(CAST(round(best_ratio - minid_ratio, 9)"
+            " AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*), 6)"
+        ).alias("mean_quality_delta"),
+    )
