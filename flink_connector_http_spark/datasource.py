@@ -224,6 +224,12 @@ class HttpBatchReader(DataSourceReader):
         self.pages_per_partition = max(
             1, int(options.get("pages_per_partition", "1"))
         )
+        # auto-parallelization from a server-published total (e.g.
+        # 'X-Total-Count'): when `pages` is not given, the planner probes
+        # page 0 once, derives pages = ceil(total / page_size), and fans
+        # the read out across partitions instead of walking pages
+        # sequentially in ONE task. Off by default (probe-until-empty).
+        self.total_count_header = options.get("total_count_header")
         self.timeout = float(options.get("timeout", "30"))
         # per-partition request rate cap (SURVEY §7 scale addition);
         # the TokenBucket itself is built inside read() — it holds a
@@ -268,13 +274,66 @@ class HttpBatchReader(DataSourceReader):
     def partitions(self) -> Sequence[InputPartition]:
         if self.cursor_path or self.cursor_header:
             return [_CursorChain()]
-        if self.pages is None:
+        pages = self.pages
+        if pages is None and self.total_count_header:
+            pages = self._plan_pages_from_total()
+        if pages is None:
             # unpaged: one partition walking pages until an empty response
             return [_PageRange(0, -1)]
+        if pages == 0:
+            # a planned-empty read: Spark rejects an empty partition list,
+            # so emit one empty range (start == end fetches nothing)
+            return [_PageRange(0, 0)]
         return [
-            _PageRange(lo, min(lo + self.pages_per_partition, self.pages))
-            for lo in range(0, self.pages, self.pages_per_partition)
+            _PageRange(lo, min(lo + self.pages_per_partition, pages))
+            for lo in range(0, pages, self.pages_per_partition)
         ]
+
+    def _plan_pages_from_total(self) -> Optional[int]:
+        """Driver-side planning probe: fetch page 0, read the configured
+        total-count header, and derive the page count from the first
+        page's record count. Returns None (→ sequential probing walk) on
+        any miss — absent/unparsable header, non-200, or an empty first
+        page. Costs one duplicate fetch of page 0 (the planner's copy is
+        discarded; partition 0 re-reads it), which buys a fan-out of the
+        remaining N-1 pages across the cluster."""
+        from urllib.parse import urlencode
+
+        from .client import HttpTransport
+        from .request import HttpRequestSpec
+
+        try:
+            transport = HttpTransport(
+                timeout=self.timeout, **_transport_kwargs(self.options)
+            )
+            headers = _auth_headers_factory(self.options)
+            params = {self.page_param: 0, **self.pushed_params}
+            sep = "&" if "?" in self.url else "?"
+            resp = transport.send(HttpRequestSpec(
+                method="GET", url=f"{self.url}{sep}{urlencode(params)}",
+                headers=headers(), body=None,
+            ))
+            if resp.status != 200:
+                return None
+            total = None
+            want = self.total_count_header.lower()
+            for name, value in resp.headers:
+                if name.lower() == want:
+                    total = int(value)
+                    break
+            if total is None or total < 0:
+                return None
+            if total == 0:
+                return 0
+            records = self.decoder(resp.body)
+            if isinstance(records, dict):
+                records = [records]
+            page_size = len(records)
+            if page_size <= 0:
+                return None
+            return -(-total // page_size)
+        except Exception:  # noqa: BLE001 — planning is best-effort
+            return None
 
     def _fetch_page(
         self, transport, decoder, headers, page: int, limiter=None

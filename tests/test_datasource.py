@@ -630,3 +630,77 @@ def test_stream_reader_revalidates_head_page_with_etag(stub):
     state["etag"] = '"v2"'
     rows3, _ = reader.read({"page": 0})
     assert [r[0] for r in rows3] == [2]
+
+
+# ---------------------------------------------------------------------------
+# total-count-header partition planning
+# ---------------------------------------------------------------------------
+
+
+def _counted_responder(pages, total):
+    def respond(req):
+        page = int(req.query.get("page", ["0"])[0])
+        body = pages[page] if page < len(pages) else []
+        resp = json_response(body)
+        resp.headers["X-Total-Count"] = str(total)
+        return resp
+
+    return respond
+
+
+def test_total_count_header_plans_parallel_partitions(spark, stub):
+    """Without `pages`, a configured total-count header turns the
+    sequential probe-until-empty walk into parallel page partitions:
+    ceil(25/10) = 3 partitions, every record read exactly once."""
+    pages = [
+        [{"id": p * 10 + j, "name": f"n{p}-{j}", "score": float(j)}
+         for j in range(10 if p < 2 else 5)]
+        for p in range(3)
+    ]
+    stub.stub("/items", _counted_responder(pages, total=25))
+    df = (
+        spark.read.format("http")
+        .schema(SCHEMA)
+        .option("url", stub.url("/items"))
+        .option("total_count_header", "X-Total-Count")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3
+    rows = sorted((r.id, r.name) for r in df.collect())
+    want = sorted((p["id"], p["name"]) for page in pages for p in page)
+    assert rows == want
+    # planner probe of page 0 + the three partition fetches
+    recorded = stub.recorded("/items")
+    assert len(recorded) == 4
+
+
+def test_total_count_header_missing_falls_back_to_walk(spark, stub):
+    """An endpoint that never sends the header degrades to the sequential
+    probing walk — same rows, one partition."""
+    pages = [[{"id": 1, "name": "a", "score": 0.5}],
+             [{"id": 2, "name": "b", "score": 1.5}]]
+    stub.stub("/items", _paged_responder(pages))
+    df = (
+        spark.read.format("http")
+        .schema(SCHEMA)
+        .option("url", stub.url("/items"))
+        .option("total_count_header", "X-Total-Count")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 1
+    assert sorted(r.id for r in df.collect()) == [1, 2]
+
+
+def test_total_count_zero_reads_nothing(spark, stub):
+    """total = 0 plans zero page partitions (an empty DataFrame, no
+    worker fetches at all — only the planning probe hits the wire)."""
+    stub.stub("/items", _counted_responder([[]], total=0))
+    df = (
+        spark.read.format("http")
+        .schema(SCHEMA)
+        .option("url", stub.url("/items"))
+        .option("total_count_header", "X-Total-Count")
+        .load()
+    )
+    assert df.count() == 0
+    assert len(stub.recorded("/items")) == 1
