@@ -232,3 +232,39 @@ def test_theil_decomposition_identity(spark):
     assert sum(r["between_term"] for r in rows) >= -1e-9
     # per-nation member counts cover every spending customer exactly once
     assert sum(r["n_customers"] for r in rows) == n
+
+
+def test_intrinsic_dimension_matches_naive_fold(spark):
+    """The DECIMAL-summed MLE must equal a Python float fold over the
+    same kNN graph rows (independent aggregation path), and the estimate
+    must land strictly inside (0, ambient_dim]."""
+    import math
+
+    from flink_connector_http_spark.operators.similarity import (
+        emb_intrinsic_dimension,
+        emb_knn_graph,
+    )
+
+    got = emb_intrinsic_dimension(spark, SF).collect()[0]
+
+    two = {}
+    for r in emb_knn_graph(spark, SF).filter("rk <= 2").collect():
+        two.setdefault(r["src_id"], {})[r["rk"]] = r["cosine"]
+    used = 0
+    total = 0  # exact integer sum of the 9dp-scaled terms
+    excluded = 0
+    for src, byrk in two.items():
+        c1, c2 = byrk.get(1), byrk.get(2)
+        if c2 is None or c1 is None or c1 >= 1:
+            excluded += 1
+            continue
+        used += 1
+        total += round(math.log((1 - c2) / (1 - c1)) * 10**9)
+    sum_log = total / 10**9
+
+    assert got["n_used"] == used
+    assert got["n_excluded"] == excluded
+    assert got["sum_log_ratio"] == round(sum_log, 6)
+    assert got["id_mle"] == round(used / sum_log, 4)
+    # sanity: a real corpus lives strictly inside the ambient 64 dims
+    assert 0 < got["id_mle"] <= 64
