@@ -4788,3 +4788,146 @@ def emb_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
             " round(n_used / sum_log_ratio, 4) END"
         ).alias("id_mle"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-modal diagnostic: text quality vs embedding centrality correlation
+# ---------------------------------------------------------------------------
+
+@register(
+    "emb_quality_centrality_corr",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, {_QVEC_DUCK} AS qvec FROM embeddings
+    ),
+    pos AS (
+      SELECT qvec, unnest(range(1, len(qvec) + 1)) AS dim FROM q
+    ),
+    per_dim AS (
+      SELECT dim, CAST(SUM(qvec[dim]) AS BIGINT) AS sd
+      FROM pos GROUP BY dim
+    ),
+    cent AS (
+      SELECT list(sd ORDER BY dim) AS cvec,
+             CAST(SUM(sd * sd) AS BIGINT) AS c_norm_sq
+      FROM per_dim
+    ),
+    joined AS (
+      SELECT round(CAST(len(list_distinct(string_split(d.text, ' ')))
+                        AS DOUBLE)
+                   / len(string_split(d.text, ' ')), 6) AS qd,
+             round(
+               CAST(list_sum(list_transform(range(1, len(e.qvec) + 1),
+                     i -> e.qvec[i] * c.cvec[i])) AS DOUBLE)
+               / (sqrt(CAST(list_sum(list_transform(e.qvec,
+                        x -> CAST(x AS BIGINT) * x)) AS DOUBLE))
+                  * sqrt(CAST(c.c_norm_sq AS DOUBLE))), 6) AS wd
+      FROM documents d
+      JOIN q e ON e.vec_id = d.doc_id
+      CROSS JOIN cent c
+      WHERE list_sum(list_transform(e.qvec,
+              x -> CAST(x AS BIGINT) * x)) > 0
+    ),
+    terms AS (
+      SELECT CAST(round(qd * wd, 9) AS DECIMAL(20,9)) AS t_xy,
+             CAST(round(qd * qd, 9) AS DECIMAL(20,9)) AS t_xx,
+             CAST(round(wd * wd, 9) AS DECIMAL(20,9)) AS t_yy,
+             CAST(qd AS DECIMAL(12,6)) AS t_x,
+             CAST(wd AS DECIMAL(12,6)) AS t_y
+      FROM joined
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(t_x) AS DOUBLE) AS sx,
+             CAST(SUM(t_y) AS DOUBLE) AS sy,
+             CAST(SUM(t_xx) AS DOUBLE) AS sxx,
+             CAST(SUM(t_yy) AS DOUBLE) AS syy,
+             CAST(SUM(t_xy) AS DOUBLE) AS sxy
+      FROM terms
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+             AS r_quality_centrality,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             AS slope_centrality_per_quality
+    FROM agg
+    """,
+    doc="Cross-modal health check: Pearson correlation (and OLS slope) "
+        "between a document's lexical-diversity quality score and its "
+        "embedding's CENTRALITY — the cosine to the global int8 centroid "
+        "direction, joined on vec_id = doc_id. A strong coupling means "
+        "the embedder folds text quality into geometry: quality-filtering "
+        "then implicitly reshapes the embedding distribution (and "
+        "centroid-based ANN/IVF partitions inherit the bias) — the "
+        "check to run before combining quality gates with semantic "
+        "dedup. Everything cross-row is exact: the centroid is the "
+        "integer dim-sum vector, each row's cosine is one double "
+        "expression over exact integers rounded at 6dp, and the Pearson "
+        "sufficient statistics are 9dp-rounded DECIMAL sums (the JSD "
+        "discipline). One (dim) shuffle for the centroid, a broadcast "
+        "of one 64-int row, and a single scan per side.",
+)
+def emb_quality_centrality_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "documents", "embeddings")
+    docs, emb = t["documents"], t["embeddings"]
+    q = emb.select("vec_id", F.expr(_QVEC_SPARK).alias("qvec"))
+    per_dim = q.select(
+        F.posexplode("qvec").alias("dim", "qv")
+    ).groupBy("dim").agg(F.expr("CAST(SUM(qv) AS BIGINT)").alias("sd"))
+    cent = per_dim.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, sd))),"
+            " s -> s.sd)"
+        ).alias("cvec"),
+        F.expr("CAST(SUM(sd * sd) AS BIGINT)").alias("c_norm_sq"),
+    )
+    joined = (
+        docs.join(q, docs["doc_id"] == q["vec_id"])
+        .crossJoin(F.broadcast(cent))
+        .filter(F.expr(
+            "aggregate(transform(qvec, x -> CAST(x AS BIGINT) * x),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v) > 0"
+        ))
+        .select(
+            F.expr(
+                "round(CAST(size(array_distinct(split(text, ' ')))"
+                " AS DOUBLE) / size(split(text, ' ')), 6)"
+            ).alias("qd"),
+            F.expr(
+                "round("
+                "CAST(aggregate(zip_with(qvec, cvec, (a, b)"
+                " -> CAST(a AS BIGINT) * b), CAST(0 AS BIGINT),"
+                " (acc, v) -> acc + v) AS DOUBLE)"
+                " / (sqrt(CAST(aggregate(transform(qvec,"
+                " x -> CAST(x AS BIGINT) * x), CAST(0 AS BIGINT),"
+                " (acc, v) -> acc + v) AS DOUBLE))"
+                " * sqrt(CAST(c_norm_sq AS DOUBLE))), 6)"
+            ).alias("wd"),
+        )
+    )
+    terms = joined.selectExpr(
+        "CAST(round(qd * wd, 9) AS DECIMAL(20,9)) AS t_xy",
+        "CAST(round(qd * qd, 9) AS DECIMAL(20,9)) AS t_xx",
+        "CAST(round(wd * wd, 9) AS DECIMAL(20,9)) AS t_yy",
+        "CAST(qd AS DECIMAL(12,6)) AS t_x",
+        "CAST(wd AS DECIMAL(12,6)) AS t_y",
+    )
+    agg = terms.agg(
+        F.expr("CAST(COUNT(*) AS DOUBLE)").alias("n"),
+        F.expr("CAST(SUM(t_x) AS DOUBLE)").alias("sx"),
+        F.expr("CAST(SUM(t_y) AS DOUBLE)").alias("sy"),
+        F.expr("CAST(SUM(t_xx) AS DOUBLE)").alias("sxx"),
+        F.expr("CAST(SUM(t_yy) AS DOUBLE)").alias("syy"),
+        F.expr("CAST(SUM(t_xy) AS DOUBLE)").alias("sxy"),
+    )
+    return agg.select(
+        F.expr("CAST(n AS BIGINT)").alias("n_rows"),
+        F.expr(
+            "round((n * sxy - sx * sy)"
+            " / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)"
+        ).alias("r_quality_centrality"),
+        F.expr(
+            "round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)"
+        ).alias("slope_centrality_per_quality"),
+    )
