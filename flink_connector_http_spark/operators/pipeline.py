@@ -1094,29 +1094,33 @@ BM25_TOP_K = 20
 #: rational idf — identical text in both engines; ln() of it would rank
 #: identically per-term but expose libm differences (same design choice
 #: as text_tfidf_topk's _IDF)
+def _bm25_term_expr(i: int, tf: str) -> str:
+    """One query term's BM25 contribution: a pure rational function of
+    exact integers (tf, df, n, dl) and avgdl (one double division of
+    exact BIGINTs) — no libm. Every non-binary-exact constant is
+    CAST(... AS DOUBLE): a bare literal like 2.2 parses as DECIMAL in
+    Spark but DOUBLE in DuckDB, and the exact-decimal intermediate
+    drifts from the double path at the rounding boundary."""
+    k1 = f"CAST({BM25_K1} AS DOUBLE)"
+    k1p1 = f"CAST({BM25_K1 + 1.0} AS DOUBLE)"
+    b = f"CAST({BM25_B} AS DOUBLE)"
+    idf = f"((CAST(n AS DOUBLE) - df{i} + 0.5) / (df{i} + 0.5))"
+    sat = (
+        f"({tf} * {k1p1}"
+        f" / ({tf} + {k1} * (1.0 - {b}"
+        f" + {b} * dl / avgdl)))"
+    )
+    return f"{idf} * {sat}"
+
+
 def _bm25_score_expr(tf_of) -> str:
-    """One fixed left-to-right chain: term1 + term2 + term3, each term a
-    pure rational function of exact integers (tf, df, n, dl) and avgdl
-    (one double division of exact BIGINTs) — no cross-row float
-    accumulation, no libm, so both engines produce bit-identical scores.
-    ``tf_of(term)`` renders the engine's tf expression for a term."""
-    parts = []
-    for i, t in enumerate(BM25_TERMS):
-        tf = tf_of(t)
-        # every non-binary-exact constant is CAST(... AS DOUBLE): a bare
-        # literal like 2.2 parses as DECIMAL in Spark but DOUBLE in
-        # DuckDB, and the exact-decimal intermediate drifts from the
-        # double path at the rounding boundary
-        k1 = f"CAST({BM25_K1} AS DOUBLE)"
-        k1p1 = f"CAST({BM25_K1 + 1.0} AS DOUBLE)"
-        b = f"CAST({BM25_B} AS DOUBLE)"
-        idf = f"((CAST(n AS DOUBLE) - df{i} + 0.5) / (df{i} + 0.5))"
-        sat = (
-            f"({tf} * {k1p1}"
-            f" / ({tf} + {k1} * (1.0 - {b}"
-            f" + {b} * dl / avgdl)))"
-        )
-        parts.append(f"{idf} * {sat}")
+    """One fixed left-to-right chain: term1 + term2 + term3 (see
+    :func:`_bm25_term_expr`) — no cross-row float accumulation, so both
+    engines produce bit-identical scores. ``tf_of(term)`` renders the
+    engine's tf expression for a term."""
+    parts = [
+        _bm25_term_expr(i, tf_of(t)) for i, t in enumerate(BM25_TERMS)
+    ]
     return "round(" + " + ".join(parts) + ", 6)"
 
 
@@ -2213,4 +2217,108 @@ def search_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"round(CAST(ap_scaled AS DOUBLE)"
             f" / (CAST({AP_SCALE} AS DOUBLE) * {QL_TOP_K}), 6)"
         ).alias("map"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-term BM25 score attribution (retrieval explainability)
+# ---------------------------------------------------------------------------
+
+CONTRIB_DOCS = 5
+
+
+def _contrib_duck_branch(i: int, term: str) -> str:
+    return f"""
+      SELECT doc_id, doc_rk, score, '{term}' AS term,
+             CAST({_tf_duck(term)} AS BIGINT) AS tf,
+             round({_bm25_term_expr(i, _tf_duck(term))}, 6) AS contribution
+      FROM top_docs"""
+
+
+@register(
+    "search_term_contribution",
+    oracle=f"""
+    WITH stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(len(string_split(lower(text), ' '))) AS DOUBLE)
+               / COUNT(*) AS avgdl,
+             {_BM25_STATS_DUCK}
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, text,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl,
+             n, avgdl,
+             {', '.join(f'df{i}' for i in range(len(BM25_TERMS)))},
+             {_bm25_score_expr(_tf_duck)} AS score
+      FROM documents CROSS JOIN stats
+    ),
+    top_docs AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS doc_rk
+      FROM (SELECT * FROM scored WHERE score > 0
+            ORDER BY score DESC, doc_id LIMIT {CONTRIB_DOCS}) t
+    ),
+    unpivoted AS (
+      {' UNION ALL '.join(_contrib_duck_branch(i, t)
+                          for i, t in enumerate(BM25_TERMS))}
+    )
+    SELECT doc_id, doc_rk, term, tf, contribution,
+           round(contribution / score, 6) AS share
+    FROM unpivoted
+    """,
+    doc=f"Per-term BM25 score attribution for the top-{CONTRIB_DOCS} "
+        "documents — the explainability view behind every relevance "
+        "debugging session (is this hit carried by one rare term's idf "
+        "or balanced across the query?), and the input to term-pruning "
+        "decisions. Each term's contribution re-evaluates exactly the "
+        "per-term rational from the scorer (shared helper — the "
+        "attribution cannot drift from the ranking), rounded at 6dp, "
+        "with share = contribution/score. The unpivot runs over the "
+        f"k = {CONTRIB_DOCS} retrieved docs × |terms| grid only; corpus "
+        "scale enters solely through the ranker's own plan.",
+)
+def search_term_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    stats = docs.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+        F.expr(
+            "CAST(SUM(size(split(lower(text), ' '))) AS DOUBLE) / COUNT(*)"
+        ).alias("avgdl"),
+        *[F.expr(e).alias(a) for e, a in _BM25_STATS_SPARK],
+    )
+    scored = (
+        docs.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id", "text",
+            F.expr(
+                "CAST(size(split(lower(text), ' ')) AS BIGINT)"
+            ).alias("dl"),
+            "n", "avgdl",
+            *[f"df{i}" for i in range(len(BM25_TERMS))],
+            F.expr(_bm25_score_expr(_tf_spark)).alias("score"),
+        )
+        .filter(F.col("score") > 0)
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(CONTRIB_DOCS)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    top_docs = top.withColumn("doc_rk", F.row_number().over(w))
+    branches = [
+        top_docs.select(
+            "doc_id", "doc_rk", "score",
+            F.lit(t).alias("term"),
+            F.expr(f"CAST({_tf_spark(t)} AS BIGINT)").alias("tf"),
+            F.expr(
+                f"round({_bm25_term_expr(i, _tf_spark(t))}, 6)"
+            ).alias("contribution"),
+        )
+        for i, t in enumerate(BM25_TERMS)
+    ]
+    unpivoted = branches[0]
+    for b in branches[1:]:
+        unpivoted = unpivoted.unionAll(b)
+    return unpivoted.select(
+        "doc_id", "doc_rk", "term", "tf", "contribution",
+        F.expr("round(contribution / score, 6)").alias("share"),
     )

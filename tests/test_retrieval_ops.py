@@ -124,3 +124,30 @@ def test_ndcg_in_unit_interval_and_ideal_consistent(spark):
     row = search_ndcg_eval(spark, SF).collect()[0]
     assert 0 < row["ndcg"] <= 1.0
     assert 0 < row["dcg_scaled"] <= row["ideal_scaled"]
+
+
+def test_term_contributions_sum_to_score(spark):
+    """Per-doc BM25 term contributions must reassemble the ranker's own
+    6dp score (shared-helper identity), and shares must sum to ~1."""
+    from flink_connector_http_spark.operators.pipeline import (
+        search_bm25_topk,
+        search_term_contribution,
+    )
+
+    scores = {
+        r["doc_id"]: r["score"]
+        for r in search_bm25_topk(spark, SF).filter("rk <= 5").collect()
+    }
+    rows = search_term_contribution(spark, SF).collect()
+    assert len(rows) == 3 * len(scores)
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(scores)
+    for doc_id, terms in by_doc.items():
+        total = sum(t["contribution"] for t in terms)
+        # each contribution is independently 6dp-rounded; the scorer
+        # rounds the unrounded sum — agreement within 3 ulps of 1e-6
+        assert abs(total - scores[doc_id]) < 3e-6
+        assert abs(sum(t["share"] for t in terms) - 1.0) < 1e-4
+        assert all(t["contribution"] >= 0 for t in terms)
