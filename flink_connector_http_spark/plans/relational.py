@@ -6279,3 +6279,105 @@ def q_event_replay_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_replay_flag"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B treatment-effect readout (mean-value lift per arm, Welch z)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_ab_lift_readout",
+    oracle=f"""
+    WITH armed AS (
+      SELECT event_type,
+             {_SRM_ARM_DUCK} AS arm,
+             CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ),
+    per_arm AS (
+      SELECT event_type, arm,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(SUM(cents * cents) AS BIGINT) AS ss
+      FROM armed GROUP BY event_type, arm
+    ),
+    wide AS (
+      SELECT event_type,
+             MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+             MAX(CASE WHEN arm = 0 THEN s END) AS s0,
+             MAX(CASE WHEN arm = 0 THEN ss END) AS ss0,
+             MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+             MAX(CASE WHEN arm = 1 THEN s END) AS s1,
+             MAX(CASE WHEN arm = 1 THEN ss END) AS ss1
+      FROM per_arm GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n0 AS BIGINT) AS n_arm0, CAST(n1 AS BIGINT) AS n_arm1,
+           round(CAST(s0 AS DOUBLE) / n0 / 100, 6) AS mean_arm0,
+           round(CAST(s1 AS DOUBLE) / n1 / 100, 6) AS mean_arm1,
+           round((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+                 / 100, 6) AS lift,
+           round((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+                 / sqrt(
+                     (CAST(ss0 AS DOUBLE) / n0
+                      - (CAST(s0 AS DOUBLE) / n0)
+                        * (CAST(s0 AS DOUBLE) / n0)) / n0
+                     + (CAST(ss1 AS DOUBLE) / n1
+                        - (CAST(s1 AS DOUBLE) / n1)
+                          * (CAST(s1 AS DOUBLE) / n1)) / n1
+                 ), 4) AS z_welch
+    FROM wide
+    """,
+    doc="A/B treatment-effect readout over the same deterministic md5 "
+        "50/50 user split as q_srm_check (run the SRM guardrail first; "
+        "this is the readout it protects): per event type, each arm's "
+        "mean value, the lift, and the Welch z-statistic from pooled "
+        "per-arm variances. Sufficient statistics are exact integer "
+        "cents sums (sum, sum-of-squares — BIGINT holds to ~3e9 cents^2 "
+        "rows per arm); every mean/variance/z is a closed-form double "
+        "expression of those exact integers, so nothing depends on "
+        "partition order. One conditional aggregate on (type, arm) — "
+        "map-side combinable — then a |types|-row pivot.",
+)
+def q_ab_lift_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    armed = ev.select(
+        "event_type",
+        F.expr(_SRM_ARM_SPARK).alias("arm"),
+        F.expr(
+            "CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    per_arm = armed.groupBy("event_type", "arm").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+        F.expr("CAST(SUM(cents) AS BIGINT)").alias("s"),
+        F.expr("CAST(SUM(cents * cents) AS BIGINT)").alias("ss"),
+    )
+    wide = per_arm.groupBy("event_type").agg(
+        F.expr("MAX(CASE WHEN arm = 0 THEN n END)").alias("n0"),
+        F.expr("MAX(CASE WHEN arm = 0 THEN s END)").alias("s0"),
+        F.expr("MAX(CASE WHEN arm = 0 THEN ss END)").alias("ss0"),
+        F.expr("MAX(CASE WHEN arm = 1 THEN n END)").alias("n1"),
+        F.expr("MAX(CASE WHEN arm = 1 THEN s END)").alias("s1"),
+        F.expr("MAX(CASE WHEN arm = 1 THEN ss END)").alias("ss1"),
+    )
+    return wide.select(
+        "event_type",
+        F.expr("CAST(n0 AS BIGINT)").alias("n_arm0"),
+        F.expr("CAST(n1 AS BIGINT)").alias("n_arm1"),
+        F.expr("round(CAST(s0 AS DOUBLE) / n0 / 100, 6)").alias("mean_arm0"),
+        F.expr("round(CAST(s1 AS DOUBLE) / n1 / 100, 6)").alias("mean_arm1"),
+        F.expr(
+            "round((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)"
+            " / 100, 6)"
+        ).alias("lift"),
+        F.expr(
+            "round((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)"
+            " / sqrt("
+            " (CAST(ss0 AS DOUBLE) / n0"
+            " - (CAST(s0 AS DOUBLE) / n0) * (CAST(s0 AS DOUBLE) / n0)) / n0"
+            " + (CAST(ss1 AS DOUBLE) / n1"
+            " - (CAST(s1 AS DOUBLE) / n1) * (CAST(s1 AS DOUBLE) / n1)) / n1"
+            " ), 4)"
+        ).alias("z_welch"),
+    )
