@@ -2322,3 +2322,168 @@ def search_term_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "doc_rk", "term", "tf", "contribution",
         F.expr("round(contribution / score, 6)").alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# retrieval impact of dedup (BM25 top-k on the full vs deduped corpus)
+# ---------------------------------------------------------------------------
+
+from .dedup import _JACCARD_ORACLE as _IMPACT_PAIRS  # noqa: E402
+from .dedup import _UNIQ_RATIO_DUCK as _IMPACT_QUALITY  # noqa: E402
+
+IMPACT_K = 10
+
+
+def _impact_bm25_block(src: str, p: str, k: int) -> str:
+    """Render the BM25 stats→score→top-k CTE chain against ``src`` with
+    CTE names prefixed ``p`` — the corpus is a parameter because the
+    deduped index has its own n/avgdl/df statistics (re-ranking the full
+    corpus's scores would miss exactly the idf shift dedup causes)."""
+    return f"""
+    {p}stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(len(string_split(lower(text), ' '))) AS DOUBLE)
+               / COUNT(*) AS avgdl,
+             {_BM25_STATS_DUCK}
+      FROM {src}
+    ),
+    {p}scored AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl,
+             {_bm25_score_expr(_tf_duck)} AS score
+      FROM {src} CROSS JOIN {p}stats
+    ),
+    {p}top AS (
+      SELECT doc_id FROM (SELECT * FROM {p}scored WHERE score > 0
+            ORDER BY score DESC, doc_id LIMIT {k}) t
+    )"""
+
+
+@register(
+    "search_dedup_impact",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      {_IMPACT_PAIRS}
+    ),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION ALL
+      SELECT b_id AS src, a_id AS dst FROM pairs
+    ),
+    walk(doc_id, reach) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, w.reach FROM edges e JOIN walk w ON w.doc_id = e.dst
+    ),
+    clus AS (
+      SELECT doc_id, CAST(MIN(reach) AS BIGINT) AS cluster_id
+      FROM walk GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT c.doc_id,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY {_IMPACT_QUALITY} DESC, c.doc_id)
+               AS rk_best
+      FROM clus c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    dropped AS (SELECT doc_id FROM ranked WHERE rk_best > 1),
+    kept AS (
+      SELECT * FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    ),
+    {_impact_bm25_block('documents', 'f_', IMPACT_K)},
+    {_impact_bm25_block('kept', 'k_', IMPACT_K)}
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM dropped) AS n_dropped_docs,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM f_top
+       WHERE doc_id IN (SELECT doc_id FROM dropped)) AS full_topk_dropped,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM f_top
+       WHERE doc_id IN (SELECT doc_id FROM k_top)) AS overlap_at_k,
+      round(CAST((SELECT COUNT(*) FROM f_top
+                  WHERE doc_id IN (SELECT doc_id FROM k_top)) AS DOUBLE)
+            / (SELECT COUNT(*) FROM (SELECT doc_id FROM f_top
+                                     UNION
+                                     SELECT doc_id FROM k_top) u), 6)
+        AS jaccard_at_k
+    """,
+    doc=f"Retrieval impact of near-dup removal: BM25 top-{IMPACT_K} on "
+        "the FULL corpus vs on the deduped corpus (keep-best-quality "
+        "representative per cluster, everything else dropped), with the "
+        "deduped side re-scored under its own n/avgdl/df statistics — "
+        "the idf shift is exactly what a re-ranking shortcut would miss. "
+        "Reports how many dropped duplicates sat in the full top-k "
+        "(result-list pollution dedup fixes) and the top-k overlap/"
+        "jaccard between the two indexes (ranking churn dedup causes). "
+        "The comparison frames are two k-row lists; corpus scale enters "
+        "only through the dedup and ranking operators' own distributed "
+        "plans.",
+)
+def search_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import dedup_clusters, dedup_keep_best
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    clusters = dedup_clusters(spark, sf_dir)
+    keepers = dedup_keep_best(spark, sf_dir).select(
+        "cluster_id", F.col("keep_doc_id")
+    )
+    dropped = (
+        clusters.join(F.broadcast(keepers), "cluster_id")
+        .filter(F.col("doc_id") != F.col("keep_doc_id"))
+        .select("doc_id")
+    )
+    kept = docs.join(F.broadcast(dropped), "doc_id", "left_anti")
+
+    def top_ids(src: DataFrame, prefix: str) -> DataFrame:
+        stats = src.agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+            F.expr(
+                "CAST(SUM(size(split(lower(text), ' '))) AS DOUBLE)"
+                " / COUNT(*)"
+            ).alias("avgdl"),
+            *[F.expr(e).alias(a) for e, a in _BM25_STATS_SPARK],
+        )
+        scored = (
+            src.crossJoin(F.broadcast(stats))
+            .select(
+                "doc_id",
+                F.expr(
+                    "CAST(size(split(lower(text), ' ')) AS BIGINT)"
+                ).alias("dl"),
+                F.expr(_bm25_score_expr(_tf_spark)).alias("score"),
+            )
+            .filter(F.col("score") > 0)
+        )
+        return (
+            scored.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(IMPACT_K)
+            .select(F.col("doc_id").alias(f"{prefix}_doc"))
+        )
+
+    f_top = top_ids(docs, "f").persist()
+    k_top = top_ids(kept, "k").persist()
+    n_dropped = dropped.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_dropped_docs")
+    )
+    topk_dropped = f_top.join(
+        F.broadcast(dropped), f_top["f_doc"] == dropped["doc_id"]
+    ).agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("full_topk_dropped"))
+    overlap = f_top.join(
+        F.broadcast(k_top), f_top["f_doc"] == k_top["k_doc"]
+    ).agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("overlap_at_k"))
+    union_n = (
+        f_top.select(F.col("f_doc").alias("doc"))
+        .union(k_top.select(F.col("k_doc").alias("doc")))
+        .distinct()
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_union"))
+    )
+    return (
+        n_dropped.crossJoin(F.broadcast(topk_dropped))
+        .crossJoin(F.broadcast(overlap))
+        .crossJoin(F.broadcast(union_n))
+        .select(
+            "n_dropped_docs", "full_topk_dropped", "overlap_at_k",
+            F.expr(
+                "round(CAST(overlap_at_k AS DOUBLE) / n_union, 6)"
+            ).alias("jaccard_at_k"),
+        )
+    )
