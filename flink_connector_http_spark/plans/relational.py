@@ -6381,3 +6381,236 @@ def q_ab_lift_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ), 4)"
         ).alias("z_welch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-lag autocorrelation (daily persistence vs weekly seasonality)
+# ---------------------------------------------------------------------------
+
+ACF_LAGS = (1, 7)
+
+
+@register(
+    "q_autocorr_lags",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(18,2)) AS dv
+      FROM events GROUP BY 1
+    ),
+    lags AS (
+      SELECT unnest(ARRAY{list(ACF_LAGS)}) AS lag
+    ),
+    pairs AS (
+      SELECT l.lag, a.dv AS x, b.dv AS y
+      FROM lags l
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.day = a.day + l.lag * INTERVAL 1 DAY
+    ),
+    stats AS (
+      SELECT lag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS INT) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           round((n * sxy - sx * sy) /
+                 (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9)
+             AS r
+    FROM stats
+    """,
+    doc="Autocorrelation of the daily event-value series at lags 1 and 7 "
+        "in one pass — r(1) measures day-to-day persistence, r(7) weekly "
+        "seasonality; r(7) >> r(1) says the weekday profile "
+        "(q_seasonality_dow) dominates any momentum, which decides "
+        "whether a forecast baseline should be seasonal-naive "
+        "(q_forecast_snaive_eval) or smoothing-based (q_ewma_user_value)."
+        " Same exactness discipline as q_autocorr_daily: day pairs by "
+        "lagged equi-join over the bounded date grain, DECIMAL-exact "
+        "sufficient statistics per lag, one double expression per output "
+        "row. The lag spine is a 2-row broadcast.",
+)
+def q_autocorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    daily = ev.groupBy(F.expr("CAST(ts AS DATE)").alias("day")).agg(
+        F.expr(
+            "CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(18,2))"
+        ).alias("dv")
+    )
+    lags = spark.createDataFrame(
+        [(int(lg),) for lg in ACF_LAGS], "lag INT"
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("dv").alias("x"))
+    b = daily.select(F.col("day").alias("db"), F.col("dv").alias("y"))
+    pairs = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(F.broadcast(b), F.expr("db = date_add(da, lag)"))
+    )
+    stats = pairs.groupBy("lag").agg(
+        F.expr("CAST(COUNT(*) AS DOUBLE)").alias("n"),
+        F.expr("CAST(SUM(x) AS DOUBLE)").alias("sx"),
+        F.expr("CAST(SUM(y) AS DOUBLE)").alias("sy"),
+        F.expr("CAST(SUM(x * x) AS DOUBLE)").alias("sxx"),
+        F.expr("CAST(SUM(y * y) AS DOUBLE)").alias("syy"),
+        F.expr("CAST(SUM(x * y) AS DOUBLE)").alias("sxy"),
+    )
+    return stats.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.expr("CAST(n AS BIGINT)").alias("n_pairs"),
+        F.expr(
+            "round((n * sxy - sx * sy) /"
+            " (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9)"
+        ).alias("r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic bootstrap CI of the mean event value (md5 Poisson weights)
+# ---------------------------------------------------------------------------
+
+BOOT_B = 100  # bootstrap replicates
+#: Poisson(1) CDF cut points scaled to 16-bit md5 values: P(W=k) for
+#: k = 0..3 is .3679/.3679/.1839/.0613, tail mass goes to W=4
+BOOT_CUTS = (24109, 48218, 60274, 64292)
+
+_BOOT_W_DUCK = (
+    "CASE WHEN u < 24109 THEN 0 WHEN u < 48218 THEN 1 "
+    "WHEN u < 60274 THEN 2 WHEN u < 64292 THEN 3 ELSE 4 END"
+)
+_BOOT_U_DUCK = (
+    "('0x' || substr(md5(concat('boot:', b, ':', event_id)), 1, 4))::INT"
+)
+_BOOT_U_SPARK = (
+    "CAST(conv(substr(md5(concat('boot:', b, ':', event_id)), 1, 4),"
+    " 16, 10) AS INT)"
+)
+
+
+@register(
+    "q_bootstrap_mean_ci",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id,
+             CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ),
+    reps AS (
+      SELECT b, u.event_id, u.cents,
+             {_BOOT_W_DUCK.replace('u <', 'uu <')} AS w
+      FROM (SELECT unnest(range({BOOT_B})) AS b) bs
+      CROSS JOIN (
+        SELECT event_id, cents FROM e
+      ) u,
+      LATERAL (SELECT {_BOOT_U_DUCK} AS uu) lat
+    ),
+    boot AS (
+      SELECT b,
+             round(CAST(SUM(w * cents) AS DOUBLE) / SUM(w) / 100, 6)
+               AS mean_b
+      FROM reps GROUP BY b
+    ),
+    ranked AS (
+      SELECT mean_b,
+             ROW_NUMBER() OVER (ORDER BY mean_b, b) AS rk
+      FROM boot
+    ),
+    base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             round(CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100, 6)
+               AS mean_value
+      FROM e
+    ),
+    spread AS (
+      SELECT CAST(SUM(CAST(round(mean_b, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               AS sm,
+             CAST(SUM(CAST(round(mean_b * mean_b, 9) AS DECIMAL(20,9)))
+                  AS DOUBLE) AS smm
+      FROM boot
+    )
+    SELECT base.n_rows, base.mean_value,
+           CAST({BOOT_B} AS BIGINT) AS n_replicates,
+           (SELECT mean_b FROM ranked WHERE rk = 3) AS boot_ci_low,
+           (SELECT mean_b FROM ranked WHERE rk = 98) AS boot_ci_high,
+           round(sqrt(({BOOT_B} * smm - sm * sm)
+                      / (CAST({BOOT_B} AS DOUBLE)
+                         * ({BOOT_B} - 1))), 6) AS boot_se
+    FROM base CROSS JOIN spread
+    """,
+    doc=f"Deterministic bootstrap 95% CI of the mean event value: "
+        f"B = {BOOT_B} resampling replicates whose per-row multiplicities "
+        "are Poisson(1) weights derived from md5(replicate, event_id) "
+        "cut at the exact 16-bit CDF points — the standard Poisson "
+        "bootstrap (one pass, no row-index resampling), made "
+        "reproducible and oracle-checkable because the 'randomness' is "
+        "a pure hash of the data. Replicate means are single divisions "
+        "of exact integer cents sums; the CI bounds are type-1 order "
+        "statistics over the bounded B-row replicate set and the "
+        "bootstrap SE uses 9dp-rounded DECIMAL-summed moments. Scale "
+        "note: the replicate explode is a deliberate B× amplification — "
+        "at 100 TB run it over a stratified sample or per-partition "
+        "aggregates, exactly as production bootstraps do.",
+)
+def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")["events"]
+    e = ev.select(
+        "event_id",
+        F.expr(
+            "CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    bs = spark.createDataFrame([(b,) for b in range(BOOT_B)], "b INT")
+    reps = (
+        e.crossJoin(F.broadcast(bs))
+        .withColumn("u", F.expr(_BOOT_U_SPARK))
+        .withColumn("w", F.expr(_BOOT_W_DUCK))
+    )
+    boot = reps.groupBy("b").agg(
+        F.expr(
+            "round(CAST(SUM(w * cents) AS DOUBLE) / SUM(w) / 100, 6)"
+        ).alias("mean_b")
+    )
+    w_rk = Window.orderBy("mean_b", "b")  # bounded: B rows
+    ranked = boot.select(
+        "mean_b", F.row_number().over(w_rk).alias("rk")
+    )
+    base = e.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_rows"),
+        F.expr(
+            "round(CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100, 6)"
+        ).alias("mean_value"),
+    )
+    spread = boot.agg(
+        F.expr(
+            "CAST(SUM(CAST(round(mean_b, 6) AS DECIMAL(18,6))) AS DOUBLE)"
+        ).alias("sm"),
+        F.expr(
+            "CAST(SUM(CAST(round(mean_b * mean_b, 9) AS DECIMAL(20,9)))"
+            " AS DOUBLE)"
+        ).alias("smm"),
+    )
+    lo = ranked.filter(F.col("rk") == 3).select(
+        F.col("mean_b").alias("boot_ci_low"))
+    hi = ranked.filter(F.col("rk") == 98).select(
+        F.col("mean_b").alias("boot_ci_high"))
+    return (
+        base.crossJoin(F.broadcast(spread))
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_rows", "mean_value",
+            F.expr(f"CAST({BOOT_B} AS BIGINT)").alias("n_replicates"),
+            "boot_ci_low", "boot_ci_high",
+            F.expr(
+                f"round(sqrt(({BOOT_B} * smm - sm * sm)"
+                f" / (CAST({BOOT_B} AS DOUBLE) * ({BOOT_B} - 1))), 6)"
+            ).alias("boot_se"),
+        )
+    )
