@@ -4507,3 +4507,124 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CMS inner-product estimate (join-size / distribution-affinity between
+# sources from their mergeable sketches alone)
+# ---------------------------------------------------------------------------
+
+@register(
+    "sketch_cms_inner_product",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    counts AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY source, token
+    ),
+    exact AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(SUM(a.c * b.c) AS BIGINT) AS exact_inner
+      FROM counts a JOIN counts b
+        ON a.token = b.token AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT source, d,
+             CASE {' '.join(f"WHEN d = {d} THEN {_cms_bucket_duck(d)}"
+                            for d in range(CMS_DEPTH))}
+             END AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks CROSS JOIN (SELECT unnest(range({CMS_DEPTH})) AS d) ds
+      GROUP BY 1, 2, 3
+    ),
+    dots AS (
+      SELECT a.source AS source_a, b.source AS source_b, a.d,
+             CAST(SUM(a.c * b.c) AS BIGINT) AS dot_d
+      FROM cells a JOIN cells b
+        ON a.d = b.d AND a.bucket = b.bucket AND a.source < b.source
+      GROUP BY 1, 2, 3
+    ),
+    est AS (
+      SELECT source_a, source_b, CAST(MIN(dot_d) AS BIGINT) AS cms_estimate
+      FROM dots GROUP BY 1, 2
+    )
+    SELECT e.source_a, e.source_b, x.exact_inner, e.cms_estimate,
+           round(CAST(e.cms_estimate AS DOUBLE) / x.exact_inner, 6)
+             AS overestimate_ratio
+    FROM est e JOIN exact x
+      ON x.source_a = e.source_a AND x.source_b = e.source_b
+    """,
+    doc=f"Count-min inner-product estimation between every source pair's "
+        "token-frequency vectors: est = min over the {CMS_DEPTH} rows of "
+        "the cell-wise sketch dot product — the classic sketch-only "
+        "join-size / distribution-affinity estimator (AMS/CMS): two "
+        "corpora can be compared from their "
+        f"{CMS_DEPTH}×{CMS_WIDTH}-cell sketches without ever co-locating "
+        "their tokens, which is the whole point at 100 TB (ship "
+        "kilobytes, not corpora). The exact inner product rides along "
+        "as ground truth, and min-row estimates are provably >= exact "
+        "(pinned by the ratio column). Everything is exact integer "
+        "arithmetic on deterministic md5 buckets; sketch cells merge "
+        "cell-wise across partitions (map-side combine).",
+)
+def sketch_cms_inner_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+    )
+    counts = toks.groupBy("source", "token").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("c")
+    )
+    ca = counts.select(
+        F.col("source").alias("source_a"), "token", F.col("c").alias("cca"))
+    cb = counts.select(
+        F.col("source").alias("source_b"),
+        F.col("token").alias("tokenb"), F.col("c").alias("ccb"))
+    exact = (
+        ca.join(cb, (F.col("token") == F.col("tokenb"))
+                & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(F.expr("CAST(SUM(cca * ccb) AS BIGINT)").alias("exact_inner"))
+    )
+    cells = toks.select(
+        "source",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    F.expr(_cms_bucket_spark(d)).alias("bucket"),
+                )
+                for d in range(CMS_DEPTH)
+            ])
+        ).alias("db"),
+    ).select("source", "db.d", "db.bucket").groupBy(
+        "source", "d", "bucket"
+    ).agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("c"))
+    sa = cells.select(
+        F.col("source").alias("source_a"), "d", "bucket",
+        F.col("c").alias("cca"))
+    sb = cells.select(
+        F.col("source").alias("source_b"), F.col("d").alias("db2"),
+        F.col("bucket").alias("bucketb"), F.col("c").alias("ccb"))
+    dots = (
+        sa.join(F.broadcast(sb),
+                (F.col("d") == F.col("db2"))
+                & (F.col("bucket") == F.col("bucketb"))
+                & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b", "d")
+        .agg(F.expr("CAST(SUM(cca * ccb) AS BIGINT)").alias("dot_d"))
+    )
+    est = dots.groupBy("source_a", "source_b").agg(
+        F.expr("CAST(MIN(dot_d) AS BIGINT)").alias("cms_estimate")
+    )
+    return est.join(exact, ["source_a", "source_b"]).select(
+        "source_a", "source_b", "exact_inner", "cms_estimate",
+        F.expr(
+            "round(CAST(cms_estimate AS DOUBLE) / exact_inner, 6)"
+        ).alias("overestimate_ratio"),
+    )

@@ -268,3 +268,26 @@ def test_intrinsic_dimension_matches_naive_fold(spark):
     assert got["id_mle"] == round(used / sum_log, 4)
     # sanity: a real corpus lives strictly inside the ambient 64 dims
     assert 0 < got["id_mle"] <= 64
+
+
+def test_cms_inner_product_overestimates_and_covers_pairs(spark):
+    """The CMS min-row dot product must dominate the exact inner product
+    for EVERY source pair (the AMS/CMS guarantee — a single violation
+    means the bucket hashing diverged between build and probe), and the
+    pair grid must cover all C(|sources|, 2) pairs."""
+    import pyspark.sql.functions as F
+
+    from flink_connector_http_spark.operators.text import (
+        sketch_cms_inner_product,
+    )
+    from flink_connector_http_spark.plans.registry import load
+
+    rows = sketch_cms_inner_product(spark, SF).collect()
+    n_sources = (
+        load(spark, SF, "documents")["documents"]
+        .select(F.countDistinct("source")).collect()[0][0]
+    )
+    assert len(rows) == n_sources * (n_sources - 1) // 2
+    for r in rows:
+        assert r["cms_estimate"] >= r["exact_inner"] > 0
+        assert r["overestimate_ratio"] >= 1.0
