@@ -589,7 +589,7 @@ def test_batch_lookup_abandoned_chunk_fires_no_observers(
     def responder(request):
         keys = request.json()
         if keys[0]["id"] == 2:  # the hung chunk
-            _time.sleep(2.0)
+            _time.sleep(4.0)
         rows = [CUSTOMERS[k["id"]] for k in keys if k["id"] in CUSTOMERS]
         return json_response(rows)
 
@@ -601,7 +601,10 @@ def test_batch_lookup_abandoned_chunk_fires_no_observers(
         options=HttpLookupOptions(
             lookup_batch_size=1,     # 2 distinct keys -> 2 chunks
             use_async=True,
-            async_timeout=1.0,
+            # the fast chunk answers in ms, the hung one in 4 s: a 2 s
+            # whole-batch deadline splits them with 2 s of load margin
+            # EACH way (1.0/2.0 flaked when the machine was busy)
+            async_timeout=2.0,
             continue_on_error=True,
             request_callback=lambda s, r: open(mpath, "a").write("x"),
         ),
@@ -614,7 +617,7 @@ def test_batch_lookup_abandoned_chunk_fires_no_observers(
     states = sorted(r["http-completion-state"] for r in out.collect())
     assert states == ["EXCEPTION", "SUCCESS"]
     # let the abandoned thread's response land and (not) publish
-    _time.sleep(2.5)
+    _time.sleep(4.5)
     assert marker.read_text() == "x"
 
 
