@@ -6614,3 +6614,95 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("boot_se"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B sample-size planner (power analysis from measured variance)
+# ---------------------------------------------------------------------------
+
+#: z_{alpha/2} + z_beta for a two-sided 5% test at 80% power, as the
+#: exact-decimal text both engines parse identically once CAST AS DOUBLE
+AB_Z_SUM = "CAST(2.8016 AS DOUBLE)"   # 1.9600 + 0.8416
+AB_MDE_PCT = 5                        # detect a 5%-of-mean lift
+
+
+@register(
+    "q_ab_sample_size",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(SUM(cents * cents) AS BIGINT) AS ss
+      FROM e GROUP BY event_type
+    )
+    SELECT event_type, n AS n_observed,
+           round(CAST(s AS DOUBLE) / n / 100, 6) AS mean_value,
+           round(sqrt((CAST(ss AS DOUBLE) / n
+                       - (CAST(s AS DOUBLE) / n)
+                         * (CAST(s AS DOUBLE) / n))) / 100, 6) AS sd_value,
+           CAST(CEIL(
+             2 * (CAST(ss AS DOUBLE) / n
+                  - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+             * {AB_Z_SUM} * {AB_Z_SUM}
+             / (({AB_MDE_PCT} * (CAST(s AS DOUBLE) / n)
+                 / CAST(100 AS DOUBLE))
+                * ({AB_MDE_PCT} * (CAST(s AS DOUBLE) / n)
+                   / CAST(100 AS DOUBLE)))
+           ) AS BIGINT) AS n_per_arm_required,
+           CASE WHEN n >= 2 * CAST(CEIL(
+             2 * (CAST(ss AS DOUBLE) / n
+                  - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+             * {AB_Z_SUM} * {AB_Z_SUM}
+             / (({AB_MDE_PCT} * (CAST(s AS DOUBLE) / n)
+                 / CAST(100 AS DOUBLE))
+                * ({AB_MDE_PCT} * (CAST(s AS DOUBLE) / n)
+                   / CAST(100 AS DOUBLE)))
+           ) AS BIGINT) THEN 1 ELSE 0 END AS powered_now
+    FROM stats
+    """,
+    doc=f"A/B sample-size planner: per event type, the per-arm n needed "
+        f"to detect a {AB_MDE_PCT}%-of-mean lift at two-sided 5% / 80% "
+        "power (n = 2·sigma²·(z_a+z_b)²/delta²) using the VARIANCE "
+        "MEASURED from the data — the pre-experiment step that completes "
+        "the trio with q_srm_check (randomization guardrail) and "
+        "q_ab_lift_readout (the readout), plus a powered_now flag "
+        "against the current volume. Sufficient statistics are exact "
+        "integer cents sums; each output value is a closed-form double "
+        "expression of them (the z-constant is one decimal literal CAST "
+        "AS DOUBLE, never a libm quantile call). One map-side-"
+        "combinable aggregate over the scan.",
+)
+def q_ab_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    stats = ev.select(
+        "event_type",
+        F.expr(
+            "CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    ).groupBy("event_type").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+        F.expr("CAST(SUM(cents) AS BIGINT)").alias("s"),
+        F.expr("CAST(SUM(cents * cents) AS BIGINT)").alias("ss"),
+    )
+    var = ("(CAST(ss AS DOUBLE) / n"
+           " - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))")
+    delta = (f"({AB_MDE_PCT} * (CAST(s AS DOUBLE) / n)"
+             f" / CAST(100 AS DOUBLE))")
+    n_req = (f"CAST(CEIL(2 * {var} * {AB_Z_SUM} * {AB_Z_SUM}"
+             f" / ({delta} * {delta})) AS BIGINT)")
+    return stats.select(
+        "event_type",
+        F.col("n").alias("n_observed"),
+        F.expr("round(CAST(s AS DOUBLE) / n / 100, 6)").alias("mean_value"),
+        F.expr(f"round(sqrt({var}) / 100, 6)").alias("sd_value"),
+        F.expr(n_req).alias("n_per_arm_required"),
+        F.expr(
+            f"CASE WHEN n >= 2 * {n_req} THEN 1 ELSE 0 END"
+        ).alias("powered_now"),
+    )
