@@ -2622,3 +2622,81 @@ def dedup_keeper_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*), 6)"
         ).alias("mean_quality_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# transitivity audit of the near-dup pair graph (CC chaining risk)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_transitivity_audit",
+    oracle=f"""
+    WITH pairs AS (
+      {_JACCARD_ORACLE}
+    ),
+    und AS (
+      SELECT a_id AS x, b_id AS y FROM pairs
+      UNION ALL
+      SELECT b_id AS x, a_id AS y FROM pairs
+    ),
+    wedges AS (
+      SELECT l.y AS m, l.x AS a, r.y AS b
+      FROM und l JOIN und r ON r.x = l.y AND l.x < r.y
+    ),
+    closed AS (
+      SELECT w.m, w.a, w.b
+      FROM wedges w JOIN pairs p ON p.a_id = w.a AND p.b_id = w.b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_pairs,
+           CAST((SELECT COUNT(*) FROM wedges) AS BIGINT) AS n_wedges,
+           CAST((SELECT COUNT(*) FROM closed) AS BIGINT) AS n_closed,
+           CASE WHEN (SELECT COUNT(*) FROM wedges) > 0 THEN
+             round(CAST((SELECT COUNT(*) FROM closed) AS DOUBLE)
+                   / (SELECT COUNT(*) FROM wedges), 6)
+           END AS closure_rate
+    FROM (SELECT 1) one
+    """,
+    doc="Transitivity audit of the near-duplicate pair graph: the "
+        "fraction of open wedges (a~m, m~b) whose endpoints are ALSO a "
+        "direct near-dup pair (a~b). Connected-component clustering "
+        "(dedup_clusters) implicitly assumes near-duplication is "
+        "transitive — a LOW closure rate means CC is chaining unrelated "
+        "documents through middlemen (the classic over-merge failure "
+        "that a higher Jaccard threshold or star-clustering fixes), so "
+        "this single number is the empirical justification for the "
+        "clustering method choice. All integer counts over int-keyed "
+        "joins; wedge volume is bounded by the (already thresholded) "
+        "pair set's degree sequence, never by the corpus.",
+)
+def dedup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id").persist()
+    und = pairs.select(
+        F.col("a_id").alias("x"), F.col("b_id").alias("y")
+    ).unionAll(
+        pairs.select(F.col("b_id").alias("x"), F.col("a_id").alias("y"))
+    )
+    left = und.select(F.col("x").alias("a"), F.col("y").alias("m"))
+    right = und.select(F.col("x").alias("m2"), F.col("y").alias("b"))
+    wedges = left.join(
+        right, (F.col("m") == F.col("m2")) & (F.col("a") < F.col("b"))
+    ).select("m", "a", "b").persist()
+    closed = wedges.join(
+        pairs, (F.col("a") == F.col("a_id")) & (F.col("b") == F.col("b_id"))
+    )
+    n_pairs = pairs.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_pairs"))
+    n_wedges = wedges.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_wedges"))
+    n_closed = closed.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_closed"))
+    return (
+        n_pairs.crossJoin(F.broadcast(n_wedges))
+        .crossJoin(F.broadcast(n_closed))
+        .select(
+            "n_pairs", "n_wedges", "n_closed",
+            F.expr(
+                "CASE WHEN n_wedges > 0 THEN"
+                " round(CAST(n_closed AS DOUBLE) / n_wedges, 6) END"
+            ).alias("closure_rate"),
+        )
+    )
