@@ -149,6 +149,10 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "8g")
+        # Console-progress \r frames clobbered 35 result lines in the
+        # committed round-8 gate log (tools/replica_gate_r8.log held 287
+        # of 322 lines); suppress so tee'd logs are one line per query.
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
