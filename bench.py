@@ -221,8 +221,11 @@ def main() -> None:
                 "samples": samples,
                 "min": min(samples),
                 "max": max(samples),
+                # samples round to 3dp, so a sub-ms run can record 0.0 —
+                # floor the denominator to keep the band finite
                 "spread_pct": round(
-                    100.0 * (max(samples) - min(samples)) / min(samples), 1),
+                    100.0 * (max(samples) - min(samples))
+                    / max(min(samples), 0.001), 1),
             }
 
     total = round(sum(timings.values()), 3)

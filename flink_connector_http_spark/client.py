@@ -129,14 +129,29 @@ def _decompress_response(
     if encoding in ("gzip", "x-gzip"):
         import gzip as _gzip
 
-        body = _gzip.decompress(body)
+        try:
+            body = _gzip.decompress(body)
+        except (EOFError, _gzip.BadGzipFile, OSError) as exc:
+            # Truncated/corrupt gzip raises EOFError/BadGzipFile — neither
+            # is an OSError subclass the retry/continue_on_error layers
+            # classify. Surface as a transport failure so the existing
+            # classification (retry, error-counting, continue-on-error)
+            # treats a corrupt compressed body like any other bad response.
+            raise http.client.HTTPException(
+                f"corrupt gzip response body: {exc}"
+            ) from exc
     elif encoding == "deflate":
         import zlib as _zlib
 
         try:
             body = _zlib.decompress(body)
         except _zlib.error:  # raw-deflate servers omit the zlib wrapper
-            body = _zlib.decompress(body, -_zlib.MAX_WBITS)
+            try:
+                body = _zlib.decompress(body, -_zlib.MAX_WBITS)
+            except _zlib.error as exc:
+                raise http.client.HTTPException(
+                    f"corrupt deflate response body: {exc}"
+                ) from exc
     else:
         return headers, body
     headers = [

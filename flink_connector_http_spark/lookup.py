@@ -438,14 +438,63 @@ def http_lookup_join(
                 return {_leaf_name(lk): v for (_pc, lk), v in zip(pairs, kt)}
 
             # --- conditional refresh of expired entries (If-None-Match) -------
-            for kt, etag, prev in to_revalidate:
-                result = client.pull_conditional(
-                    key_values_of(kt), etag, prev
-                )
-                distinct[kt] = result
-                if result.completion_state in (HttpCompletionState.SUCCESS,):
-                    if result.rows or cache.config.cache_missing_key:
-                        cache.put(kt, result)  # 304 → same body, fresh TTL
+            if to_revalidate:
+                if table_ref.options.use_async and len(to_revalidate) > 1:
+                    # pipeline conditional GETs on a pull pool exactly like
+                    # the plain-fetch async path — a partition with many
+                    # expired ETag'd keys must not serialize round-trips
+                    # that a cold fetch would run concurrently. A lapsed
+                    # whole-batch deadline degrades to the stale cached
+                    # value (the entry stays expired, so the next batch
+                    # retries revalidation) instead of stalling the task.
+                    opts = table_ref.options
+                    reval_workers = max(
+                        1, min(pool_size, len(to_revalidate))
+                    )
+                    reval_deadline = (
+                        None if opts.async_timeout is None
+                        else time.monotonic() + opts.async_timeout
+                    )
+                    reval_pool = ThreadPoolExecutor(max_workers=reval_workers)
+                    try:
+                        reval_futs = [
+                            (kt, prev, reval_pool.submit(
+                                client.pull_conditional,
+                                key_values_of(kt), etag, prev))
+                            for kt, etag, prev in to_revalidate
+                        ]
+                        revalidated = []
+                        for kt, prev, fut in reval_futs:
+                            try:
+                                result = (
+                                    fut.result() if reval_deadline is None
+                                    else fut.result(timeout=max(
+                                        0.0,
+                                        reval_deadline - time.monotonic()))
+                                )
+                            except FuturesTimeoutError:
+                                fut.cancel()
+                                # serve stale WITHOUT refreshing the TTL —
+                                # the entry stays expired so the next batch
+                                # retries the conditional GET
+                                revalidated.append((kt, prev, False))
+                                continue
+                            revalidated.append((kt, result, True))
+                    finally:
+                        reval_pool.shutdown(wait=False, cancel_futures=True)
+                else:
+                    revalidated = [
+                        (kt, client.pull_conditional(
+                            key_values_of(kt), etag, prev), True)
+                        for kt, etag, prev in to_revalidate
+                    ]
+                for kt, result, fresh in revalidated:
+                    distinct[kt] = result
+                    if fresh and result.completion_state in (
+                        HttpCompletionState.SUCCESS,
+                    ):
+                        if result.rows or cache.config.cache_missing_key:
+                            cache.put(kt, result)  # 304 → same body, fresh TTL
 
             if to_fetch and batch_size:
                 # multi-key batch mode: N distinct keys per request; chunks

@@ -129,6 +129,7 @@ SINK_OPTION_KEYS = {
     "max_retries": "sink.max-retries",
     "retry_delay": "sink.retry-delay",
     "retry_backoff_multiplier": "sink.retry-backoff-multiplier",
+    "retry_max_backoff": "sink.retry-max-backoff",
     # beyond-reference, OPT-IN: gzip request bodies (endpoint must accept
     # Content-Encoding: gzip)
     "gzip_request_body": "sink.gzip-request-body",
@@ -250,6 +251,9 @@ class HttpSinkOptions:
     max_retries: int = 0
     retry_delay: float = 0.5
     retry_backoff_multiplier: float = 2.0
+    # ceiling for both the exponential backoff and any server Retry-After
+    # hint — same default as the lookup path's RetryConfig.max_backoff
+    retry_max_backoff: float = 60.0
     # opt-in gzip request bodies (Content-Encoding: gzip): JSON batches
     # compress 5-10x, so a 5 MiB flush crosses the wire as ~0.5-1 MiB —
     # off by default because the endpoint must accept encoded bodies
@@ -373,6 +377,7 @@ def sink_options_from_map(options: Mapping[str, str]) -> HttpSinkOptions:
         ("max_time_in_buffer", float), ("request_timeout", float),
         ("rate_limit", float), ("rate_limit_burst", float),
         ("retry_delay", float), ("retry_backoff_multiplier", float),
+        ("retry_max_backoff", float),
     ):
         if k[name] in options:
             kwargs[name] = conv(options[k[name]])

@@ -104,6 +104,13 @@ def parse_retry_after(value: str, *, now: Optional[Callable[[], float]] = None) 
         dt = parsedate_to_datetime(value)
     except (TypeError, ValueError):
         return None
+    if dt.tzinfo is None:
+        # RFC 9110 HTTP-dates are always UTC; parsedate_to_datetime yields
+        # a naive datetime for tz-less inputs and .timestamp() would then
+        # interpret it in local time, skewing the wait on non-UTC hosts.
+        from datetime import timezone as _tz
+
+        dt = dt.replace(tzinfo=_tz.utc)
     wall = time.time if now is None else now
     return max(0.0, dt.timestamp() - wall())
 

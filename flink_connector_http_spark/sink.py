@@ -27,6 +27,7 @@ S11 also replays unacknowledged entries; neither retries failed requests).
 
 from __future__ import annotations
 
+import http.client
 import threading
 import time
 from concurrent.futures import FIRST_COMPLETED, Future, ThreadPoolExecutor, wait
@@ -292,14 +293,20 @@ class HttpSinkWriter:
                 )
                 if server_hint is not None:
                     # honor Retry-After like the lookup path: never retry
-                    # faster than policy, never stall past the 60s ceiling
-                    delay = min(max(delay, server_hint), 60.0)
+                    # faster than policy, never stall past the configured
+                    # ceiling (sink.retry-max-backoff, default 60s — same
+                    # policy knob as the lookup RetryConfig.max_backoff)
+                    delay = max(delay, server_hint)
+                delay = min(delay, self.options.retry_max_backoff)
                 time.sleep(delay)
             if self.rate_limiter is not None:
                 self.rate_limiter.acquire()
             try:
                 response = self.transport.send(spec)
-            except OSError:
+            except (OSError, http.client.HTTPException):
+                # HTTPException covers BadStatusLine and the transport's
+                # corrupt-compressed-body re-raise — same transport-failure
+                # class the lookup path treats as retriable
                 server_hint = None
                 continue  # transport error: next attempt (or fall out)
             if self.on_response is not None:

@@ -146,12 +146,16 @@ class StubHttpServer:
         self.stub(path_prefix, responder)
 
     def _respond(self, request: RecordedRequest) -> StubResponse:
+        # hold the lock only for the shared-state touch, NEVER across the
+        # responder call: a slow responder must not serialize the whole
+        # server, or every concurrency test silently measures nothing
         with self._lock:
             self.requests.append(request)
-            for prefix, responder in reversed(self._responders):
-                if request.path.startswith(prefix):
-                    return responder(request)
-            return self._default(request)
+            responders = list(self._responders)
+        for prefix, responder in reversed(responders):
+            if request.path.startswith(prefix):
+                return responder(request)
+        return self._default(request)
 
     # -- assertions -------------------------------------------------------------------
 

@@ -479,3 +479,68 @@ class TestTransparentCompression:
             headers={"Accept-Encoding": "identity"},
         ))
         assert seen.get("accept-encoding") == "identity"
+
+    def test_corrupt_gzip_raises_transport_exception(self):
+        import http.client
+
+        import pytest
+
+        from flink_connector_http_spark.client import _decompress_response
+
+        # truncated gzip (EOFError) and garbage-after-magic (BadGzipFile
+        # or zlib error) must both surface as HTTPException so the
+        # retry/continue-on-error layers classify them as transport
+        # failures instead of crashing the Spark task
+        import gzip as _gzip
+
+        valid = _gzip.compress(b'{"ok": 1}')
+        for blob in (valid[: len(valid) // 2], b"\x1f\x8b\x08\x00garbage"):
+            with pytest.raises(http.client.HTTPException):
+                _decompress_response([("Content-Encoding", "gzip")], blob)
+
+    def test_corrupt_deflate_raises_transport_exception(self):
+        import http.client
+
+        import pytest
+
+        from flink_connector_http_spark.client import _decompress_response
+
+        with pytest.raises(http.client.HTTPException):
+            _decompress_response(
+                [("Content-Encoding", "deflate")], b"\xff\xfe\x00bad")
+
+    def test_corrupt_gzip_body_classified_not_crash(self, stub_server):
+        """E2E: a lying server (Content-Encoding: gzip, garbage body) must
+        yield a classified failure result, not an unhandled exception."""
+        from flink_connector_http_spark.client import HttpPollingClient
+        from flink_connector_http_spark.options import HttpLookupOptions
+        from flink_connector_http_spark.types import HttpCompletionState
+
+        def responder(req):
+            return StubResponse(
+                status=200, body=b"\xff\xfenotgzip",
+                headers={"Content-Type": "application/json",
+                         "Content-Encoding": "gzip"},
+            )
+
+        stub_server.stub("/badgz", responder)
+        client = HttpPollingClient(
+            url=stub_server.url("/badgz"),
+            options=HttpLookupOptions(
+                method="GET", response_format="json",
+                continue_on_error=True,
+            ),
+        )
+        result = client.pull({"n_nationkey": 9})
+        assert result.completion_state is not HttpCompletionState.SUCCESS
+        assert not result.rows
+        # default policy (continue_on_error=False) raises the CLASSIFIED
+        # error — not a bare EOFError/BadGzipFile escaping the retry layer
+        import pytest as _pytest
+
+        strict = HttpPollingClient(
+            url=stub_server.url("/badgz"),
+            options=HttpLookupOptions(method="GET", response_format="json"),
+        )
+        with _pytest.raises(RuntimeError, match="corrupt gzip"):
+            strict.pull({"n_nationkey": 9})

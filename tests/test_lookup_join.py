@@ -821,3 +821,59 @@ def test_cache_probe_states_and_option_key():
     })
     assert opts.cache.revalidate is True
     assert opts.cache.expire_after_write == 30.0
+
+
+def test_cache_revalidation_pipelines_under_async(spark, stub_server):
+    """ETag revalidation must use the pull pool under use_async — a
+    partition of expired keys pipelines its conditional GETs like a cold
+    fetch would (round-8 ADVICE). The stub forces concurrency with a
+    2-party barrier: serialized round-trips would break it and answer
+    500, failing the name assertions."""
+    import threading as _threading
+
+    barrier = _threading.Barrier(2)
+    calls = {"full": 0, "cond": 0, "broken": 0}
+
+    def responder(request):
+        key = int(request.query["id"][0])
+        if request.headers.get("If-None-Match") == f'"v{key}"':
+            try:
+                barrier.wait(timeout=5.0)
+            except _threading.BrokenBarrierError:
+                calls["broken"] += 1
+                return StubResponse(status=500)
+            calls["cond"] += 1
+            return StubResponse(status=304, headers={"ETag": f'"v{key}"'})
+        calls["full"] += 1
+        resp = json_response(CUSTOMERS[key])
+        resp.headers["ETag"] = f'"v{key}"'
+        return resp
+
+    stub_server.stub("/customers-reval-async", responder)
+    table = HttpLookupTable(
+        url=stub_server.url("/customers-reval-async"),
+        schema=CUSTOMER_SCHEMA,
+        options=HttpLookupOptions(
+            use_async=True,
+            cache=LookupCacheConfig(
+                max_rows=100, expire_after_write=0.0, revalidate=True,
+            ),
+        ),
+    )
+    # batch 1 (rows 1,2) cold-fetches both keys; batch 2 (rows 3,4)
+    # finds both stale-with-etag -> concurrent conditional GETs
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        # repartition (NOT coalesce): the shuffle re-batches the stream
+        # so rows 3,4 share one arrow batch — coalesce would preserve the
+        # original 1-row chunks and each invocation would see a single
+        # key, taking the sequential path
+        df = orders_df(spark, ids=(1, 2, 1, 2)).repartition(1)
+        out = http_lookup_join(df, table, on={"cust_id": "id"}).collect()
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    assert len(out) == 4
+    assert sorted(r.name for r in out) == [
+        "alice", "alice", "bob", "bob"]
+    assert calls["full"] == 2
+    assert calls["cond"] == 2 and calls["broken"] == 0

@@ -627,3 +627,73 @@ class TestRetryAfter:
         assert _retry_after_hint(HttpResponse(429, [], b"")) is None
         assert _retry_after_hint(
             HttpResponse(429, [("Retry-After", "junk")], b"")) is None
+
+
+class TestRetryAfterNaiveDate:
+    def test_tzless_http_date_treated_as_utc(self):
+        """An HTTP-date without a timezone token parses to a NAIVE
+        datetime; RFC 9110 says HTTP-dates are always UTC, so .timestamp()
+        must not reinterpret it in local time (ADVICE r8)."""
+        import os
+        import time as _time
+
+        from flink_connector_http_spark.retry import parse_retry_after
+
+        # "Wed, 21 Oct 2015 07:28:00" (no GMT) == 1445412480.0 UTC
+        assert parse_retry_after(
+            "Wed, 21 Oct 2015 07:28:00", now=lambda: 1445412480.0 - 60
+        ) == 60.0
+        # identical to the explicit-GMT parse under any host timezone
+        assert parse_retry_after(
+            "Wed, 21 Oct 2015 07:28:00", now=lambda: 1445412480.0
+        ) == parse_retry_after(
+            "Wed, 21 Oct 2015 07:28:00 GMT", now=lambda: 1445412480.0
+        )
+
+
+class TestSinkRetryMaxBackoff:
+    def test_option_parsed(self):
+        from flink_connector_http_spark.options import sink_options_from_map
+
+        opts = sink_options_from_map({"sink.retry-max-backoff": "7.5"})
+        assert opts.retry_max_backoff == 7.5
+
+    def test_default_matches_lookup_ceiling(self):
+        from flink_connector_http_spark.options import HttpSinkOptions
+        from flink_connector_http_spark.retry import RetryConfig
+
+        assert (HttpSinkOptions().retry_max_backoff
+                == RetryConfig().max_backoff == 60.0)
+
+    def test_caps_retry_after_hint(self, stub_server):
+        """Sink retry sleep = min(max(policy, Retry-After), cap) — the cap
+        is now the configurable sink.retry-max-backoff, not a literal."""
+        from unittest import mock
+
+        from flink_connector_http_spark.options import HttpSinkOptions
+        from flink_connector_http_spark.sink import (
+            HttpSinkRequestEntry, HttpSinkWriter,
+        )
+        from tests.stub_server import StubResponse, json_response
+
+        stub_server.stub_sequence("/capped", [
+            StubResponse(status=503, body=b"",
+                         headers={"Retry-After": "999"}),
+            json_response({"ok": True}),
+        ])
+        writer = HttpSinkWriter(
+            stub_server.url("/capped"),
+            HttpSinkOptions(request_mode="single", max_retries=2,
+                            retry_delay=0.01, retry_max_backoff=0.02),
+            age_ticker=False,
+        )
+        sleeps = []
+        with mock.patch(
+            "flink_connector_http_spark.sink.time.sleep",
+            side_effect=lambda s: sleeps.append(s),
+        ):
+            writer.write(HttpSinkRequestEntry("POST", b'{"a": 1}'))
+            writer.close()
+        assert len(stub_server.recorded("/capped")) == 2
+        assert writer.send_errors == 0 and writer.records_sent == 1
+        assert sleeps and max(sleeps) <= 0.02
