@@ -346,17 +346,20 @@ from .text import TEMP_TARGET as _MANIFEST_TARGET  # noqa: E402
     bench=True,
 )
 def pipeline_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     docs = load(spark, sf_dir, "documents")["documents"]
     gated = docs.filter(
         F.expr(f"({_QUALITY_SPARK}) AND NOT ({_REP_DUP_SPARK})")
     ).select("doc_id", "lang", "source", F.expr("md5(lower(text))").alias("h"))
-    w = Window.partitionBy("h").orderBy("doc_id")
+    # keep-first-copy as min_by AGGREGATION, not a row_number window: the
+    # partial (map-side) aggregate collapses duplicate groups before the
+    # content-hash shuffle and skips the per-partition sort a window
+    # needs — measured 1.4x faster at sf0.1 and 10x-sf0.1 alike (round-9
+    # profiling of the 10x curve; semantics identical: min doc_id per h)
     survivors = (
-        gated.withColumn("copy_rank", F.row_number().over(w))
-        .filter(F.col("copy_rank") == 1)
-        .select("doc_id", "lang", "source")
+        gated.groupBy("h")
+        .agg(F.expr("min_by(struct(doc_id, lang, source), doc_id)")
+             .alias("kept"))
+        .select("kept.doc_id", "kept.lang", "kept.source")
     )
     counts = survivors.groupBy("lang").agg(
         F.expr("CAST(COUNT(*) AS DOUBLE)").alias("cnt")
@@ -1149,6 +1152,7 @@ _BM25_STATS_SPARK = [
 
 @register(
     "search_bm25_topk",
+    bench=True,
     oracle=f"""
     WITH stats AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,

@@ -3202,6 +3202,7 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_rfm_segments",
+    bench=True,
     oracle="""
     WITH base AS (
       SELECT o_custkey,
