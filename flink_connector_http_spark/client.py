@@ -25,6 +25,9 @@ import threading
 import urllib.error
 import urllib.parse
 import urllib.request
+from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor
+from concurrent.futures import TimeoutError as _FuturesTimeout
+from concurrent.futures import wait as _futures_wait
 from typing import Any, Dict, List, Mapping, Optional, Tuple
 
 from .auth import (
@@ -352,6 +355,12 @@ class HttpPollingClient:
         # R12 request/response callback; default logs at DEBUG only
         self.on_response = options.request_callback or _default_request_callback
         self.retry_stats = RetryStats()
+        # hedged-request accounting + lazily-created hedge pool (opt-in,
+        # options.hedge_delay); the pool is shared by all caller threads
+        # and sized so concurrent hedged lookups don't serialize
+        self.hedge_stats = {"fired": 0, "won": 0}
+        self._hedge_pool_lock = threading.Lock()
+        self._hedge_pool: Optional[ThreadPoolExecutor] = None
         self._preprocessors: Dict[str, HeaderPreprocessor] = {}
         # with OIDC the Authorization header is CREATED by the connector
         # (bearer fetched at request time), not merely rewritten — so it
@@ -418,6 +427,56 @@ class HttpPollingClient:
         runs this on the pull pool (``AsyncHttpTableLookupFunction.java:94-115``)."""
         return self._exchange(self.build_request(key_values))
 
+    def _send_wire(self, spec: HttpRequestSpec) -> HttpResponse:
+        """One wire attempt — hedged when ``options.hedge_delay`` is set.
+
+        Tail-latency hedging (Dean & Barroso, "The Tail at Scale"): if
+        the primary hasn't answered within the delay, fire ONE duplicate
+        and return whichever completes first with a response. The loser
+        is abandoned — its thread finishes (or times out) in the
+        background and its result is dropped; a completed-but-discarded
+        response leaves that thread's keep-alive connection in sync, and
+        an errored one is closed by the transport, so no response
+        desynchronization is possible. When the first completion is an
+        error, the other attempt is awaited (one slow-but-healthy replica
+        still saves the exchange); only if both fail does the error reach
+        the retry layer. The duplicate consumes a rate-limit permit like
+        any other wire request. Default off = reference parity."""
+        delay = self.options.hedge_delay
+        if delay is None:
+            return self.transport.send(spec)
+        with self._hedge_pool_lock:
+            if self._hedge_pool is None:
+                self._hedge_pool = ThreadPoolExecutor(
+                    max_workers=2 * max(1, self.options.pull_pool_size),
+                    thread_name_prefix="http-hedge",
+                )
+            pool = self._hedge_pool
+        primary = pool.submit(self.transport.send, spec)
+        try:
+            return primary.result(timeout=delay)
+        except _FuturesTimeout:
+            pass  # primary still in flight: hedge
+        with self._hedge_pool_lock:
+            self.hedge_stats["fired"] += 1
+        if self.rate_limiter is not None:
+            self.rate_limiter.acquire()
+        secondary = pool.submit(self.transport.send, spec)
+        pending = {primary, secondary}
+        last_err: Optional[BaseException] = None
+        while pending:
+            done, pending = _futures_wait(pending, return_when=FIRST_COMPLETED)
+            for fut in done:
+                err = fut.exception()
+                if err is None:
+                    if fut is secondary:
+                        with self._hedge_pool_lock:
+                            self.hedge_stats["won"] += 1
+                    return fut.result()
+                last_err = err
+        assert last_err is not None
+        raise last_err
+
     def _exchange(self, spec: HttpRequestSpec, also_success: Tuple = ()) -> Tuple:
         """Fire one assembled request with the retry policy; shared by the
         per-key and multi-key network phases. The circuit breaker (when
@@ -433,7 +492,7 @@ class HttpPollingClient:
             # the limiter bounds actual requests hitting the endpoint
             if self.rate_limiter is not None:
                 self.rate_limiter.acquire()
-            return self.transport.send(spec)
+            return self._send_wire(spec)
 
         try:
             response = run_with_retry(

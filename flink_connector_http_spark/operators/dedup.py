@@ -977,6 +977,166 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# incremental cluster-label maintenance (union-find-style merge of a batch)
+# ---------------------------------------------------------------------------
+
+
+def _incremental_new_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup edges whose larger endpoint is in the new batch
+    (new-vs-existing + new-vs-new) — the daily delta the persistent band
+    index yields; existing-vs-existing pairs are never generated. Same
+    candidate/verify machinery as :func:`dedup_incremental_minhash`."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    bands = _minhash_bands(docs)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.doc_id") >= INCR_SPLIT),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+        .persist()
+    )
+    candidates.count()
+    cand_docs = (
+        candidates.select(F.col("a_id").alias("doc_id"))
+        .union(candidates.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    sh = _shingle_index(spark, sf_dir, cand_docs)
+    return _exact_jaccard(sh, candidates).select("a_id", "b_id")
+
+
+def _existing_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted state an incremental campaign carries day to day:
+    (doc_id, cluster_id) over the existing corpus only. Recomputed here
+    from the existing half (doc_id < INCR_SPLIT) exactly like
+    :func:`dedup_incremental_minhash` recomputes its band index — in
+    production both live in a table."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    existing = docs.filter(F.col("doc_id") < INCR_SPLIT)
+    bands = _minhash_bands(existing)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+        .persist()
+    )
+    candidates.count()
+    cand_docs = (
+        candidates.select(F.col("a_id").alias("doc_id"))
+        .union(candidates.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    sh = _shingle_index(spark, sf_dir, cand_docs)
+    pairs = _exact_jaccard(sh, candidates).select("a_id", "b_id")
+    return connected_components(pairs)
+
+
+def merge_cluster_labels(
+    existing_labels: DataFrame, new_edges: DataFrame
+) -> DataFrame:
+    """Union-find-style incremental label maintenance: fold a batch of new
+    edges into an existing (doc_id, cluster_id) table, touching only the
+    affected components.
+
+    Contract every existing component to its representative (its
+    cluster_id — already the component's min doc id), project each new
+    edge endpoint onto that representative (or itself when unlabeled),
+    and run connected components over the resulting SUPER-GRAPH, whose
+    size is bounded by the batch's edge count — not the corpus. The
+    resulting (node → merged id) remap is batch-bounded, so it broadcasts,
+    and the final relabel of the existing table is one broadcast join: no
+    corpus-sized shuffle anywhere. Untouched components miss the remap
+    and keep their labels byte-for-byte.
+
+    Correctness: representatives are per-component minima and minima
+    compose (min over a merged set of components = min of their minima),
+    so the super-graph's min-label CC yields exactly the labels a full
+    recompute over (existing pairs ∪ new edges) would — the registered
+    oracle checks that equivalence against the full recursive-CTE CC.
+    """
+    labels = existing_labels.persist()
+    lab_a = labels.select(
+        F.col("doc_id").alias("a_id"), F.col("cluster_id").alias("a_rep")
+    )
+    lab_b = labels.select(
+        F.col("doc_id").alias("b_id"), F.col("cluster_id").alias("b_rep")
+    )
+    # endpoints resolve to their component representative; unlabeled
+    # endpoints (new docs, or existing singletons outside the state
+    # table) stand for themselves
+    super_edges = (
+        new_edges.join(F.broadcast(lab_a), "a_id", "left")
+        .join(F.broadcast(lab_b), "b_id", "left")
+        .select(
+            F.coalesce(F.col("a_rep"), F.col("a_id")).alias("a_id"),
+            F.coalesce(F.col("b_rep"), F.col("b_id")).alias("b_id"),
+        )
+        .filter(F.col("a_id") != F.col("b_id"))
+    )
+    remap = connected_components(super_edges).select(
+        F.col("doc_id").alias("node"), F.col("cluster_id").alias("merged")
+    )
+    # existing rows: only components whose representative appears in the
+    # remap change labels; everything else passes through untouched
+    relabeled = (
+        labels.join(
+            F.broadcast(remap), labels["cluster_id"] == remap["node"], "left"
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("merged"), F.col("cluster_id"))
+            .cast("long")
+            .alias("cluster_id"),
+        )
+    )
+    # graph nodes introduced by this batch: new-edge endpoints that the
+    # state table has never labeled (new docs + existing loners)
+    fresh = (
+        new_edges.select(F.col("a_id").alias("doc_id"))
+        .union(new_edges.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+        .join(labels, "doc_id", "left_anti")
+        .join(F.broadcast(remap), F.col("doc_id") == F.col("node"))
+        .select("doc_id", F.col("merged").cast("long").alias("cluster_id"))
+    )
+    return relabeled.unionByName(fresh)
+
+
+@register(
+    "dedup_incremental_clusters",
+    oracle=_CLUSTERS_ORACLE,
+    doc="Incremental cluster-label maintenance: the existing corpus keeps "
+        "a persisted (doc_id, cluster_id) table; a new batch's near-dup "
+        "edges (new-vs-existing + new-vs-new, from the persistent band "
+        "index) merge into it union-find-style — existing components "
+        "contract to their representatives, the batch-bounded super-graph "
+        "runs connected components, and a broadcast remap relabels ONLY "
+        "affected components. The oracle is the FULL-recompute recursive "
+        "CTE over the complete pair graph (same as dedup_clusters), so "
+        "the gate certifies merge-equals-recompute; daily work is bounded "
+        "by batch size, never corpus size.",
+)
+def dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    existing_labels = _existing_cluster_labels(spark, sf_dir)
+    new_edges = _incremental_new_edges(spark, sf_dir)
+    return merge_cluster_labels(existing_labels, new_edges)
+
+
+# ---------------------------------------------------------------------------
 # containment near-dup (asymmetric: B quotes/embeds most of A)
 # ---------------------------------------------------------------------------
 

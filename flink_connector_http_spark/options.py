@@ -87,6 +87,10 @@ LOOKUP_OPTION_KEYS = {
     # every task's full retry schedule
     "circuit_breaker_failures": "http.source.lookup.circuit-breaker.failure-threshold",
     "circuit_breaker_reset": "http.source.lookup.circuit-breaker.reset-timeout",
+    # beyond-reference tail-latency knob: hedged requests — if one wire
+    # attempt hasn't answered within the delay, fire a duplicate and take
+    # whichever responds first (Dean & Barroso, "The Tail at Scale")
+    "hedge_delay": "http.source.lookup.hedge-delay",
 }
 
 SINK_OPTION_KEYS = {
@@ -208,6 +212,16 @@ class HttpLookupOptions:
     # then lets one half-open trial through. None = disabled.
     circuit_breaker_failures: Optional[int] = None
     circuit_breaker_reset: float = 30.0               # seconds
+    # hedged requests (tail-latency): if a wire attempt hasn't answered
+    # within this many seconds, fire ONE duplicate and take whichever
+    # responds first; the loser is abandoned (its socket dies at the
+    # request timeout). Pick a p95-ish endpoint latency. OPT-IN and off
+    # by default (reference parity — HttpClientWithRetry.java has no
+    # hedging); enable only for endpoints where a duplicate in-flight
+    # request is safe (idempotent reads — which lookup queries are).
+    # At 1000 executors x 30 s timeouts, one slow endpoint replica
+    # otherwise stalls a whole partition.
+    hedge_delay: Optional[float] = None
 
 
 @dataclass(frozen=True)
@@ -342,6 +356,8 @@ def lookup_options_from_map(options: Mapping[str, str]) -> HttpLookupOptions:
         kwargs["circuit_breaker_reset"] = float(
             options[k["circuit_breaker_reset"]]
         )
+    if k["hedge_delay"] in options:
+        kwargs["hedge_delay"] = float(options[k["hedge_delay"]])
     if k["allow_self_signed"] in options:
         kwargs["allow_self_signed"] = _as_bool(options[k["allow_self_signed"]])
     if k["proxy_port"] in options:

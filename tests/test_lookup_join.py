@@ -877,3 +877,86 @@ def test_cache_revalidation_pipelines_under_async(spark, stub_server):
         "alice", "alice", "bob", "bob"]
     assert calls["full"] == 2
     assert calls["cond"] == 2 and calls["broken"] == 0
+
+
+def test_hedged_lookup_fires_and_wins_on_slow_primary(spark, stub_server):
+    """Opt-in request hedging (http.source.lookup.hedge-delay): the stub's
+    FIRST response per key is slow (a stalled replica); the hedged
+    duplicate answers fast. The join must return the correct row well
+    before the slow primary lands, having fired exactly 2 requests."""
+    import time as _time
+
+    slow_once = {"done": False}
+
+    def responder(request):
+        first = not slow_once["done"]
+        slow_once["done"] = True
+        if first:
+            _time.sleep(10.0)
+        return json_response(CUSTOMERS[int(request.query["id"][0])])
+
+    stub_server.stub("/customers-hedge", responder)
+    table = HttpLookupTable(
+        url=stub_server.url("/customers-hedge"),
+        schema=CUSTOMER_SCHEMA,
+        options=HttpLookupOptions(method="GET", hedge_delay=0.2),
+    )
+    start = _time.monotonic()
+    out = http_lookup_join(
+        orders_df(spark, ids=(1,)).coalesce(1), table, on={"cust_id": "id"}
+    ).collect()
+    elapsed = _time.monotonic() - start
+    assert len(out) == 1 and out[0].name == "alice"
+    assert len(stub_server.recorded("/customers-hedge")) == 2
+    # well under the 10s stall (Spark job overhead is ~6s): the result
+    # came from the hedged duplicate, not the stalled primary
+    assert elapsed < 9.0
+
+
+def test_hedging_off_by_default(spark, stub_server):
+    """Reference parity: without hedge-delay a slow response is simply
+    awaited — one request on the wire, no duplicates."""
+    import time as _time
+
+    def responder(request):
+        _time.sleep(0.5)
+        return json_response(CUSTOMERS[int(request.query["id"][0])])
+
+    stub_server.stub("/customers-nohedge", responder)
+    table = HttpLookupTable(
+        url=stub_server.url("/customers-nohedge"),
+        schema=CUSTOMER_SCHEMA,
+        options=HttpLookupOptions(method="GET"),
+    )
+    out = http_lookup_join(
+        orders_df(spark, ids=(2,)).coalesce(1), table, on={"cust_id": "id"}
+    ).collect()
+    assert len(out) == 1 and out[0].name == "bob"
+    assert len(stub_server.recorded("/customers-nohedge")) == 1
+
+
+def test_hedge_survives_primary_error_and_counts_stats(stub_server):
+    """Client-level: primary errors after the hedge fires -> the healthy
+    duplicate's response wins; stats record fired+won."""
+    import time as _time
+
+    from flink_connector_http_spark.client import HttpPollingClient
+
+    state = {"n": 0}
+
+    def responder(request):
+        state["n"] += 1
+        if state["n"] == 1:
+            _time.sleep(0.4)
+            return StubResponse(status=500, body=b"late error")
+        return json_response(CUSTOMERS[1])
+
+    stub_server.stub("/hedge-err", responder)
+    client = HttpPollingClient(
+        url=stub_server.url("/hedge-err"),
+        options=HttpLookupOptions(method="GET", hedge_delay=0.1),
+    )
+    result = client.pull({"id": 1})
+    assert result.rows and result.rows[0]["name"] == "alice"
+    assert client.hedge_stats["fired"] == 1
+    assert client.hedge_stats["won"] == 1
