@@ -59,6 +59,37 @@ from .types import (
 
 __all__ = ["HttpLookupTable", "http_lookup_join"]
 
+import logging
+
+logger = logging.getLogger(__name__)
+
+#: distinct keys in one probe batch above which the per-key GET model is
+#: known to saturate (BENCH r8: per-key GETs hit an 8x wall at 10x data
+#: while 50-key batch POSTs stayed at 2.5x) — one advisory per executor
+#: names the scale path instead of letting users discover it in prod
+BATCH_LOOKUP_ADVISORY_THRESHOLD = 200
+_batch_advisory_emitted = False
+
+
+def _maybe_advise_batch_lookup(n_distinct: int) -> bool:
+    """Log a one-time advisory when a per-key lookup batch is large enough
+    that ``http.source.lookup.request.batch.size`` (multi-key POST batch
+    lookup) would cut request volume by the batch factor. Returns whether
+    the advisory fired (for tests)."""
+    global _batch_advisory_emitted
+    if _batch_advisory_emitted or n_distinct < BATCH_LOOKUP_ADVISORY_THRESHOLD:
+        return False
+    _batch_advisory_emitted = True
+    logger.warning(
+        "http_lookup_join fired %d per-key requests for one probe batch; "
+        "at this key volume the per-key GET model saturates the endpoint "
+        "(measured 8x at 10x data). If the endpoint supports multi-key "
+        "lookup, set http.source.lookup.request.batch.size "
+        "(lookup_batch_size) to batch ~50 keys per POST.",
+        n_distinct,
+    )
+    return True
+
 
 @dataclass(frozen=True)
 class HttpLookupTable:
@@ -591,6 +622,7 @@ def http_lookup_join(
                         if result.rows or cache.config.cache_missing_key:
                             cache.put(kt, result)
             elif to_fetch:
+                _maybe_advise_batch_lookup(len(to_fetch))
                 if not table_ref.options.use_async or len(to_fetch) == 1:
                     # sync mode: strictly sequential per-key firing, the
                     # reference's synchronous LookupFunction semantics

@@ -960,3 +960,35 @@ def test_hedge_survives_primary_error_and_counts_stats(stub_server):
     assert result.rows and result.rows[0]["name"] == "alice"
     assert client.hedge_stats["fired"] == 1
     assert client.hedge_stats["won"] == 1
+
+
+class TestBatchLookupAdvisory:
+    """A large per-key probe batch logs a one-time advisory naming the
+    multi-key batch-lookup config (the known 8x saturation footgun)."""
+
+    def setup_method(self):
+        import flink_connector_http_spark.lookup as L
+
+        L._batch_advisory_emitted = False
+
+    def test_fires_once_above_threshold(self, caplog):
+        import logging
+
+        import flink_connector_http_spark.lookup as L
+
+        with caplog.at_level(logging.WARNING,
+                             logger="flink_connector_http_spark.lookup"):
+            assert L._maybe_advise_batch_lookup(
+                L.BATCH_LOOKUP_ADVISORY_THRESHOLD) is True
+            # once per executor, not per batch
+            assert L._maybe_advise_batch_lookup(10_000) is False
+        msgs = [r.message for r in caplog.records]
+        assert any("request.batch.size" in m for m in msgs)
+        assert len(msgs) == 1
+
+    def test_silent_below_threshold(self):
+        import flink_connector_http_spark.lookup as L
+
+        assert L._maybe_advise_batch_lookup(
+            L.BATCH_LOOKUP_ADVISORY_THRESHOLD - 1) is False
+        assert L._batch_advisory_emitted is False
