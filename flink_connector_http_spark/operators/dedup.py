@@ -1136,6 +1136,88 @@ def dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_cluster_labels(existing_labels, new_edges)
 
 
+@register(
+    "dedup_incremental_cluster_churn",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      {_JACCARD_ORACLE}
+    ),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION ALL
+      SELECT b_id AS src, a_id AS dst FROM pairs
+    ),
+    walk(doc_id, reach) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, w.reach FROM edges e JOIN walk w ON w.doc_id = e.dst
+    ),
+    full_labels AS (
+      SELECT doc_id, CAST(MIN(reach) AS BIGINT) AS cluster_id
+      FROM walk GROUP BY doc_id
+    ),
+    ex_edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs WHERE b_id < {INCR_SPLIT}
+      UNION ALL
+      SELECT b_id AS src, a_id AS dst FROM pairs WHERE b_id < {INCR_SPLIT}
+    ),
+    ex_walk(doc_id, reach) AS (
+      SELECT DISTINCT src, src FROM ex_edges
+      UNION
+      SELECT e.src, w.reach FROM ex_edges e JOIN ex_walk w ON w.doc_id = e.dst
+    ),
+    ex_labels AS (
+      SELECT doc_id, CAST(MIN(reach) AS BIGINT) AS old_id
+      FROM ex_walk GROUP BY doc_id
+    )
+    SELECT f.cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN e.old_id = f.cluster_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_exist_stable,
+           CAST(SUM(CASE WHEN e.old_id IS NOT NULL
+                          AND e.old_id <> f.cluster_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_exist_relabeled,
+           CAST(SUM(CASE WHEN e.old_id IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_new_docs
+    FROM full_labels f LEFT JOIN ex_labels e USING (doc_id)
+    GROUP BY f.cluster_id
+    """,
+    doc="Label-churn audit of the incremental cluster merge — the QA "
+        "readout an incremental dedup campaign reviews each day: per "
+        "FINAL cluster, how many members kept their state label "
+        "(n_exist_stable), how many existing docs were relabeled by a "
+        "batch-induced merge (n_exist_relabeled), and how many members "
+        "the batch introduced (n_new_docs). The oracle recomputes both "
+        "generations of labels with recursive CTEs; the Spark side reuses "
+        "the batch-bounded merge, so a churn row also re-certifies "
+        "merge-equals-recompute from a second angle.",
+)
+def dedup_incremental_cluster_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state = _existing_cluster_labels(spark, sf_dir).persist()
+    merged = merge_cluster_labels(state, _incremental_new_edges(spark, sf_dir))
+    joined = merged.join(
+        state.select("doc_id", F.col("cluster_id").alias("old_id")),
+        "doc_id",
+        "left",
+    )
+    return joined.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum(
+            F.when(F.col("old_id") == F.col("cluster_id"), 1).otherwise(0)
+        ).cast("long").alias("n_exist_stable"),
+        F.sum(
+            F.when(
+                F.col("old_id").isNotNull()
+                & (F.col("old_id") != F.col("cluster_id")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_exist_relabeled"),
+        F.sum(
+            F.when(F.col("old_id").isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_new_docs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # containment near-dup (asymmetric: B quotes/embeds most of A)
 # ---------------------------------------------------------------------------

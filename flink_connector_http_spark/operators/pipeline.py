@@ -2491,3 +2491,88 @@ def search_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_at_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# output shard planning (byte-targeted write sizing)
+# ---------------------------------------------------------------------------
+
+#: target bytes per output shard; the 100 TB analogue is 256-1024 MiB
+#: parquet files — the constant only sets shard granularity, the plan
+#: shape is identical at any target
+SHARD_TARGET_BYTES = 32768
+
+
+@register(
+    "pipeline_shard_plan",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, source, n_chars AS nbytes,
+             md5(concat('shard:', doc_id)) AS k
+      FROM documents
+    ),
+    pos AS (
+      SELECT source, nbytes,
+             SUM(nbytes) OVER (PARTITION BY source ORDER BY k, doc_id
+                               ROWS UNBOUNDED PRECEDING) - nbytes
+               AS start_pos
+      FROM sized
+    )
+    SELECT source,
+           CAST(start_pos // {SHARD_TARGET_BYTES} AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nbytes) AS BIGINT) AS shard_bytes
+    FROM pos GROUP BY source, shard_id
+    """,
+    doc="Output shard planning — the write-sizing pass a 100 TB corpus "
+        "export runs so no shard is tiny or huge: documents are placed "
+        "in a deterministic hash order within each source and cut into "
+        "byte-targeted shards by running-sum bucketing "
+        "(shard = floor(start_offset / target)), emitting the per-shard "
+        "manifest (doc count, actual bytes). The prefix sum is the "
+        "two-phase bucket discipline of sample_pack_batches (per-"
+        "(source, hash-prefix) local windows + a 256-row offset pass), "
+        "so no unbounded single-partition window exists at any scale.",
+)
+def pipeline_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("nbytes"),
+        F.expr("md5(concat('shard:', doc_id))").alias("k"),
+    ).withColumn("bucket", F.expr("substr(k, 1, 2)"))
+    w_local = (
+        Window.partitionBy("source", "bucket")
+        .orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = sized.withColumn("local_cum", F.sum("nbytes").over(w_local))
+    # ≤256 rows per source — sequential only over bucket TOTALS
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        sized.groupBy("source", "bucket")
+        .agg(F.sum("nbytes").alias("bucket_total"))
+        .withColumn(
+            "offset", F.coalesce(F.sum("bucket_total").over(w_off), F.lit(0))
+        )
+        .select("source", "bucket", "offset")
+    )
+    placed = local.join(F.broadcast(offsets), ["source", "bucket"]).select(
+        "source",
+        "nbytes",
+        F.expr(
+            f"CAST((offset + local_cum - nbytes) DIV {SHARD_TARGET_BYTES}"
+            f" AS BIGINT)"
+        ).alias("shard_id"),
+    )
+    return placed.groupBy("source", "shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nbytes").cast("long").alias("shard_bytes"),
+    )

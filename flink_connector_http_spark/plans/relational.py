@@ -6707,3 +6707,68 @@ def q_ab_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CASE WHEN n >= 2 * {n_req} THEN 1 ELSE 0 END"
         ).alias("powered_now"),
     )
+
+
+# ---------------------------------------------------------------------------
+# join-key skew audit (heavy hitters + salting plan)
+# ---------------------------------------------------------------------------
+
+#: partition budget the salting plan targets (the shuffle width the
+#: cluster would use; the plan is a pure function of the histogram)
+SKEW_AUDIT_PARTITIONS = 200
+SKEW_AUDIT_TOPK = 20
+
+
+@register(
+    "q_join_skew_audit",
+    oracle=f"""
+    WITH hist AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT SUM(n_rows) AS total FROM hist)
+    SELECT user_id, n_rows,
+           round(CAST(n_rows AS DOUBLE) * CAST(100 AS DOUBLE)
+                 / CAST(total AS DOUBLE), 4) AS share_pct,
+           CAST(CASE WHEN n_rows * {SKEW_AUDIT_PARTITIONS} % total = 0
+                     THEN n_rows * {SKEW_AUDIT_PARTITIONS} // total
+                     ELSE n_rows * {SKEW_AUDIT_PARTITIONS} // total + 1
+                END AS BIGINT) AS salt_factor
+    FROM hist CROSS JOIN tot
+    ORDER BY n_rows DESC, user_id
+    LIMIT {SKEW_AUDIT_TOPK}
+    """,
+    doc="Join-key skew audit — the pre-flight a 100 TB join runs on its "
+        "key column: the top heavy-hitter keys by row count, each key's "
+        "share of the table, and the SALT FACTOR a salted join would "
+        "need so no single reducer holds more than an even 1/P share "
+        "(ceil(key_rows / (total/P)) in exact integer arithmetic). One "
+        "map-side-combinable histogram plus a broadcast total; the top-k "
+        "is a distributed TakeOrdered, never a global sort.",
+)
+def q_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    hist = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    tot = hist.agg(F.sum("n_rows").alias("total"))
+    p = SKEW_AUDIT_PARTITIONS
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n_rows",
+            F.expr(
+                "round(CAST(n_rows AS DOUBLE) * CAST(100 AS DOUBLE)"
+                " / CAST(total AS DOUBLE), 4)"
+            ).alias("share_pct"),
+            F.expr(
+                f"CAST(CASE WHEN n_rows * {p} % total = 0"
+                f" THEN n_rows * {p} DIV total"
+                f" ELSE n_rows * {p} DIV total + 1"
+                f" END AS BIGINT)"
+            ).alias("salt_factor"),
+        )
+        .orderBy(F.col("n_rows").desc(), "user_id")
+        .limit(SKEW_AUDIT_TOPK)
+    )
