@@ -6772,3 +6772,379 @@ def q_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_rows").desc(), "user_id")
         .limit(SKEW_AUDIT_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend (median of pairwise slopes over the daily grain)
+# ---------------------------------------------------------------------------
+
+#: Theil–Sen is Θ(n²) in the number of POINTS — only honest at scale when
+#: the points are a bounded grain. Daily revenue is: the day domain grows
+#: with calendar time, not data volume (~2.4k days → ~2.9M pairs at any
+#: SF), so the heavy distributed work is the daily aggregation and the
+#: pair enumeration is a bounded broadcast nested-loop.
+THEIL_SEN_EPOCH = "DATE '1992-01-01'"
+
+
+@register(
+    "q_theil_sen_trend",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_diff('day', {THEIL_SEN_EPOCH}, o_orderdate) AS di,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CAST(b.rev - a.rev AS DOUBLE) / CAST(b.di - a.di AS DOUBLE)
+               AS slope
+      FROM daily a JOIN daily b ON b.di > a.di
+    ),
+    ranked AS (
+      SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS r,
+             COUNT(*) OVER () AS n
+      FROM pairs
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+           CAST(n AS BIGINT) AS n_pairs,
+           round(slope, 6) AS slope_per_day
+    FROM ranked WHERE r = (n + 1) // 2
+    """,
+    doc="Theil–Sen robust trend estimator over daily order revenue: the "
+        "LOWER MEDIAN of all pairwise slopes (rev_j - rev_i)/(day_j - "
+        "day_i), immune to the outlier days that bend an OLS fit "
+        "(cf. q_user_trend_slope). Slopes are one exact-DECIMAL "
+        "difference divided by an integer day gap — a single IEEE "
+        "division both engines compute bit-identically. The median is "
+        "selected by the two-phase _global_rank (never a "
+        "single-partition sort over the ~2.9M pairs); the pair "
+        "enumeration itself is a broadcast nested-loop over the BOUNDED "
+        "daily grain (the day domain grows with the calendar, not the "
+        "data volume).",
+)
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy("o_orderdate").agg(
+        F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,2)))").alias("rev")
+    ).select(
+        F.expr(f"datediff(o_orderdate, {THEIL_SEN_EPOCH})").alias("di"),
+        "rev",
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.expr("b.di > a.di")
+    ).select(
+        F.expr(
+            "CAST(b.rev - a.rev AS DOUBLE) / CAST(b.di - a.di AS DOUBLE)"
+        ).alias("slope")
+    )
+    ranked = _global_rank(
+        pairs, "slope", [F.col("slope")], with_total=True
+    )
+    n_days = daily.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_days"))
+    return (
+        ranked.filter(F.expr("__rank = (__n + 1) DIV 2"))
+        .crossJoin(F.broadcast(n_days))
+        .select(
+            "n_days",
+            F.expr("CAST(__n AS BIGINT)").alias("n_pairs"),
+            F.expr("round(slope, 6)").alias("slope_per_day"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini–Hochberg FDR adjustment over the per-nation return-rate tests
+# ---------------------------------------------------------------------------
+
+#: two-sided p-value from a z-score via the Abramowitz–Stegun 7.1.26
+#: erf approximation (max abs error 1.5e-7 — identical in both engines
+#: because the FORMULA is identical; engine ulp drift in exp() is orders
+#: of magnitude below the 9dp rounding). Every literal is CAST AS DOUBLE:
+#: bare decimal literals parse as DECIMAL in Spark but DOUBLE in DuckDB
+#: and the exact-decimal intermediate drifts at rounding boundaries.
+_BH_X = "(abs(z) / sqrt(CAST(2 AS DOUBLE)))"
+_BH_T = f"(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(0.3275911 AS DOUBLE) * {_BH_X}))"
+_BH_P_RAW = (
+    f"round((CAST(0.254829592 AS DOUBLE) * {_BH_T} "
+    f"+ CAST(-0.284496736 AS DOUBLE) * {_BH_T} * {_BH_T} "
+    f"+ CAST(1.421413741 AS DOUBLE) * {_BH_T} * {_BH_T} * {_BH_T} "
+    f"+ CAST(-1.453152027 AS DOUBLE) * {_BH_T} * {_BH_T} * {_BH_T} * {_BH_T} "
+    f"+ CAST(1.061405429 AS DOUBLE) * {_BH_T} * {_BH_T} * {_BH_T} * {_BH_T} * {_BH_T}) "
+    f"* exp(-{_BH_X} * {_BH_X}), 9)"
+)
+_BH_Z = (
+    "((CAST(n_returns AS DOUBLE) / CAST(n_rows AS DOUBLE)"
+    " - CAST(tot_returns AS DOUBLE) / CAST(tot_rows AS DOUBLE))"
+    " / sqrt(CAST(tot_returns AS DOUBLE) / CAST(tot_rows AS DOUBLE)"
+    " * (CAST(1 AS DOUBLE) - CAST(tot_returns AS DOUBLE)"
+    " / CAST(tot_rows AS DOUBLE)) / CAST(n_rows AS DOUBLE)))"
+)
+BH_FDR_Q = "CAST(0.05 AS DOUBLE)"
+
+
+@register(
+    "q_fdr_bh_adjust",
+    oracle=f"""
+    WITH cells AS (
+      SELECT n.n_name AS nation,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_returns
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    ),
+    tot AS (
+      SELECT SUM(n_rows) AS tot_rows, SUM(n_returns) AS tot_returns
+      FROM cells
+    ),
+    scored AS (
+      SELECT nation, n_rows, n_returns, {_BH_Z} AS z
+      FROM cells CROSS JOIN tot
+    ),
+    pvals AS (
+      SELECT nation, n_rows, n_returns, z, {_BH_P_RAW} AS p_raw,
+             CAST(COUNT(*) OVER () AS DOUBLE) AS m,
+             CAST(ROW_NUMBER() OVER (ORDER BY {_BH_P_RAW}, nation)
+                  AS DOUBLE) AS k
+      FROM scored
+    ),
+    adjusted AS (
+      SELECT nation, n_rows, n_returns, z, p_raw,
+             round(least(CAST(1 AS DOUBLE),
+                 MIN(m * p_raw / k) OVER (
+                     ORDER BY p_raw DESC, nation DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+                 9) AS p_adj
+      FROM pvals
+    )
+    SELECT nation, n_rows, n_returns,
+           round(CAST(n_returns AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+             AS return_rate,
+           round(z, 6) AS z_score, p_raw, p_adj,
+           CASE WHEN p_adj <= {BH_FDR_Q} THEN 1 ELSE 0 END AS rejected
+    FROM adjusted
+    ORDER BY nation
+    """,
+    doc="Benjamini–Hochberg FDR step-up over the 25 per-nation two-sided "
+        "return-rate z-tests (each nation vs the pooled rate): p-values "
+        "via the Abramowitz–Stegun erf polynomial (identical formula "
+        "text in both engines, rounded at 9dp before any comparison), "
+        "then p_adj(k) = min_{{j>=k}} m·p_(j)/j as a running MIN over "
+        "the DESCENDING p order. Completes the experimentation suite "
+        "(q_srm_check → q_ab_lift_readout → q_ab_sample_size) with the "
+        "multiple-testing correction a 25-arm readout needs. The only "
+        "global window runs over the 25-row nation grain — the heavy "
+        "work is one map-side-combinable join-aggregate.",
+)
+def q_fdr_bh_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "lineitem", "orders", "customer", "nation")
+    cells = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_rows"),
+            F.expr(
+                "CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_returns"),
+        )
+    )
+    tot = cells.agg(
+        F.expr("SUM(n_rows)").alias("tot_rows"),
+        F.expr("SUM(n_returns)").alias("tot_returns"),
+    )
+    scored = cells.crossJoin(F.broadcast(tot)).select(
+        "nation", "n_rows", "n_returns", F.expr(_BH_Z).alias("z")
+    )
+    w_k = Window.orderBy(F.expr(_BH_P_RAW), F.col("nation"))
+    pvals = scored.select(
+        "nation", "n_rows", "n_returns", "z",
+        F.expr(_BH_P_RAW).alias("p_raw"),
+        F.expr("CAST(COUNT(*) OVER () AS DOUBLE)").alias("m"),
+        F.row_number().over(w_k).cast("double").alias("k"),
+    )
+    w_min = (
+        Window.orderBy(F.col("p_raw").desc(), F.col("nation").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    adjusted = pvals.select(
+        "nation", "n_rows", "n_returns", "z", "p_raw",
+        F.round(
+            F.least(
+                F.expr("CAST(1 AS DOUBLE)"),
+                F.min(F.expr("m * p_raw / k")).over(w_min),
+            ),
+            9,
+        ).alias("p_adj"),
+    )
+    return adjusted.select(
+        "nation", "n_rows", "n_returns",
+        F.expr(
+            "round(CAST(n_returns AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)"
+        ).alias("return_rate"),
+        F.expr("round(z, 6)").alias("z_score"),
+        "p_raw", "p_adj",
+        F.expr(
+            f"CASE WHEN p_adj <= {BH_FDR_Q} THEN 1 ELSE 0 END"
+        ).alias("rejected"),
+    ).orderBy("nation")
+
+
+# ---------------------------------------------------------------------------
+# CEP-style sequence detection: view -> click -> purchase episodes
+# ---------------------------------------------------------------------------
+
+#: pattern window (Flink CEP `within`): each step must follow the
+#: previous within 7 days
+CEP_WITHIN_US = 7 * 86_400 * 1_000_000
+
+
+@register(
+    "q_cep_funnel_episodes",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS u
+      FROM events
+    ),
+    annotated AS (
+      SELECT user_id, event_type, u,
+             MAX(CASE WHEN event_type = 'click' THEN u END) OVER (
+                 PARTITION BY user_id ORDER BY u, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_u,
+             MAX(CASE WHEN event_type = 'view' THEN u END) OVER (
+                 PARTITION BY user_id ORDER BY u, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_view_u,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER (
+                 PARTITION BY user_id ORDER BY u, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS err_incl,
+             COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                          END) OVER (
+                 PARTITION BY user_id ORDER BY u, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS err_excl
+      FROM ev
+    ),
+    episodes AS (
+      SELECT p.user_id,
+             p.u - v.view_u AS gap_us,
+             CASE WHEN p.err_excl - v.err_at_view > 0 THEN 1 ELSE 0 END
+               AS blocked
+      FROM (SELECT user_id, u, last_click_u, err_excl FROM annotated
+            WHERE event_type = 'purchase' AND last_click_u IS NOT NULL
+              AND u - last_click_u <= {CEP_WITHIN_US}) p
+      JOIN (SELECT user_id, u AS click_u, last_view_u FROM annotated
+            WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.last_click_u = c.click_u
+      JOIN (SELECT user_id, u AS view_u, err_incl AS err_at_view
+            FROM annotated WHERE event_type = 'view') v
+        ON p.user_id = v.user_id AND c.last_view_u = v.view_u
+      WHERE c.last_view_u IS NOT NULL
+        AND c.click_u - c.last_view_u <= {CEP_WITHIN_US}
+    )
+    SELECT user_id,
+           CAST(SUM(1 - blocked) AS BIGINT) AS n_episodes,
+           CAST(SUM(blocked) AS BIGINT) AS n_blocked,
+           CASE WHEN SUM(1 - blocked) > 0 THEN
+             round(CAST(SUM(CASE WHEN blocked = 0 THEN gap_us END)
+                        AS DOUBLE)
+                   / CAST(SUM(1 - blocked) AS DOUBLE)
+                   / CAST(60000000 AS DOUBLE), 4)
+           END AS avg_min_view_to_purchase
+    FROM episodes
+    GROUP BY user_id
+    """,
+    doc="CEP-style sequence detection — the MATCH_RECOGNIZE / Flink-CEP "
+        "pattern `view -> click -> purchase WITHIN 7d, no error between` "
+        "expressed as composable DataFrame ops: per-user running-state "
+        "windows annotate every row with the latest preceding click/view "
+        "and a running error count (the NFA state), then two equality "
+        "joins on (user_id, ts) stitch the step rows into episodes and "
+        "the error-count DELTA between the view and purchase positions "
+        "checks the negative condition without rescanning. Everything "
+        "partitions by user_id — per-user windows and co-partitioned "
+        "joins, no global ordering anywhere.",
+)
+def q_cep_funnel_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"].select(
+        "user_id", "event_id", "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("u"),
+    )
+    w = Window.partitionBy("user_id").orderBy("u", "event_id")
+    w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    w_incl = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    annotated = ev.select(
+        "user_id", "event_type", "u",
+        F.max(F.expr("CASE WHEN event_type = 'click' THEN u END"))
+          .over(w_prev).alias("last_click_u"),
+        F.max(F.expr("CASE WHEN event_type = 'view' THEN u END"))
+          .over(w_prev).alias("last_view_u"),
+        F.sum(F.expr("CASE WHEN event_type = 'error' THEN 1 ELSE 0 END"))
+          .over(w_incl).alias("err_incl"),
+        F.coalesce(
+            F.sum(
+                F.expr("CASE WHEN event_type = 'error' THEN 1 ELSE 0 END")
+            ).over(w_prev),
+            F.lit(0),
+        ).alias("err_excl"),
+    )
+    purchases = annotated.filter(
+        f"event_type = 'purchase' AND last_click_u IS NOT NULL "
+        f"AND u - last_click_u <= {CEP_WITHIN_US}"
+    ).select("user_id", "u", "last_click_u", "err_excl")
+    clicks = annotated.filter("event_type = 'click'").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("u").alias("click_u"),
+        "last_view_u",
+    )
+    views = annotated.filter("event_type = 'view'").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("u").alias("view_u"),
+        F.col("err_incl").alias("err_at_view"),
+    )
+    episodes = (
+        purchases.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user_id"))
+            & (F.col("last_click_u") == F.col("click_u")),
+        )
+        .filter(
+            f"last_view_u IS NOT NULL "
+            f"AND click_u - last_view_u <= {CEP_WITHIN_US}"
+        )
+        .join(
+            views,
+            (F.col("user_id") == F.col("v_user_id"))
+            & (F.col("last_view_u") == F.col("view_u")),
+        )
+        .select(
+            "user_id",
+            (F.col("u") - F.col("view_u")).alias("gap_us"),
+            F.expr(
+                "CASE WHEN err_excl - err_at_view > 0 THEN 1 ELSE 0 END"
+            ).alias("blocked"),
+        )
+    )
+    return episodes.groupBy("user_id").agg(
+        F.expr("CAST(SUM(1 - blocked) AS BIGINT)").alias("n_episodes"),
+        F.expr("CAST(SUM(blocked) AS BIGINT)").alias("n_blocked"),
+        F.expr(
+            "CASE WHEN SUM(1 - blocked) > 0 THEN "
+            "round(CAST(SUM(CASE WHEN blocked = 0 THEN gap_us END)"
+            " AS DOUBLE)"
+            " / CAST(SUM(1 - blocked) AS DOUBLE)"
+            " / CAST(60000000 AS DOUBLE), 4) END"
+        ).alias("avg_min_view_to_purchase"),
+    )

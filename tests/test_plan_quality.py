@@ -84,6 +84,9 @@ BOUNDED_GLOBAL_WINDOW_OK = {
                        "not the row count)",
     "q_mann_whitney_u": "cumulative rank counts over the same bounded "
                         "value-band grain as q_ks_two_sample",
+    "q_fdr_bh_adjust": "nation grain (25 test rows: rank + suffix-min)",
+    "q_theil_sen_trend": "_global_rank bucket offsets (<=64 rows) over "
+                         "the bounded day-pair grain",
 }
 
 
