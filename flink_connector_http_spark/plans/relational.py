@@ -7148,3 +7148,214 @@ def q_cep_funnel_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(60000000 AS DOUBLE), 4) END"
         ).alias("avg_min_view_to_purchase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced A/B readout (pre-period covariate adjustment)
+# ---------------------------------------------------------------------------
+
+#: pre/post boundary: 2024-01-16 00:00:00 UTC in epoch micros (events
+#: span 2024-01; integer comparison sidesteps engine timestamp-literal
+#: typing differences)
+CUPED_CUT_US = 1_705_363_200_000_000
+
+#: shared closed-form pieces (identical text in both engines; every
+#: input is an exact BIGINT cents sum, so each expression is ONE
+#: deterministic IEEE evaluation)
+_CUPED_THETA = (
+    "((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))"
+)
+_CUPED_VAR = (
+    "((CAST(ss{a}y AS DOUBLE) / n{a}"
+    " - (CAST(s{a}y AS DOUBLE) / n{a}) * (CAST(s{a}y AS DOUBLE) / n{a}))"
+    " + theta * theta * (CAST(ss{a}x AS DOUBLE) / n{a}"
+    " - (CAST(s{a}x AS DOUBLE) / n{a}) * (CAST(s{a}x AS DOUBLE) / n{a}))"
+    " - CAST(2 AS DOUBLE) * theta * (CAST(sx{a}y AS DOUBLE) / n{a}"
+    " - (CAST(s{a}x AS DOUBLE) / n{a}) * (CAST(s{a}y AS DOUBLE) / n{a})))"
+)
+_CUPED_ADJ_MEAN = (
+    "(CAST(s{a}y AS DOUBLE) / n{a}"
+    " - theta * (CAST(s{a}x AS DOUBLE) / n{a} - CAST(sx AS DOUBLE) / n))"
+)
+
+
+def _cuped_sql(arm_expr: str, micros_expr: str, int_div: str) -> str:
+    """Engine-shared CUPED pipeline: per-user pre/post cents, per-arm and
+    pooled exact sufficient statistics, then the closed-form readout."""
+    return f"""
+    WITH per_user AS (
+      SELECT user_id, {arm_expr} AS arm,
+             SUM(CASE WHEN {micros_expr} < {CUPED_CUT_US}
+                      THEN CAST(CAST(value AS DECIMAL(10,2)) * 100
+                                AS BIGINT) ELSE 0 END) AS x_cents,
+             SUM(CASE WHEN {micros_expr} >= {CUPED_CUT_US}
+                      THEN CAST(CAST(value AS DECIMAL(10,2)) * 100
+                                AS BIGINT) ELSE 0 END) AS y_cents
+      FROM events GROUP BY user_id, {arm_expr}
+    ),
+    per_arm AS (
+      SELECT arm,
+             CAST(COUNT(*) AS BIGINT) AS na,
+             CAST(SUM(x_cents) AS BIGINT) AS sax,
+             CAST(SUM(y_cents) AS BIGINT) AS say,
+             CAST(SUM(x_cents * x_cents) AS BIGINT) AS ssax,
+             CAST(SUM(y_cents * y_cents) AS BIGINT) AS ssay,
+             CAST(SUM(x_cents * y_cents) AS BIGINT) AS saxy
+      FROM per_user GROUP BY arm
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN arm = 0 THEN na END) AS n0,
+        MAX(CASE WHEN arm = 0 THEN sax END) AS s0x,
+        MAX(CASE WHEN arm = 0 THEN say END) AS s0y,
+        MAX(CASE WHEN arm = 0 THEN ssax END) AS ss0x,
+        MAX(CASE WHEN arm = 0 THEN ssay END) AS ss0y,
+        MAX(CASE WHEN arm = 0 THEN saxy END) AS sx0y,
+        MAX(CASE WHEN arm = 1 THEN na END) AS n1,
+        MAX(CASE WHEN arm = 1 THEN sax END) AS s1x,
+        MAX(CASE WHEN arm = 1 THEN say END) AS s1y,
+        MAX(CASE WHEN arm = 1 THEN ssax END) AS ss1x,
+        MAX(CASE WHEN arm = 1 THEN ssay END) AS ss1y,
+        MAX(CASE WHEN arm = 1 THEN saxy END) AS sx1y,
+        SUM(na) AS n, SUM(sax) AS sx, SUM(say) AS sy,
+        SUM(ssax) AS sxx, SUM(ssay) AS syy, SUM(saxy) AS sxy
+      FROM per_arm
+    ),
+    with_theta AS (
+      SELECT *, {_CUPED_THETA} AS theta FROM wide
+    )
+    SELECT
+      CAST(n0 AS BIGINT) AS n_arm0, CAST(n1 AS BIGINT) AS n_arm1,
+      round(theta, 6) AS theta,
+      round(CAST(s0y AS DOUBLE) / n0 / 100, 6) AS mean_arm0,
+      round(CAST(s1y AS DOUBLE) / n1 / 100, 6) AS mean_arm1,
+      round((CAST(s1y AS DOUBLE) / n1 - CAST(s0y AS DOUBLE) / n0)
+            / 100, 6) AS lift_raw,
+      round(({_CUPED_ADJ_MEAN.format(a=1)}
+             - {_CUPED_ADJ_MEAN.format(a=0)}) / 100, 6) AS lift_cuped,
+      round(CAST(100 AS DOUBLE) * (CAST(1 AS DOUBLE)
+            - ({_CUPED_VAR.format(a=0)} / n0 + {_CUPED_VAR.format(a=1)} / n1)
+              / ((CAST(ss0y AS DOUBLE) / n0
+                  - (CAST(s0y AS DOUBLE) / n0) * (CAST(s0y AS DOUBLE) / n0))
+                 / n0
+                 + (CAST(ss1y AS DOUBLE) / n1
+                    - (CAST(s1y AS DOUBLE) / n1)
+                      * (CAST(s1y AS DOUBLE) / n1)) / n1)), 4)
+        AS var_reduction_pct,
+      round((CAST(s1y AS DOUBLE) / n1 - CAST(s0y AS DOUBLE) / n0)
+            / sqrt((CAST(ss0y AS DOUBLE) / n0
+                    - (CAST(s0y AS DOUBLE) / n0) * (CAST(s0y AS DOUBLE) / n0))
+                   / n0
+                   + (CAST(ss1y AS DOUBLE) / n1
+                      - (CAST(s1y AS DOUBLE) / n1)
+                        * (CAST(s1y AS DOUBLE) / n1)) / n1), 4) AS z_raw,
+      round(({_CUPED_ADJ_MEAN.format(a=1)} - {_CUPED_ADJ_MEAN.format(a=0)})
+            / sqrt({_CUPED_VAR.format(a=0)} / n0
+                   + {_CUPED_VAR.format(a=1)} / n1), 4) AS z_cuped
+    FROM with_theta
+    """
+
+
+@register(
+    "q_ab_cuped_adjust",
+    oracle=_cuped_sql(_SRM_ARM_DUCK, "epoch_us(ts)", "//"),
+    doc="CUPED variance-reduced A/B readout (Deng et al. WSDM'13) over "
+        "the same deterministic md5 50/50 user split as q_srm_check / "
+        "q_ab_lift_readout: each user's PRE-period value sum (2024-01-01"
+        "..15) is the covariate, the POST-period sum the metric; theta "
+        "= cov(x,y)/var(x) from POOLED exact integer-cents sufficient "
+        "statistics, adjusted means subtract theta*(arm pre-mean - "
+        "pooled pre-mean), and the readout reports raw vs CUPED lift, "
+        "z-statistics, and the achieved variance-reduction percentage "
+        "(= 100*rho^2 asymptotically). Everything reduces to ONE "
+        "conditional aggregate per user then a 2-row pivot — the "
+        "100 TB shape is a single map-side-combinable shuffle on "
+        "user_id; all float math is closed-form over exact BIGINT "
+        "cents sums, so no partition-order dependence anywhere.",
+)
+def q_ab_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    ev.createOrReplaceTempView("events")
+    return spark.sql(
+        _cuped_sql(
+            _SRM_ARM_SPARK, "unix_micros(CAST(ts AS TIMESTAMP))", "DIV"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# revenue bridge: price / volume / mix decomposition between two years
+# ---------------------------------------------------------------------------
+
+PVM_Y0, PVM_Y1 = 1996, 1997
+
+
+def _pvm_sql(year_fn) -> str:
+    """Engine-shared PVM bridge; ``year_fn(col)`` renders the engine's
+    year extraction. Identity per brand (in exact arithmetic):
+    delta = volume + mix + price, with volume = dq*P0 (portfolio price),
+    mix = dq*(p0 - P0) (brand-vs-portfolio price gap on the volume
+    change), price = dp*q1 (price change on new volume)."""
+    return f"""
+    WITH by_brand AS (
+      SELECT p.p_brand AS brand, {year_fn('l.l_shipdate')} AS yr,
+             SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS q,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS r
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE {year_fn('l.l_shipdate')} IN ({PVM_Y0}, {PVM_Y1})
+      GROUP BY p.p_brand, {year_fn('l.l_shipdate')}
+    ),
+    portfolio AS (
+      SELECT yr, SUM(q) AS pq, SUM(r) AS pr FROM by_brand GROUP BY yr
+    ),
+    wide AS (
+      SELECT b0.brand,
+             b0.q AS q0, b0.r AS r0, b1.q AS q1, b1.r AS r1,
+             p0.pq AS pq0, p0.pr AS pr0
+      FROM by_brand b0
+      JOIN by_brand b1 ON b0.brand = b1.brand AND b1.yr = {PVM_Y1}
+      JOIN portfolio p0 ON p0.yr = b0.yr
+      WHERE b0.yr = {PVM_Y0}
+    )
+    SELECT brand,
+           round(CAST(r0 AS DOUBLE), 2) AS rev_y0,
+           round(CAST(r1 AS DOUBLE), 2) AS rev_y1,
+           round(CAST(r1 - r0 AS DOUBLE), 2) AS delta,
+           round(CAST(q1 - q0 AS DOUBLE)
+                 * (CAST(pr0 AS DOUBLE) / CAST(pq0 AS DOUBLE)), 4)
+             AS volume_effect,
+           round(CAST(q1 - q0 AS DOUBLE)
+                 * (CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE)
+                    - CAST(pr0 AS DOUBLE) / CAST(pq0 AS DOUBLE)), 4)
+             AS mix_effect,
+           round((CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)
+                  - CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE))
+                 * CAST(q1 AS DOUBLE), 4) AS price_effect
+    FROM wide
+    ORDER BY brand
+    """
+
+
+@register(
+    "q_revenue_bridge_pvm",
+    oracle=_pvm_sql(lambda c: f"EXTRACT(year FROM {c})"),
+    doc="Price/volume/mix revenue bridge between two ship years, per "
+        "brand — the waterfall decomposition every revenue review runs: "
+        "volume effect prices the quantity change at the YEAR-0 "
+        "PORTFOLIO unit price, mix effect prices it at the brand-vs-"
+        "portfolio price gap, price effect applies the brand's unit-"
+        "price change to year-1 volume; the three sum to the exact "
+        "revenue delta (identity in exact arithmetic). Quantities and "
+        "revenues are exact DECIMAL sums (one map-side-combinable "
+        "aggregate on (brand, year)); every effect is a closed-form "
+        "double expression of those decimals. The year-grain pivot "
+        "self-join runs over the 25-brand grain — broadcast-sized at "
+        "any SF.",
+)
+def q_revenue_bridge_pvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "lineitem", "part")
+    t["lineitem"].createOrReplaceTempView("lineitem")
+    t["part"].createOrReplaceTempView("part")
+    return spark.sql(_pvm_sql(lambda c: f"year({c})"))
