@@ -2782,3 +2782,79 @@ def search_tiered_index_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier_n")
     )
+
+
+# ---------------------------------------------------------------------------
+# annotator agreement (Cohen's kappa between two deterministic labelers)
+# ---------------------------------------------------------------------------
+
+def _labeler_exprs(exprs: dict) -> tuple[str, str]:
+    """Two independent pass/fail labelers from token statistics, all
+    comparisons in exact integers (no float thresholds): labeler A =
+    length + stopword density; labeler B = token shape (mean length in
+    [3,8]) + lexical diversity (uniq ratio >= 1/2)."""
+    a = (
+        f"CASE WHEN {exprs['n_tokens']} >= 10"
+        f" AND 10 * {exprs['n_en_stop']} >= {exprs['n_tokens']}"
+        f" THEN 1 ELSE 0 END"
+    )
+    b = (
+        f"CASE WHEN 3 * {exprs['n_tokens']} <= {exprs['sum_token_len']}"
+        f" AND {exprs['sum_token_len']} <= 8 * {exprs['n_tokens']}"
+        f" AND 2 * {exprs['n_uniq_tokens']} >= {exprs['n_tokens']}"
+        f" THEN 1 ELSE 0 END"
+    )
+    return a, b
+
+
+def _kappa_sql(label_a: str, label_b: str) -> str:
+    return f"""
+    WITH labeled AS (
+      SELECT {label_a} AS la, {label_b} AS lb FROM documents
+    ),
+    counts AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(la * lb) AS BIGINT) AS both_pass,
+             CAST(SUM((1 - la) * (1 - lb)) AS BIGINT) AS both_fail,
+             CAST(SUM(la) AS BIGINT) AS a_pass,
+             CAST(SUM(lb) AS BIGINT) AS b_pass
+      FROM labeled
+    )
+    SELECT n AS n_docs, both_pass, both_fail,
+           n - both_pass - both_fail AS n_disagree,
+           round(CAST(both_pass + both_fail AS DOUBLE) / n, 6) AS p_observed,
+           round((CAST(a_pass AS DOUBLE) / n) * (CAST(b_pass AS DOUBLE) / n)
+                 + (CAST(n - a_pass AS DOUBLE) / n)
+                   * (CAST(n - b_pass AS DOUBLE) / n), 6) AS p_chance,
+           round((CAST(both_pass + both_fail AS DOUBLE) / n
+                  - ((CAST(a_pass AS DOUBLE) / n)
+                     * (CAST(b_pass AS DOUBLE) / n)
+                     + (CAST(n - a_pass AS DOUBLE) / n)
+                       * (CAST(n - b_pass AS DOUBLE) / n)))
+                 / (CAST(1 AS DOUBLE)
+                    - ((CAST(a_pass AS DOUBLE) / n)
+                       * (CAST(b_pass AS DOUBLE) / n)
+                       + (CAST(n - a_pass AS DOUBLE) / n)
+                         * (CAST(n - b_pass AS DOUBLE) / n))), 6) AS kappa
+    FROM counts
+    """
+
+
+@register(
+    "pipeline_labeler_agreement",
+    oracle=_kappa_sql(*_labeler_exprs(_D)),
+    doc="Cohen's kappa between two independent deterministic document "
+        "labelers (length+stopword-density vs token-shape+diversity) — "
+        "the annotation-QA readout a labeling campaign runs before "
+        "trusting its quality labels: observed agreement, chance "
+        "agreement from the marginals, and kappa, all closed-form "
+        "doubles over exact integer confusion-cell counts from ONE "
+        "map-side-combinable aggregate (no shuffle wider than the "
+        "5-number summary). Labeler thresholds are exact-integer "
+        "comparisons (10*stop>=tokens etc.), so labels are "
+        "bit-identical in both engines.",
+)
+def pipeline_labeler_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    docs.createOrReplaceTempView("documents")
+    return spark.sql(_kappa_sql(*_labeler_exprs(_S)))

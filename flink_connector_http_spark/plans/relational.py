@@ -7359,3 +7359,66 @@ def q_revenue_bridge_pvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     t["lineitem"].createOrReplaceTempView("lineitem")
     t["part"].createOrReplaceTempView("part")
     return spark.sql(_pvm_sql(lambda c: f"year({c})"))
+
+
+# ---------------------------------------------------------------------------
+# seasonal decomposition (STL-lite: centered MA trend + DOW seasonal)
+# ---------------------------------------------------------------------------
+
+def _seasonal_sql(dow_fn) -> str:
+    """Engine-shared STL-lite: daily revenue, ROW-based centered 7-day
+    moving-average trend (only rows with a full 7-row window keep a
+    trend), per-day-of-week mean of the detrended series. Detrended
+    values are rounded at 9dp then summed as exact DECIMAL — the
+    cross-row float-sum ban (see text_js_divergence discipline)."""
+    return f"""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY o_orderdate
+    ),
+    windowed AS (
+      SELECT d, rev,
+             SUM(rev) OVER (ORDER BY d
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+             COUNT(*) OVER (ORDER BY d
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+      FROM daily
+    ),
+    detrended AS (
+      SELECT {dow_fn('d')} AS dow,
+             CAST(round(CAST(rev AS DOUBLE)
+                        - CAST(s7 AS DOUBLE) / CAST(7 AS DOUBLE), 9)
+                  AS DECIMAL(24,9)) AS resid,
+             rev
+      FROM windowed WHERE c7 = 7
+    )
+    SELECT dow,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           round(CAST(SUM(rev) AS DOUBLE) / COUNT(*), 2) AS mean_revenue,
+           round(CAST(SUM(resid) AS DOUBLE) / COUNT(*), 4)
+             AS seasonal_effect
+    FROM detrended
+    GROUP BY dow
+    ORDER BY dow
+    """
+
+
+@register(
+    "q_seasonal_ma_decompose",
+    oracle=_seasonal_sql(lambda c: f"(dayofweek({c}) + 1)"),
+    doc="STL-lite seasonal decomposition of daily order revenue: trend "
+        "via a ROW-based centered 7-day moving average over the daily "
+        "grain (global window, calendar-bounded ~2.4k rows), seasonal "
+        "component as the per-day-of-week mean of the detrended series. "
+        "Detrended residuals are rounded at 9dp and summed as exact "
+        "DECIMAL (never a raw double SUM across rows); the day-of-week "
+        "readout says WHICH weekdays structurally over/under-index "
+        "after removing the weekly trend. The heavy work is one "
+        "map-side-combinable daily aggregate; everything after runs on "
+        "the bounded day grain.",
+)
+def q_seasonal_ma_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")["orders"]
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(_seasonal_sql(lambda c: f"dayofweek({c})"))

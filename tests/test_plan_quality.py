@@ -87,6 +87,8 @@ BOUNDED_GLOBAL_WINDOW_OK = {
     "q_fdr_bh_adjust": "nation grain (25 test rows: rank + suffix-min)",
     "q_theil_sen_trend": "_global_rank bucket offsets (<=64 rows) over "
                          "the bounded day-pair grain",
+    "q_seasonal_ma_decompose": "daily grain (~2.4k rows, calendar-"
+                               "bounded centered-MA window)",
 }
 
 
