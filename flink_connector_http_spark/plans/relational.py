@@ -7009,9 +7009,7 @@ def q_fdr_bh_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
 CEP_WITHIN_US = 7 * 86_400 * 1_000_000
 
 
-@register(
-    "q_cep_funnel_episodes",
-    oracle=f"""
+CEP_FUNNEL_ORACLE = f"""
     WITH ev AS (
       SELECT user_id, event_id, event_type, epoch_us(ts) AS u
       FROM events
@@ -7065,7 +7063,12 @@ CEP_WITHIN_US = 7 * 86_400 * 1_000_000
            END AS avg_min_view_to_purchase
     FROM episodes
     GROUP BY user_id
-    """,
+    """
+
+
+@register(
+    "q_cep_funnel_episodes",
+    oracle=CEP_FUNNEL_ORACLE,
     doc="CEP-style sequence detection — the MATCH_RECOGNIZE / Flink-CEP "
         "pattern `view -> click -> purchase WITHIN 7d, no error between` "
         "expressed as composable DataFrame ops: per-user running-state "

@@ -1479,3 +1479,171 @@ def stream_value_drift(spark, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination(300)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# streaming CEP: view -> click -> purchase pattern matching (NFA per key)
+# ---------------------------------------------------------------------------
+
+_CEP_STATE_SCHEMA = T.StructType([
+    T.StructField("last_view_u", T.LongType()),
+    T.StructField("err_at_last_view", T.LongType()),
+    T.StructField("cand_click_u", T.LongType()),
+    T.StructField("cand_view_u", T.LongType()),
+    T.StructField("err_at_cand_view", T.LongType()),
+    T.StructField("err_cnt", T.LongType()),
+])
+
+_CEP_OUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("gap_us", T.LongType()),
+    T.StructField("blocked", T.IntegerType()),
+])
+
+
+def cep_funnel_stream(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    within_us: int,
+) -> DataFrame:
+    """Streaming CEP pattern match `view -> click -> purchase WITHIN
+    within_us, no error between view and purchase` — the Flink-CEP /
+    MATCH_RECOGNIZE shape as a per-key NFA over
+    ``applyInPandasWithState``.
+
+    The per-key state is the NFA register set (six longs): the latest
+    view and its error-count watermark, the candidate click (latest
+    click, carrying the view that preceded IT), and the running error
+    count. Each micro-batch replays its rows in ``order_cols`` order
+    through the transition function; a purchase in pattern emits
+    ``(user_id, gap_us, blocked)`` where ``blocked`` marks an error
+    strictly between the matched view and the purchase. Within-batch
+    ordering is deterministic (sorted here); cross-batch order follows
+    micro-batch arrival — out-of-order delivery across batches belongs
+    to the watermark layer upstream, exactly like Flink CEP's own
+    event-time contract. State is O(1) per key (six longs), independent
+    of stream length."""
+    sentinel = -1
+
+    def fn(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            lv, eav, cc, cv, eacv, ec = state.get
+        else:
+            lv = eav = cc = cv = eacv = sentinel
+            ec = 0
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update((lv, eav, cc, cv, eacv, ec))
+            return
+        batch = pd.concat(chunks).sort_values(list(order_cols), kind="stable")
+        out = []
+        uid = key[0]
+        for row in batch.itertuples(index=False):
+            ev, u = row.event_type, row.u
+            if ev == "view":
+                lv, eav = u, ec
+            elif ev == "click":
+                cc, cv, eacv = u, lv, eav
+            elif ev == "error":
+                ec += 1
+            elif ev == "purchase":
+                if (
+                    cc != sentinel
+                    and u - cc <= within_us
+                    and cv != sentinel
+                    and cc - cv <= within_us
+                ):
+                    out.append(
+                        (uid, u - cv, 1 if ec - eacv > 0 else 0)
+                    )
+        state.update((lv, eav, cc, cv, eacv, ec))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "gap_us", "blocked"]
+            )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        _CEP_OUT_SCHEMA,
+        _CEP_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def _cep_register():
+    from ..plans.relational import CEP_FUNNEL_ORACLE, CEP_WITHIN_US
+
+    @register(
+        "stream_cep_funnel",
+        oracle=CEP_FUNNEL_ORACLE,
+        doc="Streaming CEP funnel (view -> click -> purchase within 7d, "
+            "no error between) via a per-user NFA in "
+            "applyInPandasWithState — the continuous analogue of "
+            "q_cep_funnel_episodes, sharing its oracle verbatim: run to "
+            "completion with availableNow, the emitted episodes "
+            "aggregate to byte-identical per-user readouts (batch/"
+            "stream parity under the full hash gate). Six longs of "
+            "state per user; episodes emit the moment the purchase "
+            "arrives, no window close to wait for.",
+    )
+    def stream_cep_funnel(spark, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+        import uuid
+
+        from ..plans.registry import normalize_events_ts
+
+        name = f"stream_cep_{uuid.uuid4().hex[:8]}"
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        in_dir = tempfile.mkdtemp(prefix="stream_cep_in_")
+        os.symlink(
+            os.path.abspath(f"{sf_dir}/events.parquet"),
+            os.path.join(in_dir, "events.parquet"),
+        )
+        stream = (
+            normalize_events_ts(
+                spark.readStream.schema(raw_schema).parquet(in_dir),
+                target="timestamp",
+            )
+            .select(
+                "user_id",
+                "event_id",
+                "event_type",
+                F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("u"),
+            )
+        )
+        query = (
+            cep_funnel_stream(
+                stream, "user_id", ["u", "event_id"], CEP_WITHIN_US
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="stream_cep_ckpt_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
+        return spark.table(name).groupBy("user_id").agg(
+            F.expr("CAST(SUM(1 - blocked) AS BIGINT)").alias("n_episodes"),
+            F.expr("CAST(SUM(blocked) AS BIGINT)").alias("n_blocked"),
+            F.expr(
+                "CASE WHEN SUM(1 - blocked) > 0 THEN "
+                "round(CAST(SUM(CASE WHEN blocked = 0 THEN gap_us END)"
+                " AS DOUBLE)"
+                " / CAST(SUM(1 - blocked) AS DOUBLE)"
+                " / CAST(60000000 AS DOUBLE), 4) END"
+            ).alias("avg_min_view_to_purchase"),
+        )
+
+
+_cep_register()
