@@ -1140,3 +1140,43 @@ def http_stream_enrich_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination(300)
     return spark.table(name)
+
+
+@register(
+    "http_lookup_customers_hedged",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    WHERE o_orderstatus = 'P'
+    """,
+    doc="Flagship per-key lookup join with request HEDGING enabled "
+        "(http.source.lookup.hedge-delay=1.0): after the delay a "
+        "duplicate request fires and the first response wins — the "
+        "tail-latency armor a 1000-executor lookup needs against one "
+        "stalled endpoint replica (tests/test_lookup_join.py proves the "
+        "hedge fires and wins under a stalled-primary stub; here the "
+        "stub is healthy, so the gate proves enabling hedging changes "
+        "NOTHING about results — exactly the property an opt-in "
+        "reliability knob must have). Default remains off = reference "
+        "parity.",
+)
+def http_lookup_customers_hedged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stub = _stub_for(sf_dir)
+    probe = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderstatus") == "P")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    table = HttpLookupTable(
+        url=stub.url("/customers"),
+        schema=CUSTOMER_SCHEMA,
+        options=HttpLookupOptions(
+            method="GET", use_async=True, hedge_delay=1.0
+        ),
+    )
+    return http_lookup_join(
+        probe, table, on={"o_custkey": "c_custkey"}, how="inner",
+        select=["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+        num_partitions=32,
+    )
