@@ -4628,3 +4628,146 @@ def sketch_cms_inner_product(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round(CAST(cms_estimate AS DOUBLE) / exact_inner, 6)"
         ).alias("overestimate_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV theta-sketch A-not-B (set difference) with exact ground truth
+# ---------------------------------------------------------------------------
+
+@register(
+    "sketch_kmv_anb",
+    # theta-sketch A-not-B: below theta = min(kth_a, kth_b) both sketches
+    # are uniform hash samples of their sets, so A-hashes below theta
+    # ABSENT from B's below-theta sample estimate |A \ B| by the same
+    # theta scaling as the intersection. The exact ground truth joins the
+    # full distinct-hash sets — the small-data eval baseline documenting
+    # the sketch's error; at scale only the sketches meet.
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT source,
+             {md5_int60_duck("unnest(string_split(lower(text), ' '))")} AS hv
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, hv,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS rk
+      FROM h
+    ),
+    sk AS (SELECT source, hv FROM ranked WHERE rk <= {KMV_K}),
+    kth AS (SELECT source, MAX(hv) AS kth FROM sk GROUP BY source),
+    prs AS (
+      SELECT a.source AS a_src, b.source AS b_src,
+             least(a.kth, b.kth) AS theta
+      FROM kth a JOIN kth b ON a.source <> b.source
+    ),
+    anb AS (
+      SELECT p.a_src, p.b_src, COUNT(*) AS nd
+      FROM prs p
+      JOIN sk sa ON sa.source = p.a_src AND sa.hv < p.theta
+      LEFT JOIN sk sb ON sb.source = p.b_src AND sb.hv = sa.hv
+      WHERE sb.hv IS NULL
+      GROUP BY p.a_src, p.b_src
+    ),
+    exact AS (
+      SELECT ha.source AS a_src, p.b_src, COUNT(*) AS true_diff
+      FROM h ha
+      JOIN prs p ON p.a_src = ha.source
+      LEFT JOIN h hb ON hb.source = p.b_src AND hb.hv = ha.hv
+      WHERE hb.hv IS NULL
+      GROUP BY ha.source, p.b_src
+    )
+    SELECT p.a_src, p.b_src,
+           CAST(COALESCE(anb.nd, 0) AS BIGINT) AS n_sample_diff,
+           round(COALESCE(anb.nd, 0) * {_KMV_MAX} / p.theta, 6)
+             AS est_a_not_b,
+           CAST(exact.true_diff AS BIGINT) AS true_a_not_b
+    FROM prs p
+    LEFT JOIN anb ON anb.a_src = p.a_src AND anb.b_src = p.b_src
+    JOIN exact ON exact.a_src = p.a_src AND exact.b_src = p.b_src
+    ORDER BY p.a_src, p.b_src
+    """,
+    doc=f"Theta-sketch A-not-B (set difference) between every ordered "
+        f"source pair from the per-source {KMV_K}-minimum-values "
+        "sketches — the third operation of the sketch set algebra "
+        "(union = sketch_hll_union, intersection = "
+        "sketch_kmv_source_overlap): A-sample hashes below theta absent "
+        "from B's sample scale by HASH_SPACE/theta to estimate |A \\\\ B| "
+        "(unique vocabulary a source would LOSE if dropped from the "
+        "mix). Exact ground truth from the full distinct-hash sets "
+        "rides along as the eval baseline; at 100 TB only the 64-row "
+        "sketches meet (broadcast-sized), the full token sets never "
+        "co-shuffle.",
+)
+def sketch_kmv_anb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    hashes = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+        )
+        .select("source", F.expr(md5_int60_spark("token")).alias("hv"))
+        .distinct()
+        .persist()
+    )
+    w = Window.partitionBy("source").orderBy("hv")
+    sk = (
+        hashes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KMV_K)
+        .select("source", "hv")
+        .persist()
+    )
+    kth = sk.groupBy("source").agg(F.max("hv").alias("kth"))
+    a, b = kth.alias("a"), kth.alias("b")
+    prs = F.broadcast(
+        a.join(b, F.col("a.source") != F.col("b.source"))
+        .select(
+            F.col("a.source").alias("a_src"),
+            F.col("b.source").alias("b_src"),
+            F.least(F.col("a.kth"), F.col("b.kth")).alias("theta"),
+        )
+    )
+    sa, sb = sk.alias("sa"), sk.alias("sb")
+    anb = (
+        prs.join(
+            sa,
+            (F.col("sa.source") == F.col("a_src"))
+            & (F.col("sa.hv") < F.col("theta")),
+        )
+        .join(
+            sb,
+            (F.col("sb.source") == F.col("b_src"))
+            & (F.col("sb.hv") == F.col("sa.hv")),
+            "left",
+        )
+        .filter(F.col("sb.hv").isNull())
+        .groupBy("a_src", "b_src")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    ha, hb = hashes.alias("ha"), hashes.alias("hb")
+    exact = (
+        prs.join(ha, F.col("ha.source") == F.col("a_src"))
+        .join(
+            hb,
+            (F.col("hb.source") == F.col("b_src"))
+            & (F.col("hb.hv") == F.col("ha.hv")),
+            "left",
+        )
+        .filter(F.col("hb.hv").isNull())
+        .groupBy("a_src", "b_src")
+        .agg(F.count(F.lit(1)).alias("true_diff"))
+    )
+    return (
+        prs.join(F.broadcast(anb), ["a_src", "b_src"], "left")
+        .join(F.broadcast(exact), ["a_src", "b_src"])
+        .select(
+            "a_src", "b_src",
+            F.expr("CAST(COALESCE(nd, 0) AS BIGINT)").alias("n_sample_diff"),
+            F.expr(
+                f"round(COALESCE(nd, 0) * {_KMV_MAX} / theta, 6)"
+            ).alias("est_a_not_b"),
+            F.expr("CAST(true_diff AS BIGINT)").alias("true_a_not_b"),
+        )
+        .orderBy("a_src", "b_src")
+    )

@@ -6837,6 +6837,10 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(b.rev - a.rev AS DOUBLE) / CAST(b.di - a.di AS DOUBLE)"
         ).alias("slope")
     )
+    # _global_rank scans its input three times (bounds agg, per-bucket
+    # windows, offset counts); persist the ~2.9M-slope pair set (~25 MB)
+    # so the broadcast nested-loop enumeration runs once, not three times
+    pairs = pairs.persist()
     ranked = _global_rank(
         pairs, "slope", [F.col("slope")], with_total=True
     )
@@ -7425,3 +7429,94 @@ def q_seasonal_ma_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")["orders"]
     orders.createOrReplaceTempView("orders")
     return spark.sql(_seasonal_sql(lambda c: f"dayofweek({c})"))
+
+
+# ---------------------------------------------------------------------------
+# difference-in-differences readout (arms x pre/post periods)
+# ---------------------------------------------------------------------------
+
+def _did_sql(arm_expr: str, micros_expr: str) -> str:
+    """Engine-shared DiD: exact integer-cents sufficient statistics per
+    (event_type, arm, period) cell, then closed-form estimate and Welch
+    z over the four cells."""
+    mean = "(CAST(s{c} AS DOUBLE) / n{c})"
+    var_over_n = (
+        "((CAST(ss{c} AS DOUBLE) / n{c}"
+        " - (CAST(s{c} AS DOUBLE) / n{c}) * (CAST(s{c} AS DOUBLE) / n{c}))"
+        " / n{c})"
+    )
+    did = (
+        f"(({mean.format(c='11')} - {mean.format(c='10')})"
+        f" - ({mean.format(c='01')} - {mean.format(c='00')}))"
+    )
+    se = (
+        f"sqrt({var_over_n.format(c='00')} + {var_over_n.format(c='01')}"
+        f" + {var_over_n.format(c='10')} + {var_over_n.format(c='11')})"
+    )
+    cells = []
+    for arm in (0, 1):
+        for per in (0, 1):
+            c = f"{arm}{per}"
+            cells.append(
+                f"MAX(CASE WHEN arm = {arm} AND period = {per}"
+                f" THEN n END) AS n{c},\n"
+                f"        MAX(CASE WHEN arm = {arm} AND period = {per}"
+                f" THEN s END) AS s{c},\n"
+                f"        MAX(CASE WHEN arm = {arm} AND period = {per}"
+                f" THEN ss END) AS ss{c}"
+            )
+    cells_sql = ",\n        ".join(cells)
+    return f"""
+    WITH celled AS (
+      SELECT event_type, {arm_expr} AS arm,
+             CASE WHEN {micros_expr} >= {CUPED_CUT_US} THEN 1 ELSE 0 END
+               AS period,
+             CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ),
+    per_cell AS (
+      SELECT event_type, arm, period,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(SUM(cents * cents) AS BIGINT) AS ss
+      FROM celled GROUP BY event_type, arm, period
+    ),
+    wide AS (
+      SELECT event_type,
+        {cells_sql}
+      FROM per_cell GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n00 + n01 AS BIGINT) AS n_arm0,
+           CAST(n10 + n11 AS BIGINT) AS n_arm1,
+           round({mean.format(c='00')} / 100, 6) AS mean_c_pre,
+           round({mean.format(c='01')} / 100, 6) AS mean_c_post,
+           round({mean.format(c='10')} / 100, 6) AS mean_t_pre,
+           round({mean.format(c='11')} / 100, 6) AS mean_t_post,
+           round({did} / 100, 6) AS did_estimate,
+           round({did} / {se}, 4) AS z_did
+    FROM wide
+    ORDER BY event_type
+    """
+
+
+@register(
+    "q_ab_diff_in_diff",
+    oracle=_did_sql(_SRM_ARM_DUCK, "epoch_us(ts)"),
+    doc="Difference-in-differences readout per event type over the same "
+        "deterministic md5 50/50 split as q_srm_check and the same "
+        "pre/post boundary as q_ab_cuped_adjust: the treatment effect "
+        "estimate that survives a level shift between arms AND a "
+        "common time trend — (treat-post - treat-pre) - (control-post "
+        "- control-pre) — with a Welch z from the four cells' exact "
+        "integer-cents sufficient statistics. With CUPED and the lift "
+        "readout this completes the panel-data corner of the "
+        "experimentation suite; ONE conditional aggregate on (type, "
+        "arm, period), map-side-combinable, then a 4-cell pivot.",
+)
+def q_ab_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    ev.createOrReplaceTempView("events")
+    return spark.sql(
+        _did_sql(_SRM_ARM_SPARK, "unix_micros(CAST(ts AS TIMESTAMP))")
+    )
