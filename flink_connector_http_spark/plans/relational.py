@@ -7520,3 +7520,219 @@ def q_ab_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _did_sql(_SRM_ARM_SPARK, "unix_micros(CAST(ts AS TIMESTAMP))")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann–Kendall trend test (the significance companion to q_theil_sen_trend)
+# ---------------------------------------------------------------------------
+
+def _mann_kendall_sql(daydiff: str) -> str:
+    """One SQL text for both engines (only the day-diff expression is
+    engine-specific). S is an exact integer (DECIMAL revenue comparisons),
+    the tie-corrected variance numerator is exact BIGINT arithmetic, and
+    z / p are single closed-form expressions of those exact integers —
+    the same float-determinism discipline as q_fdr_bh_adjust (whose
+    Abramowitz–Stegun erf text is reused verbatim for the p-value)."""
+    return f"""
+    WITH daily AS (
+      SELECT {daydiff} AS di,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    ),
+    s_stat AS (
+      SELECT CAST(SUM(CASE WHEN b.rev > a.rev THEN 1
+                           WHEN b.rev < a.rev THEN -1
+                           ELSE 0 END) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM daily a JOIN daily b ON b.di > a.di
+    ),
+    ties AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN t >= 2
+                       THEN t * (t - 1) * (2 * t + 5)
+                       ELSE 0 END), 0) AS BIGINT) AS tie_term,
+             CAST(COALESCE(SUM(CASE WHEN t >= 2 THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_tied_groups
+      FROM (SELECT rev, CAST(COUNT(*) AS BIGINT) AS t
+            FROM daily GROUP BY rev) g
+    ),
+    sized AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    scored AS (
+      SELECT n, s, n_pairs, n_tied_groups,
+             CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)
+               / CAST(18 AS DOUBLE) AS var_s
+      FROM s_stat CROSS JOIN ties CROSS JOIN sized
+    ),
+    ztab AS (
+      SELECT n, s, n_pairs, n_tied_groups, var_s,
+             CASE WHEN s > 0
+                    THEN (CAST(s AS DOUBLE) - CAST(1 AS DOUBLE))
+                         / sqrt(var_s)
+                  WHEN s < 0
+                    THEN (CAST(s AS DOUBLE) + CAST(1 AS DOUBLE))
+                         / sqrt(var_s)
+                  ELSE CAST(0 AS DOUBLE) END AS z
+      FROM scored
+    )
+    SELECT n AS n_days, s AS s_stat, n_pairs, n_tied_groups,
+           round(var_s, 4) AS var_s,
+           round(z, 6) AS z_mk,
+           {_BH_P_RAW} AS p_two_sided,
+           CASE WHEN {_BH_P_RAW} < CAST(0.05 AS DOUBLE) AND s > 0
+                  THEN 'increasing'
+                WHEN {_BH_P_RAW} < CAST(0.05 AS DOUBLE) AND s < 0
+                  THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM ztab
+    """
+
+
+@register(
+    "q_mann_kendall_trend",
+    oracle=_mann_kendall_sql("date_diff('day', DATE '1992-01-01', o_orderdate)"),
+    doc="Mann–Kendall non-parametric trend TEST over daily order revenue "
+        "— the significance companion to q_theil_sen_trend's magnitude "
+        "estimate (the standard pairing in hydrology/telemetry trend "
+        "monitoring). S = sum of pairwise revenue-comparison signs is an "
+        "EXACT INTEGER (DECIMAL sums compare exactly), the tie-corrected "
+        "variance numerator n(n-1)(2n+5) - sum t(t-1)(2t+5) is exact "
+        "BIGINT arithmetic, and the continuity-corrected z and its "
+        "two-sided p (Abramowitz–Stegun erf text shared verbatim with "
+        "q_fdr_bh_adjust) are single closed-form expressions of those "
+        "integers. The pairwise comparison is a broadcast nested-loop "
+        "over the BOUNDED daily grain (the day domain grows with the "
+        "calendar, not data volume — q_theil_sen_trend's scale "
+        "justification); the heavy distributed work is the one "
+        "map-side-combinable daily aggregation.",
+)
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")["orders"]
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(_mann_kendall_sql("datediff(o_orderdate, DATE '1992-01-01')"))
+
+
+# ---------------------------------------------------------------------------
+# mSPRT always-valid p-values (sequential A/B testing under peeking)
+# ---------------------------------------------------------------------------
+
+#: mixture-prior variance for the mSPRT normal mixture (dollars² scale —
+#: events.value is ~O(100) dollars, so τ = 1 puts the prior mass on
+#: detectable-but-not-huge lifts); a pure constant of the test definition
+MSPRT_TAU_SQ = "CAST(1 AS DOUBLE)"
+
+
+def _msprt_sql(arm_expr: str) -> str:
+    """One SQL text for both engines (only the md5 arm split differs).
+    Per (event_type, day, arm) sufficient statistics are EXACT integers
+    (counts, cents, cents²); the cumulative prefix sums over the bounded
+    day grain stay integer; each day's mixture likelihood ratio Λ_n and
+    its inverse are then ONE closed-form double expression of those
+    integers (Johari/Pekelis/Walsh, 'Peeking at A/B Tests', KDD'17:
+    Λ_n = sqrt(V/(V+τ²))·exp(δ²τ²/(2V(V+τ²)))), and the always-valid
+    p-value is the running MIN of min(1, 1/Λ) — monotone by
+    construction, deterministic because every per-row input to the min
+    is bit-identical in both engines."""
+    mean = "(CAST(s{a} AS DOUBLE) / CAST(n{a} AS DOUBLE))"
+    # population variance from cumulative integer sufficient statistics
+    var = (
+        "(CAST(ss{a} AS DOUBLE) / CAST(n{a} AS DOUBLE)"
+        f" - {mean.format(a='{a}')} * {mean.format(a='{a}')})"
+    )
+    # per-arm squared-standard-error contribution, dollars² (cents²/1e4)
+    v = (
+        f"(({var.format(a='0')} / CAST(n0 AS DOUBLE)"
+        f" + {var.format(a='1')} / CAST(n1 AS DOUBLE))"
+        " / CAST(10000 AS DOUBLE))"
+    )
+    delta = (
+        f"(({mean.format(a='1')} - {mean.format(a='0')})"
+        " / CAST(100 AS DOUBLE))"
+    )
+    lam_inv = (
+        f"(sqrt(({v} + {MSPRT_TAU_SQ}) / {v})"
+        f" * exp(-({delta} * {delta}) * {MSPRT_TAU_SQ}"
+        f" / (CAST(2 AS DOUBLE) * {v} * ({v} + {MSPRT_TAU_SQ}))))"
+    )
+    p_day = (
+        f"CASE WHEN n0 >= 2 AND n1 >= 2 AND {var.format(a='0')} > 0"
+        f" AND {var.format(a='1')} > 0"
+        f" THEN least(CAST(1 AS DOUBLE), {lam_inv})"
+        " ELSE CAST(1 AS DOUBLE) END"
+    )
+    return f"""
+    WITH armed AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, {arm_expr} AS arm,
+             CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ),
+    per_cell AS (
+      SELECT event_type, day, arm,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(SUM(cents * cents) AS BIGINT) AS ss
+      FROM armed GROUP BY event_type, day, arm
+    ),
+    cum AS (
+      SELECT event_type, day, arm,
+             SUM(n) OVER w AS n, SUM(s) OVER w AS s, SUM(ss) OVER w AS ss
+      FROM per_cell
+      WINDOW w AS (PARTITION BY event_type, arm ORDER BY day
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    wide AS (
+      SELECT event_type, day,
+             MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+             MAX(CASE WHEN arm = 0 THEN s END) AS s0,
+             MAX(CASE WHEN arm = 0 THEN ss END) AS ss0,
+             MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+             MAX(CASE WHEN arm = 1 THEN s END) AS s1,
+             MAX(CASE WHEN arm = 1 THEN ss END) AS ss1
+      FROM cum GROUP BY event_type, day
+    ),
+    filled AS (
+      SELECT event_type, day, n0, n1,
+             CASE WHEN n0 IS NOT NULL AND n1 IS NOT NULL
+                  THEN {p_day} ELSE CAST(1 AS DOUBLE) END AS p_day,
+             CASE WHEN n0 IS NOT NULL AND n1 IS NOT NULL
+                  THEN {delta} ELSE CAST(0 AS DOUBLE) END AS delta
+      FROM wide
+    ),
+    tracked AS (
+      SELECT event_type, day,
+             COALESCE(n0, 0) AS n_control, COALESCE(n1, 0) AS n_treat,
+             delta,
+             MIN(p_day) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS UNBOUNDED PRECEDING) AS p_av
+      FROM filled
+    )
+    SELECT event_type, day,
+           CAST(n_control AS BIGINT) AS n_control,
+           CAST(n_treat AS BIGINT) AS n_treat,
+           round(delta, 6) AS delta_cum,
+           round(p_av, 9) AS p_always_valid,
+           CASE WHEN round(p_av, 9) < CAST(0.05 AS DOUBLE)
+                THEN 1 ELSE 0 END AS reject_h0
+    FROM tracked
+    ORDER BY event_type, day
+    """
+
+
+@register(
+    "q_ab_msprt_always_valid",
+    oracle=_msprt_sql(_SRM_ARM_DUCK),
+    doc="Always-valid p-value sequence (mSPRT, Johari/Pekelis/Walsh "
+        "KDD'17) per event type over the q_srm_check md5 50/50 split: "
+        "the sequential-testing readout that stays valid under "
+        "CONTINUOUS PEEKING — the fixed-n z-test (q_ab_lift_readout) "
+        "inflates false positives when checked daily, the running min "
+        "of min(1, 1/Λ_n) never does. Per-day per-arm sufficient "
+        "statistics are exact integers (counts/cents/cents²), prefix "
+        "sums over the bounded day grain stay integer, Λ_n is one "
+        "closed-form expression per row, and the always-valid p is a "
+        "monotone running min. One map-side-combinable aggregation on "
+        "(type, day, arm); windows partition by event_type over the "
+        "calendar-bounded day grain — no single-partition exchange.",
+)
+def q_ab_msprt_always_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    ev.createOrReplaceTempView("events")
+    return spark.sql(_msprt_sql(_SRM_ARM_SPARK))
