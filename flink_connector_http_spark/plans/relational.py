@@ -7620,6 +7620,69 @@ def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 MSPRT_TAU_SQ = "CAST(1 AS DOUBLE)"
 
 
+_MSPRT_MEAN = "(CAST(s{a} AS DOUBLE) / CAST(n{a} AS DOUBLE))"
+# population variance from cumulative integer sufficient statistics
+_MSPRT_VAR = (
+    "(CAST(ss{a} AS DOUBLE) / CAST(n{a} AS DOUBLE)"
+    f" - {_MSPRT_MEAN.format(a='{a}')} * {_MSPRT_MEAN.format(a='{a}')})"
+)
+# per-arm squared-standard-error contribution, dollars² (cents²/1e4)
+_MSPRT_V = (
+    f"(({_MSPRT_VAR.format(a='0')} / CAST(n0 AS DOUBLE)"
+    f" + {_MSPRT_VAR.format(a='1')} / CAST(n1 AS DOUBLE))"
+    " / CAST(10000 AS DOUBLE))"
+)
+_MSPRT_DELTA = (
+    f"(({_MSPRT_MEAN.format(a='1')} - {_MSPRT_MEAN.format(a='0')})"
+    " / CAST(100 AS DOUBLE))"
+)
+_MSPRT_LAM_INV = (
+    f"(sqrt(({_MSPRT_V} + {MSPRT_TAU_SQ}) / {_MSPRT_V})"
+    f" * exp(-({_MSPRT_DELTA} * {_MSPRT_DELTA}) * {MSPRT_TAU_SQ}"
+    f" / (CAST(2 AS DOUBLE) * {_MSPRT_V} * ({_MSPRT_V} + {MSPRT_TAU_SQ}))))"
+)
+_MSPRT_P_DAY = (
+    f"CASE WHEN n0 >= 2 AND n1 >= 2 AND {_MSPRT_VAR.format(a='0')} > 0"
+    f" AND {_MSPRT_VAR.format(a='1')} > 0"
+    f" THEN least(CAST(1 AS DOUBLE), {_MSPRT_LAM_INV})"
+    " ELSE CAST(1 AS DOUBLE) END"
+)
+
+#: scoring tail over a `wide` CTE/view with columns (event_type, day,
+#: n0, s0, ss0, n1, s1, ss1) — engine-neutral text shared verbatim by
+#: the batch query, its DuckDB oracle, AND the streaming twin's
+#: post-stream projection (stream_ab_msprt scores the stateful
+#: operator's integer output through this exact text, so batch/stream
+#: parity is the full hash gate, not a reimplementation)
+_MSPRT_TAIL = f"""
+    filled AS (
+      SELECT event_type, day, n0, n1,
+             CASE WHEN n0 IS NOT NULL AND n1 IS NOT NULL
+                  THEN {_MSPRT_P_DAY} ELSE CAST(1 AS DOUBLE) END AS p_day,
+             CASE WHEN n0 IS NOT NULL AND n1 IS NOT NULL
+                  THEN {_MSPRT_DELTA} ELSE CAST(0 AS DOUBLE) END AS delta
+      FROM wide
+    ),
+    tracked AS (
+      SELECT event_type, day,
+             COALESCE(n0, 0) AS n_control, COALESCE(n1, 0) AS n_treat,
+             delta,
+             MIN(p_day) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS UNBOUNDED PRECEDING) AS p_av
+      FROM filled
+    )
+    SELECT event_type, day,
+           CAST(n_control AS BIGINT) AS n_control,
+           CAST(n_treat AS BIGINT) AS n_treat,
+           round(delta, 6) AS delta_cum,
+           round(p_av, 9) AS p_always_valid,
+           CASE WHEN round(p_av, 9) < CAST(0.05 AS DOUBLE)
+                THEN 1 ELSE 0 END AS reject_h0
+    FROM tracked
+    ORDER BY event_type, day
+    """
+
+
 def _msprt_sql(arm_expr: str) -> str:
     """One SQL text for both engines (only the md5 arm split differs).
     Per (event_type, day, arm) sufficient statistics are EXACT integers
@@ -7631,33 +7694,6 @@ def _msprt_sql(arm_expr: str) -> str:
     p-value is the running MIN of min(1, 1/Λ) — monotone by
     construction, deterministic because every per-row input to the min
     is bit-identical in both engines."""
-    mean = "(CAST(s{a} AS DOUBLE) / CAST(n{a} AS DOUBLE))"
-    # population variance from cumulative integer sufficient statistics
-    var = (
-        "(CAST(ss{a} AS DOUBLE) / CAST(n{a} AS DOUBLE)"
-        f" - {mean.format(a='{a}')} * {mean.format(a='{a}')})"
-    )
-    # per-arm squared-standard-error contribution, dollars² (cents²/1e4)
-    v = (
-        f"(({var.format(a='0')} / CAST(n0 AS DOUBLE)"
-        f" + {var.format(a='1')} / CAST(n1 AS DOUBLE))"
-        " / CAST(10000 AS DOUBLE))"
-    )
-    delta = (
-        f"(({mean.format(a='1')} - {mean.format(a='0')})"
-        " / CAST(100 AS DOUBLE))"
-    )
-    lam_inv = (
-        f"(sqrt(({v} + {MSPRT_TAU_SQ}) / {v})"
-        f" * exp(-({delta} * {delta}) * {MSPRT_TAU_SQ}"
-        f" / (CAST(2 AS DOUBLE) * {v} * ({v} + {MSPRT_TAU_SQ}))))"
-    )
-    p_day = (
-        f"CASE WHEN n0 >= 2 AND n1 >= 2 AND {var.format(a='0')} > 0"
-        f" AND {var.format(a='1')} > 0"
-        f" THEN least(CAST(1 AS DOUBLE), {lam_inv})"
-        " ELSE CAST(1 AS DOUBLE) END"
-    )
     return f"""
     WITH armed AS (
       SELECT event_type, CAST(ts AS DATE) AS day, {arm_expr} AS arm,
@@ -7688,31 +7724,7 @@ def _msprt_sql(arm_expr: str) -> str:
              MAX(CASE WHEN arm = 1 THEN ss END) AS ss1
       FROM cum GROUP BY event_type, day
     ),
-    filled AS (
-      SELECT event_type, day, n0, n1,
-             CASE WHEN n0 IS NOT NULL AND n1 IS NOT NULL
-                  THEN {p_day} ELSE CAST(1 AS DOUBLE) END AS p_day,
-             CASE WHEN n0 IS NOT NULL AND n1 IS NOT NULL
-                  THEN {delta} ELSE CAST(0 AS DOUBLE) END AS delta
-      FROM wide
-    ),
-    tracked AS (
-      SELECT event_type, day,
-             COALESCE(n0, 0) AS n_control, COALESCE(n1, 0) AS n_treat,
-             delta,
-             MIN(p_day) OVER (PARTITION BY event_type ORDER BY day
-                              ROWS UNBOUNDED PRECEDING) AS p_av
-      FROM filled
-    )
-    SELECT event_type, day,
-           CAST(n_control AS BIGINT) AS n_control,
-           CAST(n_treat AS BIGINT) AS n_treat,
-           round(delta, 6) AS delta_cum,
-           round(p_av, 9) AS p_always_valid,
-           CASE WHEN round(p_av, 9) < CAST(0.05 AS DOUBLE)
-                THEN 1 ELSE 0 END AS reject_h0
-    FROM tracked
-    ORDER BY event_type, day
+    {_MSPRT_TAIL}
     """
 
 

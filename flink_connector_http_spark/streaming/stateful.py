@@ -1647,3 +1647,166 @@ def _cep_register():
 
 
 _cep_register()
+
+
+# ---------------------------------------------------------------------------
+# streaming mSPRT sufficient statistics (twin of q_ab_msprt_always_valid)
+# ---------------------------------------------------------------------------
+
+_MSPRT_STATE_SCHEMA = T.StructType([
+    T.StructField("n0", T.LongType()),
+    T.StructField("s0", T.LongType()),
+    T.StructField("ss0", T.LongType()),
+    T.StructField("n1", T.LongType()),
+    T.StructField("s1", T.LongType()),
+    T.StructField("ss1", T.LongType()),
+])
+
+
+def msprt_stats_stream(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+    arm_col: str,
+    cents_col: str,
+) -> DataFrame:
+    """Streaming cumulative A/B sufficient statistics: per key (event
+    type), carry six exact bigints — per-arm cumulative (count, Σcents,
+    Σcents²) — across micro-batches and emit one row per (key, day)
+    holding the cumulative statistics THROUGH that day, with an arm's
+    columns NULL on days that arm recorded no event (the same
+    day-sparse semantics as the batch query's `wide` CTE). The mixture
+    likelihood ratio and always-valid p-value are deliberately NOT
+    computed here: scoring is a stateless closed-form projection
+    (`plans.relational._MSPRT_TAIL`) applied identically to the batch
+    aggregation, the DuckDB oracle, and this stream's output — so
+    batch/stream parity is checked by the full hash gate rather than a
+    reimplemented formula, and state stays integer-exact (the
+    round-8 discipline for every stateful operator here).
+
+    Micro-batch contract: batches must arrive in event-time order and
+    must not split one (key, day) across batches — otherwise the later
+    batch re-emits that day with fuller cumulative statistics (append
+    mode cannot retract). A real deployment closes days with a
+    watermark; the registered query runs availableNow (one batch).
+    """
+    out_schema = T.StructType([
+        df.schema[key_col],
+        T.StructField("day", T.DateType()),
+        T.StructField("n0", T.LongType()),
+        T.StructField("s0", T.LongType()),
+        T.StructField("ss0", T.LongType()),
+        T.StructField("n1", T.LongType()),
+        T.StructField("s1", T.LongType()),
+        T.StructField("ss1", T.LongType()),
+    ])
+
+    def fn(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if not parts:
+            return
+        batch = pd.concat(parts)
+        cum = list(state.get) if state.exists else [0, 0, 0, 0, 0, 0]
+        rows = []
+        for day, grp in sorted(batch.groupby(day_col), key=lambda kv: kv[0]):
+            out: list = [None] * 6
+            for arm in (0, 1):
+                sel = grp[grp[arm_col] == arm][cents_col]
+                if len(sel) == 0:
+                    continue
+                base = 3 * arm
+                cum[base] += int(len(sel))
+                cum[base + 1] += int(sel.sum())
+                cum[base + 2] += int((sel * sel).sum())
+                out[base : base + 3] = cum[base : base + 3]
+            rows.append(key + (day,) + tuple(out))
+        state.update(tuple(cum))
+        yield pd.DataFrame(
+            rows,
+            columns=[key_col, "day", "n0", "s0", "ss0", "n1", "s1", "ss1"],
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, _MSPRT_STATE_SCHEMA, "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def _register_stream_ab_msprt() -> None:
+    from ..plans.relational import (
+        _MSPRT_TAIL,
+        _SRM_ARM_DUCK,
+        _SRM_ARM_SPARK,
+        _msprt_sql,
+    )
+
+    @register(
+        "stream_ab_msprt",
+        # SHARES the batch query's oracle verbatim: availableNow over the
+        # one parquet file = one chronological micro-batch, and the
+        # stream's integer output scored through the same _MSPRT_TAIL
+        # text equals the batch aggregation bit-for-bit
+        oracle=_msprt_sql(_SRM_ARM_DUCK),
+        doc="Streaming twin of q_ab_msprt_always_valid: per-event-type "
+            "state is six exact bigints (per-arm cumulative count / "
+            "Σcents / Σcents²) carried across micro-batches by "
+            "applyInPandasWithState; each (type, day) emits once with "
+            "the cumulative statistics through that day, and the "
+            "mixture-SPRT always-valid p-value is a stateless "
+            "closed-form projection (the exact SQL text the batch "
+            "query and the DuckDB oracle use) over the streamed "
+            "output — the experiment dashboard that updates per "
+            "micro-batch while staying valid under continuous "
+            "peeking. State is O(event types), independent of stream "
+            "length; cross-batch carry pinned by "
+            "tests/test_streaming_stateful_msprt.py.",
+    )
+    def stream_ab_msprt(spark, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+        import uuid
+
+        from ..plans.registry import normalize_events_ts
+
+        name = f"stream_msprt_{uuid.uuid4().hex[:8]}"
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        in_dir = tempfile.mkdtemp(prefix="stream_msprt_in_")
+        os.symlink(
+            os.path.abspath(f"{sf_dir}/events.parquet"),
+            os.path.join(in_dir, "events.parquet"),
+        )
+        stream = normalize_events_ts(
+            spark.readStream.schema(raw_schema).parquet(in_dir)
+        ).select(
+            "event_type",
+            F.expr("CAST(ts AS DATE)").alias("day"),
+            F.expr(_SRM_ARM_SPARK).alias("arm"),
+            F.expr("CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT)")
+            .alias("cents"),
+        )
+        query = (
+            msprt_stats_stream(stream, "event_type", "day", "arm", "cents")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="stream_msprt_ckpt_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
+        spark.table(name).createOrReplaceTempView(f"{name}_wide")
+        return spark.sql(
+            f"WITH wide AS (SELECT event_type, day, n0, s0, ss0,"
+            f" n1, s1, ss1 FROM {name}_wide),"
+            f"{_MSPRT_TAIL}"
+        )
+
+
+_register_stream_ab_msprt()
