@@ -7748,3 +7748,228 @@ def q_ab_msprt_always_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")["events"]
     ev.createOrReplaceTempView("events")
     return spark.sql(_msprt_sql(_SRM_ARM_SPARK))
+
+
+# ---------------------------------------------------------------------------
+# Holt double-exponential smoothing (recursive) + one-step forecast eval
+# ---------------------------------------------------------------------------
+
+#: binary-exact smoothing constants (0.5/0.25/0.75 are exactly
+#: representable, so the literal-parsing DECIMAL-vs-DOUBLE hazard the
+#: round-8 Dirichlet scorer hit cannot occur)
+HOLT_ALPHA = "CAST(0.5 AS DOUBLE)"
+HOLT_BETA = "CAST(0.25 AS DOUBLE)"
+HOLT_BETA_C = "CAST(0.75 AS DOUBLE)"
+
+
+def _holt_step(y: str, l: str, b: str, prev: str) -> dict:
+    """Per-observation Holt update formulas, parameterized only on the
+    engine's variable names — the arithmetic text (operator order,
+    literals) is IDENTICAL in the Spark fold and the DuckDB recursion,
+    so both engines execute the same IEEE op sequence and the
+    accumulated doubles are bit-identical (a sequential fold is
+    order-pinned, unlike a parallel SUM — the float rule this repo
+    enforces bans only order-dependent double aggregation)."""
+    l_new = f"({HOLT_ALPHA} * {y} + {HOLT_ALPHA} * ({l} + {b}))"
+    return {
+        "err": f"abs({y} - ({l} + {b}))",
+        "errn": f"abs({y} - {prev})",
+        "l_new": l_new,
+        "b_new": f"({HOLT_BETA} * ({l_new} - {l}) + {HOLT_BETA_C} * {b})",
+    }
+
+
+_HOLT_SPARK_STEP = _holt_step("x.y", "acc.l", "acc.b", "acc.prev")
+_HOLT_DUCK_STEP = _holt_step("d.y", "r.l", "r.b", "r.prev")
+
+_HOLT_FINAL = """
+    SELECT CAST({n} AS BIGINT) AS n_days,
+           round({l}, 4) AS level_final,
+           round({b}, 4) AS trend_final,
+           CASE WHEN {cnt} > 0
+                THEN round({err} / CAST({cnt} AS DOUBLE), 4)
+                ELSE CAST(0 AS DOUBLE) END AS mae_holt,
+           CASE WHEN {cnt} > 0
+                THEN round({errn} / CAST({cnt} AS DOUBLE), 4)
+                ELSE CAST(0 AS DOUBLE) END AS mae_naive1
+    """
+
+
+@register(
+    "q_holt_linear_forecast",
+    oracle=f"""
+    WITH RECURSIVE day0 AS (
+      SELECT date_diff('day', DATE '1992-01-01', o_orderdate) AS di,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+      FROM orders GROUP BY 1
+    ),
+    d AS (SELECT ROW_NUMBER() OVER (ORDER BY di) AS i, y FROM day0),
+    rec AS (
+      SELECT i, y AS l, CAST(0 AS DOUBLE) AS b, y AS prev,
+             CAST(0 AS DOUBLE) AS err, CAST(0 AS DOUBLE) AS errn,
+             CAST(0 AS BIGINT) AS cnt
+      FROM d WHERE i = 1
+      UNION ALL
+      SELECT d.i,
+             {_HOLT_DUCK_STEP["l_new"]} AS l,
+             {_HOLT_DUCK_STEP["b_new"]} AS b,
+             d.y AS prev,
+             r.err + {_HOLT_DUCK_STEP["err"]} AS err,
+             r.errn + {_HOLT_DUCK_STEP["errn"]} AS errn,
+             r.cnt + 1 AS cnt
+      FROM rec r JOIN d ON d.i = r.i + 1
+    )
+    {_HOLT_FINAL.format(n="r.i", l="r.l", b="r.b", cnt="r.cnt",
+                        err="r.err", errn="r.errn")}
+    FROM rec r WHERE r.i = (SELECT MAX(i) FROM d)
+    """,
+    doc="Holt double-exponential smoothing over daily order revenue "
+        "(level + linear trend, α=0.5 β=0.25) with a one-step-ahead "
+        "forecast evaluation: MAE of the Holt forecast l+b vs the "
+        "naive-1 carry-forward baseline — the trend-aware counterpart "
+        "of q06_forecast_revenue/q_forecast_snaive_eval. RECURSIVE by "
+        "nature: Spark runs it as a sequential fold (aggregate() over "
+        "the array_sort'ed bounded daily grain — ~2.4k days at any "
+        "scale factor, so the fold input is a bounded broadcastable "
+        "summary, never the raw table), DuckDB as a recursive CTE; "
+        "the per-step arithmetic text is shared so both engines "
+        "execute the identical IEEE op sequence (order-pinned — the "
+        "parallel-sum nondeterminism the float rules ban cannot "
+        "arise). The distributed work is the one map-side-combinable "
+        "daily aggregation.",
+)
+def q_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")["orders"]
+    orders.createOrReplaceTempView("orders")
+    s = _HOLT_SPARK_STEP
+    fold = f"""
+      aggregate(
+        a,
+        CAST(named_struct(
+          'l', CAST(NULL AS DOUBLE), 'b', CAST(0 AS DOUBLE),
+          'prev', CAST(NULL AS DOUBLE),
+          'err', CAST(0 AS DOUBLE), 'errn', CAST(0 AS DOUBLE),
+          'cnt', CAST(0 AS BIGINT))
+          AS struct<l: DOUBLE, b: DOUBLE, prev: DOUBLE,
+                    err: DOUBLE, errn: DOUBLE, cnt: BIGINT>),
+        (acc, x) -> CASE WHEN acc.l IS NULL THEN named_struct(
+            'l', x.y, 'b', CAST(0 AS DOUBLE), 'prev', x.y,
+            'err', CAST(0 AS DOUBLE), 'errn', CAST(0 AS DOUBLE),
+            'cnt', CAST(0 AS BIGINT))
+          ELSE named_struct(
+            'l', {s["l_new"]},
+            'b', {s["b_new"]},
+            'prev', x.y,
+            'err', acc.err + {s["err"]},
+            'errn', acc.errn + {s["errn"]},
+            'cnt', acc.cnt + 1) END)
+    """
+    final = _HOLT_FINAL.format(
+        n="size(a)", l="res.l", b="res.b", cnt="res.cnt",
+        err="res.err", errn="res.errn",
+    )
+    return spark.sql(f"""
+    WITH daily AS (
+      SELECT datediff(o_orderdate, DATE '1992-01-01') AS di,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+      FROM orders GROUP BY 1
+    ),
+    arr AS (SELECT array_sort(collect_list(struct(di, y))) AS a FROM daily),
+    folded AS (SELECT a, {fold} AS res FROM arr)
+    {final}
+    FROM folded
+    """)
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V categorical association matrix (documents metadata QA)
+# ---------------------------------------------------------------------------
+
+#: (tag, column-a, column-b) attribute pairs scored for association
+_CRAMERS_PAIRS = (
+    ("lang_x_source", "lang", "source"),
+    ("lang_x_lenbin", "lang", "lenbin"),
+    ("source_x_lenbin", "source", "lenbin"),
+)
+
+
+def _cramers_block(tag: str, a: str, b: str) -> str:
+    """One pair's chi-square + Cramér's V: observed counts are exact
+    integers; each cell's (O-E)²/E term is ONE double expression of
+    exact integers rounded at 9dp and summed as DECIMAL(20,9) (the
+    text_js_divergence discipline — the cell grid is bounded, the sum
+    must still never be a raw double aggregate)."""
+    e = f"(CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))"
+    term = (
+        f"round((CAST(o AS DOUBLE) - {e}) * (CAST(o AS DOUBLE) - {e})"
+        f" / {e}, 9)"
+    )
+    return f"""
+    obs_{tag} AS (
+      SELECT {a} AS a, {b} AS b, CAST(COUNT(*) AS BIGINT) AS o
+      FROM base GROUP BY 1, 2
+    ),
+    rt_{tag} AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra
+                 FROM obs_{tag} GROUP BY a),
+    ct_{tag} AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cb
+                 FROM obs_{tag} GROUP BY b),
+    dims_{tag} AS (
+      SELECT CAST(SUM(o) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT a) AS BIGINT) AS r,
+             CAST(COUNT(DISTINCT b) AS BIGINT) AS c
+      FROM obs_{tag}
+    ),
+    chi_{tag} AS (
+      SELECT SUM(CAST({term} AS DECIMAL(20,9))) AS chi2
+      FROM obs_{tag}
+      JOIN rt_{tag} USING (a) JOIN ct_{tag} USING (b)
+      CROSS JOIN dims_{tag}
+    ),
+    row_{tag} AS (
+      SELECT '{tag}' AS pair, n, r, c,
+             CAST((r - 1) * (c - 1) AS BIGINT) AS df,
+             round(CAST(chi2 AS DOUBLE), 6) AS chi_square,
+             round(sqrt(CAST(chi2 AS DOUBLE)
+                        / (CAST(n AS DOUBLE)
+                           * CAST(least(r, c) - 1 AS DOUBLE))), 6)
+               AS cramers_v
+      FROM chi_{tag} CROSS JOIN dims_{tag}
+    )"""
+
+
+def _cramers_sql(intdiv: str) -> str:
+    blocks = ",".join(_cramers_block(t, a, b) for t, a, b in _CRAMERS_PAIRS)
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT * FROM row_{t}" for t, _, _ in _CRAMERS_PAIRS
+    )
+    return f"""
+    WITH base AS (
+      SELECT lang, source,
+             least(CAST(n_chars AS BIGINT) {intdiv} 500, 7) AS lenbin
+      FROM documents
+    ),
+    {blocks}
+    {union}
+    ORDER BY pair
+    """
+
+
+@register(
+    "q_cramers_v_matrix",
+    oracle=_cramers_sql("//"),
+    doc="Cramér's V association matrix over document metadata pairs "
+        "(lang×source, lang×length-bin, source×length-bin) — the "
+        "corpus-QA check that catches a crawler whose language mix "
+        "silently depends on the source or whose length distribution "
+        "shifts per language (the bias that leaks into a trained "
+        "model). Chi-square from exact integer observed counts with "
+        "expected counts as one closed-form double per bounded grid "
+        "cell (9dp-rounded, DECIMAL-summed); V normalizes by "
+        "n·(min(r,c)-1) so pairs with different cardinalities are "
+        "comparable. Three map-side-combinable aggregations over the "
+        "bounded attribute grids; no shuffle exceeds the grid size.",
+)
+def q_cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    docs.createOrReplaceTempView("documents")
+    return spark.sql(_cramers_sql("DIV"))
