@@ -3014,3 +3014,118 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh2 = _shingle_index(spark, sf_dir, cand_docs)
     return _exact_jaccard(sh2, candidates)
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (CDC) dedup — LBFS/FastCDC-style boundaries
+# ---------------------------------------------------------------------------
+
+#: rolling-window width (chars) and boundary divisor: a chunk boundary
+#: falls after position i whenever the window hash of the last
+#: CDC_WINDOW chars ≡ 0 (mod CDC_DIVISOR) → expected chunk length ≈
+#: CDC_DIVISOR chars. Unlike fixed-size chunks (dedup_chunk_level), a
+#: one-char insertion shifts only the chunks that TOUCH the edit —
+#: boundaries elsewhere re-synchronize, which is why storage dedup
+#: systems (LBFS, FastCDC) cut on content, not offsets.
+CDC_WINDOW = 16
+CDC_DIVISOR = 32
+
+
+def _cdc_sql(hash_int: str, positions_from: str) -> str:
+    """One SQL text for both engines. Parameterized only on the
+    hex-md5→BIGINT conversion and the per-doc position enumeration
+    (LATERAL VIEW explode(sequence(...)) vs unnest(generate_series));
+    everything downstream — boundary test, LAG-based chunk extraction,
+    per-source dedup accounting — is shared verbatim. All outputs are
+    exact integers or single divisions of exact integers."""
+    w, d = CDC_WINDOW, CDC_DIVISOR
+    win = f"substr(text, i - {w} + 1, {w})"
+    return f"""
+    WITH pos AS (
+      SELECT doc_id, text, n_chars, i
+      FROM {positions_from}
+    ),
+    content_cuts AS (
+      SELECT doc_id, i FROM pos
+      WHERE {hash_int.format(x=win)} % {d} = 0
+    ),
+    cuts AS (
+      SELECT DISTINCT doc_id, i FROM (
+        SELECT doc_id, i FROM content_cuts
+        UNION ALL
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS i
+        FROM documents WHERE n_chars > 0
+      ) u
+    ),
+    chunks AS (
+      SELECT doc_id,
+             substr(text, CAST(prev + 1 AS INT),
+                    CAST(i - prev AS INT)) AS chunk
+      FROM (
+        SELECT c.doc_id, c.i,
+               LAG(c.i, 1, 0) OVER (PARTITION BY c.doc_id
+                                    ORDER BY c.i) AS prev,
+               d2.text
+        FROM cuts c JOIN documents d2 ON d2.doc_id = c.doc_id
+      ) bounded
+    ),
+    hashed AS (
+      SELECT d3.source, md5(chunk) AS h,
+             CAST(length(chunk) AS BIGINT) AS clen
+      FROM chunks c2 JOIN documents d3 ON d3.doc_id = c2.doc_id
+    ),
+    byhash AS (
+      SELECT source, h, MIN(clen) AS clen,
+             CAST(COUNT(*) AS BIGINT) AS occ
+      FROM hashed GROUP BY source, h
+    )
+    SELECT source,
+           CAST(SUM(occ) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+           CAST(SUM(occ * clen) AS BIGINT) AS total_chars,
+           CAST(SUM((occ - 1) * clen) AS BIGINT) AS dup_chars_saved,
+           round(CAST(SUM(occ * clen) AS DOUBLE)
+                 / CAST(SUM(occ) AS DOUBLE), 4) AS avg_chunk_len,
+           round(CAST(SUM((occ - 1) * clen) AS DOUBLE)
+                 / CAST(SUM(occ * clen) AS DOUBLE), 6) AS dedup_ratio
+    FROM byhash
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+_CDC_HASH_SPARK = "CAST(conv(substr(md5({x}), 1, 8), 16, 10) AS BIGINT)"
+_CDC_HASH_DUCK = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
+
+
+@register(
+    "dedup_cdc_chunks",
+    oracle=_cdc_sql(
+        _CDC_HASH_DUCK,
+        f"(SELECT doc_id, text, n_chars,"
+        f" unnest(generate_series({CDC_WINDOW}, n_chars)) AS i"
+        f" FROM documents) p",
+    ),
+    doc=f"Content-defined chunking (LBFS/FastCDC family): a chunk "
+        f"boundary falls wherever the {CDC_WINDOW}-char window hash ≡ 0 "
+        f"(mod {CDC_DIVISOR}), so boundaries RE-SYNCHRONIZE after an "
+        "edit instead of shifting every downstream chunk the way "
+        "fixed-size chunking (dedup_chunk_level) does — the standard "
+        "storage-dedup technique, here giving per-source chunk-level "
+        "duplication accounting (chars saved by dedup, dedup ratio, "
+        "distinct-chunk counts). Every position's boundary test is "
+        "independent → embarrassingly parallel; chunk extraction is "
+        "one LAG window partitioned by doc_id; the accounting is two "
+        "map-side-combinable aggregations. No sequential scan "
+        "anywhere, so the plan scales with input splits.",
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    docs.createOrReplaceTempView("documents")
+    return spark.sql(
+        _cdc_sql(
+            _CDC_HASH_SPARK,
+            f"documents LATERAL VIEW explode(sequence({CDC_WINDOW},"
+            f" CAST(n_chars AS INT))) t AS i",
+        )
+    )
