@@ -4931,3 +4931,122 @@ def emb_quality_centrality_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)"
         ).alias("slope_centrality_per_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random-projection distortion eval
+# ---------------------------------------------------------------------------
+
+#: deterministic sampling stride for the eval pair set (vec_id % 11 = 1
+#: → ~9% of vectors, all pairs among them — bounded, never all-pairs
+#: over the corpus) and the target dimensions evaluated
+JL_SAMPLE_MOD = 11
+JL_KS = (8, 16, 32)
+
+
+def _jl_core_sql(hash_int: str, intdiv: str) -> str:
+    """Engine-shared core over a `dims` relation (vec_id, i, qi) and a
+    `jdom` relation (k, j): ±1 signs from the (i, j) hash, integer
+    projections and squared distances (exact, order-free), one
+    division per pair ratio, DECIMAL-summed mean — the repo's float
+    discipline end to end."""
+    sign = (
+        f"(CASE WHEN {hash_int.format(x=chr(39) + 'jl:' + chr(39) + ' || jd.j || ' + chr(39) + ':' + chr(39) + ' || d.i')}"
+        f" % 2 = 0 THEN 1 ELSE -1 END)"
+    )
+    return f"""
+    proj AS (
+      SELECT d.vec_id, jd.k, jd.j,
+             CAST(SUM({sign} * d.qi) AS BIGINT) AS p
+      FROM dims d CROSS JOIN jdom jd
+      GROUP BY d.vec_id, jd.k, jd.j
+    ),
+    orig AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             CAST(SUM((a.qi - b.qi) * (a.qi - b.qi)) AS BIGINT) AS d2
+      FROM dims a JOIN dims b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    ),
+    pdist AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.k,
+             CAST(SUM((a.p - b.p) * (a.p - b.p)) AS BIGINT) AS pd2
+      FROM proj a JOIN proj b
+        ON a.k = b.k AND a.j = b.j AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id, a.k
+    ),
+    ratios AS (
+      SELECT p.k,
+             round(CAST(p.pd2 AS DOUBLE)
+                   / (CAST(p.k AS DOUBLE) * CAST(o.d2 AS DOUBLE)), 9) AS r
+      FROM pdist p
+      JOIN orig o ON o.a_id = p.a_id AND o.b_id = p.b_id
+      WHERE o.d2 > 0
+    ),
+    ranked AS (
+      SELECT k, r,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY r) AS rn,
+             COUNT(*) OVER (PARTITION BY k) AS n
+      FROM ratios
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(MAX(n) AS BIGINT) AS n_pairs,
+           round(CAST(SUM(CAST(r AS DECIMAL(20,9))) AS DOUBLE)
+                 / CAST(MAX(n) AS DOUBLE), 6) AS mean_ratio,
+           round(MIN(r), 6) AS min_ratio,
+           round(MAX(r), 6) AS max_ratio,
+           round(MAX(CASE WHEN rn = (n + 1) {intdiv} 2 THEN r END), 6)
+             AS p50_ratio
+    FROM ranked GROUP BY k ORDER BY k
+    """
+
+
+_JL_HASH_SPARK = "CAST(conv(substr(md5({x}), 1, 8), 16, 10) AS BIGINT)"
+_JL_HASH_DUCK = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
+
+
+@register(
+    "emb_jl_projection_eval",
+    oracle=f"""
+    WITH dims AS (
+      SELECT vec_id, i, qvec[i] AS qi
+      FROM (SELECT vec_id, {_QVEC_DUCK} AS qvec,
+                   unnest(range(1, 65)) AS i
+            FROM embeddings WHERE vec_id % {JL_SAMPLE_MOD} = 1) t
+    ),
+    jdom AS (
+      SELECT k, unnest(range(1, k + 1)) AS j
+      FROM (VALUES ({JL_KS[0]}), ({JL_KS[1]}), ({JL_KS[2]})) ks(k)
+    ),
+    {_jl_core_sql(_JL_HASH_DUCK, "//")}
+    """,
+    doc="Johnson–Lindenstrauss random-projection distortion evaluation: "
+        "project int8-quantized embeddings through a deterministic ±1 "
+        "sign matrix (sign(i,j) from an md5 hash — no stored matrix, "
+        "any executor regenerates any entry) at k ∈ {8, 16, 32}, and "
+        "measure ‖Pa−Pb‖²/(k·‖a−b‖²) over a deterministic ~9% vector "
+        "sample's pairs: the table that tells you how few dimensions "
+        "ANN can run in before recall collapses (mean ratio ≈ 1 by the "
+        "JL lemma; spread shrinks as k grows). All projections and "
+        "squared distances are EXACT integer sums of int8 codes "
+        "(order-free — the same trick as emb_dim_stats); each pair "
+        "contributes one closed-form division. The pair set is "
+        "bounded by the sampling stride, never all-pairs over the "
+        "corpus; at scale the sample is the standard estimator for "
+        "projection quality before committing the full sweep.",
+)
+def emb_jl_projection_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    emb.createOrReplaceTempView("embeddings")
+    return spark.sql(f"""
+    WITH dims AS (
+      SELECT vec_id, pos + 1 AS i, qi
+      FROM (SELECT vec_id, {_QVEC_SPARK} AS qvec
+            FROM embeddings WHERE vec_id % {JL_SAMPLE_MOD} = 1) v
+      LATERAL VIEW posexplode(qvec) t AS pos, qi
+    ),
+    jdom AS (
+      SELECT k, explode(sequence(1, k)) AS j
+      FROM VALUES ({JL_KS[0]}), ({JL_KS[1]}), ({JL_KS[2]}) AS ks(k)
+    ),
+    {_jl_core_sql(_JL_HASH_SPARK, "DIV")}
+    """)
