@@ -4771,3 +4771,112 @@ def sketch_kmv_anb(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a_src", "b_src")
     )
+
+
+# ---------------------------------------------------------------------------
+# systematic importance resampling (the selection half of the DSIR loop)
+# ---------------------------------------------------------------------------
+
+#: resample m = n/SIR_FRACTION docs; weights are LINEARIZED from the
+#: DSIR log2-per-token weight (SIR_BASE + SIR_SCALE·wpt, clamped ≥ 1).
+#: A 2^wpt transform would be the textbook exponential tilt, but pow()
+#: is engine-libm-dependent at the last ulp and the hash gate demands
+#: bit equality — the linear surrogate is monotone in the DSIR weight,
+#: which is all systematic resampling needs, and keeps EVERY quantity
+#: from here on an exact integer.
+SIR_FRACTION = 5
+SIR_BASE = 1000
+SIR_SCALE = 250
+
+from ..plans.registry import REGISTRY as _REGISTRY  # noqa: E402
+
+#: floor(x + 1/2) for x = cum·m/S in EXACT integer arithmetic:
+#: (2·cum·m + S) // (2·S) — the midpoint-offset systematic-sampling
+#: pick count, no double division anywhere
+_SIR_COPIES = (
+    "CAST((2 * {cum} * m + tot) {intdiv} (2 * tot)"
+    " - (2 * ({cum} - w_int) * m + tot) {intdiv} (2 * tot) AS BIGINT)"
+)
+
+
+@register(
+    "sample_sir_resample",
+    oracle=f"""
+    WITH dsir_out AS ({{dsir}}),
+    w AS (
+      SELECT doc_id, in_target,
+             greatest(CAST(1 AS BIGINT),
+                      CAST({SIR_BASE} + round(log2_weight_per_token
+                           * CAST({SIR_SCALE} AS DOUBLE), 0) AS BIGINT))
+               AS w_int
+      FROM dsir_out
+    ),
+    c AS (
+      SELECT doc_id, in_target, w_int,
+             CAST(SUM(w_int) OVER (ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum
+      FROM w
+    ),
+    t AS (
+      SELECT CAST(SUM(w_int) AS BIGINT) AS tot,
+             CAST(COUNT(*) AS BIGINT) // {SIR_FRACTION} AS m
+      FROM w
+    ),
+    picked AS (
+      SELECT doc_id, w_int, in_target,
+             {_SIR_COPIES.format(cum="cum", intdiv="//")} AS n_copies
+      FROM c CROSS JOIN t
+    )
+    SELECT doc_id, w_int AS weight_scaled, in_target, n_copies
+    FROM picked WHERE n_copies >= 1
+    """.format(dsir=_REGISTRY["sample_dsir_weights"].oracle),
+    doc=f"Systematic importance resampling — the SELECTION half of the "
+        f"DSIR loop (sample_dsir_weights scores, this picks): docs are "
+        f"laid on a weight line (linearized DSIR weight, exact "
+        f"integers), and m = n/{SIR_FRACTION} equally-spaced "
+        "midpoint-offset pointers pick each doc floor(cum·m/S + 1/2) − "
+        "floor((cum−w)·m/S + 1/2) times — computed ENTIRELY in integer "
+        "arithmetic ((2·cum·m + S) div (2·S)), so there is no float "
+        "anywhere after the per-doc weight. Lower variance than "
+        "multinomial sampling, fully deterministic, and high-weight "
+        "docs surface with n_copies > 1 (the epoch-repeat signal). "
+        "The global cumulative weight uses the two-phase _global_cumsum "
+        "(parallel per-bucket windows + a ≤64-row prefix pass) — never "
+        "a single-partition sort at corpus scale.",
+)
+def sample_sir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.relational import _global_cumsum
+
+    w = (
+        sample_dsir_weights(spark, sf_dir)
+        .select("doc_id", "log2_weight_per_token", "in_target")
+        .withColumn(
+            "w_int",
+            F.expr(
+                f"greatest(CAST(1 AS BIGINT),"
+                f" CAST({SIR_BASE} + round(log2_weight_per_token"
+                f" * CAST({SIR_SCALE} AS DOUBLE), 0) AS BIGINT))"
+            ),
+        )
+    )
+    c = _global_cumsum(
+        w, "doc_id", [F.col("doc_id")], "w_int", with_total=True
+    )
+    n = w.agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"))
+    return (
+        c.crossJoin(F.broadcast(n))
+        .withColumn("m", F.expr(f"n_docs DIV {SIR_FRACTION}"))
+        .withColumn("tot", F.col("__total"))
+        .withColumn(
+            "n_copies", F.expr(_SIR_COPIES.format(cum="__cum", intdiv="DIV"))
+        )
+        .filter("n_copies >= 1")
+        .select(
+            "doc_id",
+            F.col("w_int").alias("weight_scaled"),
+            "in_target",
+            "n_copies",
+        )
+    )
+
