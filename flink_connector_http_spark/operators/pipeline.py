@@ -2858,3 +2858,107 @@ def pipeline_labeler_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")["documents"]
     docs.createOrReplaceTempView("documents")
     return spark.sql(_kappa_sql(*_labeler_exprs(_S)))
+
+
+# ---------------------------------------------------------------------------
+# proximity search (NEAR operator): co-occurrence vs within-window share
+# ---------------------------------------------------------------------------
+
+PROX_TOPN = 8      # pairs drawn from the top-N corpus tokens
+PROX_WINDOW = 5    # |pos_a - pos_b| <= W counts as "near"
+
+#: scoring over `occ` (doc_id, t, pos — positional postings of the
+#: top-N tokens): document frequencies, pairwise co-occurrence, and
+#: the within-window share — the NEAR operator an inverted index with
+#: positions supports and a bag-of-words one cannot. Exact integers
+#: plus one final division per pair.
+_PROX_SCORE = f"""
+    pres AS (SELECT DISTINCT doc_id, t FROM occ),
+    df AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM pres GROUP BY t),
+    co AS (
+      SELECT a.t AS t_a, b.t AS t_b, CAST(COUNT(*) AS BIGINT) AS co_df
+      FROM pres a JOIN pres b
+        ON b.doc_id = a.doc_id AND a.t < b.t
+      GROUP BY a.t, b.t
+    ),
+    near AS (
+      SELECT a.t AS t_a, b.t AS t_b,
+             CAST(COUNT(DISTINCT a.doc_id) AS BIGINT) AS near_df
+      FROM occ a JOIN occ b
+        ON b.doc_id = a.doc_id AND a.t < b.t
+       AND abs(a.pos - b.pos) <= {PROX_WINDOW}
+      GROUP BY a.t, b.t
+    )
+    SELECT co.t_a, co.t_b,
+           da.df AS df_a, db.df AS df_b, co.co_df,
+           COALESCE(near.near_df, 0) AS near_df,
+           round(CAST(COALESCE(near.near_df, 0) AS DOUBLE)
+                 / CAST(co.co_df AS DOUBLE), 6) AS near_share
+    FROM co
+    JOIN df da ON da.t = co.t_a
+    JOIN df db ON db.t = co.t_b
+    LEFT JOIN near ON near.t_a = co.t_a AND near.t_b = co.t_b
+    ORDER BY co.t_a, co.t_b
+    """
+
+
+@register(
+    "search_proximity_lift",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks
+      FROM documents
+    ),
+    postok AS (
+      SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, toks
+      FROM toks
+    ),
+    alltok AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos, toks[pos] AS t
+      FROM postok WHERE toks[pos] <> ''
+    ),
+    topn AS (
+      SELECT t FROM (
+        SELECT t, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t) AS rk
+        FROM alltok GROUP BY t
+      ) v WHERE rk <= {PROX_TOPN}
+    ),
+    occ AS (
+      SELECT alltok.doc_id, alltok.t, alltok.pos
+      FROM alltok JOIN topn ON topn.t = alltok.t
+    ),
+    {_PROX_SCORE}
+    """,
+    doc=f"Proximity search (the NEAR operator): for every pair of the "
+        f"{PROX_TOPN} most frequent corpus tokens, the share of "
+        f"co-occurring documents where the terms appear within "
+        f"{PROX_WINDOW} positions — what a POSITIONAL inverted index "
+        "buys over bag-of-words (text_inverted_index stores no "
+        "positions; phrase and NEAR queries need them). near_share "
+        "close to 1 marks collocations tighter than co-occurrence "
+        "alone can see; near 0 marks topically-related-but-separated "
+        "pairs. Positional postings join per doc_id (co-partitioned, "
+        "position lists per doc are short), document frequencies and "
+        "pair counts are exact integers, one division per pair. Top-N "
+        "selection is a distributed TakeOrdered on the Spark side.",
+)
+def search_proximity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    alltok = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.expr("split(lower(text), ' ')")).alias("p0", "t"),
+        )
+        .filter("t <> ''")
+        .select("doc_id", F.expr("CAST(p0 + 1 AS BIGINT)").alias("pos"), "t")
+    )
+    topn = (
+        alltok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("t"))
+        .limit(PROX_TOPN)
+        .select("t")
+    )
+    occ = alltok.join(F.broadcast(topn), "t").select("doc_id", "t", "pos")
+    occ.createOrReplaceTempView("occ")
+    return spark.sql(f"WITH {_PROX_SCORE}")

@@ -4880,3 +4880,114 @@ def sample_sir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+# ---------------------------------------------------------------------------
+# Burrows' Delta: stylometric distance between sources
+# ---------------------------------------------------------------------------
+
+BURROWS_TOPK = 50
+
+#: scoring over two relations: `tok` (source, t) — one row per token
+#: occurrence — and `topk` (t) — the corpus-wide most-frequent tokens.
+#: Relative frequencies are single divisions of exact integers rounded
+#: at 9dp; means/variances across the BOUNDED source set and the final
+#: per-pair mean |z_a - z_b| are DECIMAL(20,9) sums of 9dp-rounded
+#: terms (the text_js_divergence discipline); z-scores round at 6dp
+#: before pairing.
+_BURROWS_SCORE = f"""
+    stot AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tok
+      FROM tok GROUP BY source
+    ),
+    cst AS (
+      SELECT tok.source, tok.t, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok JOIN topk ON topk.t = tok.t
+      GROUP BY tok.source, tok.t
+    ),
+    freqs AS (
+      SELECT s.source, k.t,
+             round(CAST(COALESCE(c.c, 0) AS DOUBLE)
+                   / CAST(s.n_tok AS DOUBLE), 9) AS f
+      FROM stot s CROSS JOIN topk k
+      LEFT JOIN cst c ON c.source = s.source AND c.t = k.t
+    ),
+    mu AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS ns,
+             CAST(SUM(CAST(f AS DECIMAL(20,9))) AS DOUBLE) AS sf,
+             CAST(SUM(CAST(round(f * f, 9) AS DECIMAL(20,9))) AS DOUBLE)
+               AS sff
+      FROM freqs GROUP BY t
+    ),
+    z AS (
+      SELECT fr.source, fr.t,
+             round((fr.f - mu.sf / CAST(mu.ns AS DOUBLE))
+                   / sqrt(greatest(
+                       mu.sff / CAST(mu.ns AS DOUBLE)
+                       - (mu.sf / CAST(mu.ns AS DOUBLE))
+                         * (mu.sf / CAST(mu.ns AS DOUBLE)),
+                       CAST(1e-18 AS DOUBLE))), 6) AS z
+      FROM freqs fr JOIN mu ON mu.t = fr.t
+    ),
+    zpairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             round(abs(a.z - b.z), 9) AS dz
+      FROM z a JOIN z b ON a.t = b.t AND a.source < b.source
+    )
+    SELECT src_a, src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           round(CAST(SUM(CAST(dz AS DECIMAL(20,9))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS burrows_delta
+    FROM zpairs GROUP BY src_a, src_b
+    ORDER BY src_a, src_b
+    """
+
+
+@register(
+    "text_burrows_delta",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, t FROM (
+        SELECT source, unnest(string_split(lower(text), ' ')) AS t
+        FROM documents
+      ) WHERE t <> ''
+    ),
+    topk AS (
+      SELECT t FROM (
+        SELECT t, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t) AS rk
+        FROM tok GROUP BY t
+      ) v WHERE rk <= {BURROWS_TOPK}
+    ),
+    {_BURROWS_SCORE}
+    """,
+    doc=f"Burrows' Delta stylometric distance between every source pair "
+        f"— the authorship-attribution statistic repurposed as corpus "
+        f"QA: each source's relative frequency of the {BURROWS_TOPK} "
+        "most frequent corpus tokens is z-scored per token across "
+        "sources, and Delta(a,b) = mean |z_a − z_b|. Two sources from "
+        "the same generator/template score near 0; an outlier row "
+        "means one crawl's function-word profile drifted (boilerplate "
+        "injection, language contamination, markup leakage). "
+        "Frequencies and z-scores are single closed-form expressions "
+        "over exact integer counts; cross-source means and the pair "
+        "mean run as DECIMAL sums of 9dp-rounded terms over the "
+        "BOUNDED source set. The token count is one map-side-"
+        "combinable aggregation; top-K selection is a distributed "
+        "TakeOrdered on the Spark side (never a vocabulary-wide "
+        "single-partition window).",
+)
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    tok = docs.select(
+        "source", F.explode(F.expr("split(lower(text), ' ')")).alias("t")
+    ).filter("t <> ''")
+    topk = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("t"))
+        .limit(BURROWS_TOPK)
+        .select("t")
+    )
+    tok.createOrReplaceTempView("tok")
+    topk.createOrReplaceTempView("topk")
+    return spark.sql(f"WITH {_BURROWS_SCORE}")
