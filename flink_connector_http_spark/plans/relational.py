@@ -7973,3 +7973,98 @@ def q_cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")["documents"]
     docs.createOrReplaceTempView("documents")
     return spark.sql(_cramers_sql("DIV"))
+
+
+# ---------------------------------------------------------------------------
+# lead–lag cross-correlation between event-type daily series
+# ---------------------------------------------------------------------------
+
+XCORR_MAX_LAG = 7
+XCORR_MIN_DAYS = 20
+
+#: Pearson r from exact integer sufficient statistics: the five sums
+#: are BIGINT-exact over the bounded day grain, the products in the
+#: closed form are widened to DECIMAL(38,0) (exact in both engines, no
+#: 64-bit overflow at any realistic daily magnitude), and only the
+#: final ratio is a double
+_XCORR_D38 = "CAST({v} AS DECIMAL(38,0))"
+_XCORR_R = (
+    f"(CAST({_XCORR_D38.format(v='n')} * {_XCORR_D38.format(v='sxy')}"
+    f" - {_XCORR_D38.format(v='sx')} * {_XCORR_D38.format(v='sy')} AS DOUBLE)"
+    f" / sqrt(CAST({_XCORR_D38.format(v='n')} * {_XCORR_D38.format(v='sxx')}"
+    f" - {_XCORR_D38.format(v='sx')} * {_XCORR_D38.format(v='sx')} AS DOUBLE)"
+    f" * CAST({_XCORR_D38.format(v='n')} * {_XCORR_D38.format(v='syy')}"
+    f" - {_XCORR_D38.format(v='sy')} * {_XCORR_D38.format(v='sy')} AS DOUBLE)))"
+)
+
+
+def _xcorr_sql(daydiff: str, lags_from: str) -> str:
+    """One SQL text for both engines (day-diff expression and the lag
+    enumeration differ). Daily dollar totals are exact integers (cents
+    summed, then integer-divided by 100); every (pair, lag) cell's
+    correlation is one closed-form expression of six exact integers."""
+    return f"""
+    WITH daily AS (
+      SELECT event_type, {daydiff} AS d,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    dollars AS (
+      SELECT event_type, d, cents {{intdiv}} 100 AS x FROM daily
+    ),
+    lags AS ({lags_from}),
+    cells AS (
+      SELECT a.event_type AS t_lead, b.event_type AS t_follow, l.lag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(a.x) AS BIGINT) AS sx,
+             CAST(SUM(b.x) AS BIGINT) AS sy,
+             CAST(SUM(a.x * a.x) AS BIGINT) AS sxx,
+             CAST(SUM(b.x * b.x) AS BIGINT) AS syy,
+             CAST(SUM(a.x * b.x) AS BIGINT) AS sxy
+      FROM dollars a
+      CROSS JOIN lags l
+      JOIN dollars b
+        ON b.event_type <> a.event_type AND b.d = a.d + l.lag
+      GROUP BY a.event_type, b.event_type, l.lag
+    )
+    SELECT t_lead, t_follow, CAST(lag AS BIGINT) AS lag, n AS n_days,
+           round({_XCORR_R}, 6) AS pearson_r
+    FROM cells
+    WHERE n >= {XCORR_MIN_DAYS}
+      AND {_XCORR_D38.format(v='n')} * {_XCORR_D38.format(v='sxx')}
+          - {_XCORR_D38.format(v='sx')} * {_XCORR_D38.format(v='sx')} > 0
+      AND {_XCORR_D38.format(v='n')} * {_XCORR_D38.format(v='syy')}
+          - {_XCORR_D38.format(v='sy')} * {_XCORR_D38.format(v='sy')} > 0
+    ORDER BY t_lead, t_follow, lag
+    """
+
+
+@register(
+    "q_leadlag_xcorr",
+    oracle=_xcorr_sql(
+        "date_diff('day', DATE '1992-01-01', CAST(ts AS DATE))",
+        f"SELECT unnest(range(-{XCORR_MAX_LAG}, {XCORR_MAX_LAG} + 1)) AS lag",
+    ).format(intdiv="//"),
+    doc=f"Lead–lag cross-correlation matrix between event-type daily "
+        f"revenue series at lags -{XCORR_MAX_LAG}..+{XCORR_MAX_LAG}: "
+        "Pearson r of (type A at day d, type B at day d+lag) — the "
+        "Granger-style screening that finds which activity LEADS which "
+        "(views leading purchases shows up as the off-zero peak of the "
+        "lag curve). Daily dollar totals are exact integers; each "
+        "(pair, lag) correlation is ONE closed-form expression of six "
+        "integer sums widened to DECIMAL(38,0) so no product can "
+        "overflow. The lag enumeration is a bounded broadcast cross "
+        "join; the day-shifted self-join co-partitions on the "
+        "calendar-bounded day key.",
+)
+def q_leadlag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    ev.createOrReplaceTempView("events")
+    return spark.sql(
+        _xcorr_sql(
+            "datediff(CAST(ts AS DATE), DATE '1992-01-01')",
+            f"SELECT explode(sequence(-{XCORR_MAX_LAG},"
+            f" {XCORR_MAX_LAG})) AS lag",
+        ).format(intdiv="DIV")
+    )
