@@ -2962,3 +2962,116 @@ def search_proximity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = alltok.join(F.broadcast(topn), "t").select("doc_id", "t", "pos")
     occ.createOrReplaceTempView("occ")
     return spark.sql(f"WITH {_PROX_SCORE}")
+
+
+# ---------------------------------------------------------------------------
+# cost-based gate ordering (run cheap selective filters first)
+# ---------------------------------------------------------------------------
+
+#: shared scorer over a `stats` relation (gate, n, npass, cost):
+#: pass rates and unit costs are single divisions of exact integers
+#: rounded at 9dp; each permutation's expected per-doc cost under the
+#: independence model c1 + s1·c2 + s1·s2·c3 is one closed-form
+#: expression of those rounded values. The greedy rule (descending
+#: drop-rate per unit cost) is provably optimal for independent
+#: filters — is_greedy == is_optimal on every run is the empirical
+#: restatement of that theorem.
+_GATE_ORDER_SCORE = """
+    derived AS (
+      SELECT gate,
+             round(CAST(npass AS DOUBLE) / CAST(n AS DOUBLE), 9) AS s,
+             round(CAST(cost AS DOUBLE) / CAST(n AS DOUBLE), 9) AS c
+      FROM stats
+    ),
+    ranked AS (
+      SELECT gate, s, c,
+             ROW_NUMBER() OVER (
+               ORDER BY (CAST(1 AS DOUBLE) - s) / c DESC, gate
+             ) AS greedy_rk
+      FROM derived
+    ),
+    perms AS (
+      SELECT g1.gate AS ord_first, g2.gate AS ord_second,
+             g3.gate AS ord_third,
+             round(g1.c + g1.s * g2.c + g1.s * g2.s * g3.c, 6)
+               AS expected_cost_per_doc,
+             CASE WHEN g1.greedy_rk = 1 AND g2.greedy_rk = 2
+                  THEN 1 ELSE 0 END AS is_greedy
+      FROM ranked g1
+      JOIN ranked g2 ON g2.gate <> g1.gate
+      JOIN ranked g3 ON g3.gate <> g1.gate AND g3.gate <> g2.gate
+    )
+    SELECT ord_first, ord_second, ord_third, expected_cost_per_doc,
+           is_greedy,
+           CASE WHEN expected_cost_per_doc
+                     = MIN(expected_cost_per_doc) OVER () THEN 1
+                ELSE 0 END AS is_optimal
+    FROM perms
+    ORDER BY expected_cost_per_doc, ord_first, ord_second
+    """
+
+
+def _gate_stats_sql(quality: str, shingles_len: str, n_tokens: str) -> str:
+    """Per-gate selectivity + unit-cost measurement (engine-specific
+    predicate/size expressions): lang is a metadata equality (cost 1
+    per doc), quality tokenizes (cost = tokens), repetition shingles
+    (cost = shingles)."""
+    return f"""
+    stats AS (
+      SELECT 'lang' AS gate, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS npass,
+             CAST(COUNT(*) AS BIGINT) AS cost
+      FROM documents
+      UNION ALL
+      SELECT 'quality' AS gate, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN {quality} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS npass,
+             CAST(SUM({n_tokens}) AS BIGINT) AS cost
+      FROM documents
+      UNION ALL
+      SELECT 'repetition' AS gate, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN NOT ({{rep}}) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS npass,
+             CAST(SUM({shingles_len}) AS BIGINT) AS cost
+      FROM documents
+    )
+    """
+
+
+@register(
+    "pipeline_gate_cost_order",
+    oracle=(
+        "WITH "
+        + _gate_stats_sql(
+            _QUALITY_DUCK, f"len({SHINGLES_DUCK})", _D["n_tokens"]
+        ).format(rep=_REP_DUP_DUCK)
+        + ","
+        + _GATE_ORDER_SCORE
+    ),
+    doc="Cost-based gate ordering — the pre-flight a 100 TB cleaning "
+        "run does before wiring its filter DAG: measure each gate's "
+        "pass rate and unit cost (lang = one metadata equality, "
+        "quality = tokenize, repetition = shingle), then score every "
+        "execution order's expected per-doc cost under independence "
+        "(c1 + s1·c2 + s1·s2·c3 — later gates only pay for survivors). "
+        "The greedy rule — descending drop-rate per unit cost — is "
+        "provably optimal for independent filters, and the output "
+        "shows it: the is_greedy row is the is_optimal row. Wrong "
+        "ordering costs real money at scale (shingling every doc that "
+        "a 1-per-doc lang check would have dropped); this table is "
+        "the evidence for the cheap-selective-first wiring. Three "
+        "map-side-combinable aggregates; everything downstream is a "
+        "6-row bounded permutation join.",
+)
+def pipeline_gate_cost_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    docs.createOrReplaceTempView("documents")
+    return spark.sql(
+        "WITH "
+        + _gate_stats_sql(
+            _QUALITY_SPARK, f"size({SHINGLES_SPARK})", _S["n_tokens"]
+        ).format(rep=_REP_DUP_SPARK)
+        + ","
+        + _GATE_ORDER_SCORE
+    )
