@@ -8068,3 +8068,85 @@ def q_leadlag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" {XCORR_MAX_LAG})) AS lag",
         ).format(intdiv="DIV")
     )
+
+
+# ---------------------------------------------------------------------------
+# empirical-Bayes shrinkage of per-brand return rates (beta-binomial MoM)
+# ---------------------------------------------------------------------------
+
+def _eb_shrink_sql() -> str:
+    """Engine-shared (no dialect differences): per-brand return counts
+    are exact integers; the method-of-moments beta prior is fit from
+    the BOUNDED brand grain (~25 brands) with 9dp-rounded per-brand
+    terms DECIMAL-summed; every shrunk rate is one closed-form
+    expression of those quantities."""
+    rate = "(CAST(n_ret AS DOUBLE) / CAST(n AS DOUBLE))"
+    return f"""
+    WITH cells AS (
+      SELECT p.p_brand AS brand,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_ret
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_brand
+    ),
+    moments AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(CAST(round({rate}, 9) AS DECIMAL(20,9)))
+                  AS DOUBLE) AS sr,
+             CAST(SUM(CAST(round({rate} * {rate}, 9) AS DECIMAL(20,9)))
+                  AS DOUBLE) AS srr,
+             CAST(SUM(CAST(round(CAST(1 AS DOUBLE) / CAST(n AS DOUBLE), 9)
+                           AS DECIMAL(20,9))) AS DOUBLE) AS sinv
+      FROM cells
+    ),
+    prior AS (
+      SELECT k, sr / CAST(k AS DOUBLE) AS m,
+             greatest(
+               srr / CAST(k AS DOUBLE)
+               - (sr / CAST(k AS DOUBLE)) * (sr / CAST(k AS DOUBLE))
+               - (sr / CAST(k AS DOUBLE))
+                 * (CAST(1 AS DOUBLE) - sr / CAST(k AS DOUBLE))
+                 * sinv / CAST(k AS DOUBLE),
+               CAST(1e-9 AS DOUBLE)) AS v
+      FROM moments
+    ),
+    ab AS (
+      SELECT m, v,
+             greatest(m * (CAST(1 AS DOUBLE) - m) / v - CAST(1 AS DOUBLE),
+                      CAST(1 AS DOUBLE)) AS strength
+      FROM prior
+    )
+    SELECT c.brand, c.n, c.n_ret,
+           round({rate.replace('n_ret', 'c.n_ret').replace('n AS', 'c.n AS')}, 6)
+             AS raw_rate,
+           round((CAST(c.n_ret AS DOUBLE) + ab.m * ab.strength)
+                 / (CAST(c.n AS DOUBLE) + ab.strength), 6) AS eb_rate,
+           round(ab.m, 6) AS prior_mean,
+           round(ab.strength, 4) AS prior_strength
+    FROM cells c CROSS JOIN ab
+    ORDER BY c.brand
+    """
+
+
+@register(
+    "q_eb_shrunk_return_rates",
+    oracle=_eb_shrink_sql(),
+    doc="Empirical-Bayes shrinkage of per-brand return rates "
+        "(beta-binomial, method of moments): small brands' noisy raw "
+        "rates pull toward the cross-brand prior mean proportionally "
+        "to prior strength vs their own sample size — the standard "
+        "small-cell stabilizer for dashboards and ranking (a 3-return "
+        "brand stops topping the leaderboard). The prior is fit on "
+        "the BOUNDED brand grain: between-brand variance minus the "
+        "average binomial sampling variance (9dp-rounded terms, "
+        "DECIMAL-summed), strength = m(1-m)/v - 1 clamped ≥ 1. One "
+        "map-side-combinable count aggregate over the join; "
+        "everything after is a ~25-row bounded computation broadcast "
+        "back per brand.",
+)
+def q_eb_shrunk_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "lineitem", "part")
+    t["lineitem"].createOrReplaceTempView("lineitem")
+    t["part"].createOrReplaceTempView("part")
+    return spark.sql(_eb_shrink_sql())

@@ -1810,3 +1810,144 @@ def _register_stream_ab_msprt() -> None:
 
 
 _register_stream_ab_msprt()
+
+
+# ---------------------------------------------------------------------------
+# sliding-window burst detection (bounded per-key day-map state + eviction)
+# ---------------------------------------------------------------------------
+
+BURST_WINDOW_DAYS = 7
+BURST_THRESHOLD = 18
+
+_BURST_STATE_SCHEMA = T.StructType([
+    T.StructField("days", T.ArrayType(T.LongType())),
+    T.StructField("counts", T.ArrayType(T.LongType())),
+])
+
+
+def burst_heavy_hitters_stream(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+    *,
+    threshold: int = BURST_THRESHOLD,
+    window_days: int = BURST_WINDOW_DAYS,
+) -> DataFrame:
+    """Sliding-window heavy hitters: a key emits in every micro-batch
+    where its event count over ITS OWN trailing ``window_days`` (ending
+    at the key's latest seen day) reaches ``threshold`` — the
+    recent-burst detector (total-count heavy hitters never forget; a
+    burst detector must). State per key is a (day → count) map bounded
+    to ``window_days`` entries: older days are EVICTED as the key's
+    max day advances, so state is O(keys × window), independent of
+    stream length — the windowed-state-with-eviction pattern
+    ``transformWithState``'s TTL-per-entry would express natively.
+    All state is exact integers; emission day is the key's own
+    window end."""
+    out_schema = T.StructType([
+        df.schema[key_col],
+        T.StructField("window_end_day", T.LongType()),
+        T.StructField("n_window", T.LongType()),
+    ])
+
+    def fn(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if not parts:
+            return
+        batch = pd.concat(parts)
+        acc: dict = {}
+        if state.exists:
+            days, counts = state.get
+            acc = dict(zip(days, counts))
+        for day, grp in batch.groupby(day_col):
+            acc[int(day)] = acc.get(int(day), 0) + int(len(grp))
+        mx = max(acc)
+        acc = {d: c for d, c in acc.items() if d > mx - window_days}
+        days_sorted = sorted(acc)
+        state.update((days_sorted, [acc[d] for d in days_sorted]))
+        n = sum(acc.values())
+        if n >= threshold:
+            yield pd.DataFrame(
+                [key + (mx, n)],
+                columns=[key_col, "window_end_day", "n_window"],
+            )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, _BURST_STATE_SCHEMA, "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "stream_burst_heavy_hitters",
+    # availableNow over one parquet file = one micro-batch → each
+    # qualifying key emits exactly once with its full trailing-window
+    # count, equal to the relational trailing-window GROUP BY. Eviction
+    # and cross-batch window advance are pinned by
+    # tests/test_streaming_stateful_burst.py.
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+      FROM events
+    ),
+    mx AS (SELECT user_id, MAX(d) AS mxd FROM e GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, mx.mxd, CAST(COUNT(*) AS BIGINT) AS n
+      FROM e JOIN mx ON mx.user_id = e.user_id
+      WHERE e.d > mx.mxd - {BURST_WINDOW_DAYS}
+      GROUP BY e.user_id, mx.mxd
+    )
+    SELECT user_id, CAST(mxd AS BIGINT) AS window_end_day,
+           n AS n_window
+    FROM c WHERE n >= {BURST_THRESHOLD}
+    """,
+    doc=f"Sliding-window burst detection via applyInPandasWithState: a "
+        f"user emits whenever their trailing-{BURST_WINDOW_DAYS}-day "
+        f"event count (ending at their own latest day) reaches "
+        f"{BURST_THRESHOLD} — the recent-burst complement to "
+        "stream_heavy_hitters' never-forgetting cumulative counts "
+        "(abuse/scraper detection needs the window, not the lifetime "
+        "total). Per-key state is a day→count map BOUNDED to the "
+        "window width with eviction as the key's max day advances — "
+        "O(keys × window) state on endless streams, all exact "
+        "integers.",
+)
+def stream_burst_heavy_hitters(spark, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from ..plans.registry import normalize_events_ts
+
+    name = f"stream_burst_{uuid.uuid4().hex[:8]}"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    in_dir = tempfile.mkdtemp(prefix="stream_burst_in_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(in_dir, "events.parquet"),
+    )
+    stream = normalize_events_ts(
+        spark.readStream.schema(raw_schema).parquet(in_dir)
+    ).select(
+        "user_id",
+        F.expr("CAST(unix_date(CAST(ts AS DATE)) AS BIGINT)").alias("d"),
+    )
+    query = (
+        burst_heavy_hitters_stream(stream, "user_id", "d")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="stream_burst_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table(name)
