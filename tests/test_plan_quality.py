@@ -87,6 +87,9 @@ BOUNDED_GLOBAL_WINDOW_OK = {
     "q_fdr_bh_adjust": "nation grain (25 test rows: rank + suffix-min)",
     "q_theil_sen_trend": "_global_rank bucket offsets (<=64 rows) over "
                          "the bounded day-pair grain",
+    "sample_sir_resample": "_global_cumsum bucket offsets (<=64 rows); "
+                           "the doc-grain cumulative weight itself runs "
+                           "per-bucket in parallel",
     "q_seasonal_ma_decompose": "daily grain (~2.4k rows, calendar-"
                                "bounded centered-MA window)",
 }
