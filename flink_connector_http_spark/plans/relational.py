@@ -8150,3 +8150,73 @@ def q_eb_shrunk_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     t["lineitem"].createOrReplaceTempView("lineitem")
     t["part"].createOrReplaceTempView("part")
     return spark.sql(_eb_shrink_sql())
+
+
+# ---------------------------------------------------------------------------
+# log-log price elasticity per brand (OLS on ln unit price vs ln quantity)
+# ---------------------------------------------------------------------------
+
+def _elasticity_sql() -> str:
+    """Engine-shared. Each row's ln-based regressors are ONE double
+    expression rounded at 9dp (the module's log-bearing-aggregate rule:
+    libm ulp drift dies at the rounding unless a value sits exactly on
+    a boundary), sums run as DECIMAL(20,9), and the per-brand OLS slope
+    is one closed form of those sums."""
+    x = "round(ln(CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE)), 9)"
+    y = "round(ln(CAST(l_quantity AS DOUBLE)), 9)"
+    xy = ("round(ln(CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE))"
+          " * ln(CAST(l_quantity AS DOUBLE)), 9)")
+    xx = ("round(ln(CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE))"
+          " * ln(CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE)), 9)")
+    return f"""
+    WITH terms AS (
+      SELECT p.p_brand AS brand,
+             CAST({x} AS DECIMAL(20,9)) AS x,
+             CAST({y} AS DECIMAL(20,9)) AS y,
+             CAST({xy} AS DECIMAL(20,9)) AS xy,
+             CAST({xx} AS DECIMAL(20,9)) AS xx
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+    ),
+    sums AS (
+      SELECT brand,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(xy) AS DOUBLE) AS sxy,
+             CAST(SUM(xx) AS DOUBLE) AS sxx
+      FROM terms GROUP BY brand
+    )
+    SELECT brand, n,
+           round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * sxx - sx * sx), 4) AS elasticity,
+           round((sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+                        / (CAST(n AS DOUBLE) * sxx - sx * sx)
+                        * sx / CAST(n AS DOUBLE))
+                 / CAST(n AS DOUBLE), 4) AS ln_q_at_unit_price
+    FROM sums
+    WHERE CAST(n AS DOUBLE) * sxx - sx * sx > 0
+    ORDER BY brand
+    """
+
+
+@register(
+    "q_price_elasticity",
+    oracle=_elasticity_sql(),
+    doc="Log-log price elasticity of demand per brand: OLS slope of "
+        "ln(quantity) on ln(unit price) over line items — the "
+        "econometric readout behind pricing decisions (elasticity < -1 "
+        "= revenue falls when price rises). Each row contributes "
+        "ln-based regressor terms as single 9dp-rounded double "
+        "expressions summed as DECIMAL(20,9) (the log-bearing "
+        "aggregate discipline shared with text_js_divergence); the "
+        "per-brand slope and the ln-quantity intercept are closed "
+        "forms of those exact sums. One map-side-combinable aggregate "
+        "over the co-partitioned part join; the bounded brand grain "
+        "carries everything downstream.",
+)
+def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "lineitem", "part")
+    t["lineitem"].createOrReplaceTempView("lineitem")
+    t["part"].createOrReplaceTempView("part")
+    return spark.sql(_elasticity_sql())
