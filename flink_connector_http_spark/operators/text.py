@@ -4991,3 +4991,135 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok.createOrReplaceTempView("tok")
     topk.createOrReplaceTempView("topk")
     return spark.sql(f"WITH {_BURROWS_SCORE}")
+
+
+# ---------------------------------------------------------------------------
+# RAKE-lite keyword extraction (statistical stopwords as phrase delimiters)
+# ---------------------------------------------------------------------------
+
+RAKE_STOP_TOPN = 10   # corpus-frequency stopword set (no fixed wordlist)
+RAKE_TOPK = 20
+
+#: shared scoring over `tokpos` (doc_id, pos, t) and `stops` (t):
+#: phrases are maximal stopword-free runs (phrase id = running stop
+#: count per doc — a doc-partitioned window); RAKE word score =
+#: degree/frequency where degree sums the lengths of every phrase the
+#: word appears in; a phrase scores the sum of its members' scores
+#: (9dp-rounded ratios, DECIMAL-summed per phrase). {ptext} is the
+#: engine's in-order string aggregation.
+_RAKE_SCORE = f"""
+    flagged AS (
+      SELECT tp.doc_id, tp.pos, tp.t,
+             CASE WHEN s.t IS NOT NULL THEN 1 ELSE 0 END AS is_stop
+      FROM tokpos tp LEFT JOIN stops s ON s.t = tp.t
+    ),
+    segmented AS (
+      SELECT doc_id, pos, t, is_stop,
+             SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS phrase_id
+      FROM flagged
+    ),
+    words AS (
+      SELECT doc_id, phrase_id, pos, t FROM segmented WHERE is_stop = 0
+    ),
+    plen AS (
+      SELECT doc_id, phrase_id, CAST(COUNT(*) AS BIGINT) AS plen
+      FROM words GROUP BY doc_id, phrase_id
+    ),
+    wstats AS (
+      SELECT w.t, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(p.plen) AS BIGINT) AS degree
+      FROM words w
+      JOIN plen p ON p.doc_id = w.doc_id AND p.phrase_id = w.phrase_id
+      GROUP BY w.t
+    ),
+    pscore AS (
+      SELECT w.doc_id, w.phrase_id,
+             {{ptext}} AS phrase,
+             CAST(SUM(CAST(round(CAST(ws.degree AS DOUBLE)
+                                 / CAST(ws.freq AS DOUBLE), 9)
+                           AS DECIMAL(20,9))) AS DOUBLE) AS score
+      FROM words w JOIN wstats ws ON ws.t = w.t
+      GROUP BY w.doc_id, w.phrase_id
+    ),
+    dedup AS (
+      SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             round(MIN(score), 6) AS rake_score
+      FROM pscore GROUP BY phrase
+    )
+    """
+
+
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS a FROM documents
+    ),
+    postok AS (
+      SELECT doc_id, unnest(range(1, len(a) + 1)) AS pos, a FROM toks
+    ),
+    tokpos AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos, a[pos] AS t
+      FROM postok WHERE a[pos] <> ''
+    ),
+    stops AS (
+      SELECT t FROM (
+        SELECT t, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t) AS rk
+        FROM tokpos GROUP BY t
+      ) v WHERE rk <= {RAKE_STOP_TOPN}
+    ),
+    {_RAKE_SCORE.format(ptext="string_agg(w.t, ' ' ORDER BY w.pos)")},
+    topk AS (
+      SELECT phrase, n_occurrences, rake_score,
+             ROW_NUMBER() OVER (ORDER BY rake_score DESC, phrase) AS rk
+      FROM dedup
+    )
+    SELECT phrase, n_occurrences, rake_score
+    FROM topk WHERE rk <= {RAKE_TOPK}
+    ORDER BY rake_score DESC, phrase
+    """,
+    doc=f"RAKE keyword extraction (Rose et al. 2010), corpus-adaptive: "
+        f"phrase delimiters are the {RAKE_STOP_TOPN} most frequent "
+        "corpus tokens (STATISTICAL stopwords — no language-specific "
+        "wordlist, so it works on any corpus/language), candidate "
+        "phrases are maximal delimiter-free runs, each word scores "
+        "degree/frequency over the phrase graph, and a phrase scores "
+        f"the sum of its members; top-{RAKE_TOPK} distinct phrases "
+        "emitted. Phrase segmentation is one doc-partitioned prefix "
+        "window; word stats are map-side-combinable aggregates; the "
+        "final top-k is a distributed TakeOrdered on the Spark side. "
+        "Scores are integer ratios 9dp-rounded then DECIMAL-summed "
+        "per phrase.",
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    tokpos = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.expr("split(lower(text), ' ')")).alias("p0", "t"),
+        )
+        .filter("t <> ''")
+        .select("doc_id", F.expr("CAST(p0 + 1 AS BIGINT)").alias("pos"), "t")
+    )
+    stops = (
+        tokpos.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("t"))
+        .limit(RAKE_STOP_TOPN)
+        .select("t")
+    )
+    tokpos.createOrReplaceTempView("tokpos")
+    stops.createOrReplaceTempView("stops")
+    ptext = (
+        "array_join(transform(array_sort(collect_list("
+        "struct(w.pos, w.t))), s -> s.t), ' ')"
+    )
+    scored = spark.sql(
+        "WITH " + _RAKE_SCORE.format(ptext=ptext) + " SELECT * FROM dedup"
+    )
+    return (
+        scored.orderBy(F.desc("rake_score"), F.asc("phrase"))
+        .limit(RAKE_TOPK)
+        .select("phrase", "n_occurrences", "rake_score")
+    )
