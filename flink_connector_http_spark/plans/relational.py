@@ -8220,3 +8220,117 @@ def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     t["lineitem"].createOrReplaceTempView("lineitem")
     t["part"].createOrReplaceTempView("part")
     return spark.sql(_elasticity_sql())
+
+
+# ---------------------------------------------------------------------------
+# Shapley-value channel attribution (exact over the bounded subset lattice)
+# ---------------------------------------------------------------------------
+
+#: channel → bit. Conversion = the user has a purchase event; the
+#: other four event types are the attribution channels.
+_SHAPLEY_CHANNELS = (("view", 1), ("click", 2), ("signup", 4), ("error", 8))
+#: |S|!(n-1-|S|)! for n=4, indexed by |S| — Shapley weights scaled by
+#: n! = 24 so they are exact integers
+_SHAPLEY_W = {0: 6, 1: 2, 2: 2, 3: 6}
+
+
+def _shapley_sql(masks_from: str, channels_from: str) -> str:
+    """Engine-shared except the two bounded domain enumerations (16
+    masks, 4 channels). v(S) = conversion rate of users whose channel
+    set is EXACTLY S (0 for unobserved sets — the data-driven Shapley
+    convention); each marginal term (v(S∪i) − v(S)) is one 9dp-rounded
+    closed form of exact integers, weighted by the exact integer
+    |S|!(n−1−|S|)! and DECIMAL-summed over the ≤8 subsets per channel;
+    the n! division happens once at the end."""
+    has = " + ".join(
+        f"MAX(CASE WHEN e.event_type = '{t}'"
+        f" AND (fp.fpts IS NULL OR e.ts < fp.fpts)"
+        f" THEN {b} ELSE 0 END)"
+        for t, b in _SHAPLEY_CHANNELS
+    )
+    w = ("CASE CAST(bit_count(CAST(m AS BIGINT)) AS INT) "
+         + " ".join(f"WHEN {k} THEN {v}" for k, v in _SHAPLEY_W.items())
+         + " END")
+    v0 = "round(CAST(COALESCE(s0.conv, 0) AS DOUBLE) / CAST(COALESCE(s0.tot, 1) AS DOUBLE), 9)"
+    v1 = "round(CAST(COALESCE(s1.conv, 0) AS DOUBLE) / CAST(COALESCE(s1.tot, 1) AS DOUBLE), 9)"
+    return f"""
+    WITH fp AS (
+      SELECT user_id, MIN(ts) AS t0,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fpts
+      FROM events GROUP BY user_id
+    ),
+    users AS (
+      SELECT e.user_id, CAST({has} AS INT) AS mask,
+             MAX(CASE WHEN fp.fpts IS NOT NULL
+                       AND fp.fpts <= fp.t0 + INTERVAL 3 DAY
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events e JOIN fp ON fp.user_id = e.user_id
+      GROUP BY e.user_id
+    ),
+    sets AS (
+      SELECT mask, CAST(COUNT(*) AS BIGINT) AS tot,
+             CAST(SUM(converted) AS BIGINT) AS conv
+      FROM users GROUP BY mask
+    ),
+    masks AS ({masks_from}),
+    channels AS ({channels_from}),
+    terms AS (
+      SELECT c.channel, c.bit,
+             CAST({w} * round({v1} - {v0}, 9) AS DECIMAL(20,9)) AS term
+      FROM masks
+      CROSS JOIN channels c
+      LEFT JOIN sets s0 ON s0.mask = masks.m
+      LEFT JOIN sets s1 ON s1.mask = masks.m + c.bit
+      WHERE (CAST(masks.m AS INT) & c.bit) = 0
+    ),
+    phi AS (
+      SELECT channel, bit,
+             round(CAST(SUM(term) AS DOUBLE) / CAST(24 AS DOUBLE), 6)
+               AS shapley_value
+      FROM terms GROUP BY channel, bit
+    ),
+    reach AS (
+      SELECT c.channel,
+             CAST(SUM(CASE WHEN (u.mask & c.bit) <> 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_users_with_channel
+      FROM users u CROSS JOIN channels c
+      GROUP BY c.channel
+    )
+    SELECT phi.channel, phi.shapley_value, reach.n_users_with_channel
+    FROM phi JOIN reach ON reach.channel = phi.channel
+    ORDER BY phi.channel
+    """
+
+
+_SHAPLEY_MASKS_SPARK = "SELECT explode(sequence(0, 15)) AS m"
+_SHAPLEY_MASKS_DUCK = "SELECT unnest(range(0, 16)) AS m"
+_SHAPLEY_CH_ROWS = ", ".join(f"('{t}', {b})" for t, b in _SHAPLEY_CHANNELS)
+_SHAPLEY_CH_SPARK = f"SELECT channel, bit FROM VALUES {_SHAPLEY_CH_ROWS} AS t(channel, bit)"
+_SHAPLEY_CH_DUCK = f"SELECT channel, bit FROM (VALUES {_SHAPLEY_CH_ROWS}) t(channel, bit)"
+
+
+@register(
+    "q_attribution_shapley",
+    oracle=_shapley_sql(_SHAPLEY_MASKS_DUCK, _SHAPLEY_CH_DUCK),
+    doc="EXACT Shapley-value channel attribution (data-driven games, "
+        "Zhao et al. style): a user's journey is the channel set seen "
+        "BEFORE their first purchase (whole history if none), the "
+        "conversion outcome is purchase-within-3-days-of-first-"
+        "activity, v(S) = conversion rate of journeys exactly S, and "
+        "each channel's "
+        "Shapley value averages its marginal contribution over all "
+        "2³ = 8 subsets it can join, with the factorial weights as "
+        "exact integers (scaled by 4!) — the fair-division answer to "
+        "'which channel actually drives purchases' that first/last-"
+        "touch heuristics (q_first_touch_attribution) approximate. "
+        "Exact because the channel lattice is BOUNDED (16 subsets): "
+        "one user-grain aggregate builds the per-set conversion "
+        "table, then everything is a 64-row bounded join — the "
+        "pattern that makes game-theoretic attribution feasible at "
+        "100 TB (the heavy pass is one map-side-combinable GROUP BY "
+        "user).",
+)
+def q_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    ev.createOrReplaceTempView("events")
+    return spark.sql(_shapley_sql(_SHAPLEY_MASKS_SPARK, _SHAPLEY_CH_SPARK))
