@@ -8334,3 +8334,100 @@ def q_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")["events"]
     ev.createOrReplaceTempView("events")
     return spark.sql(_shapley_sql(_SHAPLEY_MASKS_SPARK, _SHAPLEY_CH_SPARK))
+
+
+# ---------------------------------------------------------------------------
+# population stability index (PSI) between pre/post periods
+# ---------------------------------------------------------------------------
+
+#: fixed value-bin edges (shared with the streaming drift monitor's
+#: bucketing) and the industry alert threshold
+PSI_EDGES = (50, 150, 300)
+PSI_ALERT = "CAST(0.2 AS DOUBLE)"
+
+
+def _psi_sql(micros_expr: str, bins_from: str) -> str:
+    """Engine-shared except the epoch-micros expression and the 4-row
+    bin enumeration. Bin counts are exact integers over the fixed
+    value edges; Laplace-smoothed shares (c+1)/(tot+4) make every bin
+    well-defined; each bin's (q−p)·ln(q/p) contribution is ONE
+    9dp-rounded double expression DECIMAL-summed over the 4 bins."""
+    e0, e1, e2 = PSI_EDGES
+    binx = (
+        f"CASE WHEN CAST(value AS DOUBLE) < CAST({e0} AS DOUBLE) THEN 0 "
+        f"WHEN CAST(value AS DOUBLE) < CAST({e1} AS DOUBLE) THEN 1 "
+        f"WHEN CAST(value AS DOUBLE) < CAST({e2} AS DOUBLE) THEN 2 "
+        f"ELSE 3 END"
+    )
+    p = "((CAST(c0 AS DOUBLE) + CAST(1 AS DOUBLE)) / (CAST(t0 AS DOUBLE) + CAST(4 AS DOUBLE)))"
+    q = "((CAST(c1 AS DOUBLE) + CAST(1 AS DOUBLE)) / (CAST(t1 AS DOUBLE) + CAST(4 AS DOUBLE)))"
+    term = f"round(({q} - {p}) * ln({q} / {p}), 9)"
+    return f"""
+    WITH binned AS (
+      SELECT event_type,
+             CASE WHEN {micros_expr} >= {CUPED_CUT_US} THEN 1 ELSE 0 END
+               AS period,
+             {binx} AS bin
+      FROM events
+    ),
+    counts AS (
+      SELECT event_type, period, bin, CAST(COUNT(*) AS BIGINT) AS c
+      FROM binned GROUP BY event_type, period, bin
+    ),
+    types AS (SELECT DISTINCT event_type FROM binned),
+    bins AS ({bins_from}),
+    grid AS (
+      SELECT t.event_type, b.bin,
+             CAST(COALESCE(c0.c, 0) AS BIGINT) AS c0,
+             CAST(COALESCE(c1.c, 0) AS BIGINT) AS c1
+      FROM types t CROSS JOIN bins b
+      LEFT JOIN counts c0 ON c0.event_type = t.event_type
+                         AND c0.bin = b.bin AND c0.period = 0
+      LEFT JOIN counts c1 ON c1.event_type = t.event_type
+                         AND c1.bin = b.bin AND c1.period = 1
+    ),
+    tots AS (
+      SELECT event_type, CAST(SUM(c0) AS BIGINT) AS t0,
+             CAST(SUM(c1) AS BIGINT) AS t1
+      FROM grid GROUP BY event_type
+    ),
+    scored AS (
+      SELECT g.event_type,
+             CAST({term} AS DECIMAL(20,9)) AS term
+      FROM grid g JOIN tots ON tots.event_type = g.event_type
+    )
+    SELECT event_type,
+           round(CAST(SUM(term) AS DOUBLE), 6) AS psi,
+           CASE WHEN round(CAST(SUM(term) AS DOUBLE), 6) > {PSI_ALERT}
+                THEN 1 ELSE 0 END AS drift_alert
+    FROM scored GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
+@register(
+    "q_psi_value_drift",
+    oracle=_psi_sql(
+        "epoch_us(ts)", "SELECT unnest(range(0, 4)) AS bin"
+    ),
+    doc="Population stability index between the pre/post periods (the "
+        "same boundary as the CUPED/DiD experimentation queries) per "
+        "event type: PSI = Σ_bins (q−p)·ln(q/p) over the fixed value "
+        "bins — the industry-standard drift score for models and "
+        "features (0.1 = watch, 0.2 = act), complementing "
+        "pipeline_distribution_drift's TVD with a divergence that "
+        "weights tail bins by their log-ratio. Laplace-smoothed "
+        "shares keep empty bins finite; each bin term is one "
+        "9dp-rounded closed form, DECIMAL-summed over the 4-bin "
+        "bounded grid. One map-side-combinable aggregate; everything "
+        "downstream is grid-sized.",
+)
+def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    ev.createOrReplaceTempView("events")
+    return spark.sql(
+        _psi_sql(
+            "unix_micros(CAST(ts AS TIMESTAMP))",
+            "SELECT explode(sequence(0, 3)) AS bin",
+        )
+    )
