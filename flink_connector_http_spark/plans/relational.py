@@ -8431,3 +8431,159 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "SELECT explode(sequence(0, 3)) AS bin",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# adstock decay sweep: carryover transform + same-day revenue response
+# ---------------------------------------------------------------------------
+
+#: binary-exact decay rates swept (0 = no carryover baseline)
+ADSTOCK_LAMBDAS = ("0.0", "0.25", "0.5", "0.75")
+
+
+def _adstock_step(v: str, r: str, lam: str, st: dict) -> dict:
+    """Per-day update: adstock_t = views_t + λ·adstock_{t-1}, then the
+    Pearson sufficient sums update SEQUENTIALLY inside the same fold —
+    order-pinned, so the doubles are bit-identical in Spark's
+    aggregate() and DuckDB's recursion (raw double += across rows is
+    only banned where the order is engine-chosen)."""
+    ad = f"(CAST({v} AS DOUBLE) + CAST({lam} AS DOUBLE) * {st['ad']})"
+    y = f"(CAST({r} AS DOUBLE) / CAST(100 AS DOUBLE))"
+    return {
+        "ad": ad,
+        "n": f"({st['n']} + 1)",
+        "sx": f"({st['sx']} + {ad})",
+        "sy": f"({st['sy']} + {y})",
+        "sxx": f"({st['sxx']} + {ad} * {ad})",
+        "syy": f"({st['syy']} + {y} * {y})",
+        "sxy": f"({st['sxy']} + {ad} * {y})",
+    }
+
+
+_ADSTOCK_R = (
+    "((CAST({n} AS DOUBLE) * {sxy} - {sx} * {sy})"
+    " / sqrt((CAST({n} AS DOUBLE) * {sxx} - {sx} * {sx})"
+    " * (CAST({n} AS DOUBLE) * {syy} - {sy} * {sy})))"
+)
+
+
+@register(
+    "q_adstock_decay_sweep",
+    oracle=f"""
+    WITH RECURSIVE day0 AS (
+      SELECT date_diff('day', DATE '1992-01-01', CAST(ts AS DATE)) AS di,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(CAST(value AS DECIMAL(10,2)) * 100
+                                AS BIGINT) ELSE 0 END) AS BIGINT) AS r
+      FROM events GROUP BY 1
+    ),
+    d AS (SELECT ROW_NUMBER() OVER (ORDER BY di) AS i, v, r FROM day0),
+    rec AS (
+      SELECT CAST(lam AS DOUBLE) AS lam, 0 AS i,
+             CAST(0 AS DOUBLE) AS ad, CAST(0 AS BIGINT) AS n,
+             CAST(0 AS DOUBLE) AS sx, CAST(0 AS DOUBLE) AS sy,
+             CAST(0 AS DOUBLE) AS sxx, CAST(0 AS DOUBLE) AS syy,
+             CAST(0 AS DOUBLE) AS sxy
+      FROM (VALUES ({'), ('.join(ADSTOCK_LAMBDAS)})) ls(lam)
+      UNION ALL
+      SELECT rec.lam, d.i,
+             {_adstock_step('d.v', 'd.r', 'rec.lam',
+                            dict(ad='rec.ad', n='rec.n', sx='rec.sx',
+                                 sy='rec.sy', sxx='rec.sxx',
+                                 syy='rec.syy', sxy='rec.sxy'))['ad']},
+             {_adstock_step('d.v', 'd.r', 'rec.lam',
+                            dict(ad='rec.ad', n='rec.n', sx='rec.sx',
+                                 sy='rec.sy', sxx='rec.sxx',
+                                 syy='rec.syy', sxy='rec.sxy'))['n']},
+             {_adstock_step('d.v', 'd.r', 'rec.lam',
+                            dict(ad='rec.ad', n='rec.n', sx='rec.sx',
+                                 sy='rec.sy', sxx='rec.sxx',
+                                 syy='rec.syy', sxy='rec.sxy'))['sx']},
+             {_adstock_step('d.v', 'd.r', 'rec.lam',
+                            dict(ad='rec.ad', n='rec.n', sx='rec.sx',
+                                 sy='rec.sy', sxx='rec.sxx',
+                                 syy='rec.syy', sxy='rec.sxy'))['sy']},
+             {_adstock_step('d.v', 'd.r', 'rec.lam',
+                            dict(ad='rec.ad', n='rec.n', sx='rec.sx',
+                                 sy='rec.sy', sxx='rec.sxx',
+                                 syy='rec.syy', sxy='rec.sxy'))['sxx']},
+             {_adstock_step('d.v', 'd.r', 'rec.lam',
+                            dict(ad='rec.ad', n='rec.n', sx='rec.sx',
+                                 sy='rec.sy', sxx='rec.sxx',
+                                 syy='rec.syy', sxy='rec.sxy'))['syy']},
+             {_adstock_step('d.v', 'd.r', 'rec.lam',
+                            dict(ad='rec.ad', n='rec.n', sx='rec.sx',
+                                 sy='rec.sy', sxx='rec.sxx',
+                                 syy='rec.syy', sxy='rec.sxy'))['sxy']}
+      FROM rec JOIN d ON d.i = rec.i + 1
+    )
+    SELECT lam AS decay_lambda, CAST(n AS BIGINT) AS n_days,
+           round({_ADSTOCK_R.format(n='n', sx='sx', sy='sy', sxx='sxx',
+                                    syy='syy', sxy='sxy')}, 6)
+             AS pearson_r
+    FROM rec WHERE i = (SELECT MAX(i) FROM d)
+    ORDER BY decay_lambda
+    """,
+    doc="Adstock (geometric carryover) decay sweep — the marketing-mix "
+        "transform: adstock_t = views_t + λ·adstock_{t-1}, correlated "
+        "against same-day purchase revenue for λ ∈ {0, .25, .5, .75} "
+        "(λ=0 is the no-carryover baseline; the λ that maximizes r is "
+        "the memory the response curve actually has). RECURSIVE like "
+        "q_holt_linear_forecast — Spark folds the array_sort'ed "
+        "bounded daily grain with the Pearson sufficient sums carried "
+        "INSIDE the fold (order-pinned, so the doubles are "
+        "bit-identical), DuckDB runs one recursion anchored at all "
+        "four λ rows; the per-step arithmetic text is shared. The "
+        "distributed work is one map-side-combinable daily aggregate.",
+)
+def q_adstock_decay_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    ev.createOrReplaceTempView("events")
+    st0 = dict(ad="acc.ad", n="acc.n", sx="acc.sx", sy="acc.sy",
+               sxx="acc.sxx", syy="acc.syy", sxy="acc.sxy")
+    upd = _adstock_step("x.v", "x.r", "lam.lam", st0)
+    fold = f"""
+      aggregate(
+        a,
+        CAST(named_struct(
+          'ad', CAST(0 AS DOUBLE), 'n', CAST(0 AS BIGINT),
+          'sx', CAST(0 AS DOUBLE), 'sy', CAST(0 AS DOUBLE),
+          'sxx', CAST(0 AS DOUBLE), 'syy', CAST(0 AS DOUBLE),
+          'sxy', CAST(0 AS DOUBLE))
+          AS struct<ad: DOUBLE, n: BIGINT, sx: DOUBLE, sy: DOUBLE,
+                    sxx: DOUBLE, syy: DOUBLE, sxy: DOUBLE>),
+        (acc, x) -> named_struct(
+          'ad', {upd['ad']}, 'n', {upd['n']},
+          'sx', {upd['sx']}, 'sy', {upd['sy']},
+          'sxx', {upd['sxx']}, 'syy', {upd['syy']},
+          'sxy', {upd['sxy']}))
+    """
+    r = _ADSTOCK_R.format(n="res.n", sx="res.sx", sy="res.sy",
+                          sxx="res.sxx", syy="res.syy", sxy="res.sxy")
+    lam_rows = ", ".join(f"({v})" for v in ADSTOCK_LAMBDAS)
+    return spark.sql(f"""
+    WITH day0 AS (
+      SELECT datediff(CAST(ts AS DATE), DATE '1992-01-01') AS di,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(CAST(value AS DECIMAL(10,2)) * 100
+                                AS BIGINT) ELSE 0 END) AS BIGINT) AS r
+      FROM events GROUP BY 1
+    ),
+    arr AS (
+      SELECT array_sort(collect_list(struct(di, v, r))) AS a FROM day0
+    ),
+    lams AS (SELECT CAST(lam AS DOUBLE) AS lam
+             FROM VALUES {lam_rows} AS ls(lam)),
+    folded AS (
+      SELECT lam.lam, {fold} AS res, size(a) AS nd
+      FROM arr CROSS JOIN lams lam
+    )
+    SELECT lam AS decay_lambda, CAST(res.n AS BIGINT) AS n_days,
+           round({r}, 6) AS pearson_r
+    FROM folded
+    ORDER BY decay_lambda
+    """)
