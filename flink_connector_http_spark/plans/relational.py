@@ -8587,3 +8587,116 @@ def q_adstock_decay_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM folded
     ORDER BY decay_lambda
     """)
+
+
+# ---------------------------------------------------------------------------
+# value-tier migration matrix (customer-base health between periods)
+# ---------------------------------------------------------------------------
+
+_TIER_LABEL = (
+    "CASE WHEN {t} = 1 THEN 'T1' WHEN {t} = 2 THEN 'T2'"
+    " WHEN {t} = 3 THEN 'T3' ELSE 'none' END"
+)
+
+
+@register(
+    "q_value_tier_migration",
+    oracle=f"""
+    WITH spend AS (
+      SELECT user_id,
+             CASE WHEN epoch_us(ts) >= {CUPED_CUT_US} THEN 1 ELSE 0 END
+               AS period,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS s
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT user_id, period,
+             ROW_NUMBER() OVER (PARTITION BY period
+                                ORDER BY s, user_id) AS r,
+             COUNT(*) OVER (PARTITION BY period) AS n
+      FROM spend
+    ),
+    tiers AS (
+      SELECT user_id, period,
+             CAST(1 + (3 * (r - 1)) // n AS BIGINT) AS tier
+      FROM ranked
+    ),
+    moves AS (
+      SELECT {_TIER_LABEL.format(t='a.tier')} AS from_tier,
+             {_TIER_LABEL.format(t='b.tier')} AS to_tier
+      FROM (SELECT * FROM tiers WHERE period = 0) a
+      FULL OUTER JOIN (SELECT * FROM tiers WHERE period = 1) b
+        ON b.user_id = a.user_id
+    ),
+    matrix AS (
+      SELECT from_tier, to_tier, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM moves GROUP BY from_tier, to_tier
+    )
+    SELECT from_tier, to_tier, n_users,
+           round(CAST(n_users AS DOUBLE)
+                 / CAST(SUM(n_users) OVER (PARTITION BY from_tier)
+                        AS DOUBLE), 6) AS row_share
+    FROM matrix
+    ORDER BY from_tier, to_tier
+    """,
+    doc="Value-tier migration matrix between the pre/post periods (the "
+        "experimentation boundary): users ranked into spend terciles "
+        "per period, full-outer-joined across periods ('none' = "
+        "churned or newly arrived), with per-from-tier row shares — "
+        "the customer-base-health diagonal (sticky tiers) vs "
+        "off-diagonal churn/upgrade flow that LTV dashboards track. "
+        "Spark ranks each period with the two-phase _global_rank "
+        "(parallel per-bucket windows + bounded prefix pass — never a "
+        "user-grain single-partition sort); the tier arithmetic is "
+        "exact integers (1 + 3(r-1) div n) and the matrix/share pass "
+        "is a 16-cell bounded window.",
+)
+def q_value_tier_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    spend = (
+        ev.groupBy(
+            "user_id",
+            F.expr(
+                f"CASE WHEN unix_micros(CAST(ts AS TIMESTAMP))"
+                f" >= {CUPED_CUT_US} THEN 1 ELSE 0 END"
+            ).alias("period"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(CAST(value AS DECIMAL(10,2)) * 100"
+                " AS BIGINT)) AS BIGINT)"
+            ).alias("s")
+        )
+    )
+    tiers = []
+    for p in (0, 1):
+        sub = spend.filter(F.col("period") == p)
+        ranked = _global_rank(
+            sub, "s", [F.col("s"), F.col("user_id")], with_total=True
+        )
+        tiers.append(
+            ranked.select(
+                "user_id",
+                F.expr(
+                    "CAST(1 + (3 * (__rank - 1)) DIV __n AS BIGINT)"
+                ).alias(f"tier{p}"),
+            )
+        )
+    moves = tiers[0].join(tiers[1], "user_id", "full_outer").select(
+        F.expr(_TIER_LABEL.format(t="tier0")).alias("from_tier"),
+        F.expr(_TIER_LABEL.format(t="tier1")).alias("to_tier"),
+    )
+    matrix = moves.groupBy("from_tier", "to_tier").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_users")
+    )
+    w = Window.partitionBy("from_tier")
+    return (
+        matrix.withColumn(
+            "row_share",
+            F.expr("CAST(n_users AS DOUBLE)")
+            / F.sum("n_users").over(w).cast("double"),
+        )
+        .withColumn("row_share", F.expr("round(row_share, 6)"))
+        .orderBy("from_tier", "to_tier")
+    )

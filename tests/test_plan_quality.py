@@ -90,6 +90,9 @@ BOUNDED_GLOBAL_WINDOW_OK = {
     "sample_sir_resample": "_global_cumsum bucket offsets (<=64 rows); "
                            "the doc-grain cumulative weight itself runs "
                            "per-bucket in parallel",
+    "q_value_tier_migration": "2x _global_rank bucket offsets (<=64 "
+                              "rows each); the 16-cell matrix row-share "
+                              "window partitions by from_tier",
     "q_seasonal_ma_decompose": "daily grain (~2.4k rows, calendar-"
                                "bounded centered-MA window)",
 }
