@@ -8700,3 +8700,83 @@ def q_value_tier_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("row_share", F.expr("round(row_share, 6)"))
         .orderBy("from_tier", "to_tier")
     )
+
+
+# ---------------------------------------------------------------------------
+# AMS F2 sketch: self-join size estimation from ±1 projections
+# ---------------------------------------------------------------------------
+
+AMS_K = 16  # independent ±1 estimators averaged
+
+
+def _ams_sql(hash_int: str, jdom_from: str) -> str:
+    """Engine-shared core: per-key frequencies are exact integers,
+    each estimator Z_j = Σ_key sign_j(key)·f_key is an exact integer
+    sum (signs from the (j, key) hash — regenerable anywhere, no
+    stored matrix), E[Z²] = F2 exactly; the only floats are the final
+    mean/relative-error divisions."""
+    sign = (
+        f"(CASE WHEN {hash_int.format(x=chr(39) + 'ams:' + chr(39) + ' || jd.j || ' + chr(39) + ':' + chr(39) + ' || u.user_id')}"
+        f" % 2 = 0 THEN 1 ELSE -1 END)"
+    )
+    return f"""
+    users AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS f
+      FROM events GROUP BY user_id
+    ),
+    jdom AS ({jdom_from}),
+    z AS (
+      SELECT jd.j, CAST(SUM({sign} * u.f) AS BIGINT) AS zj
+      FROM users u CROSS JOIN jdom jd
+      GROUP BY jd.j
+    ),
+    exact AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(f * f) AS BIGINT) AS f2_exact
+      FROM users
+    ),
+    est AS (
+      SELECT CAST(SUM(zj * zj) AS BIGINT) AS sum_z2,
+             CAST(MIN(zj * zj) AS BIGINT) AS min_z2,
+             CAST(MAX(zj * zj) AS BIGINT) AS max_z2
+      FROM z
+    )
+    SELECT exact.n_keys, exact.f2_exact,
+           round(CAST(est.sum_z2 AS DOUBLE) / CAST({AMS_K} AS DOUBLE), 2)
+             AS f2_estimate,
+           round((CAST(est.sum_z2 AS DOUBLE) / CAST({AMS_K} AS DOUBLE)
+                  - CAST(exact.f2_exact AS DOUBLE))
+                 / CAST(exact.f2_exact AS DOUBLE), 6) AS rel_error,
+           est.min_z2, est.max_z2
+    FROM exact CROSS JOIN est
+    """
+
+
+@register(
+    "sketch_ams_f2",
+    oracle=f"""
+    WITH {_ams_sql(
+        "(('0x' || substr(md5({x}), 1, 8))::BIGINT)",
+        f"SELECT unnest(range(1, {AMS_K} + 1)) AS j",
+    )}
+    """,
+    doc=f"AMS F2 sketch (Alon–Matias–Szegedy): estimate the second "
+        f"frequency moment Σf² of the events join key from {AMS_K} "
+        "±1-projection estimators — and Σf² IS the output row count of "
+        "a self-equi-join on that key, so this is the kilobyte-sized "
+        "answer to 'how big will this join explode' that complements "
+        "q_join_skew_audit's exact heavy-hitter histogram (the sketch "
+        "needs one pass and O(k) space at any cardinality; the "
+        "histogram needs the full key grain). Signs come from the "
+        "(estimator, key) hash — regenerable on any executor, no "
+        "stored matrix — so each Z_j is an exact integer sum "
+        "(order-free, map-side-combinable) and E[Z²] = F2 exactly; "
+        "the exact ground truth rides along as the eval baseline. "
+        "The only floats are the final mean and relative error.",
+)
+def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    ev.createOrReplaceTempView("events")
+    return spark.sql(
+        f"WITH {_ams_sql('CAST(conv(substr(md5({x}), 1, 8), 16, 10) AS BIGINT)', f'SELECT explode(sequence(1, {AMS_K})) AS j')}"
+    )
