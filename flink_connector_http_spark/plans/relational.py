@@ -8780,3 +8780,129 @@ def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"WITH {_ams_sql('CAST(conv(substr(md5({x}), 1, 8), 16, 10) AS BIGINT)', f'SELECT explode(sequence(1, {AMS_K})) AS j')}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Hurst exponent via rescaled-range (R/S) analysis of daily revenue
+# ---------------------------------------------------------------------------
+
+HURST_BLOCKS = (16, 64, 256)
+
+
+def _hurst_sql(daydiff: str, sizes_from: str, intdiv: str) -> str:
+    """Engine-shared except day-diff, the block-size enumeration, and
+    integer division. Daily cents are exact integers; within each
+    consecutive block the cumulative deviation W_k = cumsum(x) − k·m
+    is one closed-form double per row (integer prefix sums, one mean
+    division), R = max W − min W, S = population std from integer
+    moments; per-(size) means are 9dp-rounded DECIMAL sums over the
+    bounded block count, and H is the closed-form OLS slope of
+    ln(mean R/S) on ln(n) over the three sizes."""
+    return f"""
+    WITH daily AS (
+      SELECT {daydiff} AS di,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    seq AS (
+      SELECT di, x, ROW_NUMBER() OVER (ORDER BY di) AS r FROM daily
+    ),
+    sizes AS ({sizes_from}),
+    blocks AS (
+      SELECT s.n, (seq.r - 1) {intdiv} s.n AS blk,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY s.n, (seq.r - 1) {intdiv} s.n
+               ORDER BY seq.r) AS BIGINT) AS k,
+             seq.x,
+             CAST(SUM(seq.x) OVER (
+               PARTITION BY s.n, (seq.r - 1) {intdiv} s.n
+               ORDER BY seq.r ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cumx
+      FROM seq CROSS JOIN sizes s
+    ),
+    bstats AS (
+      SELECT n, blk,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM blocks GROUP BY n, blk
+    ),
+    full_blocks AS (SELECT * FROM bstats WHERE cnt = n),
+    devs AS (
+      SELECT b.n, b.blk,
+             CAST(b.cumx AS DOUBLE)
+               - CAST(b.k AS DOUBLE) * (CAST(f.sx AS DOUBLE)
+                                        / CAST(f.cnt AS DOUBLE)) AS w
+      FROM blocks b
+      JOIN full_blocks f ON f.n = b.n AND f.blk = b.blk
+    ),
+    rs AS (
+      SELECT d.n, d.blk,
+             round((MAX(d.w) - MIN(d.w))
+                   / sqrt(CAST(MAX(f.sxx) AS DOUBLE) / CAST(MAX(f.cnt) AS DOUBLE)
+                          - (CAST(MAX(f.sx) AS DOUBLE) / CAST(MAX(f.cnt) AS DOUBLE))
+                            * (CAST(MAX(f.sx) AS DOUBLE) / CAST(MAX(f.cnt) AS DOUBLE))),
+                   9) AS ratio
+      FROM devs d
+      JOIN full_blocks f ON f.n = d.n AND f.blk = d.blk
+      GROUP BY d.n, d.blk
+    ),
+    per_size AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             round(ln(CAST(SUM(CAST(ratio AS DECIMAL(20,9))) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE)), 9) AS ly,
+             round(ln(CAST(n AS DOUBLE)), 9) AS lx
+      FROM rs GROUP BY n
+    ),
+    fit AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+             CAST(SUM(CAST(lx AS DECIMAL(20,9))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ly AS DECIMAL(20,9))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(round(lx * ly, 9) AS DECIMAL(20,9)))
+                  AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(round(lx * lx, 9) AS DECIMAL(20,9)))
+                  AS DOUBLE) AS sxx
+      FROM per_size
+    )
+    SELECT
+      (SELECT CAST(SUM(n_blocks) AS BIGINT) FROM per_size)
+        AS n_blocks_total,
+      round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6)
+        AS hurst_exponent
+    FROM fit
+    """
+
+
+@register(
+    "q_hurst_rs_exponent",
+    oracle=_hurst_sql(
+        "date_diff('day', DATE '1992-01-01', o_orderdate)",
+        "SELECT unnest([" + ", ".join(map(str, HURST_BLOCKS)) + "]) AS n",
+        "//",
+    ),
+    doc=f"Hurst exponent of daily order revenue via rescaled-range "
+        f"(R/S) analysis at block sizes {HURST_BLOCKS}: H ≈ 0.5 means "
+        "the series has no long memory (random walk increments), "
+        "H > 0.5 persistent trends, H < 0.5 mean reversion — the "
+        "long-memory diagnostic that decides whether naive "
+        "day-over-day forecasting (q_forecast_snaive_eval) can work "
+        "at all. Each consecutive block's cumulative deviations use "
+        "exact integer prefix sums with one mean division; R/S per "
+        "block is one 9dp-rounded closed form; per-size means are "
+        "DECIMAL sums over the bounded block count; H is the "
+        "closed-form log-log OLS slope over the three sizes. Windows "
+        "partition by (size, block) over the calendar-bounded day "
+        "grain; the day ranking itself is the bounded-domain "
+        "exception the lint allowlists.",
+)
+def q_hurst_rs_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")["orders"]
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        _hurst_sql(
+            "datediff(o_orderdate, DATE '1992-01-01')",
+            "SELECT explode(array(" + ", ".join(map(str, HURST_BLOCKS)) + ")) AS n",
+            "DIV",
+        )
+    )
