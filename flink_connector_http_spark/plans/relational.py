@@ -8906,3 +8906,99 @@ def q_hurst_rs_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
             "DIV",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# absorbing-chain conversion probability (Markov family completion)
+# ---------------------------------------------------------------------------
+
+MARKOV_ABSORB_STEPS = 20
+MARKOV_ABSORB_STATE = "purchase"
+
+
+def _markov_absorb_sql(mat: str = "AS") -> str:
+    """Engine-shared up to DuckDB's AS MATERIALIZED hint on the
+    transition matrix (20 CTE references would otherwise re-evaluate
+    the LEAD-window subtree 20x — measured 74s -> 7s): the matrix comes from exact integer LEAD-pair
+    counts with probabilities rounded at 9dp; the absorbing state's
+    self-loop replaces its outgoing row; the k-step absorption vector
+    iterates as {MARKOV_ABSORB_STEPS} UNROLLED CTEs generated from one
+    template (no recursive aggregation — portable to both engines),
+    each iteration a ≤|types|²-row bounded join with 9dp-rounded
+    products DECIMAL-summed. The bounded-state matrix iteration is
+    the same shape PageRank runs at graph scale; here the state space
+    is the |event types| grain so the whole chain is broadcast-sized."""
+    a = MARKOV_ABSORB_STATE
+    its = []
+    for k in range(MARKOV_ABSORB_STEPS):
+        its.append(f"""
+    it{k + 1} AS (
+      SELECT t.from_type AS state,
+             CAST(round(CAST(SUM(CAST(round(t.p * v.v, 9)
+                                       AS DECIMAL(20,9))) AS DOUBLE), 9)
+                  AS DOUBLE) AS v
+      FROM tmat t JOIN it{k} v ON v.state = t.to_type
+      GROUP BY t.from_type
+    )""")
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY from_type, to_type
+    ),
+    totals AS (
+      SELECT from_type, CAST(SUM(n) AS BIGINT) AS total
+      FROM trans GROUP BY from_type
+    ),
+    tmat {mat} (
+      SELECT t.from_type, t.to_type,
+             round(CAST(t.n AS DOUBLE) / CAST(tot.total AS DOUBLE), 9)
+               AS p
+      FROM trans t JOIN totals tot ON tot.from_type = t.from_type
+      WHERE t.from_type <> '{a}'
+      UNION ALL
+      SELECT '{a}', '{a}', CAST(1 AS DOUBLE)
+    ),
+    states AS (SELECT DISTINCT event_type AS state FROM seq),
+    it0 AS (
+      SELECT state,
+             CASE WHEN state = '{a}' THEN CAST(1 AS DOUBLE)
+                  ELSE CAST(0 AS DOUBLE) END AS v
+      FROM states
+    ),{','.join(its)}
+    SELECT state,
+           round(v, 6) AS p_absorb_within_{MARKOV_ABSORB_STEPS}
+    FROM it{MARKOV_ABSORB_STEPS}
+    ORDER BY state
+    """
+
+
+@register(
+    "q_markov_absorbing_conversion",
+    oracle=_markov_absorb_sql("AS MATERIALIZED"),
+    doc=f"Absorbing-chain conversion probability: treat "
+        f"'{MARKOV_ABSORB_STATE}' as an absorbing state in the "
+        "first-order event-type Markov chain (q_markov_transitions' "
+        f"matrix) and iterate the absorption vector "
+        f"{MARKOV_ABSORB_STEPS} steps — P(a user currently at state s "
+        f"reaches {MARKOV_ABSORB_STATE} within {MARKOV_ABSORB_STEPS} "
+        "transitions), the quantity funnel-leak triage actually wants "
+        "(raw transition rows only say one step ahead). The iteration "
+        "is UNROLLED into generated CTEs (shared template; no "
+        "recursive aggregation, which neither engine allows), each step a bounded |types|²-row join with "
+        "9dp-rounded products DECIMAL-summed — the PageRank iteration "
+        "shape collapsed onto a broadcast-sized state space. The one "
+        "heavy pass is the per-user LEAD window the funnel family "
+        "already shares.",
+)
+def q_markov_absorbing_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    ev.createOrReplaceTempView("events")
+    return spark.sql(_markov_absorb_sql())
