@@ -8825,7 +8825,8 @@ def _hurst_sql(daydiff: str, sizes_from: str, intdiv: str) -> str:
       SELECT n, blk,
              CAST(COUNT(*) AS BIGINT) AS cnt,
              CAST(SUM(x) AS BIGINT) AS sx,
-             CAST(SUM(x * x) AS BIGINT) AS sxx
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS sxx
       FROM blocks GROUP BY n, blk
     ),
     full_blocks AS (SELECT * FROM bstats WHERE cnt = n),
@@ -9002,3 +9003,108 @@ def q_markov_absorbing_conversion(spark: SparkSession, sf_dir: str) -> DataFrame
     ev = load(spark, sf_dir, "events")["events"]
     ev.createOrReplaceTempView("events")
     return spark.sql(_markov_absorb_sql())
+
+
+# ---------------------------------------------------------------------------
+# Ljung–Box portmanteau test over daily-revenue autocorrelations
+# ---------------------------------------------------------------------------
+
+LJUNG_BOX_LAGS = 10
+#: chi-square(10) critical value at alpha = 0.05 — a fixed constant of
+#: the test (no incomplete-gamma evaluation needed for the verdict)
+LJUNG_BOX_CRIT = "CAST(18.307 AS DOUBLE)"
+
+
+def _ljung_box_sql(daydiff: str, lags_from: str) -> str:
+    """Engine-shared except day-diff and lag enumeration. Every
+    autocorrelation r_k is ONE closed-form expression of exact integer
+    sums (Σx·x_shifted, head/tail sums, counts — the mean-subtracted
+    cross product expanded so no per-row float survives), rounded at
+    9dp; Q sums the 9dp-rounded r²/(T−k) terms as DECIMAL over the
+    bounded lag set."""
+    m = "(CAST(sall AS DOUBLE) / CAST(t AS DOUBLE))"
+    ck = (
+        f"(CAST(sxy AS DOUBLE) - {m} * (CAST(sh AS DOUBLE)"
+        f" + CAST(st AS DOUBLE)) + CAST(novl AS DOUBLE) * {m} * {m})"
+    )
+    c0 = (
+        f"(CAST(sxx AS DOUBLE) - CAST(2 AS DOUBLE) * {m}"
+        f" * CAST(sall AS DOUBLE) + CAST(t AS DOUBLE) * {m} * {m})"
+    )
+    rk = f"round({ck} / {c0}, 9)"
+    return f"""
+    WITH daily AS (
+      SELECT {daydiff} AS di,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS t,
+             CAST(SUM(x) AS BIGINT) AS sall,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS sxx
+      FROM daily
+    ),
+    lags AS ({lags_from}),
+    shifted AS (
+      SELECT l.k,
+             CAST(COUNT(*) AS BIGINT) AS novl,
+             CAST(SUM(CAST(a.x AS DECIMAL(38,0))
+                      * CAST(b.x AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS sxy,
+             CAST(SUM(a.x) AS BIGINT) AS sh,
+             CAST(SUM(b.x) AS BIGINT) AS st
+      FROM daily a
+      CROSS JOIN lags l
+      JOIN daily b ON b.di = a.di + l.k
+      GROUP BY l.k
+    ),
+    acf AS (
+      SELECT s.k, {rk} AS r, base.t
+      FROM shifted s CROSS JOIN base
+    )
+    SELECT CAST(MAX(t) AS BIGINT) AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_lags,
+           round(CAST(MAX(t) AS DOUBLE)
+                 * (CAST(MAX(t) AS DOUBLE) + CAST(2 AS DOUBLE))
+                 * CAST(SUM(CAST(round(r * r
+                     / (CAST(t AS DOUBLE) - CAST(k AS DOUBLE)), 9)
+                     AS DECIMAL(20,9))) AS DOUBLE), 4) AS q_stat,
+           CASE WHEN round(CAST(MAX(t) AS DOUBLE)
+                 * (CAST(MAX(t) AS DOUBLE) + CAST(2 AS DOUBLE))
+                 * CAST(SUM(CAST(round(r * r
+                     / (CAST(t AS DOUBLE) - CAST(k AS DOUBLE)), 9)
+                     AS DECIMAL(20,9))) AS DOUBLE), 4)
+                > {LJUNG_BOX_CRIT} THEN 1 ELSE 0 END
+             AS reject_white_noise
+    FROM acf
+    """
+
+
+@register(
+    "q_ljung_box_daily",
+    oracle=_ljung_box_sql(
+        "date_diff('day', DATE '1992-01-01', o_orderdate)",
+        f"SELECT unnest(range(1, {LJUNG_BOX_LAGS} + 1)) AS k",
+    ),
+    doc=f"Ljung–Box portmanteau test on daily order revenue: Q = "
+        f"T(T+2)·Σ r_k²/(T−k) over lags 1..{LJUNG_BOX_LAGS}, against "
+        "the fixed χ²(10) 5% critical value — the is-there-ANY-serial-"
+        "structure gate that decides whether the autocorrelation "
+        "family (q_autocorr_lags, Holt, adstock) has signal to model "
+        "at all. Each r_k is one closed-form expression of exact "
+        "integer sums (the mean-subtracted cross product expanded so "
+        "no per-row float survives); the lag sum is 9dp-rounded "
+        "DECIMAL over the bounded lag set; the day-shifted self-join "
+        "co-partitions on the calendar-bounded day key.",
+)
+def q_ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")["orders"]
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        _ljung_box_sql(
+            "datediff(o_orderdate, DATE '1992-01-01')",
+            f"SELECT explode(sequence(1, {LJUNG_BOX_LAGS})) AS k",
+        )
+    )
