@@ -9108,3 +9108,79 @@ def q_ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"SELECT explode(sequence(1, {LJUNG_BOX_LAGS})) AS k",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gumbel extreme-value fit: return levels of the daily maximum order
+# ---------------------------------------------------------------------------
+
+#: Euler–Mascheroni and sqrt(6)/pi as double literals — constants of
+#: the Gumbel method-of-moments fit, bit-identical once parsed
+GUMBEL_GAMMA = "CAST(0.5772156649015329 AS DOUBLE)"
+GUMBEL_S6PI = "CAST(0.7796968012336793 AS DOUBLE)"
+GUMBEL_RETURN_DAYS = (30, 365)
+
+
+def _gumbel_sql(daydiff: str) -> str:
+    """Engine-shared except day-diff. Daily maxima are exact integer
+    cents (MAX is order-free); the block-maxima moments use
+    DECIMAL(38,0)-widened squares; μ, β, and each return level are
+    single closed-form expressions of those exact moments."""
+    m = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / CAST(100 AS DOUBLE))"
+    sd = (
+        "sqrt(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)"
+        " / CAST(10000 AS DOUBLE) - " + m + " * " + m + ")"
+    )
+    beta = f"({GUMBEL_S6PI} * {sd})"
+    mu = f"({m} - {GUMBEL_GAMMA} * {beta})"
+    rl = (
+        f"({mu} - {beta} * ln(-ln(CAST(1 AS DOUBLE)"
+        " - CAST(1 AS DOUBLE) / CAST({t} AS DOUBLE))))"
+    )
+    rls = ",\n           ".join(
+        f"round({rl.format(t=t)}, 2) AS return_level_{t}d"
+        for t in GUMBEL_RETURN_DAYS
+    )
+    return f"""
+    WITH daily AS (
+      SELECT {daydiff} AS di,
+             CAST(MAX(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS sxx
+      FROM daily
+    )
+    SELECT n AS n_days,
+           round({m}, 2) AS mean_daily_max,
+           round({sd}, 2) AS sd_daily_max,
+           round({mu}, 2) AS gumbel_mu,
+           round({beta}, 2) AS gumbel_beta,
+           {rls}
+    FROM mom
+    """
+
+
+@register(
+    "q_gumbel_return_levels",
+    oracle=_gumbel_sql("date_diff('day', DATE '1992-01-01', o_orderdate)"),
+    doc=f"Gumbel extreme-value fit on the daily MAXIMUM order price "
+        f"(block maxima, method of moments: β = s·√6/π, μ = m − γβ) "
+        f"with {'/'.join(str(t) + 'd' for t in GUMBEL_RETURN_DAYS)} "
+        "return levels x_T = μ − β·ln(−ln(1−1/T)) — the 'how big an "
+        "order should we provision for this month/year' quantile that "
+        "empirical percentiles under-estimate because the tail is "
+        "exactly where data runs out (the same reason EVT, not "
+        "histograms, sizes flood defenses). Daily maxima are exact "
+        "integer cents from one map-side-combinable MAX; moments use "
+        "DECIMAL(38,0)-widened squares; the fit and return levels are "
+        "single closed forms of those exact moments.",
+)
+def q_gumbel_return_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")["orders"]
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(_gumbel_sql("datediff(o_orderdate, DATE '1992-01-01')"))
