@@ -9184,3 +9184,92 @@ def q_gumbel_return_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")["orders"]
     orders.createOrReplaceTempView("orders")
     return spark.sql(_gumbel_sql("datediff(o_orderdate, DATE '1992-01-01')"))
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (two-phase ranks, exact integer arithmetic)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_spearman_qty_price",
+    oracle="""
+    WITH base AS (
+      SELECT l_quantity, l_extendedprice,
+             ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber,
+                                l_quantity, l_extendedprice) AS rid
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY l_quantity, rid) AS rq,
+             ROW_NUMBER() OVER (ORDER BY l_extendedprice, rid) AS rp
+      FROM base
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(rq - rp AS DECIMAL(38,0))
+                      * CAST(rq - rp AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS sd2
+      FROM ranked
+    )
+    SELECT n AS n_rows,
+           CAST(sd2 AS BIGINT) AS sum_d2,
+           round(CAST(1 AS DOUBLE)
+                 - CAST(6 AS DOUBLE) * CAST(sd2 AS DOUBLE)
+                   / (CAST(n AS DOUBLE)
+                      * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                         - CAST(1 AS DOUBLE))), 6) AS spearman_rho
+    FROM sums
+    """,
+    doc="Spearman rank correlation between line-item quantity and "
+        "extended price: ρ = 1 − 6Σd²/(n(n²−1)) over deterministic "
+        "total ranks (ties broken by (orderkey, linenumber) — the "
+        "tie-broken variant, stated honestly: average-rank tie "
+        "correction would need fractional ranks) — the monotone-"
+        "association complement to q_corr_qty_price's Pearson (rank "
+        "correlation survives the outliers and nonlinearity that bend "
+        "a product-moment estimate). EVERYTHING is exact integers: "
+        "ranks, d², the DECIMAL(38,0)-widened Σd² (n³ exceeds BIGINT "
+        "at ~2M rows); the only float is the single final closed "
+        "form. Spark computes both rankings with the two-phase "
+        "_global_rank — two parallel per-bucket window passes, never "
+        "an entity-grain single-partition sort.",
+)
+def q_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic corpus,
+    # so mint a deterministic unique row id first (identical full rows
+    # may swap rids — harmless, the (rq, rp) multiset is unchanged)
+    base = _global_rank(
+        li.select("l_orderkey", "l_linenumber", "l_quantity",
+                  "l_extendedprice"),
+        "l_orderkey",
+        [F.col("l_orderkey"), F.col("l_linenumber"), F.col("l_quantity"),
+         F.col("l_extendedprice")],
+        rank_col="rid",
+    ).select("rid", "l_quantity", "l_extendedprice").persist()
+    rq = _global_rank(
+        base, "l_quantity", [F.col("l_quantity"), F.col("rid")],
+        rank_col="rq",
+    ).select("rid", "rq")
+    rp = _global_rank(
+        base, "l_extendedprice", [F.col("l_extendedprice"), F.col("rid")],
+        rank_col="rp",
+    ).select("rid", "rp")
+    joined = rq.join(rp, ["rid"])
+    sums = joined.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+        F.expr(
+            "CAST(SUM(CAST(rq - rp AS DECIMAL(38,0))"
+            " * CAST(rq - rp AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+        ).alias("sd2"),
+    )
+    return sums.select(
+        F.col("n").alias("n_rows"),
+        F.expr("CAST(sd2 AS BIGINT)").alias("sum_d2"),
+        F.expr(
+            "round(CAST(1 AS DOUBLE) - CAST(6 AS DOUBLE)"
+            " * CAST(sd2 AS DOUBLE) / (CAST(n AS DOUBLE)"
+            " * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+            " - CAST(1 AS DOUBLE))), 6)"
+        ).alias("spearman_rho"),
+    )

@@ -93,6 +93,8 @@ BOUNDED_GLOBAL_WINDOW_OK = {
     "q_value_tier_migration": "2x _global_rank bucket offsets (<=64 "
                               "rows each); the 16-cell matrix row-share "
                               "window partitions by from_tier",
+    "q_spearman_qty_price": "3x _global_rank bucket offsets (<=64 rows "
+                            "each: rid mint + two rank passes)",
     "q_hurst_rs_exponent": "day-grain ROW_NUMBER (calendar-bounded, "
                            "~2.4k rows — same exception as "
                            "q_seasonal_ma_decompose); block windows "
