@@ -3122,10 +3122,18 @@ _CDC_HASH_DUCK = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
 def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")["documents"]
     docs.createOrReplaceTempView("documents")
+    # Guard n_chars >= window BEFORE the generator: Spark's
+    # sequence(16, n) yields a DESCENDING array [16..n] when n < 16,
+    # which would enumerate bogus window positions whose substr()
+    # windows (non-positive start → whole/suffix text) can hash to a
+    # spurious chunk cut that the oracle's generate_series (empty for
+    # n < 16) never produces.
     return spark.sql(
         _cdc_sql(
             _CDC_HASH_SPARK,
-            f"documents LATERAL VIEW explode(sequence({CDC_WINDOW},"
-            f" CAST(n_chars AS INT))) t AS i",
+            f"(SELECT doc_id, text, n_chars, i FROM documents"
+            f" LATERAL VIEW explode(sequence({CDC_WINDOW},"
+            f" CAST(n_chars AS INT))) t AS i"
+            f" WHERE n_chars >= {CDC_WINDOW}) p",
         )
     )

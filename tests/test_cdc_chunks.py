@@ -108,3 +108,36 @@ def test_prefix_edit_resynchronizes(spark, tmp_path):
     # sanity: the two docs really do share re-synchronized chunks
     c1, c2 = cdc_chunks_ref(base), cdc_chunks_ref("X" + base)
     assert set(c1) & set(c2)
+
+
+def test_short_doc_spurious_window_regression(spark, tmp_path):
+    """Regression (round-10 advice): Spark's sequence(16, n) yields a
+    DESCENDING array [16..n] when n < CDC_WINDOW, enumerating bogus
+    window positions whose substr() windows (non-positive start =
+    whole/suffix text) can hash ≡ 0 mod CDC_DIVISOR and emit a
+    spurious chunk cut the reference never produces. '3688789958'
+    (10 chars) is such a trigger: md5 of the whole text ≡ 0 mod 32,
+    so the unguarded plan splits this doc while the reference keeps
+    it as one chunk."""
+    trigger = "3688789958"
+    assert len(trigger) < CDC_WINDOW
+    assert (
+        int(hashlib.md5(trigger.encode()).hexdigest()[:8], 16)
+        % CDC_DIVISOR == 0
+    )
+    docs = [
+        (1, trigger, "en", "short", len(trigger)),
+        (2, _text("pad", 200), "en", "short", 200),
+    ]
+    spark.createDataFrame(docs, DOCS_SCHEMA).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = {
+        r.source: (r.n_chunks, r.n_distinct_chunks, r.total_chars,
+                   r.dup_chars_saved)
+        for r in dedup_cdc_chunks(spark, str(tmp_path)).collect()
+    }
+    assert got == _ref_stats(docs)
+    # the short doc contributes exactly ONE chunk (the whole text)
+    ref_chunks = cdc_chunks_ref(trigger)
+    assert ref_chunks == [trigger]
