@@ -25,6 +25,7 @@ import threading
 import urllib.error
 import urllib.parse
 import urllib.request
+import weakref
 from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor
 from concurrent.futures import TimeoutError as _FuturesTimeout
 from concurrent.futures import wait as _futures_wait
@@ -295,6 +296,12 @@ class HttpTransport:
                     raise
 
 
+def _shutdown_hedge_pool(pool: ThreadPoolExecutor) -> None:
+    """weakref.finalize target: must be a module function holding no
+    client reference, or the finalizer would keep the client alive."""
+    pool.shutdown(wait=False, cancel_futures=True)
+
+
 class HttpPollingClient:
     """Build request → send with retry → classify → decode → metadata.
 
@@ -361,6 +368,7 @@ class HttpPollingClient:
         self.hedge_stats = {"fired": 0, "won": 0}
         self._hedge_pool_lock = threading.Lock()
         self._hedge_pool: Optional[ThreadPoolExecutor] = None
+        self._hedge_finalizer: Optional[weakref.finalize] = None
         self._preprocessors: Dict[str, HeaderPreprocessor] = {}
         # with OIDC the Authorization header is CREATED by the connector
         # (bearer fetched at request time), not merely rewritten — so it
@@ -451,6 +459,14 @@ class HttpPollingClient:
                     max_workers=2 * max(1, self.options.pull_pool_size),
                     thread_name_prefix="http-hedge",
                 )
+                # non-daemon threads + their keep-alive sockets must not
+                # outlive the client in long-lived executor reuse: shut
+                # the pool down when the client is GC'd (or at interpreter
+                # exit) even if close() is never called. The finalizer
+                # references only the pool, never self.
+                self._hedge_finalizer = weakref.finalize(
+                    self, _shutdown_hedge_pool, self._hedge_pool
+                )
             pool = self._hedge_pool
         primary = pool.submit(self.transport.send, spec)
         try:
@@ -476,6 +492,26 @@ class HttpPollingClient:
                 last_err = err
         assert last_err is not None
         raise last_err
+
+    def close(self) -> None:
+        """Release resources held by the client — today the lazily
+        created hedge pool (2×pull_pool_size non-daemon threads plus
+        their thread-local keep-alive sockets). Safe to call more than
+        once; the client remains usable afterwards (a later hedged send
+        recreates the pool)."""
+        with self._hedge_pool_lock:
+            pool, self._hedge_pool = self._hedge_pool, None
+            finalizer, self._hedge_finalizer = self._hedge_finalizer, None
+        if finalizer is not None:
+            finalizer.detach()
+        if pool is not None:
+            pool.shutdown(wait=False, cancel_futures=True)
+
+    def __enter__(self) -> "HttpPollingClient":
+        return self
+
+    def __exit__(self, *exc: Any) -> None:
+        self.close()
 
     def _exchange(self, spec: HttpRequestSpec, also_success: Tuple = ()) -> Tuple:
         """Fire one assembled request with the retry policy; shared by the

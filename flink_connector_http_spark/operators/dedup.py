@@ -1069,10 +1069,20 @@ def merge_cluster_labels(
     oracle checks that equivalence against the full recursive-CTE CC.
     """
     labels = existing_labels.persist()
-    lab_a = labels.select(
+    # the only label rows the batch can touch are its own endpoints —
+    # semi-filter the corpus-sized table down to that batch-bounded set
+    # (broadcasting the ENDPOINTS, never a corpus-sized projection) so
+    # every later broadcast in this function is batch-bounded
+    endpoints = (
+        new_edges.select(F.col("a_id").alias("doc_id"))
+        .union(new_edges.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    touched = labels.join(F.broadcast(endpoints), "doc_id", "left_semi")
+    lab_a = touched.select(
         F.col("doc_id").alias("a_id"), F.col("cluster_id").alias("a_rep")
     )
-    lab_b = labels.select(
+    lab_b = touched.select(
         F.col("doc_id").alias("b_id"), F.col("cluster_id").alias("b_rep")
     )
     # endpoints resolve to their component representative; unlabeled
@@ -1106,10 +1116,11 @@ def merge_cluster_labels(
     # graph nodes introduced by this batch: new-edge endpoints that the
     # state table has never labeled (new docs + existing loners)
     fresh = (
-        new_edges.select(F.col("a_id").alias("doc_id"))
-        .union(new_edges.select(F.col("b_id").alias("doc_id")))
-        .distinct()
-        .join(labels, "doc_id", "left_anti")
+        endpoints
+        # anti vs the batch-bounded TOUCHED slice is equivalent to anti
+        # vs the full table (endpoints ∩ labels == touched by
+        # construction) and keeps the corpus out of the join
+        .join(F.broadcast(touched.select("doc_id")), "doc_id", "left_anti")
         .join(F.broadcast(remap), F.col("doc_id") == F.col("node"))
         .select("doc_id", F.col("merged").cast("long").alias("cluster_id"))
     )

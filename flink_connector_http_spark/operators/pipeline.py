@@ -360,6 +360,13 @@ def pipeline_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("min_by(struct(doc_id, lang, source), doc_id)")
              .alias("kept"))
         .select("kept.doc_id", "kept.lang", "kept.source")
+        # the survivor set feeds BOTH the language census (→ broadcast
+        # thresholds) and the final keeper join; without a lineage cut
+        # the scan + content-hash shuffle execute twice (the round-9 10×
+        # profile's dominant cost). localCheckpoint materializes the
+        # post-dedup survivors once — far smaller than the input — the
+        # same boundary treatment as dedup_clusters' round boundary.
+        .localCheckpoint()
     )
     counts = survivors.groupBy("lang").agg(
         F.expr("CAST(COUNT(*) AS DOUBLE)").alias("cnt")

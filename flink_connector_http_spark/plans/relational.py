@@ -7758,8 +7758,9 @@ def q_ab_msprt_always_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: representable, so the literal-parsing DECIMAL-vs-DOUBLE hazard the
 #: round-8 Dirichlet scorer hit cannot occur)
 HOLT_ALPHA = "CAST(0.5 AS DOUBLE)"
+HOLT_ALPHA_C = "CAST(0.5 AS DOUBLE)"  # 1 - alpha
 HOLT_BETA = "CAST(0.25 AS DOUBLE)"
-HOLT_BETA_C = "CAST(0.75 AS DOUBLE)"
+HOLT_BETA_C = "CAST(0.75 AS DOUBLE)"  # 1 - beta
 
 
 def _holt_step(y: str, l: str, b: str, prev: str) -> dict:
@@ -7770,7 +7771,7 @@ def _holt_step(y: str, l: str, b: str, prev: str) -> dict:
     accumulated doubles are bit-identical (a sequential fold is
     order-pinned, unlike a parallel SUM — the float rule this repo
     enforces bans only order-dependent double aggregation)."""
-    l_new = f"({HOLT_ALPHA} * {y} + {HOLT_ALPHA} * ({l} + {b}))"
+    l_new = f"({HOLT_ALPHA} * {y} + {HOLT_ALPHA_C} * ({l} + {b}))"
     return {
         "err": f"abs({y} - ({l} + {b}))",
         "errn": f"abs({y} - {prev})",

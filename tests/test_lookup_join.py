@@ -962,6 +962,54 @@ def test_hedge_survives_primary_error_and_counts_stats(stub_server):
     assert client.hedge_stats["won"] == 1
 
 
+def test_hedge_pool_released_on_close_and_gc(stub_server):
+    """The lazily created hedge pool (non-daemon threads + keep-alive
+    sockets) must not outlive the client: close() shuts it down, and a
+    client that is simply dropped (long-lived executor reuse, no close
+    call) releases it via the GC finalizer."""
+    import gc
+    import threading as _threading
+    import time as _time
+
+    from flink_connector_http_spark.client import HttpPollingClient
+
+    def responder(request):
+        _time.sleep(0.3)
+        return json_response(CUSTOMERS[1])
+
+    stub_server.stub("/hedge-close", responder)
+
+    def hedge_threads():
+        return [t for t in _threading.enumerate()
+                if t.name.startswith("http-hedge")]
+
+    def wait_gone(deadline=5.0):
+        end = _time.monotonic() + deadline
+        while _time.monotonic() < end:
+            if not any(t.is_alive() for t in hedge_threads()):
+                return True
+            _time.sleep(0.05)
+        return False
+
+    assert not hedge_threads()
+    opts = HttpLookupOptions(method="GET", hedge_delay=0.05)
+    # explicit close(): idempotent, pool torn down
+    with HttpPollingClient(url=stub_server.url("/hedge-close"),
+                           options=opts) as client:
+        client.pull({"id": 1})
+        assert hedge_threads()
+    client.close()  # second call is a no-op
+    assert wait_gone(), "close() left hedge threads running"
+    # GC path: no close() call at all
+    client2 = HttpPollingClient(url=stub_server.url("/hedge-close"),
+                                options=opts)
+    client2.pull({"id": 1})
+    assert hedge_threads()
+    del client2
+    gc.collect()
+    assert wait_gone(), "finalizer left hedge threads running after GC"
+
+
 class TestBatchLookupAdvisory:
     """A large per-key probe batch logs a one-time advisory naming the
     multi-key batch-lookup config (the known 8x saturation footgun)."""
