@@ -1580,6 +1580,7 @@ def _cep_register():
     @register(
         "stream_cep_funnel",
         oracle=CEP_FUNNEL_ORACLE,
+        bench=True,  # r9 verdict: NFA state needs an empirical 10x point
         doc="Streaming CEP funnel (view -> click -> purchase within 7d, "
             "no error between) via a per-user NFA in "
             "applyInPandasWithState — the continuous analogue of "
@@ -1882,6 +1883,7 @@ def burst_heavy_hitters_stream(
 
 @register(
     "stream_burst_heavy_hitters",
+    bench=True,  # r9 verdict: evicting window state needs a 10x point
     # availableNow over one parquet file = one micro-batch → each
     # qualifying key emits exactly once with its full trailing-window
     # count, equal to the relational trailing-window GROUP BY. Eviction
