@@ -300,6 +300,373 @@ def _validate_select_paths(schema: T.StructType, select: Sequence[str]) -> None:
 
 # --- the operator ---------------------------------------------------------------
 
+
+@dataclass(frozen=True)
+class _EnrichConfig:
+    """Everything the per-batch enrichment needs, picklable, built once on
+    the driver. Shared by the ``mapInPandas`` path (:func:`http_lookup_join`)
+    and the SQL UDTF surface (``sqlfn.HttpLookupUdtf``), so both run the
+    identical vectorized distinct-key/cache/async/batch machinery."""
+
+    table: HttpLookupTable
+    pairs: Tuple[Tuple[str, str], ...]
+    probe_col_names: Tuple[str, ...]
+    output_lookup_fields: Tuple[T.StructField, ...]
+    out_col_names: Tuple[str, ...]
+    lookup_prefix: str
+    key_lookup_names: Tuple[str, ...]
+    meta_names: Tuple[str, ...]
+    emit_on_empty: bool
+
+
+def _noop_add(_n: int) -> None:
+    pass
+
+
+def _enrich_pdf(
+    cfg: "_EnrichConfig",
+    client: HttpPollingClient,
+    cache: Optional[LruTtlCache],
+    pdf: pd.DataFrame,
+    calls_add=_noop_add,
+    hits_add=_noop_add,
+) -> Optional[pd.DataFrame]:
+    """Enrich ONE probe batch (pandas DataFrame) with HTTP lookups:
+    distinct-key dedup, cache probe + ETag revalidation, thread-pooled /
+    multi-key-batch fetch, then row assembly with emptiness rule, key
+    backfill, array multiply and metadata columns. Returns the enriched
+    frame (column order = ``cfg.out_col_names``), or ``None`` for an
+    empty batch. Extracted from the round-1..9 ``mapInPandas`` closure
+    verbatim so the SQL UDTF shares it."""
+    pairs = list(cfg.pairs)
+    pool_size = max(1, cfg.table.options.pull_pool_size)
+    probe_col_names = list(cfg.probe_col_names)
+    output_lookup_fields = list(cfg.output_lookup_fields)
+    lookup_prefix = cfg.lookup_prefix
+    key_lookup_names = list(cfg.key_lookup_names)
+    meta_names = list(cfg.meta_names)
+    meta_fields = bool(cfg.meta_names)
+    emit_on_empty = cfg.emit_on_empty
+    n = len(pdf)
+    if n == 0:
+        return None
+    # --- distinct-key extraction (batch-level dedup) ------------------
+    key_cols: List[List[Any]] = []
+    for probe_col, _lk in pairs:
+        path = probe_col.split(".")
+        root = pdf[path[0]]
+        if len(path) == 1:
+            key_cols.append(root.tolist())
+        else:
+            key_cols.append([_extract_path(v, path[1:]) for v in root])
+    row_keys: List[Tuple] = list(zip(*key_cols))
+    distinct: Dict[Tuple, Optional[HttpLookupResult]] = {}
+    for kt in row_keys:
+        distinct.setdefault(kt, None)
+
+    # --- cache probe + thread-pooled fetch ----------------------------
+    to_fetch: List[Tuple] = []
+    # (key, etag, stale result) triples for conditional refresh
+    to_revalidate: List[Tuple[Tuple, str, HttpLookupResult]] = []
+    batch_size = cfg.table.options.lookup_batch_size
+    revalidating = (
+        cache is not None and cache.config.revalidate
+        and not batch_size  # conditional GET is a per-key exchange
+    )
+    for kt in distinct:
+        if cache is None:
+            to_fetch.append(kt)
+            continue
+        if revalidating:
+            value, state = cache.probe(kt)
+            if state == "fresh":
+                distinct[kt] = value
+                continue
+            etag = _etag_of(value) if state == "stale" else None
+            if etag:
+                to_revalidate.append((kt, etag, value))
+            else:
+                to_fetch.append(kt)
+        else:
+            cached = cache.get(kt)
+            if cached is not None:
+                distinct[kt] = cached
+            else:
+                to_fetch.append(kt)
+
+    calls_add(
+        (-(-len(to_fetch) // batch_size) if (batch_size and to_fetch)
+         else len(to_fetch)) + len(to_revalidate)
+    )
+    hits_add(
+        len(distinct) - len(to_fetch) - len(to_revalidate)
+    )
+
+    def key_values_of(kt: Tuple) -> Dict[str, Any]:
+        return {_leaf_name(lk): v for (_pc, lk), v in zip(pairs, kt)}
+
+    # --- conditional refresh of expired entries (If-None-Match) -------
+    if to_revalidate:
+        if cfg.table.options.use_async and len(to_revalidate) > 1:
+            # pipeline conditional GETs on a pull pool exactly like
+            # the plain-fetch async path — a partition with many
+            # expired ETag'd keys must not serialize round-trips
+            # that a cold fetch would run concurrently. A lapsed
+            # whole-batch deadline degrades to the stale cached
+            # value (the entry stays expired, so the next batch
+            # retries revalidation) instead of stalling the task.
+            opts = cfg.table.options
+            reval_workers = max(
+                1, min(pool_size, len(to_revalidate))
+            )
+            reval_deadline = (
+                None if opts.async_timeout is None
+                else time.monotonic() + opts.async_timeout
+            )
+            reval_pool = ThreadPoolExecutor(max_workers=reval_workers)
+            try:
+                reval_futs = [
+                    (kt, prev, reval_pool.submit(
+                        client.pull_conditional,
+                        key_values_of(kt), etag, prev))
+                    for kt, etag, prev in to_revalidate
+                ]
+                revalidated = []
+                for kt, prev, fut in reval_futs:
+                    try:
+                        result = (
+                            fut.result() if reval_deadline is None
+                            else fut.result(timeout=max(
+                                0.0,
+                                reval_deadline - time.monotonic()))
+                        )
+                    except FuturesTimeoutError:
+                        fut.cancel()
+                        # serve stale WITHOUT refreshing the TTL —
+                        # the entry stays expired so the next batch
+                        # retries the conditional GET
+                        revalidated.append((kt, prev, False))
+                        continue
+                    revalidated.append((kt, result, True))
+            finally:
+                reval_pool.shutdown(wait=False, cancel_futures=True)
+        else:
+            revalidated = [
+                (kt, client.pull_conditional(
+                    key_values_of(kt), etag, prev), True)
+                for kt, etag, prev in to_revalidate
+            ]
+        for kt, result, fresh in revalidated:
+            distinct[kt] = result
+            if fresh and result.completion_state in (
+                HttpCompletionState.SUCCESS,
+            ):
+                if result.rows or cache.config.cache_missing_key:
+                    cache.put(kt, result)  # 304 → same body, fresh TTL
+
+    if to_fetch and batch_size:
+        # multi-key batch mode: N distinct keys per request; chunks
+        # fetch concurrently on the pull pool under use_async
+        leaf_names = [_leaf_name(lk) for _, lk in pairs]
+        # canonicalize response/request key values through the
+        # DECLARED schema types before matching (the per-key path
+        # coerces during decode; without this an endpoint echoing
+        # "42" for int key 42 reads as empty for every key)
+        key_coercers = [
+            _key_coercer(cfg.table.schema, lk) for _, lk in pairs
+        ]
+        chunks = [
+            to_fetch[i : i + batch_size]
+            for i in range(0, len(to_fetch), batch_size)
+        ]
+
+        def fetch_chunk(
+            chunk: List[Tuple],
+            abandoned: Optional[threading.Event] = None,
+        ) -> List[Tuple]:
+            kvs = [key_values_of(kt) for kt in chunk]
+            exchange = client.send_multi(kvs)
+            if abandoned is not None and abandoned.is_set():
+                # the caller already reported this chunk as timed
+                # out and discarded our result — skip the publish
+                # phase so the dead thread fires NO on_response
+                # observers and NO failure accounting (re-checked
+                # inside publish_multi right before its first
+                # side effect, closing the race where the caller
+                # abandons between this check and the publish)
+                return []
+            return list(
+                zip(chunk,
+                    client.publish_multi(
+                        exchange, kvs, leaf_names, key_coercers,
+                        abandoned=abandoned))
+            )
+
+        if cfg.table.options.use_async and len(chunks) > 1:
+            # async_timeout here is a WHOLE-BATCH deadline (the
+            # reference's table.exec.async-lookup.timeout bounds
+            # the complete async operation the same way): once it
+            # lapses, every not-yet-joined chunk is reported as
+            # timed out — a hung endpoint yields timeout results
+            # instead of stalling the task forever
+            opts = cfg.table.options
+            workers = max(1, min(pool_size, len(chunks)))
+            deadline = (
+                None if opts.async_timeout is None
+                else time.monotonic() + opts.async_timeout
+            )
+            pool = ThreadPoolExecutor(max_workers=workers)
+            try:
+                futs = [
+                    (chunk, ev, pool.submit(fetch_chunk, chunk, ev))
+                    for chunk in chunks
+                    for ev in (threading.Event(),)
+                ]
+                fetched = []
+                for chunk, ev, fut in futs:
+                    try:
+                        part = (
+                            fut.result() if deadline is None
+                            else fut.result(timeout=max(
+                                0.0, deadline - time.monotonic()))
+                        )
+                    except FuturesTimeoutError:
+                        ev.set()  # in-flight thread: publish no more
+                        fut.cancel()
+                        kvs = [key_values_of(kt) for kt in chunk]
+                        part = list(zip(chunk, client.publish_multi(
+                            (None, None, (
+                                f"async batch lookup timed out after "
+                                f"{opts.async_timeout}s", None,
+                            )),
+                            kvs, leaf_names,
+                        )))
+                    fetched.extend(part)
+            finally:
+                # don't block on hung in-flight requests: results
+                # are already materialized at the deadline; the
+                # abandoned sockets still die at request_timeout
+                pool.shutdown(wait=False, cancel_futures=True)
+        else:
+            fetched = [
+                pair for chunk in chunks for pair in fetch_chunk(chunk)
+            ]
+        for kt, result in fetched:
+            distinct[kt] = result
+            if cache is not None and result.completion_state in (
+                HttpCompletionState.SUCCESS,
+            ):
+                if result.rows or cache.config.cache_missing_key:
+                    cache.put(kt, result)
+    elif to_fetch:
+        _maybe_advise_batch_lookup(len(to_fetch))
+        if not cfg.table.options.use_async or len(to_fetch) == 1:
+            # sync mode: strictly sequential per-key firing, the
+            # reference's synchronous LookupFunction semantics
+            fetched = [
+                (kt, client.pull(key_values_of(kt))) for kt in to_fetch
+            ]
+        else:
+            # asyncPolling: network phase pipelined on the pull pool,
+            # classify/decode published on the publish pool
+            # (AsyncHttpTableLookupFunction.java:40-42,94-115).
+            # buffer-capacity caps in-flight requests; the timeout is
+            # a per-request deadline from submission
+            # (table.exec.async-lookup.*, T2)
+            opts = cfg.table.options
+            fetch_workers = max(
+                1, min(pool_size, opts.async_buffer_capacity)
+            )
+            deadline = (
+                None if opts.async_timeout is None
+                else time.monotonic() + opts.async_timeout
+            )
+
+            def exchange_of(fut):
+                if deadline is None:
+                    return fut.result()
+                try:
+                    return fut.result(
+                        timeout=max(0.0, deadline - time.monotonic())
+                    )
+                except FuturesTimeoutError:
+                    fut.cancel()
+                    return (None, None, (
+                        f"async lookup timed out after "
+                        f"{opts.async_timeout}s", None,
+                    ))
+
+            publish_size = max(1, opts.publish_pool_size)
+            pull_pool = ThreadPoolExecutor(max_workers=fetch_workers)
+            publish_pool = ThreadPoolExecutor(max_workers=publish_size)
+            try:
+                send_futs = [
+                    (kt, pull_pool.submit(client.send, key_values_of(kt)))
+                    for kt in to_fetch
+                ]
+                pub_futs = [
+                    (kt, publish_pool.submit(
+                        lambda f=f: client.publish(exchange_of(f))))
+                    for kt, f in send_futs
+                ]
+                fetched = [(kt, pf.result()) for kt, pf in pub_futs]
+            finally:
+                # timeout results are already materialized — don't
+                # let pool teardown block on a hung send future
+                # (abandoned sockets still die at request_timeout)
+                publish_pool.shutdown(wait=False, cancel_futures=True)
+                pull_pool.shutdown(wait=False, cancel_futures=True)
+        for kt, result in fetched:
+            distinct[kt] = result
+            if cache is not None and result.completion_state in (
+                HttpCompletionState.SUCCESS,
+            ):
+                if result.rows or cache.config.cache_missing_key:
+                    cache.put(kt, result)
+
+    # --- assemble output rows -----------------------------------------
+    out_cols: Dict[str, List[Any]] = {name: [] for name in list(cfg.out_col_names)}
+    probe_values = {name: pdf[name].tolist() for name in probe_col_names}
+
+    for i in range(n):
+        result = distinct[row_keys[i]]
+        assert result is not None
+        rows = result.rows
+        if not rows:
+            if not emit_on_empty:
+                continue
+            rows = [None]  # one null-enrichment row
+        for row in rows:
+            for name in probe_col_names:
+                out_cols[name].append(probe_values[name][i])
+            for f in output_lookup_fields:
+                name = f"{lookup_prefix}{f.name}"
+                if row is None:
+                    out_cols[name].append(None)
+                    continue
+                value = _coerce(row.get(f.name), f.dataType)
+                # join-key backfill: null result key ← probe value
+                if value is None and f.name in key_lookup_names:
+                    idx = key_lookup_names.index(f.name)
+                    value = row_keys[i][idx]
+                out_cols[name].append(value)
+            if meta_fields:
+                meta_map = {
+                    "error-string": result.error_string,
+                    "http-status-code": result.status_code,
+                    "http-headers": dict(result.headers) if result.headers else None,
+                    "http-completion-state": result.completion_state.value,
+                }
+                for mname in meta_names:
+                    out_cols[f"{lookup_prefix}{mname}"].append(meta_map[mname])
+
+    out = pd.DataFrame(
+        {name: pd.Series(values, dtype="object")
+         for name, values in out_cols.items()}
+    )
+    return out
+
+
 def http_lookup_join(
     probe: DataFrame,
     table: HttpLookupTable,
@@ -400,338 +767,32 @@ def http_lookup_join(
     rows_acc = sc.accumulator(0)         # enriched rows emitted
 
     # plain-data config captured by the closure (all picklable)
-    table_ref = table
+    cfg = _EnrichConfig(
+        table=table,
+        pairs=tuple(pairs),
+        probe_col_names=tuple(probe_col_names),
+        output_lookup_fields=tuple(output_lookup_fields),
+        out_col_names=tuple(f.name for f in out_fields),
+        lookup_prefix=lookup_prefix,
+        key_lookup_names=tuple(key_lookup_names),
+        meta_names=tuple(meta_names),
+        emit_on_empty=emit_on_empty,
+    )
 
     def enrich(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        client = _client_for(table_ref)
+        client = _client_for(cfg.table)
         cache: Optional[LruTtlCache] = None
-        if table_ref.options.cache is not None:
-            cache = shared_cache(table_ref.fingerprint(), table_ref.options.cache)
-        pool_size = max(1, table_ref.options.pull_pool_size)
-
+        if cfg.table.options.cache is not None:
+            cache = shared_cache(cfg.table.fingerprint(), cfg.table.options.cache)
         for pdf in batches:
-            n = len(pdf)
-            if n == 0:
-                continue
-            # --- distinct-key extraction (batch-level dedup) ------------------
-            key_cols: List[List[Any]] = []
-            for probe_col, _lk in pairs:
-                path = probe_col.split(".")
-                root = pdf[path[0]]
-                if len(path) == 1:
-                    key_cols.append(root.tolist())
-                else:
-                    key_cols.append([_extract_path(v, path[1:]) for v in root])
-            row_keys: List[Tuple] = list(zip(*key_cols))
-            distinct: Dict[Tuple, Optional[HttpLookupResult]] = {}
-            for kt in row_keys:
-                distinct.setdefault(kt, None)
-
-            # --- cache probe + thread-pooled fetch ----------------------------
-            to_fetch: List[Tuple] = []
-            # (key, etag, stale result) triples for conditional refresh
-            to_revalidate: List[Tuple[Tuple, str, HttpLookupResult]] = []
-            batch_size = table_ref.options.lookup_batch_size
-            revalidating = (
-                cache is not None and cache.config.revalidate
-                and not batch_size  # conditional GET is a per-key exchange
+            out = _enrich_pdf(
+                cfg, client, cache, pdf, calls_acc.add, cache_hits_acc.add
             )
-            for kt in distinct:
-                if cache is None:
-                    to_fetch.append(kt)
-                    continue
-                if revalidating:
-                    value, state = cache.probe(kt)
-                    if state == "fresh":
-                        distinct[kt] = value
-                        continue
-                    etag = _etag_of(value) if state == "stale" else None
-                    if etag:
-                        to_revalidate.append((kt, etag, value))
-                    else:
-                        to_fetch.append(kt)
-                else:
-                    cached = cache.get(kt)
-                    if cached is not None:
-                        distinct[kt] = cached
-                    else:
-                        to_fetch.append(kt)
-
-            calls_acc.add(
-                (-(-len(to_fetch) // batch_size) if (batch_size and to_fetch)
-                 else len(to_fetch)) + len(to_revalidate)
-            )
-            cache_hits_acc.add(
-                len(distinct) - len(to_fetch) - len(to_revalidate)
-            )
-
-            def key_values_of(kt: Tuple) -> Dict[str, Any]:
-                return {_leaf_name(lk): v for (_pc, lk), v in zip(pairs, kt)}
-
-            # --- conditional refresh of expired entries (If-None-Match) -------
-            if to_revalidate:
-                if table_ref.options.use_async and len(to_revalidate) > 1:
-                    # pipeline conditional GETs on a pull pool exactly like
-                    # the plain-fetch async path — a partition with many
-                    # expired ETag'd keys must not serialize round-trips
-                    # that a cold fetch would run concurrently. A lapsed
-                    # whole-batch deadline degrades to the stale cached
-                    # value (the entry stays expired, so the next batch
-                    # retries revalidation) instead of stalling the task.
-                    opts = table_ref.options
-                    reval_workers = max(
-                        1, min(pool_size, len(to_revalidate))
-                    )
-                    reval_deadline = (
-                        None if opts.async_timeout is None
-                        else time.monotonic() + opts.async_timeout
-                    )
-                    reval_pool = ThreadPoolExecutor(max_workers=reval_workers)
-                    try:
-                        reval_futs = [
-                            (kt, prev, reval_pool.submit(
-                                client.pull_conditional,
-                                key_values_of(kt), etag, prev))
-                            for kt, etag, prev in to_revalidate
-                        ]
-                        revalidated = []
-                        for kt, prev, fut in reval_futs:
-                            try:
-                                result = (
-                                    fut.result() if reval_deadline is None
-                                    else fut.result(timeout=max(
-                                        0.0,
-                                        reval_deadline - time.monotonic()))
-                                )
-                            except FuturesTimeoutError:
-                                fut.cancel()
-                                # serve stale WITHOUT refreshing the TTL —
-                                # the entry stays expired so the next batch
-                                # retries the conditional GET
-                                revalidated.append((kt, prev, False))
-                                continue
-                            revalidated.append((kt, result, True))
-                    finally:
-                        reval_pool.shutdown(wait=False, cancel_futures=True)
-                else:
-                    revalidated = [
-                        (kt, client.pull_conditional(
-                            key_values_of(kt), etag, prev), True)
-                        for kt, etag, prev in to_revalidate
-                    ]
-                for kt, result, fresh in revalidated:
-                    distinct[kt] = result
-                    if fresh and result.completion_state in (
-                        HttpCompletionState.SUCCESS,
-                    ):
-                        if result.rows or cache.config.cache_missing_key:
-                            cache.put(kt, result)  # 304 → same body, fresh TTL
-
-            if to_fetch and batch_size:
-                # multi-key batch mode: N distinct keys per request; chunks
-                # fetch concurrently on the pull pool under use_async
-                leaf_names = [_leaf_name(lk) for _, lk in pairs]
-                # canonicalize response/request key values through the
-                # DECLARED schema types before matching (the per-key path
-                # coerces during decode; without this an endpoint echoing
-                # "42" for int key 42 reads as empty for every key)
-                key_coercers = [
-                    _key_coercer(table_ref.schema, lk) for _, lk in pairs
-                ]
-                chunks = [
-                    to_fetch[i : i + batch_size]
-                    for i in range(0, len(to_fetch), batch_size)
-                ]
-
-                def fetch_chunk(
-                    chunk: List[Tuple],
-                    abandoned: Optional[threading.Event] = None,
-                ) -> List[Tuple]:
-                    kvs = [key_values_of(kt) for kt in chunk]
-                    exchange = client.send_multi(kvs)
-                    if abandoned is not None and abandoned.is_set():
-                        # the caller already reported this chunk as timed
-                        # out and discarded our result — skip the publish
-                        # phase so the dead thread fires NO on_response
-                        # observers and NO failure accounting (re-checked
-                        # inside publish_multi right before its first
-                        # side effect, closing the race where the caller
-                        # abandons between this check and the publish)
-                        return []
-                    return list(
-                        zip(chunk,
-                            client.publish_multi(
-                                exchange, kvs, leaf_names, key_coercers,
-                                abandoned=abandoned))
-                    )
-
-                if table_ref.options.use_async and len(chunks) > 1:
-                    # async_timeout here is a WHOLE-BATCH deadline (the
-                    # reference's table.exec.async-lookup.timeout bounds
-                    # the complete async operation the same way): once it
-                    # lapses, every not-yet-joined chunk is reported as
-                    # timed out — a hung endpoint yields timeout results
-                    # instead of stalling the task forever
-                    opts = table_ref.options
-                    workers = max(1, min(pool_size, len(chunks)))
-                    deadline = (
-                        None if opts.async_timeout is None
-                        else time.monotonic() + opts.async_timeout
-                    )
-                    pool = ThreadPoolExecutor(max_workers=workers)
-                    try:
-                        futs = [
-                            (chunk, ev, pool.submit(fetch_chunk, chunk, ev))
-                            for chunk in chunks
-                            for ev in (threading.Event(),)
-                        ]
-                        fetched = []
-                        for chunk, ev, fut in futs:
-                            try:
-                                part = (
-                                    fut.result() if deadline is None
-                                    else fut.result(timeout=max(
-                                        0.0, deadline - time.monotonic()))
-                                )
-                            except FuturesTimeoutError:
-                                ev.set()  # in-flight thread: publish no more
-                                fut.cancel()
-                                kvs = [key_values_of(kt) for kt in chunk]
-                                part = list(zip(chunk, client.publish_multi(
-                                    (None, None, (
-                                        f"async batch lookup timed out after "
-                                        f"{opts.async_timeout}s", None,
-                                    )),
-                                    kvs, leaf_names,
-                                )))
-                            fetched.extend(part)
-                    finally:
-                        # don't block on hung in-flight requests: results
-                        # are already materialized at the deadline; the
-                        # abandoned sockets still die at request_timeout
-                        pool.shutdown(wait=False, cancel_futures=True)
-                else:
-                    fetched = [
-                        pair for chunk in chunks for pair in fetch_chunk(chunk)
-                    ]
-                for kt, result in fetched:
-                    distinct[kt] = result
-                    if cache is not None and result.completion_state in (
-                        HttpCompletionState.SUCCESS,
-                    ):
-                        if result.rows or cache.config.cache_missing_key:
-                            cache.put(kt, result)
-            elif to_fetch:
-                _maybe_advise_batch_lookup(len(to_fetch))
-                if not table_ref.options.use_async or len(to_fetch) == 1:
-                    # sync mode: strictly sequential per-key firing, the
-                    # reference's synchronous LookupFunction semantics
-                    fetched = [
-                        (kt, client.pull(key_values_of(kt))) for kt in to_fetch
-                    ]
-                else:
-                    # asyncPolling: network phase pipelined on the pull pool,
-                    # classify/decode published on the publish pool
-                    # (AsyncHttpTableLookupFunction.java:40-42,94-115).
-                    # buffer-capacity caps in-flight requests; the timeout is
-                    # a per-request deadline from submission
-                    # (table.exec.async-lookup.*, T2)
-                    opts = table_ref.options
-                    fetch_workers = max(
-                        1, min(pool_size, opts.async_buffer_capacity)
-                    )
-                    deadline = (
-                        None if opts.async_timeout is None
-                        else time.monotonic() + opts.async_timeout
-                    )
-
-                    def exchange_of(fut):
-                        if deadline is None:
-                            return fut.result()
-                        try:
-                            return fut.result(
-                                timeout=max(0.0, deadline - time.monotonic())
-                            )
-                        except FuturesTimeoutError:
-                            fut.cancel()
-                            return (None, None, (
-                                f"async lookup timed out after "
-                                f"{opts.async_timeout}s", None,
-                            ))
-
-                    publish_size = max(1, opts.publish_pool_size)
-                    pull_pool = ThreadPoolExecutor(max_workers=fetch_workers)
-                    publish_pool = ThreadPoolExecutor(max_workers=publish_size)
-                    try:
-                        send_futs = [
-                            (kt, pull_pool.submit(client.send, key_values_of(kt)))
-                            for kt in to_fetch
-                        ]
-                        pub_futs = [
-                            (kt, publish_pool.submit(
-                                lambda f=f: client.publish(exchange_of(f))))
-                            for kt, f in send_futs
-                        ]
-                        fetched = [(kt, pf.result()) for kt, pf in pub_futs]
-                    finally:
-                        # timeout results are already materialized — don't
-                        # let pool teardown block on a hung send future
-                        # (abandoned sockets still die at request_timeout)
-                        publish_pool.shutdown(wait=False, cancel_futures=True)
-                        pull_pool.shutdown(wait=False, cancel_futures=True)
-                for kt, result in fetched:
-                    distinct[kt] = result
-                    if cache is not None and result.completion_state in (
-                        HttpCompletionState.SUCCESS,
-                    ):
-                        if result.rows or cache.config.cache_missing_key:
-                            cache.put(kt, result)
-
-            # --- assemble output rows -----------------------------------------
-            out_cols: Dict[str, List[Any]] = {name: [] for name in
-                                              [f.name for f in out_fields]}
-            probe_values = {name: pdf[name].tolist() for name in probe_col_names}
-
-            for i in range(n):
-                result = distinct[row_keys[i]]
-                assert result is not None
-                rows = result.rows
-                if not rows:
-                    if not emit_on_empty:
-                        continue
-                    rows = [None]  # one null-enrichment row
-                for row in rows:
-                    for name in probe_col_names:
-                        out_cols[name].append(probe_values[name][i])
-                    for f in output_lookup_fields:
-                        name = f"{lookup_prefix}{f.name}"
-                        if row is None:
-                            out_cols[name].append(None)
-                            continue
-                        value = _coerce(row.get(f.name), f.dataType)
-                        # join-key backfill: null result key ← probe value
-                        if value is None and f.name in key_lookup_names:
-                            idx = key_lookup_names.index(f.name)
-                            value = row_keys[i][idx]
-                        out_cols[name].append(value)
-                    if meta_fields:
-                        meta_map = {
-                            "error-string": result.error_string,
-                            "http-status-code": result.status_code,
-                            "http-headers": dict(result.headers) if result.headers else None,
-                            "http-completion-state": result.completion_state.value,
-                        }
-                        for mname in meta_names:
-                            out_cols[f"{lookup_prefix}{mname}"].append(meta_map[mname])
-
-            out = pd.DataFrame(
-                {name: pd.Series(values, dtype="object")
-                 for name, values in out_cols.items()}
-            )
-            if len(out) == 0:
+            if out is None or len(out) == 0:
                 continue
             rows_acc.add(len(out))
             yield out
+
 
     if num_partitions is not None:
         # hash-partition on the lookup keys: keeps every occurrence of a key

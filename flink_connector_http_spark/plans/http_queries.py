@@ -821,6 +821,41 @@ def http_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "http_sql_udtf_lookup",
+    oracle="""
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    """,
+    doc="SQL UDTF lookup surface — reference parity: the lookup function "
+        "IS a Flink UDTF (HttpTableLookupFunction.java:48, SURVEY §2.8). "
+        "`SELECT * FROM http_lookup(TABLE(probe), url => ..., on => ..., "
+        "schema => ...)` registers via Spark 4 Python UDTFs; probe rows "
+        "buffer per task and flush in 1024-row batches through the SAME "
+        "_enrich_pdf machinery as http_lookup_join (distinct-key dedup, "
+        "pooled client, emptiness rule, key backfill) — NOT row-at-a-time "
+        "eval. Same oracle as http_sql_lookup_join, so the two SQL "
+        "spellings are pinned hash-identical.",
+)
+def http_sql_udtf_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sqlfn import register_http_sql_functions
+
+    register_http_sql_functions(spark)
+    stub = _stub_for(sf_dir)
+    spark.read.parquet(f"{sf_dir}/supplier.parquet").createOrReplaceTempView(
+        "supplier_v"
+    )
+    return spark.sql(f"""
+        SELECT s_suppkey, s_name, n_name
+        FROM http_lookup(
+            TABLE(SELECT s_suppkey, s_name, s_nationkey FROM supplier_v),
+            url => '{stub.url("/nation")}',
+            on => 's_nationkey=n_nationkey',
+            schema => 'n_nationkey INT, n_name STRING, n_regionkey INT',
+            select => 'n_name')
+    """)
+
+
+@register(
     "http_sql_lookup_join",
     oracle="""
     SELECT s_suppkey, s_name, n_name

@@ -346,3 +346,148 @@ def test_write_entry_validates_and_migration_skips_traversal_names(
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         http_drop_table(spark, "perm_mig_good", if_exists=True)
+
+
+class TestHttpLookupUdtf:
+    """http_lookup — the vectorized SQL UDTF lookup surface (reference
+    parity: HttpTableLookupFunction.java:48 is a Flink UDTF). Probe rows
+    flush in buffered batches through lookup._enrich_pdf, so request
+    volume is bounded by DISTINCT keys per batch, never probe rows."""
+
+    def _customers(self, stub_server):
+        from flink_connector_http_spark.testing import StubResponse
+
+        people = {1: "alice", 2: "bob", 3: "carol"}
+
+        def responder(req):
+            cid = int(req.query["id"][0])
+            if cid not in people:
+                return StubResponse(status=200, body=b"")  # empty = no row
+            body = json.dumps({"id": cid, "name": people[cid]}).encode()
+            return StubResponse(status=200, body=body)
+
+        stub_server.stub("/people", responder)
+
+    def test_inner_join_and_distinct_key_dedup(self, spark, stub_server):
+        from flink_connector_http_spark.sqlfn import register_http_sql_functions
+
+        register_http_sql_functions(spark)
+        self._customers(stub_server)
+        # 40 probe rows over 2 distinct present keys in ONE partition:
+        # the request count proves the vectorized path (2 requests, not 40)
+        rows = spark.sql(f"""
+            SELECT id, v, name
+            FROM http_lookup(
+                TABLE(SELECT id % 2 + 1 AS id, id AS v
+                      FROM range(40) DISTRIBUTE BY 1),
+                url => '{stub_server.url("/people")}',
+                on => 'id',
+                schema => 'id BIGINT, name STRING',
+                select => 'name')
+        """).collect()
+        assert len(rows) == 40
+        assert {(r.id, r.name) for r in rows} == {(1, "alice"), (2, "bob")}
+        assert len(stub_server.recorded("/people")) == 2
+
+    def test_left_join_missing_keys_null_enrichment(self, spark, stub_server):
+        from flink_connector_http_spark.sqlfn import register_http_sql_functions
+
+        register_http_sql_functions(spark)
+        self._customers(stub_server)
+        rows = spark.sql(f"""
+            SELECT id, name
+            FROM http_lookup(
+                TABLE(SELECT CAST(id AS BIGINT) + 1 AS id FROM range(4)),
+                url => '{stub_server.url("/people")}',
+                on => 'id',
+                schema => 'id BIGINT, name STRING',
+                select => 'name',
+                how => 'left')
+        """).collect()
+        got = {(r.id, r.name) for r in rows}
+        assert got == {(1, "alice"), (2, "bob"), (3, "carol"), (4, None)}
+
+    def test_inner_join_emptiness_rule_drops_rows(self, spark, stub_server):
+        from flink_connector_http_spark.sqlfn import register_http_sql_functions
+
+        register_http_sql_functions(spark)
+        self._customers(stub_server)
+        rows = spark.sql(f"""
+            SELECT id FROM http_lookup(
+                TABLE(SELECT CAST(id AS BIGINT) + 1 AS id FROM range(4)),
+                url => '{stub_server.url("/people")}',
+                on => 'id',
+                schema => 'id BIGINT, name STRING',
+                select => 'name')
+        """).collect()
+        assert sorted(r.id for r in rows) == [1, 2, 3]
+
+    def test_batch_size_uses_multi_key_requests(self, spark, stub_server):
+        from flink_connector_http_spark.sqlfn import register_http_sql_functions
+        from flink_connector_http_spark.testing import StubResponse
+
+        register_http_sql_functions(spark)
+
+        def responder(req):
+            # multi-key batch = ONE POST whose body is the key-object array
+            ids = [int(k["id"]) for k in req.json()]
+            body = json.dumps(
+                [{"id": i, "name": f"user{i}"} for i in ids]
+            ).encode()
+            return StubResponse(status=200, body=body)
+
+        stub_server.stub("/people-batch", responder)
+        rows = spark.sql(f"""
+            SELECT id, name
+            FROM http_lookup(
+                TABLE(SELECT CAST(id AS BIGINT) AS id
+                      FROM range(10) DISTRIBUTE BY 1),
+                url => '{stub_server.url("/people-batch")}',
+                on => 'id',
+                schema => 'id BIGINT, name STRING',
+                select => 'name',
+                batch_size => 5)
+        """).collect()
+        assert {(r.id, r.name) for r in rows} == {
+            (i, f"user{i}") for i in range(10)
+        }
+        # 10 distinct keys / batch_size 5 = 2 multi-key requests
+        assert len(stub_server.recorded("/people-batch")) == 2
+
+    def test_prefix_and_metadata_columns(self, spark, stub_server):
+        from flink_connector_http_spark.sqlfn import register_http_sql_functions
+
+        register_http_sql_functions(spark)
+        self._customers(stub_server)
+        rows = spark.sql(f"""
+            SELECT id, lk_name, `lk_http-status-code` AS status
+            FROM http_lookup(
+                TABLE(SELECT CAST(1 AS BIGINT) AS id),
+                url => '{stub_server.url("/people")}',
+                on => 'id',
+                schema => 'id BIGINT, name STRING',
+                select => 'name',
+                prefix => 'lk_',
+                metadata => 'http-status-code')
+        """).collect()
+        assert [(r.id, r.lk_name, r.status) for r in rows] == [(1, "alice", 200)]
+
+    def test_bad_args_raise_helpfully(self, spark, stub_server):
+        from flink_connector_http_spark.sqlfn import register_http_sql_functions
+
+        register_http_sql_functions(spark)
+        with pytest.raises(Exception, match="required"):
+            spark.sql("""
+                SELECT * FROM http_lookup(
+                    TABLE(SELECT 1 AS id),
+                    on => 'id',
+                    schema => 'id BIGINT')
+            """).collect()
+        with pytest.raises(Exception, match="not in schema"):
+            spark.sql("""
+                SELECT * FROM http_lookup(
+                    TABLE(SELECT 1 AS id),
+                    url => 'http://x/',
+                    on => 'id=missing',
+                    schema => 'id BIGINT')
+            """).collect()
