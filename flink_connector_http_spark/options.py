@@ -134,6 +134,7 @@ SINK_OPTION_KEYS = {
     "retry_delay": "sink.retry-delay",
     "retry_backoff_multiplier": "sink.retry-backoff-multiplier",
     "retry_max_backoff": "sink.retry-max-backoff",
+    "dead_letter_path": "sink.dead-letter.path",
     # beyond-reference, OPT-IN: gzip request bodies (endpoint must accept
     # Content-Encoding: gzip)
     "gzip_request_body": "sink.gzip-request-body",
@@ -272,6 +273,13 @@ class HttpSinkOptions:
     # compress 5-10x, so a 5 MiB flush crosses the wire as ~0.5-1 MiB —
     # off by default because the endpoint must accept encoded bodies
     gzip_request_body: bool = False
+    # opt-in dead-letter capture (beyond-reference: HttpSinkWriter.java:
+    # 129-135 only COUNTS failed requests). When set, every entry whose
+    # request exhausts the retry budget lands as one JSONL row
+    # (method, payload base64-exact, status, error, ts) under this
+    # Spark-readable directory instead of being dropped. Default None =
+    # reference parity: failures are counted and discarded.
+    dead_letter_path: Optional[str] = None
 
 
 def _collect_prefixed(options: Mapping[str, str], prefix: str) -> Dict[str, str]:
@@ -398,7 +406,8 @@ def sink_options_from_map(options: Mapping[str, str]) -> HttpSinkOptions:
         if k[name] in options:
             kwargs[name] = conv(options[k[name]])
     for name in ("error_codes", "error_codes_exclude", "payload_format",
-                 "server_ca", "client_cert", "client_key"):
+                 "server_ca", "client_cert", "client_key",
+                 "dead_letter_path"):
         if k[name] in options:
             kwargs[name] = options[k[name]]
     if k["allow_self_signed"] in options:

@@ -524,6 +524,79 @@ def http_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "http_sink_dead_letter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_quantity >= 45
+    """,
+    doc="Sink dead-letter capture e2e (beyond-reference: "
+        "HttpSinkWriter.java:129-135 only COUNTS failures): the endpoint "
+        "deterministically 500s every l_orderkey % 7 == 0 payload; with "
+        "sink.dead-letter.path those entries land as byte-exact JSONL "
+        "rows. The returned DataFrame is delivered rows (parsed from the "
+        "endpoint's recorded bodies) UNION dead-lettered rows (read back "
+        "with spark.read.json + unbase64 + from_json — the Spark-readable "
+        "contract), and the oracle pins delivered + failed = input "
+        "losslessly under the hash gate.",
+)
+def http_sink_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import base64
+    import tempfile
+
+    from ..testing import StubHttpServer, StubResponse
+
+    server = StubHttpServer()
+
+    def responder(req):
+        if json.loads(req.body)["l_orderkey"] % 7 == 0:
+            return StubResponse(status=500, body=b"persistent failure")
+        return StubResponse(status=200, body=b'{"ok": true}')
+
+    server.stub("/collect-dl", responder)
+    server.start()
+    dl_path = tempfile.mkdtemp(prefix="http_sink_dl_")
+
+    df = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter((F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 45))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+    write_http(
+        df,
+        server.url("/collect-dl"),
+        HttpSinkOptions(insert_method="POST", request_mode="single",
+                        dead_letter_path=dl_path),
+    )
+
+    delivered = []
+    for req in server.recorded("/collect-dl"):
+        rec = json.loads(req.body)
+        if rec["l_orderkey"] % 7 != 0:
+            delivered.append(rec)
+    server.stop()
+    schema = T.StructType([
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_linenumber", T.IntegerType()),
+        T.StructField("l_quantity", T.DoubleType()),
+        T.StructField("l_extendedprice", T.DoubleType()),
+    ])
+    delivered_df = spark.createDataFrame(delivered, schema=schema)
+    # the Spark-readable contract: dead letters come back as a DataFrame
+    failed_df = (
+        spark.read.json(dl_path)
+        .select(
+            F.from_json(
+                F.unbase64(F.col("payload_b64")).cast("string"),
+                schema,
+            ).alias("r")
+        )
+        .select("r.*")
+    )
+    return delivered_df.unionByName(failed_df)
+
+
+@register(
     "http_sink_roundtrip_jsonl",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice

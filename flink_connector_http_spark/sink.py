@@ -134,6 +134,7 @@ class HttpSinkWriter:
         self.records_sent = 0
         self.send_errors = 0          # numRecordsSendErrors parity
         self.requests_sent = 0
+        self.dead_letters_written = 0  # entries captured under dead-letter.path
         # daemon ticker so a quiet writer still honors the age deadline;
         # tests inject a fake clock and call _flush_if_aged() directly
         if age_ticker and options.max_time_in_buffer > 0:
@@ -209,7 +210,8 @@ class HttpSinkWriter:
             self._oldest_ts = None
         if self.options.request_mode == "single":
             for entry in entries:
-                self._submit(entry.method, entry.payload)
+                self._submit(entry.method, entry.payload,
+                             payloads=(entry.payload,))
             return
         # batch mode: JSON-array framing, split on method change (reference
         # BatchRequestSubmitter.java:68-93) and on batch_size/bytes bounds.
@@ -236,7 +238,8 @@ class HttpSinkWriter:
             body = b"\n".join(e.payload for e in group)
         else:  # concat: self-delimiting payloads (length-prefixed binary)
             body = b"".join(e.payload for e in group)
-        self._submit(group[0].method, body, record_count=len(group))
+        self._submit(group[0].method, body, record_count=len(group),
+                     payloads=tuple(e.payload for e in group))
 
     # -- bounded-in-flight submission -------------------------------------------
 
@@ -255,7 +258,13 @@ class HttpSinkWriter:
         for fut in done:
             fut.result()  # propagate transport-level failures
 
-    def _submit(self, method: str, body: bytes, record_count: int = 1) -> None:
+    def _submit(
+        self,
+        method: str,
+        body: bytes,
+        record_count: int = 1,
+        payloads: Optional[Tuple[bytes, ...]] = None,
+    ) -> None:
         while True:
             with self._lock:
                 n_pending = len(self._pending)
@@ -269,12 +278,17 @@ class HttpSinkWriter:
             body = _gzip.compress(body, compresslevel=6)
             headers = {**dict(headers), "Content-Encoding": "gzip"}
         spec = HttpRequestSpec(method=method, url=self.url, headers=headers, body=body)
-        future = self._pool.submit(self._send_one, spec, record_count)
+        future = self._pool.submit(self._send_one, spec, record_count, payloads)
         with self._lock:
             self._pending[future] = record_count
             self._inflight_records += record_count
 
-    def _send_one(self, spec: HttpRequestSpec, record_count: int) -> None:
+    def _send_one(
+        self,
+        spec: HttpRequestSpec,
+        record_count: int,
+        payloads: Optional[Tuple[bytes, ...]] = None,
+    ) -> None:
         """Send one framed request. Default (max_retries=0) is reference
         parity: a failed request is counted, never retried
         (``HttpSinkWriter.java:114,129-135``). With the OPT-IN
@@ -282,9 +296,15 @@ class HttpSinkWriter:
         status is retried with exponential backoff; only exhaustion counts
         as send errors. At-least-once either way — with an idempotency-
         keyed endpoint (http_sink_idempotent_replay) retry upgrades
-        transient blips to successes for free."""
+        transient blips to successes for free. With the opt-in
+        ``sink.dead-letter.path`` every exhausted entry's original
+        (unframed) payload lands as a dead-letter row instead of being
+        dropped (``payloads`` carries them; the wire ``spec.body`` may be
+        framed/gzipped)."""
         attempts = 1 + max(0, self.options.max_retries)
         server_hint = None
+        last_status: Optional[int] = None
+        last_error: Optional[str] = None
         for attempt in range(attempts):
             if attempt:
                 delay = (
@@ -303,11 +323,13 @@ class HttpSinkWriter:
                 self.rate_limiter.acquire()
             try:
                 response = self.transport.send(spec)
-            except (OSError, http.client.HTTPException):
+            except (OSError, http.client.HTTPException) as err:
                 # HTTPException covers BadStatusLine and the transport's
                 # corrupt-compressed-body re-raise — same transport-failure
                 # class the lookup path treats as retriable
                 server_hint = None
+                last_status = None
+                last_error = f"{type(err).__name__}: {err}"
                 continue  # transport error: next attempt (or fall out)
             if self.on_response is not None:
                 self.on_response(spec, response)
@@ -317,12 +339,58 @@ class HttpSinkWriter:
                 from .client import _retry_after_hint
 
                 server_hint = _retry_after_hint(response)
+                last_status = response.status
+                last_error = f"error-classified status {response.status}"
                 continue
             with self._lock:
                 self.records_sent += record_count
             return
         with self._lock:
             self.send_errors += record_count
+        if self.options.dead_letter_path and payloads:
+            self._write_dead_letters(
+                spec.method, payloads, last_status, last_error
+            )
+
+    def _write_dead_letters(
+        self,
+        method: str,
+        payloads: Tuple[bytes, ...],
+        status: Optional[int],
+        error: Optional[str],
+    ) -> None:
+        """Persist exhausted entries under ``sink.dead-letter.path`` as
+        JSONL rows ``(method, payload_b64, status, error, ts)`` —
+        base64 keeps the payload byte-exact, JSONL keeps the directory
+        directly Spark-readable (``spark.read.json(path)`` +
+        ``unbase64(payload_b64)``). One uniquely-named file per failed
+        request, written atomically (tmp + rename), so concurrent writer
+        tasks never interleave."""
+        import base64
+        import json as _json
+        import os
+        import uuid
+
+        path = self.options.dead_letter_path
+        os.makedirs(path, exist_ok=True)
+        ts = time.time()
+        lines = [
+            _json.dumps({
+                "method": method,
+                "payload_b64": base64.b64encode(p).decode("ascii"),
+                "status": status,
+                "error": error,
+                "ts": ts,
+            }, sort_keys=True)
+            for p in payloads
+        ]
+        name = f"dead-letter-{uuid.uuid4().hex}.jsonl"
+        tmp = os.path.join(path, f".{name}.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write("\n".join(lines) + "\n")
+        os.replace(tmp, os.path.join(path, name))
+        with self._lock:
+            self.dead_letters_written += len(payloads)
 
     def close(self) -> None:
         self._closed.set()

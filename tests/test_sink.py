@@ -410,3 +410,113 @@ def test_sink_gzip_request_body_opt_in(stub_server):
     opts = sink_options_from_map({"sink.gzip-request-body": "true"})
     assert opts.gzip_request_body is True
     assert sink_options_from_map({}).gzip_request_body is False
+
+
+class TestDeadLetterCapture:
+    """Opt-in ``sink.dead-letter.path`` (beyond-reference: the reference
+    only counts failed requests, HttpSinkWriter.java:129-135): entries
+    whose request exhausts the retry budget land as byte-exact JSONL
+    dead-letter rows instead of being dropped. Default off = parity."""
+
+    @staticmethod
+    def _read_dead_letters(path):
+        import base64
+        import pathlib
+
+        rows = []
+        for f in sorted(pathlib.Path(path).glob("*.jsonl")):
+            for line in f.read_text().splitlines():
+                rec = json.loads(line)
+                rec["payload"] = base64.b64decode(rec["payload_b64"])
+                rows.append(rec)
+        return rows
+
+    def test_single_mode_exact_payload_recovery(self, stub_server, tmp_path):
+        # fail exactly the odd-i payloads, deterministically, every attempt
+        def responder(req):
+            if json.loads(req.body)["i"] % 2 == 1:
+                return StubResponse(status=500, body=b"boom")
+            return json_response({"ok": True})
+
+        stub_server.stub("/dl-single", responder)
+        dl = str(tmp_path / "dead-letters")
+        writer = HttpSinkWriter(
+            stub_server.url("/dl-single"),
+            HttpSinkOptions(request_mode="single", max_retries=1,
+                            retry_delay=0.01, dead_letter_path=dl),
+        )
+        batch = entries(6)
+        for e in batch:
+            writer.write(e)
+        writer.close()
+        assert writer.records_sent == 3 and writer.send_errors == 3
+        assert writer.dead_letters_written == 3
+        dead = self._read_dead_letters(dl)
+        # byte-exact payloads of exactly the failed entries, with context
+        assert sorted(d["payload"] for d in dead) == sorted(
+            e.payload for e in batch if json.loads(e.payload)["i"] % 2 == 1
+        )
+        for d in dead:
+            assert d["method"] == "POST"
+            assert d["status"] == 500
+            assert "500" in d["error"]
+            assert isinstance(d["ts"], float)
+        # delivered + dead == input, losslessly
+        delivered = [req.body for req in stub_server.recorded("/dl-single")
+                     if json.loads(req.body)["i"] % 2 == 0]
+        assert sorted(set(delivered) | {d["payload"] for d in dead}) == sorted(
+            e.payload for e in batch
+        )
+
+    def test_batch_mode_captures_each_group_entry(self, stub_server, tmp_path):
+        stub_server.stub("/dl-batch",
+                         lambda req: StubResponse(status=503, body=b""))
+        dl = str(tmp_path / "dl")
+        writer = HttpSinkWriter(
+            stub_server.url("/dl-batch"),
+            HttpSinkOptions(request_mode="batch", batch_size=10,
+                            dead_letter_path=dl),
+        )
+        batch = entries(5)
+        for e in batch:
+            writer.write(e)
+        writer.close()
+        assert writer.send_errors == 5 and writer.dead_letters_written == 5
+        dead = self._read_dead_letters(dl)
+        # the group request fails ONCE but every entry is captured
+        # individually with its original UNFRAMED payload
+        assert sorted(d["payload"] for d in dead) == sorted(
+            e.payload for e in batch
+        )
+        assert {d["status"] for d in dead} == {503}
+
+    def test_transport_error_records_error_string(self, tmp_path):
+        dl = str(tmp_path / "dl")
+        writer = HttpSinkWriter(
+            "http://127.0.0.1:1/unreachable",  # connection refused
+            HttpSinkOptions(request_mode="single", dead_letter_path=dl,
+                            request_timeout=0.5),
+        )
+        writer.write(entries(1)[0])
+        writer.close()
+        assert writer.send_errors == 1 and writer.dead_letters_written == 1
+        (dead,) = self._read_dead_letters(dl)
+        assert dead["status"] is None and dead["error"]
+
+    def test_default_off_reference_parity(self, stub_server, tmp_path):
+        stub_server.stub("/dl-off",
+                         lambda req: StubResponse(status=500, body=b""))
+        writer = HttpSinkWriter(
+            stub_server.url("/dl-off"),
+            HttpSinkOptions(request_mode="single"),
+        )
+        writer.write(entries(1)[0])
+        writer.close()
+        assert writer.send_errors == 1
+        assert writer.dead_letters_written == 0
+
+    def test_option_map_key(self):
+        from flink_connector_http_spark.options import sink_options_from_map
+
+        opts = sink_options_from_map({"sink.dead-letter.path": "/tmp/x"})
+        assert opts.dead_letter_path == "/tmp/x"
