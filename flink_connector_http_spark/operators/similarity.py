@@ -303,6 +303,130 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# incremental ANN index maintenance — the retrieval twin of
+# dedup_incremental_minhash: a daily vector batch merges into the
+# persistent band index, and its probe work is bounded by batch size
+# ---------------------------------------------------------------------------
+
+EMB_INCR_SPLIT = 400  # vec_id < SPLIT is the indexed corpus, rest the batch
+
+_INCR_LSH_ORACLE = f"""
+    WITH sig AS (
+      SELECT vec_id, {_signature_duck('embedding')} AS sig FROM embeddings
+    ),
+    bands AS (
+      SELECT vec_id, band_id,
+             (sig >> (band_id * {_BITS})) & {(1 << _BITS) - 1} AS band_val
+      FROM sig CROSS JOIN (
+        SELECT unnest(range({PLANE_BANDS})) AS band_id
+      ) bs
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS neighbor_id
+      FROM bands q JOIN bands c
+        ON q.band_id = c.band_id AND q.band_val = c.band_val
+      WHERE q.vec_id >= {EMB_INCR_SPLIT} AND c.vec_id < {EMB_INCR_SPLIT}
+    ),
+    scored AS (
+      SELECT cand.q_id, cand.neighbor_id, round({COS_DUCK}, 6) AS cosine
+      FROM cand
+      JOIN embeddings a ON a.vec_id = cand.q_id
+      JOIN embeddings b ON b.vec_id = cand.neighbor_id
+    )
+    SELECT q_id, neighbor_id, cosine, rk FROM (
+      SELECT q_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    ) t WHERE rk <= {TOP_K}
+"""
+
+
+def _lsh_band_rows(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding, norm, band_id, band_val) — the persistent ANN
+    index rows for a set of vectors. A pure per-row function of the
+    embedding (md5-derived hyperplanes), which is exactly what makes the
+    index INCREMENTALLY maintainable: a new batch's rows are computed
+    from the batch alone and appended; existing rows never change
+    (byte-stability pinned by tests/test_incremental_lsh_index.py)."""
+    sig = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(_NORM.format(col="embedding")).alias("norm"),
+        F.expr(_signature_expr("embedding")).alias("sig"),
+    )
+    return sig.select(
+        "vec_id",
+        "embedding",
+        "norm",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.expr(
+                        f"(sig >> {b * _BITS}) & {(1 << _BITS) - 1}"
+                    ).alias("band_val"),
+                )
+                for b in range(PLANE_BANDS)
+            ])
+        ).alias("bk"),
+    ).select("vec_id", "embedding", "norm", "bk.band_id", "bk.band_val")
+
+
+@register(
+    "sim_incremental_lsh_index",
+    oracle=_INCR_LSH_ORACLE,
+    doc="Incremental ANN index maintenance (retrieval twin of "
+        "dedup_incremental_minhash): the corpus keeps a persistent LSH "
+        "band index; a daily vector batch computes band rows from the "
+        "BATCH ALONE (the signature is a pure per-row function of the "
+        "embedding, so merge-equals-rebuild and untouched index rows are "
+        "byte-stable — pinned by tests), appends them, and probes only "
+        "batch-vs-existing band collisions for top-k existing neighbors. "
+        "Daily work = O(batch × bucket occupancy), never corpus re-pair; "
+        "the batch side broadcasts, so the probe is one shuffle-free "
+        "broadcast-hash join against the index.",
+)
+def sim_incremental_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    # the incremental contract by construction: existing index rows are
+    # computed WITHOUT the batch, batch rows WITHOUT the corpus
+    existing = _lsh_band_rows(emb.filter(F.col("vec_id") < EMB_INCR_SPLIT))
+    batch = _lsh_band_rows(emb.filter(F.col("vec_id") >= EMB_INCR_SPLIT))
+    q = batch.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("norm").alias("a_norm"),
+        "band_id",
+        "band_val",
+    )
+    c = existing.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("norm").alias("b_norm"),
+        "band_id",
+        "band_val",
+    )
+    candidates = (
+        F.broadcast(q)
+        .join(c, ["band_id", "band_val"])
+        .select("q_id", "a_emb", "a_norm", "neighbor_id", "b_emb", "b_norm")
+        .dropDuplicates(["q_id", "neighbor_id"])
+    )
+    scored = candidates.select(
+        "q_id",
+        "neighbor_id",
+        F.expr(f"round({_DOT_AB} / (a_norm * b_norm), 6)").alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # per-label embedding centroids (the reduce step of IVF / k-means-style
 # partitioned ANN: one centroid per coarse partition)
 # ---------------------------------------------------------------------------
