@@ -202,6 +202,10 @@ def main() -> None:
     NOISY = {
         "dedup_clusters", "emb_knn_graph", "sim_ann_lsh_multiprobe",
         "q01_pricing_summary", "pipeline_corpus_manifest",
+        # endpoint-saturation-bound (per-key GET is reference semantics);
+        # its 10x ratio drifted 7.3-9.3 across r9 readings — min-of-5 so
+        # the saturation number carries a measured band (r9 verdict #8)
+        "http_lookup_customers_get",
     }
     N_RUNS_NOISY = max(N_RUNS, int(os.environ.get(
         "SPARK_GRAFT_BENCH_RUNS_NOISY", "5")))

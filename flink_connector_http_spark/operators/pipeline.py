@@ -3082,3 +3082,66 @@ def pipeline_gate_cost_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ","
         + _GATE_ORDER_SCORE
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity privacy audit (training-data governance)
+# ---------------------------------------------------------------------------
+
+K_ANON = 5   # a quasi-identifier class smaller than this is re-identifiable
+L_DIV = 3    # a class needs >= this many distinct sensitive values
+ACCTBAL_BAND = 2000  # account-balance generalization width
+
+# one SQL text for BOTH engines (floor/COUNT/CASE are portable and all
+# outputs are exact integers or single divisions rounded once at the end)
+_K_ANON_SQL = f"""
+    WITH classes AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / CAST({ACCTBAL_BAND} AS DOUBLE))
+                  AS BIGINT) AS bal_band,
+             CAST(COUNT(*) AS BIGINT) AS class_size,
+             CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive
+      FROM customer
+      GROUP BY c_nationkey,
+               CAST(floor(c_acctbal / CAST({ACCTBAL_BAND} AS DOUBLE))
+                    AS BIGINT)
+    )
+    SELECT c_nationkey,
+           CAST(SUM(class_size) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(class_size) AS BIGINT) AS min_class_size,
+           CAST(SUM(CASE WHEN class_size < {K_ANON} THEN 1 ELSE 0 END)
+                AS BIGINT) AS k_violating_classes,
+           CAST(SUM(CASE WHEN class_size < {K_ANON} THEN class_size
+                         ELSE 0 END) AS BIGINT) AS k_violating_rows,
+           CAST(SUM(CASE WHEN n_sensitive >= {L_DIV} THEN 1 ELSE 0 END)
+                AS BIGINT) AS l_diverse_classes,
+           round(CAST(SUM(CASE WHEN class_size < {K_ANON} THEN class_size
+                              ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(class_size) AS DOUBLE), 6) AS suppression_rate
+    FROM classes
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+"""
+
+
+@register(
+    "pipeline_k_anonymity",
+    oracle=_K_ANON_SQL,
+    doc=f"k-anonymity / l-diversity privacy audit (training-data "
+        f"governance — the release-gate complement of text_pii_redact): "
+        f"quasi-identifier classes are (nation, acctbal band of "
+        f"{ACCTBAL_BAND}); a class smaller than k={K_ANON} is "
+        f"re-identifiable and its rows need suppression or coarser "
+        f"generalization before release, and a class whose sensitive "
+        f"attribute (mktsegment) shows < l={L_DIV} distinct values leaks "
+        "it by membership alone. Per-nation readout: class counts, "
+        "k-violations (classes + rows), l-diverse classes, suppression "
+        "rate. Shape: ONE map-side-combinable aggregate over the QI "
+        "grain then a per-nation rollup — two shuffles on bounded key "
+        "spaces regardless of corpus size.",
+)
+def pipeline_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")["customer"]
+    customer.createOrReplaceTempView("customer")
+    return spark.sql(_K_ANON_SQL)

@@ -5174,3 +5174,51 @@ def emb_jl_projection_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     {_jl_core_sql(_JL_HASH_SPARK, "DIV")}
     """)
+
+
+# ---------------------------------------------------------------------------
+# bipartite co-purchase projection (market-basket graph construction)
+# ---------------------------------------------------------------------------
+
+COPURCHASE_TOP_E = 50
+
+# shared SQL text: the order-part bipartite graph projects onto parts —
+# edge weight = number of DISTINCT orders containing both endpoints.
+# DISTINCT first so an order holding two lines of the same part cannot
+# double-count a pair; all outputs are exact integers.
+_COPURCHASE_SQL = f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT p1, p2, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM pairs
+    GROUP BY p1, p2
+    ORDER BY n_orders DESC, p1, p2
+    LIMIT {COPURCHASE_TOP_E}
+"""
+
+
+@register(
+    "graph_copurchase_projection",
+    oracle=_COPURCHASE_SQL,
+    doc=f"Bipartite projection (market-basket graph construction): the "
+        "order-part incidence projects onto a part-part co-purchase graph "
+        "whose edge weight is the number of distinct orders containing "
+        f"both endpoints; top {COPURCHASE_TOP_E} edges with deterministic "
+        "tie-break. The same construction builds doc-term co-occurrence "
+        "or user-item graphs for recommendation / contrastive sampling. "
+        "Shape at 100 TB: the self-join groups by l_orderkey whose grain "
+        "is BOUNDED by lines-per-order (<= 13 here, 7 in TPC-H spec), so "
+        "pair fan-out is O(orders x grain^2) — linear in data, never "
+        "quadratic; the final cut is a distributed TakeOrdered, no single-"
+        "partition sort.",
+)
+def graph_copurchase_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")["lineitem"]
+    lineitem.createOrReplaceTempView("lineitem")
+    return spark.sql(_COPURCHASE_SQL)
