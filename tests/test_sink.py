@@ -520,3 +520,67 @@ class TestDeadLetterCapture:
 
         opts = sink_options_from_map({"sink.dead-letter.path": "/tmp/x"})
         assert opts.dead_letter_path == "/tmp/x"
+
+
+def test_streaming_dead_letter_capture(spark, stub_server, tmp_path):
+    """Dead-letter capture composes with the streaming sink: across
+    micro-batches, every payload the endpoint persistently rejects is
+    recoverable byte-exact from sink.dead-letter.path, and
+    delivered + dead-lettered = the full input stream."""
+    import base64
+    import pathlib
+    import time as _time
+
+    from flink_connector_http_spark import foreach_batch_http_sink
+
+    def responder(req):
+        # single mode: one record per request; odd values always fail
+        if json.loads(req.body)["value"] % 2 == 1:
+            return StubResponse(status=500, body=b"no")
+        return json_response({"ok": True})
+
+    stub_server.stub("/stream-dl", responder)
+    dl = str(tmp_path / "dead-letters")
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "40").load()
+        .selectExpr("value")
+    )
+    query = (
+        stream.writeStream
+        .foreachBatch(foreach_batch_http_sink(
+            stub_server.url("/stream-dl"),
+            HttpSinkOptions(request_mode="single", dead_letter_path=dl)))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 30
+        while _time.time() < deadline:
+            dead_files = list(pathlib.Path(dl).glob("*.jsonl")) \
+                if pathlib.Path(dl).exists() else []
+            delivered = [json.loads(r.body)["value"]
+                         for r in stub_server.recorded("/stream-dl")
+                         if json.loads(r.body)["value"] % 2 == 0]
+            if len(dead_files) >= 5 and len(delivered) >= 5:
+                break
+            _time.sleep(0.5)
+    finally:
+        query.stop()
+    dead_values = []
+    for f in pathlib.Path(dl).glob("*.jsonl"):
+        for line in f.read_text().splitlines():
+            rec = json.loads(line)
+            payload = base64.b64decode(rec["payload_b64"])
+            assert rec["status"] == 500
+            dead_values.append(json.loads(payload)["value"])
+    assert dead_values and all(v % 2 == 1 for v in dead_values)
+    delivered = {json.loads(r.body)["value"]
+                 for r in stub_server.recorded("/stream-dl")
+                 if json.loads(r.body)["value"] % 2 == 0}
+    assert delivered and all(v % 2 == 0 for v in delivered)
+    # lossless: every attempted value is either delivered or dead-lettered
+    attempted = {json.loads(r.body)["value"]
+                 for r in stub_server.recorded("/stream-dl")}
+    assert attempted == delivered | set(dead_values)
