@@ -5222,3 +5222,153 @@ def graph_copurchase_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load(spark, sf_dir, "lineitem")["lineitem"]
     lineitem.createOrReplaceTempView("lineitem")
     return spark.sql(_COPURCHASE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# incremental IVF maintenance: batch assignment against FROZEN centroids +
+# cell-occupancy drift (the signal that schedules a recluster)
+# ---------------------------------------------------------------------------
+
+_INCR_IVF_ORACLE = f"""
+    WITH cent AS (
+      SELECT label, i - 1 AS dim,
+             round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS c
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+      WHERE vec_id < {EMB_INCR_SPLIT}
+      GROUP BY label, dim
+    ),
+    cent_norm AS (
+      SELECT label, sqrt(sum(c * c)) AS cn FROM cent GROUP BY label
+    ),
+    vec_dim AS (
+      SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+      WHERE vec_id >= {EMB_INCR_SPLIT}
+    ),
+    vec_norm AS (
+      SELECT vec_id, sqrt(sum(x * x)) AS vn FROM vec_dim GROUP BY vec_id
+    ),
+    scores AS (
+      SELECT v.vec_id, c.label,
+             round(sum(v.x * c.c) / (vn.vn * cn.cn), 6) AS cellcos
+      FROM vec_dim v JOIN cent c USING (dim)
+      JOIN vec_norm vn ON vn.vec_id = v.vec_id
+      JOIN cent_norm cn ON cn.label = c.label
+      GROUP BY v.vec_id, c.label, vn.vn, cn.cn
+    ),
+    assign AS (
+      SELECT vec_id, label,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cellcos DESC, label) AS crk
+      FROM scores
+    ),
+    batch_counts AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_batch
+      FROM assign WHERE crk = 1 GROUP BY label
+    ),
+    exist_counts AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_existing
+      FROM embeddings WHERE vec_id < {EMB_INCR_SPLIT} GROUP BY label
+    ),
+    totals AS (
+      SELECT CAST(SUM(n_existing) AS DOUBLE) AS te FROM exist_counts
+    ),
+    btotals AS (
+      SELECT CAST(SUM(n_batch) AS DOUBLE) AS tb FROM batch_counts
+    )
+    SELECT e.label,
+           e.n_existing,
+           COALESCE(b.n_batch, 0) AS n_batch,
+           e.n_existing + COALESCE(b.n_batch, 0) AS n_total,
+           round(CAST(e.n_existing AS DOUBLE) / t.te, 6) AS share_before,
+           round(CAST(e.n_existing + COALESCE(b.n_batch, 0) AS DOUBLE)
+                 / (t.te + bt.tb), 6) AS share_after,
+           round(CAST(e.n_existing + COALESCE(b.n_batch, 0) AS DOUBLE)
+                 / (t.te + bt.tb)
+                 - CAST(e.n_existing AS DOUBLE) / t.te, 6) AS drift
+    FROM exist_counts e
+    LEFT JOIN batch_counts b ON b.label = e.label
+    CROSS JOIN totals t CROSS JOIN btotals bt
+    ORDER BY e.label
+"""
+
+
+@register(
+    "sim_incremental_ivf_assign",
+    oracle=_INCR_IVF_ORACLE,
+    doc="Incremental IVF maintenance — the second index family's twin of "
+        "sim_incremental_lsh_index: daily batch vectors are assigned to "
+        "the FROZEN existing-corpus centroids (no recluster; the "
+        "quantizer is immutable between rebuilds, exactly how production "
+        "IVF indexes absorb daily data), and the output is per-cell "
+        "occupancy before/after plus the share drift — the monitoring "
+        "signal that schedules the next full recluster. Centroids are a "
+        "bounded-size broadcast; batch assignment is one broadcast "
+        "nested-loop over |batch| x |cells| (both tiny relative to the "
+        "corpus), so daily work never touches existing vectors.",
+)
+def sim_incremental_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    existing = emb.filter(F.col("vec_id") < EMB_INCR_SPLIT)
+    batch = emb.filter(F.col("vec_id") >= EMB_INCR_SPLIT)
+    cent = (
+        existing.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
+        .groupBy("label")
+        .agg(F.expr(
+            "transform(sort_array(collect_list(struct(dim, c))), s -> s.c)"
+        ).alias("centroid"))
+        .select("label", "centroid",
+                F.expr(_NORM.format(col="centroid")).alias("c_norm"))
+    )
+    vecs = batch.select(
+        "vec_id", "embedding",
+        F.expr(_NORM.format(col="embedding")).alias("v_norm"),
+    )
+    scores = vecs.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label",
+        F.expr(f"round({_DOT_VC} / (v_norm * c_norm), 6)").alias("cellcos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cellcos"), F.asc("label"))
+    assign = (
+        scores.withColumn("crk", F.row_number().over(w))
+        .filter(F.col("crk") == 1)
+    )
+    batch_counts = assign.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_batch")
+    )
+    exist_counts = existing.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_existing")
+    )
+    totals = exist_counts.agg(
+        F.expr("CAST(SUM(n_existing) AS DOUBLE)").alias("te")
+    )
+    btotals = batch_counts.agg(
+        F.expr("CAST(SUM(n_batch) AS DOUBLE)").alias("tb")
+    )
+    return (
+        exist_counts.join(F.broadcast(batch_counts), "label", "left")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(btotals))
+        .select(
+            "label",
+            "n_existing",
+            F.coalesce(F.col("n_batch"), F.lit(0).cast("long")).alias("n_batch"),
+            (F.col("n_existing")
+             + F.coalesce(F.col("n_batch"), F.lit(0).cast("long"))
+             ).alias("n_total"),
+            F.expr("round(CAST(n_existing AS DOUBLE) / te, 6)")
+            .alias("share_before"),
+            F.expr(
+                "round(CAST(n_existing + COALESCE(n_batch, 0) AS DOUBLE)"
+                " / (te + tb), 6)"
+            ).alias("share_after"),
+            F.expr(
+                "round(CAST(n_existing + COALESCE(n_batch, 0) AS DOUBLE)"
+                " / (te + tb)"
+                " - CAST(n_existing AS DOUBLE) / te, 6)"
+            ).alias("drift"),
+        )
+        .orderBy("label")
+    )
