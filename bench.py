@@ -323,6 +323,56 @@ def main() -> None:
                 "sweep_sec": sweep,
             }
 
+    # 100x scale point (round 10): a second decade on a pure-compute
+    # subset, so the curve shows the EXPONENT, not one ratio. The derived
+    # scaling_exponent is log10(t_100x / t_10x) — 1.0 is linear in data,
+    # < 1 sublinear (fixed overheads amortizing), > 1 superlinear (a real
+    # scale bug). HTTP queries are excluded on purpose: their 100x stub
+    # would precompute ~100x response bytes in driver memory and the
+    # per-key path is endpoint-bound by design (see
+    # per_key_get_saturation), so a 100x point would measure the harness.
+    if (
+        os.environ.get("SPARK_GRAFT_SCALE_100X", "1") != "0"
+        and os.environ.get("SPARK_GRAFT_SCALE_CURVE", "1") != "0"
+    ):
+        import math
+
+        X100_SUBSET = [
+            "q01_pricing_summary", "q_rfm_segments", "search_bm25_topk",
+            "dedup_minhash_lsh", "dedup_clusters", "emb_knn_graph",
+            "pipeline_corpus_manifest", "stream_window_topk",
+            "stream_cep_funnel", "stream_burst_heavy_hitters",
+        ]
+        x100_dir = ensure_scale_dir(sf_dir, 100)
+        x100_timings = {}
+        for spec in bench_specs:
+            if spec.name not in X100_SUBSET:
+                continue
+            t0 = time.time()
+            try:
+                spec.fn(spark, x100_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                x100_timings[spec.name] = round(time.time() - t0, 3)
+            except Exception as err:  # record, never sink the whole bench
+                x100_timings[spec.name] = f"error: {err}"
+        scale10 = result.get("scale_curve", {}).get("queries_sec", {})
+        exponents = {}
+        for name, t100 in x100_timings.items():
+            t10 = scale10.get(name)
+            if isinstance(t100, float) and isinstance(t10, float) and t10 > 0:
+                exponents[name] = round(math.log10(max(t100, 1e-3) / t10), 3)
+        result["scale_curve_100x"] = {
+            "data_factor": 100,
+            "queries_sec": x100_timings,
+            "time_ratio_vs_1x": {
+                name: round(t / timings[name], 2)
+                for name, t in x100_timings.items()
+                if isinstance(t, float) and timings.get(name)
+            },
+            "scaling_exponent_10x_to_100x": exponents,
+        }
+
     print(json.dumps(result))
     spark.stop()
 
