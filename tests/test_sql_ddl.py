@@ -491,3 +491,39 @@ class TestHttpLookupUdtf:
                     on => 'id=missing',
                     schema => 'id BIGINT')
             """).collect()
+
+
+class TestHttpLookupUdtfParsers:
+    """Property-style coverage of the worker-side DDL/on parsers (UDTF
+    analyze runs in a Python worker with no JVM, so these parsers stand
+    in for StructType.fromDDL and must reject garbage helpfully)."""
+
+    def test_ddl_scalar_matrix(self):
+        from pyspark.sql import types as T
+
+        from flink_connector_http_spark.sqlfn import _parse_ddl_struct
+
+        st = _parse_ddl_struct(
+            "a INT, b BIGINT, c STRING, d DOUBLE, e FLOAT, f BOOLEAN, "
+            "g DATE, h TIMESTAMP, i DECIMAL(12, 3), j SMALLINT, k TINYINT, "
+            "l BINARY"
+        )
+        assert [f.name for f in st.fields] == list("abcdefghijkl")
+        assert st["i"].dataType == T.DecimalType(12, 3)
+        assert st["b"].dataType == T.LongType()
+
+    def test_ddl_rejects_nested_and_garbage(self):
+        from flink_connector_http_spark.sqlfn import _parse_ddl_struct
+
+        for bad in ("a ARRAY<INT>", "a STRUCT<b: INT>", "a", "a b c", "", "a FOO"):
+            with pytest.raises(ValueError):
+                _parse_ddl_struct(bad)
+
+    def test_on_forms(self):
+        from flink_connector_http_spark.sqlfn import _parse_on
+
+        assert _parse_on("id") == [("id", "id")]
+        assert _parse_on("a=b, c = d") == [("a", "b"), ("c", "d")]
+        assert _parse_on("x , y=z") == [("x", "x"), ("y", "z")]
+        with pytest.raises(ValueError):
+            _parse_on(" , ")
