@@ -47,6 +47,7 @@ from .request import HttpRequestSpec, build_lookup_request
 from .retry import (
     CircuitBreaker,
     HttpRetryError,
+    RetryBudget,
     RetryStats,
     parse_retry_after,
     run_with_retry,
@@ -362,6 +363,16 @@ class HttpPollingClient:
         # R12 request/response callback; default logs at DEBUG only
         self.on_response = options.request_callback or _default_request_callback
         self.retry_stats = RetryStats()
+        # opt-in Finagle-style retry budget shared by all caller threads
+        # of this per-executor client (see retry.RetryBudget)
+        self.retry_budget = (
+            RetryBudget(
+                ratio=options.retry_budget_ratio,
+                min_retries_per_second=options.retry_budget_min_per_second,
+            )
+            if options.retry_budget_ratio is not None
+            else None
+        )
         # hedged-request accounting + lazily-created hedge pool (opt-in,
         # options.hedge_delay); the pool is shared by all caller threads
         # and sized so concurrent hedged lookups don't serialize
@@ -544,6 +555,7 @@ class HttpPollingClient:
                 # honor the server's Retry-After hint on 429/503 (capped
                 # at the backoff ceiling — see run_with_retry)
                 retry_after_of=_retry_after_hint,
+                budget=self.retry_budget,
             )
         except HttpRetryError as err:
             if breaker is not None:

@@ -48,6 +48,8 @@ LOOKUP_OPTION_KEYS = {
     "retry_initial_backoff": "http.source.lookup.retry-strategy.exponential-delay.initial-backoff",
     "retry_backoff_multiplier": "http.source.lookup.retry-strategy.exponential-delay.backoff-multiplier",
     "retry_max_backoff": "http.source.lookup.retry-strategy.exponential-delay.max-backoff",
+    "retry_budget_ratio": "http.source.lookup.retry-budget.ratio",
+    "retry_budget_min_per_second": "http.source.lookup.retry-budget.min-per-second",
     "header_prefix": "http.source.lookup.header.",
     "use_raw_auth_header": "http.source.lookup.use-raw-authorization-header",
     "oidc_token_endpoint": "http.security.oidc.token.endpoint.url",
@@ -134,6 +136,8 @@ SINK_OPTION_KEYS = {
     "retry_delay": "sink.retry-delay",
     "retry_backoff_multiplier": "sink.retry-backoff-multiplier",
     "retry_max_backoff": "sink.retry-max-backoff",
+    "retry_budget_ratio": "sink.retry-budget.ratio",
+    "retry_budget_min_per_second": "sink.retry-budget.min-per-second",
     "dead_letter_path": "sink.dead-letter.path",
     # beyond-reference, OPT-IN: gzip request bodies (endpoint must accept
     # Content-Encoding: gzip)
@@ -223,6 +227,14 @@ class HttpLookupOptions:
     # At 1000 executors x 30 s timeouts, one slow endpoint replica
     # otherwise stalls a whole partition.
     hedge_delay: Optional[float] = None
+    # retry budget (Finagle-style, beyond-reference, OPT-IN): every
+    # initial request deposits `ratio` retry tokens, every retry spends
+    # one — caps cluster-wide retry amplification under a total outage
+    # at ~ratio instead of max_retries x. None = disabled (parity). The
+    # budget throttles retry VOLUME; the circuit breaker (above) stops
+    # initial sends — the two compose.
+    retry_budget_ratio: Optional[float] = None
+    retry_budget_min_per_second: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -273,6 +285,10 @@ class HttpSinkOptions:
     # compress 5-10x, so a 5 MiB flush crosses the wire as ~0.5-1 MiB —
     # off by default because the endpoint must accept encoded bodies
     gzip_request_body: bool = False
+    # opt-in Finagle-style retry budget (see the lookup twin above):
+    # caps sink retry volume at ~ratio of request volume under outage
+    retry_budget_ratio: Optional[float] = None
+    retry_budget_min_per_second: float = 1.0
     # opt-in dead-letter capture (beyond-reference: HttpSinkWriter.java:
     # 129-135 only COUNTS failed requests). When set, every entry whose
     # request exhausts the retry budget lands as one JSONL row
@@ -338,6 +354,12 @@ def lookup_options_from_map(options: Mapping[str, str]) -> HttpLookupOptions:
         retry_kwargs["max_backoff"] = float(options[k["retry_max_backoff"]])
     if retry_kwargs:
         kwargs["retry"] = RetryConfig(**retry_kwargs)  # type: ignore[arg-type]
+    if k["retry_budget_ratio"] in options:
+        kwargs["retry_budget_ratio"] = float(options[k["retry_budget_ratio"]])
+    if k["retry_budget_min_per_second"] in options:
+        kwargs["retry_budget_min_per_second"] = float(
+            options[k["retry_budget_min_per_second"]]
+        )
     headers = _collect_prefixed(options, k["header_prefix"])
     if headers:
         kwargs["headers"] = headers
@@ -401,7 +423,8 @@ def sink_options_from_map(options: Mapping[str, str]) -> HttpSinkOptions:
         ("max_time_in_buffer", float), ("request_timeout", float),
         ("rate_limit", float), ("rate_limit_burst", float),
         ("retry_delay", float), ("retry_backoff_multiplier", float),
-        ("retry_max_backoff", float),
+        ("retry_max_backoff", float), ("retry_budget_ratio", float),
+        ("retry_budget_min_per_second", float),
     ):
         if k[name] in options:
             kwargs[name] = conv(options[k[name]])

@@ -18,7 +18,7 @@ from typing import Callable, Iterator, Optional, TypeVar
 
 __all__ = [
     "RetryConfig", "HttpRetryError", "run_with_retry", "RetryStats",
-    "CircuitBreaker", "parse_retry_after",
+    "CircuitBreaker", "RetryBudget", "parse_retry_after",
 ]
 
 T = TypeVar("T")
@@ -115,6 +115,61 @@ def parse_retry_after(value: str, *, now: Optional[Callable[[], float]] = None) 
     return max(0.0, dt.timestamp() - wall())
 
 
+class RetryBudget:
+    """Finagle-style retry budget (beyond-reference, opt-in): every
+    INITIAL request deposits ``ratio`` tokens, every retry withdraws one
+    — so under a total outage, cluster-wide retry amplification is
+    capped at ~``ratio`` (plus the burst) instead of ``max_retries``×.
+    At 1000 executors the difference is a 1.2× load spike vs a 4×
+    retry storm against an endpoint that is already down. A small
+    time-based drip (``min_retries_per_second``) keeps isolated blips
+    retryable even when traffic is sparse. Thread-safe; shared
+    per-executor like the circuit breaker (the two compose: the budget
+    throttles the retry VOLUME, the breaker stops the initial sends)."""
+
+    def __init__(
+        self,
+        ratio: float = 0.2,
+        min_retries_per_second: float = 1.0,
+        burst: float = 10.0,
+        clock: Callable[[], float] = time.monotonic,
+    ) -> None:
+        if ratio < 0:
+            raise ValueError("retry budget ratio must be >= 0")
+        self.ratio = float(ratio)
+        self.min_rps = float(min_retries_per_second)
+        self.capacity = max(1.0, float(burst))
+        self._clock = clock
+        self._tokens = self.capacity  # start full: first blips retryable
+        self._last = clock()
+        self._lock = threading.Lock()
+        self.denied = 0  # observability: retries suppressed by the budget
+
+    def _drip(self) -> None:
+        now = self._clock()
+        if self.min_rps > 0 and now > self._last:
+            self._tokens = min(
+                self.capacity, self._tokens + (now - self._last) * self.min_rps
+            )
+        self._last = now
+
+    def deposit(self) -> None:
+        """One initial (non-retry) request earns ``ratio`` retry tokens."""
+        with self._lock:
+            self._drip()
+            self._tokens = min(self.capacity, self._tokens + self.ratio)
+
+    def try_withdraw(self) -> bool:
+        """Spend one token to retry; False = budget exhausted, fail fast."""
+        with self._lock:
+            self._drip()
+            if self._tokens >= 1.0:
+                self._tokens -= 1.0
+                return True
+            self.denied += 1
+            return False
+
+
 def run_with_retry(
     send: Callable[[], T],
     *,
@@ -125,6 +180,7 @@ def run_with_retry(
     sleep: Callable[[float], None] = time.sleep,
     stats: Optional[RetryStats] = None,
     retry_after_of: Optional[Callable[[T], Optional[float]]] = None,
+    budget: Optional["RetryBudget"] = None,
 ) -> T:
     """Invoke ``send`` up to ``max_retries + 1`` times.
 
@@ -138,7 +194,14 @@ def run_with_retry(
     ``max(policy delay, hint)`` capped at ``config.max_backoff`` — a
     429/503 with an honest hint is respected instead of hammered, but a
     hostile header can never stall a task longer than the backoff cap.
+
+    ``budget`` (optional, :class:`RetryBudget`): the initial attempt
+    deposits, each retry must withdraw — an exhausted budget raises
+    :class:`HttpRetryError` immediately instead of amplifying an
+    outage with the full retry schedule.
     """
+    if budget is not None:
+        budget.deposit()
     delays = config.delays()
     last_status: Optional[int] = None
     last_exc: Optional[BaseException] = None
@@ -161,6 +224,16 @@ def run_with_retry(
             if retry_after_of is not None:
                 server_hint = retry_after_of(response)
         if attempt < config.max_attempts:
+            if budget is not None and not budget.try_withdraw():
+                raise HttpRetryError(
+                    f"retry budget exhausted after attempt {attempt}"
+                    + (f" (last status {last_status})"
+                       if last_status is not None else "")
+                    + (f" (last error: {last_exc})"
+                       if last_exc is not None else ""),
+                    status_code=last_status,
+                    cause=last_exc,
+                )
             delay = next(delays)
             if server_hint is not None:
                 delay = min(max(delay, server_hint), config.max_backoff)

@@ -135,6 +135,17 @@ class HttpSinkWriter:
         self.send_errors = 0          # numRecordsSendErrors parity
         self.requests_sent = 0
         self.dead_letters_written = 0  # entries captured under dead-letter.path
+        # opt-in Finagle-style retry budget (see retry.RetryBudget):
+        # shared by all pool workers of this writer task
+        if options.retry_budget_ratio is not None:
+            from .retry import RetryBudget
+
+            self.retry_budget = RetryBudget(
+                ratio=options.retry_budget_ratio,
+                min_retries_per_second=options.retry_budget_min_per_second,
+            )
+        else:
+            self.retry_budget = None
         # daemon ticker so a quiet writer still honors the age deadline;
         # tests inject a fake clock and call _flush_if_aged() directly
         if age_ticker and options.max_time_in_buffer > 0:
@@ -305,8 +316,18 @@ class HttpSinkWriter:
         server_hint = None
         last_status: Optional[int] = None
         last_error: Optional[str] = None
+        if self.retry_budget is not None:
+            self.retry_budget.deposit()
         for attempt in range(attempts):
             if attempt:
+                if (self.retry_budget is not None
+                        and not self.retry_budget.try_withdraw()):
+                    # budget exhausted: fail fast instead of amplifying
+                    # the outage with the remaining retry schedule
+                    last_error = (
+                        f"retry budget exhausted ({last_error})"
+                    )
+                    break
                 delay = (
                     self.options.retry_delay
                     * self.options.retry_backoff_multiplier ** (attempt - 1)

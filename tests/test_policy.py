@@ -707,3 +707,158 @@ class TestSinkRetryMaxBackoff:
         assert writer.send_errors == 0 and writer.records_sent == 1
         # min(max(policy=0.01, Retry-After=999), cap=0.02) == the cap
         assert sleeps and sleeps[0] == 0.02 and max(sleeps) <= 0.02
+
+
+class TestRetryBudget:
+    """Finagle-style retry budget (opt-in, beyond-reference): initial
+    requests deposit ratio tokens, retries withdraw one — so retry
+    amplification under a total outage is capped at ~ratio instead of
+    max_retries x. Composes with (does not replace) the circuit
+    breaker: the budget throttles retry VOLUME, the breaker stops
+    initial sends."""
+
+    def test_token_arithmetic_with_fake_clock(self):
+        from flink_connector_http_spark.retry import RetryBudget
+
+        now = [0.0]
+        b = RetryBudget(ratio=0.5, min_retries_per_second=0.0, burst=2.0,
+                        clock=lambda: now[0])
+        # starts full (burst capacity): first blips are retryable
+        assert b.try_withdraw() and b.try_withdraw()
+        assert not b.try_withdraw()
+        assert b.denied == 1
+        # four deposits at ratio 0.5 buy two retries
+        for _ in range(4):
+            b.deposit()
+        assert b.try_withdraw() and b.try_withdraw()
+        assert not b.try_withdraw()
+        # the time drip keeps sparse traffic retryable
+        b2 = RetryBudget(ratio=0.0, min_retries_per_second=2.0, burst=1.0,
+                         clock=lambda: now[0])
+        assert b2.try_withdraw()
+        assert not b2.try_withdraw()
+        now[0] += 0.5  # 0.5s x 2/s = 1 token
+        assert b2.try_withdraw()
+
+    def test_run_with_retry_fails_fast_on_exhausted_budget(self):
+        from flink_connector_http_spark.retry import (
+            HttpRetryError,
+            RetryBudget,
+            RetryConfig,
+            run_with_retry,
+        )
+
+        budget = RetryBudget(ratio=0.0, min_retries_per_second=0.0, burst=1.0)
+        calls = []
+
+        def send():
+            calls.append(1)
+            return 503
+
+        def run_once():
+            run_with_retry(
+                send,
+                config=RetryConfig(max_retries=5, fixed_delay=0.0),
+                status_of=lambda r: r,
+                is_retriable_status=lambda s: s == 503,
+                budget=budget,
+                sleep=lambda s: None,
+            )
+
+        # first call: the burst token buys exactly ONE retry
+        with pytest.raises(HttpRetryError, match="retry budget exhausted"):
+            run_once()
+        assert len(calls) == 2
+        # second call: budget empty -> fail fast after the initial attempt
+        calls.clear()
+        with pytest.raises(HttpRetryError, match="retry budget exhausted"):
+            run_once()
+        assert len(calls) == 1
+        assert budget.denied >= 1
+
+    def test_lookup_storm_amplification_bounded(self, stub_server):
+        from flink_connector_http_spark.client import HttpPollingClient
+        from flink_connector_http_spark.options import HttpLookupOptions
+        from flink_connector_http_spark.retry import RetryConfig
+        from tests.stub_server import StubResponse
+
+        stub_server.stub("/storm",
+                         lambda req: StubResponse(status=503, body=b""))
+        n = 30
+        opts = HttpLookupOptions(
+            method="GET", continue_on_error=True,
+            retry=RetryConfig(max_retries=3, fixed_delay=0.0),
+            retry_budget_ratio=0.2, retry_budget_min_per_second=0.0,
+        )
+        client = HttpPollingClient(url=stub_server.url("/storm"), options=opts)
+        for i in range(n):
+            result = client.pull({"id": i})
+            assert not result.rows
+        total = len(stub_server.recorded("/storm"))
+        # without the budget: 30 x 4 attempts = 120 wire requests.
+        # with it: 30 initials + burst(10) + 0.2/request drip -> <= ~46
+        assert n <= total <= n + 10 + int(0.2 * n) + 1
+        assert client.retry_budget.denied > 0
+
+    def test_sink_storm_amplification_bounded(self, stub_server):
+        from flink_connector_http_spark.options import HttpSinkOptions
+        from flink_connector_http_spark.sink import (
+            HttpSinkRequestEntry,
+            HttpSinkWriter,
+        )
+        from tests.stub_server import StubResponse
+
+        stub_server.stub("/sink-storm",
+                         lambda req: StubResponse(status=503, body=b""))
+        n = 30
+        writer = HttpSinkWriter(
+            stub_server.url("/sink-storm"),
+            HttpSinkOptions(request_mode="single", max_retries=3,
+                            retry_delay=0.0, retry_budget_ratio=0.2,
+                            retry_budget_min_per_second=0.0),
+            age_ticker=False,
+        )
+        for i in range(n):
+            writer.write(HttpSinkRequestEntry("POST", b'{"i": %d}' % i))
+        writer.close()
+        assert writer.send_errors == n
+        total = len(stub_server.recorded("/sink-storm"))
+        assert n <= total <= n + 10 + int(0.2 * n) + 1
+
+    def test_option_maps(self):
+        from flink_connector_http_spark.options import (
+            lookup_options_from_map,
+            sink_options_from_map,
+        )
+
+        lo = lookup_options_from_map({
+            "http.source.lookup.retry-budget.ratio": "0.25",
+            "http.source.lookup.retry-budget.min-per-second": "0.5",
+        })
+        assert lo.retry_budget_ratio == 0.25
+        assert lo.retry_budget_min_per_second == 0.5
+        so = sink_options_from_map({
+            "sink.retry-budget.ratio": "0.1",
+            "sink.retry-budget.min-per-second": "0",
+        })
+        assert so.retry_budget_ratio == 0.1
+        assert so.retry_budget_min_per_second == 0.0
+
+    def test_default_off_reference_parity(self, stub_server):
+        from flink_connector_http_spark.client import HttpPollingClient
+        from flink_connector_http_spark.options import HttpLookupOptions
+        from flink_connector_http_spark.retry import RetryConfig
+        from tests.stub_server import StubResponse
+
+        stub_server.stub("/noban",
+                         lambda req: StubResponse(status=503, body=b""))
+        opts = HttpLookupOptions(
+            method="GET", continue_on_error=True,
+            retry=RetryConfig(max_retries=2, fixed_delay=0.0),
+        )
+        client = HttpPollingClient(url=stub_server.url("/noban"), options=opts)
+        assert client.retry_budget is None
+        for i in range(3):
+            client.pull({"id": i})
+        # full retry schedule, unthrottled: 3 x (1 + 2) attempts
+        assert len(stub_server.recorded("/noban")) == 9
