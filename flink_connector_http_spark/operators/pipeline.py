@@ -3145,3 +3145,71 @@ def pipeline_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load(spark, sf_dir, "customer")["customer"]
     customer.createOrReplaceTempView("customer")
     return spark.sql(_K_ANON_SQL)
+
+
+# ---------------------------------------------------------------------------
+# right-to-be-forgotten deletion cascade (governance twin of k-anonymity)
+# ---------------------------------------------------------------------------
+
+DEL_MODULUS = 50  # ~2% of customers request deletion in the fixture
+
+_DEL_HASH_SPARK = (
+    "CAST(conv(substr(md5(concat('del:', c_custkey)), 1, 8), 16, 10) "
+    "AS BIGINT)"
+)
+_DEL_HASH_DUCK = "(('0x' || substr(md5(concat('del:', c_custkey)), 1, 8))::BIGINT)"
+
+
+def _deletion_cascade_sql(hash_int: str) -> str:
+    """One SQL text for both engines, parameterized only on the
+    hex-md5→BIGINT conversion. The kill-list is a deterministic ~2%
+    customer sample; every downstream count is an exact integer."""
+    return f"""
+    WITH kill AS (
+      SELECT c_custkey FROM customer
+      WHERE {hash_int} % {DEL_MODULUS} = 0
+    ),
+    o AS (
+      SELECT o_orderkey
+      FROM orders JOIN kill ON o_custkey = c_custkey
+    ),
+    l AS (
+      SELECT l_orderkey
+      FROM lineitem JOIN o ON lineitem.l_orderkey = o.o_orderkey
+    ),
+    e AS (
+      SELECT event_id
+      FROM events JOIN kill ON user_id = c_custkey
+    )
+    SELECT table_name, n_rows FROM (
+      SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM kill
+      UNION ALL
+      SELECT 'orders', CAST(COUNT(*) AS BIGINT) FROM o
+      UNION ALL
+      SELECT 'lineitem', CAST(COUNT(*) AS BIGINT) FROM l
+      UNION ALL
+      SELECT 'events', CAST(COUNT(*) AS BIGINT) FROM e
+    ) m
+    ORDER BY table_name
+    """
+
+
+@register(
+    "pipeline_deletion_cascade",
+    oracle=_deletion_cascade_sql(_DEL_HASH_DUCK),
+    doc="Right-to-be-forgotten deletion manifest (governance twin of "
+        "pipeline_k_anonymity): a deterministic ~2% customer kill-list "
+        "cascades through the foreign-key graph — orders by custkey, "
+        "lineitem by the affected orderkeys, events by user id — and the "
+        "output is the per-table delete-row manifest a compliance job "
+        "must apply. Shape at 100 TB: the kill-list and the affected "
+        "orderkey set are both tiny relative to the fact tables, so every "
+        "cascade step is a broadcast semi-join against a full scan — one "
+        "pass per table, no fact-table shuffle; counts are map-side "
+        "combinable.",
+)
+def pipeline_deletion_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders", "lineitem", "events"):
+        load(spark, sf_dir, t)[t].createOrReplaceTempView(t)
+    return spark.sql(_deletion_cascade_sql(_DEL_HASH_SPARK))

@@ -862,3 +862,47 @@ class TestRetryBudget:
             client.pull({"id": i})
         # full retry schedule, unthrottled: 3 x (1 + 2) attempts
         assert len(stub_server.recorded("/noban")) == 9
+
+
+class TestRetryBudgetProperties:
+    @given(
+        st.floats(min_value=0.0, max_value=2.0),
+        st.integers(min_value=1, max_value=20),
+        st.lists(st.sampled_from(["deposit", "withdraw"]), max_size=200),
+    )
+    def test_withdrawals_never_exceed_burst_plus_deposits(
+        self, ratio, burst, ops
+    ):
+        """Invariant: with the time drip off, total successful withdrawals
+        can never exceed burst + ratio x deposits (the amplification cap
+        the budget exists to enforce)."""
+        from flink_connector_http_spark.retry import RetryBudget
+
+        b = RetryBudget(ratio=ratio, min_retries_per_second=0.0,
+                        burst=float(burst), clock=lambda: 0.0)
+        deposits = withdrawals = 0
+        for op in ops:
+            if op == "deposit":
+                b.deposit()
+                deposits += 1
+            elif b.try_withdraw():
+                withdrawals += 1
+        assert withdrawals <= max(1.0, float(burst)) + ratio * deposits + 1e-9
+        assert b.denied == ops.count("withdraw") - withdrawals
+
+    @given(st.floats(min_value=0.1, max_value=5.0),
+           st.integers(min_value=1, max_value=50))
+    def test_drip_bounded_by_capacity(self, rps, seconds):
+        """The time drip can never push tokens past capacity."""
+        from flink_connector_http_spark.retry import RetryBudget
+
+        now = [0.0]
+        b = RetryBudget(ratio=0.0, min_retries_per_second=rps, burst=3.0,
+                        clock=lambda: now[0])
+        now[0] += float(seconds)
+        got = 0
+        while b.try_withdraw():
+            got += 1
+            if got > 10:
+                break
+        assert got <= 3
