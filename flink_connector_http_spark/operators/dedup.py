@@ -1069,6 +1069,11 @@ def merge_cluster_labels(
     oracle checks that equivalence against the full recursive-CTE CC.
     """
     labels = existing_labels.persist()
+    # the batch edge set feeds FIVE consumers below (endpoints twice,
+    # the super-graph, the fresh-node path) — cut its lineage once so an
+    # expensive upstream (the LSH candidate verify) never re-executes;
+    # it is batch-bounded by contract, so the materialization is tiny
+    new_edges = new_edges.localCheckpoint()
     # the only label rows the batch can touch are its own endpoints —
     # semi-filter the corpus-sized table down to that batch-bounded set
     # (broadcasting the ENDPOINTS, never a corpus-sized projection) so
@@ -1077,8 +1082,11 @@ def merge_cluster_labels(
         new_edges.select(F.col("a_id").alias("doc_id"))
         .union(new_edges.select(F.col("b_id").alias("doc_id")))
         .distinct()
+        .localCheckpoint()  # reused by touched AND the fresh-node path
     )
-    touched = labels.join(F.broadcast(endpoints), "doc_id", "left_semi")
+    touched = labels.join(
+        F.broadcast(endpoints), "doc_id", "left_semi"
+    ).localCheckpoint()  # batch-bounded; feeds lab_a, lab_b and fresh
     lab_a = touched.select(
         F.col("doc_id").alias("a_id"), F.col("cluster_id").alias("a_rep")
     )
