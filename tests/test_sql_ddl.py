@@ -527,3 +527,34 @@ class TestHttpLookupUdtfParsers:
         assert _parse_on("x , y=z") == [("x", "x"), ("y", "z")]
         with pytest.raises(ValueError):
             _parse_on(" , ")
+
+
+def test_http_lookup_udtf_multi_flush_boundary(spark, stub_server):
+    """Probe rows beyond the 1024-row buffer flush in multiple batches:
+    results stay exact and request volume is bounded by
+    distinct-keys x flushes, never probe rows."""
+    from flink_connector_http_spark.sqlfn import _FLUSH_ROWS, register_http_sql_functions
+    from flink_connector_http_spark.testing import StubResponse
+
+    register_http_sql_functions(spark)
+
+    def responder(req):
+        cid = int(req.query["id"][0])
+        body = json.dumps({"id": cid, "name": f"u{cid}"}).encode()
+        return StubResponse(status=200, body=body)
+
+    stub_server.stub("/people-flush", responder)
+    n = 2 * _FLUSH_ROWS + 500  # 3 flushes in the single partition
+    rows = spark.sql(f"""
+        SELECT id, name
+        FROM http_lookup(
+            TABLE(SELECT id % 5 AS id FROM range({n}) DISTRIBUTE BY 1),
+            url => '{stub_server.url("/people-flush")}',
+            on => 'id',
+            schema => 'id BIGINT, name STRING',
+            select => 'name')
+    """).collect()
+    assert len(rows) == n
+    assert {(r.id, r.name) for r in rows} == {(i, f"u{i}") for i in range(5)}
+    # 5 distinct keys per flush x 3 flushes — never one per probe row
+    assert len(stub_server.recorded("/people-flush")) <= 15
