@@ -113,42 +113,121 @@ _DDL_SCALARS = {
 
 
 def _parse_ddl_struct(ddl: str):
-    """Parse a FLAT ``name TYPE, name TYPE`` DDL string without a JVM —
-    UDTF ``analyze`` runs in a Python worker where ``StructType.fromDDL``
-    is unavailable. Scalar types + DECIMAL(p,s) only; nested lookup
-    schemas belong on the DataFrame surface
-    (:func:`~flink_connector_http_spark.lookup.http_lookup_join`)."""
+    """Parse a lookup-schema DDL string without a JVM — UDTF ``analyze``
+    runs in a Python worker where ``StructType.fromDDL`` is unavailable.
+    Hand-rolled recursive descent over ``name TYPE, ...`` with scalars,
+    ``DECIMAL(p,s)``, backtick-quoted names, and nested
+    ``ROW<name TYPE, ...>`` / ``STRUCT<name: TYPE, ...>`` — the
+    reference's SQL surface accepts nested lookup DDL
+    (``docs/.../table/http.md:184-201``, recursive descent
+    ``HttpLookupTableSource.java:264-300``). ARRAY/MAP response fields
+    stay on the DataFrame surface
+    (:func:`~flink_connector_http_spark.lookup.http_lookup_join` takes a
+    real ``StructType``)."""
     import re
 
     from pyspark.sql import types as T
 
-    fields = []
-    for part in re.split(r",(?![^()]*\))", ddl):
-        part = part.strip()
-        if not part:
-            continue
-        m = re.match(r"^(\w+)\s+(\w+)(?:\s*\(\s*(\d+)\s*,\s*(\d+)\s*\))?$",
-                     part, re.IGNORECASE)
+    s = ddl
+    n = len(s)
+    pos = 0
+
+    def err(msg: str):
+        raise ValueError(
+            f"http_lookup: {msg} at offset {pos} in schema DDL {ddl!r}"
+        )
+
+    def skip_ws():
+        nonlocal pos
+        while pos < n and s[pos] in " \t\r\n":
+            pos += 1
+
+    def parse_name() -> str:
+        nonlocal pos
+        skip_ws()
+        if pos < n and s[pos] == "`":
+            end = s.find("`", pos + 1)
+            if end < 0:
+                err("unterminated backtick-quoted name")
+            name = s[pos + 1:end]
+            pos = end + 1
+            return name
+        m = re.match(r"[A-Za-z_]\w*", s[pos:])
         if not m:
-            raise ValueError(
-                f"http_lookup: cannot parse schema field {part!r} — flat "
-                "'name TYPE' fields only (use http_lookup_join for nested "
-                "schemas)"
-            )
-        name, typ, p, s = m.groups()
-        typ = typ.lower()
-        if typ == "decimal":
-            dt = T.DecimalType(int(p or 10), int(s or 0))
-        elif typ in _DDL_SCALARS:
-            dt = getattr(T, _DDL_SCALARS[typ])()
-        else:
-            raise ValueError(
-                f"http_lookup: unsupported type {typ!r} in schema DDL"
-            )
-        fields.append(T.StructField(name, dt, True))
-    if not fields:
+            err("expected a field name")
+        pos += m.end()
+        return m.group(0)
+
+    def expect(ch: str):
+        nonlocal pos
+        skip_ws()
+        if pos >= n or s[pos] != ch:
+            err(f"expected {ch!r}")
+        pos += 1
+
+    def parse_type():
+        nonlocal pos
+        skip_ws()
+        m = re.match(r"[A-Za-z_]\w*", s[pos:])
+        if not m:
+            err("expected a type")
+        word = m.group(0)
+        pos += m.end()
+        low = word.lower()
+        if low in ("row", "struct"):
+            expect("<")
+            fields = parse_fields()
+            expect(">")
+            return T.StructType(fields)
+        if low == "decimal":
+            skip_ws()
+            if pos < n and s[pos] == "(":
+                pos += 1
+                m2 = re.match(r"\s*(\d+)\s*,\s*(\d+)\s*\)", s[pos:])
+                if not m2:
+                    err("malformed DECIMAL(p,s)")
+                pos += m2.end()
+                return T.DecimalType(int(m2.group(1)), int(m2.group(2)))
+            return T.DecimalType(10, 0)
+        if low in ("varchar", "char"):
+            skip_ws()
+            if pos < n and s[pos] == "(":  # length is declarative only
+                m2 = re.match(r"\(\s*\d+\s*\)", s[pos:])
+                if not m2:
+                    err("malformed VARCHAR(n)")
+                pos += m2.end()
+            return T.StringType()
+        if low in _DDL_SCALARS:
+            return getattr(T, _DDL_SCALARS[low])()
+        err(
+            f"unsupported type {word!r} — scalars, DECIMAL(p,s) and nested "
+            "ROW<...>/STRUCT<...> only (ARRAY/MAP response fields belong on "
+            "the DataFrame surface, http_lookup_join)"
+        )
+
+    def parse_fields():
+        nonlocal pos
+        fields = []
+        while True:
+            name = parse_name()
+            skip_ws()
+            if pos < n and s[pos] == ":":  # Spark STRUCT<name: type>
+                pos += 1
+            fields.append(T.StructField(name, parse_type(), True))
+            skip_ws()
+            if pos < n and s[pos] == ",":
+                pos += 1
+                continue
+            return fields
+
+    skip_ws()
+    if pos >= n:
         raise ValueError("http_lookup: schema DDL parsed to zero fields")
-    return T.StructType(fields)
+    out = parse_fields()
+    skip_ws()
+    if pos != n:
+        err("unexpected trailing content")
+    return T.StructType(out)
 
 
 def _parse_on(on: str):
@@ -166,7 +245,44 @@ def _parse_on(on: str):
         pairs.append((probe_col, lookup_col))
     if not pairs:
         raise ValueError("http_lookup: 'on' parsed to zero key pairs")
+    probe_cols = [p for p, _ in pairs]
+    dupes = sorted({p for p in probe_cols if probe_cols.count(p) > 1})
+    if dupes:
+        # The pair list round-trips through a {probe: lookup} dict in
+        # _configure; a duplicate probe column would silently drop all but
+        # the last mapping — error instead of running with fewer keys.
+        raise ValueError(
+            f"http_lookup: duplicate probe column(s) in 'on': {dupes}"
+        )
     return pairs
+
+
+def _resolve_path(schema, dotted: str):
+    """Navigate a dotted path through nested StructTypes; the field's
+    dataType, or None when any step is missing."""
+    from pyspark.sql import types as T
+
+    node = schema
+    for part in dotted.split("."):
+        if not isinstance(node, T.StructType) or part not in node.fieldNames():
+            return None
+        node = node[part].dataType
+    return node
+
+
+def _leaf_rel_paths(struct):
+    """Dotted relative paths of every scalar leaf under a StructType, in
+    declaration order — the reference's recursive flattening of ROW join
+    keys (``RowTypeLookupSchemaEntry.java:73-87``)."""
+    from pyspark.sql import types as T
+
+    out = []
+    for f in struct.fields:
+        if isinstance(f.dataType, T.StructType):
+            out.extend(f"{f.name}.{rel}" for rel in _leaf_rel_paths(f.dataType))
+        else:
+            out.append(f.name)
+    return out
 
 
 def _udtf_plan(probe_struct, schema: str, on: str, select, how: str,
@@ -180,22 +296,50 @@ def _udtf_plan(probe_struct, schema: str, on: str, select, how: str,
     from .types import METADATA_COLUMN_NAMES, metadata_schema
 
     lookup_schema = _parse_ddl_struct(schema)
-    pairs = _parse_on(on)
-    known = {f.name for f in lookup_schema.fields}
-    for _pc, lk in pairs:
-        if lk not in known:
+    probe_names = [f.name for f in probe_struct.fields]
+    # key resolution: dotted paths navigate nested ROW fields; a key that
+    # names a whole ROW column expands to its scalar leaves on BOTH sides
+    # (o.`row` = c.`row` joins, HttpLookupTableSourceITCaseTest.java:545,
+    # 614,685 — the reference flattens recursively,
+    # RowTypeLookupSchemaEntry.java:73-87)
+    pairs = []
+    for pc, lk in _parse_on(on):
+        dt = _resolve_path(lookup_schema, lk)
+        if dt is None:
             raise ValueError(
                 f"http_lookup: lookup key {lk!r} not in schema DDL"
             )
-    if select is not None:
-        names = [s.strip() for s in str(select).split(",") if s.strip()]
-        unknown = [n for n in names if n not in known]
-        if unknown:
+        root = pc.split(".")[0]
+        if root not in probe_names:
             raise ValueError(
-                f"http_lookup: select columns {unknown} not in schema DDL"
+                f"http_lookup: probe key column {root!r} not in the "
+                f"TABLE(...) input (columns: {probe_names})"
             )
+        if isinstance(dt, T.StructType):
+            pairs.extend(
+                (f"{pc}.{rel}", f"{lk}.{rel}") for rel in _leaf_rel_paths(dt)
+            )
+        else:
+            pairs.append((pc, lk))
+    if select is not None:
+        from .lookup import _prune_schema, _validate_select_paths
+
+        names = [s.strip() for s in str(select).split(",") if s.strip()]
+        try:
+            _validate_select_paths(lookup_schema, names)
+        except ValueError as exc:
+            raise ValueError(
+                f"http_lookup: select columns not in schema DDL: {exc}"
+            ) from None
+        # nested projection pushdown, same as http_lookup_join: dotted
+        # select paths prune INSIDE struct columns — unselected nested
+        # fields are never decoded or emitted
+        pruned = _prune_schema(
+            lookup_schema, {tuple(x.split(".")) for x in names}
+        )
+        select_heads = {x.split(".")[0] for x in names}
         output_lookup_fields = [
-            f for f in lookup_schema.fields if f.name in set(names)
+            f for f in pruned.fields if f.name in select_heads
         ]
     else:
         output_lookup_fields = list(lookup_schema.fields)
@@ -207,9 +351,14 @@ def _udtf_plan(probe_struct, schema: str, on: str, select, how: str,
             raise ValueError(
                 f"http_lookup: unknown metadata columns {sorted(unknown)}"
             )
+        # Canonicalize to METADATA_FIELDS declaration order: analyze
+        # declares the output struct via metadata_schema (which sorts to
+        # canonical order), so eval MUST emit values in the same order
+        # regardless of how the user spelled the comma list — mirrors
+        # lookup.py where meta_names is derived from the schema.
+        meta_names = [f.name for f in metadata_schema(meta_names).fields]
     if how not in ("inner", "left"):
         raise ValueError(f"http_lookup: how must be inner|left, got {how!r}")
-    probe_names = [f.name for f in probe_struct.fields]
     out_fields = list(probe_struct.fields)
     for f in output_lookup_fields:
         name = f"{prefix}{f.name}"
@@ -247,8 +396,13 @@ class HttpLookupUdtf:
     columns), so request volume is bounded by distinct keys per batch.
 
     Named arguments: ``url`` (required), ``on`` (required,
-    ``'probe=lookup,...'``), ``schema`` (required, flat DDL of the
-    response), ``select`` (lookup columns to emit), ``how``
+    ``'probe=lookup,...'`` — dotted paths address nested ROW fields, and
+    a key naming a whole ROW column flattens to its scalar leaves on
+    both sides, the reference's ``o.`row` = c.`row``` join shape),
+    ``schema`` (required, DDL of the response — scalars, DECIMAL(p,s)
+    and nested ``ROW<...>``/``STRUCT<...>``, parity with the reference's
+    nested lookup DDL ``docs/.../table/http.md:184-201``), ``select``
+    (lookup columns to emit; dotted paths prune inside structs), ``how``
     (inner|left), ``method`` (GET|POST|PUT), ``batch_size`` (multi-key
     requests via lookup.batch-size), ``prefix`` (lookup column rename),
     ``metadata`` (comma list of virtual columns), ``cache_ttl`` +
@@ -299,12 +453,7 @@ class HttpLookupUdtf:
 
     def _configure(self, row, kwargs) -> None:
         from .cache import LookupCacheConfig, shared_cache
-        from .lookup import (
-            HttpLookupTable,
-            _client_for,
-            _EnrichConfig,
-            _normalize_on,
-        )
+        from .lookup import HttpLookupTable, _client_for, _EnrichConfig
         from .options import HttpLookupOptions
 
         self._probe_names = list(row.__fields__)
@@ -339,7 +488,7 @@ class HttpLookupUdtf:
                 cache=cache_cfg,
             ),
         )
-        pairs = _normalize_on(dict(plan["pairs"]))
+        pairs = plan["pairs"]  # ordered (probe, lookup) — already expanded
         out_col_names = (
             list(self._probe_names)
             + [f"{prefix}{f.name}" for f in plan["output_lookup_fields"]]

@@ -472,6 +472,274 @@ class TestHttpLookupUdtf:
         """).collect()
         assert [(r.id, r.lk_name, r.status) for r in rows] == [(1, "alice", 200)]
 
+    def test_metadata_columns_canonical_order(self, spark, stub_server):
+        """Requesting metadata in NON-canonical order must still emit each
+        value under its own column: analyze declares fields in
+        METADATA_FIELDS order, so eval canonicalizes too (round-11 ADVICE —
+        previously 'http-status-code,error-string' swapped the values)."""
+        from flink_connector_http_spark.sqlfn import register_http_sql_functions
+
+        register_http_sql_functions(spark)
+        self._customers(stub_server)
+        rows = spark.sql(f"""
+            SELECT id, `http-status-code` AS status, `error-string` AS err
+            FROM http_lookup(
+                TABLE(SELECT CAST(1 AS BIGINT) AS id),
+                url => '{stub_server.url("/people")}',
+                on => 'id',
+                schema => 'id BIGINT, name STRING',
+                select => 'name',
+                metadata => 'http-status-code,error-string')
+        """).collect()
+        assert [(r.id, r.status, r.err) for r in rows] == [(1, 200, None)]
+
+    def test_nested_schema_and_dotted_select(self, spark, stub_server):
+        """Nested ROW response schema + dotted select pruning on the SQL
+        UDTF (reference nested lookup DDL, docs/.../table/http.md:184-201;
+        DataFrame-surface twin: test_lookup_join nested projection)."""
+        from flink_connector_http_spark.sqlfn import register_http_sql_functions
+        from flink_connector_http_spark.testing import StubResponse
+
+        register_http_sql_functions(spark)
+
+        def responder(req):
+            cid = int(req.query["id"][0])
+            body = json.dumps({
+                "id": cid,
+                "details": {
+                    "isActive": cid % 2 == 0,
+                    "nestedDetails": {"balance": f"{cid}.99",
+                                      "currency": "EUR"},
+                },
+            }).encode()
+            return StubResponse(status=200, body=body)
+
+        stub_server.stub("/nested", responder)
+        rows = spark.sql(f"""
+            SELECT id, details.nestedDetails.balance AS balance
+            FROM http_lookup(
+                TABLE(SELECT CAST(id AS BIGINT) + 1 AS id FROM range(3)),
+                url => '{stub_server.url("/nested")}',
+                on => 'id',
+                schema => 'id BIGINT, details ROW<isActive BOOLEAN,
+                           nestedDetails ROW<balance STRING, currency STRING>>',
+                select => 'details.nestedDetails.balance')
+        """).collect()
+        assert sorted((r.id, r.balance) for r in rows) == [
+            (1, "1.99"), (2, "2.99"), (3, "3.99")
+        ]
+
+    def _row_endpoint(self, stub_server, path="/client"):
+        """POST endpoint keyed by FLATTENED leaf args (the engine flattens
+        ROW join keys recursively to leaf-name args — parity with
+        RowTypeLookupSchemaEntry.java:73-87); echoes enrichment + the row."""
+        from flink_connector_http_spark.testing import StubResponse
+
+        def responder(req):
+            keys = req.json()
+            body = json.dumps({
+                "enrichedInt": int(keys["anIntColumn"]) * 10,
+                "enrichedString": f"e-{keys['aStringColumn']}",
+                "row": {
+                    "aStringColumn": keys["aStringColumn"],
+                    "anIntColumn": int(keys["anIntColumn"]),
+                    "aFloatColumn": float(keys["aFloatColumn"]),
+                },
+            }).encode()
+            return StubResponse(status=200, body=body)
+
+        stub_server.stub(path, responder)
+
+    def test_join_on_whole_row_type(self, spark, stub_server):
+        """ITCase shape 1 (testLookupJoinOnRowType,
+        HttpLookupTableSourceITCaseTest.java:545): the join key is an
+        entire ROW column — expands to its scalar leaves on both sides."""
+        from flink_connector_http_spark.sqlfn import register_http_sql_functions
+
+        register_http_sql_functions(spark)
+        self._row_endpoint(stub_server)
+        rows = spark.sql(f"""
+            SELECT id, rowcol.anIntColumn AS k, enrichedInt, enrichedString
+            FROM http_lookup(
+                TABLE(SELECT id,
+                             named_struct(
+                                 'aStringColumn', concat('s', CAST(id AS STRING)),
+                                 'anIntColumn', CAST(id AS INT),
+                                 'aFloatColumn', CAST(id AS FLOAT)) AS rowcol
+                      FROM range(1, 6)),
+                url => '{stub_server.url("/client")}',
+                on => 'rowcol=row',
+                schema => 'enrichedInt INT, enrichedString STRING,
+                           `row` ROW<`aStringColumn` STRING,
+                                     `anIntColumn` INT,
+                                     `aFloatColumn` FLOAT>',
+                method => 'POST',
+                select => 'enrichedInt,enrichedString')
+        """).collect()
+        assert sorted((r.id, r.k, r.enrichedInt, r.enrichedString)
+                      for r in rows) == [
+            (i, i, i * 10, f"e-s{i}") for i in range(1, 6)
+        ]
+        # every request body carried all three flattened leaf args
+        for req in stub_server.recorded("/client"):
+            assert set(req.json()) == {
+                "aStringColumn", "anIntColumn", "aFloatColumn"
+            }
+
+    def test_join_on_row_type_and_root_column(self, spark, stub_server):
+        """ITCase shape 2 (testLookupJoinOnRowTypeAndRootColumn,
+        HttpLookupTableSourceITCaseTest.java:614): root scalar key AND a
+        whole-ROW key in the same join."""
+        from flink_connector_http_spark.sqlfn import register_http_sql_functions
+        from flink_connector_http_spark.testing import StubResponse
+
+        register_http_sql_functions(spark)
+
+        def responder(req):
+            keys = req.json()
+            assert set(keys) == {"enrichedString", "aStringColumn",
+                                 "anIntColumn", "aFloatColumn"}
+            body = json.dumps({
+                "enrichedInt": int(keys["anIntColumn"]) * 10,
+                "enrichedString": keys["enrichedString"],
+                "row": {"aStringColumn": keys["aStringColumn"],
+                        "anIntColumn": int(keys["anIntColumn"]),
+                        "aFloatColumn": float(keys["aFloatColumn"])},
+            }).encode()
+            return StubResponse(status=200, body=body)
+
+        stub_server.stub("/client2", responder)
+        rows = spark.sql(f"""
+            SELECT id, enrichedInt
+            FROM http_lookup(
+                TABLE(SELECT CAST(id AS STRING) AS id,
+                             named_struct(
+                                 'aStringColumn', concat('s', CAST(id AS STRING)),
+                                 'anIntColumn', CAST(id AS INT),
+                                 'aFloatColumn', CAST(id AS FLOAT)) AS rowcol
+                      FROM range(1, 6)),
+                url => '{stub_server.url("/client2")}',
+                on => 'id=enrichedString, rowcol=row',
+                schema => 'enrichedInt INT, enrichedString STRING,
+                           `row` ROW<`aStringColumn` STRING,
+                                     `anIntColumn` INT,
+                                     `aFloatColumn` FLOAT>',
+                method => 'POST',
+                select => 'enrichedInt')
+        """).collect()
+        assert sorted((r.id, r.enrichedInt) for r in rows) == [
+            (str(i), i * 10) for i in range(1, 6)
+        ]
+
+    def test_join_on_row_with_nested_row(self, spark, stub_server):
+        """ITCase shape 3 (testLookupJoinOnRowWithRowType,
+        HttpLookupTableSourceITCaseTest.java:685,733-737): a doubly-nested
+        ROW join key flattens recursively to all four scalar leaves."""
+        from flink_connector_http_spark.sqlfn import register_http_sql_functions
+        from flink_connector_http_spark.testing import StubResponse
+
+        register_http_sql_functions(spark)
+
+        def responder(req):
+            keys = req.json()
+            assert set(keys) == {"aStringColumn", "anIntColumn",
+                                 "anotherStringColumn", "anotherIntColumn"}
+            body = json.dumps({
+                "enrichedInt": int(keys["anotherIntColumn"]),
+                "enrichedString": keys["anotherStringColumn"],
+            }).encode()
+            return StubResponse(status=200, body=body)
+
+        stub_server.stub("/client3", responder)
+        rows = spark.sql(f"""
+            SELECT id, enrichedInt, enrichedString
+            FROM http_lookup(
+                TABLE(SELECT id,
+                             named_struct(
+                                 'aStringColumn', concat('s', CAST(id AS STRING)),
+                                 'anIntColumn', CAST(id AS INT),
+                                 'aRow', named_struct(
+                                     'anotherStringColumn',
+                                     concat('t', CAST(id AS STRING)),
+                                     'anotherIntColumn', CAST(id * 7 AS INT)))
+                             AS nested
+                      FROM range(1, 6)),
+                url => '{stub_server.url("/client3")}',
+                on => 'nested=nestedRow',
+                schema => '`nestedRow` ROW<`aStringColumn` STRING,
+                               `anIntColumn` INT,
+                               `aRow` ROW<`anotherStringColumn` STRING,
+                                          `anotherIntColumn` INT>>,
+                           enrichedInt INT, enrichedString STRING',
+                method => 'POST',
+                select => 'enrichedInt,enrichedString')
+        """).collect()
+        assert sorted((r.id, r.enrichedInt, r.enrichedString)
+                      for r in rows) == [
+            (i, i * 7, f"t{i}") for i in range(1, 6)
+        ]
+
+    def test_nested_udtf_matches_dataframe_operator(self, spark, stub_server):
+        """The SQL UDTF and the DataFrame operator (http_lookup_join) must
+        produce IDENTICAL rows on the same nested fixture — the round-11
+        verdict's nested-parity pin."""
+        from pyspark.sql import types as T
+
+        from flink_connector_http_spark.lookup import (
+            HttpLookupTable,
+            http_lookup_join,
+        )
+        from flink_connector_http_spark.sqlfn import register_http_sql_functions
+        from flink_connector_http_spark.testing import StubResponse
+
+        register_http_sql_functions(spark)
+
+        def responder(req):
+            cid = int(req.query["id"][0])
+            body = json.dumps({
+                "id": cid,
+                "details": {
+                    "isActive": cid % 2 == 0,
+                    "nestedDetails": {"balance": f"{cid}.50"},
+                },
+            }).encode()
+            return StubResponse(status=200, body=body)
+
+        stub_server.stub("/np", responder)
+        schema = T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("details", T.StructType([
+                T.StructField("isActive", T.BooleanType()),
+                T.StructField("nestedDetails", T.StructType([
+                    T.StructField("balance", T.StringType()),
+                ])),
+            ])),
+        ])
+        probe = spark.range(1, 5).selectExpr("id")
+        table = HttpLookupTable(url=stub_server.url("/np"), schema=schema)
+        df_rows = sorted(
+            (r.id, r.details.isActive, r.details.nestedDetails.balance)
+            for r in http_lookup_join(
+                probe, table, on={"id": "id"},
+                select=["details.isActive", "details.nestedDetails.balance"],
+            ).collect()
+        )
+        udtf_rows = sorted(
+            (r.id, r.details.isActive, r.details.nestedDetails.balance)
+            for r in spark.sql(f"""
+                SELECT id, details FROM http_lookup(
+                    TABLE(SELECT id FROM range(1, 5)),
+                    url => '{stub_server.url("/np")}',
+                    on => 'id',
+                    schema => 'id BIGINT, details ROW<isActive BOOLEAN,
+                               nestedDetails ROW<balance STRING>>',
+                    select => 'details.isActive,details.nestedDetails.balance')
+            """).collect()
+        )
+        assert df_rows == udtf_rows == [
+            (i, i % 2 == 0, f"{i}.50") for i in range(1, 5)
+        ]
+
     def test_bad_args_raise_helpfully(self, spark, stub_server):
         from flink_connector_http_spark.sqlfn import register_http_sql_functions
 
@@ -512,10 +780,41 @@ class TestHttpLookupUdtfParsers:
         assert st["i"].dataType == T.DecimalType(12, 3)
         assert st["b"].dataType == T.LongType()
 
-    def test_ddl_rejects_nested_and_garbage(self):
+    def test_ddl_nested_row_and_struct(self):
+        """Nested ROW<...> (Flink spelling, docs/.../table/http.md:184-201)
+        and STRUCT<name: TYPE> (Spark spelling) parse recursively,
+        including backtick-quoted names and doubly-nested rows
+        (HttpLookupTableSourceITCaseTest.java:733-737)."""
+        from pyspark.sql import types as T
+
         from flink_connector_http_spark.sqlfn import _parse_ddl_struct
 
-        for bad in ("a ARRAY<INT>", "a STRUCT<b: INT>", "a", "a b c", "", "a FOO"):
+        st = _parse_ddl_struct(
+            "id STRING, details ROW<isActive BOOLEAN, "
+            "nestedDetails ROW<balance STRING>>"
+        )
+        assert isinstance(st["details"].dataType, T.StructType)
+        nd = st["details"].dataType["nestedDetails"].dataType
+        assert nd == T.StructType([T.StructField("balance", T.StringType())])
+
+        st2 = _parse_ddl_struct(
+            "`nestedRow` ROW<`aStringColumn` STRING, `anIntColumn` INT, "
+            "`aRow` ROW<`anotherStringColumn` STRING, `anotherIntColumn` INT>>"
+        )
+        arow = st2["nestedRow"].dataType["aRow"].dataType
+        assert [f.name for f in arow.fields] == [
+            "anotherStringColumn", "anotherIntColumn"
+        ]
+        # Spark STRUCT<name: TYPE> spelling + varchar length
+        st3 = _parse_ddl_struct("a STRUCT<b: INT, c: STRING>, d VARCHAR(10)")
+        assert st3["a"].dataType["b"].dataType == T.IntegerType()
+        assert st3["d"].dataType == T.StringType()
+
+    def test_ddl_rejects_arrays_and_garbage(self):
+        from flink_connector_http_spark.sqlfn import _parse_ddl_struct
+
+        for bad in ("a ARRAY<INT>", "a MAP<STRING, INT>", "a", "a b c",
+                    "", "a FOO", "a ROW<b INT", "a INT,"):
             with pytest.raises(ValueError):
                 _parse_ddl_struct(bad)
 
@@ -527,6 +826,16 @@ class TestHttpLookupUdtfParsers:
         assert _parse_on("x , y=z") == [("x", "x"), ("y", "z")]
         with pytest.raises(ValueError):
             _parse_on(" , ")
+
+    def test_on_rejects_duplicate_probe_columns(self):
+        """'id=a,id=b' used to silently drop the first mapping in the
+        dict round-trip — now a hard error (round-11 ADVICE)."""
+        from flink_connector_http_spark.sqlfn import _parse_on
+
+        with pytest.raises(ValueError, match="duplicate probe column"):
+            _parse_on("id=a, id=b")
+        with pytest.raises(ValueError, match="duplicate probe column"):
+            _parse_on("x, x")
 
 
 def test_http_lookup_udtf_multi_flush_boundary(spark, stub_server):
