@@ -206,13 +206,31 @@ def main() -> None:
         # its 10x ratio drifted 7.3-9.3 across r9 readings — min-of-5 so
         # the saturation number carries a measured band (r9 verdict #8)
         "http_lookup_customers_get",
+        # 10x ratio drifted 3.11/3.82/3.47/4.35 across rounds 7-10 with no
+        # measured band — wider spread than q01's, which was already in
+        # this set (r10 verdict "what's wrong" #1)
+        "dedup_minhash_lsh",
     }
     N_RUNS_NOISY = max(N_RUNS, int(os.environ.get(
         "SPARK_GRAFT_BENCH_RUNS_NOISY", "5")))
+    # queries whose generated code ramps through JIT tiers over SEVERAL
+    # full-SF executions (emb_knn_graph: 8-run probe decayed monotonically
+    # 3.43 -> 1.63 s with the join strategy pinned stable at broadcast x2 —
+    # the r10 "75.8% noise band" was warmup decay, not instability; see
+    # PERF_NOTES.md). One discarded target-SF run moves every timed sample
+    # onto the plateau: measured spread 40.8% -> 7.9%.
+    TARGET_WARM = {"emb_knn_graph"}
     timings = {}
     noise_band = {}
     for spec in bench_specs:
         runs = N_RUNS_NOISY if spec.name in NOISY else N_RUNS
+        if spec.name in TARGET_WARM:
+            try:
+                spec.fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass
         samples = []
         for _ in range(runs):
             t0 = time.time()
@@ -272,12 +290,20 @@ def main() -> None:
             pass
         scale_timings = {}
         for spec in bench_specs:
-            t0 = time.time()
+            # NOISY queries get min-of-2 at 10x: with a single pass, a VM
+            # stall in the 1x min-of-5 vs a lucky 10x run can read a
+            # time_ratio BELOW 1.0 (driver r10: q01 at 0.92 — 10x data
+            # "faster" than 1x), which poisons round-over-round deltas
+            runs_10x = 2 if spec.name in NOISY else 1
+            samples_10x = []
             try:
-                spec.fn(spark, scale_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                scale_timings[spec.name] = round(time.time() - t0, 3)
+                for _ in range(runs_10x):
+                    t0 = time.time()
+                    spec.fn(spark, scale_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    samples_10x.append(round(time.time() - t0, 3))
+                scale_timings[spec.name] = min(samples_10x)
             except Exception as err:  # record, never sink the whole bench
                 scale_timings[spec.name] = f"error: {err}"
         ratios = {
@@ -342,6 +368,12 @@ def main() -> None:
             "dedup_minhash_lsh", "dedup_clusters", "emb_knn_graph",
             "pipeline_corpus_manifest", "stream_window_topk",
             "stream_cep_funnel", "stream_burst_heavy_hitters",
+            # round 11 (r10 verdict #5): widen the second decade to >= 15 —
+            # the "no exponent > 1" claim generalized from 10 data points
+            "q03_shipping_priority", "q05_local_supplier",
+            "q09_product_profit", "text_token_stats",
+            "sim_ann_lsh_multiprobe", "sim_knn_bruteforce",
+            "sim_incremental_lsh_index",
         ]
         x100_dir = ensure_scale_dir(sf_dir, 100)
         x100_timings = {}
@@ -372,6 +404,55 @@ def main() -> None:
             },
             "scaling_exponent_10x_to_100x": exponents,
         }
+
+    # sustained streaming e2e (round 11, r10 verdict #1): N consecutive
+    # micro-batches at a fixed input rate — the reference's continuous-
+    # stream shape (HttpLookupTableSourceITCaseTest.java:162-205 datagen
+    # probe, sink/HttpSinkConnectionTest.java:125-330), which a single
+    # availableNow pass (how the oracle-gated stream_* queries run) never
+    # exercises. Records sustained rows/sec, per-batch duration p50/p95
+    # vs the trigger interval (keep-up), and state-store rows per batch
+    # (flat = bounded state proven on a live run, not just unit tests).
+    if os.environ.get("SPARK_GRAFT_STREAMING_E2E", "1") != "0":
+        from flink_connector_http_spark.streaming.e2e import (
+            run_enrich_sink_e2e,
+            run_stateful_e2e,
+        )
+        from flink_connector_http_spark.testing import (
+            FastHttpStub,
+            response_bytes,
+        )
+
+        n_keys = 2_000
+        stub = FastHttpStub()
+        stub.route_static(
+            "/e2e-people",
+            {
+                str(k): response_bytes(
+                    json.dumps({"id": k, "name": f"user{k}"}).encode()
+                )
+                for k in range(1, n_keys + 1)
+            },
+            "id",
+        )
+        _ok = response_bytes(b'{"ok":true}')
+        stub.route("/e2e-sink", lambda _q, _b: _ok)
+        stub.start(workers=8)
+        streaming_e2e = {}
+        try:
+            streaming_e2e["enrich_sink"] = run_enrich_sink_e2e(
+                spark,
+                f"http://127.0.0.1:{stub.port}/e2e-people",
+                f"http://127.0.0.1:{stub.port}/e2e-sink",
+                n_keys=n_keys,
+            )
+        except Exception as err:  # record, never sink the whole bench
+            streaming_e2e["enrich_sink"] = f"error: {err}"
+        try:
+            streaming_e2e["stateful_burst"] = run_stateful_e2e(spark)
+        except Exception as err:
+            streaming_e2e["stateful_burst"] = f"error: {err}"
+        result["streaming_e2e"] = streaming_e2e
 
     print(json.dumps(result))
     spark.stop()

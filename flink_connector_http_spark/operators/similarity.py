@@ -375,6 +375,8 @@ def _lsh_band_rows(emb: DataFrame) -> DataFrame:
 
 @register(
     "sim_incremental_lsh_index",
+    bench=True,  # r10 verdict #5: the incremental-index family needs a
+    # 10x point and a second decade on the 100x curve
     oracle=_INCR_LSH_ORACLE,
     doc="Incremental ANN index maintenance (retrieval twin of "
         "dedup_incremental_minhash): the corpus keeps a persistent LSH "

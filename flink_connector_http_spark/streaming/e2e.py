@@ -1,0 +1,256 @@
+"""Sustained streaming end-to-end measurement (the engine's north-star
+evidence): N consecutive micro-batches at a fixed input rate, with
+per-batch duration percentiles, sustained rows/sec, and state-store row
+counts read from Structured Streaming's progress events.
+
+The reference's e2e tests run CONTINUOUS streams — a datagen source
+probed against the lookup endpoint
+(``HttpLookupTableSourceITCaseTest.java:162-205``) and a long-running
+sink connection test (``sink/HttpSinkConnectionTest.java:125-330``) —
+but a single ``availableNow`` pass (how the registry's ``stream_*``
+queries run under the oracle gate) only proves correctness over a
+handful of micro-batches. This module proves the OPERATIONAL claims:
+
+- **keep-up**: p95 micro-batch duration < the trigger interval at the
+  chosen input rate (otherwise the query falls behind and the rate
+  source backlog grows without bound);
+- **bounded state**: the state store's ``numRowsTotal`` goes flat once
+  the key domain is saturated (eviction works; an unbounded-state bug
+  shows as monotone growth across batches).
+
+Two pipelines, matching the reference's two continuous e2e shapes:
+
+1. ``run_enrich_sink_e2e`` — rate source → ``http_lookup_join`` →
+   HTTP sink via ``foreachBatch`` (the lookup-join + async-sink loop);
+2. ``run_stateful_e2e`` — rate source → ``burst_heavy_hitters_stream``
+   (bounded evicting per-key window state) → noop sink.
+
+Both return a plain-dict summary for ``bench.py``'s ``streaming_e2e``
+block and the pytest keep-up pins (``tests/test_streaming_e2e.py``).
+"""
+
+from __future__ import annotations
+
+import json
+import tempfile
+import time
+from datetime import datetime
+from typing import List, Optional
+
+from pyspark.sql import functions as F
+
+__all__ = ["run_enrich_sink_e2e", "run_stateful_e2e"]
+
+#: batches excluded from the keep-up percentiles: the first micro-batches
+#: pay one-time Python-worker fork + Arrow init + codegen, a
+#: per-executor-lifetime cost at cluster scale, not a per-batch cost.
+#: Raw durations of ALL batches are still reported.
+WARMUP_BATCHES = 3
+
+
+def _as_dict(progress) -> dict:
+    """recentProgress entries are StreamingQueryProgress objects (with a
+    .json payload) on some PySpark versions and plain dicts on others."""
+    if isinstance(progress, dict):
+        return progress
+    return json.loads(progress.json)
+
+
+def _parse_ts(iso: str) -> float:
+    return datetime.fromisoformat(iso.replace("Z", "+00:00")).timestamp()
+
+
+def _percentile(sorted_vals: List[float], q: float) -> float:
+    if not sorted_vals:
+        return float("nan")
+    idx = max(0, min(len(sorted_vals) - 1,
+                     int(round(q * (len(sorted_vals) - 1)))))
+    return sorted_vals[idx]
+
+
+def _await_batches(query, n_batches: int, timeout_sec: float) -> List[dict]:
+    """Let the query run until >= n_batches non-empty micro-batches have
+    completed (or the timeout lapses), then stop it and return their
+    progress dicts in batch order."""
+    deadline = time.time() + timeout_sec
+    done: List[dict] = []
+    while time.time() < deadline:
+        progs = [_as_dict(p) for p in query.recentProgress]
+        done = [p for p in progs if p.get("numInputRows", 0) > 0]
+        if len(done) >= n_batches:
+            break
+        time.sleep(0.25)
+    query.stop()
+    query.awaitTermination(60)
+    return sorted(done, key=lambda p: p["batchId"])[:n_batches]
+
+
+def _summarize(progs: List[dict], trigger_sec: float) -> dict:
+    durations = [float(p["durationMs"]["triggerExecution"]) for p in progs]
+    steady = durations[WARMUP_BATCHES:] or durations
+    s = sorted(steady)
+    rows_total = int(sum(p["numInputRows"] for p in progs))
+    # wall clock spans first batch start → last batch end; sustained
+    # throughput is input rows over that whole span (includes trigger
+    # idle time — the number an operator sizing a cluster needs)
+    wall = (
+        _parse_ts(progs[-1]["timestamp"]) - _parse_ts(progs[0]["timestamp"])
+        + durations[-1] / 1000.0
+    )
+    state_rows = [
+        int(p["stateOperators"][0]["numRowsTotal"])
+        for p in progs
+        if p.get("stateOperators")
+    ]
+    out = {
+        "batches": len(progs),
+        "rows_total": rows_total,
+        "wall_sec": round(wall, 3),
+        "rows_per_sec_sustained": round(rows_total / max(wall, 1e-9), 1),
+        "trigger_interval_ms": int(trigger_sec * 1000),
+        "warmup_batches_excluded": min(WARMUP_BATCHES, len(durations) - 1),
+        "batch_duration_ms": {
+            "p50": round(_percentile(s, 0.50), 1),
+            "p95": round(_percentile(s, 0.95), 1),
+            "max": round(max(s), 1),
+        },
+        "batch_duration_ms_raw": [round(d, 1) for d in durations],
+        "kept_up": _percentile(s, 0.95) < trigger_sec * 1000,
+    }
+    if state_rows:
+        out["state_rows_per_batch"] = state_rows
+        # flat tail = bounded state proven empirically (the key domain
+        # saturates, then eviction holds the row count constant)
+        tail = state_rows[min(WARMUP_BATCHES, len(state_rows) - 1):]
+        out["state_rows_flat"] = len(set(tail)) == 1
+    return out
+
+
+def run_enrich_sink_e2e(
+    spark,
+    lookup_url: str,
+    sink_url: str,
+    *,
+    rows_per_second: int = 20_000,
+    n_batches: int = 25,
+    trigger_sec: float = 1.5,
+    n_keys: int = 2_000,
+    lookup_batch_size: Optional[int] = None,
+    source_partitions: int = 8,
+    timeout_sec: float = 300.0,
+) -> dict:
+    """Rate source → ``http_lookup_join`` → HTTP sink via ``foreachBatch``
+    for ``n_batches`` consecutive micro-batches at ``rows_per_second``.
+
+    The lookup key domain is ``1..n_keys`` (``value % n_keys + 1``), so
+    per-batch HTTP volume is distinct-key-bounded exactly as in the batch
+    operator; the sink posts every enriched row in JSON-array-framed
+    batch requests. If a batch overruns the trigger interval the rate
+    source backlogs and the NEXT batch is bigger — so sustained keep-up
+    (p95 < trigger) is self-demonstrating, not assumed.
+    """
+    from pyspark.sql import types as T
+
+    from ..lookup import HttpLookupTable, http_lookup_join
+    from ..options import HttpLookupOptions, HttpSinkOptions
+    from ..sink import write_http
+
+    table = HttpLookupTable(
+        url=lookup_url,
+        schema=T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+        ]),
+        options=HttpLookupOptions(
+            method="POST" if lookup_batch_size else "GET",
+            lookup_batch_size=lookup_batch_size,
+        ),
+    )
+    sink_opts = HttpSinkOptions(insert_method="POST")
+
+    def process(batch_df, _batch_id) -> None:
+        enriched = http_lookup_join(
+            batch_df, table, on={"id": "id"}, select=["name"]
+        )
+        write_http(enriched, sink_url, sink_opts)
+
+    query = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .option("numPartitions", source_partitions)
+        .load()
+        .select((F.col("value") % n_keys + 1).alias("id"),
+                F.col("value"))
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation",
+                tempfile.mkdtemp(prefix="stream_e2e_enrich_ckpt_"))
+        .trigger(processingTime=f"{trigger_sec} seconds")
+        .start()
+    )
+    progs = _await_batches(query, n_batches, timeout_sec)
+    out = _summarize(progs, trigger_sec)
+    out["pipeline"] = "rate->http_lookup_join->http_sink(foreachBatch)"
+    out["rows_per_second_requested"] = rows_per_second
+    out["n_distinct_keys"] = n_keys
+    return out
+
+
+def run_stateful_e2e(
+    spark,
+    *,
+    rows_per_second: int = 15_000,
+    n_batches: int = 20,
+    trigger_sec: float = 5.0,
+    n_keys: int = 5_000,
+    source_partitions: int = 8,
+    timeout_sec: float = 300.0,
+) -> dict:
+    """Rate source → ``burst_heavy_hitters_stream`` (evicting per-key
+    window state) → noop sink for ``n_batches`` consecutive micro-batches.
+
+    ``user_id = value % n_keys`` saturates the key domain within the
+    first batches; ``d`` derives from the rate-source event time, so the
+    whole run lands in one day bucket and the state store must go FLAT at
+    ``n_keys`` rows — monotone growth here would mean eviction is broken
+    (the bounded-state claim, previously pinned only by unit tests).
+
+    Default 15 k rows/s at a 5 s trigger, from the measured duration
+    model on this VM: batch duration ≈ 0.5 s of state machinery (shuffle
+    + 32 state-store commits + 5 000-group pandas dispatch — a floor no
+    trigger escapes, so a 1 s trigger cannot keep up at ANY rate) plus
+    ~25-30 µs/row; raising the trigger also raises rows/batch
+    (rate × trigger), so keep-up margin grows sublinearly with the
+    trigger. Two further real costs the margin must absorb: the state
+    store's async snapshot maintenance steals CPU ~60 s into every run
+    (reproducible 2.5-3.6 s batch spikes), and virtio-balloon stalls
+    inject up to ~2× duration noise between sessions. 15 k/s at 5 s
+    keeps p95 under the trigger with margin through both.
+    """
+    from .stateful import burst_heavy_hitters_stream
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .option("numPartitions", source_partitions)
+        .load()
+        .select(
+            (F.col("value") % n_keys).alias("user_id"),
+            F.expr("CAST(unix_date(CAST(timestamp AS DATE)) AS BIGINT)")
+            .alias("d"),
+        )
+    )
+    query = (
+        burst_heavy_hitters_stream(stream, "user_id", "d")
+        .writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation",
+                tempfile.mkdtemp(prefix="stream_e2e_state_ckpt_"))
+        .trigger(processingTime=f"{trigger_sec} seconds")
+        .start()
+    )
+    progs = _await_batches(query, n_batches, timeout_sec)
+    out = _summarize(progs, trigger_sec)
+    out["pipeline"] = "rate->burst_heavy_hitters(applyInPandasWithState)->noop"
+    out["rows_per_second_requested"] = rows_per_second
+    out["n_distinct_keys"] = n_keys
+    return out
