@@ -1288,20 +1288,23 @@ _PQ_CTES = f"""
 """
 
 
-def _pq_scored(spark: SparkSession, sf_dir: str):
-    """(vec_id, m, k, d) rounded sub-vector-to-codeword distances; the
-    codebook side is broadcast (PQ_M x PQ_K = tiny)."""
-    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+def _pq_scored_frames(codebook_src: DataFrame, vectors: DataFrame):
+    """(vec_id, m, k, d) rounded sub-vector-to-codeword distances of
+    ``vectors`` against the codebook sampled from ``codebook_src``
+    (sub-vectors of its ``vec_id < PQ_K`` rows — a pure function of
+    those rows, so a codebook built from the existing corpus is FROZEN
+    w.r.t. any later batch). The codebook side is broadcast
+    (PQ_M x PQ_K = tiny)."""
     ms = F.explode(F.expr(f"sequence(0, {PQ_M - 1})")).alias("m")
     cb = (
-        emb.filter(F.col("vec_id") < PQ_K)
+        codebook_src.filter(F.col("vec_id") < PQ_K)
         .select(F.col("vec_id").cast("int").alias("k"), "embedding", ms)
         .select(
             "m", "k",
             F.expr(f"slice(embedding, m * {PQ_DSUB} + 1, {PQ_DSUB})").alias("cent"),
         )
     )
-    subs = emb.select("vec_id", "embedding", ms).select(
+    subs = vectors.select("vec_id", "embedding", ms).select(
         "vec_id", "m",
         F.expr(f"slice(embedding, m * {PQ_DSUB} + 1, {PQ_DSUB})").alias("sub"),
     )
@@ -1310,8 +1313,13 @@ def _pq_scored(spark: SparkSession, sf_dir: str):
     )
 
 
-def _pq_codes(spark: SparkSession, sf_dir: str):
-    scored = _pq_scored(spark, sf_dir)
+def _pq_scored(spark: SparkSession, sf_dir: str):
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    return _pq_scored_frames(emb, emb)
+
+
+def _codes_from_scored(scored: DataFrame):
+    """argmin codeword per (vec_id, subspace): partial-agg min struct."""
     return (
         scored.groupBy("vec_id", "m")
         .agg(F.min(F.struct(F.col("d"), F.col("k"))).alias("best"))
@@ -1321,6 +1329,10 @@ def _pq_codes(spark: SparkSession, sf_dir: str):
             F.col("best.d").alias("sq_err"),
         )
     )
+
+
+def _pq_codes(spark: SparkSession, sf_dir: str):
+    return _codes_from_scored(_pq_scored(spark, sf_dir))
 
 
 @register(
@@ -5374,3 +5386,96 @@ def sim_incremental_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental PQ maintenance (third index family, round 11 — the PQ twin of
+# sim_incremental_lsh_index / sim_incremental_ivf_assign)
+# ---------------------------------------------------------------------------
+
+_INCR_PQ_ORACLE = f"""
+    WITH {_PQ_CTES},
+    per AS (
+      SELECT m,
+             CAST(COUNT(CASE WHEN vec_id < {EMB_INCR_SPLIT} THEN 1 END)
+                  AS BIGINT) AS n_existing,
+             CAST(COUNT(CASE WHEN vec_id >= {EMB_INCR_SPLIT} THEN 1 END)
+                  AS BIGINT) AS n_batch,
+             round(CAST(SUM(CASE WHEN vec_id < {EMB_INCR_SPLIT}
+                            THEN CAST(sq_err AS DECIMAL(18,6)) END)
+                        AS DOUBLE)
+                   / COUNT(CASE WHEN vec_id < {EMB_INCR_SPLIT} THEN 1 END),
+                   6) AS mse_existing,
+             round(CAST(SUM(CASE WHEN vec_id >= {EMB_INCR_SPLIT}
+                            THEN CAST(sq_err AS DECIMAL(18,6)) END)
+                        AS DOUBLE)
+                   / COUNT(CASE WHEN vec_id >= {EMB_INCR_SPLIT} THEN 1 END),
+                   6) AS mse_batch
+      FROM codes GROUP BY m
+    )
+    SELECT CAST(m AS INT) AS m, n_existing, n_batch,
+           mse_existing, mse_batch,
+           round(mse_batch - mse_existing, 6) AS mse_drift
+    FROM per ORDER BY m
+"""
+
+
+@register(
+    "sim_incremental_pq_assign",
+    oracle=_INCR_PQ_ORACLE,
+    doc="Incremental PQ maintenance — the third index family's twin of "
+        "sim_incremental_lsh_index (LSH) and sim_incremental_ivf_assign "
+        "(IVF), closing the r10 verdict's stretch item: daily batch "
+        "vectors are assigned PQ codes against the FROZEN existing-corpus "
+        "codebook (the quantizer is immutable between retrains, exactly "
+        "how production PQ/ADC indexes absorb daily data — the codebook "
+        "is a pure function of the existing vec_id < PQ_K rows, so batch "
+        "arrival cannot change it), and the output is per-subspace code "
+        "occupancy plus the RECONSTRUCTION-ERROR drift: mean squared "
+        "sub-vector error of the batch vs the existing corpus under the "
+        "same codebook — the monitoring signal that schedules codebook "
+        "retraining (a distribution shift in new data shows up as rising "
+        "batch MSE before recall degrades). In production the existing "
+        "side is a stored index statistic; it is recomputed here so the "
+        "oracle can check both sides. Scale shape: the codebook is a "
+        "broadcast (PQ_M x PQ_K codewords), batch assignment is one "
+        "broadcast join + partial-agg argmin over |batch| x PQ_K, daily "
+        "work never touches existing vectors, and the final rollup is "
+        "PQ_M rows. DECIMAL-exact error sums keep the drift "
+        "engine-deterministic; untouched code rows are byte-stable "
+        "(tests/test_incremental_pq_assign.py).",
+)
+def sim_incremental_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    existing = emb.filter(F.col("vec_id") < EMB_INCR_SPLIT)
+    batch = emb.filter(F.col("vec_id") >= EMB_INCR_SPLIT)
+    # the incremental contract by construction: existing codes computed
+    # WITHOUT the batch, batch codes against the frozen existing codebook
+    exist_codes = _codes_from_scored(_pq_scored_frames(existing, existing))
+    batch_codes = _codes_from_scored(_pq_scored_frames(existing, batch))
+    codes = (
+        exist_codes.withColumn("side", F.lit("e"))
+        .unionByName(batch_codes.withColumn("side", F.lit("b")))
+    )
+    per = codes.groupBy(F.col("m").cast("int").alias("m")).agg(
+        F.expr(
+            "CAST(COUNT(CASE WHEN side = 'e' THEN 1 END) AS BIGINT)"
+        ).alias("n_existing"),
+        F.expr(
+            "CAST(COUNT(CASE WHEN side = 'b' THEN 1 END) AS BIGINT)"
+        ).alias("n_batch"),
+        F.expr(
+            "round(CAST(SUM(CASE WHEN side = 'e' "
+            "THEN CAST(sq_err AS DECIMAL(18,6)) END) AS DOUBLE)"
+            " / COUNT(CASE WHEN side = 'e' THEN 1 END), 6)"
+        ).alias("mse_existing"),
+        F.expr(
+            "round(CAST(SUM(CASE WHEN side = 'b' "
+            "THEN CAST(sq_err AS DECIMAL(18,6)) END) AS DOUBLE)"
+            " / COUNT(CASE WHEN side = 'b' THEN 1 END), 6)"
+        ).alias("mse_batch"),
+    )
+    return per.select(
+        "m", "n_existing", "n_batch", "mse_existing", "mse_batch",
+        F.expr("round(mse_batch - mse_existing, 6)").alias("mse_drift"),
+    ).orderBy("m")

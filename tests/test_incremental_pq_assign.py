@@ -1,0 +1,104 @@
+"""Incremental PQ code assignment (round 11): frozen-codebook contract,
+merge-equals-rebuild, and untouched-code-row byte-stability — the
+index-state properties the registered query's oracle cannot see
+(mirrors tests/test_incremental_lsh_index.py for the LSH family)."""
+
+import pathlib
+
+import pyspark.sql.functions as F
+
+from flink_connector_http_spark.operators.similarity import (
+    EMB_INCR_SPLIT,
+    PQ_K,
+    _codes_from_scored,
+    _pq_scored_frames,
+)
+from flink_connector_http_spark.plans.registry import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+CODE_COLS = ["vec_id", "m", "code", "sq_err"]
+
+
+def _canon(df):
+    return sorted(map(tuple, df.select(*CODE_COLS).collect()))
+
+
+def test_codebook_is_frozen_wrt_batch(spark):
+    """The codebook samples vec_id < PQ_K, which is strictly inside the
+    existing corpus (PQ_K < EMB_INCR_SPLIT) — so batch codes computed
+    against the existing corpus equal batch codes from a full rebuild:
+    batch arrival cannot move the quantizer."""
+    assert PQ_K < EMB_INCR_SPLIT
+    emb = load(spark, SF_DIR, "embeddings")["embeddings"]
+    existing = emb.filter(F.col("vec_id") < EMB_INCR_SPLIT)
+    batch = emb.filter(F.col("vec_id") >= EMB_INCR_SPLIT)
+    incremental = _codes_from_scored(_pq_scored_frames(existing, batch))
+    rebuild = _codes_from_scored(_pq_scored_frames(emb, emb)).filter(
+        F.col("vec_id") >= EMB_INCR_SPLIT
+    )
+    assert _canon(incremental) == _canon(rebuild)
+
+
+def test_merge_equals_full_rebuild(spark):
+    emb = load(spark, SF_DIR, "embeddings")["embeddings"]
+    existing = emb.filter(F.col("vec_id") < EMB_INCR_SPLIT)
+    batch = emb.filter(F.col("vec_id") >= EMB_INCR_SPLIT)
+    merged = _codes_from_scored(
+        _pq_scored_frames(existing, existing)
+    ).unionByName(_codes_from_scored(_pq_scored_frames(existing, batch)))
+    full = _codes_from_scored(_pq_scored_frames(emb, emb))
+    assert _canon(merged) == _canon(full)
+
+
+def test_untouched_code_files_are_byte_stable(spark, tmp_path):
+    """The persistent on-disk contract: appending a batch's codes to the
+    code table leaves every pre-existing file byte-for-byte unchanged
+    (no rewrite of old codes), and the merged directory reads back equal
+    to a from-scratch rebuild."""
+    emb = load(spark, SF_DIR, "embeddings")["embeddings"]
+    existing = emb.filter(F.col("vec_id") < EMB_INCR_SPLIT)
+    batch = emb.filter(F.col("vec_id") >= EMB_INCR_SPLIT)
+    code_dir = str(tmp_path / "pq_codes")
+
+    _codes_from_scored(_pq_scored_frames(existing, existing)).select(
+        *CODE_COLS
+    ).coalesce(2).write.parquet(code_dir)
+    before = {
+        p.name: p.read_bytes()
+        for p in pathlib.Path(code_dir).glob("*.parquet")
+    }
+    assert before, "existing code table wrote no files"
+
+    _codes_from_scored(_pq_scored_frames(existing, batch)).select(
+        *CODE_COLS
+    ).coalesce(1).write.mode("append").parquet(code_dir)
+    after = {
+        p.name: p.read_bytes()
+        for p in pathlib.Path(code_dir).glob("*.parquet")
+    }
+    for name, content in before.items():
+        assert after[name] == content, f"existing code file {name} changed"
+    assert len(after) > len(before), "append created no new files"
+
+    merged = spark.read.parquet(code_dir)
+    rebuild = _codes_from_scored(_pq_scored_frames(emb, emb)).select(
+        *CODE_COLS
+    )
+    assert sorted(map(tuple, merged.collect())) == _canon(rebuild)
+
+
+def test_registered_drift_summary_shape(spark):
+    """One row per subspace; drift is exactly mse_batch - mse_existing
+    (rounded), and both sides carry the full corpus split counts."""
+    from flink_connector_http_spark.plans import REGISTRY
+
+    df = REGISTRY["sim_incremental_pq_assign"].fn(spark, SF_DIR)
+    rows = df.collect()
+    from flink_connector_http_spark.operators.similarity import PQ_M
+
+    assert [r.m for r in rows] == list(range(PQ_M))
+    n_vec = load(spark, SF_DIR, "embeddings")["embeddings"].count()
+    for r in rows:
+        assert r.n_existing + r.n_batch == n_vec
+        assert abs(r.mse_drift - round(r.mse_batch - r.mse_existing, 6)) < 1e-9
