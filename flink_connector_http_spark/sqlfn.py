@@ -383,6 +383,36 @@ def _udtf_plan(probe_struct, schema: str, on: str, select, how: str,
     }
 
 
+def _parse_options_map(opts_json: str):
+    """``options => '<json object>'`` → HttpLookupOptions via the
+    reference-style string option map (``lookup_options_from_map``), so
+    every ``http.source.lookup.*`` / ``http.security.*`` config a
+    reference DDL's WITH-clause carries — headers, auth/OIDC, TLS, proxy,
+    retry/circuit-breaker/hedging, async pools, response format, PARTIAL
+    cache — works verbatim on the SQL UDTF surface. Raises a helpful
+    ValueError on malformed JSON or bad option values; called from
+    ``analyze`` so misconfiguration fails at plan time."""
+    from .options import lookup_options_from_map
+
+    try:
+        decoded = json.loads(opts_json)
+    except ValueError as exc:
+        raise ValueError(
+            f"http_lookup: options must be a JSON object string: {exc}"
+        ) from None
+    if not isinstance(decoded, dict):
+        raise ValueError(
+            "http_lookup: options must be a JSON OBJECT of string keys "
+            f"(got {type(decoded).__name__})"
+        )
+    try:
+        return lookup_options_from_map(
+            {str(k): str(v) for k, v in decoded.items()}
+        )
+    except (TypeError, ValueError) as exc:
+        raise ValueError(f"http_lookup: bad option value: {exc}") from None
+
+
 class HttpLookupUdtf:
     """``http_lookup(TABLE(probe), url => ..., on => ..., schema => ...)``
     — the SQL UDTF spelling of the lookup join (reference parity: the
@@ -406,7 +436,13 @@ class HttpLookupUdtf:
     (inner|left), ``method`` (GET|POST|PUT), ``batch_size`` (multi-key
     requests via lookup.batch-size), ``prefix`` (lookup column rename),
     ``metadata`` (comma list of virtual columns), ``cache_ttl`` +
-    ``cache_size`` (per-executor LRU+TTL cache).
+    ``cache_size`` (per-executor LRU+TTL cache), and ``options`` — a
+    JSON object of reference-style string options
+    (``http.source.lookup.*`` / ``http.security.*`` /
+    ``lookup.cache*``, the exact keys a reference DDL WITH-clause
+    carries: headers, Basic/OIDC auth, TLS/proxy, retry + circuit
+    breaker + hedging, async pools, response format, PARTIAL cache),
+    validated at plan time; the explicit named args above overlay it.
     """
 
     @staticmethod
@@ -433,6 +469,9 @@ class HttpLookupUdtf:
             return arg.value
 
         const("url", required=True)
+        opts_json = const("options")
+        if opts_json is not None:
+            _parse_options_map(opts_json)  # validate early, in analyze
         plan = _udtf_plan(
             probe_struct=args[0].dataType,
             schema=const("schema", required=True),
@@ -473,20 +512,33 @@ class HttpLookupUdtf:
         )
         how = kwargs.get("how") or "inner"
         prefix = kwargs.get("prefix") or ""
-        cache_cfg = None
+        # base options from the reference-style option map (if given),
+        # then the explicit named-arg sugar overlays it
+        if kwargs.get("options"):
+            options = _parse_options_map(kwargs["options"])
+        else:
+            options = HttpLookupOptions()
+        import dataclasses
+
+        overrides = {}
+        if kwargs.get("method"):
+            overrides["method"] = str(kwargs["method"]).upper()
+        if kwargs.get("batch_size"):
+            overrides["lookup_batch_size"] = int(kwargs["batch_size"])
         if kwargs.get("cache_ttl") is not None:
-            cache_cfg = LookupCacheConfig(
-                max_size=int(kwargs.get("cache_size") or 10_000),
-                ttl=float(kwargs["cache_ttl"]),
+            # (round 11: this path previously passed max_size=/ttl= —
+            # field names LookupCacheConfig never had — and no test
+            # exercised it; it TypeError'd on first use)
+            overrides["cache"] = LookupCacheConfig(
+                max_rows=int(kwargs.get("cache_size") or 10_000),
+                expire_after_write=float(kwargs["cache_ttl"]),
             )
+        if overrides:
+            options = dataclasses.replace(options, **overrides)
         table = HttpLookupTable(
             url=kwargs["url"],
             schema=plan["lookup_schema"],
-            options=HttpLookupOptions(
-                method=(kwargs.get("method") or "GET").upper(),
-                lookup_batch_size=int(kwargs.get("batch_size") or 0) or None,
-                cache=cache_cfg,
-            ),
+            options=options,
         )
         pairs = plan["pairs"]  # ordered (probe, lookup) — already expanded
         out_col_names = (
@@ -506,8 +558,8 @@ class HttpLookupUdtf:
             emit_on_empty=(how == "left" or bool(plan["meta_names"])),
         )
         self._client = _client_for(table)
-        if cache_cfg is not None:
-            self._cache = shared_cache(table.fingerprint(), cache_cfg)
+        if options.cache is not None:
+            self._cache = shared_cache(table.fingerprint(), options.cache)
 
     def _flush(self):
         if not self._rows:

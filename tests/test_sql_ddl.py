@@ -740,6 +740,105 @@ class TestHttpLookupUdtf:
             (i, i % 2 == 0, f"{i}.50") for i in range(1, 5)
         ]
 
+    def test_cache_ttl_serves_repeat_keys_from_cache(self, spark, stub_server):
+        """cache_ttl/cache_size named args: repeated keys across flush
+        batches hit the per-executor LRU instead of refetching. (Round
+        11: this path previously constructed LookupCacheConfig with
+        field names it never had and TypeError'd on first use.)"""
+        from flink_connector_http_spark.sqlfn import register_http_sql_functions
+
+        register_http_sql_functions(spark)
+        self._customers(stub_server)
+        # 3000 rows over 2 distinct keys in ONE partition = 3 flush
+        # batches (1024-row buffer); with the cache, batches 2-3 are
+        # pure cache hits -> still only 2 requests total
+        rows = spark.sql(f"""
+            SELECT id, name
+            FROM http_lookup(
+                TABLE(SELECT id % 2 + 1 AS id FROM range(3000)
+                      DISTRIBUTE BY 1),
+                url => '{stub_server.url("/people")}',
+                on => 'id',
+                schema => 'id BIGINT, name STRING',
+                select => 'name',
+                cache_ttl => 300.0)
+        """).collect()
+        assert len(rows) == 3000
+        assert len(stub_server.recorded("/people")) == 2
+
+    def test_options_map_headers_reach_endpoint(self, spark, stub_server):
+        """options => '<json>': reference-style option-map keys work on
+        the SQL UDTF surface — static headers from
+        http.source.lookup.header.* arrive on every request."""
+        from flink_connector_http_spark.sqlfn import register_http_sql_functions
+
+        register_http_sql_functions(spark)
+        self._customers(stub_server)
+        opts = json.dumps({
+            "http.source.lookup.header.X-Api-Key": "sekrit",
+            "http.source.lookup.header.X-Tenant": "acme",
+        })
+        rows = spark.sql(f"""
+            SELECT id, name
+            FROM http_lookup(
+                TABLE(SELECT CAST(1 AS BIGINT) AS id),
+                url => '{stub_server.url("/people")}',
+                on => 'id',
+                schema => 'id BIGINT, name STRING',
+                select => 'name',
+                options => '{opts}')
+        """).collect()
+        assert [(r.id, r.name) for r in rows] == [(1, "alice")]
+        req = stub_server.recorded("/people")[-1]
+        assert req.headers.get("X-Api-Key") == "sekrit"
+        assert req.headers.get("X-Tenant") == "acme"
+
+    def test_options_map_retry_recovers_from_503(self, spark, stub_server):
+        """Retry options from the map: a 503-then-200 endpoint yields the
+        row (fixed-delay retry), proving the full option-map pipeline
+        (retry codes + strategy) reaches the polling client."""
+        from flink_connector_http_spark.sqlfn import register_http_sql_functions
+        from flink_connector_http_spark.testing import StubResponse
+
+        register_http_sql_functions(spark)
+        stub_server.stub_sequence("/flaky", [
+            StubResponse(status=503, body=b"busy"),
+            StubResponse(status=200,
+                         body=json.dumps({"id": 7, "name": "ok"}).encode()),
+        ])
+        opts = json.dumps({
+            "http.source.lookup.retry-codes": "503",
+            "http.source.lookup.retry-strategy.type": "fixed-delay",
+            "http.source.lookup.retry-strategy.fixed-delay.delay": "0.05",
+            "lookup.max-retries": "2",
+        })
+        rows = spark.sql(f"""
+            SELECT id, name
+            FROM http_lookup(
+                TABLE(SELECT CAST(7 AS BIGINT) AS id),
+                url => '{stub_server.url("/flaky")}',
+                on => 'id',
+                schema => 'id BIGINT, name STRING',
+                select => 'name',
+                options => '{opts}')
+        """).collect()
+        assert [(r.id, r.name) for r in rows] == [(7, "ok")]
+        assert len(stub_server.recorded("/flaky")) == 2
+
+    def test_options_map_rejected_at_plan_time(self, spark, stub_server):
+        from flink_connector_http_spark.sqlfn import register_http_sql_functions
+
+        register_http_sql_functions(spark)
+        with pytest.raises(Exception, match="JSON"):
+            spark.sql("""
+                SELECT * FROM http_lookup(
+                    TABLE(SELECT 1 AS id),
+                    url => 'http://x/',
+                    on => 'id',
+                    schema => 'id BIGINT',
+                    options => 'not json')
+            """).collect()
+
     def test_bad_args_raise_helpfully(self, spark, stub_server):
         from flink_connector_http_spark.sqlfn import register_http_sql_functions
 
