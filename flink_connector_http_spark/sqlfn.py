@@ -320,6 +320,18 @@ def _udtf_plan(probe_struct, schema: str, on: str, select, how: str,
                 (f"{pc}.{rel}", f"{lk}.{rel}") for rel in _leaf_rel_paths(dt)
             )
         else:
+            # a STRUCT-typed probe column cannot feed a scalar lookup key
+            # (its Row value would be stringified into the request); only
+            # checkable in analyze, where probe_struct carries real types —
+            # eval's reconstructed struct is all-string and skips this
+            pdt = _resolve_path(probe_struct, pc)
+            if isinstance(pdt, T.StructType):
+                raise ValueError(
+                    f"http_lookup: probe column {pc!r} is a struct but "
+                    f"lookup key {lk!r} is scalar — join the struct to a "
+                    "ROW-typed lookup field (it flattens to leaves), or "
+                    "address one leaf with a dotted probe path"
+                )
             pairs.append((pc, lk))
     if select is not None:
         from .lookup import _prune_schema, _validate_select_paths

@@ -839,6 +839,21 @@ class TestHttpLookupUdtf:
                     options => 'not json')
             """).collect()
 
+    def test_struct_probe_to_scalar_key_rejected_at_plan_time(
+        self, spark, stub_server
+    ):
+        from flink_connector_http_spark.sqlfn import register_http_sql_functions
+
+        register_http_sql_functions(spark)
+        with pytest.raises(Exception, match="is a struct but"):
+            spark.sql("""
+                SELECT * FROM http_lookup(
+                    TABLE(SELECT named_struct('a', 1) AS s),
+                    url => 'http://x/',
+                    on => 's=id',
+                    schema => 'id BIGINT, name STRING')
+            """).collect()
+
     def test_bad_args_raise_helpfully(self, spark, stub_server):
         from flink_connector_http_spark.sqlfn import register_http_sql_functions
 
