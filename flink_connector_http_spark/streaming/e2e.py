@@ -200,7 +200,7 @@ def run_stateful_e2e(
     *,
     rows_per_second: int = 15_000,
     n_batches: int = 20,
-    trigger_sec: float = 5.0,
+    trigger_sec: float = 8.0,
     n_keys: int = 5_000,
     source_partitions: int = 8,
     timeout_sec: float = 300.0,
