@@ -417,6 +417,20 @@ def main() -> None:
             t10 = scale10.get(name)
             if isinstance(t100, float) and isinstance(t10, float) and t10 > 0:
                 exponents[name] = round(math.log10(max(t100, 1e-3) / t10), 3)
+        # two-decade exponent log10(t100/t1)/2: the single-decade
+        # 10x->100x figure divides a stable 100x numerator by a 10x
+        # point whose measured spread reaches +-30% on banding-shuffle
+        # queries (dedup_minhash_lsh t10 read 3.46 then 2.51 across two
+        # r11 runs while t1 and t100 moved <12%), so it can read >1.0
+        # purely from a lucky denominator. Both endpoints here carry
+        # min-of-N, making this the robust sublinearity statistic; the
+        # single-decade one stays for tail-decade visibility.
+        exponents_2dec = {}
+        for name, t100 in x100_timings.items():
+            t1 = timings.get(name)
+            if isinstance(t100, float) and isinstance(t1, float) and t1 > 0:
+                exponents_2dec[name] = round(
+                    math.log10(max(t100, 1e-3) / t1) / 2.0, 3)
         result["scale_curve_100x"] = {
             "data_factor": 100,
             "queries_sec": x100_timings,
@@ -426,6 +440,7 @@ def main() -> None:
                 if isinstance(t, float) and timings.get(name)
             },
             "scaling_exponent_10x_to_100x": exponents,
+            "scaling_exponent_1x_to_100x": exponents_2dec,
         }
 
     # sustained streaming e2e (round 11, r10 verdict #1): N consecutive

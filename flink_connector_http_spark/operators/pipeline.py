@@ -3213,3 +3213,169 @@ def pipeline_deletion_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders", "lineitem", "events"):
         load(spark, sf_dir, t)[t].createOrReplaceTempView(t)
     return spark.sql(_deletion_cascade_sql(_DEL_HASH_SPARK))
+
+
+# ---------------------------------------------------------------------------
+# incremental BM25 index-stats maintenance (round 11 — the SEARCH family's
+# incremental twin: LSH has sim_incremental_lsh_index, IVF/PQ theirs)
+# ---------------------------------------------------------------------------
+
+def _bm25_side_stats_exprs():
+    """One-row mergeable index statistics: exact-integer doc count, total
+    document length, and per-query-term document frequencies — every one
+    additive over disjoint document sets, which is what makes the daily
+    index update an APPEND + ADD, never a corpus rescan."""
+    return [
+        ("CAST(COUNT(*) AS BIGINT)", "n"),
+        ("CAST(SUM(size(split(lower(text), ' '))) AS BIGINT)", "sdl"),
+        *_BM25_STATS_SPARK,
+    ]
+
+
+def _bm25_postings(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) postings for the fixed query terms — a pure
+    per-document function, so a batch's postings are computed from the
+    batch alone and appended; existing postings are never rewritten
+    (byte-stability pinned by tests/test_incremental_bm25.py)."""
+    entries = F.explode(F.array(*[
+        F.struct(
+            F.lit(t).alias("term"),
+            F.expr(_tf_spark(t)).cast("long").alias("tf"),
+        )
+        for t in BM25_TERMS
+    ])).alias("p")
+    return (
+        docs.select("doc_id", entries)
+        .select("doc_id", "p.term", "p.tf")
+        .filter(F.col("tf") > 0)
+    )
+
+
+_INCR_BM25_IDF_BEFORE = (
+    "round((CAST(n_existing AS DOUBLE) - df_existing + 0.5)"
+    " / (df_existing + 0.5), 6)"
+)
+_INCR_BM25_IDF_AFTER = (
+    "round((CAST(n_total AS DOUBLE) - df_total + 0.5)"
+    " / (df_total + 0.5), 6)"
+)
+
+
+def _incr_bm25_oracle() -> str:
+    from ..operators.dedup import INCR_SPLIT
+
+    dfe = ", ".join(
+        f"CAST(SUM(CASE WHEN {_tf_duck(t)} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS dfe{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    dft = ", ".join(
+        f"CAST(SUM(CASE WHEN {_tf_duck(t)} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS dft{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    arms = "\n      UNION ALL\n".join(
+        f"""
+      SELECT '{t}' AS term, e.dfe{i} AS df_existing,
+             f.dft{i} - e.dfe{i} AS df_batch, f.dft{i} AS df_total,
+             e.n_e AS n_existing, f.n_t AS n_total,
+             round(CAST(e.sdl_e AS DOUBLE) / e.n_e, 6) AS avgdl_existing,
+             round(CAST(f.sdl_t AS DOUBLE) / f.n_t, 6) AS avgdl_total,
+             round((CAST(e.n_e AS DOUBLE) - e.dfe{i} + 0.5)
+                   / (e.dfe{i} + 0.5), 6) AS idf_before,
+             round((CAST(f.n_t AS DOUBLE) - f.dft{i} + 0.5)
+                   / (f.dft{i} + 0.5), 6) AS idf_after
+      FROM e, f"""
+        for i, t in enumerate(BM25_TERMS)
+    )
+    return f"""
+    WITH e AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_e,
+             CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT)
+               AS sdl_e,
+             {dfe}
+      FROM documents WHERE doc_id < {INCR_SPLIT}
+    ),
+    f AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_t,
+             CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT)
+               AS sdl_t,
+             {dft}
+      FROM documents
+    ),
+    arms AS ({arms}
+    )
+    SELECT term, df_existing, df_batch, df_total, n_existing, n_total,
+           avgdl_existing, avgdl_total, idf_before, idf_after,
+           round(idf_after - idf_before, 6) AS idf_drift
+    FROM arms ORDER BY term
+    """
+
+
+def _register_incr_bm25():
+    from ..operators.dedup import INCR_SPLIT
+
+    @register(
+        "search_incremental_bm25",
+        oracle=_incr_bm25_oracle(),
+        doc="Incremental BM25 index-stats maintenance — the SEARCH "
+            "family's incremental twin (fourth family, after the LSH "
+            "band index, IVF cells, and PQ codes): a daily document "
+            "batch contributes postings computed from the BATCH ALONE "
+            "(tf is a pure per-doc function; existing postings are "
+            "byte-stable on append) and the ranking-relevant global "
+            "stats (N, total doc length, per-term document frequencies) "
+            "update by ADDITION of one tiny mergeable row. Output is the "
+            "stats-staleness signal that schedules an index refresh: "
+            "per query term, df/N/avgdl before vs after the batch and "
+            "the rational-idf drift (BM25 served with stale idf degrades "
+            "silently as the corpus grows). THE SPARK SIDE COMPUTES THE "
+            "TOTALS BY ADDITION of existing-only + batch-only "
+            "aggregates while the ORACLE computes them over the full "
+            "corpus directly — the driver's hash gate therefore PROVES "
+            "merge-equals-rebuild for every statistic, not just asserts "
+            "it. Scale shape: two embarrassingly-parallel scans over "
+            "disjoint doc sets (production keeps the existing row as a "
+            "stored index artifact — daily work is the batch scan only), "
+            "one cross join of two 1-row frames, 3 output rows.",
+    )
+    def search_incremental_bm25(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        docs = load(spark, sf_dir, "documents")["documents"]
+        existing = docs.filter(F.col("doc_id") < INCR_SPLIT)
+        batch = docs.filter(F.col("doc_id") >= INCR_SPLIT)
+        stats_exprs = _bm25_side_stats_exprs()
+        e = existing.agg(*[F.expr(x).alias(f"{a}_e") for x, a in stats_exprs])
+        b = batch.agg(*[F.expr(x).alias(f"{a}_b") for x, a in stats_exprs])
+        stack = ", ".join(
+            f"'{t}', df{i}_e, df{i}_b" for i, t in enumerate(BM25_TERMS)
+        )
+        per_term = e.crossJoin(b).selectExpr(
+            "n_e", "n_b", "sdl_e", "sdl_b",
+            f"stack({len(BM25_TERMS)}, {stack})"
+            " AS (term, df_existing, df_batch)",
+        )
+        return per_term.select(
+            "term",
+            "df_existing",
+            "df_batch",
+            (F.col("df_existing") + F.col("df_batch")).alias("df_total"),
+            F.col("n_e").alias("n_existing"),
+            (F.col("n_e") + F.col("n_b")).alias("n_total"),
+            F.expr("round(CAST(sdl_e AS DOUBLE) / n_e, 6)")
+            .alias("avgdl_existing"),
+            F.expr(
+                "round(CAST(sdl_e + sdl_b AS DOUBLE) / (n_e + n_b), 6)"
+            ).alias("avgdl_total"),
+        ).select(
+            "*",
+            F.expr(_INCR_BM25_IDF_BEFORE).alias("idf_before"),
+            F.expr(_INCR_BM25_IDF_AFTER).alias("idf_after"),
+        ).select(
+            "*",
+            F.expr("round(idf_after - idf_before, 6)").alias("idf_drift"),
+        ).orderBy("term")
+
+
+_register_incr_bm25()
