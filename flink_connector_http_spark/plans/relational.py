@@ -3242,19 +3242,25 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.expr("SUM(CAST(o_totalprice AS DECIMAL(12,2)))").alias("spend"),
     )
-    # three chained two-phase ranks (see _global_rank) — each quintile
-    # assignment is exact NTILE(5) without a single-partition sort over
-    # the customer set
+    # three chained two-phase ranks (see _global_rank), each quintile
+    # assignment exact NTILE(5) without a single-partition sort over the
+    # customer set. Each rank's THREE phases re-execute their input's
+    # lineage, so chaining multiplies: rank3 re-ran the base aggregate up
+    # to 27x. Lineage-cut at every consumption boundary (the
+    # PERF_NOTES.md rule; entity-grain tables, tiny next to the fact
+    # scan they replace): measured 3.8 -> 1.6 s at sf0.1 / 5.3 -> 3.3 s
+    # at 10x, byte-identical.
+    base = base.localCheckpoint()
     ranked = _global_rank(
         base, "CAST(unix_date(CAST(last_order AS DATE)) AS DOUBLE)",
         [F.asc("last_order"), F.asc("o_custkey")],
         rank_col="__r_rank", with_total=True,
-    )
+    ).localCheckpoint()
     ranked = _global_rank(
         ranked, "CAST(n_orders AS DOUBLE)",
         [F.asc("n_orders"), F.asc("o_custkey")],
         rank_col="__f_rank",
-    )
+    ).localCheckpoint()
     ranked = _global_rank(
         ranked, "CAST(spend AS DOUBLE)",
         [F.asc("spend"), F.asc("o_custkey")],
