@@ -981,3 +981,79 @@ def test_http_lookup_udtf_multi_flush_boundary(spark, stub_server):
     assert {(r.id, r.name) for r in rows} == {(i, f"u{i}") for i in range(5)}
     # 5 distinct keys per flush x 3 flushes — never one per probe row
     assert len(stub_server.recorded("/people-flush")) <= 15
+
+
+class TestDdlParserProperties:
+    """Hypothesis properties for the hand-rolled recursive-descent DDL
+    parser (sqlfn._parse_ddl_struct): round-trip over random nested
+    schemas, and total behavior (StructType or ValueError, never a crash
+    or hang) on arbitrary input."""
+
+    def test_roundtrip_random_nested_schemas(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+        from pyspark.sql import types as T
+
+        from flink_connector_http_spark.sqlfn import _parse_ddl_struct
+
+        names = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,7}", fullmatch=True)
+        scalars = st.sampled_from([
+            ("INT", T.IntegerType()),
+            ("BIGINT", T.LongType()),
+            ("STRING", T.StringType()),
+            ("DOUBLE", T.DoubleType()),
+            ("FLOAT", T.FloatType()),
+            ("BOOLEAN", T.BooleanType()),
+            ("DATE", T.DateType()),
+            ("TIMESTAMP", T.TimestampType()),
+            ("DECIMAL(12,3)", T.DecimalType(12, 3)),
+            ("VARCHAR(9)", T.StringType()),
+        ])
+
+        types_strat = st.deferred(lambda: st.one_of(
+            scalars,
+            st.lists(
+                st.tuples(names, types_strat), min_size=1, max_size=3
+            ).map(lambda fs: (
+                "ROW<" + ", ".join(
+                    f"`{n}` {ddl}" for (n, (ddl, _dt)) in fs
+                ) + ">",
+                T.StructType([
+                    T.StructField(n, dt, True) for (n, (_ddl, dt)) in fs
+                ]),
+            )),
+        ))
+        schemas = st.lists(
+            st.tuples(names, types_strat), min_size=1, max_size=4
+        )
+
+        @settings(max_examples=150, deadline=None)
+        @given(schemas)
+        def check(fields):
+            ddl = ", ".join(f"{n} {ddl_t}" for (n, (ddl_t, _)) in fields)
+            expected = T.StructType([
+                T.StructField(n, dt, True) for (n, (_d, dt)) in fields
+            ])
+            assert _parse_ddl_struct(ddl) == expected
+
+        check()
+
+    def test_total_on_arbitrary_input(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+        from pyspark.sql import types as T
+
+        from flink_connector_http_spark.sqlfn import _parse_ddl_struct
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.text(
+            alphabet="abzAZ_09 ,<>():`\t\n.ROWINTarraymap", max_size=60
+        ))
+        def check(s):
+            try:
+                out = _parse_ddl_struct(s)
+            except ValueError:
+                return
+            assert isinstance(out, T.StructType) and len(out.fields) >= 1
+
+        check()
