@@ -374,6 +374,10 @@ def main() -> None:
             "q09_product_profit", "text_token_stats",
             "sim_ann_lsh_multiprobe", "sim_knn_bruteforce",
             "sim_incremental_lsh_index",
+            # round 11b: the remaining pure-compute headline queries —
+            # the ENTIRE non-HTTP bench set now carries two decades
+            "q06_forecast_revenue", "q_top3_customers_per_nation",
+            "q_sessionize_events",
         ]
         x100_dir = ensure_scale_dir(sf_dir, 100)
         x100_timings = {}
