@@ -3379,3 +3379,108 @@ def _register_incr_bm25():
 
 
 _register_incr_bm25()
+
+
+@register(
+    "stream_incremental_bm25_ingest",
+    oracle=_incr_bm25_oracle(),
+    doc="Streaming BM25 index maintenance — the search-family twin of "
+        "stream_incremental_lsh_ingest: the daily document batch arrives "
+        "as a Structured Streaming file source over several micro-batches "
+        "(maxFilesPerTrigger=1, availableNow + checkpoint); each "
+        "micro-batch appends its postings (pure per-doc tf — existing "
+        "files byte-stable) AND one mergeable stats row (n, total length, "
+        "per-term df — all additive) to the persistent index artifacts. "
+        "After the stream drains, the drift table is computed from the "
+        "ARTIFACTS: the stored existing-side stats row plus the SUM of "
+        "the per-micro-batch stat rows. Same oracle as "
+        "search_incremental_bm25 (full-corpus recompute), so the hash "
+        "gate proves the mergeable-stats law holds at micro-batch "
+        "granularity — stats merged across arbitrary micro-batch "
+        "boundaries equal the from-scratch rebuild.",
+)
+def stream_incremental_bm25_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from ..operators.dedup import INCR_SPLIT
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    stats_exprs = _bm25_side_stats_exprs()
+
+    def side_stats(df):
+        return df.agg(*[F.expr(x).alias(a) for x, a in stats_exprs])
+
+    # persistent artifacts: existing-side stats row + existing postings
+    stats_dir = tempfile.mkdtemp(prefix="stream_bm25_stats_")
+    post_dir = tempfile.mkdtemp(prefix="stream_bm25_post_")
+    existing = docs.filter(F.col("doc_id") < INCR_SPLIT)
+    side_stats(existing).write.mode("overwrite").parquet(f"{stats_dir}/existing")
+    _bm25_postings(existing).write.mode("overwrite").parquet(post_dir)
+
+    # the arriving batch, split into several files -> several micro-batches
+    in_dir = tempfile.mkdtemp(prefix="stream_bm25_in_")
+    docs.filter(F.col("doc_id") >= INCR_SPLIT).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+
+    def process(batch_df, _batch_id) -> None:
+        # maintenance writes: postings append (byte-stable for old files)
+        _bm25_postings(batch_df).write.mode("append").parquet(post_dir)
+        # ... and ONE mergeable stats row per micro-batch
+        side_stats(batch_df).write.mode("append").parquet(
+            f"{stats_dir}/batches"
+        )
+
+    query = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .writeStream.foreachBatch(process)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="stream_bm25_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+
+    # drift table from the ARTIFACTS: stored existing row + SUM of the
+    # per-micro-batch rows (the additive merge, now across micro-batch
+    # boundaries chosen by the stream, not by us)
+    e = spark.read.parquet(f"{stats_dir}/existing").select(
+        *[F.col(a).alias(f"{a}_e") for _, a in stats_exprs]
+    )
+    b = spark.read.parquet(f"{stats_dir}/batches").agg(
+        *[F.sum(a).cast("bigint").alias(f"{a}_b") for _, a in stats_exprs]
+    )
+    stack = ", ".join(
+        f"'{t}', df{i}_e, df{i}_b" for i, t in enumerate(BM25_TERMS)
+    )
+    per_term = e.crossJoin(b).selectExpr(
+        "n_e", "n_b", "sdl_e", "sdl_b",
+        f"stack({len(BM25_TERMS)}, {stack})"
+        " AS (term, df_existing, df_batch)",
+    )
+    return per_term.select(
+        "term",
+        "df_existing",
+        "df_batch",
+        (F.col("df_existing") + F.col("df_batch")).alias("df_total"),
+        F.col("n_e").alias("n_existing"),
+        (F.col("n_e") + F.col("n_b")).alias("n_total"),
+        F.expr("round(CAST(sdl_e AS DOUBLE) / n_e, 6)")
+        .alias("avgdl_existing"),
+        F.expr(
+            "round(CAST(sdl_e + sdl_b AS DOUBLE) / (n_e + n_b), 6)"
+        ).alias("avgdl_total"),
+    ).select(
+        "*",
+        F.expr(_INCR_BM25_IDF_BEFORE).alias("idf_before"),
+        F.expr(_INCR_BM25_IDF_AFTER).alias("idf_after"),
+    ).select(
+        "*",
+        F.expr("round(idf_after - idf_before, 6)").alias("idf_drift"),
+    ).orderBy("term")
