@@ -136,15 +136,19 @@ _PINNED = _PRIORITY[:8]
 _HTTP_ROTATING = _PRIORITY[8:15]
 
 
-def _driver_green_names() -> set[str]:
-    """Query names with a green (rows+schema) row in any prior driver run."""
+def _driver_green_rounds() -> dict[str, int]:
+    """Map query name -> round number of its most recent green
+    (rows+schema) row across all prior driver runs."""
     import glob
     import json
     import os
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    seen: set[str] = set()
+    last: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 doc = json.load(fh)
@@ -158,8 +162,13 @@ def _driver_green_names() -> set[str]:
                 and row.get("rows_match")
                 and row.get("schema_match")
             ):
-                seen.add(name)
-    return seen
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def _driver_green_names() -> set[str]:
+    """Query names with a green (rows+schema) row in any prior driver run."""
+    return set(_driver_green_rounds())
 
 
 def _round_start_names() -> set[str]:
@@ -187,7 +196,8 @@ def _round_start_names() -> set[str]:
 def _ordered_names() -> list[str]:
     pinned = [n for n in _PINNED if n in REGISTRY]
     pinned_set = set(pinned)
-    seen = _driver_green_names()
+    green_rounds = _driver_green_rounds()
+    seen = set(green_rounds)
     prior = _round_start_names()
     rest = [n for n in REGISTRY if n not in pinned_set]
     # the old never-driver-checked backlog first (finishing its drain
@@ -200,9 +210,17 @@ def _ordered_names() -> list[str]:
         n for n in _HTTP_ROTATING if n in REGISTRY and n in seen
     ]
     http_rot_set = set(http_rot)
-    already_green = [
-        n for n in rest if n in seen and n not in http_rot_set
-    ]
+    # Already-green queries rotate through the remaining window slots
+    # STALEST DRIVER EVIDENCE FIRST: sorted by the round of each query's
+    # most recent green driver row (ties broken by name for determinism).
+    # Each driver run refreshes the ~30 stalest rows, so every query gets
+    # fresh independent driver evidence every ~(registry/30) rounds
+    # instead of the front of registration order being re-validated
+    # forever (round-11 verdict item #3).
+    already_green = sorted(
+        (n for n in rest if n in seen and n not in http_rot_set),
+        key=lambda n: (green_rounds[n], n),
+    )
     return pinned + never_checked + brand_new + http_rot + already_green
 
 
