@@ -224,6 +224,19 @@ def _normalize_on(
         pairs = [(name, name) for name in on]
     if not pairs:
         raise ValueError("http_lookup_join requires at least one key column in `on`")
+    # request args are keyed by LEAF field name (the reference flattens
+    # nested ROW keys the same way); two dotted lookup keys sharing a leaf
+    # would silently collide in the request-arg dict, last one winning —
+    # the lookup would fire with fewer key args than the join declared
+    leaves = [_leaf_name(lk) for _, lk in pairs]
+    dupes = sorted({n for n in leaves if leaves.count(n) > 1})
+    if dupes:
+        raise ValueError(
+            "http_lookup_join: lookup keys flatten to duplicate request-arg "
+            f"name(s) {dupes} — nested key paths must have distinct leaf "
+            "field names (reference flattens ROW keys to leaf name/value "
+            "args, RowTypeLookupSchemaEntry.java:73-87)"
+        )
     return pairs
 
 

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import load, register
+from ..streaming import await_drained
 from .text import (
     REP_DUP_SHINGLE_RATIO,
     REP_TOP_TOKEN_FRAC,
@@ -3400,8 +3401,12 @@ _register_incr_bm25()
         "boundaries equal the from-scratch rebuild.",
 )
 def stream_incremental_bm25_ingest(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    artifact_base_dir: "str | None" = None,
 ) -> DataFrame:
+    import os
     import tempfile
 
     from ..operators.dedup import INCR_SPLIT
@@ -3412,15 +3417,27 @@ def stream_incremental_bm25_ingest(
     def side_stats(df):
         return df.agg(*[F.expr(x).alias(a) for x, a in stats_exprs])
 
+    # artifact layout: under ``artifact_base_dir`` when the caller wants
+    # to inspect THIS run's artifacts (tests), else fresh temp dirs
+    if artifact_base_dir is not None:
+        stats_dir = os.path.join(artifact_base_dir, "stats")
+        post_dir = os.path.join(artifact_base_dir, "postings")
+        in_dir = os.path.join(artifact_base_dir, "in")
+        ckpt_dir = os.path.join(artifact_base_dir, "ckpt")
+        for d in (stats_dir, post_dir, in_dir):
+            os.makedirs(d, exist_ok=True)
+    else:
+        stats_dir = tempfile.mkdtemp(prefix="stream_bm25_stats_")
+        post_dir = tempfile.mkdtemp(prefix="stream_bm25_post_")
+        in_dir = tempfile.mkdtemp(prefix="stream_bm25_in_")
+        ckpt_dir = tempfile.mkdtemp(prefix="stream_bm25_ckpt_")
+
     # persistent artifacts: existing-side stats row + existing postings
-    stats_dir = tempfile.mkdtemp(prefix="stream_bm25_stats_")
-    post_dir = tempfile.mkdtemp(prefix="stream_bm25_post_")
     existing = docs.filter(F.col("doc_id") < INCR_SPLIT)
     side_stats(existing).write.mode("overwrite").parquet(f"{stats_dir}/existing")
     _bm25_postings(existing).write.mode("overwrite").parquet(post_dir)
 
     # the arriving batch, split into several files -> several micro-batches
-    in_dir = tempfile.mkdtemp(prefix="stream_bm25_in_")
     docs.filter(F.col("doc_id") >= INCR_SPLIT).repartition(4).write.mode(
         "overwrite"
     ).parquet(in_dir)
@@ -3438,14 +3455,16 @@ def stream_incremental_bm25_ingest(
         .option("maxFilesPerTrigger", 1)
         .parquet(in_dir)
         .writeStream.foreachBatch(process)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="stream_bm25_ckpt_"),
-        )
+        .option("checkpointLocation", ckpt_dir)
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(300)
+    await_drained(query)
+    if not os.path.isdir(f"{stats_dir}/batches"):
+        raise RuntimeError(
+            "stream_incremental_bm25_ingest: stream drained without any "
+            "micro-batch writing the stats artifact — empty input split?"
+        )
 
     # drift table from the ARTIFACTS: stored existing row + SUM of the
     # per-micro-batch rows (the additive merge, now across micro-batch

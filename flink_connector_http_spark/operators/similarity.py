@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..plans.registry import load, register
+from ..streaming import await_drained
 from .dedup import _DOT_AB, _NORM, COS_DUCK, COSINE_THRESHOLD
 
 N_QUERIES = 20  # vec_id < 20 are the query set
@@ -5569,5 +5570,5 @@ def stream_incremental_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(300)
+    await_drained(query)
     return spark.read.parquet(out_dir)

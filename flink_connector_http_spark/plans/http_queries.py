@@ -29,6 +29,7 @@ from ..cache import LookupCacheConfig
 from ..lookup import HttpLookupTable, http_lookup_join
 from ..options import HttpLookupOptions, HttpSinkOptions
 from ..sink import write_http
+from ..streaming import await_drained
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -821,7 +822,7 @@ def http_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(300)
+    await_drained(query)
     return spark.table(name)
 
 
@@ -862,7 +863,7 @@ def http_datasource_stream_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(300)
+    await_drained(query)
     return spark.table(name)
 
 
@@ -919,7 +920,7 @@ def http_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(300)
+    await_drained(query)
     return spark.table(name)
 
 
@@ -1320,7 +1321,7 @@ def http_stream_enrich_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(300)
+    await_drained(query)
     return spark.table(name)
 
 

@@ -39,11 +39,30 @@ from ..options import HttpSinkOptions
 from ..sink import foreach_batch_http_sink
 
 __all__ = [
+    "await_drained",
     "http_enrich_stream",
     "start_http_sink_stream",
     "sessionize_stream",
     "windowed_counts_stream",
 ]
+
+
+def await_drained(query: StreamingQuery, timeout_sec: float = 300.0) -> None:
+    """Block until an ``availableNow`` query terminates; raise on timeout.
+
+    ``StreamingQuery.awaitTermination(t)`` returns ``False`` on timeout
+    rather than raising, so a caller that proceeds to read the query's
+    output/stats directories would silently consume partial results while
+    ``foreachBatch`` is still appending. Stop the straggler and fail
+    loudly instead — every drain-then-read operator in this package goes
+    through here.
+    """
+    if not query.awaitTermination(timeout_sec):
+        query.stop()
+        raise TimeoutError(
+            f"streaming query {query.id} did not drain within "
+            f"{timeout_sec:g}s; partial output discarded"
+        )
 
 
 def http_enrich_stream(

@@ -214,7 +214,7 @@ def run_stateful_e2e(
     ``n_keys`` rows — monotone growth here would mean eviction is broken
     (the bounded-state claim, previously pinned only by unit tests).
 
-    Default 15 k rows/s at a 5 s trigger, from the measured duration
+    Default 15 k rows/s at an 8 s trigger, from the measured duration
     model on this VM: batch duration ≈ 0.5 s of state machinery (shuffle
     + 32 state-store commits + 5 000-group pandas dispatch — a floor no
     trigger escapes, so a 1 s trigger cannot keep up at ANY rate) plus
@@ -222,9 +222,12 @@ def run_stateful_e2e(
     (rate × trigger), so keep-up margin grows sublinearly with the
     trigger. Two further real costs the margin must absorb: the state
     store's async snapshot maintenance steals CPU ~60 s into every run
-    (reproducible 2.5-3.6 s batch spikes), and virtio-balloon stalls
-    inject up to ~2× duration noise between sessions. 15 k/s at 5 s
-    keeps p95 under the trigger with margin through both.
+    (reproducible 2.5-3.6 s batch spikes — clustered every ~10
+    state-store versions, so the p95 must clear them, which is why the
+    default trigger carries a ~4-5× p50 margin rather than the ~2×
+    a 5 s trigger would leave), and virtio-balloon stalls inject up to
+    ~2× duration noise between sessions. 15 k/s at 8 s keeps p95 under
+    the trigger with margin through both.
     """
     from .stateful import burst_heavy_hitters_stream
 

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from . import await_drained
 from ..plans.registry import register
 
 __all__ = ["dedup_stream", "running_max_stream", "heavy_hitters_stream"]
@@ -133,7 +134,7 @@ def stream_dedup_documents(spark, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(300)
+    await_drained(query)
     return spark.table(name).select(
         "content_hash", F.col("doc_id").alias("keep_doc_id")
     )
@@ -234,7 +235,7 @@ def stream_running_max_value(spark, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(300)
+    await_drained(query)
     return spark.table(name)
 
 
@@ -338,7 +339,7 @@ def stream_heavy_hitters(spark, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(300)
+    await_drained(query)
     return spark.table(name)
 
 
@@ -482,7 +483,7 @@ def stream_ewma_user_value(spark, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(300)
+    await_drained(query)
     return spark.table(name)
 
 
@@ -630,7 +631,7 @@ def stream_anomaly_zscore(spark, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(300)
+    await_drained(query)
     return spark.table(name)
 
 
@@ -762,7 +763,7 @@ def stream_kmv_distinct_users(spark, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(300)
+    await_drained(query)
     return spark.table(name)
 
 
@@ -863,7 +864,7 @@ def stream_first_seen_users(spark, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(300)
+    await_drained(query)
     return spark.table(name)
 
 
@@ -998,7 +999,7 @@ def stream_cusum_alerts(spark, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(300)
+    await_drained(query)
     return spark.table(name)
 
 
@@ -1168,7 +1169,7 @@ def stream_session_stateful(spark, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(300)
+    await_drained(query)
     out = spark.table(name)
     return out.select(
         "user_id",
@@ -1329,7 +1330,7 @@ def stream_logbin_quantiles(spark, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(300)
+    await_drained(query)
     return spark.table(name)
 
 
@@ -1477,7 +1478,7 @@ def stream_value_drift(spark, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(300)
+    await_drained(query)
     return spark.table(name)
 
 
@@ -1633,7 +1634,7 @@ def _cep_register():
             .trigger(availableNow=True)
             .start()
         )
-        query.awaitTermination(300)
+        await_drained(query)
         return spark.table(name).groupBy("user_id").agg(
             F.expr("CAST(SUM(1 - blocked) AS BIGINT)").alias("n_episodes"),
             F.expr("CAST(SUM(blocked) AS BIGINT)").alias("n_blocked"),
@@ -1801,7 +1802,7 @@ def _register_stream_ab_msprt() -> None:
             .trigger(availableNow=True)
             .start()
         )
-        query.awaitTermination(300)
+        await_drained(query)
         spark.table(name).createOrReplaceTempView(f"{name}_wide")
         return spark.sql(
             f"WITH wide AS (SELECT event_type, day, n0, s0, ss0,"
@@ -1951,5 +1952,5 @@ def stream_burst_heavy_hitters(spark, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(300)
+    await_drained(query)
     return spark.table(name)

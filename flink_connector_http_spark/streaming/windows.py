@@ -23,6 +23,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import await_drained
 from ..plans.registry import normalize_events_ts, register
 
 __all__ = [
@@ -118,7 +119,7 @@ def stream_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(300)
+    await_drained(query)
     return spark.table(name).select(
         F.col("window_start").cast("timestamp_ntz").alias("window_start"),
         "event_type",
@@ -225,7 +226,7 @@ def stream_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(300)
+    await_drained(query)
     return spark.table(name).select(
         "user_id",
         F.col("session_start").cast("timestamp_ntz").alias("session_start"),
@@ -330,7 +331,7 @@ def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(300)
+    await_drained(query)
     return spark.table(name)
 
 
@@ -432,7 +433,7 @@ def stream_attribution_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(300)
+    await_drained(query)
     return spark.table(name)
 
 
@@ -536,7 +537,7 @@ def stream_attribution_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(300)
+    await_drained(query)
     return spark.table(name)
 
 
@@ -603,7 +604,7 @@ def stream_dedup_events_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(300)
+    await_drained(query)
     return spark.table(name).select("user_id", "event_type")
 
 
@@ -755,7 +756,7 @@ def stream_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(300)
+    await_drained(query)
     return spark.table(name).select(
         F.col("window_start").cast("timestamp_ntz").alias("window_start"),
         "event_type",

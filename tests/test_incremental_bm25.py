@@ -96,29 +96,24 @@ def test_registered_drift_summary_shape(spark):
         assert abs(r.idf_drift - round(r.idf_after - r.idf_before, 6)) < 1e-9
 
 
-def test_streaming_ingest_matches_batch_and_runs_multi_batch(spark):
+def test_streaming_ingest_matches_batch_and_runs_multi_batch(spark, tmp_path):
     """The round-11 streaming BM25 ingest: drift table from the
     stream-maintained artifacts equals the batch operator exactly, and
     the stats artifact accumulated >= 2 per-micro-batch rows (the input
-    genuinely arrived over multiple micro-batches)."""
-    import glob
-
+    genuinely arrived over multiple micro-batches). The operator is given
+    an explicit artifact dir so the assertions inspect THIS run's
+    artifacts, not whatever temp dirs other runs leaked."""
     from flink_connector_http_spark.operators.pipeline import (
         stream_incremental_bm25_ingest,
     )
     from flink_connector_http_spark.plans import REGISTRY
 
-    out = stream_incremental_bm25_ingest(spark, SF_DIR)
+    base = str(tmp_path / "bm25_ingest")
+    out = stream_incremental_bm25_ingest(spark, SF_DIR, artifact_base_dir=base)
     batch_op = REGISTRY["search_incremental_bm25"].fn(spark, SF_DIR)
     canon = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
     assert canon(out) == canon(batch_op)
 
-    # >= 2 stats rows in some stream_bm25_stats_*/batches dir -> multi-batch
-    for d in sorted(glob.glob("/tmp/stream_bm25_stats_*/batches"),
-                    reverse=True):
-        try:
-            if spark.read.parquet(d).count() >= 2:
-                return
-        except Exception:
-            continue
-    raise AssertionError("no stats artifact with >= 2 micro-batch rows")
+    # >= 2 stats rows in THIS run's batches artifact -> multi-batch ingest
+    n_stats = spark.read.parquet(f"{base}/stats/batches").count()
+    assert n_stats >= 2, n_stats

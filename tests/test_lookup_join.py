@@ -1040,3 +1040,31 @@ class TestBatchLookupAdvisory:
         assert L._maybe_advise_batch_lookup(
             L.BATCH_LOOKUP_ADVISORY_THRESHOLD - 1) is False
         assert L._batch_advisory_emitted is False
+
+
+class TestDuplicateLeafKeys:
+    """Two lookup keys whose dotted paths share a leaf field name would
+    silently collide in the flattened request-arg dict (last one wins) —
+    _normalize_on now rejects the plan instead (round-11 advice)."""
+
+    def test_duplicate_leaf_rejected_at_plan_time(self):
+        import pytest
+
+        from flink_connector_http_spark.lookup import _normalize_on
+
+        with pytest.raises(ValueError, match="duplicate request-arg"):
+            _normalize_on({"a.id": "user.id", "b.id": "account.id"})
+
+    def test_distinct_leaves_accepted(self):
+        from flink_connector_http_spark.lookup import _normalize_on
+
+        pairs = _normalize_on({"a.id": "user.user_id", "b.id": "account.acct_id"})
+        assert pairs == [("a.id", "user.user_id"), ("b.id", "account.acct_id")]
+
+    def test_plain_duplicate_list_rejected(self):
+        import pytest
+
+        from flink_connector_http_spark.lookup import _normalize_on
+
+        with pytest.raises(ValueError, match="duplicate request-arg"):
+            _normalize_on({"x": "id", "y": "nested.id"})

@@ -89,12 +89,15 @@ def test_enrich_sink_sustained_keep_up(spark, stub_server):
 
     # end-to-end row conservation: every input row of THIS attempt reached
     # the sink as one JSON record (batch framing: each POST body is a JSON
-    # array); earlier attempts' requests are excluded via the baseline
+    # array); earlier attempts' requests are excluded via the baseline.
+    # >= not ==: the summary truncates to the first n_batches progresses,
+    # but an extra in-flight micro-batch completing between the progress
+    # poll and query.stop() still posts its rows to the sink.
     delivered = sum(
         len(json.loads(req.body))
         for req in stub_server.recorded("/sink")[sink_baseline[0]:]
     )
-    assert delivered == summary["rows_total"], (
+    assert delivered >= summary["rows_total"], (
         delivered, summary["rows_total"]
     )
     # request volume on the lookup side is distinct-key-bounded:
