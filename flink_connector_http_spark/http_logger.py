@@ -15,7 +15,14 @@ import logging
 from enum import Enum
 from typing import Callable, Mapping, Optional
 
-__all__ = ["HttpContentLogLevel", "HttpContentLogger", "logging_callback"]
+__all__ = [
+    "HttpContentLogLevel",
+    "HttpContentLogger",
+    "REQUEST_CALLBACKS",
+    "logging_callback",
+    "register_request_callback",
+    "resolve_request_callback",
+]
 
 logger = logging.getLogger("flink_connector_http_spark.http")
 
@@ -84,3 +91,59 @@ def logging_callback(level: HttpContentLogLevel = HttpContentLogLevel.MIN,
         )
 
     return on_response
+
+
+# --- named callback registry (R12 string-identifier surface) ------------------
+#
+# The reference discovers HttpPostRequestCallback factories by string
+# identifier in DDL option maps (`http.source.lookup.request-callback`,
+# `http.sink.request-callback` — HttpLookupConnectorOptions.java:102-105,
+# HttpPostRequestCallbackFactory.java:36-37), with the slf4j loggers as the
+# built-ins (Slf4jHttpLookupPostRequestCallbackFactory.java:32,
+# Slf4jHttpPostRequestCallbackFactory.java:32). This registry mirrors
+# query_creators.QUERY_CREATORS so the SQL/options-map surface (UDTF
+# `options =>`, DDL views) can name a callback instead of passing a Python
+# callable.
+REQUEST_CALLBACKS: "dict[str, Callable[[], Callable[[object, object], None]]]" = {
+    "http-slf4j-lookup-logger": lambda: logging_callback(log_at=logging.INFO),
+    "http-slf4j-logger": lambda: logging_callback(log_at=logging.INFO),
+}
+
+
+def register_request_callback(
+    identifier: str,
+    factory: Callable[[], Callable[[object, object], None]],
+) -> None:
+    """Register a named request/response callback factory (plug-point
+    parity with the reference's HttpPostRequestCallbackFactory SPI). The
+    factory is called once per options-map resolution and must return a
+    cloudpickle-able ``(request_spec, response) -> None``."""
+    REQUEST_CALLBACKS[identifier] = factory
+
+
+def resolve_request_callback(
+    identifier: str,
+) -> Callable[[object, object], None]:
+    factory = REQUEST_CALLBACKS.get(identifier)
+    if factory is None and ":" in identifier:
+        # dotted-path form `package.module:factory` — the Python analogue
+        # of the reference's classpath factory discovery (a named factory
+        # must be LOADABLE where it is resolved; option maps are parsed in
+        # Python workers, which share the driver's importable modules but
+        # not its in-memory registry mutations)
+        import importlib
+
+        module_name, _, attr = identifier.partition(":")
+        try:
+            factory = getattr(importlib.import_module(module_name), attr)
+        except (ImportError, AttributeError) as exc:
+            raise ValueError(
+                f"Request callback {identifier!r} failed to load: {exc}"
+            ) from None
+    if factory is None:
+        raise ValueError(
+            f"Unknown request callback {identifier!r}; "
+            f"registered: {sorted(REQUEST_CALLBACKS)} "
+            "(or use the dotted-path form 'package.module:factory')"
+        )
+    return factory()

@@ -30,7 +30,8 @@ __all__ = [
 # Reference key strings (``HttpLookupConnectorOptions.java``, doc table/http.md).
 LOOKUP_OPTION_KEYS = {
     "url": "url",
-    "method": "http.source.lookup.method",  # lookup-method in docs
+    "method": "lookup-method",  # HttpLookupConnectorOptions.java:72-76
+    "method_long": "http.source.lookup.method",  # accepted alias (this repo)
     "request_timeout": "http.source.lookup.request.timeout",
     "pull_pool_size": "http.source.lookup.request.thread-pool.size",
     "publish_pool_size": "http.source.lookup.response.thread-pool.size",
@@ -93,7 +94,28 @@ LOOKUP_OPTION_KEYS = {
     # attempt hasn't answered within the delay, fire a duplicate and take
     # whichever responds first (Dean & Barroso, "The Tail at Scale")
     "hedge_delay": "http.source.lookup.hedge-delay",
+    # request HTTP protocol version pin (HttpLookupConnectorOptions.java:
+    # 81-92, threaded at RequestFactoryBase.java:93,128). Valid reference
+    # values HTTP_1_1 / HTTP_2; this client is stdlib (HTTP/1.1-only), so
+    # HTTP_1_1 is accepted as a no-op pin and HTTP_2 rejected loudly
+    # instead of being silently meaningless.
+    "http_version": "http.source.lookup.http-version",
+    # named request/response callback (reference R12 identifier surface:
+    # HttpLookupConnectorOptions.java:102-105) — resolved against
+    # http_logger.REQUEST_CALLBACKS
+    "request_callback_id": "http.source.lookup.request-callback",
 }
+
+# Short (non-`http.`-prefixed) keys the reference's FactoryUtil declares
+# but this engine does not consume — accepted for option-map carry-over
+# parity, with the same no-op effect as in the reference:
+# `url-args` is declared-but-never-read there (dead option);
+# `lookup-request.format` defaults to json, the only request encoding the
+# bundled query creators produce (custom encodings plug in via
+# register_query_creator); `connector` is the framework key every DDL map
+# carries.
+_LOOKUP_TOLERATED_SHORT_KEYS = {"connector", "url-args", "lookup-request.format"}
+_SINK_TOLERATED_SHORT_KEYS = {"connector"}
 
 SINK_OPTION_KEYS = {
     "url": "url",
@@ -139,6 +161,11 @@ SINK_OPTION_KEYS = {
     "retry_budget_ratio": "sink.retry-budget.ratio",
     "retry_budget_min_per_second": "sink.retry-budget.min-per-second",
     "dead_letter_path": "sink.dead-letter.path",
+    # named request/response callback (reference R12 identifier surface:
+    # HttpPostRequestCallbackFactory.java:36,
+    # Slf4jHttpPostRequestCallbackFactory.java:32) — resolved against
+    # http_logger.REQUEST_CALLBACKS
+    "request_callback_id": "http.sink.request-callback",
     # beyond-reference, OPT-IN: gzip request bodies (endpoint must accept
     # Content-Encoding: gzip)
     "gzip_request_body": "sink.gzip-request-body",
@@ -227,6 +254,13 @@ class HttpLookupOptions:
     # At 1000 executors x 30 s timeouts, one slow endpoint replica
     # otherwise stalls a whole partition.
     hedge_delay: Optional[float] = None
+    # HTTP protocol version pin (reference LOOKUP_HTTP_VERSION). The
+    # stdlib transport negotiates HTTP/1.1 unconditionally, so the only
+    # accepted pin is HTTP_1_1 (a validated no-op, matching what the
+    # reference's Version.valueOf + builder.version() does for 1.1
+    # endpoints); HTTP_2 raises at plan time instead of silently not
+    # happening. None = unpinned (reference default).
+    http_version: Optional[str] = None
     # retry budget (Finagle-style, beyond-reference, OPT-IN): every
     # initial request deposits `ratio` retry tokens, every retry spends
     # one — caps cluster-wide retry amplification under a total outage
@@ -235,6 +269,26 @@ class HttpLookupOptions:
     # initial sends — the two compose.
     retry_budget_ratio: Optional[float] = None
     retry_budget_min_per_second: float = 1.0
+
+    def __post_init__(self) -> None:
+        if self.http_version is None:
+            return
+        # normalize HTTP_1_1 / HTTP/1.1 / 1.1 spellings
+        v = self.http_version.strip().upper().replace("HTTP", "").strip("/_")
+        v = v.replace("/", "_").replace(".", "_")
+        if v == "1_1":
+            return  # the stdlib client's only protocol — a validated no-op pin
+        if v in ("2", "2_0"):
+            raise ValueError(
+                "http.source.lookup.http-version=HTTP_2 is not supported: "
+                "the Python stdlib HTTP client is HTTP/1.1-only. Omit the "
+                "option (unpinned, the reference default) or pin HTTP_1_1."
+            )
+        raise ValueError(
+            f"Invalid http.source.lookup.http-version {self.http_version!r}; "
+            "valid values are HTTP_1_1 and HTTP_2 "
+            "(HttpLookupConnectorOptions.java:81-92)"
+        )
 
 
 @dataclass(frozen=True)
@@ -296,6 +350,10 @@ class HttpSinkOptions:
     # Spark-readable directory instead of being dropped. Default None =
     # reference parity: failures are counted and discarded.
     dead_letter_path: Optional[str] = None
+    # request/response callback (reference R12); write_http's on_response
+    # argument wins when both are given. The options-map path fills this
+    # from the named `http.sink.request-callback` identifier.
+    request_callback: Optional[Callable[[object, object], None]] = None
 
 
 def _collect_prefixed(options: Mapping[str, str], prefix: str) -> Dict[str, str]:
@@ -310,13 +368,60 @@ def _as_bool(value: str) -> bool:
     return str(value).strip().lower() in ("true", "1", "yes")
 
 
+# The reference's FactoryUtil validates every option key outside the
+# pass-through prefixes (`validateExcept("http.", "gid.connector.http.")`,
+# HttpLookupTableSourceFactory.java:113-118) — a typo'd short key like
+# `lookup-metod` fails the DDL at plan time there, so it must fail here
+# too instead of silently no-opping. Unknown `http.*` keys stay tolerated
+# (exact reference behavior: the prefix is a dynamic namespace).
+_PASSTHROUGH_PREFIXES = ("http.", "gid.connector.http.")
+
+
+def _validate_short_keys(
+    options: Mapping[str, str],
+    known: "set[str]",
+    tolerated: "set[str]",
+    surface: str,
+) -> None:
+    unknown = sorted(
+        key
+        for key in options
+        if not key.startswith(_PASSTHROUGH_PREFIXES)
+        and key not in known
+        and key not in tolerated
+    )
+    if unknown:
+        raise ValueError(
+            f"Unknown {surface} option key(s) {unknown}: not a declared "
+            f"option (FactoryUtil parity — only 'http.'-prefixed keys pass "
+            f"through unvalidated). Declared short keys: "
+            f"{sorted(key for key in known if not key.startswith(_PASSTHROUGH_PREFIXES))}"
+        )
+
+
 def lookup_options_from_map(options: Mapping[str, str]) -> HttpLookupOptions:
     """Build typed options from a reference-style string option map, so
-    existing ``'http.source.lookup.*'`` configs carry over unchanged."""
+    existing ``'http.source.lookup.*'`` configs carry over unchanged.
+    Unknown non-``http.``-prefixed keys raise at plan time."""
     k = LOOKUP_OPTION_KEYS
+    _validate_short_keys(
+        options, set(k.values()), _LOOKUP_TOLERATED_SHORT_KEYS, "lookup"
+    )
     kwargs: Dict[str, object] = {}
+    # `lookup-method` is the reference key; the long spelling is this
+    # repo's alias (it rides the http.* namespace). Reference key wins.
     if k["method"] in options:
         kwargs["method"] = options[k["method"]].upper()
+    elif k["method_long"] in options:
+        kwargs["method"] = options[k["method_long"]].upper()
+    if k["http_version"] in options:
+        kwargs["http_version"] = options[k["http_version"]]
+    if k["request_callback_id"] in options:
+        from .http_logger import resolve_request_callback
+
+        kwargs["request_callback"] = resolve_request_callback(
+            options[k["request_callback_id"]]
+        )
     if k["request_timeout"] in options:
         kwargs["request_timeout"] = float(options[k["request_timeout"]])
     if k["pull_pool_size"] in options:
@@ -410,7 +515,16 @@ def lookup_options_from_map(options: Mapping[str, str]) -> HttpLookupOptions:
 
 def sink_options_from_map(options: Mapping[str, str]) -> HttpSinkOptions:
     k = SINK_OPTION_KEYS
+    _validate_short_keys(
+        options, set(k.values()), _SINK_TOLERATED_SHORT_KEYS, "sink"
+    )
     kwargs: Dict[str, object] = {}
+    if k["request_callback_id"] in options:
+        from .http_logger import resolve_request_callback
+
+        kwargs["request_callback"] = resolve_request_callback(
+            options[k["request_callback_id"]]
+        )
     if k["insert_method"] in options:
         kwargs["insert_method"] = options[k["insert_method"]].upper()
     if k["request_mode"] in options:

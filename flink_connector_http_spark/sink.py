@@ -93,7 +93,10 @@ class HttpSinkWriter:
             client_key=options.client_key,
             allow_self_signed=options.allow_self_signed,
         )
-        self.on_response = on_response
+        # explicit argument wins; else the options-map surface (the named
+        # `http.sink.request-callback` identifier, resolved to a callable
+        # by sink_options_from_map — reference R12 string-identifier SPI)
+        self.on_response = on_response or options.request_callback
         # per-task request rate cap (SURVEY §7 scale addition): acquired
         # by the pool workers in _send_one, so a throttled endpoint
         # backpressures through max_inflight into write()

@@ -361,3 +361,36 @@ def pipe_decoder(body: bytes):
     lines = body.decode().strip().split("\n")
     header = lines[0].split("|")
     return [dict(zip(header, line.split("|"))) for line in lines[1:]]
+
+
+# --- named-callback e2e support --------------------------------------------------
+
+#: Deterministic spill directory for :func:`recording_request_callback` —
+#: the UDTF's option map is parsed in the eval worker, so a test in the
+#: driver process cannot observe an in-memory side effect; files can cross
+#: the process boundary.
+RECORDING_CALLBACK_DIR = "httpspark_recorded_exchanges"
+
+
+def recording_request_callback():
+    """Request-callback FACTORY (reference ``HttpPostRequestCallbackFactory``
+    shape): returns a callback that appends one ``<method> <status>`` file
+    per exchange under ``$TMPDIR/httpspark_recorded_exchanges``. Name it
+    from an option map as
+    ``'flink_connector_http_spark.testing:recording_request_callback'``
+    (the dotted-path identifier form — the Python analogue of the
+    reference's classpath factory discovery)."""
+    import os
+    import tempfile
+    import uuid
+
+    def callback(request, response) -> None:
+        d = os.path.join(tempfile.gettempdir(), RECORDING_CALLBACK_DIR)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, uuid.uuid4().hex), "w") as fh:
+            fh.write(
+                f"{getattr(request, 'method', '?')} "
+                f"{getattr(response, 'status', '?')}\n"
+            )
+
+    return callback

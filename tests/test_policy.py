@@ -448,12 +448,16 @@ class TestOptionKeyCompleteness:
     Python values, not string options."""
 
     LOOKUP_EXEMPT = {"decoder", "request_callback", "headers", "retry"}
-    SINK_EXEMPT = {"headers"}
+    SINK_EXEMPT = {"headers", "request_callback"}
     # keys that intentionally address something other than a same-named
     # dataclass field: the endpoint url (constructor arg), header prefix
     # maps, and the flattened retry.*/cache.* sub-config keys
     LOOKUP_KEY_ONLY = {
         "url", "header_prefix",
+        # aliases / identifier-resolved keys: method_long is the http.*
+        # spelling of lookup-method; request_callback_id resolves a named
+        # callback into the request_callback callable field
+        "method_long", "request_callback_id",
         "max_retries", "retry_strategy", "retry_fixed_delay",
         "retry_initial_backoff", "retry_backoff_multiplier",
         "retry_max_backoff",
@@ -461,7 +465,7 @@ class TestOptionKeyCompleteness:
         "cache_expire_after_access", "cache_missing_key",
         "cache_revalidate",
     }
-    SINK_KEY_ONLY = {"url", "header_prefix"}
+    SINK_KEY_ONLY = {"url", "header_prefix", "request_callback_id"}
 
     def test_lookup_fields_all_keyed_or_exempt(self):
         import dataclasses
@@ -906,3 +910,170 @@ class TestRetryBudgetProperties:
             if got > 10:
                 break
         assert got <= 3
+
+
+class TestStrictShortKeyValidation:
+    """FactoryUtil parity (HttpLookupTableSourceFactory.java:113-118): a
+    typo'd short option key fails at plan time instead of silently
+    no-opping; unknown `http.`-prefixed keys stay tolerated (the
+    reference's validateExcept pass-through namespace)."""
+
+    def test_lookup_typo_short_key_raises(self):
+        from flink_connector_http_spark.options import lookup_options_from_map
+
+        with pytest.raises(ValueError, match="lookup-metod"):
+            lookup_options_from_map({"lookup-metod": "GET"})
+
+    def test_lookup_partial_cache_typo_raises(self):
+        from flink_connector_http_spark.options import lookup_options_from_map
+
+        with pytest.raises(ValueError, match="max-rowss"):
+            lookup_options_from_map({
+                "lookup.cache": "PARTIAL",
+                "lookup.partial-cache.max-rowss": "100",
+            })
+
+    def test_sink_typo_short_key_raises(self):
+        from flink_connector_http_spark.options import sink_options_from_map
+
+        with pytest.raises(ValueError, match="sink.bacth.max-size"):
+            sink_options_from_map({"sink.bacth.max-size": "10"})
+
+    def test_http_prefixed_unknown_keys_tolerated(self):
+        from flink_connector_http_spark.options import (
+            lookup_options_from_map,
+            sink_options_from_map,
+        )
+
+        lookup_options_from_map({"http.some.future.key": "x",
+                                 "gid.connector.http.legacy": "y"})
+        sink_options_from_map({"http.sink.future-knob": "z"})
+
+    def test_declared_but_unconsumed_reference_keys_tolerated(self):
+        """url-args is declared-but-never-read in the reference (dead
+        option); connector/format ride every carried-over DDL map."""
+        from flink_connector_http_spark.options import lookup_options_from_map
+
+        opts = lookup_options_from_map({
+            "connector": "rest-lookup",
+            "url-args": "id",
+            "format": "json",
+            "lookup-request.format": "json",
+        })
+        assert opts.response_format == "json"
+
+    def test_lookup_method_reference_key_and_alias(self):
+        from flink_connector_http_spark.options import lookup_options_from_map
+
+        assert lookup_options_from_map({"lookup-method": "post"}).method == "POST"
+        assert lookup_options_from_map(
+            {"http.source.lookup.method": "put"}).method == "PUT"
+        # reference key wins when both are present
+        assert lookup_options_from_map({
+            "lookup-method": "POST",
+            "http.source.lookup.method": "GET",
+        }).method == "POST"
+
+
+class TestHttpVersionOption:
+    """http.source.lookup.http-version parity (HttpLookupConnectorOptions
+    .java:81-92, RequestFactoryBase.java:93,128): HTTP_1_1 is a validated
+    no-op pin (the stdlib client's only protocol), HTTP_2 is rejected with
+    a capability error, anything else is invalid."""
+
+    def test_http_1_1_accepted(self):
+        from flink_connector_http_spark.options import (
+            HttpLookupOptions,
+            lookup_options_from_map,
+        )
+
+        for spelling in ("HTTP_1_1", "HTTP/1.1", "1.1"):
+            opts = lookup_options_from_map(
+                {"http.source.lookup.http-version": spelling})
+            assert opts.http_version == spelling
+        assert HttpLookupOptions(http_version="HTTP_1_1").http_version
+
+    def test_http_2_rejected_with_capability_error(self):
+        from flink_connector_http_spark.options import lookup_options_from_map
+
+        for spelling in ("HTTP_2", "2", "2.0"):
+            with pytest.raises(ValueError, match="HTTP/1.1-only"):
+                lookup_options_from_map(
+                    {"http.source.lookup.http-version": spelling})
+
+    def test_garbage_version_rejected_as_invalid(self):
+        from flink_connector_http_spark.options import HttpLookupOptions
+
+        with pytest.raises(ValueError, match="Invalid"):
+            HttpLookupOptions(http_version="SPDY")
+
+    def test_unpinned_default(self):
+        from flink_connector_http_spark.options import HttpLookupOptions
+
+        assert HttpLookupOptions().http_version is None
+
+
+class TestNamedRequestCallbacks:
+    """R12 string-identifier surface: callbacks resolvable by name from
+    option maps (HttpPostRequestCallbackFactory.java identifiers)."""
+
+    def test_builtin_slf4j_identifiers_resolve(self):
+        from flink_connector_http_spark.http_logger import (
+            resolve_request_callback,
+        )
+
+        for ident in ("http-slf4j-lookup-logger", "http-slf4j-logger"):
+            assert callable(resolve_request_callback(ident))
+
+    def test_unknown_identifier_raises_with_registry_listing(self):
+        from flink_connector_http_spark.http_logger import (
+            resolve_request_callback,
+        )
+
+        with pytest.raises(ValueError, match="http-slf4j-logger"):
+            resolve_request_callback("no-such-callback")
+
+    def test_lookup_map_resolves_named_callback(self):
+        from flink_connector_http_spark.http_logger import (
+            register_request_callback,
+        )
+        from flink_connector_http_spark.options import lookup_options_from_map
+
+        fired = []
+        register_request_callback("test-recording-cb",
+                                  lambda: lambda req, resp: fired.append(1))
+        opts = lookup_options_from_map(
+            {"http.source.lookup.request-callback": "test-recording-cb"})
+        opts.request_callback(None, None)
+        assert fired == [1]
+
+    def test_sink_map_resolves_named_callback_and_writer_uses_it(self):
+        """The named sink callback fires per request through the writer
+        (explicit on_response argument absent)."""
+        from flink_connector_http_spark.options import sink_options_from_map
+        from flink_connector_http_spark.http_logger import (
+            register_request_callback,
+        )
+        from flink_connector_http_spark.sink import HttpSinkWriter
+        from flink_connector_http_spark.types import HttpSinkRequestEntry
+
+        seen = []
+        register_request_callback(
+            "test-sink-cb", lambda: lambda req, resp: seen.append(
+                (req.method, getattr(resp, "status", None))))
+        options = sink_options_from_map(
+            {"http.sink.request-callback": "test-sink-cb"})
+        assert options.request_callback is not None
+
+        class _FakeTransport:
+            def send(self, spec):
+                from flink_connector_http_spark.client import HttpResponse
+
+                return HttpResponse(200, [], b"{}")
+
+        writer = HttpSinkWriter("http://example.invalid/sink", options,
+                                transport=_FakeTransport(), age_ticker=False)
+        writer.write(HttpSinkRequestEntry("POST", b'{"a":1}'))
+        writer.flush()
+        writer.close()
+        assert seen and seen[0] == ("POST", 200)

@@ -825,6 +825,78 @@ class TestHttpLookupUdtf:
         assert [(r.id, r.name) for r in rows] == [(7, "ok")]
         assert len(stub_server.recorded("/flaky")) == 2
 
+    def test_options_map_named_request_callback_fires(self, spark, stub_server):
+        """R12 string-identifier surface e2e: a named request callback in
+        `options =>` is resolved in the eval worker (dotted-path form —
+        the classpath-discovery analogue) and fires once per exchange."""
+        import glob
+        import os
+        import shutil
+        import tempfile
+
+        from flink_connector_http_spark.sqlfn import register_http_sql_functions
+        from flink_connector_http_spark.testing import RECORDING_CALLBACK_DIR
+
+        register_http_sql_functions(spark)
+        self._customers(stub_server)
+        record_dir = os.path.join(tempfile.gettempdir(), RECORDING_CALLBACK_DIR)
+        shutil.rmtree(record_dir, ignore_errors=True)
+        opts = json.dumps({
+            "http.source.lookup.request-callback":
+                "flink_connector_http_spark.testing:recording_request_callback",
+        })
+        rows = spark.sql(f"""
+            SELECT id, name
+            FROM http_lookup(
+                TABLE(SELECT * FROM VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)) AS t(id)),
+                url => '{stub_server.url("/people")}',
+                on => 'id',
+                schema => 'id BIGINT, name STRING',
+                select => 'name',
+                options => '{opts}')
+        """).collect()
+        assert sorted((r.id, r.name) for r in rows) == [(1, "alice"), (2, "bob")]
+        records = []
+        for path in glob.glob(os.path.join(record_dir, "*")):
+            with open(path) as fh:
+                records.append(fh.read().strip())
+        # one record per distinct-key exchange, each a successful GET
+        assert sorted(records) == ["GET 200", "GET 200"], records
+
+    def test_options_map_typo_short_key_rejected_at_plan_time(
+        self, spark, stub_server
+    ):
+        """Strict short-key validation reaches the UDTF `options =>`
+        surface: a typo'd declared key fails the query, never no-ops."""
+        from flink_connector_http_spark.sqlfn import register_http_sql_functions
+
+        register_http_sql_functions(spark)
+        opts = json.dumps({"lookup-metod": "POST"})
+        with pytest.raises(Exception, match="lookup-metod"):
+            spark.sql(f"""
+                SELECT * FROM http_lookup(
+                    TABLE(SELECT CAST(1 AS BIGINT) AS id),
+                    url => 'http://127.0.0.1:1/unused',
+                    on => 'id',
+                    schema => 'id BIGINT',
+                    options => '{opts}')
+            """).collect()
+
+    def test_options_map_http_2_rejected_at_plan_time(self, spark, stub_server):
+        from flink_connector_http_spark.sqlfn import register_http_sql_functions
+
+        register_http_sql_functions(spark)
+        opts = json.dumps({"http.source.lookup.http-version": "HTTP_2"})
+        with pytest.raises(Exception, match="HTTP/1.1-only"):
+            spark.sql(f"""
+                SELECT * FROM http_lookup(
+                    TABLE(SELECT CAST(1 AS BIGINT) AS id),
+                    url => 'http://127.0.0.1:1/unused',
+                    on => 'id',
+                    schema => 'id BIGINT',
+                    options => '{opts}')
+            """).collect()
+
     def test_options_map_rejected_at_plan_time(self, spark, stub_server):
         from flink_connector_http_spark.sqlfn import register_http_sql_functions
 
