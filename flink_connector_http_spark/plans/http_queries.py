@@ -163,10 +163,28 @@ class _DataStub:
             for k, row in customer_rows.items()
         }
 
+        # array/map-bearing variant (the reference's lookup DDL
+        # materializes ARRAY and MAP response columns:
+        # HttpLookupTableSourceITCaseTest.java:173-198, fixtures
+        # http-array-result*/HttpResult.json): tags is ARRAY<STRING>,
+        # scores is MAP<STRING, DOUBLE>, both derived from the row
+        customers_tags = {
+            k: response_bytes(json.dumps({
+                "id": row["c_custkey"],
+                "tags": [row["c_mktsegment"],
+                         f"nation-{row['c_nationkey']}"],
+                "scores": {"balance": row["c_acctbal"],
+                           "nation": float(row["c_nationkey"])},
+            }).encode())
+            for k, row in customer_rows.items()
+        }
+
         self.server = FastHttpStub()
         self.server.route_static("/customers", customers, "c_custkey",
                                  default=_404_customer)
         self.server.route_static("/customers-nested", customers_nested,
+                                 "id", default=_404_customer)
+        self.server.route_static("/customers-tags", customers_tags,
                                  "id", default=_404_customer)
         self.server.route("/customers-batch", customers_batch)
         self.server.route("/nation-lookup", nation_post)
@@ -1000,6 +1018,53 @@ def http_sql_udtf_lookup_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema => 'id BIGINT, profile ROW<segment STRING,
                        account ROW<balance DOUBLE, nation_id INT>>',
             select => 'profile.segment,profile.account.balance')
+    """)
+
+
+@register(
+    "http_sql_udtf_lookup_array",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment AS tag_first,
+           CAST(2 AS INT) AS n_tags,
+           'balance,nation' AS score_keys,
+           CAST(c_acctbal AS DOUBLE) AS balance
+    FROM customer WHERE c_custkey <= 500
+    """,
+    doc="ARRAY/MAP response fields on the SQL UDTF surface (round-12: "
+        "closes the last reference-DDL shape SQL-only users lacked): the "
+        "endpoint returns an object with a JSON array and a JSON object "
+        "field, the schema DDL declares ARRAY<STRING> and "
+        "MAP<STRING, DOUBLE> (parsed by sqlfn._parse_ddl_struct — "
+        "reference array/map lookup columns "
+        "HttpLookupTableSourceITCaseTest.java:173-198, fixtures "
+        "http-array-result*/HttpResult.json, DDL doc "
+        "docs/.../table/http.md:184-201), and the outer SQL indexes into "
+        "both containers — proving the cells round-tripped intact "
+        "through the vectorized UDTF flush.",
+)
+def http_sql_udtf_lookup_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sqlfn import register_http_sql_functions
+
+    register_http_sql_functions(spark)
+    stub = _stub_for(sf_dir)
+    spark.read.parquet(f"{sf_dir}/customer.parquet").createOrReplaceTempView(
+        "customer_udtf_array_v"
+    )
+    return spark.sql(f"""
+        SELECT c_custkey,
+               tags[0] AS tag_first,
+               size(tags) AS n_tags,
+               array_join(array_sort(map_keys(scores)), ',') AS score_keys,
+               scores['balance'] AS balance
+        FROM http_lookup(
+            TABLE(SELECT c_custkey FROM customer_udtf_array_v
+                  WHERE c_custkey <= 500),
+            url => '{stub.url("/customers-tags")}',
+            on => 'c_custkey=id',
+            schema => 'id BIGINT, tags ARRAY<STRING>,
+                       scores MAP<STRING, DOUBLE>',
+            select => 'tags,scores')
     """)
 
 

@@ -116,14 +116,14 @@ def _parse_ddl_struct(ddl: str):
     """Parse a lookup-schema DDL string without a JVM — UDTF ``analyze``
     runs in a Python worker where ``StructType.fromDDL`` is unavailable.
     Hand-rolled recursive descent over ``name TYPE, ...`` with scalars,
-    ``DECIMAL(p,s)``, backtick-quoted names, and nested
-    ``ROW<name TYPE, ...>`` / ``STRUCT<name: TYPE, ...>`` — the
-    reference's SQL surface accepts nested lookup DDL
-    (``docs/.../table/http.md:184-201``, recursive descent
-    ``HttpLookupTableSource.java:264-300``). ARRAY/MAP response fields
-    stay on the DataFrame surface
-    (:func:`~flink_connector_http_spark.lookup.http_lookup_join` takes a
-    real ``StructType``)."""
+    ``DECIMAL(p,s)``, backtick-quoted names, nested
+    ``ROW<name TYPE, ...>`` / ``STRUCT<name: TYPE, ...>``, and the
+    container types ``ARRAY<TYPE>`` / ``MAP<KEY, VALUE>`` — the
+    reference's SQL surface accepts all of these in lookup DDL
+    (``docs/.../table/http.md:184-201``; array/map response columns in
+    ``HttpLookupTableSourceITCaseTest.java:173-198`` with fixtures
+    ``http-array-result*/HttpResult.json``; recursive descent
+    ``HttpLookupTableSource.java:264-300``)."""
     import re
 
     from pyspark.sql import types as T
@@ -179,6 +179,20 @@ def _parse_ddl_struct(ddl: str):
             fields = parse_fields()
             expect(">")
             return T.StructType(fields)
+        if low == "array":
+            expect("<")
+            element = parse_type()
+            expect(">")
+            return T.ArrayType(element, True)
+        if low == "map":
+            expect("<")
+            key_type = parse_type()
+            if not isinstance(key_type, T.AtomicType):
+                err("MAP key type must be atomic")
+            expect(",")
+            value_type = parse_type()
+            expect(">")
+            return T.MapType(key_type, value_type, True)
         if low == "decimal":
             skip_ws()
             if pos < n and s[pos] == "(":
@@ -200,9 +214,8 @@ def _parse_ddl_struct(ddl: str):
         if low in _DDL_SCALARS:
             return getattr(T, _DDL_SCALARS[low])()
         err(
-            f"unsupported type {word!r} — scalars, DECIMAL(p,s) and nested "
-            "ROW<...>/STRUCT<...> only (ARRAY/MAP response fields belong on "
-            "the DataFrame surface, http_lookup_join)"
+            f"unsupported type {word!r} — scalars, DECIMAL(p,s), nested "
+            "ROW<...>/STRUCT<...>, ARRAY<...> and MAP<k,v> are accepted"
         )
 
     def parse_fields():

@@ -996,11 +996,53 @@ class TestHttpLookupUdtfParsers:
         assert st3["a"].dataType["b"].dataType == T.IntegerType()
         assert st3["d"].dataType == T.StringType()
 
-    def test_ddl_rejects_arrays_and_garbage(self):
+    def test_ddl_array_and_map(self):
+        """ARRAY<...> / MAP<k,v> response columns (round-12: the
+        reference's lookup DDL materializes both —
+        HttpLookupTableSourceITCaseTest.java:173-198), including nesting
+        in every direction: array-of-row, row-of-array, array-of-array,
+        map-of-struct-values."""
+        from pyspark.sql import types as T
+
         from flink_connector_http_spark.sqlfn import _parse_ddl_struct
 
-        for bad in ("a ARRAY<INT>", "a MAP<STRING, INT>", "a", "a b c",
-                    "", "a FOO", "a ROW<b INT", "a INT,"):
+        st = _parse_ddl_struct(
+            "tags ARRAY<STRING>, scores MAP<STRING, DOUBLE>"
+        )
+        assert st["tags"].dataType == T.ArrayType(T.StringType(), True)
+        assert st["scores"].dataType == T.MapType(
+            T.StringType(), T.DoubleType(), True)
+
+        st2 = _parse_ddl_struct(
+            "items ARRAY<ROW<sku STRING, qty INT>>, "
+            "grid ARRAY<ARRAY<INT>>, "
+            "attrs MAP<STRING, ROW<v DOUBLE, unit STRING>>, "
+            "nested ROW<ids ARRAY<BIGINT>, kv MAP<INT, STRING>>"
+        )
+        item = st2["items"].dataType.elementType
+        assert [f.name for f in item.fields] == ["sku", "qty"]
+        assert st2["grid"].dataType.elementType == T.ArrayType(
+            T.IntegerType(), True)
+        assert isinstance(st2["attrs"].dataType.valueType, T.StructType)
+        inner = st2["nested"].dataType
+        assert inner["ids"].dataType == T.ArrayType(T.LongType(), True)
+        assert inner["kv"].dataType == T.MapType(
+            T.IntegerType(), T.StringType(), True)
+
+    def test_ddl_map_key_must_be_atomic(self):
+        from flink_connector_http_spark.sqlfn import _parse_ddl_struct
+
+        with pytest.raises(ValueError, match="atomic"):
+            _parse_ddl_struct("m MAP<ROW<a INT>, STRING>")
+        with pytest.raises(ValueError, match="atomic"):
+            _parse_ddl_struct("m MAP<ARRAY<INT>, STRING>")
+
+    def test_ddl_rejects_garbage(self):
+        from flink_connector_http_spark.sqlfn import _parse_ddl_struct
+
+        for bad in ("a", "a b c", "", "a FOO", "a ROW<b INT", "a INT,",
+                    "a ARRAY<INT", "a ARRAY<>", "a MAP<STRING>",
+                    "a MAP<STRING, INT"):
             with pytest.raises(ValueError):
                 _parse_ddl_struct(bad)
 
@@ -1093,6 +1135,13 @@ class TestDdlParserProperties:
                 T.StructType([
                     T.StructField(n, dt, True) for (n, (_ddl, dt)) in fs
                 ]),
+            )),
+            types_strat.map(lambda t: (
+                f"ARRAY<{t[0]}>", T.ArrayType(t[1], True)
+            )),
+            st.tuples(scalars, types_strat).map(lambda kv: (
+                f"MAP<{kv[0][0]}, {kv[1][0]}>",
+                T.MapType(kv[0][1], kv[1][1], True),
             )),
         ))
         schemas = st.lists(
