@@ -85,58 +85,41 @@ def test_probe_work_bounded_by_batch(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_streaming_ingest_maintains_index_and_runs_multi_batch(spark):
+def test_streaming_ingest_maintains_index_and_runs_multi_batch(spark, tmp_path):
     """The round-11 streaming ingest op: after the stream drains, the
     persistent index directory holds existing + batch band rows (the
     maintenance writes landed), the probe output matches the batch
     operator byte-for-byte, and the input genuinely arrived over
     MULTIPLE micro-batches (maxFilesPerTrigger=1 over a multi-file
-    input — not one availableNow gulp)."""
+    input — not one availableNow gulp). The operator is given an explicit
+    artifact dir so assertions inspect THIS run's artifacts (round-12:
+    same de-flaking as the BM25 twin)."""
     import glob
-    import re
 
     from flink_connector_http_spark.operators.similarity import (
         stream_incremental_lsh_ingest,
     )
     from flink_connector_http_spark.plans import REGISTRY
 
-    out = stream_incremental_lsh_ingest(spark, SF_DIR)
+    base = str(tmp_path / "lsh_ingest")
+    out = stream_incremental_lsh_ingest(spark, SF_DIR, artifact_base_dir=base)
     batch_op = REGISTRY["sim_incremental_lsh_index"].fn(spark, SF_DIR)
     canon = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
     assert canon(out) == canon(batch_op)
 
-    # the probe output parquet dir accumulated >= 2 part files -> the
-    # foreachBatch ran for >= 2 micro-batches (each append writes its own
-    # part files; a single-batch run would leave exactly one batch's worth
-    # with one commit). Recover the dirs from the op's tempdir prefixes.
-    out_dirs = sorted(glob.glob("/tmp/stream_lsh_out_*"), reverse=True)
-    assert out_dirs, "probe output dir not found"
-    # out dir of the run just executed = the one whose row count matches
-    for d in out_dirs:
-        try:
-            if spark.read.parquet(d).count() == len(canon(out)):
-                break
-        except Exception:
-            continue
-    commits = glob.glob(f"{d}/*.parquet")
+    # >= 2 part files in THIS run's probe output -> the foreachBatch ran
+    # for >= 2 micro-batches (each append writes its own part files)
+    commits = glob.glob(f"{base}/out/*.parquet")
     assert len(commits) >= 2, "expected multiple micro-batch appends"
 
-    # maintenance writes: the newest index dir = existing + batch bands
+    # maintenance writes: the index dir = existing + batch bands
     emb = load(spark, SF_DIR, "embeddings")["embeddings"]
     from flink_connector_http_spark.operators.similarity import (
         _lsh_band_rows,
     )
 
     full = _lsh_band_rows(emb).select("vec_id", "band_id", "band_val")
-    idx_dirs = sorted(glob.glob("/tmp/stream_lsh_index_*"), reverse=True)
-    for d in idx_dirs:
-        try:
-            got = spark.read.parquet(d).select(
-                "vec_id", "band_id", "band_val"
-            )
-            if got.count() == full.count():
-                assert canon(got) == canon(full)
-                return
-        except Exception:
-            continue
-    raise AssertionError("no index dir matched existing+batch band rows")
+    got = spark.read.parquet(f"{base}/index").select(
+        "vec_id", "band_id", "band_val"
+    )
+    assert canon(got) == canon(full)

@@ -102,3 +102,69 @@ def test_registered_drift_summary_shape(spark):
     for r in rows:
         assert r.n_existing + r.n_batch == n_vec
         assert abs(r.mse_drift - round(r.mse_batch - r.mse_existing, 6)) < 1e-9
+
+
+def test_streaming_pq_ingest_matches_batch_and_appends_byte_stable(
+    spark, tmp_path
+):
+    """Round-12 streaming PQ ingest (completes the LSH/BM25/PQ matrix):
+    the drift table computed from stream-maintained artifacts equals the
+    batch operator exactly; the stats artifact accumulated multiple
+    per-micro-batch row groups (genuinely multi-batch); the code store
+    (existing + streamed batch appends) equals the from-scratch rebuild
+    over the whole corpus; and a further append leaves every existing
+    part file byte-identical (the maintenance-write contract)."""
+    import glob
+    import hashlib
+    import pathlib
+
+    from flink_connector_http_spark.operators.similarity import (
+        PQ_M,
+        _codes_from_scored,
+        _pq_scored_frames,
+        stream_incremental_pq_ingest,
+    )
+    from flink_connector_http_spark.plans import REGISTRY
+
+    base = str(tmp_path / "pq_ingest")
+    out = stream_incremental_pq_ingest(spark, SF_DIR, artifact_base_dir=base)
+    batch_op = REGISTRY["sim_incremental_pq_assign"].fn(spark, SF_DIR)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, batch_op.collect()))
+
+    # multi-batch ingest: >= 2 micro-batches x PQ_M mergeable stats rows
+    n_stats = spark.read.parquet(f"{base}/stats/batches").count()
+    assert n_stats >= 2 * PQ_M, n_stats
+
+    # mergeable-stats law at the code level: existing store + streamed
+    # appends == full-corpus rebuild (same frozen codebook — its source
+    # rows vec_id < PQ_K all sit in the existing split)
+    emb = load(spark, SF_DIR, "embeddings")["embeddings"]
+    merged = (
+        spark.read.parquet(f"{base}/codes/existing")
+        .unionByName(spark.read.parquet(f"{base}/codes/batch"))
+        .select(*CODE_COLS)
+    )
+    rebuild = _codes_from_scored(_pq_scored_frames(emb, emb)).select(
+        *CODE_COLS
+    )
+    assert sorted(map(tuple, merged.collect())) == _canon(rebuild)
+
+    # byte-stability: append one more "day" to the code store and verify
+    # no existing part file was rewritten
+    def sha_map():
+        return {
+            p.name: hashlib.sha256(p.read_bytes()).hexdigest()
+            for p in pathlib.Path(f"{base}/codes/batch").glob("*.parquet")
+        }
+
+    before = sha_map()
+    assert len(glob.glob(f"{base}/codes/batch/*.parquet")) >= 2
+    extra = emb.filter(F.col("vec_id") >= EMB_INCR_SPLIT).limit(5)
+    _codes_from_scored(_pq_scored_frames(
+        emb.filter(F.col("vec_id") < EMB_INCR_SPLIT), extra
+    )).write.mode("append").parquet(f"{base}/codes/batch")
+    after = sha_map()
+    assert set(before) < set(after)  # strictly more files
+    for name, digest in before.items():
+        assert after[name] == digest, f"existing part file {name} rewritten"
