@@ -18,12 +18,16 @@ handful of micro-batches. This module proves the OPERATIONAL claims:
   the key domain is saturated (eviction works; an unbounded-state bug
   shows as monotone growth across batches).
 
-Two pipelines, matching the reference's two continuous e2e shapes:
+Three pipelines, matching the reference's continuous e2e shapes:
 
 1. ``run_enrich_sink_e2e`` — rate source → ``http_lookup_join`` →
    HTTP sink via ``foreachBatch`` (the lookup-join + async-sink loop);
 2. ``run_stateful_e2e`` — rate source → ``burst_heavy_hitters_stream``
-   (bounded evicting per-key window state) → noop sink.
+   (bounded evicting per-key window state) → noop sink;
+3. ``run_enrich_sink_recovery_e2e`` — the kill/restart-under-load leg:
+   crash after sink delivery but before checkpoint commit, restart from
+   the checkpoint, measure recovery lag, the at-least-once duplicate
+   count at the sink, and post-restart keep-up.
 
 Both return a plain-dict summary for ``bench.py``'s ``streaming_e2e``
 block and the pytest keep-up pins (``tests/test_streaming_e2e.py``).
@@ -39,7 +43,11 @@ from typing import List, Optional
 
 from pyspark.sql import functions as F
 
-__all__ = ["run_enrich_sink_e2e", "run_stateful_e2e"]
+__all__ = [
+    "run_enrich_sink_e2e",
+    "run_enrich_sink_recovery_e2e",
+    "run_stateful_e2e",
+]
 
 #: batches excluded from the keep-up percentiles: the first micro-batches
 #: pay one-time Python-worker fork + Arrow init + codegen, a
@@ -256,4 +264,162 @@ def run_stateful_e2e(
     out["pipeline"] = "rate->burst_heavy_hitters(applyInPandasWithState)->noop"
     out["rows_per_second_requested"] = rows_per_second
     out["n_distinct_keys"] = n_keys
+    return out
+
+
+def run_enrich_sink_recovery_e2e(
+    spark,
+    lookup_url: str,
+    sink_url: str,
+    *,
+    rows_per_second: int = 20_000,
+    pre_batches: int = 10,
+    post_batches: int = 10,
+    trigger_sec: float = 1.5,
+    n_keys: int = 2_000,
+    lookup_batch_size: Optional[int] = None,
+    source_partitions: int = 8,
+    timeout_sec: float = 300.0,
+    delivered_stats=None,
+) -> dict:
+    """Kill/restart-under-load leg of the enrich→sink pipeline (round-12
+    verdict #4): run ``pre_batches`` committed micro-batches at rate, then
+    crash the query at the WORST possible instant — after the sink
+    delivery of the next batch, before its checkpoint commit (a
+    ``RuntimeError`` injected at the end of ``foreachBatch``, the exact
+    at-least-once window) — restart from the same checkpoint at the same
+    rate, and measure what an operator needs to know:
+
+    - **recovery_lag_sec**: restart call → first post-restart batch commit;
+    - **duplicates**: rows delivered more than once at the sink (the
+      at-least-once number — Structured Streaming replays the failed
+      batch with identical offsets, so this is bounded by ONE micro-batch,
+      mirroring the reference's buffer-replay guarantee,
+      ``HttpSinkWriterStateSerializer.java:33-52`` / error runs
+      ``HttpSinkConnectionTest.java:125-330``);
+    - **post-restart keep-up**: p95 batch duration vs the trigger after
+      the catch-up batches drain the downtime backlog.
+
+    ``delivered_stats``, when given, is a zero-arg callable returning
+    ``{"total": <rows delivered>, "distinct": <distinct source rows>}``
+    read from the counting sink (the harness owns the sink stub; this
+    function stays transport-agnostic).
+    """
+    from pyspark.sql import types as T
+
+    from ..lookup import HttpLookupTable, http_lookup_join
+    from ..options import HttpLookupOptions, HttpSinkOptions
+    from ..sink import write_http
+
+    table = HttpLookupTable(
+        url=lookup_url,
+        schema=T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+        ]),
+        options=HttpLookupOptions(
+            method="POST" if lookup_batch_size else "GET",
+            lookup_batch_size=lookup_batch_size,
+        ),
+    )
+    sink_opts = HttpSinkOptions(insert_method="POST")
+    ckpt = tempfile.mkdtemp(prefix="stream_e2e_recovery_ckpt_")
+    # one-shot failure injection after pre_batches NON-EMPTY batches (the
+    # rate source's batch 0 is typically empty); foreachBatch runs
+    # driver-side, so this closure state survives into the restarted
+    # query, where remaining=None disarms both the crash and the
+    # isEmpty probe (zero overhead on the keep-up measurement)
+    armed = {"remaining": pre_batches}
+
+    def process(batch_df, _batch_id) -> None:
+        enriched = http_lookup_join(
+            batch_df, table, on={"id": "id"}, select=["name"]
+        )
+        write_http(enriched, sink_url, sink_opts)
+        if armed["remaining"] is not None and not batch_df.isEmpty():
+            if armed["remaining"] == 0:
+                armed["remaining"] = None
+                raise RuntimeError(
+                    "injected crash: sink delivery completed, checkpoint "
+                    "commit not reached (the at-least-once window)"
+                )
+            armed["remaining"] -= 1
+
+    def start_query():
+        return (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", rows_per_second)
+            .option("numPartitions", source_partitions)
+            .load()
+            .select((F.col("value") % n_keys + 1).alias("id"),
+                    F.col("value"))
+            .writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime=f"{trigger_sec} seconds")
+            .start()
+        )
+
+    # --- run 1: commit pre_batches, then crash mid-at-least-once-window
+    q1 = start_query()
+    deadline = time.time() + timeout_sec
+    while time.time() < deadline and q1.isActive:
+        time.sleep(0.2)
+    # read progress POST-MORTEM: recentProgress stays readable after the
+    # query dies, and polling while alive races the final batch's commit
+    progs1: List[dict] = [
+        p for p in (_as_dict(x) for x in q1.recentProgress)
+        if p.get("numInputRows", 0) > 0
+    ]
+    if q1.isActive:  # injection never fired — fail loudly, don't hang
+        q1.stop()
+        raise TimeoutError(
+            "recovery e2e: query did not crash within the timeout"
+        )
+    crash = q1.exception()
+    if crash is None or "injected crash" not in str(crash):
+        raise RuntimeError(f"query died for the wrong reason: {crash}")
+    t_kill = time.time()
+    at_kill = dict(delivered_stats()) if delivered_stats else None
+
+    # --- run 2: restart from the same checkpoint at the same rate
+    t_restart = time.time()
+    q2 = start_query()
+    first_commit_ts = None
+    deadline = time.time() + timeout_sec
+    while time.time() < deadline:
+        progs = [
+            p for p in (_as_dict(x) for x in q2.recentProgress)
+            if p.get("numInputRows", 0) > 0
+        ]
+        if progs:
+            first_commit_ts = time.time()
+            break
+        time.sleep(0.1)
+    if first_commit_ts is None:
+        q2.stop()
+        raise TimeoutError("recovery e2e: no batch committed after restart")
+    progs2 = _await_batches(q2, post_batches, timeout_sec)
+    out = _summarize(progs2, trigger_sec)
+    out["pipeline"] = (
+        "rate->http_lookup_join->http_sink(foreachBatch) kill/restart"
+    )
+    out["rows_per_second_requested"] = rows_per_second
+    out["n_distinct_keys"] = n_keys
+    out["pre_failure_batches"] = len(progs1)
+    out["recovery_lag_sec"] = round(first_commit_ts - t_restart, 3)
+    out["downtime_sec"] = round(first_commit_ts - t_kill, 3)
+    # the replayed batch is the first post-restart commit (identical
+    # offsets to the failed one) — the duplicate-delivery upper bound
+    out["replayed_batch_rows"] = int(progs2[0]["numInputRows"])
+    if delivered_stats is not None:
+        end = dict(delivered_stats())
+        duplicates = int(end["total"]) - int(end["distinct"])
+        out["delivered"] = {
+            "total_rows": int(end["total"]),
+            "distinct_rows": int(end["distinct"]),
+            "duplicate_rows": duplicates,
+            "delivered_before_kill": int(at_kill["total"]),
+            "duplicates_bounded_by_replayed_batch":
+                0 <= duplicates <= int(progs2[0]["numInputRows"]),
+        }
     return out

@@ -127,3 +127,71 @@ def test_stateful_sustained_bounded_state(spark):
     # FLAT — monotone growth would mean window eviction is broken
     assert summary["state_rows_flat"], summary["state_rows_per_batch"]
     assert max(summary["state_rows_per_batch"]) == n_keys
+
+
+def test_recovery_under_load_replays_at_most_one_batch(spark, stub_server):
+    """Round-12 kill/restart leg: crash the enrich→sink query after sink
+    delivery but before checkpoint commit (the at-least-once window),
+    restart from the checkpoint at the same rate, and pin the operational
+    contract — a NON-ZERO duplicate count bounded by exactly one
+    micro-batch's rows (Structured Streaming replays the failed batch
+    with identical offsets; reference analogue: buffer replay
+    HttpSinkWriterStateSerializer.java:33-52), bounded recovery lag, and
+    post-restart keep-up."""
+    from flink_connector_http_spark.streaming.e2e import (
+        run_enrich_sink_recovery_e2e,
+    )
+
+    n_keys = 100
+    people = {}
+    for pid in range(1, n_keys + 1):
+        people[pid] = StubResponse(
+            status=200,
+            body=json.dumps({"id": pid, "name": f"user{pid}"}).encode(),
+        )
+
+    def people_responder(req):
+        pid = int(req.query["id"][0])
+        return people[pid]
+
+    stub_server.stub("/people", people_responder)
+    stub_server.stub("/sink", lambda req: StubResponse(200, b'{"ok":true}'))
+
+    sink_baseline = [0]
+
+    def delivered_stats():
+        vals = []
+        for req in stub_server.recorded("/sink")[sink_baseline[0]:]:
+            vals.extend(row["value"] for row in json.loads(req.body))
+        return {"total": len(vals), "distinct": len(set(vals))}
+
+    def attempt(trigger_sec):
+        sink_baseline[0] = len(stub_server.recorded("/sink"))
+        return run_enrich_sink_recovery_e2e(
+            spark,
+            stub_server.url("/people"),
+            stub_server.url("/sink"),
+            rows_per_second=500,
+            pre_batches=4,
+            post_batches=5,
+            trigger_sec=trigger_sec,
+            n_keys=n_keys,
+            source_partitions=4,
+            timeout_sec=180,
+            delivered_stats=delivered_stats,
+        )
+
+    summary = _attempts(attempt, 5, (2.0, 5.0))
+    assert summary["pre_failure_batches"] >= 4, summary
+    assert summary["batches"] == 5, summary
+    # post-restart keep-up (catch-up batches excluded as warmup)
+    assert summary["kept_up"], summary
+    # the at-least-once number: non-zero (the failed batch HAD delivered)
+    # and bounded by the one replayed micro-batch
+    d = summary["delivered"]
+    assert d["duplicate_rows"] > 0, d
+    assert d["duplicates_bounded_by_replayed_batch"], d
+    assert d["duplicate_rows"] <= summary["replayed_batch_rows"], (
+        d, summary["replayed_batch_rows"])
+    # recovery is prompt (restart call -> first committed batch)
+    assert summary["recovery_lag_sec"] < 60, summary
