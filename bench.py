@@ -563,6 +563,19 @@ def main() -> None:
             )
         except Exception as err:
             streaming_e2e["recovery"] = f"error: {err}"
+        # stateful kill/restart: state restored from the store (first
+        # post-restart batch already holds the saturated key domain),
+        # still bounded, keep-up resumed
+        try:
+            from flink_connector_http_spark.streaming.e2e import (
+                run_stateful_recovery_e2e,
+            )
+
+            streaming_e2e["recovery_stateful"] = run_stateful_recovery_e2e(
+                spark
+            )
+        except Exception as err:
+            streaming_e2e["recovery_stateful"] = f"error: {err}"
         result["streaming_e2e"] = streaming_e2e
 
     print(json.dumps(result))

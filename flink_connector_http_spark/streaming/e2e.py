@@ -27,9 +27,12 @@ Three pipelines, matching the reference's continuous e2e shapes:
 3. ``run_enrich_sink_recovery_e2e`` — the kill/restart-under-load leg:
    crash after sink delivery but before checkpoint commit, restart from
    the checkpoint, measure recovery lag, the at-least-once duplicate
-   count at the sink, and post-restart keep-up.
+   count at the sink, and post-restart keep-up;
+4. ``run_stateful_recovery_e2e`` — the same crash/restart for the
+   stateful pipeline: state restored from the store (not rebuilt),
+   still bounded, keep-up resumed.
 
-Both return a plain-dict summary for ``bench.py``'s ``streaming_e2e``
+All return a plain-dict summary for ``bench.py``'s ``streaming_e2e``
 block and the pytest keep-up pins (``tests/test_streaming_e2e.py``).
 """
 
@@ -47,6 +50,7 @@ __all__ = [
     "run_enrich_sink_e2e",
     "run_enrich_sink_recovery_e2e",
     "run_stateful_e2e",
+    "run_stateful_recovery_e2e",
 ]
 
 #: batches excluded from the keep-up percentiles: the first micro-batches
@@ -422,4 +426,134 @@ def run_enrich_sink_recovery_e2e(
             "duplicates_bounded_by_replayed_batch":
                 0 <= duplicates <= int(progs2[0]["numInputRows"]),
         }
+    return out
+
+
+def run_stateful_recovery_e2e(
+    spark,
+    *,
+    rows_per_second: int = 15_000,
+    pre_batches: int = 8,
+    post_batches: int = 8,
+    trigger_sec: float = 8.0,
+    n_keys: int = 5_000,
+    source_partitions: int = 8,
+    timeout_sec: float = 600.0,
+) -> dict:
+    """Kill/restart leg for the STATEFUL pipeline: crash the
+    ``burst_heavy_hitters_stream`` query after ``pre_batches`` non-empty
+    batches (post-output, pre-commit — same injection point as the
+    enrich→sink leg), restart from the checkpoint, and pin the state
+    contract an operator cares about:
+
+    - **state restored, not rebuilt**: the FIRST post-restart batch's
+      ``numRowsTotal`` is already the saturated key-domain size (the
+      state store loaded its last snapshot + delta replay), not a
+      from-zero rebuild;
+    - **still bounded**: the flat-state property holds across the
+      crash/restart boundary (eviction state survived serialization);
+    - **post-restart keep-up** at the same rate.
+
+    Reference analogue: the lookup/sink connector recovers through
+    Flink checkpoints (``HttpSinkWriterStateSerializer.java:33-52``);
+    Spark's state store is the engine-side equivalent for the T5
+    stateful operators.
+    """
+    from .stateful import burst_heavy_hitters_stream
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .option("numPartitions", source_partitions)
+        .load()
+        .select(
+            (F.col("value") % n_keys).alias("user_id"),
+            F.expr("CAST(unix_date(CAST(timestamp AS DATE)) AS BIGINT)")
+            .alias("d"),
+        )
+    )
+    ckpt = tempfile.mkdtemp(prefix="stream_e2e_state_rec_ckpt_")
+    armed = {"remaining": pre_batches}
+
+    def process(batch_df, _batch_id) -> None:
+        # materialize the stateful output (what the noop sink does in the
+        # steady-state leg), then crash in the at-least-once window
+        batch_df.write.format("noop").mode("overwrite").save()
+        if armed["remaining"] is not None:
+            if armed["remaining"] == 0:
+                armed["remaining"] = None
+                raise RuntimeError(
+                    "injected crash: stateful output materialized, "
+                    "checkpoint commit not reached"
+                )
+            armed["remaining"] -= 1
+
+    def start_query():
+        return (
+            burst_heavy_hitters_stream(stream, "user_id", "d")
+            .writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime=f"{trigger_sec} seconds")
+            .start()
+        )
+
+    q1 = start_query()
+    deadline = time.time() + timeout_sec
+    while time.time() < deadline and q1.isActive:
+        time.sleep(0.25)
+    progs1: List[dict] = [
+        p for p in (_as_dict(x) for x in q1.recentProgress)
+        if p.get("numInputRows", 0) > 0
+    ]
+    if q1.isActive:
+        q1.stop()
+        raise TimeoutError(
+            "stateful recovery e2e: query did not crash within the timeout"
+        )
+    crash = q1.exception()
+    if crash is None or "injected crash" not in str(crash):
+        raise RuntimeError(f"query died for the wrong reason: {crash}")
+    state_at_kill = (
+        int(progs1[-1]["stateOperators"][0]["numRowsTotal"])
+        if progs1 and progs1[-1].get("stateOperators") else 0
+    )
+    t_kill = time.time()
+
+    t_restart = time.time()
+    q2 = start_query()
+    first_commit_ts = None
+    deadline = time.time() + timeout_sec
+    while time.time() < deadline:
+        progs = [
+            p for p in (_as_dict(x) for x in q2.recentProgress)
+            if p.get("numInputRows", 0) > 0
+        ]
+        if progs:
+            first_commit_ts = time.time()
+            break
+        time.sleep(0.1)
+    if first_commit_ts is None:
+        q2.stop()
+        raise TimeoutError(
+            "stateful recovery e2e: no batch committed after restart"
+        )
+    progs2 = _await_batches(q2, post_batches, timeout_sec)
+    out = _summarize(progs2, trigger_sec)
+    out["pipeline"] = (
+        "rate->burst_heavy_hitters(applyInPandasWithState) kill/restart"
+    )
+    out["rows_per_second_requested"] = rows_per_second
+    out["n_distinct_keys"] = n_keys
+    out["pre_failure_batches"] = len(progs1)
+    out["recovery_lag_sec"] = round(first_commit_ts - t_restart, 3)
+    out["downtime_sec"] = round(first_commit_ts - t_kill, 3)
+    out["state_rows_at_kill"] = state_at_kill
+    first_state = (
+        int(progs2[0]["stateOperators"][0]["numRowsTotal"])
+        if progs2 and progs2[0].get("stateOperators") else 0
+    )
+    out["state_rows_first_post_restart"] = first_state
+    # restored-not-rebuilt: the first post-restart batch already sees the
+    # saturated domain (>= what the last committed pre-crash batch held)
+    out["state_restored"] = first_state >= state_at_kill > 0
     return out

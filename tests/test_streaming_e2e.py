@@ -195,3 +195,37 @@ def test_recovery_under_load_replays_at_most_one_batch(spark, stub_server):
         d, summary["replayed_batch_rows"])
     # recovery is prompt (restart call -> first committed batch)
     assert summary["recovery_lag_sec"] < 60, summary
+
+
+def test_stateful_recovery_restores_state_not_rebuilds(spark):
+    """Round-12 stateful kill/restart: after the injected post-output
+    pre-commit crash, the restarted query's FIRST batch already holds the
+    saturated key domain in the state store (restored from snapshot +
+    delta replay, not rebuilt from zero), the flat-state property holds
+    across the crash boundary, and keep-up resumes."""
+    from flink_connector_http_spark.streaming.e2e import (
+        run_stateful_recovery_e2e,
+    )
+
+    n_keys = 300
+
+    def attempt(trigger_sec):
+        return run_stateful_recovery_e2e(
+            spark,
+            rows_per_second=3_000,
+            pre_batches=4,
+            post_batches=4,
+            trigger_sec=trigger_sec,
+            n_keys=n_keys,
+            source_partitions=4,
+            timeout_sec=240,
+        )
+
+    summary = _attempts(attempt, 4, (4.0, 8.0))
+    assert summary["batches"] == 4, summary
+    assert summary["kept_up"], summary
+    assert summary["state_rows_at_kill"] == n_keys, summary
+    assert summary["state_restored"], summary
+    assert summary["state_rows_first_post_restart"] == n_keys, summary
+    assert summary["state_rows_flat"], summary["state_rows_per_batch"]
+    assert summary["recovery_lag_sec"] < 60, summary
