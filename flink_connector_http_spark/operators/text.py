@@ -541,6 +541,96 @@ def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# deterministic per-epoch shuffle/shard assignment (training data ordering)
+# ---------------------------------------------------------------------------
+
+EPOCH_COUNT = 3
+EPOCH_SHARDS = 16
+
+
+@register(
+    "sample_epoch_shuffle",
+    oracle=f"""
+    WITH e AS (SELECT unnest(range({EPOCH_COUNT})) AS epoch),
+    asg AS (
+      SELECT epoch, doc_id,
+             md5(concat('epoch:', epoch, ':', doc_id)) AS ord,
+             ('0x' || substr(md5(concat('epoch:', epoch, ':', doc_id)), 1, 8))
+               ::BIGINT % {EPOCH_SHARDS} AS shard
+      FROM documents CROSS JOIN e
+    )
+    SELECT CAST(a.epoch AS INT) AS epoch,
+           CAST(a.shard AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           arg_min(a.doc_id, a.ord) AS first_doc,
+           round(AVG(CASE WHEN p.shard = a.shard THEN 1.0 ELSE 0.0 END), 6)
+             AS stay_ratio
+    FROM asg a LEFT JOIN asg p
+      ON p.doc_id = a.doc_id AND p.epoch = a.epoch - 1
+    GROUP BY a.epoch, a.shard
+    ORDER BY epoch, shard
+    """,
+    doc=f"Deterministic per-epoch global shuffle for training-data "
+        f"ordering: each epoch assigns every document a shard "
+        f"(md5('epoch:'||e||':'||doc_id) % {EPOCH_SHARDS}) and a "
+        "within-shard position (the full hash as sort key) — a seeded, "
+        "reproducible permutation computable as a NARROW map (no global "
+        "sort server, no shuffle to assign; at 100 TB the training "
+        "loader reads shards independently and an epoch 'reshuffle' is "
+        "a hash recompute, zero data movement — the Pile/GPT-style "
+        "epoch-seeded ordering). Output audits the permutation per "
+        "(epoch, shard): doc count (balance), the deterministic first "
+        f"document (arg-min by hash), and stay_ratio — the fraction of "
+        "the shard's docs that sat in the SAME shard the previous epoch "
+        f"(≈1/{EPOCH_SHARDS} when epochs decorrelate; 1.0 would mean "
+        "the seed is broken and every epoch replays the same order; "
+        "epoch 0 reads 0 by convention). The decorrelation self-join "
+        "co-partitions on doc_id; the rollup is "
+        f"{EPOCH_COUNT}x{EPOCH_SHARDS} rows.",
+)
+def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    asg = docs.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(0, {EPOCH_COUNT - 1})")).alias("epoch"),
+    ).select(
+        "doc_id",
+        "epoch",
+        F.expr("md5(concat('epoch:', epoch, ':', doc_id))").alias("ord"),
+        F.expr(
+            "CAST(conv(substr(md5(concat('epoch:', epoch, ':', doc_id)),"
+            f" 1, 8), 16, 10) AS BIGINT) % {EPOCH_SHARDS}"
+        ).alias("shard"),
+    )
+    prev = asg.select(
+        F.col("doc_id").alias("p_doc_id"),
+        (F.col("epoch") + 1).alias("p_epoch"),
+        F.col("shard").alias("p_shard"),
+    )
+    joined = asg.join(
+        prev,
+        (F.col("doc_id") == F.col("p_doc_id"))
+        & (F.col("epoch") == F.col("p_epoch")),
+        "left",
+    )
+    return (
+        joined.groupBy(
+            F.col("epoch").cast("int").alias("epoch"),
+            F.col("shard").cast("int").alias("shard"),
+        )
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+            F.expr("min_by(doc_id, ord)").alias("first_doc"),
+            F.expr(
+                "round(AVG(CAST(CASE WHEN p_shard = shard THEN 1.0 "
+                "ELSE 0.0 END AS DOUBLE)), 6)"
+            ).alias("stay_ratio"),
+        )
+        .orderBy("epoch", "shard")
+    )
+
+
+# ---------------------------------------------------------------------------
 # per-stratum exact length quantiles
 # ---------------------------------------------------------------------------
 
