@@ -883,12 +883,10 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_incremental_minhash",
-    # the oracle classifies new-batch docs against the exact-jaccard pair
-    # set: a_id < b_id and existing ids < INCR_SPLIT <= new ids, so an
-    # existing-new pair always has a = existing
-    oracle=f"""
+# the oracle classifies new-batch docs against the exact-jaccard pair
+# set: a_id < b_id and existing ids < INCR_SPLIT <= new ids, so an
+# existing-new pair always has a = existing
+_INCR_MINHASH_ORACLE = f"""
     WITH pairs AS (
       {_JACCARD_ORACLE}
     ),
@@ -908,7 +906,12 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM new_docs n
     LEFT JOIN dup_exist e ON e.doc_id = n.doc_id
     LEFT JOIN dup_batch b ON b.doc_id = n.doc_id
-    """,
+    """
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=_INCR_MINHASH_ORACLE,
     doc="Incremental NEAR-dup dedup (the fuzzy twin of dedup_incremental): "
         "classify each new-batch document as near-duplicate of the "
         "existing corpus, near-duplicate within the batch, or novel — "
@@ -3154,5 +3157,168 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" LATERAL VIEW explode(sequence({CDC_WINDOW},"
             f" CAST(n_chars AS INT))) t AS i"
             f" WHERE n_chars >= {CDC_WINDOW}) p",
+        )
+    )
+
+
+@register(
+    "stream_incremental_minhash_ingest",
+    oracle=_INCR_MINHASH_ORACLE,
+    doc="Streaming incremental NEAR-dup ingest — the dedup family joins "
+        "the LSH/BM25/PQ streaming-maintenance matrix: the daily document "
+        "batch arrives as a Structured Streaming file source over several "
+        "micro-batches (maxFilesPerTrigger=1, availableNow + checkpoint); "
+        "each micro-batch appends its minhash band rows to the ONE "
+        "persistent band index (old part files byte-stable) and probes "
+        "them against the index SNAPSHOT frozen at stream start, "
+        "verifying new-vs-existing candidates by exact jaccard and "
+        "streaming the confirmed dup ids to an artifact — per-document "
+        "probes are independent, so the union over micro-batches equals "
+        "the batch pass. The IN-BATCH pairing is computed after the drain "
+        "from the appended band rows alone (glob difference vs the "
+        "snapshot file list): an in-batch near-dup pair can land with its "
+        "smaller doc_id in a LATER micro-batch than its larger one, so "
+        "arrival-order probing would misclassify it — the honest "
+        "streaming contract is maintenance + existing-probe per "
+        "micro-batch, batch-internal dedup from the index artifact at "
+        "batch close (exactly how a daily crawl pipeline runs). Same "
+        "oracle as dedup_incremental_minhash, so the hash gate proves "
+        "the decomposition equals the one-shot batch operator.",
+)
+def stream_incremental_minhash_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    artifact_base_dir: "str | None" = None,
+) -> DataFrame:
+    import glob
+    import os
+    import tempfile
+
+    from ..streaming import await_drained
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+
+    if artifact_base_dir is not None:
+        index_dir = os.path.join(artifact_base_dir, "index")
+        exist_dups_dir = os.path.join(artifact_base_dir, "exist_dups")
+        in_dir = os.path.join(artifact_base_dir, "in")
+        ckpt_dir = os.path.join(artifact_base_dir, "ckpt")
+        for d in (index_dir, exist_dups_dir, in_dir):
+            os.makedirs(d, exist_ok=True)
+    else:
+        index_dir = tempfile.mkdtemp(prefix="stream_mh_index_")
+        exist_dups_dir = tempfile.mkdtemp(prefix="stream_mh_dups_")
+        in_dir = tempfile.mkdtemp(prefix="stream_mh_in_")
+        ckpt_dir = tempfile.mkdtemp(prefix="stream_mh_ckpt_")
+
+    # the persistent index artifact (existing corpus only), written once;
+    # freeze the snapshot by EXPLICIT file list — reads over the directory
+    # would lazily pick up this stream's own appends
+    existing = docs.filter(F.col("doc_id") < INCR_SPLIT)
+    _minhash_bands(existing).write.mode("overwrite").parquet(index_dir)
+    snapshot_files = sorted(glob.glob(os.path.join(index_dir, "*.parquet")))
+    index_snapshot = spark.read.parquet(*snapshot_files)
+    # seed the streamed-dups artifact so the post-drain read never races
+    # an all-novel run (no micro-batch may ever append)
+    docs.select("doc_id").limit(0).write.mode("overwrite").parquet(
+        exist_dups_dir
+    )
+
+    docs.filter(F.col("doc_id") >= INCR_SPLIT).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+    raw_schema = docs.schema
+
+    def process(batch_df, _batch_id) -> None:
+        mb_bands = _minhash_bands(batch_df)
+        # maintenance write: append this micro-batch's band rows to the
+        # one persistent index (old files byte-stable)
+        mb_bands.write.mode("append").parquet(index_dir)
+        # probe vs the frozen snapshot: new-vs-existing candidates only
+        cand = (
+            index_snapshot.alias("a")
+            .join(
+                mb_bands.alias("b"),
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("a_id"),
+                F.col("b.doc_id").alias("b_id"),
+            )
+            .distinct()
+        )
+        cand_docs = (
+            cand.select(F.col("a_id").alias("doc_id"))
+            .union(cand.select(F.col("b_id").alias("doc_id")))
+            .distinct()
+        )
+        sh = _shingle_index(spark, sf_dir, cand_docs)
+        verified = _exact_jaccard(sh, cand)
+        verified.select(F.col("b_id").alias("doc_id")).distinct().write.mode(
+            "append"
+        ).parquet(exist_dups_dir)
+
+    query = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_drained(query)
+
+    # in-batch pairing from the ARTIFACT: the appended band rows are the
+    # files the snapshot list does not contain
+    batch_files = sorted(
+        set(glob.glob(os.path.join(index_dir, "*.parquet")))
+        - set(snapshot_files)
+    )
+    batch_bands = spark.read.parquet(*batch_files)
+    bcand = (
+        batch_bands.alias("a")
+        .join(
+            batch_bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+        )
+        .distinct()
+    )
+    bcand_docs = (
+        bcand.select(F.col("a_id").alias("doc_id"))
+        .union(bcand.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    dup_batch = (
+        _exact_jaccard(_shingle_index(spark, sf_dir, bcand_docs), bcand)
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+        .withColumn("is_batch_dup", F.lit(True))
+    )
+    dup_exist = (
+        spark.read.parquet(exist_dups_dir)
+        .distinct()
+        .withColumn("is_exist_dup", F.lit(True))
+    )
+    new_docs = docs.filter(F.col("doc_id") >= INCR_SPLIT).select("doc_id")
+    return (
+        new_docs.join(F.broadcast(dup_exist), "doc_id", "left")
+        .join(F.broadcast(dup_batch), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN is_exist_dup THEN 'near_dup_of_existing' "
+                "WHEN is_batch_dup THEN 'near_dup_in_batch' "
+                "ELSE 'novel' END"
+            ).alias("verdict"),
         )
     )
