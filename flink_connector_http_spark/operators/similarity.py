@@ -5337,17 +5337,7 @@ def sim_incremental_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")["embeddings"]
     existing = emb.filter(F.col("vec_id") < EMB_INCR_SPLIT)
     batch = emb.filter(F.col("vec_id") >= EMB_INCR_SPLIT)
-    cent = (
-        existing.select("label", F.posexplode("embedding").alias("dim", "x"))
-        .groupBy("label", "dim")
-        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
-        .groupBy("label")
-        .agg(F.expr(
-            "transform(sort_array(collect_list(struct(dim, c))), s -> s.c)"
-        ).alias("centroid"))
-        .select("label", "centroid",
-                F.expr(_NORM.format(col="centroid")).alias("c_norm"))
-    )
+    cent = _ivf_centroids(existing)
     vecs = batch.select(
         "vec_id", "embedding",
         F.expr(_NORM.format(col="embedding")).alias("v_norm"),
@@ -5722,4 +5712,166 @@ def stream_incremental_pq_ingest(
             F.expr("round(mse_batch - mse_existing, 6)").alias("mse_drift"),
         )
         .orderBy("m")
+    )
+
+
+def _ivf_centroids(existing: DataFrame) -> DataFrame:
+    """Frozen-quantizer centroids: a pure function of the existing corpus
+    (per-label dimension means, rounded) — shared by the batch and
+    streaming incremental IVF operators."""
+    return (
+        existing.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
+        .groupBy("label")
+        .agg(F.expr(
+            "transform(sort_array(collect_list(struct(dim, c))), s -> s.c)"
+        ).alias("centroid"))
+        .select("label", "centroid",
+                F.expr(_NORM.format(col="centroid")).alias("c_norm"))
+    )
+
+
+@register(
+    "stream_incremental_ivf_ingest",
+    oracle=_INCR_IVF_ORACLE,
+    doc="Streaming incremental IVF ingest — the fifth and final index "
+        "family in the streaming-maintenance matrix (LSH, BM25, PQ, "
+        "minhash, IVF): the daily vector batch arrives as a Structured "
+        "Streaming file source over several micro-batches "
+        "(maxFilesPerTrigger=1, availableNow + checkpoint); each "
+        "micro-batch assigns its vectors to the FROZEN existing-corpus "
+        "centroids (the quantizer is immutable between reclusters and a "
+        "pure function of existing data the stream never touches), "
+        "appends the per-vector cell assignments to the persistent "
+        "inverted-list artifact (old part files byte-stable) and ONE set "
+        "of mergeable per-cell count rows. After the drain, the cell-"
+        "occupancy drift table is computed from the ARTIFACTS alone: "
+        "stored existing-side counts + the SUM of per-micro-batch rows. "
+        "Same oracle as sim_incremental_ivf_assign, so the hash gate "
+        "proves the additive-count law across stream-chosen micro-batch "
+        "boundaries. Scale shape: centroid broadcast, per-batch work "
+        "O(|micro-batch| x |cells|), final rollup |cells| rows.",
+)
+def stream_incremental_ivf_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    artifact_base_dir: "str | None" = None,
+) -> DataFrame:
+    import os
+    import tempfile
+
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    existing = emb.filter(F.col("vec_id") < EMB_INCR_SPLIT)
+
+    if artifact_base_dir is not None:
+        assign_dir = os.path.join(artifact_base_dir, "assign")
+        stats_dir = os.path.join(artifact_base_dir, "stats")
+        in_dir = os.path.join(artifact_base_dir, "in")
+        ckpt_dir = os.path.join(artifact_base_dir, "ckpt")
+        for d in (assign_dir, stats_dir, in_dir):
+            os.makedirs(d, exist_ok=True)
+    else:
+        assign_dir = tempfile.mkdtemp(prefix="stream_ivf_assign_")
+        stats_dir = tempfile.mkdtemp(prefix="stream_ivf_stats_")
+        in_dir = tempfile.mkdtemp(prefix="stream_ivf_in_")
+        ckpt_dir = tempfile.mkdtemp(prefix="stream_ivf_ckpt_")
+
+    cent = _ivf_centroids(existing)
+
+    # persistent artifacts: existing-side per-cell counts (what a
+    # production index keeps as list lengths)
+    existing.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_existing")
+    ).write.mode("overwrite").parquet(f"{stats_dir}/existing")
+
+    emb.filter(F.col("vec_id") >= EMB_INCR_SPLIT).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+    raw_schema = emb.schema
+
+    def assign(batch_df):
+        vecs = batch_df.select(
+            "vec_id", "embedding",
+            F.expr(_NORM.format(col="embedding")).alias("v_norm"),
+        )
+        scores = vecs.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "label",
+            F.expr(f"round({_DOT_VC} / (v_norm * c_norm), 6)")
+            .alias("cellcos"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("cellcos"), F.asc("label")
+        )
+        return (
+            scores.withColumn("crk", F.row_number().over(w))
+            .filter(F.col("crk") == 1)
+            .select("vec_id", "label", "cellcos")
+        )
+
+    def process(batch_df, _batch_id) -> None:
+        a = assign(batch_df)
+        # maintenance write: append this micro-batch's inverted-list rows
+        a.write.mode("append").parquet(assign_dir)
+        # ... and mergeable per-cell count rows
+        a.groupBy("label").agg(
+            F.count("*").cast("long").alias("n")
+        ).write.mode("append").parquet(f"{stats_dir}/batches")
+
+    query = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_drained(query)
+    if not os.path.isdir(f"{stats_dir}/batches"):
+        raise RuntimeError(
+            "stream_incremental_ivf_ingest: stream drained without any "
+            "micro-batch writing the stats artifact — empty input split?"
+        )
+
+    # drift table from the ARTIFACTS: stored existing counts + the
+    # additive merge of per-micro-batch count rows
+    exist_counts = spark.read.parquet(f"{stats_dir}/existing")
+    batch_counts = (
+        spark.read.parquet(f"{stats_dir}/batches")
+        .groupBy("label")
+        .agg(F.expr("CAST(SUM(n) AS BIGINT)").alias("n_batch"))
+    )
+    totals = exist_counts.agg(
+        F.expr("CAST(SUM(n_existing) AS DOUBLE)").alias("te")
+    )
+    btotals = batch_counts.agg(
+        F.expr("CAST(SUM(n_batch) AS DOUBLE)").alias("tb")
+    )
+    return (
+        exist_counts.join(F.broadcast(batch_counts), "label", "left")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(btotals))
+        .select(
+            "label",
+            "n_existing",
+            F.coalesce(F.col("n_batch"), F.lit(0).cast("long"))
+            .alias("n_batch"),
+            (F.col("n_existing")
+             + F.coalesce(F.col("n_batch"), F.lit(0).cast("long"))
+             ).alias("n_total"),
+            F.expr("round(CAST(n_existing AS DOUBLE) / te, 6)")
+            .alias("share_before"),
+            F.expr(
+                "round(CAST(n_existing + COALESCE(n_batch, 0) AS DOUBLE)"
+                " / (te + tb), 6)"
+            ).alias("share_after"),
+            F.expr(
+                "round(CAST(n_existing + COALESCE(n_batch, 0) AS DOUBLE)"
+                " / (te + tb)"
+                " - CAST(n_existing AS DOUBLE) / te, 6)"
+            ).alias("drift"),
+        )
+        .orderBy("label")
     )

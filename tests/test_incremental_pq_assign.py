@@ -168,3 +168,54 @@ def test_streaming_pq_ingest_matches_batch_and_appends_byte_stable(
     assert set(before) < set(after)  # strictly more files
     for name, digest in before.items():
         assert after[name] == digest, f"existing part file {name} rewritten"
+
+
+def test_streaming_ivf_ingest_matches_batch_and_appends_byte_stable(
+    spark, tmp_path
+):
+    """Round-12 streaming IVF ingest (the fifth index family): the
+    cell-occupancy drift from stream-maintained artifacts equals the
+    batch operator exactly; the counts artifact accumulated multiple
+    per-micro-batch row groups; and a further inverted-list append
+    leaves existing part files byte-identical."""
+    import glob
+    import hashlib
+    import pathlib
+
+    from flink_connector_http_spark.operators.similarity import (
+        stream_incremental_ivf_ingest,
+    )
+    from flink_connector_http_spark.plans import REGISTRY
+
+    base = str(tmp_path / "ivf_ingest")
+    out = stream_incremental_ivf_ingest(spark, SF_DIR, artifact_base_dir=base)
+    batch_op = REGISTRY["sim_incremental_ivf_assign"].fn(spark, SF_DIR)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, batch_op.collect()))
+
+    # multi-batch ingest: >= 2 micro-batches wrote count rows
+    import pyspark.sql.functions as SF
+
+    stats = spark.read.parquet(f"{base}/stats/batches")
+    n_files = len(glob.glob(f"{base}/stats/batches/*.parquet"))
+    assert n_files >= 2, n_files
+    # additive merge covers the whole arriving batch
+    emb = load(spark, SF_DIR, "embeddings")["embeddings"]
+    n_batch_vecs = emb.filter(SF.col("vec_id") >= EMB_INCR_SPLIT).count()
+    assert stats.agg(SF.sum("n")).collect()[0][0] == n_batch_vecs
+
+    # byte-stability of the inverted-list artifact under a further append
+    def sha_map():
+        return {
+            p.name: hashlib.sha256(p.read_bytes()).hexdigest()
+            for p in pathlib.Path(f"{base}/assign").glob("*.parquet")
+        }
+
+    before = sha_map()
+    spark.read.parquet(f"{base}/assign").limit(3).write.mode(
+        "append"
+    ).parquet(f"{base}/assign")
+    after = sha_map()
+    assert set(before) < set(after)
+    for name, digest in before.items():
+        assert after[name] == digest, f"assign part file {name} rewritten"
