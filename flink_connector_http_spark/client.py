@@ -101,20 +101,46 @@ class HttpResponse:
         return out
 
 
-class _NoDelayHTTPConnection(http.client.HTTPConnection):
+class _ConnectPhaseTimeoutMixin:
+    """Separate connect-phase deadline (reference
+    ``http.source.lookup.connection.timeout`` →
+    ``HttpLookupConnectorOptions.java:129-133`` →
+    ``JavaNetHttpClientFactory.java:71-72`` / ``HttpClient.connectTimeout``).
+
+    ``http.client`` applies ONE socket timeout to both connect and read.
+    Here the TCP connect (and, for HTTPS, the TLS handshake — the same
+    connection-establishment phase Java 11's ``connectTimeout`` governs)
+    runs under ``connect_timeout``; once established, the socket reverts
+    to the whole-request timeout. This is what lets a pool member with a
+    dead endpoint fail over in ~1s instead of eating the full 30s
+    request deadline."""
+
+    def __init__(self, *args, connect_timeout: Optional[float] = None, **kwargs) -> None:
+        super().__init__(*args, **kwargs)
+        self._connect_timeout = connect_timeout
+
+    def connect(self) -> None:
+        if self._connect_timeout is None:
+            super().connect()
+        else:
+            request_timeout = self.timeout
+            self.timeout = self._connect_timeout
+            try:
+                super().connect()
+            finally:
+                self.timeout = request_timeout
+            self.sock.settimeout(request_timeout)
+        self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+
+
+class _NoDelayHTTPConnection(_ConnectPhaseTimeoutMixin, http.client.HTTPConnection):
     """TCP_NODELAY keep-alive connection — without it the request/response
     ping-pong hits Nagle + delayed-ACK (~40ms per call), which at thousands
     of lookups per task dwarfs everything else."""
 
-    def connect(self) -> None:  # pragma: no cover - trivial
-        super().connect()
-        self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
 
-
-class _NoDelayHTTPSConnection(http.client.HTTPSConnection):
-    def connect(self) -> None:  # pragma: no cover - trivial
-        super().connect()
-        self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+class _NoDelayHTTPSConnection(_ConnectPhaseTimeoutMixin, http.client.HTTPSConnection):
+    pass
 
 
 def _decompress_response(
@@ -185,6 +211,7 @@ class HttpTransport:
         self,
         *,
         timeout: float = 30.0,
+        connect_timeout: Optional[float] = None,
         server_ca: Optional[str] = None,
         client_cert: Optional[str] = None,
         client_key: Optional[str] = None,
@@ -195,6 +222,12 @@ class HttpTransport:
         proxy_password: Optional[str] = None,
     ) -> None:
         self.timeout = timeout
+        # Connect-phase-only deadline (None = connect shares the request
+        # timeout, the reference's no-default behavior). Applies to the
+        # keep-alive fast path; the proxied urllib fallback has a single
+        # opener-level timeout, so there the whole-request deadline still
+        # governs the connect phase (documented rare path).
+        self.connect_timeout = connect_timeout
         handlers: list = []
         context = build_ssl_context(
             server_ca=server_ca,
@@ -261,10 +294,17 @@ class HttpTransport:
         if conn is None:
             if scheme == "https":
                 conn = _NoDelayHTTPSConnection(
-                    authority, timeout=self.timeout, context=self._ssl_context
+                    authority,
+                    timeout=self.timeout,
+                    connect_timeout=self.connect_timeout,
+                    context=self._ssl_context,
                 )
             else:
-                conn = _NoDelayHTTPConnection(authority, timeout=self.timeout)
+                conn = _NoDelayHTTPConnection(
+                    authority,
+                    timeout=self.timeout,
+                    connect_timeout=self.connect_timeout,
+                )
             conns[key] = conn
         return conn
 
@@ -333,6 +373,7 @@ class HttpPollingClient:
         self.ignored_codes = parse_http_codes(options.ignored_codes or "")
         self.transport = transport or HttpTransport(
             timeout=options.request_timeout,
+            connect_timeout=options.connection_timeout,
             server_ca=options.server_ca,
             client_cert=options.client_cert,
             client_key=options.client_key,

@@ -33,6 +33,10 @@ LOOKUP_OPTION_KEYS = {
     "method": "lookup-method",  # HttpLookupConnectorOptions.java:72-76
     "method_long": "http.source.lookup.method",  # accepted alias (this repo)
     "request_timeout": "http.source.lookup.request.timeout",
+    # connect-phase-only deadline (HttpLookupConnectorOptions.java:129-133
+    # SOURCE_LOOKUP_CONNECTION_TIMEOUT → JavaNetHttpClientFactory.java:71-72
+    # clientBuilder.connectTimeout); distinct from the whole-request timeout
+    "connection_timeout": "http.source.lookup.connection.timeout",
     "pull_pool_size": "http.source.lookup.request.thread-pool.size",
     "publish_pool_size": "http.source.lookup.response.thread-pool.size",
     "use_async": "asyncPolling",
@@ -179,6 +183,13 @@ class HttpLookupOptions:
 
     method: str = "GET"
     request_timeout: float = 30.0                     # seconds
+    # Connect-phase deadline in seconds (TCP connect + TLS handshake —
+    # the same connection-establishment window Java 11's
+    # HttpClient.connectTimeout governs). None = reference default: no
+    # separate connect deadline, the whole-request timeout covers it.
+    # Tune this, not request_timeout, for fast failover off a dead
+    # endpoint in a pool.
+    connection_timeout: Optional[float] = None        # seconds
     pull_pool_size: int = 8
     publish_pool_size: int = 4
     # False → strictly sequential per-key firing (the reference's sync
@@ -282,7 +293,9 @@ class HttpLookupOptions:
             raise ValueError(
                 "http.source.lookup.http-version=HTTP_2 is not supported: "
                 "the Python stdlib HTTP client is HTTP/1.1-only. Omit the "
-                "option (unpinned, the reference default) or pin HTTP_1_1."
+                "option (unpinned, the reference default) or pin HTTP_1_1. "
+                "See README 'Protocol & timeout boundary' for the rationale "
+                "(deliberate no-heavy-deps refusal, not a silent downgrade)."
             )
         raise ValueError(
             f"Invalid http.source.lookup.http-version {self.http_version!r}; "
@@ -424,6 +437,8 @@ def lookup_options_from_map(options: Mapping[str, str]) -> HttpLookupOptions:
         )
     if k["request_timeout"] in options:
         kwargs["request_timeout"] = float(options[k["request_timeout"]])
+    if k["connection_timeout"] in options:
+        kwargs["connection_timeout"] = float(options[k["connection_timeout"]])
     if k["pull_pool_size"] in options:
         kwargs["pull_pool_size"] = int(options[k["pull_pool_size"]])
     if k["publish_pool_size"] in options:

@@ -1,0 +1,145 @@
+"""Connect-phase timeout coverage (reference
+``http.source.lookup.connection.timeout`` —
+``HttpLookupConnectorOptions.java:129-133`` threaded to
+``HttpClient.connectTimeout`` in ``JavaNetHttpClientFactory.java:71-72``).
+
+The two halves the option promises, proven independently:
+
+* a black-holed connect (listener with a saturated accept queue, so the
+  kernel drops our SYN and the handshake never completes) fails at the
+  CONNECT deadline, not the 30s whole-request deadline;
+* a connected-but-silent endpoint (accepts instantly, never sends a
+  byte) still gets the full REQUEST timeout — the connect deadline must
+  stop governing the socket once the connection is established.
+"""
+
+import socket
+import threading
+import time
+
+import pytest
+
+from flink_connector_http_spark.client import HttpPollingClient, HttpTransport
+from flink_connector_http_spark.options import (
+    HttpLookupOptions,
+    lookup_options_from_map,
+)
+from flink_connector_http_spark.request import HttpRequestSpec
+
+
+def _spec(url):
+    return HttpRequestSpec(method="GET", url=url, headers={}, body=None)
+
+
+@pytest.fixture
+def blackholed_listener():
+    """A listening socket whose accept queue is full: further connects
+    hang in SYN retransmission until the client's connect deadline."""
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(0)
+    blockers = []
+    # listen(0) still admits one completed connection; saturate it (and
+    # a little margin for kernel backlog fuzz) so the probe's SYN drops.
+    for _ in range(4):
+        s = socket.socket()
+        s.settimeout(0.5)
+        try:
+            s.connect(srv.getsockname())
+        except OSError:
+            pass
+        blockers.append(s)
+    yield srv.getsockname()
+    for s in blockers:
+        s.close()
+    srv.close()
+
+
+@pytest.fixture
+def silent_server():
+    """Accepts connections immediately but never writes a response."""
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(8)
+    accepted = []
+    stop = threading.Event()
+
+    def _loop():
+        srv.settimeout(0.2)
+        while not stop.is_set():
+            try:
+                conn, _ = srv.accept()
+            except OSError:
+                continue
+            accepted.append(conn)
+
+    t = threading.Thread(target=_loop, daemon=True)
+    t.start()
+    yield srv.getsockname()
+    stop.set()
+    t.join(timeout=2)
+    for c in accepted:
+        c.close()
+    srv.close()
+
+
+class TestConnectPhaseDeadline:
+    def test_blackholed_connect_fails_at_connect_deadline(self, blackholed_listener):
+        host, port = blackholed_listener
+        transport = HttpTransport(timeout=30.0, connect_timeout=0.5)
+        start = time.monotonic()
+        with pytest.raises(OSError):
+            transport.send(_spec(f"http://{host}:{port}/lookup"))
+        elapsed = time.monotonic() - start
+        # one stale-socket resend attempt means up to 2x the connect
+        # deadline; the point is it's nowhere near the 30s request timeout
+        assert elapsed < 5.0, f"connect deadline not honored: {elapsed:.2f}s"
+        assert elapsed >= 0.4, "connect failed instantly — blackhole fixture broken"
+
+    def test_slow_endpoint_still_gets_full_request_timeout(self, silent_server):
+        host, port = silent_server
+        transport = HttpTransport(timeout=1.0, connect_timeout=0.25)
+        start = time.monotonic()
+        with pytest.raises(OSError):
+            transport.send(_spec(f"http://{host}:{port}/lookup"))
+        elapsed = time.monotonic() - start
+        # the read must run under the 1.0s request timeout, NOT the 0.25s
+        # connect deadline — if the connect timeout leaked onto the
+        # established socket this fails in ~0.25s
+        assert elapsed >= 0.9, (
+            f"request timeout truncated to connect deadline: {elapsed:.2f}s"
+        )
+        assert elapsed < 5.0
+
+    def test_no_connect_timeout_defaults_to_request_timeout(self, blackholed_listener):
+        host, port = blackholed_listener
+        transport = HttpTransport(timeout=0.5)
+        start = time.monotonic()
+        with pytest.raises(OSError):
+            transport.send(_spec(f"http://{host}:{port}/lookup"))
+        # without a connect deadline the request timeout governs connect
+        # too (the reference's no-default behavior)
+        assert time.monotonic() - start < 5.0
+
+
+class TestConnectionTimeoutOption:
+    def test_option_key_parses_to_seconds(self):
+        opts = lookup_options_from_map(
+            {"http.source.lookup.connection.timeout": "0.75"}
+        )
+        assert opts.connection_timeout == 0.75
+
+    def test_default_is_none(self):
+        assert HttpLookupOptions().connection_timeout is None
+        assert lookup_options_from_map({}).connection_timeout is None
+
+    def test_threads_through_to_polling_client_transport(self):
+        opts = lookup_options_from_map(
+            {
+                "http.source.lookup.connection.timeout": "2.5",
+                "http.source.lookup.request.timeout": "7.0",
+            }
+        )
+        client = HttpPollingClient(url="http://127.0.0.1:1/lookup", options=opts)
+        assert client.transport.connect_timeout == 2.5
+        assert client.transport.timeout == 7.0
