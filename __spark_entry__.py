@@ -123,17 +123,17 @@ _PRIORITY = [
 
 # The first 8 _PRIORITY entries are the flagship §2 HTTP core — pinned in
 # the window every round so that surface always has fresh driver evidence.
-# HTTP entries 9-15 rotate right behind the never-checked backlog (they all
-# have multiple green driver rows already; pinning all 15 wasted 7 slots
-# per round while ~125 queries had none — round-4 verdict item #6).  The
-# remaining ~42 window slots ROTATE: queries that have never earned a green
-# driver CORRECTNESS row (across all CORRECTNESS_r*.json files present in
-# the repo) go first, NEWEST REGISTRATION FIRST, so the queries added in
-# the current round — the only ones no judge replica has ever exercised —
-# get driver rows the same round they land instead of joining the back of
-# the queue (round-4 shipped 2 broken late additions exactly that way).
+# Everything else (including HTTP entries 9-15, which until round 12 held a
+# reserved tier ahead of the rotation — an effective 15-row fixed head) now
+# rides the normal stalest-evidence-first rotation: with cumulative driver
+# coverage at 383/383 they all have multiple green rows, and a reserved
+# tier just starved the stalest queries of 7 refresh slots per round
+# (round-12 verdict item #6).  Window order: pinned 8, then any
+# never-driver-checked backlog, then this round's additions (the only
+# queries no judge replica has ever exercised — they get driver rows the
+# same round they land), then every already-green query sorted by the
+# round of its most recent green driver row, stalest first.
 _PINNED = _PRIORITY[:8]
-_HTTP_ROTATING = _PRIORITY[8:15]
 
 
 def _driver_green_rounds() -> dict[str, int]:
@@ -206,22 +206,18 @@ def _ordered_names() -> list[str]:
     # signal (modules register in import order), the manifest is
     brand_new = [n for n in rest if n not in seen and n not in prior]
     never_checked = [n for n in rest if n not in seen and n in prior]
-    http_rot = [
-        n for n in _HTTP_ROTATING if n in REGISTRY and n in seen
-    ]
-    http_rot_set = set(http_rot)
     # Already-green queries rotate through the remaining window slots
     # STALEST DRIVER EVIDENCE FIRST: sorted by the round of each query's
     # most recent green driver row (ties broken by name for determinism).
-    # Each driver run refreshes the ~30 stalest rows, so every query gets
-    # fresh independent driver evidence every ~(registry/30) rounds
+    # Each driver run refreshes the ~37 stalest rows, so every query gets
+    # fresh independent driver evidence every ~(registry/37) rounds
     # instead of the front of registration order being re-validated
-    # forever (round-11 verdict item #3).
+    # forever (round-11 verdict item #3, widened per round-12 item #6).
     already_green = sorted(
-        (n for n in rest if n in seen and n not in http_rot_set),
+        (n for n in rest if n in seen),
         key=lambda n: (green_rounds[n], n),
     )
-    return pinned + never_checked + brand_new + http_rot + already_green
+    return pinned + never_checked + brand_new + already_green
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
