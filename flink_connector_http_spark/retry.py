@@ -7,6 +7,28 @@ Parity targets:
   ``table/lookup/HttpLookupConnectorOptions.java:211-234``
 - attempts = max_retries + 1, retry on IO error OR retriable status:
   reference ``retry/HttpClientWithRetry.java:44-92``
+
+Composition semantics (hedging x Retry-After x circuit breaker x budget)
+— the intended contract when several resilience features are enabled at
+once, pinned by ``tests/test_policy.py::TestResilienceComposition``:
+
+- The circuit breaker counts EXCHANGES, not wire attempts. One lookup
+  exchange consults ``allow()`` once, then runs the whole retry schedule
+  (each attempt possibly hedged) and records exactly one success or one
+  failure. Neither a retried attempt nor a hedged duplicate's individual
+  failure reaches the breaker: a duplicate's error only surfaces if BOTH
+  racers fail (then it propagates into the retry layer like any single
+  attempt's error, and only retry exhaustion records the one failure).
+  Rationale: the breaker models endpoint health per decision point; a
+  lost hedge race is expected behavior, not an endpoint failure signal.
+- ``Retry-After`` is honored on whichever attempt WINS the hedge race —
+  primary or duplicate; the retry layer only ever sees the winning
+  response, and the loser's headers are dropped with its response. The
+  hint is still capped at the backoff ceiling.
+- Hedged duplicates consume rate-limiter permits (they are real wire
+  requests hitting the endpoint) but never retry-budget tokens: a hedge
+  is latency insurance on a healthy endpoint, not outage amplification,
+  which is the only thing the budget exists to bound.
 """
 
 from __future__ import annotations

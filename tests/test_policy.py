@@ -1077,3 +1077,216 @@ class TestNamedRequestCallbacks:
         writer.flush()
         writer.close()
         assert seen and seen[0] == ("POST", 200)
+
+
+class TestResilienceComposition:
+    """Three-way composition semantics for the opt-in resilience stack
+    (round-12 verdict item #8) — hedging x Retry-After x circuit breaker
+    x retry budget, as named in the ``retry.py`` module docstring.
+
+    Pairwise behavior is covered elsewhere (test_lookup_join hedging,
+    TestRetryBudget, breaker unit tests); these pin what happens when the
+    features OBSERVE each other."""
+
+    def _client(self, stub_server, path, **opt_kwargs):
+        from flink_connector_http_spark.client import HttpPollingClient
+        from flink_connector_http_spark.options import HttpLookupOptions
+
+        return HttpPollingClient(
+            url=stub_server.url(path),
+            options=HttpLookupOptions(method="GET", **opt_kwargs),
+        )
+
+    def test_lost_hedge_race_failure_never_reaches_breaker(self, stub_server):
+        """A hedged duplicate race where the LOSER errors must not count
+        toward breaker failures: the breaker sees one successful exchange.
+        With failure_threshold=1, a leaked loser-failure would trip it."""
+        import threading
+        import time as _time
+
+        from tests.stub_server import StubResponse, json_response
+
+        lock = threading.Lock()
+        calls = {"n": 0}
+
+        def responder(request):
+            with lock:
+                calls["n"] += 1
+                idx = calls["n"]
+            if idx == 1:  # stalled primary: loses the race, then errors
+                _time.sleep(0.5)
+                return StubResponse(status=500, body=b"loser error")
+            return json_response({"id": 1, "name": "alice"})
+
+        stub_server.stub("/hedge-breaker", responder)
+        client = self._client(
+            stub_server,
+            "/hedge-breaker",
+            hedge_delay=0.1,
+            circuit_breaker_failures=1,
+        )
+        result = client.pull({"id": 1})
+        assert result.rows and result.rows[0]["name"] == "alice"
+        assert client.hedge_stats["fired"] == 1
+        _time.sleep(0.7)  # let the abandoned loser land its 500
+        assert client.circuit_breaker.is_open is False
+        # breaker still admits traffic: a second exchange flows normally
+        result2 = client.pull({"id": 1})
+        assert result2.rows and result2.rows[0]["name"] == "alice"
+
+    def test_retry_after_honored_on_hedge_won_response(self, stub_server):
+        """When the hedged duplicate WINS the race with a retriable 503 +
+        Retry-After, the retry layer honors the winner's hint: the next
+        attempt arrives no earlier than the hint (policy delay is 10ms, so
+        any observed gap must come from the header)."""
+        import threading
+        import time as _time
+
+        from flink_connector_http_spark.retry import RetryConfig
+        from tests.stub_server import StubResponse, json_response
+
+        lock = threading.Lock()
+        state = {"n": 0, "hint_served_at": None, "next_attempt_at": None}
+
+        def responder(request):
+            now = _time.monotonic()
+            with lock:
+                state["n"] += 1
+                idx = state["n"]
+            if idx == 1:  # stalled primary of attempt 1 (abandoned loser)
+                _time.sleep(3.0)
+                return json_response({"id": 1, "name": "late"})
+            with lock:
+                if state["hint_served_at"] is None:
+                    state["hint_served_at"] = now
+                    # RFC 9110 delta-seconds are integral (fractional
+                    # values are unparseable and correctly ignored)
+                    return StubResponse(
+                        status=503, body=b"",
+                        headers={"Retry-After": "1"},
+                    )
+                if state["next_attempt_at"] is None:
+                    state["next_attempt_at"] = now
+            return json_response({"id": 1, "name": "alice"})
+
+        stub_server.stub("/hedge-retry-after", responder)
+        client = self._client(
+            stub_server,
+            "/hedge-retry-after",
+            hedge_delay=0.1,
+            retry=RetryConfig(max_retries=1, fixed_delay=0.01),
+        )
+        result = client.pull({"id": 1})
+        assert result.rows and result.rows[0]["name"] == "alice"
+        assert client.hedge_stats["fired"] >= 1
+        assert state["hint_served_at"] is not None
+        assert state["next_attempt_at"] is not None
+        gap = state["next_attempt_at"] - state["hint_served_at"]
+        assert gap >= 0.9, (
+            f"Retry-After from the hedge-won 503 not honored: retry fired "
+            f"{gap * 1000:.0f}ms after the hint (expected >= ~1000ms)"
+        )
+
+    def test_breaker_counts_exchanges_not_attempts_and_half_open_closes(
+        self, stub_server
+    ):
+        """One exchange exhausting its retries (2 wire 503s) records ONE
+        breaker failure — threshold 2 must survive it. The second failing
+        exchange trips the breaker; while open, pulls fail fast without
+        touching the wire; after the reset timeout the half-open trial's
+        success closes it."""
+        import threading
+        import time as _time
+
+        from flink_connector_http_spark.retry import RetryConfig
+        from flink_connector_http_spark.types import HttpCompletionState
+        from tests.stub_server import StubResponse, json_response
+
+        lock = threading.Lock()
+        state = {"healthy": False}
+
+        def responder(request):
+            with lock:
+                healthy = state["healthy"]
+            if not healthy:
+                return StubResponse(status=503, body=b"")
+            return json_response({"id": 1, "name": "alice"})
+
+        stub_server.stub("/breaker-exchanges", responder)
+        client = self._client(
+            stub_server,
+            "/breaker-exchanges",
+            continue_on_error=True,
+            circuit_breaker_failures=2,
+            circuit_breaker_reset=0.4,
+            retry=RetryConfig(max_retries=1, fixed_delay=0.01),
+        )
+        # exchange 1: attempt + retry both 503 -> ONE breaker failure.
+        # If wire attempts counted, these 2 failures would already trip
+        # the threshold-2 breaker.
+        r1 = client.pull({"id": 1})
+        assert r1.completion_state is HttpCompletionState.EXCEPTION
+        assert len(stub_server.recorded("/breaker-exchanges")) == 2
+        assert client.circuit_breaker.is_open is False, (
+            "breaker tripped after one exchange: wire attempts are "
+            "leaking into the exchange-granularity failure count"
+        )
+        # exchange 2: second exchange-level failure trips it
+        r2 = client.pull({"id": 1})
+        assert r2.completion_state is HttpCompletionState.EXCEPTION
+        assert client.circuit_breaker.is_open is True
+        # open: fail fast, no wire traffic
+        wire_before = len(stub_server.recorded("/breaker-exchanges"))
+        r3 = client.pull({"id": 1})
+        assert r3.completion_state is HttpCompletionState.EXCEPTION
+        assert "circuit breaker open" in (r3.error_string or "")
+        assert len(stub_server.recorded("/breaker-exchanges")) == wire_before
+        # endpoint recovers; after the reset timeout ONE trial goes out,
+        # its success closes the breaker and traffic resumes
+        with lock:
+            state["healthy"] = True
+        _time.sleep(0.5)
+        r4 = client.pull({"id": 1})
+        assert r4.rows and r4.rows[0]["name"] == "alice"
+        assert client.circuit_breaker.is_open is False
+        r5 = client.pull({"id": 1})
+        assert r5.rows and r5.rows[0]["name"] == "alice"
+        assert len(stub_server.recorded("/breaker-exchanges")) == wire_before + 2
+
+    def test_hedged_duplicates_never_spend_retry_budget(self, stub_server):
+        """Hedges are not retries: with a retry budget configured, hedged
+        exchanges that never retry leave the budget untouched (tokens stay
+        at capacity — the budget starts full, deposits are capped there,
+        and only an actual retry withdraws)."""
+        import threading
+        import time as _time
+
+        from tests.stub_server import json_response
+
+        lock = threading.Lock()
+        calls = {"n": 0}
+
+        def responder(request):
+            with lock:
+                calls["n"] += 1
+                idx = calls["n"]
+            if idx % 2 == 1:  # every primary stalls -> every pull hedges
+                _time.sleep(0.4)
+            return json_response({"id": 1, "name": "alice"})
+
+        stub_server.stub("/hedge-budget", responder)
+        client = self._client(
+            stub_server,
+            "/hedge-budget",
+            hedge_delay=0.05,
+            retry_budget_ratio=0.001,
+        )
+        for _ in range(3):
+            result = client.pull({"id": 1})
+            assert result.rows and result.rows[0]["name"] == "alice"
+        assert client.hedge_stats["fired"] == 3
+        budget = client.retry_budget
+        assert budget is not None and budget.denied == 0
+        assert budget._tokens == budget.capacity, (
+            "hedged duplicates withdrew retry-budget tokens"
+        )
