@@ -132,6 +132,52 @@ def ensure_scale_dir(base_dir: str, factor: int = SCALE_FACTOR) -> str:
     return str(out)
 
 
+def _band_check(band_path: str, timings: dict) -> "dict | None":
+    """Read this run's per-query mins against the committed bands
+    (``tools/bench_bands.json``) and apply the PERF_NOTES uniform-shift
+    discriminator mechanically. Returns None when no bands file exists."""
+    if not os.path.exists(band_path):
+        return None
+    import statistics as _stats
+
+    with open(band_path) as fh:
+        bands_doc = json.load(fh)
+    bands = bands_doc.get("bands", {})
+    ratios, out_of_band, suspects = {}, {}, {}
+    for name, t in timings.items():
+        b = bands.get(name)
+        if not b:
+            continue
+        ratios[name] = t / max(float(b["ref"]), 1e-9)
+        if not (b["lo"] <= t <= b["hi"]):
+            out_of_band[name] = {"sec": t, "lo": b["lo"], "hi": b["hi"]}
+    med = round(_stats.median(ratios.values()), 3) if ratios else None
+    if med:
+        # uniform-shift correction: the whole-VM plateau moves every
+        # query by the same factor; only a query STILL out of band after
+        # dividing it out is a genuine regression suspect
+        for name in ratios:
+            b, adj = bands[name], timings[name] / med
+            if not (b["lo"] <= adj <= b["hi"]):
+                suspects[name] = {
+                    "sec": timings[name],
+                    "shift_adjusted_sec": round(adj, 3),
+                    "lo": b["lo"], "hi": b["hi"],
+                }
+    return {
+        "bands_file": "tools/bench_bands.json",
+        "bands_built_from": bands_doc.get("built_from"),
+        "checked": len(ratios),
+        "unbanded_new_queries": sorted(n for n in timings if n not in bands),
+        "median_shift": med,
+        "out_of_band": out_of_band,
+        # out-of-band rows explained by a uniform whole-VM shift
+        # (non-empty out_of_band but nothing survives the correction)
+        "vm_plateau_suspected": bool(out_of_band) and not suspects,
+        "regression_suspects_after_shift": suspects,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -153,6 +199,18 @@ def main() -> None:
         # measured at 16g); 8g is ample for sf0.1 and keeps residency low
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # long-session heap hygiene (r13): one bench session runs ~4000
+        # stages across headline + 10x + 100x + streaming legs, and the
+        # always-on status store retains live job/stage/task metadata for
+        # all of them — measured to tip the 8g heap into OOM exactly at
+        # the 100x emb_knn_graph allocation spike. No UI is served from a
+        # bench run, and the retained caps bound the store instead of
+        # letting it scale with session length.
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "10000")
+        .config("spark.sql.ui.retainedExecutions", "20")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -264,6 +322,25 @@ def main() -> None:
         "/root/testdata/sf0.01": 0.01,
         "/root/testdata/sf0.1": 0.1,
     }.get(sf_dir.rstrip("/"), sf_dir)
+
+    # --- band check (round 13, r12 verdict #4): read this run against the
+    # COMMITTED per-query bands (tools/bench_bands.json) and apply the
+    # PERF_NOTES uniform-shift discriminator mechanically instead of by
+    # hand: (1) per query in/out of its committed band; (2) the median
+    # shift across all banded queries — this VM's whole-JVM plateau moves
+    # EVERY query by the same factor (r12: two sessions uniformly +8-11%),
+    # so a uniform shift is the VM, not a regression; (3) queries still
+    # out of band AFTER dividing out the median shift are the genuine
+    # regression suspects worth a PERF_NOTES investigation.
+    band_check = None
+    band_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools",
+        "bench_bands.json",
+    )
+    try:
+        band_check = _band_check(band_path, timings) if sf == 0.1 else None
+    except Exception as err:  # diagnostics must never sink the bench
+        band_check = {"error": str(err)}
     result = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -275,6 +352,8 @@ def main() -> None:
         "noise_band": noise_band,
         "agg": "min",
     }
+    if band_check is not None:
+        result["band_check"] = band_check
 
     # scale curve: one timed pass per query at 10x the bench SF (locally
     # generated, key-remapped — see ensure_scale_dir). time_ratio ≈ 10 is
@@ -499,6 +578,26 @@ def main() -> None:
         stub.route("/e2e-people-batch", e2e_people_batch)
         _ok = response_bytes(b'{"ok":true}')
         stub.route("/e2e-sink", lambda _q, _b: _ok)
+        # chaos route: the same keyed-people endpoint behind a ChaosGate
+        # (cross-process storm switch + wire counter — allocated BEFORE
+        # start() so the SO_REUSEPORT fork children share it). Separate
+        # path so the other legs don't pay the counter lock.
+        from flink_connector_http_spark.streaming.e2e import ChaosGate
+
+        chaos_gate = ChaosGate(retry_after_sec=1)
+        _people_bytes = {
+            str(k): response_bytes(json.dumps(v).encode())
+            for k, v in people.items()
+        }
+        _p404 = response_bytes(b"{}", 404)
+
+        def chaos_people(query: str, _body: bytes) -> bytes:
+            for part in query.split("&"):
+                if part.startswith("id="):
+                    return _people_bytes.get(part[3:], _p404)
+            return _p404
+
+        stub.route("/chaos-people", chaos_gate.wrap(chaos_people))
         stub.start(workers=8)
         streaming_e2e = {}
         try:
@@ -576,6 +675,29 @@ def main() -> None:
             )
         except Exception as err:
             streaming_e2e["recovery_stateful"] = f"error: {err}"
+        # endpoint-flap chaos leg (round 13, r12 verdict #1): mid-run 503
+        # storm on the lookup endpoint at rate — breaker trip → fail-fast
+        # measured at the wire, Retry-After absorbed in the first storm
+        # batch, rows riding continue_on_error, half-open re-close, and
+        # post-storm keep-up
+        try:
+            from flink_connector_http_spark.streaming.e2e import (
+                run_enrich_sink_chaos_e2e,
+            )
+
+            chaos = run_enrich_sink_chaos_e2e(
+                spark,
+                f"http://127.0.0.1:{stub.port}/chaos-people",
+                f"http://127.0.0.1:{stub.port}/e2e-sink",
+                storm_on=chaos_gate.storm_on,
+                storm_off=chaos_gate.storm_off,
+                wire_count=chaos_gate.wire_count,
+                n_keys=n_keys,
+            )
+            chaos.pop("batch_log", None)  # keep the bench line compact
+            streaming_e2e["chaos"] = chaos
+        except Exception as err:
+            streaming_e2e["chaos"] = f"error: {err}"
         result["streaming_e2e"] = streaming_e2e
 
     print(json.dumps(result))

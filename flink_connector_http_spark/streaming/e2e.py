@@ -30,7 +30,11 @@ Three pipelines, matching the reference's continuous e2e shapes:
    count at the sink, and post-restart keep-up;
 4. ``run_stateful_recovery_e2e`` — the same crash/restart for the
    stateful pipeline: state restored from the store (not rebuilt),
-   still bounded, keep-up resumed.
+   still bounded, keep-up resumed;
+5. ``run_enrich_sink_chaos_e2e`` — the endpoint-flap leg: the lookup
+   endpoint becomes a sustained 503 storm mid-run, exercising circuit
+   breaker trip → fail-fast → half-open re-close, Retry-After under
+   load, and continue-on-error delivery, with post-storm keep-up.
 
 All return a plain-dict summary for ``bench.py``'s ``streaming_e2e``
 block and the pytest keep-up pins (``tests/test_streaming_e2e.py``).
@@ -47,6 +51,8 @@ from typing import List, Optional
 from pyspark.sql import functions as F
 
 __all__ = [
+    "ChaosGate",
+    "run_enrich_sink_chaos_e2e",
     "run_enrich_sink_e2e",
     "run_enrich_sink_recovery_e2e",
     "run_stateful_e2e",
@@ -135,6 +141,22 @@ def _summarize(progs: List[dict], trigger_sec: float) -> dict:
         # saturates, then eviction holds the row count constant)
         tail = state_rows[min(WARMUP_BATCHES, len(state_rows) - 1):]
         out["state_rows_flat"] = len(set(tail)) == 1
+    # bounded BYTES, not just rows: a per-key blob that grows every batch
+    # (e.g. an unbounded map value) keeps numRowsTotal flat while the
+    # store balloons — memoryUsedBytes catches it. The HDFS-backed store
+    # caches ~2 versions, so bytes ramp over the first batches and then
+    # plateau (measured: exactly constant once the version cache fills);
+    # 10% headroom absorbs serialization jitter while a genuinely growing
+    # blob blows through it within a few batches (round-12 verdict #3).
+    state_bytes = [
+        int(p["stateOperators"][0].get("memoryUsedBytes", 0))
+        for p in progs
+        if p.get("stateOperators")
+    ]
+    if any(state_bytes):
+        out["state_bytes_per_batch"] = state_bytes
+        btail = state_bytes[min(WARMUP_BATCHES, len(state_bytes) - 1):]
+        out["state_bytes_flat"] = max(btail) <= max(1, min(btail)) * 1.10
     return out
 
 
@@ -556,4 +578,271 @@ def run_stateful_recovery_e2e(
     # restored-not-rebuilt: the first post-restart batch already sees the
     # saturated domain (>= what the last committed pre-crash batch held)
     out["state_restored"] = first_state >= state_at_kill > 0
+    return out
+
+
+# --- endpoint-flap chaos (round-12 verdict item #1) --------------------------
+
+class ChaosGate:
+    """Cross-process storm switch + wire counters for a ``FastHttpStub``
+    route (the bench stub forks SO_REUSEPORT workers, so plain closure
+    state would fork-diverge; ``multiprocessing`` shared values allocated
+    BEFORE ``stub.start()`` are inherited and stay coherent).
+
+    ``wrap(inner)`` returns a responder that serves ``inner`` normally
+    and, while the storm flag is up, answers every request with
+    ``503 Service Unavailable`` + ``Retry-After: <n>`` — the same
+    shape as the reference's WireMock retry scenarios
+    (``HttpLookupTableSourceITCaseTest.java:240``,
+    ``retry/HttpClientWithRetry.java:44-92``) run as a sustained flap
+    instead of a scripted sequence."""
+
+    def __init__(self, retry_after_sec: int = 1) -> None:
+        import multiprocessing
+
+        ctx = multiprocessing.get_context("fork")
+        # parent-only writer; children read without a lock (a torn read
+        # of a C int is impossible, and boundary fuzz is accepted anyway)
+        self._storm = ctx.Value("i", 0, lock=False)
+        self._wire = ctx.Value("q", 0)
+        body = b'{"error":"injected storm: service unavailable"}'
+        self._storm_resp = (
+            f"HTTP/1.1 503 S\r\n"
+            f"Content-Type: application/json\r\n"
+            f"Retry-After: {int(retry_after_sec)}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode("ascii") + body
+
+    def wrap(self, inner):
+        storm, wire, storm_resp = self._storm, self._wire, self._storm_resp
+
+        def responder(query: str, body: bytes) -> bytes:
+            with wire.get_lock():
+                wire.value += 1
+            if storm.value:
+                return storm_resp
+            return inner(query, body)
+
+        return responder
+
+    def storm_on(self) -> None:
+        self._storm.value = 1
+
+    def storm_off(self) -> None:
+        self._storm.value = 0
+
+    def wire_count(self) -> int:
+        with self._wire.get_lock():
+            return int(self._wire.value)
+
+
+def run_enrich_sink_chaos_e2e(
+    spark,
+    lookup_url: str,
+    sink_url: str,
+    *,
+    storm_on,
+    storm_off,
+    wire_count,
+    rows_per_second: int = 20_000,
+    trigger_sec: float = 1.5,
+    n_keys: int = 2_000,
+    pre_batches: int = 5,
+    storm_batches: int = 5,
+    post_batches: int = 8,
+    breaker_threshold: int = 3,
+    breaker_reset_sec: float = 3.0,
+    max_retries: int = 1,
+    retry_fixed_delay: float = 0.05,
+    source_partitions: int = 8,
+    timeout_sec: float = 600.0,
+) -> dict:
+    """Endpoint-flap chaos: the enrich→sink pipeline runs at rate while
+    the lookup endpoint turns into a sustained 500/503 storm mid-run,
+    then recovers — the full resilience stack (retry + Retry-After +
+    circuit breaker + continue-on-error) exercised UNDER LOAD instead of
+    in unit tests (round-12 verdict item #1).
+
+    The caller owns the endpoint flap (``storm_on`` / ``storm_off``
+    callables) and exposes ``wire_count`` (requests actually served by
+    the lookup endpoint so far) so breaker fail-fast is measured at the
+    wire, not inferred.
+
+    What the summary proves:
+
+    - **breaker trips → fail-fast**: wire requests during the storm stay
+      FAR below the no-breaker expectation (every batch re-fetching every
+      distinct key × (1+retries)); after ``breaker_threshold`` failed
+      exchanges each executor worker stops touching the wire, and only
+      half-open trial probes (one per ``breaker_reset_sec`` per worker)
+      leak through.
+    - **Retry-After honored under load**: the storm 503s carry
+      ``Retry-After: 1``; the FIRST storm batch absorbs the honored
+      hint sleeps (~threshold × 1 s per worker, measured in
+      ``first_storm_batch_ms``) before the breaker trips; later storm
+      batches fail fast (``storm_steady_batch_ms``).
+    - **rows ride continue_on_error**: every storm-phase row is still
+      DELIVERED to the sink, left-join-degraded (NULL enrichment) —
+      per-batch ``rows`` vs ``enriched`` counts quantify degraded vs
+      blocked (blocked = 0 by design).
+    - **half-open re-close + post-storm keep-up**: after the flap ends,
+      the next exchange past ``breaker_reset_sec`` is the half-open
+      trial; its success re-closes the breaker, enrichment returns to
+      100%, and p95 batch duration drops back under the trigger.
+    """
+    from pyspark.sql import types as T
+
+    from ..lookup import HttpLookupTable, http_lookup_join
+    from ..options import HttpLookupOptions, HttpSinkOptions
+    from ..retry import RetryConfig
+    from ..sink import write_http
+
+    table = HttpLookupTable(
+        url=lookup_url,
+        schema=T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+        ]),
+        options=HttpLookupOptions(
+            method="GET",
+            continue_on_error=True,
+            circuit_breaker_failures=breaker_threshold,
+            circuit_breaker_reset=breaker_reset_sec,
+            retry=RetryConfig(
+                max_retries=max_retries, fixed_delay=retry_fixed_delay
+            ),
+        ),
+    )
+    sink_opts = HttpSinkOptions(insert_method="POST")
+    batch_log: List[dict] = []
+
+    def process(batch_df, _batch_id) -> None:
+        t0 = time.monotonic()
+        # localCheckpoint: the batch is consumed TWICE (metric counts +
+        # sink write); without the lineage cut the lookup join would
+        # re-fire every HTTP request per consumer (the multiply-consumed
+        # boundary rule, PERF_NOTES.md)
+        enriched = http_lookup_join(
+            batch_df, table, on={"id": "id"}, select=["name"], how="left"
+        ).localCheckpoint(eager=True)
+        counts = enriched.agg(
+            F.count("*").alias("n"), F.count("name").alias("ok")
+        ).collect()[0]
+        write_http(enriched, sink_url, sink_opts)
+        if counts["n"]:
+            batch_log.append({
+                "t0": t0,
+                "dur_ms": round((time.monotonic() - t0) * 1000.0, 1),
+                "rows": int(counts["n"]),
+                "enriched": int(counts["ok"]),
+            })
+
+    query = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .option("numPartitions", source_partitions)
+        .load()
+        .select((F.col("value") % n_keys + 1).alias("id"), F.col("value"))
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation",
+                tempfile.mkdtemp(prefix="stream_e2e_chaos_ckpt_"))
+        .trigger(processingTime=f"{trigger_sec} seconds")
+        .start()
+    )
+
+    def _wait_nonempty(n: int) -> None:
+        deadline = time.time() + timeout_sec
+        while time.time() < deadline:
+            if len(batch_log) >= n:
+                return
+            if not query.isActive:
+                raise RuntimeError(
+                    f"chaos e2e query died: {query.exception()}"
+                )
+            time.sleep(0.1)
+        query.stop()
+        raise TimeoutError(
+            f"chaos e2e: {n} non-empty batches not reached in {timeout_sec}s"
+        )
+
+    try:
+        _wait_nonempty(pre_batches)
+        wire_pre = wire_count()
+        t_storm_on = time.monotonic()
+        storm_on()
+        _wait_nonempty(pre_batches + storm_batches)
+        storm_off()
+        t_storm_off = time.monotonic()
+        wire_storm = wire_count() - wire_pre
+        _wait_nonempty(pre_batches + storm_batches + post_batches)
+    finally:
+        try:
+            query.stop()
+        except Exception:
+            pass
+    # post-mortem progress read (polling while alive races the final
+    # commit — established recovery-leg discipline)
+    progs = [
+        p for p in (_as_dict(x) for x in query.recentProgress)
+        if p.get("numInputRows", 0) > 0
+    ]
+
+    pre = [b for b in batch_log if b["t0"] < t_storm_on]
+    storm = [b for b in batch_log if t_storm_on <= b["t0"] < t_storm_off]
+    post = [b for b in batch_log if b["t0"] >= t_storm_off]
+    degraded_storm = sum(b["rows"] - b["enriched"] for b in storm)
+    rows_storm = sum(b["rows"] for b in storm)
+    degraded_outside = sum(
+        b["rows"] - b["enriched"] for b in pre + post
+    )
+    # recovery: index of the first post-flap batch back at 100% enrichment
+    recovered_after = next(
+        (i for i, b in enumerate(post) if b["rows"] == b["enriched"]), None
+    )
+    # no-breaker expectation: every storm batch re-fetches every distinct
+    # key (the per-batch dedup means n_keys exchanges), each exchange
+    # costing 1 + max_retries wire requests
+    expected_no_breaker = max(1, len(storm)) * n_keys * (1 + max_retries)
+    post_durs = sorted(b["dur_ms"] for b in post[1:]) or [float("inf")]
+    storm_steady = sorted(b["dur_ms"] for b in storm[1:])
+    out = {
+        "pipeline": (
+            "rate->http_lookup_join(breaker+retry+continue_on_error)"
+            "->http_sink(foreachBatch) with mid-run 503 storm"
+        ),
+        "rows_per_second_requested": rows_per_second,
+        "trigger_interval_ms": int(trigger_sec * 1000),
+        "n_distinct_keys": n_keys,
+        "breaker_threshold": breaker_threshold,
+        "breaker_reset_sec": breaker_reset_sec,
+        "batches": {"pre": len(pre), "storm": len(storm), "post": len(post)},
+        "storm_wire_requests": wire_storm,
+        "expected_wire_no_breaker": expected_no_breaker,
+        "breaker_fail_fast": wire_storm < 0.5 * expected_no_breaker,
+        "rows_storm_total": rows_storm,
+        "rows_storm_degraded": degraded_storm,
+        # continue_on_error contract: storm rows are DEGRADED (delivered
+        # with NULL enrichment), never blocked — conservation is checked
+        # run-wide below (rows_blocked = source input minus sink-delivered)
+        "rows_degraded_outside_storm": degraded_outside,
+        "first_storm_batch_ms": storm[0]["dur_ms"] if storm else None,
+        "storm_steady_batch_ms_median": (
+            _percentile(storm_steady, 0.5) if storm_steady else None
+        ),
+        "recovered_after_post_batches": recovered_after,
+        "post_storm_recovered": bool(post) and (
+            post[-1]["rows"] == post[-1]["enriched"]
+        ),
+        "post_storm_batch_ms_p95": _percentile(post_durs, 0.95),
+        "kept_up_post_storm": _percentile(post_durs, 0.95)
+        < trigger_sec * 1000,
+        "batch_log": batch_log,
+    }
+    if progs:
+        out["progress_batches_nonempty"] = len(progs)
+        input_total = int(sum(p["numInputRows"] for p in progs))
+        delivered_total = int(sum(b["rows"] for b in batch_log))
+        out["rows_input_total"] = input_total
+        out["rows_delivered_total"] = delivered_total
+        out["rows_blocked"] = max(0, input_total - delivered_total)
     return out

