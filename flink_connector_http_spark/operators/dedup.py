@@ -3322,3 +3322,136 @@ def stream_incremental_minhash_ingest(
             ).alias("verdict"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr character-span dedup (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better")
+# ---------------------------------------------------------------------------
+
+#: anchor length in characters — the paper's suffix-array method reports
+#: all repeated substrings >= 50 BPE tokens; here the unit is characters
+#: and the anchor is the MINIMUM reportable span (runs of overlapping
+#: anchors merge into maximal spans below)
+EXSUB_K = 30
+#: document-frequency cap on anchors: an anchor shared by more than this
+#: many documents is boilerplate (ubiquitous phrase), not duplication —
+#: dropping it bounds the self-join fan-out per key (the same hot-key
+#: discipline as the MinHash band posting caps)
+EXSUB_DF_MAX = 16
+
+
+@register(
+    "dedup_exact_substring",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents WHERE len(text) >= {EXSUB_K}
+    ),
+    pos AS (
+      SELECT doc_id, i, md5(substr(text, i, {EXSUB_K})) AS h
+      FROM (
+        SELECT doc_id, text,
+               unnest(range(1, greatest(len(text) - {EXSUB_K - 2}, 1))) AS i
+        FROM docs
+      )
+    ),
+    df AS (
+      SELECT h FROM (
+        SELECT h, COUNT(DISTINCT doc_id) AS nd FROM pos GROUP BY h
+      ) WHERE nd BETWEEN 2 AND {EXSUB_DF_MAX}
+    ),
+    fpos AS (SELECT p.doc_id, p.i, p.h FROM pos p JOIN df USING (h)),
+    matches AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                      a.i AS pa, a.i - b.i AS diag
+      FROM fpos a JOIN fpos b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT a_id, b_id, diag, pa,
+             pa - ROW_NUMBER() OVER (
+               PARTITION BY a_id, b_id, diag ORDER BY pa) AS grp
+      FROM matches
+    ),
+    spans AS (
+      SELECT a_id, b_id,
+             CAST(MAX(pa) - MIN(pa) + {EXSUB_K} AS BIGINT) AS span_chars
+      FROM runs GROUP BY a_id, b_id, diag, grp
+    )
+    SELECT a_id AS doc_a, b_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(MAX(span_chars) AS BIGINT) AS max_span_chars,
+           CAST(SUM(span_chars) AS BIGINT) AS shared_chars
+    FROM spans GROUP BY a_id, b_id
+    """,
+    doc=f"ExactSubstr dedup (Lee et al. 2022): maximal character spans >= "
+        f"{EXSUB_K} chars shared verbatim across document pairs — the "
+        "suffix-array method's output re-expressed Spark-first. Every "
+        f"{EXSUB_K}-char window is anchored by md5; anchors shared by 2-"
+        f"{EXSUB_DF_MAX} docs (the df cap drops boilerplate AND bounds the "
+        "anchor self-join fan-out per key, exactly like the MinHash band "
+        "posting caps) join into per-pair matches; overlapping matches on "
+        "the same alignment diagonal (pos_a - pos_b) merge into MAXIMAL "
+        "spans with one gaps-and-islands window — a shared span of length "
+        "L produces anchor matches at every offset, so consecutive "
+        "positions on a diagonal ARE the span. Complements the token-"
+        "shingle family: character-level, tokenizer-independent, and "
+        "reports the actual repeated-text extents a training-data "
+        "remove-list needs. Shuffles: anchor df-count + self-join share "
+        "the h key; the islands window shuffles on (pair, diag); the "
+        "final rollup is tiny. No cross join, no all-pairs.",
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")["documents"].filter(
+        F.length("text") >= EXSUB_K
+    )
+    # anchor every K-char window: the lambda references the bound `text`
+    # COLUMN (not a recomputed split), so cost is O(len * K) per row
+    pos = docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(sequence(1, length(text) - {EXSUB_K - 1}), "
+            f"i -> struct(i AS i, md5(substring(text, i, {EXSUB_K})) AS h))"
+        )).alias("ph"),
+    ).select("doc_id", F.col("ph.i").alias("i"), F.col("ph.h").alias("h"))
+    df_ok = (
+        pos.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= EXSUB_DF_MAX))
+        .select("h")
+    )
+    fpos = pos.join(df_ok, "h")
+    matches = (
+        fpos.select(F.col("doc_id").alias("a_id"), F.col("i").alias("pa"), "h")
+        .join(
+            fpos.select(
+                F.col("doc_id").alias("b_id"), F.col("i").alias("pb"), "h"
+            ),
+            "h",
+        )
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id", "b_id", "pa", (F.col("pa") - F.col("pb")).alias("diag")
+        )
+        .dropDuplicates(["a_id", "b_id", "diag", "pa"])
+    )
+    w = Window.partitionBy("a_id", "b_id", "diag").orderBy("pa")
+    runs = matches.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    spans = runs.groupBy("a_id", "b_id", "diag", "grp").agg(
+        (F.max("pa") - F.min("pa") + F.lit(EXSUB_K)).cast("long")
+        .alias("span_chars")
+    )
+    return (
+        spans.groupBy("a_id", "b_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.max("span_chars").cast("long").alias("max_span_chars"),
+            F.sum("span_chars").cast("long").alias("shared_chars"),
+        )
+        .select(
+            F.col("a_id").alias("doc_a"),
+            F.col("b_id").alias("doc_b"),
+            "n_spans", "max_span_chars", "shared_chars",
+        )
+    )
