@@ -46,7 +46,11 @@ LOOKUP_OPTION_KEYS = {
     "success_codes": "http.source.lookup.success-codes",
     "retry_codes": "http.source.lookup.retry-codes",
     "ignored_codes": "http.source.lookup.ignored-response-codes",
-    "continue_on_error": "http.source.lookup.connection.continue-on-error",  # gid.connector naming dropped
+    # reference key (HttpConnectorConfigConstants.java:117 CONTINUE_ON_ERROR)
+    "continue_on_error": "http.source.lookup.continue-on-error",
+    # pre-round-13 spelling of this repo (carried the legacy gid.connector
+    # 'connection.' segment); accepted as an alias, reference key wins
+    "continue_on_error_legacy": "http.source.lookup.connection.continue-on-error",
     "max_retries": "lookup.max-retries",
     "retry_strategy": "http.source.lookup.retry-strategy.type",
     "retry_fixed_delay": "http.source.lookup.retry-strategy.fixed-delay.delay",
@@ -64,6 +68,18 @@ LOOKUP_OPTION_KEYS = {
     "server_ca": "http.security.cert.server",
     "client_cert": "http.security.cert.client",
     "client_key": "http.security.key.client",
+    # reference keystore-based TLS (SecurityContext.createFromKeyStore via
+    # JavaNetHttpClientFactory.java:133-151) — recognized and REFUSED with
+    # a clear error (the Python ssl stdlib cannot load JKS/PKCS12 stores);
+    # use the PEM keys above instead. Honest refusal, not silent ignore.
+    "keystore_path": "http.security.keystore.path",
+    "keystore_password": "http.security.keystore.password",
+    "keystore_type": "http.security.keystore.type",
+    # content-logger level MIN/REQ_RESP/MAX (HttpConnectorConfigConstants
+    # HTTP_LOGGING_LEVEL, HttpLogger.java:48): installs the slf4j-style
+    # logging callback at that level unless an explicit request-callback
+    # identifier is configured (the explicit callback wins)
+    "logging_level": "http.logging.level",
     "proxy_host": "http.source.lookup.proxy.host",
     "proxy_port": "http.source.lookup.proxy.port",
     "proxy_user": "http.source.lookup.proxy.username",
@@ -148,6 +164,12 @@ SINK_OPTION_KEYS = {
     "server_ca": "http.security.cert.server",
     "client_cert": "http.security.cert.client",
     "client_key": "http.security.key.client",
+    # recognized-and-refused keystore TLS + shared content-logger level
+    # (see the lookup map for rationale)
+    "keystore_path": "http.security.keystore.path",
+    "keystore_password": "http.security.keystore.password",
+    "keystore_type": "http.security.keystore.type",
+    "logging_level": "http.logging.level",
     # beyond-reference scale knob (SURVEY §7), sink side: bounds HTTP
     # requests/second per writer task on top of the in-flight cap
     "rate_limit": "http.sink.rate-limit.requests-per-second",
@@ -412,6 +434,49 @@ def _validate_short_keys(
         )
 
 
+def _reject_keystore_keys(options: Mapping[str, str], k: Mapping[str, str]) -> None:
+    """Keystore-based TLS is a reference capability this engine refuses
+    EXPLICITLY (the Python ssl stdlib cannot load JKS/PKCS12 stores):
+    silently tolerating the ``http.``-prefixed keys would reproduce the
+    accepted-but-meaningless failure mode the strict validator exists to
+    prevent (reference wiring: ``JavaNetHttpClientFactory.java:133-151``
+    → ``SecurityContext.createFromKeyStore``)."""
+    present = sorted(
+        k[key]
+        for key in ("keystore_path", "keystore_password", "keystore_type")
+        if k[key] in options
+    )
+    if present:
+        raise ValueError(
+            f"Keystore option(s) {present} are not supported: the Python "
+            "ssl stdlib cannot load JKS/PKCS12 keystores. Provide PEM "
+            "material instead (http.security.cert.server, "
+            "http.security.cert.client, http.security.key.client). "
+            "See README 'Protocol & timeout boundary' for the "
+            "no-heavy-deps refusal policy."
+        )
+
+
+def _logging_level_callback(options: Mapping[str, str], k: Mapping[str, str]):
+    """Resolve ``http.logging.level`` (MIN/REQ_RESP/MAX) to the built-in
+    content-logging callback (reference ``HttpLogger.java:48`` reads the
+    same key). Returns None when unset; raises on an invalid code."""
+    if k["logging_level"] not in options:
+        return None
+    from .http_logger import HttpContentLogLevel, logging_callback
+
+    code = options[k["logging_level"]].strip().upper()
+    try:
+        level = HttpContentLogLevel(code)
+    except ValueError:
+        raise ValueError(
+            f"Invalid http.logging.level {options[k['logging_level']]!r}; "
+            "valid values are MIN, REQ_RESP and MAX "
+            "(reference HttpContentLogLevel)"
+        ) from None
+    return logging_callback(level)
+
+
 def lookup_options_from_map(options: Mapping[str, str]) -> HttpLookupOptions:
     """Build typed options from a reference-style string option map, so
     existing ``'http.source.lookup.*'`` configs carry over unchanged.
@@ -420,7 +485,11 @@ def lookup_options_from_map(options: Mapping[str, str]) -> HttpLookupOptions:
     _validate_short_keys(
         options, set(k.values()), _LOOKUP_TOLERATED_SHORT_KEYS, "lookup"
     )
+    _reject_keystore_keys(options, k)
     kwargs: Dict[str, object] = {}
+    _logging_cb = _logging_level_callback(options, k)
+    if _logging_cb is not None:
+        kwargs["request_callback"] = _logging_cb  # explicit id overrides below
     # `lookup-method` is the reference key; the long spelling is this
     # repo's alias (it rides the http.* namespace). Reference key wins.
     if k["method"] in options:
@@ -459,6 +528,10 @@ def lookup_options_from_map(options: Mapping[str, str]) -> HttpLookupOptions:
         kwargs["ignored_codes"] = options[k["ignored_codes"]]
     if k["continue_on_error"] in options:
         kwargs["continue_on_error"] = _as_bool(options[k["continue_on_error"]])
+    elif k["continue_on_error_legacy"] in options:
+        kwargs["continue_on_error"] = _as_bool(
+            options[k["continue_on_error_legacy"]]
+        )
     retry_kwargs: Dict[str, object] = {}
     if k["max_retries"] in options:
         retry_kwargs["max_retries"] = int(options[k["max_retries"]])
@@ -533,7 +606,11 @@ def sink_options_from_map(options: Mapping[str, str]) -> HttpSinkOptions:
     _validate_short_keys(
         options, set(k.values()), _SINK_TOLERATED_SHORT_KEYS, "sink"
     )
+    _reject_keystore_keys(options, k)
     kwargs: Dict[str, object] = {}
+    _logging_cb = _logging_level_callback(options, k)
+    if _logging_cb is not None:
+        kwargs["request_callback"] = _logging_cb  # explicit id overrides below
     if k["request_callback_id"] in options:
         from .http_logger import resolve_request_callback
 

@@ -464,8 +464,16 @@ class TestOptionKeyCompleteness:
         "cache_max_rows", "cache_expire_after_write",
         "cache_expire_after_access", "cache_missing_key",
         "cache_revalidate",
+        # r13 parity sweep: alias + refused/derived keys consumed by the
+        # parse fn without a dataclass field
+        "continue_on_error_legacy", "keystore_path", "keystore_password",
+        "keystore_type", "logging_level",
     }
-    SINK_KEY_ONLY = {"url", "header_prefix", "request_callback_id"}
+    SINK_KEY_ONLY = {
+        "url", "header_prefix", "request_callback_id",
+        "keystore_path", "keystore_password", "keystore_type",
+        "logging_level",
+    }
 
     def test_lookup_fields_all_keyed_or_exempt(self):
         import dataclasses
@@ -1290,3 +1298,89 @@ class TestResilienceComposition:
         assert budget._tokens == budget.capacity, (
             "hedged duplicates withdrew retry-budget tokens"
         )
+
+
+class TestRound13OptionParity:
+    """Round-13 reference option-key parity sweep: the reference keys that
+    were still silently tolerated (http.*-prefixed passthrough) and did
+    nothing — each now either works or refuses loudly."""
+
+    def test_continue_on_error_reference_key(self):
+        from flink_connector_http_spark.options import lookup_options_from_map
+
+        # the reference spelling (HttpConnectorConfigConstants.java:117)
+        opts = lookup_options_from_map(
+            {"http.source.lookup.continue-on-error": "true"}
+        )
+        assert opts.continue_on_error is True
+
+    def test_continue_on_error_legacy_alias_and_precedence(self):
+        from flink_connector_http_spark.options import lookup_options_from_map
+
+        legacy = "http.source.lookup.connection.continue-on-error"
+        assert lookup_options_from_map({legacy: "true"}).continue_on_error
+        # reference key wins when both are present
+        both = lookup_options_from_map({
+            "http.source.lookup.continue-on-error": "false", legacy: "true",
+        })
+        assert both.continue_on_error is False
+
+    @pytest.mark.parametrize("key", [
+        "http.security.keystore.path",
+        "http.security.keystore.password",
+        "http.security.keystore.type",
+    ])
+    @pytest.mark.parametrize("surface", ["lookup", "sink"])
+    def test_keystore_keys_refused_loudly(self, key, surface):
+        from flink_connector_http_spark.options import (
+            lookup_options_from_map,
+            sink_options_from_map,
+        )
+
+        parse = lookup_options_from_map if surface == "lookup" else sink_options_from_map
+        with pytest.raises(ValueError, match="JKS/PKCS12"):
+            parse({key: "/tmp/store.jks"})
+
+    def test_logging_level_installs_content_logger(self, caplog):
+        import logging as _logging
+
+        from flink_connector_http_spark.options import lookup_options_from_map
+        from flink_connector_http_spark.request import HttpRequestSpec
+
+        opts = lookup_options_from_map({"http.logging.level": "REQ_RESP"})
+        assert opts.request_callback is not None
+        spec = HttpRequestSpec(method="GET", url="http://x/y", headers={}, body=b"q")
+
+        class _Resp:
+            status, body, headers = 200, b"r", []
+
+        with caplog.at_level(_logging.INFO,
+                             logger="flink_connector_http_spark.http"):
+            opts.request_callback(spec, _Resp())
+        joined = " ".join(r.getMessage() for r in caplog.records)
+        assert "GET http://x/y -> 200" in joined
+        # REQ_RESP logs bodies but obfuscates headers
+        assert "resp body=r" in joined and "<obfuscated>" in joined
+
+    def test_logging_level_invalid_code_rejected(self):
+        from flink_connector_http_spark.options import lookup_options_from_map
+
+        with pytest.raises(ValueError, match="http.logging.level"):
+            lookup_options_from_map({"http.logging.level": "VERBOSE"})
+
+    def test_explicit_callback_id_wins_over_logging_level(self):
+        from flink_connector_http_spark.http_logger import (
+            REQUEST_CALLBACKS,
+            register_request_callback,
+        )
+        from flink_connector_http_spark.options import lookup_options_from_map
+
+        seen = []
+        if "r13-test-cb" not in REQUEST_CALLBACKS:
+            register_request_callback("r13-test-cb", lambda: seen.append)
+        opts = lookup_options_from_map({
+            "http.logging.level": "MIN",
+            "http.source.lookup.request-callback": "r13-test-cb",
+        })
+        opts.request_callback("x")
+        assert seen == ["x"]
