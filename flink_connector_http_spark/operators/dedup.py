@@ -3401,6 +3401,29 @@ EXSUB_DF_MAX = 16
         "final rollup is tiny. No cross join, no all-pairs.",
 )
 def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spans = _exsub_spans(spark, sf_dir)
+    return (
+        spans.groupBy("a_id", "b_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.max(F.col("ea") - F.col("sa") + 1).cast("long")
+            .alias("max_span_chars"),
+            F.sum(F.col("ea") - F.col("sa") + 1).cast("long")
+            .alias("shared_chars"),
+        )
+        .select(
+            F.col("a_id").alias("doc_a"),
+            F.col("b_id").alias("doc_b"),
+            "n_spans", "max_span_chars", "shared_chars",
+        )
+    )
+
+
+def _exsub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared ExactSubstr span builder: maximal shared character spans per
+    (doc pair, alignment diagonal) as ``(a_id, b_id, diag, sa, ea)`` with
+    1-based inclusive char positions in doc_a (doc_b's interval is the
+    diag shift). See :func:`dedup_exact_substring` for the construction."""
     from pyspark.sql.window import Window
 
     docs = load(spark, sf_dir, "documents")["documents"].filter(
@@ -3438,20 +3461,161 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("a_id", "b_id", "diag").orderBy("pa")
     runs = matches.withColumn("grp", F.col("pa") - F.row_number().over(w))
-    spans = runs.groupBy("a_id", "b_id", "diag", "grp").agg(
-        (F.max("pa") - F.min("pa") + F.lit(EXSUB_K)).cast("long")
-        .alias("span_chars")
+    return runs.groupBy("a_id", "b_id", "diag", "grp").agg(
+        F.min("pa").alias("sa"),
+        (F.max("pa") + F.lit(EXSUB_K - 1)).alias("ea"),
+    ).select("a_id", "b_id", "diag", "sa", "ea")
+
+
+_EXSUB_SPANS_DUCK = f"""
+    docs AS (
+      SELECT doc_id, text FROM documents WHERE len(text) >= {EXSUB_K}
+    ),
+    pos AS (
+      SELECT doc_id, i, md5(substr(text, i, {EXSUB_K})) AS h
+      FROM (
+        SELECT doc_id, text,
+               unnest(range(1, greatest(len(text) - {EXSUB_K - 2}, 1))) AS i
+        FROM docs
+      )
+    ),
+    df AS (
+      SELECT h FROM (
+        SELECT h, COUNT(DISTINCT doc_id) AS nd FROM pos GROUP BY h
+      ) WHERE nd BETWEEN 2 AND {EXSUB_DF_MAX}
+    ),
+    fpos AS (SELECT p.doc_id, p.i, p.h FROM pos p JOIN df USING (h)),
+    matches AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                      a.i AS pa, a.i - b.i AS diag
+      FROM fpos a JOIN fpos b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT a_id, b_id, diag, pa,
+             pa - ROW_NUMBER() OVER (
+               PARTITION BY a_id, b_id, diag ORDER BY pa) AS grp
+      FROM matches
+    ),
+    spans AS (
+      SELECT a_id, b_id, diag, MIN(pa) AS sa, MAX(pa) + {EXSUB_K - 1} AS ea
+      FROM runs GROUP BY a_id, b_id, diag, grp
+    )
+"""
+
+
+@register(
+    "dedup_exact_substring_removelist",
+    oracle=f"""
+    WITH {_EXSUB_SPANS_DUCK},
+    ranges AS (
+      SELECT DISTINCT doc_id, s, e FROM (
+        SELECT a_id AS doc_id, sa AS s, ea AS e FROM spans
+        UNION ALL
+        SELECT b_id, sa - diag, ea - diag FROM spans
+      )
+    ),
+    flagged AS (
+      SELECT doc_id, s, e,
+             MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max
+      FROM ranges
+    ),
+    grps AS (
+      SELECT doc_id, s, e,
+             SUM(CASE WHEN prev_max IS NULL OR s > prev_max
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS g
+      FROM flagged
+    ),
+    merged AS (
+      SELECT doc_id, g, MIN(s) AS ms, MAX(e) AS me FROM grps
+      GROUP BY doc_id, g
+    )
+    SELECT m.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ranges,
+           CAST(SUM(me - ms + 1) AS BIGINT) AS chars_flagged,
+           round(CAST(SUM(me - ms + 1) AS DOUBLE) / MAX(d.n_chars), 6)
+             AS frac_flagged
+    FROM merged m JOIN documents d ON d.doc_id = m.doc_id
+    GROUP BY m.doc_id
+    """,
+    doc="ExactSubstr REMOVE-LIST: the per-document character ranges the "
+        "pair report flags, unioned across every partner and merged into "
+        "disjoint intervals — the consumable Lee et al. 2022 actually "
+        "apply (cut the repeated extents, keep the rest of the doc). "
+        "Each maximal pair-span contributes its doc_a interval and the "
+        "diagonal-shifted doc_b interval; per-doc interval union is one "
+        "running-max window + gaps-and-islands grouping (interval rows "
+        "made DISTINCT first so tie order cannot differ between engines). "
+        "Output: merged range count, chars flagged, fraction of the doc "
+        "(1.0 = whole doc duplicated somewhere). Shuffle shape: the span "
+        "builder's anchor join plus ONE doc_id exchange shared by the "
+        "union window and the final rollup — key-balanced at corpus "
+        "scale.",
+)
+def dedup_exact_substring_removelist(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    spans = _exsub_spans(spark, sf_dir)
+    ranges = (
+        spans.select(
+            F.col("a_id").alias("doc_id"),
+            F.col("sa").alias("s"),
+            F.col("ea").alias("e"),
+        )
+        .unionAll(
+            spans.select(
+                F.col("b_id").alias("doc_id"),
+                (F.col("sa") - F.col("diag")).alias("s"),
+                (F.col("ea") - F.col("diag")).alias("e"),
+            )
+        )
+        .dropDuplicates(["doc_id", "s", "e"])
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grps = ranges.withColumn(
+        "prev_max", F.max("e").over(w_prev)
+    ).withColumn(
+        "g",
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")),
+                1,
+            ).otherwise(0)
+        ).over(w_cum),
+    )
+    merged = grps.groupBy("doc_id", "g").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    docs = load(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "n_chars"
     )
     return (
-        spans.groupBy("a_id", "b_id")
+        merged.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_spans"),
-            F.max("span_chars").cast("long").alias("max_span_chars"),
-            F.sum("span_chars").cast("long").alias("shared_chars"),
+            F.count(F.lit(1)).cast("long").alias("n_ranges"),
+            F.sum(F.col("me") - F.col("ms") + 1).cast("long")
+            .alias("chars_flagged"),
         )
+        .join(docs, "doc_id")
         .select(
-            F.col("a_id").alias("doc_a"),
-            F.col("b_id").alias("doc_b"),
-            "n_spans", "max_span_chars", "shared_chars",
+            "doc_id", "n_ranges", "chars_flagged",
+            F.round(
+                F.col("chars_flagged").cast("double") / F.col("n_chars"), 6
+            ).alias("frac_flagged"),
         )
     )
