@@ -3503,3 +3503,83 @@ def stream_incremental_bm25_ingest(
         "*",
         F.expr("round(idf_after - idf_before, 6)").alias("idf_drift"),
     ).orderBy("term")
+
+
+# ---------------------------------------------------------------------------
+# quality-score calibration (reliability bins for the gate-proxy classifier)
+# ---------------------------------------------------------------------------
+
+# a deliberately CHEAP document-quality score in [0, 1] — the linear proxy
+# a pipeline would fit to predict the expensive gate, built from the same
+# shared token features (all-integer counts, so the 6dp-rounded double is
+# bit-identical in both engines)
+_CALIB_SCORE_SPARK = (
+    f"round(0.5 * (CAST({_S['n_uniq_tokens']} AS DOUBLE) / {_S['n_tokens']})"
+    f" + 0.3 * (CAST(size(filter({TOKS_SPARK}, t -> length(t) >= 5))"
+    f" AS DOUBLE) / {_S['n_tokens']})"
+    f" + 0.2 * least(CAST({_S['n_tokens']} AS DOUBLE) / 100, 1.0), 6)"
+)
+_CALIB_SCORE_DUCK = (
+    f"round(0.5 * (CAST({_D['n_uniq_tokens']} AS DOUBLE) / {_D['n_tokens']})"
+    f" + 0.3 * (CAST(len(list_filter({TOKS_DUCK}, t -> len(t) >= 5))"
+    f" AS DOUBLE) / {_D['n_tokens']})"
+    f" + 0.2 * least(CAST({_D['n_tokens']} AS DOUBLE) / 100, 1.0), 6)"
+)
+
+
+@register(
+    "pipeline_score_calibration",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {_CALIB_SCORE_DUCK} AS score,
+             CASE WHEN ({_QUALITY_DUCK}) AND NOT ({_REP_DUP_DUCK})
+                  THEN 1.0 ELSE 0.0 END AS accepted
+      FROM documents
+    )
+    SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(avg(score), 6) AS mean_score,
+           round(avg(accepted), 6) AS frac_accepted,
+           round(abs(round(avg(score), 6) - round(avg(accepted), 6)), 6)
+             AS calib_gap
+    FROM scored GROUP BY bin
+    """,
+    doc="Quality-score calibration audit: reliability bins for the cheap "
+        "linear gate-proxy score against the composed quality+repetition "
+        "gate it stands in for. Ten equal-width score bins; per bin the "
+        "mean predicted score, the observed acceptance rate, and the "
+        "|gap| — the per-bin terms of expected calibration error. This is "
+        "the audit run before TRUSTING a fast filter at 100 TB: a "
+        "miscalibrated proxy silently shifts the corpus mix wherever the "
+        "expensive gate isn't re-checked. One narrow map over documents "
+        "plus a 10-key aggregate — no shuffle pressure at any scale; the "
+        "score is 6dp-rounded BEFORE binning/averaging so both engines "
+        "bin identically.",
+)
+def pipeline_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    scored = docs.select(
+        F.expr(_CALIB_SCORE_SPARK).alias("score"),
+        F.expr(
+            f"CAST(CASE WHEN ({_QUALITY_SPARK}) AND NOT ({_REP_DUP_SPARK}) "
+            "THEN 1.0 ELSE 0.0 END AS DOUBLE)"
+        ).alias("accepted"),
+    )
+    return (
+        scored.groupBy(
+            F.least(F.floor(F.col("score") * 10), F.lit(9))
+            .cast("long").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("score"), 6).alias("mean_score"),
+            F.round(F.avg("accepted"), 6).alias("frac_accepted"),
+        )
+        .select(
+            "bin", "n_docs", "mean_score", "frac_accepted",
+            F.round(
+                F.abs(F.col("mean_score") - F.col("frac_accepted")), 6
+            ).alias("calib_gap"),
+        )
+    )
