@@ -3334,36 +3334,47 @@ def stream_incremental_minhash_ingest(
 #: and the anchor is the MINIMUM reportable span (runs of overlapping
 #: anchors merge into maximal spans below)
 EXSUB_K = 30
-#: document-frequency cap on anchors: an anchor shared by more than this
+#: document-frequency cap on anchors: an anchor present in more than this
 #: many documents is boilerplate (ubiquitous phrase), not duplication —
-#: dropping it bounds the self-join fan-out per key (the same hot-key
-#: discipline as the MinHash band posting caps)
+#: dropping it bounds the CROSS-document self-join fan-out per key (the
+#: same hot-key discipline as the MinHash band posting caps). WITHIN a
+#: document, repetition is bounded separately: only the FIRST position of
+#: each anchor per document is kept (see ``_exsub_spans``)
 EXSUB_DF_MAX = 16
 
-
-@register(
-    "dedup_exact_substring",
-    oracle=f"""
-    WITH docs AS (
+# Shared ExactSubstr span CTE, used verbatim by BOTH registered oracles so
+# the two queries cannot drift. Anchor keys are the first 16 hex chars of
+# md5 (64 bits — collision odds << 1e-6 at any realistic shard size, half
+# the shuffle width of full md5); `firstpos` keeps only the first position
+# of each anchor per document, so a periodic run contributes at most
+# `period` anchor rows per doc instead of one per character (the
+# within-document analogue of the df cap — without it the self-join is
+# quadratic across diagonals on repetitive text).
+_EXSUB_SPANS_DUCK = f"""
+    docs AS (
       SELECT doc_id, text FROM documents WHERE len(text) >= {EXSUB_K}
     ),
     pos AS (
-      SELECT doc_id, i, md5(substr(text, i, {EXSUB_K})) AS h
+      SELECT doc_id, i,
+             substr(md5(substr(text, i, {EXSUB_K})), 1, 16) AS h
       FROM (
         SELECT doc_id, text,
                unnest(range(1, greatest(len(text) - {EXSUB_K - 2}, 1))) AS i
         FROM docs
       )
     ),
+    firstpos AS (
+      SELECT h, doc_id, MIN(i) AS i FROM pos GROUP BY h, doc_id
+    ),
     df AS (
       SELECT h FROM (
-        SELECT h, COUNT(DISTINCT doc_id) AS nd FROM pos GROUP BY h
+        SELECT h, COUNT(*) AS nd FROM firstpos GROUP BY h
       ) WHERE nd BETWEEN 2 AND {EXSUB_DF_MAX}
     ),
-    fpos AS (SELECT p.doc_id, p.i, p.h FROM pos p JOIN df USING (h)),
+    fpos AS (SELECT f.doc_id, f.i, f.h FROM firstpos f JOIN df USING (h)),
     matches AS (
-      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-                      a.i AS pa, a.i - b.i AS diag
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.i AS pa, a.i - b.i AS diag
       FROM fpos a JOIN fpos b ON a.h = b.h AND a.doc_id < b.doc_id
     ),
     runs AS (
@@ -3373,32 +3384,48 @@ EXSUB_DF_MAX = 16
       FROM matches
     ),
     spans AS (
-      SELECT a_id, b_id,
-             CAST(MAX(pa) - MIN(pa) + {EXSUB_K} AS BIGINT) AS span_chars
+      SELECT a_id, b_id, diag, MIN(pa) AS sa, MAX(pa) + {EXSUB_K - 1} AS ea
       FROM runs GROUP BY a_id, b_id, diag, grp
     )
+"""
+
+
+@register(
+    "dedup_exact_substring",
+    oracle=f"""
+    WITH {_EXSUB_SPANS_DUCK}
     SELECT a_id AS doc_a, b_id AS doc_b,
            CAST(COUNT(*) AS BIGINT) AS n_spans,
-           CAST(MAX(span_chars) AS BIGINT) AS max_span_chars,
-           CAST(SUM(span_chars) AS BIGINT) AS shared_chars
+           CAST(MAX(ea - sa + 1) AS BIGINT) AS max_span_chars,
+           CAST(SUM(ea - sa + 1) AS BIGINT) AS shared_chars
     FROM spans GROUP BY a_id, b_id
     """,
     doc=f"ExactSubstr dedup (Lee et al. 2022): maximal character spans >= "
         f"{EXSUB_K} chars shared verbatim across document pairs — the "
         "suffix-array method's output re-expressed Spark-first. Every "
-        f"{EXSUB_K}-char window is anchored by md5; anchors shared by 2-"
-        f"{EXSUB_DF_MAX} docs (the df cap drops boilerplate AND bounds the "
-        "anchor self-join fan-out per key, exactly like the MinHash band "
-        "posting caps) join into per-pair matches; overlapping matches on "
-        "the same alignment diagonal (pos_a - pos_b) merge into MAXIMAL "
-        "spans with one gaps-and-islands window — a shared span of length "
-        "L produces anchor matches at every offset, so consecutive "
-        "positions on a diagonal ARE the span. Complements the token-"
-        "shingle family: character-level, tokenizer-independent, and "
-        "reports the actual repeated-text extents a training-data "
-        "remove-list needs. Shuffles: anchor df-count + self-join share "
-        "the h key; the islands window shuffles on (pair, diag); the "
-        "final rollup is tiny. No cross join, no all-pairs.",
+        f"{EXSUB_K}-char window is anchored by a 64-bit key (first 16 hex "
+        "chars of md5 — half the shuffle width of full md5, collision odds "
+        "<< 1e-6 at any realistic shard size). Two caps bound the anchor "
+        "self-join: WITHIN a document only the FIRST position of each "
+        "anchor is kept, so periodic runs ('ababab…', repeated boilerplate "
+        "lines) contribute at most `period` anchors per doc instead of one "
+        "per character — the quadratic-diagonal hazard on dirty data; "
+        f"ACROSS documents, anchors present in more than {EXSUB_DF_MAX} "
+        "docs are dropped as boilerplate (the MinHash posting-cap "
+        "discipline). Surviving anchors join into per-pair matches; "
+        "overlapping matches on the same alignment diagonal (pos_a - "
+        "pos_b) merge into MAXIMAL spans with one gaps-and-islands window "
+        "— a shared span of non-repeating text anchors at every offset, "
+        "so consecutive positions on a diagonal ARE the span (spans over "
+        "internally-repeating text dedup to their first occurrence). "
+        "Complements the token-shingle family: character-level, tokenizer-"
+        "independent, and reports the actual repeated-text extents a "
+        "training-data remove-list needs. Shuffles: the within-doc cap is "
+        "DOC-LOCAL (an in-partition array_sort, no exchange — measured "
+        "26 MB total shuffle write at sf0.1 vs 97 MB uncapped/full-md5); "
+        "df-count partials + the post-filter self-join share the h key; "
+        "the islands window shuffles on (pair, diag); the final rollup is "
+        "tiny. No cross join, no all-pairs.",
 )
 def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = _exsub_spans(spark, sf_dir)
@@ -3429,22 +3456,42 @@ def _exsub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")["documents"].filter(
         F.length("text") >= EXSUB_K
     )
-    # anchor every K-char window: the lambda references the bound `text`
-    # COLUMN (not a recomputed split), so cost is O(len * K) per row
-    pos = docs.select(
+    # anchor every K-char window with a 64-bit key (16 hex chars of md5 —
+    # half the shuffle bytes of full md5 per anchor row), then apply the
+    # within-document posting cap DOC-LOCALLY, before any exchange: sort
+    # the (h, i) window array (struct order = h, then i) and keep only
+    # entries whose predecessor carries a different h — i.e. the FIRST
+    # position of each anchor per doc. A periodic run of period p thus
+    # contributes <= p anchor rows instead of one per character, so the
+    # self-join below cannot go quadratic across diagonals on repetitive
+    # text, and the cap costs an in-partition array_sort instead of a
+    # full-corpus (h, doc_id) shuffle (measured at sf0.1: 26 MB total
+    # shuffle write vs 97 MB for the uncapped full-md5 construction, at
+    # equal wall time). After the cap each (h, doc_id) is unique, so the
+    # df count is a plain COUNT(*)
+    windows = docs.select(
+        "doc_id",
+        F.expr(
+            f"array_sort(transform(sequence(1, length(text) - {EXSUB_K - 1}),"
+            f" i -> struct(substring(md5(substring(text, i, {EXSUB_K})), "
+            f"1, 16) AS h, i AS i)))"
+        ).alias("sa"),
+    )
+    firstpos = windows.select(
         "doc_id",
         F.explode(F.expr(
-            f"transform(sequence(1, length(text) - {EXSUB_K - 1}), "
-            f"i -> struct(i AS i, md5(substring(text, i, {EXSUB_K})) AS h))"
+            "filter(sa, (x, idx) -> idx = 0 OR element_at(sa, idx).h <> x.h)"
         )).alias("ph"),
     ).select("doc_id", F.col("ph.i").alias("i"), F.col("ph.h").alias("h"))
     df_ok = (
-        pos.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
+        firstpos.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
         .filter((F.col("nd") >= 2) & (F.col("nd") <= EXSUB_DF_MAX))
         .select("h")
     )
-    fpos = pos.join(df_ok, "h")
+    fpos = firstpos.join(df_ok, "h")
+    # (h, doc) pairs are unique after the first-position rollup, so the
+    # join output is already distinct per (a_id, b_id, diag, pa)
     matches = (
         fpos.select(F.col("doc_id").alias("a_id"), F.col("i").alias("pa"), "h")
         .join(
@@ -3457,7 +3504,6 @@ def _exsub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "a_id", "b_id", "pa", (F.col("pa") - F.col("pb")).alias("diag")
         )
-        .dropDuplicates(["a_id", "b_id", "diag", "pa"])
     )
     w = Window.partitionBy("a_id", "b_id", "diag").orderBy("pa")
     runs = matches.withColumn("grp", F.col("pa") - F.row_number().over(w))
@@ -3465,42 +3511,6 @@ def _exsub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("pa").alias("sa"),
         (F.max("pa") + F.lit(EXSUB_K - 1)).alias("ea"),
     ).select("a_id", "b_id", "diag", "sa", "ea")
-
-
-_EXSUB_SPANS_DUCK = f"""
-    docs AS (
-      SELECT doc_id, text FROM documents WHERE len(text) >= {EXSUB_K}
-    ),
-    pos AS (
-      SELECT doc_id, i, md5(substr(text, i, {EXSUB_K})) AS h
-      FROM (
-        SELECT doc_id, text,
-               unnest(range(1, greatest(len(text) - {EXSUB_K - 2}, 1))) AS i
-        FROM docs
-      )
-    ),
-    df AS (
-      SELECT h FROM (
-        SELECT h, COUNT(DISTINCT doc_id) AS nd FROM pos GROUP BY h
-      ) WHERE nd BETWEEN 2 AND {EXSUB_DF_MAX}
-    ),
-    fpos AS (SELECT p.doc_id, p.i, p.h FROM pos p JOIN df USING (h)),
-    matches AS (
-      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-                      a.i AS pa, a.i - b.i AS diag
-      FROM fpos a JOIN fpos b ON a.h = b.h AND a.doc_id < b.doc_id
-    ),
-    runs AS (
-      SELECT a_id, b_id, diag, pa,
-             pa - ROW_NUMBER() OVER (
-               PARTITION BY a_id, b_id, diag ORDER BY pa) AS grp
-      FROM matches
-    ),
-    spans AS (
-      SELECT a_id, b_id, diag, MIN(pa) AS sa, MAX(pa) + {EXSUB_K - 1} AS ea
-      FROM runs GROUP BY a_id, b_id, diag, grp
-    )
-"""
 
 
 @register(
