@@ -11,6 +11,7 @@ surface them as typed dataclass fields on :class:`HttpLookupOptions` /
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from typing import Callable, Dict, Mapping, Optional
 
@@ -403,6 +404,58 @@ def _as_bool(value: str) -> bool:
     return str(value).strip().lower() in ("true", "1", "yes")
 
 
+#: unit suffixes accepted by Flink's ``TimeUtils.parseDuration`` (the
+#: parser behind every ``durationType()`` option in the reference),
+#: mapped to seconds
+_DURATION_UNITS = {
+    "ns": 1e-9, "nanos": 1e-9, "nanosecond": 1e-9, "nanoseconds": 1e-9,
+    "us": 1e-6, "µs": 1e-6, "micros": 1e-6, "microsecond": 1e-6,
+    "microseconds": 1e-6,
+    "ms": 1e-3, "milli": 1e-3, "millis": 1e-3, "millisecond": 1e-3,
+    "milliseconds": 1e-3,
+    "s": 1.0, "sec": 1.0, "secs": 1.0, "second": 1.0, "seconds": 1.0,
+    "m": 60.0, "min": 60.0, "minute": 60.0, "minutes": 60.0,
+    "h": 3600.0, "hour": 3600.0, "hours": 3600.0,
+    "d": 86400.0, "day": 86400.0, "days": 86400.0,
+}
+
+_DURATION_RE = re.compile(
+    r"^\s*([0-9]+(?:\.[0-9]+)?)\s*([a-zµ]*)\s*$", re.IGNORECASE
+)
+
+
+def _as_duration_seconds(value: str, key: str) -> float:
+    """Parse a reference duration option value into float seconds.
+
+    The reference declares these options ``durationType()`` and parses
+    them with Flink's ``TimeUtils.parseDuration``: a unit suffix
+    (``250ms``, ``30s``, ``1min``, ``2h`` …) names the unit explicitly
+    and carries over unchanged here. One DOCUMENTED divergence: a BARE
+    number means milliseconds in Flink but SECONDS in this engine —
+    every time-valued option here has taken plain float seconds since
+    round 1, and silently flipping the unit would break existing
+    configs the other way. Carried-over Flink configs should therefore
+    use suffixed values (the form Flink's own docs recommend); see
+    README "Duration options".
+    """
+    m = _DURATION_RE.match(str(value))
+    if m is None:
+        raise ValueError(
+            f"{key}: cannot parse duration {value!r} — use a number "
+            "(seconds) or a Flink-style suffixed duration like '250ms', "
+            "'30s', '1min'"
+        )
+    num, unit = m.group(1), m.group(2).lower()
+    if not unit:
+        return float(num)
+    if unit not in _DURATION_UNITS:
+        raise ValueError(
+            f"{key}: unknown duration unit {m.group(2)!r} in {value!r} — "
+            f"supported: ns, us, ms, s, min, h, d (Flink TimeUtils units)"
+        )
+    return float(num) * _DURATION_UNITS[unit]
+
+
 # The reference's FactoryUtil validates every option key outside the
 # pass-through prefixes (`validateExcept("http.", "gid.connector.http.")`,
 # HttpLookupTableSourceFactory.java:113-118) — a typo'd short key like
@@ -505,9 +558,11 @@ def lookup_options_from_map(options: Mapping[str, str]) -> HttpLookupOptions:
             options[k["request_callback_id"]]
         )
     if k["request_timeout"] in options:
-        kwargs["request_timeout"] = float(options[k["request_timeout"]])
+        kwargs["request_timeout"] = _as_duration_seconds(
+            options[k["request_timeout"]], k["request_timeout"])
     if k["connection_timeout"] in options:
-        kwargs["connection_timeout"] = float(options[k["connection_timeout"]])
+        kwargs["connection_timeout"] = _as_duration_seconds(
+            options[k["connection_timeout"]], k["connection_timeout"])
     if k["pull_pool_size"] in options:
         kwargs["pull_pool_size"] = int(options[k["pull_pool_size"]])
     if k["publish_pool_size"] in options:
@@ -517,7 +572,8 @@ def lookup_options_from_map(options: Mapping[str, str]) -> HttpLookupOptions:
     if k["async_buffer_capacity"] in options:
         kwargs["async_buffer_capacity"] = int(options[k["async_buffer_capacity"]])
     if k["async_timeout"] in options:
-        kwargs["async_timeout"] = float(options[k["async_timeout"]])
+        kwargs["async_timeout"] = _as_duration_seconds(
+            options[k["async_timeout"]], k["async_timeout"])
     if k["result_type"] in options:
         kwargs["result_type"] = options[k["result_type"]]
     if k["success_codes"] in options:
@@ -538,13 +594,16 @@ def lookup_options_from_map(options: Mapping[str, str]) -> HttpLookupOptions:
     if k["retry_strategy"] in options:
         retry_kwargs["strategy"] = options[k["retry_strategy"]]
     if k["retry_fixed_delay"] in options:
-        retry_kwargs["fixed_delay"] = float(options[k["retry_fixed_delay"]])
+        retry_kwargs["fixed_delay"] = _as_duration_seconds(
+            options[k["retry_fixed_delay"]], k["retry_fixed_delay"])
     if k["retry_initial_backoff"] in options:
-        retry_kwargs["initial_backoff"] = float(options[k["retry_initial_backoff"]])
+        retry_kwargs["initial_backoff"] = _as_duration_seconds(
+            options[k["retry_initial_backoff"]], k["retry_initial_backoff"])
     if k["retry_backoff_multiplier"] in options:
         retry_kwargs["backoff_multiplier"] = float(options[k["retry_backoff_multiplier"]])
     if k["retry_max_backoff"] in options:
-        retry_kwargs["max_backoff"] = float(options[k["retry_max_backoff"]])
+        retry_kwargs["max_backoff"] = _as_duration_seconds(
+            options[k["retry_max_backoff"]], k["retry_max_backoff"])
     if retry_kwargs:
         kwargs["retry"] = RetryConfig(**retry_kwargs)  # type: ignore[arg-type]
     if k["retry_budget_ratio"] in options:
@@ -565,7 +624,8 @@ def lookup_options_from_map(options: Mapping[str, str]) -> HttpLookupOptions:
         if k[name] in options:
             kwargs[name] = options[k[name]]
     if k["oidc_expiry_reduction"] in options:
-        kwargs["oidc_expiry_reduction"] = float(options[k["oidc_expiry_reduction"]])
+        kwargs["oidc_expiry_reduction"] = _as_duration_seconds(
+            options[k["oidc_expiry_reduction"]], k["oidc_expiry_reduction"])
     for name in ("rate_limit", "rate_limit_burst"):
         if k[name] in options:
             kwargs[name] = float(options[k[name]])
@@ -576,11 +636,12 @@ def lookup_options_from_map(options: Mapping[str, str]) -> HttpLookupOptions:
             options[k["circuit_breaker_failures"]]
         )
     if k["circuit_breaker_reset"] in options:
-        kwargs["circuit_breaker_reset"] = float(
-            options[k["circuit_breaker_reset"]]
+        kwargs["circuit_breaker_reset"] = _as_duration_seconds(
+            options[k["circuit_breaker_reset"]], k["circuit_breaker_reset"]
         )
     if k["hedge_delay"] in options:
-        kwargs["hedge_delay"] = float(options[k["hedge_delay"]])
+        kwargs["hedge_delay"] = _as_duration_seconds(
+            options[k["hedge_delay"]], k["hedge_delay"])
     if k["allow_self_signed"] in options:
         kwargs["allow_self_signed"] = _as_bool(options[k["allow_self_signed"]])
     if k["proxy_port"] in options:
@@ -590,9 +651,11 @@ def lookup_options_from_map(options: Mapping[str, str]) -> HttpLookupOptions:
         if k["cache_max_rows"] in options:
             cache_kwargs["max_rows"] = int(options[k["cache_max_rows"]])
         if k["cache_expire_after_write"] in options:
-            cache_kwargs["expire_after_write"] = float(options[k["cache_expire_after_write"]])
+            cache_kwargs["expire_after_write"] = _as_duration_seconds(
+                options[k["cache_expire_after_write"]], k["cache_expire_after_write"])
         if k["cache_expire_after_access"] in options:
-            cache_kwargs["expire_after_access"] = float(options[k["cache_expire_after_access"]])
+            cache_kwargs["expire_after_access"] = _as_duration_seconds(
+                options[k["cache_expire_after_access"]], k["cache_expire_after_access"])
         if k["cache_missing_key"] in options:
             cache_kwargs["cache_missing_key"] = _as_bool(options[k["cache_missing_key"]])
         if k["cache_revalidate"] in options:
@@ -621,6 +684,14 @@ def sink_options_from_map(options: Mapping[str, str]) -> HttpSinkOptions:
         kwargs["insert_method"] = options[k["insert_method"]].upper()
     if k["request_mode"] in options:
         kwargs["request_mode"] = options[k["request_mode"]]
+    # time-valued keys accept Flink TimeUtils duration syntax ('30s',
+    # '250ms') — the reference declares the sink request timeout
+    # durationType (HttpDynamicSinkConnectorOptions.java:47-55); bare
+    # numbers stay seconds (README "Duration options")
+    _sink_durations = {
+        "max_time_in_buffer", "request_timeout", "retry_delay",
+        "retry_max_backoff",
+    }
     for name, conv in (
         ("flush_batch_size", int),
         ("batch_size", int), ("max_inflight", int), ("max_buffered", int),
@@ -633,7 +704,10 @@ def sink_options_from_map(options: Mapping[str, str]) -> HttpSinkOptions:
         ("retry_budget_min_per_second", float),
     ):
         if k[name] in options:
-            kwargs[name] = conv(options[k[name]])
+            if name in _sink_durations:
+                kwargs[name] = _as_duration_seconds(options[k[name]], k[name])
+            else:
+                kwargs[name] = conv(options[k[name]])
     for name in ("error_codes", "error_codes_exclude", "payload_format",
                  "server_ca", "client_cert", "client_key",
                  "dead_letter_path"):

@@ -143,3 +143,73 @@ class TestConnectionTimeoutOption:
         client = HttpPollingClient(url="http://127.0.0.1:1/lookup", options=opts)
         assert client.transport.connect_timeout == 2.5
         assert client.transport.timeout == 7.0
+
+
+class TestFlinkDurationSyntax:
+    """The reference declares these options ``durationType()`` — Flink
+    TimeUtils suffixed values ('250ms', '30s', '1min') must carry over
+    unchanged. Bare numbers stay SECONDS (the documented divergence:
+    Flink would read them as ms; this engine has taken plain seconds
+    since round 1 — see README 'Duration options')."""
+
+    def test_suffixed_forms_parse(self):
+        opts = lookup_options_from_map(
+            {
+                "http.source.lookup.connection.timeout": "250ms",
+                "http.source.lookup.request.timeout": "30s",
+                "table.exec.async-lookup.timeout": "1min",
+            }
+        )
+        assert opts.connection_timeout == 0.25
+        assert opts.request_timeout == 30.0
+        assert opts.async_timeout == 60.0
+
+    def test_suffixed_retry_delays(self):
+        opts = lookup_options_from_map(
+            {
+                "http.source.lookup.retry-strategy.fixed-delay.delay": "500ms",
+                "http.source.lookup.retry-strategy.exponential-delay."
+                "initial-backoff": "1s",
+                "http.source.lookup.retry-strategy.exponential-delay."
+                "max-backoff": "2min",
+            }
+        )
+        assert opts.retry.fixed_delay == 0.5
+        assert opts.retry.initial_backoff == 1.0
+        assert opts.retry.max_backoff == 120.0
+
+    def test_whitespace_and_case(self):
+        opts = lookup_options_from_map(
+            {"http.source.lookup.connection.timeout": " 250 MS "}
+        )
+        assert opts.connection_timeout == 0.25
+
+    def test_bare_number_is_seconds(self):
+        opts = lookup_options_from_map(
+            {"http.source.lookup.connection.timeout": "1000"}
+        )
+        assert opts.connection_timeout == 1000.0
+
+    def test_sink_request_timeout_suffixed(self):
+        from flink_connector_http_spark.options import sink_options_from_map
+
+        opts = sink_options_from_map(
+            {
+                "http.sink.request.timeout": "45s",
+                "sink.flush-buffer.timeout": "750ms",
+            }
+        )
+        assert opts.request_timeout == 45.0
+        assert opts.max_time_in_buffer == 0.75
+
+    def test_malformed_value_fails_loudly(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="connection.timeout"):
+            lookup_options_from_map(
+                {"http.source.lookup.connection.timeout": "soon"}
+            )
+        with pytest.raises(ValueError, match="unknown duration unit"):
+            lookup_options_from_map(
+                {"http.source.lookup.connection.timeout": "30 fortnights"}
+            )
