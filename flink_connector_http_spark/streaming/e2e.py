@@ -134,6 +134,11 @@ def _summarize(progs: List[dict], trigger_sec: float) -> dict:
         },
         "batch_duration_ms_raw": [round(d, 1) for d in durations],
         "kept_up": _percentile(s, 0.95) < trigger_sec * 1000,
+        # set unconditionally (None = "store reported no data"), so test
+        # asserts read as a diagnosable value mismatch instead of a
+        # KeyError when a provider reports 0 bytes or progress raced empty
+        "state_rows_flat": None,
+        "state_bytes_flat": None,
     }
     if state_rows:
         out["state_rows_per_batch"] = state_rows
@@ -837,6 +842,13 @@ def run_enrich_sink_chaos_e2e(
         "kept_up_post_storm": _percentile(post_durs, 0.95)
         < trigger_sec * 1000,
         "batch_log": batch_log,
+        # set unconditionally (None = "recentProgress yielded no non-empty
+        # batches"), so downstream asserts diagnose a racy empty progress
+        # list as a value mismatch instead of a KeyError
+        "progress_batches_nonempty": 0,
+        "rows_input_total": None,
+        "rows_delivered_total": None,
+        "rows_blocked": None,
     }
     if progs:
         out["progress_batches_nonempty"] = len(progs)

@@ -32,9 +32,15 @@ import sys
 OVERRIDES = {
     # plateau min 3.7-5.0 s across sessions (PERF_NOTES round-12 entry)
     "dedup_clusters": (3.2, 5.5),
-    # endpoint-saturation-bound by design; spread documented in r9-r12
-    "http_lookup_customers_get": None,  # computed, then widened 1.6x below
 }
+
+# documented-noisy queries: band computed from this run's ref, then
+# widened with the factors below instead of the defaults
+WIDEN_NAMES = {
+    # endpoint-saturation-bound by design; spread documented in r9-r12
+    "http_lookup_customers_get",
+}
+WIDEN_LO, WIDEN_HI = 0.60, 1.60
 
 
 def main() -> None:
@@ -48,11 +54,10 @@ def main() -> None:
     bands = {}
     for name, t in sorted(doc["queries"].items()):
         lo, hi = round(t * 0.70, 3), round(t * 1.45, 3)
-        override = OVERRIDES.get(name)
-        if override:
-            lo, hi = override
-        elif name in OVERRIDES:  # documented-noisy: widen further
-            lo, hi = round(t * 0.60, 3), round(t * 1.60, 3)
+        if name in OVERRIDES:
+            lo, hi = OVERRIDES[name]
+        elif name in WIDEN_NAMES:
+            lo, hi = round(t * WIDEN_LO, 3), round(t * WIDEN_HI, 3)
         bands[name] = {"ref": t, "lo": lo, "hi": hi}
     out = {
         "built_from": {
