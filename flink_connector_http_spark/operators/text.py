@@ -3983,6 +3983,154 @@ def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DoReMi-style source reweighting (Xie et al. 2023, "DoReMi: Optimizing
+# Data Mixtures Speeds Up Language Model Pretraining")
+# ---------------------------------------------------------------------------
+
+DOREMI_ROUNDS = 8
+#: weights carried as exact parts-per-million BIGINTs — the whole
+#: multiplicative-weights iteration is integer arithmetic, so the two
+#: engines agree bit-for-bit with no float-summation-order risk
+DOREMI_SCALE = 1_000_000
+#: final smoothing with the uniform mix, c = 0.1 (DoReMi eq. 3's
+#: (1-c)*alpha + c*u), as (9*w + uniform) // 10
+DOREMI_SMOOTH_NUM = 9
+
+
+def _doremi_oracle() -> str:
+    """Unrolled multiplicative-weights rounds as plain CTE stages.
+
+    Round t: mixture loss L̄ = Σ_s w_s·loss_s (exact integer dot product
+    at ppm scale), per-source excess = loss_s − L̄, update
+    w_s ← w_s·(SCALE + excess) then renormalize to Σ = SCALE by integer
+    division. The update factor is the LINEAR Hedge surrogate
+    (1 + η·excess, η = 1) instead of DoReMi's exp(η·excess): exp() is
+    libm-dependent and would break the cross-engine hash gate, and with
+    per-round normalization the linear update is the same
+    mirror-descent step to first order. All divisions have non-negative
+    operands, so DuckDB ``//`` and Spark ``div`` agree."""
+    head = f"""
+    WITH db AS (
+      SELECT source, unnest({BIGRAMS_DUCK}) AS bg FROM documents
+    ),
+    known AS (
+      SELECT bg FROM db GROUP BY bg HAVING COUNT(*) >= {LM_COV_MIN_COUNT}
+    ),
+    per_src AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(COUNT(*) FILTER (WHERE bg IN (SELECT bg FROM known))
+                  AS BIGINT) AS n_known
+      FROM db GROUP BY source
+    ),
+    w0 AS (
+      SELECT source, n_bigrams, n_known,
+             ((n_bigrams - n_known) * {DOREMI_SCALE})
+               // greatest(n_bigrams, 1) AS loss_ppm,
+             CAST(COUNT(*) OVER () AS BIGINT) AS s_n,
+             CAST({DOREMI_SCALE} AS BIGINT)
+               // (CAST(COUNT(*) OVER () AS BIGINT)) AS w
+      FROM per_src
+    )"""
+    stages = []
+    for t in range(1, DOREMI_ROUNDS + 1):
+        p = t - 1
+        stages.append(f""",
+    u{t} AS (
+      SELECT source, n_bigrams, n_known, loss_ppm, s_n,
+             w * ({DOREMI_SCALE} + loss_ppm
+                  - (SUM(w * loss_ppm) OVER ()) // {DOREMI_SCALE}) AS u
+      FROM w{p}
+    ),
+    w{t} AS (
+      SELECT source, n_bigrams, n_known, loss_ppm, s_n,
+             (u * {DOREMI_SCALE}) // (SUM(u) OVER ()) AS w
+      FROM u{t}
+    )""")
+    tail = f"""
+    SELECT source, n_bigrams, n_known,
+           CAST(loss_ppm AS BIGINT) AS loss_ppm,
+           CAST(({DOREMI_SMOOTH_NUM} * w + {DOREMI_SCALE} // s_n) // 10
+                AS BIGINT) AS weight_ppm,
+           round(CAST(({DOREMI_SMOOTH_NUM} * w + {DOREMI_SCALE} // s_n) // 10
+                      AS DOUBLE) / {DOREMI_SCALE}, 6) AS weight
+    FROM w{DOREMI_ROUNDS}"""
+    return head + "".join(stages) + tail
+
+
+@register(
+    "sample_doremi_weights",
+    oracle=_doremi_oracle(),
+    doc=f"DoReMi-style source reweighting (Xie et al. 2023): per-source "
+        "mixture weights from the excess of a cheap proxy loss over the "
+        "current-mix baseline, multiplicative-weights updated for "
+        f"{DOREMI_ROUNDS} unrolled rounds and smoothed 9:1 with the "
+        "uniform mix — the excess-loss reweighting loop modern "
+        "pretraining mixes use, completing the mixing family next to "
+        "temperature (mC4), DSIR, dedup-aware, and token-budget "
+        "planning. Proxy loss per source = 1 − bigram-LM coverage "
+        "(sample of text_lm_coverage's machinery: fraction of bigrams "
+        f"the corpus saw ≥{LM_COV_MIN_COUNT}×), exactly rational as "
+        "integer ppm ((n_big−n_known)·1e6 div n_big); each round "
+        "computes the mixture loss as an integer dot product, updates "
+        "w ← w·(1 + excess) — the LINEAR Hedge surrogate for "
+        "DoReMi's exp step, because exp() is libm-dependent and would "
+        "break the cross-engine hash gate — and renormalizes by integer "
+        "division (all operands non-negative, so Spark div and DuckDB "
+        "// agree). Sources whose docs are harder than the evolving "
+        "mixture average gain weight, exactly DoReMi's Group-DRO "
+        "direction. Scale shape: ONE corpus bigram explode feeds both "
+        "the known-set build and the per-source rollup (the "
+        "text_lm_coverage pattern); the K-round iteration then runs "
+        "over the bounded per-source frame via global windows — "
+        "single-partition by construction, over ~dozens of rows "
+        "regardless of corpus size.",
+)
+def sample_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    db = docs.select("source", F.explode(F.expr(BIGRAMS_SPARK)).alias("bg"))
+    known = (
+        db.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= LM_COV_MIN_COUNT)
+        .select("bg")
+    )
+    per_src = (
+        db.join(F.broadcast(known.withColumn("k", F.lit(1))), "bg", "left")
+        .groupBy("source")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_bigrams"),
+            F.expr("CAST(COUNT(k) AS BIGINT)").alias("n_known"),
+        )
+    )
+    w = per_src.selectExpr(
+        "source", "n_bigrams", "n_known",
+        f"((n_bigrams - n_known) * {DOREMI_SCALE})"
+        " div greatest(n_bigrams, 1) AS loss_ppm",
+        "CAST(COUNT(*) OVER () AS BIGINT) AS s_n",
+    ).selectExpr(
+        "*", f"CAST({DOREMI_SCALE} AS BIGINT) div s_n AS w"
+    )
+    for _ in range(DOREMI_ROUNDS):
+        w = w.selectExpr(
+            "source", "n_bigrams", "n_known", "loss_ppm", "s_n",
+            f"w * ({DOREMI_SCALE} + loss_ppm"
+            f" - (SUM(w * loss_ppm) OVER ()) div {DOREMI_SCALE}) AS u",
+        ).selectExpr(
+            "source", "n_bigrams", "n_known", "loss_ppm", "s_n",
+            f"(u * {DOREMI_SCALE}) div (SUM(u) OVER ()) AS w",
+        )
+    return w.selectExpr(
+        "source", "n_bigrams", "n_known",
+        "CAST(loss_ppm AS BIGINT) AS loss_ppm",
+        f"CAST(({DOREMI_SMOOTH_NUM} * w + {DOREMI_SCALE} div s_n) div 10"
+        " AS BIGINT) AS weight_ppm",
+        f"round(CAST(({DOREMI_SMOOTH_NUM} * w + {DOREMI_SCALE} div s_n)"
+        f" div 10 AS DOUBLE) / {DOREMI_SCALE}, 6) AS weight",
+    )
+
+
+# ---------------------------------------------------------------------------
 # context-length packing-efficiency curve (pretraining batch planning)
 # ---------------------------------------------------------------------------
 

@@ -101,6 +101,10 @@ BOUNDED_GLOBAL_WINDOW_OK = {
                            "partition by (size, block)",
     "q_seasonal_ma_decompose": "daily grain (~2.4k rows, calendar-"
                                "bounded centered-MA window)",
+    "sample_doremi_weights": "source grain (bounded mix domain, ~20 "
+                             "rows): the unrolled multiplicative-weights "
+                             "rounds iterate global windows over one "
+                             "tiny per-source frame",
 }
 
 
