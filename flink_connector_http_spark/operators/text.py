@@ -2573,8 +2573,198 @@ def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# language-ID confusion matrix (classifier evaluation)
+# multi-step BPE training (unrolled merge loop — the tokenizer trainer
+# as an engine workload)
 # ---------------------------------------------------------------------------
+
+BPE_TRAIN_ROUNDS = 8
+
+
+def _bpe_merge_round_duck(t: int) -> str:
+    """One unrolled BPE training round over the positions table p{t-1}:
+    count adjacent symbol pairs (corpus-frequency-weighted), pick the
+    argmax as merge rule b{t}, then apply it GREEDY left-to-right
+    non-overlapping — for x != y candidate positions can never be
+    adjacent, and for x == y a run of m x's merges floor(m/2) pairs at
+    even offsets, both covered by one gaps-and-islands pass (islands of
+    consecutive candidate rows; merge at even island offsets)."""
+    p = t - 1
+    return f""",
+    lead{t} AS (
+      SELECT word, f, pos, sym,
+             LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt,
+             ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS rn
+      FROM p{p}
+    ),
+    b{t} AS (
+      SELECT sym AS bx, nxt AS by, CAST(SUM(f) AS BIGINT) AS bcnt
+      FROM lead{t} WHERE nxt IS NOT NULL
+      GROUP BY sym, nxt
+      ORDER BY bcnt DESC, bx, by LIMIT 1
+    ),
+    flag{t} AS (
+      SELECT l.*,
+             (l.nxt IS NOT NULL AND l.sym = b.bx AND l.nxt = b.by) AS c
+      FROM lead{t} l CROSS JOIN b{t} b
+    ),
+    isl{t} AS (
+      SELECT *,
+             rn - ROW_NUMBER() OVER (PARTITION BY word, c ORDER BY pos)
+               AS isl
+      FROM flag{t}
+    ),
+    mrg{t} AS (
+      SELECT *,
+             c AND ((ROW_NUMBER() OVER
+                      (PARTITION BY word, c, isl ORDER BY pos) - 1)
+                    % 2 = 0) AS mrg
+      FROM isl{t}
+    ),
+    p{t} AS (
+      SELECT word, f, pos,
+             CASE WHEN mrg THEN sym || nxt ELSE sym END AS sym
+      FROM (
+        SELECT *, COALESCE(LAG(mrg) OVER (PARTITION BY word ORDER BY pos),
+                           FALSE) AS consumed
+        FROM mrg{t}
+      ) WHERE NOT consumed
+    )"""
+
+
+def _bpe_train_oracle() -> str:
+    head = """
+    WITH wf AS (
+      SELECT word, COUNT(*) AS f
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+            FROM documents)
+      GROUP BY word
+    ),
+    p0 AS (
+      SELECT word, f, i AS pos, substr(word, i, 1) AS sym
+      FROM wf, unnest(range(1, length(word) + 1)) AS u(i)
+    )"""
+    rounds = "".join(
+        _bpe_merge_round_duck(t) for t in range(1, BPE_TRAIN_ROUNDS + 1)
+    )
+    rules = "\n      UNION ALL\n".join(
+        f"      SELECT {t} AS step, bx, by, bcnt FROM b{t}"
+        for t in range(1, BPE_TRAIN_ROUNDS + 1)
+    )
+    tail = f"""
+    SELECT CAST(step AS INT) AS step,
+           bx AS left_sym, by AS right_sym,
+           bx || by AS merged,
+           bcnt AS pair_count
+    FROM (
+{rules}
+    ) ORDER BY step"""
+    return head + rounds + tail
+
+
+@register(
+    "text_bpe_train_merges",
+    oracle=_bpe_train_oracle(),
+    doc=f"Multi-step BPE TRAINING: {BPE_TRAIN_ROUNDS} merge rules learned "
+        "by the full loop — count corpus-weighted adjacent symbol pairs, "
+        "take the argmax as the next merge (ties: count desc, then pair "
+        "lexicographic), apply it greedy left-to-right non-overlapping "
+        "(subword-nmt semantics: a run of m identical symbols merges "
+        "floor(m/2) pairs), RE-PAIR over the merged vocabulary, repeat — "
+        "completing the tokenizer family (token count → fertility → "
+        "one-step merge-pairs → training). Each vocabulary state is a "
+        "(word, pos, symbol) POSITIONS table, so the greedy merge is "
+        "pure windows: candidates where (sym, next)=(x, y); for x != y "
+        "candidates are never adjacent and all merge, for x == y one "
+        "gaps-and-islands pass merges even island offsets — no arrays, "
+        "no recursion, no Python. Scale shape: pair statistics and "
+        "merges run over the DISTINCT-WORD table weighted by frequency "
+        "(the |vocab| << corpus optimization every real BPE trainer "
+        "uses; the corpus is touched once for the frequency census); "
+        "each round is one word-partitioned window pass + a tiny global "
+        "argmax, with localCheckpoint cutting the per-round lineage "
+        "exactly like the star-contraction CC loop (dedup.py:619).",
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    wf = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    pos = wf.select(
+        "word", "f",
+        F.explode(F.expr(
+            "transform(sequence(1, length(word)), "
+            "i -> struct(i AS pos, substring(word, i, 1) AS sym))"
+        )).alias("ps"),
+    ).select("word", "f", F.col("ps.pos").alias("pos"),
+             F.col("ps.sym").alias("sym"))
+    w_word = Window.partitionBy("word").orderBy("pos")
+    rules = []
+    for t in range(1, BPE_TRAIN_ROUNDS + 1):
+        pc = pos.withColumn("nxt", F.lead("sym").over(w_word)).withColumn(
+            "rn", F.row_number().over(w_word)
+        )
+        best = (
+            pc.filter(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("f").cast("bigint").alias("bcnt"))
+            .orderBy(F.desc("bcnt"), F.asc("sym"), F.asc("nxt"))
+            .limit(1)
+            .select(
+                F.col("sym").alias("bx"), F.col("nxt").alias("by"), "bcnt"
+            )
+        )
+        rules.append(
+            best.select(
+                F.lit(t).cast("int").alias("step"),
+                F.col("bx").alias("left_sym"),
+                F.col("by").alias("right_sym"),
+                F.concat("bx", "by").alias("merged"),
+                F.col("bcnt").alias("pair_count"),
+            )
+        )
+        flagged = pc.crossJoin(F.broadcast(best)).withColumn(
+            "c",
+            F.col("nxt").isNotNull()
+            & (F.col("sym") == F.col("bx"))
+            & (F.col("nxt") == F.col("by")),
+        )
+        w_c = Window.partitionBy("word", "c").orderBy("pos")
+        flagged = flagged.withColumn(
+            "isl", F.col("rn") - F.row_number().over(w_c)
+        )
+        w_isl = Window.partitionBy("word", "c", "isl").orderBy("pos")
+        flagged = flagged.withColumn(
+            "mrg",
+            F.col("c") & ((F.row_number().over(w_isl) - 1) % 2 == 0),
+        ).withColumn(
+            "consumed",
+            F.coalesce(F.lag("mrg").over(w_word), F.lit(False)),
+        )
+        # localCheckpoint per round: the positions table feeds BOTH the
+        # next round's pair census and its rebuild — without the cut the
+        # logical plan doubles per round (the CC-loop hazard,
+        # dedup.py:583); the table is |vocab-chars|-bounded, so the cut
+        # is cheap
+        pos = (
+            flagged.filter(~F.col("consumed"))
+            .select(
+                "word", "f", "pos",
+                F.when(F.col("mrg"), F.concat("sym", "nxt"))
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+            .localCheckpoint()
+        )
+    out = rules[0]
+    for r in rules[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("step")
 
 @register(
     "text_lang_confusion",
