@@ -598,6 +598,10 @@ def main() -> None:
             return _p404
 
         stub.route("/chaos-people", chaos_gate.wrap(chaos_people))
+        # separate gate + route for the rate-limited chaos leg so its
+        # wire counter starts clean
+        chaos_gate_rl = ChaosGate(retry_after_sec=1)
+        stub.route("/chaos-rl-people", chaos_gate_rl.wrap(chaos_people))
         stub.start(workers=8)
         streaming_e2e = {}
         try:
@@ -698,6 +702,32 @@ def main() -> None:
             streaming_e2e["chaos"] = chaos
         except Exception as err:
             streaming_e2e["chaos"] = f"error: {err}"
+        # rate-limited chaos leg (round-13 verdict #4): the production
+        # outage posture — per-task TokenBucket + breaker + Retry-After
+        # COMPOSED. Budget sized below demand (8 tasks x 120/s = 960 rps
+        # vs ~1333 rps of distinct-key demand) so the cap binds: batches
+        # stretch past the trigger and rows keep flowing; the summary's
+        # rate_limit block reports achieved vs configured per phase.
+        try:
+            from flink_connector_http_spark.streaming.e2e import (
+                run_enrich_sink_chaos_e2e as _chaos_rl,
+            )
+
+            chaos_rl = _chaos_rl(
+                spark,
+                f"http://127.0.0.1:{stub.port}/chaos-rl-people",
+                f"http://127.0.0.1:{stub.port}/e2e-sink",
+                storm_on=chaos_gate_rl.storm_on,
+                storm_off=chaos_gate_rl.storm_off,
+                wire_count=chaos_gate_rl.wire_count,
+                n_keys=n_keys,
+                rate_limit_rps=120.0,
+                rate_limit_burst=120.0,
+            )
+            chaos_rl.pop("batch_log", None)
+            streaming_e2e["chaos_ratelimited"] = chaos_rl
+        except Exception as err:
+            streaming_e2e["chaos_ratelimited"] = f"error: {err}"
         result["streaming_e2e"] = streaming_e2e
 
     print(json.dumps(result))

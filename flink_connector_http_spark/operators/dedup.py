@@ -3392,6 +3392,7 @@ _EXSUB_SPANS_DUCK = f"""
 
 @register(
     "dedup_exact_substring",
+    bench=True,
     oracle=f"""
     WITH {_EXSUB_SPANS_DUCK}
     SELECT a_id AS doc_a, b_id AS doc_b,
@@ -3515,6 +3516,7 @@ def _exsub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_exact_substring_removelist",
+    bench=True,
     oracle=f"""
     WITH {_EXSUB_SPANS_DUCK},
     ranges AS (

@@ -3529,6 +3529,7 @@ _CALIB_SCORE_DUCK = (
 
 @register(
     "pipeline_score_calibration",
+    bench=True,
     oracle=f"""
     WITH scored AS (
       SELECT doc_id,
