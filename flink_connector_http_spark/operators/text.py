@@ -2631,7 +2631,10 @@ def _bpe_merge_round_duck(t: int) -> str:
     )"""
 
 
-def _bpe_train_oracle() -> str:
+def _bpe_train_ctes() -> str:
+    """Shared CTE body: wf (corpus-wide word frequencies), p0 (char
+    positions), then the unrolled rounds — b{{t}} are the learned rules
+    and p{BPE_TRAIN_ROUNDS} is the final merged-vocabulary state."""
     head = """
     WITH wf AS (
       SELECT word, COUNT(*) AS f
@@ -2646,6 +2649,10 @@ def _bpe_train_oracle() -> str:
     rounds = "".join(
         _bpe_merge_round_duck(t) for t in range(1, BPE_TRAIN_ROUNDS + 1)
     )
+    return head + rounds
+
+
+def _bpe_train_oracle() -> str:
     rules = "\n      UNION ALL\n".join(
         f"      SELECT {t} AS step, bx, by, bcnt FROM b{t}"
         for t in range(1, BPE_TRAIN_ROUNDS + 1)
@@ -2658,7 +2665,7 @@ def _bpe_train_oracle() -> str:
     FROM (
 {rules}
     ) ORDER BY step"""
-    return head + rounds + tail
+    return _bpe_train_ctes() + tail
 
 
 @register(
@@ -2685,6 +2692,19 @@ def _bpe_train_oracle() -> str:
         "exactly like the star-contraction CC loop (dedup.py:619).",
 )
 def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rules, _pos = _bpe_train_state(spark, sf_dir)
+    out = rules[0]
+    for r in rules[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("step")
+
+
+def _bpe_train_state(spark: SparkSession, sf_dir: str):
+    """Run the {BPE_TRAIN_ROUNDS}-round training loop; returns
+    ``(rules, pos)`` — the list of one-row merge-rule DataFrames and the
+    final (word, f, pos, sym) vocabulary state after every merge has
+    been applied. Shared by the trainer (rules) and the trained-
+    tokenizer fertility eval (final state)."""
     from pyspark.sql.window import Window
 
     docs = load(spark, sf_dir, "documents")["documents"]
@@ -2761,10 +2781,88 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-    out = rules[0]
-    for r in rules[1:]:
-        out = out.unionAll(r)
-    return out.orderBy("step")
+    return rules, pos
+
+
+@register(
+    "text_bpe_trained_fertility",
+    oracle=_bpe_train_ctes() + f""",
+    wfl AS (
+      SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS fl
+      FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+            FROM documents)
+      GROUP BY lang, word
+    ),
+    tok AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n_tok
+      FROM p{BPE_TRAIN_ROUNDS} GROUP BY word
+    )
+    SELECT lang,
+           CAST(SUM(fl) AS BIGINT) AS n_word_occurrences,
+           CAST(SUM(fl * length(word)) AS BIGINT) AS total_chars,
+           CAST(SUM(fl * n_tok) AS BIGINT) AS total_tokens,
+           round(CAST(SUM(fl * length(word)) AS DOUBLE)
+                 / greatest(SUM(fl * n_tok), 1), 6) AS chars_per_token,
+           round(CAST(SUM(fl * n_tok) AS DOUBLE)
+                 / greatest(SUM(fl), 1), 6) AS tokens_per_word
+    FROM wfl JOIN tok USING (word)
+    WHERE length(word) >= 1
+    GROUP BY lang
+    """,
+    doc=f"Fertility of the TRAINED tokenizer: apply the "
+        f"{BPE_TRAIN_ROUNDS} merge rules text_bpe_train_merges learns "
+        "(the identical unrolled loop — training and application share "
+        "one construction, so the eval measures exactly the tokenizer "
+        "that was trained) and report per-language chars-per-token and "
+        "tokens-per-word over the corpus. Against the character "
+        "baseline (1 char = 1 token, chars_per_token = 1.0) this is the "
+        "compression the learned merges buy, per language — the "
+        "end-of-training eval that closes the tokenizer family loop "
+        "(count → fertility → merge-pairs → training → trained-"
+        "tokenizer eval) and exposes which languages the merges "
+        "under-serve (same skew signal as text_tokenizer_fertility, "
+        "but for the tokenizer THIS engine trained rather than the "
+        "fixed regex pretokenizer). Scale shape: merges run once over "
+        "the distinct-word table; application is free (the final "
+        "positions state IS the tokenization); the per-language rollup "
+        "joins corpus (lang, word) frequencies to per-word token "
+        "counts — vocabulary-sized join, corpus touched once for the "
+        "frequency census.",
+)
+def text_bpe_trained_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    _rules, pos = _bpe_train_state(spark, sf_dir)
+    tok = pos.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tok")
+    )
+    wfl = (
+        docs.select(
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+        )
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("fl"))
+    )
+    return (
+        wfl.filter(F.length("word") >= 1)
+        .join(tok, "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("fl").cast("bigint").alias("n_word_occurrences"),
+            F.expr("CAST(SUM(fl * length(word)) AS BIGINT)").alias(
+                "total_chars"
+            ),
+            F.expr("CAST(SUM(fl * n_tok) AS BIGINT)").alias("total_tokens"),
+            F.expr(
+                "round(CAST(SUM(fl * length(word)) AS DOUBLE)"
+                " / greatest(SUM(fl * n_tok), 1), 6)"
+            ).alias("chars_per_token"),
+            F.expr(
+                "round(CAST(SUM(fl * n_tok) AS DOUBLE)"
+                " / greatest(SUM(fl), 1), 6)"
+            ).alias("tokens_per_word"),
+        )
+    )
 
 @register(
     "text_lang_confusion",
