@@ -4285,7 +4285,7 @@ DOREMI_SCALE = 1_000_000
 DOREMI_SMOOTH_NUM = 9
 
 
-def _doremi_oracle() -> str:
+def _doremi_ctes() -> str:
     """Unrolled multiplicative-weights rounds as plain CTE stages.
 
     Round t: mixture loss L̄ = Σ_s w_s·loss_s (exact integer dot product
@@ -4335,15 +4335,22 @@ def _doremi_oracle() -> str:
              (u * {DOREMI_SCALE}) // (SUM(u) OVER ()) AS w
       FROM u{t}
     )""")
-    tail = f"""
-    SELECT source, n_bigrams, n_known,
-           CAST(loss_ppm AS BIGINT) AS loss_ppm,
-           CAST(({DOREMI_SMOOTH_NUM} * w + {DOREMI_SCALE} // s_n) // 10
-                AS BIGINT) AS weight_ppm,
-           round(CAST(({DOREMI_SMOOTH_NUM} * w + {DOREMI_SCALE} // s_n) // 10
-                      AS DOUBLE) / {DOREMI_SCALE}, 6) AS weight
-    FROM w{DOREMI_ROUNDS}"""
-    return head + "".join(stages) + tail
+    final = f""",
+    doremi AS (
+      SELECT source, n_bigrams, n_known,
+             CAST(loss_ppm AS BIGINT) AS loss_ppm,
+             CAST(({DOREMI_SMOOTH_NUM} * w + {DOREMI_SCALE} // s_n) // 10
+                  AS BIGINT) AS weight_ppm
+      FROM w{DOREMI_ROUNDS}
+    )"""
+    return head + "".join(stages) + final
+
+
+def _doremi_oracle() -> str:
+    return _doremi_ctes() + f"""
+    SELECT source, n_bigrams, n_known, loss_ppm, weight_ppm,
+           round(CAST(weight_ppm AS DOUBLE) / {DOREMI_SCALE}, 6) AS weight
+    FROM doremi"""
 
 
 @register(
@@ -4415,6 +4422,89 @@ def sample_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS BIGINT) AS weight_ppm",
         f"round(CAST(({DOREMI_SMOOTH_NUM} * w + {DOREMI_SCALE} div s_n)"
         f" div 10 AS DOUBLE) / {DOREMI_SCALE}, 6) AS weight",
+    )
+
+
+@register(
+    "sample_doremi_mix_plan",
+    oracle=_doremi_ctes() + f""",
+    census AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+      GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs FROM census),
+    plan AS (
+      SELECT c.source, c.n_docs, d.weight_ppm,
+             (d.weight_ppm * t.total_docs) // {DOREMI_SCALE} AS target_docs,
+             least({DOREMI_SCALE},
+                   ((d.weight_ppm * t.total_docs) // {DOREMI_SCALE})
+                     * {DOREMI_SCALE} // c.n_docs) AS keep_thr_ppm
+      FROM census c JOIN doremi d USING (source) CROSS JOIN tot t
+    )
+    SELECT p.source, p.n_docs, p.weight_ppm,
+           CAST(p.target_docs AS BIGINT) AS target_docs,
+           CAST(p.keep_thr_ppm AS BIGINT) AS keep_thr_ppm,
+           CAST(COUNT(*) FILTER (
+             WHERE {md5_int32_duck("concat('doremi:', doc_id)")}
+                   % {DOREMI_SCALE} < p.keep_thr_ppm
+           ) AS BIGINT) AS docs_kept
+    FROM plan p JOIN documents dd USING (source)
+    GROUP BY p.source, p.n_docs, p.weight_ppm, p.target_docs, p.keep_thr_ppm
+    """,
+    doc="The DoReMi weights made ACTIONABLE: a per-source resampling "
+        "plan at constant corpus size — target_docs = weight × total "
+        "(exact ppm integer arithmetic), keep threshold = target/n_docs "
+        "capped at 1.0, then the actual deterministic keep decision per "
+        "document with the same salted-hash rule the other mixing "
+        "operators use (stable under re-runs and appends; "
+        "sample_source_mix / sample_temperature_mix pattern), reported "
+        "as docs_kept per source against the target. Upweighted sources "
+        "saturate at keep-all (a weight above natural share needs "
+        "EPOCHS, not subsampling — the cap makes that visible as "
+        "docs_kept = n_docs < target_docs); downweighted sources are "
+        "thinned deterministically. Scale shape: the doremi iteration's "
+        "tiny per-source frame broadcast-joins the corpus census; the "
+        "per-doc keep test is a zero-shuffle map folded into one "
+        "source-grain rollup.",
+)
+def sample_doremi_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    weights = sample_doremi_weights(spark, sf_dir).select(
+        "source", "weight_ppm"
+    )
+    census = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tot = census.agg(F.sum("n_docs").cast("bigint").alias("total_docs"))
+    plan = (
+        census.join(F.broadcast(weights), "source")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "source", "n_docs", "weight_ppm",
+            f"(weight_ppm * total_docs) div {DOREMI_SCALE} AS target_docs",
+            f"least(CAST({DOREMI_SCALE} AS BIGINT), "
+            f"((weight_ppm * total_docs) div {DOREMI_SCALE})"
+            f" * {DOREMI_SCALE} div n_docs) AS keep_thr_ppm",
+        )
+    )
+    keep = md5_int32_spark("concat('doremi:', doc_id)")
+    return (
+        docs.select("source", "doc_id")
+        .join(F.broadcast(plan), "source")
+        .groupBy("source", "n_docs", "weight_ppm", "target_docs",
+                 "keep_thr_ppm")
+        .agg(
+            F.expr(
+                f"CAST(COUNT(CASE WHEN {keep} % {DOREMI_SCALE}"
+                " < keep_thr_ppm THEN 1 END) AS BIGINT)"
+            ).alias("docs_kept")
+        )
+        .select(
+            "source", "n_docs", "weight_ppm",
+            F.col("target_docs").cast("bigint").alias("target_docs"),
+            F.col("keep_thr_ppm").cast("bigint").alias("keep_thr_ppm"),
+            "docs_kept",
+        )
     )
 
 

@@ -105,6 +105,10 @@ BOUNDED_GLOBAL_WINDOW_OK = {
                              "rows): the unrolled multiplicative-weights "
                              "rounds iterate global windows over one "
                              "tiny per-source frame",
+    "sample_doremi_mix_plan": "same bounded per-source frame as "
+                              "sample_doremi_weights (it embeds the "
+                              "weight iteration); the per-doc keep test "
+                              "itself is a zero-shuffle map",
 }
 
 
