@@ -3568,6 +3568,92 @@ def _exsub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "union window and the final rollup — key-balanced at corpus "
         "scale.",
 )
+@register(
+    "dedup_exact_substring_clean_stats",
+    oracle=f"""
+    WITH {_EXSUB_SPANS_DUCK},
+    ranges AS (
+      SELECT DISTINCT doc_id, s, e FROM (
+        SELECT a_id AS doc_id, sa AS s, ea AS e FROM spans
+        UNION ALL
+        SELECT b_id, sa - diag, ea - diag FROM spans
+      )
+    ),
+    flagged AS (
+      SELECT doc_id, s, e,
+             MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max
+      FROM ranges
+    ),
+    grps AS (
+      SELECT doc_id, s, e,
+             SUM(CASE WHEN prev_max IS NULL OR s > prev_max
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS g
+      FROM flagged
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(SUM(me - ms + 1) AS BIGINT) AS cut
+      FROM (SELECT doc_id, g, MIN(s) AS ms, MAX(e) AS me FROM grps
+            GROUP BY doc_id, g)
+      GROUP BY doc_id
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(p.doc_id) AS BIGINT) AS docs_flagged,
+           CAST(SUM(d.n_chars) AS BIGINT) AS chars_total,
+           CAST(COALESCE(SUM(p.cut), 0) AS BIGINT) AS chars_cut,
+           CAST(SUM(d.n_chars) - COALESCE(SUM(p.cut), 0) AS BIGINT)
+             AS chars_retained,
+           round(CAST(SUM(d.n_chars) - COALESCE(SUM(p.cut), 0) AS DOUBLE)
+                 / greatest(SUM(d.n_chars), 1), 6) AS retention
+    FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+    doc="Corpus impact of APPLYING the ExactSubstr remove-list: per "
+        "source, how many documents carry flagged ranges, how many "
+        "characters the merged ranges cut, and the retention ratio — "
+        "the number a data curator reads before committing the cut at "
+        "100 TB (which sources are duplication-heavy, how much text "
+        "survives). Completes the ExactSubstr family as a pipeline: "
+        "pair spans → per-doc remove ranges → corpus-level decision "
+        "summary. Same span builder and interval-union shuffles as the "
+        "removelist, plus one broadcast-scale source rollup; the corpus "
+        "side is a single documents pass left-joining the per-doc cuts.",
+)
+def dedup_exact_substring_clean_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    per_doc = dedup_exact_substring_removelist(spark, sf_dir).select(
+        "doc_id", F.col("chars_flagged").alias("cut")
+    )
+    docs = load(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "source", "n_chars"
+    )
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count("cut").cast("bigint").alias("docs_flagged"),
+            F.sum("n_chars").cast("bigint").alias("chars_total"),
+            F.expr("CAST(COALESCE(SUM(cut), 0) AS BIGINT)").alias(
+                "chars_cut"
+            ),
+            F.expr(
+                "CAST(SUM(n_chars) - COALESCE(SUM(cut), 0) AS BIGINT)"
+            ).alias("chars_retained"),
+            F.expr(
+                "round(CAST(SUM(n_chars) - COALESCE(SUM(cut), 0) AS DOUBLE)"
+                " / greatest(SUM(n_chars), 1), 6)"
+            ).alias("retention"),
+        )
+    )
+
+
 def dedup_exact_substring_removelist(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -2670,6 +2670,7 @@ def _bpe_train_oracle() -> str:
 
 @register(
     "text_bpe_train_merges",
+    bench=True,
     oracle=_bpe_train_oracle(),
     doc=f"Multi-step BPE TRAINING: {BPE_TRAIN_ROUNDS} merge rules learned "
         "by the full loop — count corpus-weighted adjacent symbol pairs, "
@@ -4355,6 +4356,7 @@ def _doremi_oracle() -> str:
 
 @register(
     "sample_doremi_weights",
+    bench=True,
     oracle=_doremi_oracle(),
     doc=f"DoReMi-style source reweighting (Xie et al. 2023): per-source "
         "mixture weights from the excess of a cheap proxy loss over the "
