@@ -3568,6 +3568,72 @@ def _exsub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "union window and the final rollup — key-balanced at corpus "
         "scale.",
 )
+def dedup_exact_substring_removelist(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    spans = _exsub_spans(spark, sf_dir)
+    ranges = (
+        spans.select(
+            F.col("a_id").alias("doc_id"),
+            F.col("sa").alias("s"),
+            F.col("ea").alias("e"),
+        )
+        .unionAll(
+            spans.select(
+                F.col("b_id").alias("doc_id"),
+                (F.col("sa") - F.col("diag")).alias("s"),
+                (F.col("ea") - F.col("diag")).alias("e"),
+            )
+        )
+        .dropDuplicates(["doc_id", "s", "e"])
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grps = ranges.withColumn(
+        "prev_max", F.max("e").over(w_prev)
+    ).withColumn(
+        "g",
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")),
+                1,
+            ).otherwise(0)
+        ).over(w_cum),
+    )
+    merged = grps.groupBy("doc_id", "g").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    docs = load(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "n_chars"
+    )
+    return (
+        merged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ranges"),
+            F.sum(F.col("me") - F.col("ms") + 1).cast("long")
+            .alias("chars_flagged"),
+        )
+        .join(docs, "doc_id")
+        .select(
+            "doc_id", "n_ranges", "chars_flagged",
+            F.round(
+                F.col("chars_flagged").cast("double") / F.col("n_chars"), 6
+            ).alias("frac_flagged"),
+        )
+    )
+
+
+
 @register(
     "dedup_exact_substring_clean_stats",
     oracle=f"""
@@ -3650,70 +3716,5 @@ def dedup_exact_substring_clean_stats(
                 "round(CAST(SUM(n_chars) - COALESCE(SUM(cut), 0) AS DOUBLE)"
                 " / greatest(SUM(n_chars), 1), 6)"
             ).alias("retention"),
-        )
-    )
-
-
-def dedup_exact_substring_removelist(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    spans = _exsub_spans(spark, sf_dir)
-    ranges = (
-        spans.select(
-            F.col("a_id").alias("doc_id"),
-            F.col("sa").alias("s"),
-            F.col("ea").alias("e"),
-        )
-        .unionAll(
-            spans.select(
-                F.col("b_id").alias("doc_id"),
-                (F.col("sa") - F.col("diag")).alias("s"),
-                (F.col("ea") - F.col("diag")).alias("e"),
-            )
-        )
-        .dropDuplicates(["doc_id", "s", "e"])
-    )
-    w_prev = (
-        Window.partitionBy("doc_id")
-        .orderBy("s", "e")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_cum = (
-        Window.partitionBy("doc_id")
-        .orderBy("s", "e")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    grps = ranges.withColumn(
-        "prev_max", F.max("e").over(w_prev)
-    ).withColumn(
-        "g",
-        F.sum(
-            F.when(
-                F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")),
-                1,
-            ).otherwise(0)
-        ).over(w_cum),
-    )
-    merged = grps.groupBy("doc_id", "g").agg(
-        F.min("s").alias("ms"), F.max("e").alias("me")
-    )
-    docs = load(spark, sf_dir, "documents")["documents"].select(
-        "doc_id", "n_chars"
-    )
-    return (
-        merged.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_ranges"),
-            F.sum(F.col("me") - F.col("ms") + 1).cast("long")
-            .alias("chars_flagged"),
-        )
-        .join(docs, "doc_id")
-        .select(
-            "doc_id", "n_ranges", "chars_flagged",
-            F.round(
-                F.col("chars_flagged").cast("double") / F.col("n_chars"), 6
-            ).alias("frac_flagged"),
         )
     )
