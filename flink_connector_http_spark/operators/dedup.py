@@ -3342,15 +3342,19 @@ EXSUB_K = 30
 #: each anchor per document is kept (see ``_exsub_spans``)
 EXSUB_DF_MAX = 16
 
-# Shared ExactSubstr span CTE, used verbatim by BOTH registered oracles so
-# the two queries cannot drift. Anchor keys are the first 16 hex chars of
+# Shared ExactSubstr span CTE, used verbatim by EVERY registered oracle so
+# the queries cannot drift. Anchor keys are the first 16 hex chars of
 # md5 (64 bits — collision odds << 1e-6 at any realistic shard size, half
 # the shuffle width of full md5); `firstpos` keeps only the first position
 # of each anchor per document, so a periodic run contributes at most
 # `period` anchor rows per doc instead of one per character (the
 # within-document analogue of the df cap — without it the self-join is
-# quadratic across diagonals on repetitive text).
-_EXSUB_SPANS_DUCK = f"""
+# quadratic across diagonals on repetitive text). `b_pred` optionally
+# restricts the join's b side (the LATER doc of each pair) — the
+# incremental variant passes the new-batch predicate there, so old-old
+# pairs never materialize.
+def _exsub_spans_duck(b_pred: str = "TRUE") -> str:
+    return f"""
     docs AS (
       SELECT doc_id, text FROM documents WHERE len(text) >= {EXSUB_K}
     ),
@@ -3375,7 +3379,9 @@ _EXSUB_SPANS_DUCK = f"""
     matches AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
              a.i AS pa, a.i - b.i AS diag
-      FROM fpos a JOIN fpos b ON a.h = b.h AND a.doc_id < b.doc_id
+      FROM fpos a
+      JOIN (SELECT * FROM fpos WHERE {b_pred}) b
+        ON a.h = b.h AND a.doc_id < b.doc_id
     ),
     runs AS (
       SELECT a_id, b_id, diag, pa,
@@ -3388,6 +3394,11 @@ _EXSUB_SPANS_DUCK = f"""
       FROM runs GROUP BY a_id, b_id, diag, grp
     )
 """
+
+
+#: the unrestricted spans CTE (b_pred = TRUE), shared by the pair report,
+#: the remove-list, and the clean-stats oracles
+_EXSUB_SPANS_DUCK = _exsub_spans_duck()
 
 
 @register(
@@ -3447,11 +3458,18 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _exsub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _exsub_spans(
+    spark: SparkSession, sf_dir: str, b_min_doc_id: int | None = None
+) -> DataFrame:
     """Shared ExactSubstr span builder: maximal shared character spans per
     (doc pair, alignment diagonal) as ``(a_id, b_id, diag, sa, ea)`` with
     1-based inclusive char positions in doc_a (doc_b's interval is the
-    diag shift). See :func:`dedup_exact_substring` for the construction."""
+    diag shift). See :func:`dedup_exact_substring` for the construction.
+    ``b_min_doc_id`` restricts the join's b side (the LATER doc of each
+    pair) to the new batch — the incremental mode: the full-corpus anchor
+    index joins only batch-side anchors, so old-old pairs never
+    materialize (at 100 TB the old index is a persisted bucketed table
+    and only the batch side is computed fresh)."""
     from pyspark.sql.window import Window
 
     docs = load(spark, sf_dir, "documents")["documents"].filter(
@@ -3491,12 +3509,16 @@ def _exsub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("h")
     )
     fpos = firstpos.join(df_ok, "h")
+    fpos_b = (
+        fpos if b_min_doc_id is None
+        else fpos.filter(F.col("doc_id") >= b_min_doc_id)
+    )
     # (h, doc) pairs are unique after the first-position rollup, so the
     # join output is already distinct per (a_id, b_id, diag, pa)
     matches = (
         fpos.select(F.col("doc_id").alias("a_id"), F.col("i").alias("pa"), "h")
         .join(
-            fpos.select(
+            fpos_b.select(
                 F.col("doc_id").alias("b_id"), F.col("i").alias("pb"), "h"
             ),
             "h",
@@ -3716,5 +3738,67 @@ def dedup_exact_substring_clean_stats(
                 "round(CAST(SUM(n_chars) - COALESCE(SUM(cut), 0) AS DOUBLE)"
                 " / greatest(SUM(n_chars), 1), 6)"
             ).alias("retention"),
+        )
+    )
+
+
+@register(
+    "dedup_exact_substring_incremental",
+    oracle=f"""
+    WITH {{spans}}
+    SELECT b_id AS doc_id,
+           CAST(COUNT(DISTINCT CASE WHEN a_id < {INCR_SPLIT} THEN a_id END)
+                AS BIGINT) AS n_partners_existing,
+           CAST(COUNT(DISTINCT CASE WHEN a_id >= {INCR_SPLIT} THEN a_id END)
+                AS BIGINT) AS n_partners_batch,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(MAX(ea - sa + 1) AS BIGINT) AS max_span_chars,
+           CAST(SUM(CASE WHEN a_id < {INCR_SPLIT} THEN ea - sa + 1
+                         ELSE 0 END) AS BIGINT) AS shared_chars_existing,
+           CAST(SUM(CASE WHEN a_id >= {INCR_SPLIT} THEN ea - sa + 1
+                         ELSE 0 END) AS BIGINT) AS shared_chars_batch
+    FROM spans GROUP BY b_id
+    """.format(spans=_exsub_spans_duck(f"doc_id >= {INCR_SPLIT}")),
+    doc=f"INCREMENTAL ExactSubstr — the daily-crawl operating mode "
+        "(same split convention as dedup_incremental / "
+        "dedup_incremental_minhash: doc_id < "
+        f"{INCR_SPLIT} plays the existing corpus, the rest the new "
+        "batch): every NEW document is scored for verbatim character "
+        "spans against the full corpus, but the anchor self-join's b "
+        "side is restricted to BATCH anchors before the join, so "
+        "old-old pairs never materialize — the join output is bounded "
+        "by batch-anchors x df-cap instead of corpus². Per new doc: "
+        "partner counts and shared chars split by partner class "
+        "(existing corpus vs within-batch — the two different actions: "
+        "cut against the corpus, dedup within the crawl). df statistics "
+        "come from the UPDATED full index, exactly what a persisted "
+        "anchor table gives after appending the batch. At 100 TB the "
+        "old index is a bucketed table keyed on the 64-bit anchor; only "
+        "the batch side is computed fresh per crawl.",
+)
+def dedup_exact_substring_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    spans = _exsub_spans(spark, sf_dir, b_min_doc_id=INCR_SPLIT)
+    length = F.col("ea") - F.col("sa") + 1
+    old_pair = F.col("a_id") < INCR_SPLIT
+    return (
+        spans.groupBy("b_id")
+        .agg(
+            F.countDistinct(F.when(old_pair, F.col("a_id")))
+            .cast("bigint").alias("n_partners_existing"),
+            F.countDistinct(F.when(~old_pair, F.col("a_id")))
+            .cast("bigint").alias("n_partners_batch"),
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.max(length).cast("bigint").alias("max_span_chars"),
+            F.sum(F.when(old_pair, length).otherwise(F.lit(0)))
+            .cast("bigint").alias("shared_chars_existing"),
+            F.sum(F.when(~old_pair, length).otherwise(F.lit(0)))
+            .cast("bigint").alias("shared_chars_batch"),
+        )
+        .select(
+            F.col("b_id").alias("doc_id"),
+            "n_partners_existing", "n_partners_batch", "n_spans",
+            "max_span_chars", "shared_chars_existing", "shared_chars_batch",
         )
     )
