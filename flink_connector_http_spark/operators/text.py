@@ -2693,7 +2693,7 @@ def _bpe_train_oracle() -> str:
         "exactly like the star-contraction CC loop (dedup.py:619).",
 )
 def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rules, _pos = _bpe_train_state(spark, sf_dir)
+    rules, _states = _bpe_train_state(spark, sf_dir)
     out = rules[0]
     for r in rules[1:]:
         out = out.unionAll(r)
@@ -2702,10 +2702,11 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bpe_train_state(spark: SparkSession, sf_dir: str):
     """Run the {BPE_TRAIN_ROUNDS}-round training loop; returns
-    ``(rules, pos)`` — the list of one-row merge-rule DataFrames and the
-    final (word, f, pos, sym) vocabulary state after every merge has
-    been applied. Shared by the trainer (rules) and the trained-
-    tokenizer fertility eval (final state)."""
+    ``(rules, states)`` — the list of one-row merge-rule DataFrames and
+    the list of (word, f, pos, sym) vocabulary states, ``states[0]``
+    being the char-level start and ``states[-1]`` the fully merged
+    vocabulary. Shared by the trainer (rules), the trained-tokenizer
+    fertility eval (final state), and the merge curve (every state)."""
     from pyspark.sql.window import Window
 
     docs = load(spark, sf_dir, "documents")["documents"]
@@ -2726,6 +2727,7 @@ def _bpe_train_state(spark: SparkSession, sf_dir: str):
              F.col("ps.sym").alias("sym"))
     w_word = Window.partitionBy("word").orderBy("pos")
     rules = []
+    states = [pos]
     for t in range(1, BPE_TRAIN_ROUNDS + 1):
         pc = pos.withColumn("nxt", F.lead("sym").over(w_word)).withColumn(
             "rn", F.row_number().over(w_word)
@@ -2782,7 +2784,8 @@ def _bpe_train_state(spark: SparkSession, sf_dir: str):
             )
             .localCheckpoint()
         )
-    return rules, pos
+        states.append(pos)
+    return rules, states
 
 
 @register(
@@ -2832,8 +2835,8 @@ def _bpe_train_state(spark: SparkSession, sf_dir: str):
 )
 def text_bpe_trained_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")["documents"]
-    _rules, pos = _bpe_train_state(spark, sf_dir)
-    tok = pos.groupBy("word").agg(
+    _rules, states = _bpe_train_state(spark, sf_dir)
+    tok = states[-1].groupBy("word").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tok")
     )
     wfl = (
@@ -2864,6 +2867,77 @@ def text_bpe_trained_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tokens_per_word"),
         )
     )
+
+
+@register(
+    "text_bpe_merge_curve",
+    oracle=_bpe_train_ctes() + """,
+    curve AS (
+      SELECT 0 AS step, CAST(SUM(f) AS BIGINT) AS corpus_tokens FROM p0
+      UNION ALL
+      SELECT 1 AS step, CAST(SUM(f) AS BIGINT) AS corpus_tokens FROM p1
+      UNION ALL
+      SELECT 2 AS step, CAST(SUM(f) AS BIGINT) AS corpus_tokens FROM p2
+      UNION ALL
+      SELECT 3 AS step, CAST(SUM(f) AS BIGINT) AS corpus_tokens FROM p3
+      UNION ALL
+      SELECT 4 AS step, CAST(SUM(f) AS BIGINT) AS corpus_tokens FROM p4
+      UNION ALL
+      SELECT 5 AS step, CAST(SUM(f) AS BIGINT) AS corpus_tokens FROM p5
+      UNION ALL
+      SELECT 6 AS step, CAST(SUM(f) AS BIGINT) AS corpus_tokens FROM p6
+      UNION ALL
+      SELECT 7 AS step, CAST(SUM(f) AS BIGINT) AS corpus_tokens FROM p7
+      UNION ALL
+      SELECT 8 AS step, CAST(SUM(f) AS BIGINT) AS corpus_tokens FROM p8
+    ),
+    base AS (SELECT CAST(SUM(f) AS BIGINT) AS total_chars FROM p0)
+    SELECT CAST(step AS INT) AS step, corpus_tokens, total_chars,
+           round(CAST(total_chars AS DOUBLE) / corpus_tokens, 6)
+             AS chars_per_token
+    FROM curve CROSS JOIN base ORDER BY step
+    """,
+    doc="The tokenizer TRAINING CURVE: corpus token count and "
+        "chars-per-token after each of the {K} learned "
+        "merges (step 0 = the character baseline) -- the marginal-"
+        "compression-per-merge diagnostic a tokenizer trainer reads to "
+        "pick vocabulary size (merges hit diminishing returns when the "
+        "curve flattens). Each point is one SUM over the corresponding "
+        "vocabulary state the training loop already materialized "
+        "(states are localCheckpoint'd per round, so the nine aggregates "
+        "are nine tiny scans of vocab-chars-bounded tables, not nine "
+        "corpus passes); chars-per-token divides by the step-0 scalar "
+        "broadcast. Completes the tokenizer family's observability: "
+        "train -> per-step curve -> final fertility.".format(
+            K=BPE_TRAIN_ROUNDS),
+)
+def text_bpe_merge_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _rules, states = _bpe_train_state(spark, sf_dir)
+    aggs = [
+        st.agg(F.sum("f").cast("bigint").alias("corpus_tokens")).select(
+            F.lit(t).cast("int").alias("step"), "corpus_tokens"
+        )
+        for t, st in enumerate(states)
+    ]
+    curve = aggs[0]
+    for a in aggs[1:]:
+        curve = curve.unionAll(a)
+    base = states[0].agg(F.sum("f").cast("bigint").alias("total_chars"))
+    return (
+        curve.crossJoin(F.broadcast(base))
+        .select(
+            "step", "corpus_tokens", "total_chars",
+            F.expr(
+                "round(CAST(total_chars AS DOUBLE) / corpus_tokens, 6)"
+            ).alias("chars_per_token"),
+        )
+        .orderBy("step")
+    )
+
+
+# ---------------------------------------------------------------------------
+# language-ID confusion matrix (classifier evaluation)
+# ---------------------------------------------------------------------------
 
 @register(
     "text_lang_confusion",
