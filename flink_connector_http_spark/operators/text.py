@@ -2716,6 +2716,13 @@ def _bpe_train_state(spark: SparkSession, sf_dir: str):
         )
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("f"))
+        # Consecutive/leading/trailing spaces in text split into empty
+        # words; sequence(1, 0) is DESCENDING ([1, 0]) in Spark, so an
+        # empty word would explode into two spurious sym='' rows that the
+        # DuckDB oracle's range(1, length+1) (empty) never produces —
+        # drop them before building positions (same trap as the
+        # greatest(..., 0) guard in BIGRAMS_SPARK).
+        .filter(F.length("word") >= 1)
     )
     pos = wf.select(
         "word", "f",

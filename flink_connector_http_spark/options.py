@@ -12,6 +12,7 @@ surface them as typed dataclass fields on :class:`HttpLookupOptions` /
 from __future__ import annotations
 
 import re
+import warnings
 from dataclasses import dataclass, field
 from typing import Callable, Dict, Mapping, Optional
 
@@ -408,9 +409,10 @@ def _as_bool(value: str) -> bool:
 #: parser behind every ``durationType()`` option in the reference),
 #: mapped to seconds
 _DURATION_UNITS = {
-    "ns": 1e-9, "nanos": 1e-9, "nanosecond": 1e-9, "nanoseconds": 1e-9,
-    "us": 1e-6, "µs": 1e-6, "micros": 1e-6, "microsecond": 1e-6,
-    "microseconds": 1e-6,
+    "ns": 1e-9, "nano": 1e-9, "nanos": 1e-9, "nanosecond": 1e-9,
+    "nanoseconds": 1e-9,
+    "us": 1e-6, "µs": 1e-6, "micro": 1e-6, "micros": 1e-6,
+    "microsecond": 1e-6, "microseconds": 1e-6,
     "ms": 1e-3, "milli": 1e-3, "millis": 1e-3, "millisecond": 1e-3,
     "milliseconds": 1e-3,
     "s": 1.0, "sec": 1.0, "secs": 1.0, "second": 1.0, "seconds": 1.0,
@@ -422,6 +424,11 @@ _DURATION_UNITS = {
 _DURATION_RE = re.compile(
     r"^\s*([0-9]+(?:\.[0-9]+)?)\s*([a-zµ]*)\s*$", re.IGNORECASE
 )
+
+#: duration keys already warned about bare-number (unit-ambiguous) values,
+#: so the Flink-vs-engine unit divergence is surfaced once per key, not
+#: once per parsed row/batch
+_BARE_DURATION_WARNED: "set[str]" = set()
 
 
 def _as_duration_seconds(value: str, key: str) -> float:
@@ -447,6 +454,19 @@ def _as_duration_seconds(value: str, key: str) -> float:
         )
     num, unit = m.group(1), m.group(2).lower()
     if not unit:
+        # A bare number is SECONDS here but MILLISECONDS in Flink's
+        # TimeUtils — silent at plan time, so warn once per option key
+        # and steer users to the unambiguous suffixed form.
+        if key not in _BARE_DURATION_WARNED:
+            _BARE_DURATION_WARNED.add(key)
+            warnings.warn(
+                f"{key}={value!r}: bare duration numbers are interpreted "
+                "as SECONDS by this engine but as MILLISECONDS by Flink's "
+                "TimeUtils — a carried-over Flink config like '5000' "
+                "becomes a 1000x longer timeout. Use an explicit unit "
+                "suffix ('5000ms', '30s') to silence this warning.",
+                stacklevel=3,
+            )
         return float(num)
     if unit not in _DURATION_UNITS:
         raise ValueError(

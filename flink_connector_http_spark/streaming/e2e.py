@@ -737,9 +737,21 @@ def run_enrich_sink_chaos_e2e(
     )
     sink_opts = HttpSinkOptions(insert_method="POST")
     batch_log: List[dict] = []
+    # wire-counter snapshot taken at the START of the first non-empty
+    # batch: the stub's counter also sees pre-stream traffic (table
+    # registration probes) and stream-startup requests that land before
+    # batch_log[0]['t0'], so dividing the RAW counter by a window that
+    # starts at the first logged batch inflated achieved_rps_pre past
+    # the 1.15 cap-held slack on slow-startup VMs — numerator and
+    # denominator must cover the same [first-batch, storm-on) interval
+    first_batch_wire: List[int] = []
 
     def process(batch_df, _batch_id) -> None:
         t0 = time.monotonic()
+        # wire counter at batch START, before this batch's own lookups
+        # fire; the snapshot taken at the FIRST non-empty batch anchors
+        # the pre-phase rate window (see first_batch_wire below)
+        w0 = wire_count()
         # localCheckpoint: the batch is consumed TWICE (metric counts +
         # sink write); without the lineage cut the lookup join would
         # re-fire every HTTP request per consumer (the multiply-consumed
@@ -752,6 +764,8 @@ def run_enrich_sink_chaos_e2e(
         ).collect()[0]
         write_http(enriched, sink_url, sink_opts)
         if counts["n"]:
+            if not batch_log:
+                first_batch_wire.append(w0)
             batch_log.append({
                 "t0": t0,
                 "dur_ms": round((time.monotonic() - t0) * 1000.0, 1),
@@ -871,12 +885,16 @@ def run_enrich_sink_chaos_e2e(
         "rate_limit": None,
     }
     if rate_limit_rps is not None and batch_log:
+        # numerator and denominator cover the SAME interval: requests
+        # between the first non-empty batch and storm-on (see the
+        # first_batch_wire snapshot above), over that same wall window
         t_first = batch_log[0]["t0"]
+        wire_first = first_batch_wire[0] if first_batch_wire else 0
         pre_win = max(t_storm_on - t_first, 1e-9)
         storm_win = max(t_storm_off - t_storm_on, 1e-9)
         post_win = max(t_end - t_storm_off, 1e-9)
         agg_cap = rate_limit_rps * source_partitions
-        achieved_pre = wire_pre / pre_win
+        achieved_pre = (wire_pre - wire_first) / pre_win
         achieved_post = (wire_end - wire_pre - wire_storm) / post_win
         out["rate_limit"] = {
             "configured_per_task_rps": rate_limit_rps,

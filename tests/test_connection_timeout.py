@@ -190,6 +190,35 @@ class TestFlinkDurationSyntax:
         )
         assert opts.connection_timeout == 1000.0
 
+    def test_bare_number_warns_once_per_key(self):
+        """A bare number is silently 1000x off for a carried-over Flink
+        config (Flink TimeUtils reads it as ms, this engine as seconds)
+        — it must warn, once per option key, steering to suffixed form."""
+        import warnings as _warnings
+
+        from flink_connector_http_spark import options as opts_mod
+
+        key = "http.source.lookup.request.timeout"
+        opts_mod._BARE_DURATION_WARNED.discard(key)
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            lookup_options_from_map({key: "5000"})
+            first = [w for w in caught if "MILLISECONDS" in str(w.message)]
+            lookup_options_from_map({key: "5000"})
+            second = [w for w in caught if "MILLISECONDS" in str(w.message)]
+        assert len(first) == 1
+        assert len(second) == 1  # no second warning for the same key
+
+    def test_singular_nano_micro_labels(self):
+        """Flink TimeUtils accepts the singular labels 'nano'/'micro'
+        alongside ns/nanos/us/micros — full label-coverage parity."""
+        opts = lookup_options_from_map(
+            {"http.source.lookup.connection.timeout": "500000000nano",
+             "http.source.lookup.request.timeout": "2000000micro"}
+        )
+        assert abs(opts.connection_timeout - 0.5) < 1e-12
+        assert abs(opts.request_timeout - 2.0) < 1e-12
+
     def test_sink_request_timeout_suffixed(self):
         from flink_connector_http_spark.options import sink_options_from_map
 
