@@ -465,6 +465,12 @@ def main() -> None:
             # the ENTIRE non-HTTP bench set now carries two decades
             "q06_forecast_revenue", "q_top3_customers_per_nation",
             "q_sessionize_events",
+            # round 15 (r14 verdict #2): the ExactSubstr family's one open
+            # scale question is candidate-PAIR volume (75.6x pairs at 10x
+            # on the salted replica) — put the pair reporter and the
+            # consumable clean-stats on the second decade so the exponent
+            # is measured, not argued
+            "dedup_exact_substring", "dedup_exact_substring_clean_stats",
         ]
         x100_dir = ensure_scale_dir(sf_dir, 100)
         x100_timings = {}

@@ -3458,8 +3458,65 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exsub_firstpos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr anchor postings ``(doc_id, i, h)`` — every K-char
+    window keyed by a 64-bit anchor (16 hex chars of md5 — half the
+    shuffle bytes of full md5 per anchor row), with the within-document
+    posting cap applied DOC-LOCALLY, before any exchange: sort the
+    (h, i) window array (struct order = h, then i) and keep only entries
+    whose predecessor carries a different h — i.e. the FIRST position of
+    each anchor per doc. A periodic run of period p thus contributes
+    <= p anchor rows instead of one per character, so the downstream
+    self-join cannot go quadratic across diagonals on repetitive text,
+    and the cap costs an in-partition array_sort instead of a
+    full-corpus (h, doc_id) shuffle (measured at sf0.1: 26 MB total
+    shuffle write vs 97 MB for the uncapped full-md5 construction, at
+    equal wall time). After the cap each (h, doc_id) is unique, so the
+    anchor df count is a plain COUNT(*). Shared by the span builder,
+    the pair-budget audit, and the streaming ingest so they cannot
+    drift."""
+    return _exsub_firstpos_docs(
+        load(spark, sf_dir, "documents")["documents"]
+    )
+
+
+def _exsub_firstpos_docs(docs: DataFrame) -> DataFrame:
+    """:func:`_exsub_firstpos` over an explicit documents DataFrame —
+    the streaming ingest calls this per micro-batch."""
+    docs = docs.filter(F.length("text") >= EXSUB_K)
+    windows = docs.select(
+        "doc_id",
+        F.expr(
+            f"array_sort(transform(sequence(1, length(text) - {EXSUB_K - 1}),"
+            f" i -> struct(substring(md5(substring(text, i, {EXSUB_K})), "
+            f"1, 16) AS h, i AS i)))"
+        ).alias("sa"),
+    )
+    return windows.select(
+        "doc_id",
+        F.explode(F.expr(
+            "filter(sa, (x, idx) -> idx = 0 OR element_at(sa, idx).h <> x.h)"
+        )).alias("ph"),
+    ).select("doc_id", F.col("ph.i").alias("i"), F.col("ph.h").alias("h"))
+
+
+def _exsub_pair_budget_env() -> int | None:
+    """Read the opt-in per-anchor posting budget from
+    ``SPARK_GRAFT_EXSUB_PAIR_MAX`` (unset/empty/0 = uncapped)."""
+    import os
+
+    raw = os.environ.get("SPARK_GRAFT_EXSUB_PAIR_MAX", "").strip()
+    if not raw:
+        return None
+    n = int(raw)
+    return n if n > 0 else None
+
+
 def _exsub_spans(
-    spark: SparkSession, sf_dir: str, b_min_doc_id: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    b_min_doc_id: int | None = None,
+    pair_max: int | None = None,
 ) -> DataFrame:
     """Shared ExactSubstr span builder: maximal shared character spans per
     (doc pair, alignment diagonal) as ``(a_id, b_id, diag, sa, ea)`` with
@@ -3472,36 +3529,7 @@ def _exsub_spans(
     and only the batch side is computed fresh)."""
     from pyspark.sql.window import Window
 
-    docs = load(spark, sf_dir, "documents")["documents"].filter(
-        F.length("text") >= EXSUB_K
-    )
-    # anchor every K-char window with a 64-bit key (16 hex chars of md5 —
-    # half the shuffle bytes of full md5 per anchor row), then apply the
-    # within-document posting cap DOC-LOCALLY, before any exchange: sort
-    # the (h, i) window array (struct order = h, then i) and keep only
-    # entries whose predecessor carries a different h — i.e. the FIRST
-    # position of each anchor per doc. A periodic run of period p thus
-    # contributes <= p anchor rows instead of one per character, so the
-    # self-join below cannot go quadratic across diagonals on repetitive
-    # text, and the cap costs an in-partition array_sort instead of a
-    # full-corpus (h, doc_id) shuffle (measured at sf0.1: 26 MB total
-    # shuffle write vs 97 MB for the uncapped full-md5 construction, at
-    # equal wall time). After the cap each (h, doc_id) is unique, so the
-    # df count is a plain COUNT(*)
-    windows = docs.select(
-        "doc_id",
-        F.expr(
-            f"array_sort(transform(sequence(1, length(text) - {EXSUB_K - 1}),"
-            f" i -> struct(substring(md5(substring(text, i, {EXSUB_K})), "
-            f"1, 16) AS h, i AS i)))"
-        ).alias("sa"),
-    )
-    firstpos = windows.select(
-        "doc_id",
-        F.explode(F.expr(
-            "filter(sa, (x, idx) -> idx = 0 OR element_at(sa, idx).h <> x.h)"
-        )).alias("ph"),
-    ).select("doc_id", F.col("ph.i").alias("i"), F.col("ph.h").alias("h"))
+    firstpos = _exsub_firstpos(spark, sf_dir)
     df_ok = (
         firstpos.groupBy("h")
         .agg(F.count(F.lit(1)).alias("nd"))
@@ -3509,6 +3537,27 @@ def _exsub_spans(
         .select("h")
     )
     fpos = firstpos.join(df_ok, "h")
+    # optional per-anchor PAIR BUDGET (SPARK_GRAFT_EXSUB_PAIR_MAX): keep
+    # only the budget-many lowest-doc_id postings of each surviving
+    # anchor, bounding the self-join fan-out at C(budget, 2) pairs per
+    # anchor instead of C(EXSUB_DF_MAX, 2). Off by default (oracle
+    # semantics are uncapped); the dirty-corpus escape hatch for a
+    # 100 TB run where candidate-PAIR volume — not anchor volume — is
+    # the scale hazard (the 10x salted replica showed 75.6x pairs for
+    # 10x data). The lowest-doc_id rule is deterministic ((h, doc_id)
+    # is unique after the first-position rollup), and the truncation is
+    # ACCOUNTED, not silent: dedup_exsub_pair_budget_audit reports
+    # kept/dropped postings and capped-vs-uncapped pair counts for any
+    # budget, and bench runs that engage the knob record it.
+    if pair_max is None:
+        pair_max = _exsub_pair_budget_env()
+    if pair_max is not None:
+        w_h = Window.partitionBy("h").orderBy("doc_id")
+        fpos = (
+            fpos.withColumn("_rn", F.row_number().over(w_h))
+            .filter(F.col("_rn") <= pair_max)
+            .drop("_rn")
+        )
     fpos_b = (
         fpos if b_min_doc_id is None
         else fpos.filter(F.col("doc_id") >= b_min_doc_id)
@@ -3711,6 +3760,7 @@ def dedup_exact_substring_removelist(
         "summary. Same span builder and interval-union shuffles as the "
         "removelist, plus one broadcast-scale source rollup; the corpus "
         "side is a single documents pass left-joining the per-doc cuts.",
+    bench=True,
 )
 def dedup_exact_substring_clean_stats(
     spark: SparkSession, sf_dir: str
@@ -3742,9 +3792,10 @@ def dedup_exact_substring_clean_stats(
     )
 
 
-@register(
-    "dedup_exact_substring_incremental",
-    oracle=f"""
+#: shared oracle for the batch-incremental operator AND the streaming
+#: ingest (identical result contract; the hash gate proves the streaming
+#: decomposition equals the one-shot batch operator)
+_EXSUB_INCR_ORACLE = f"""
     WITH {{spans}}
     SELECT b_id AS doc_id,
            CAST(COUNT(DISTINCT CASE WHEN a_id < {INCR_SPLIT} THEN a_id END)
@@ -3758,7 +3809,12 @@ def dedup_exact_substring_clean_stats(
            CAST(SUM(CASE WHEN a_id >= {INCR_SPLIT} THEN ea - sa + 1
                          ELSE 0 END) AS BIGINT) AS shared_chars_batch
     FROM spans GROUP BY b_id
-    """.format(spans=_exsub_spans_duck(f"doc_id >= {INCR_SPLIT}")),
+    """.format(spans=_exsub_spans_duck(f"doc_id >= {INCR_SPLIT}"))
+
+
+@register(
+    "dedup_exact_substring_incremental",
+    oracle=_EXSUB_INCR_ORACLE,
     doc=f"INCREMENTAL ExactSubstr — the daily-crawl operating mode "
         "(same split convention as dedup_incremental / "
         "dedup_incremental_minhash: doc_id < "
@@ -3775,11 +3831,18 @@ def dedup_exact_substring_clean_stats(
         "anchor table gives after appending the batch. At 100 TB the "
         "old index is a bucketed table keyed on the 64-bit anchor; only "
         "the batch side is computed fresh per crawl.",
+    bench=True,
 )
 def dedup_exact_substring_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     spans = _exsub_spans(spark, sf_dir, b_min_doc_id=INCR_SPLIT)
+    return _exsub_incremental_rollup(spans)
+
+
+def _exsub_incremental_rollup(spans: DataFrame) -> DataFrame:
+    """Per-new-doc span rollup shared by the batch-incremental operator
+    and the streaming ingest (same oracle, so the two must agree)."""
     length = F.col("ea") - F.col("sa") + 1
     old_pair = F.col("a_id") < INCR_SPLIT
     return (
@@ -3802,3 +3865,246 @@ def dedup_exact_substring_incremental(
             "max_span_chars", "shared_chars_existing", "shared_chars_batch",
         )
     )
+
+
+#: the illustrative budget the AUDIT query reports at — 2 binds even at the
+#: small driver SF (anchor df tops out at 3 there), so the truncation
+#: accounting is exercised with real nonzero numbers. The production knob
+#: (``SPARK_GRAFT_EXSUB_PAIR_MAX``) takes any value; the audit's algebra is
+#: identical for all of them.
+EXSUB_PAIR_BUDGET_AUDIT = 2
+
+
+@register(
+    "dedup_exsub_pair_budget_audit",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents WHERE len(text) >= {EXSUB_K}
+    ),
+    pos AS (
+      SELECT doc_id, i,
+             substr(md5(substr(text, i, {EXSUB_K})), 1, 16) AS h
+      FROM (
+        SELECT doc_id, text,
+               unnest(range(1, greatest(len(text) - {EXSUB_K - 2}, 1))) AS i
+        FROM docs
+      )
+    ),
+    firstpos AS (
+      SELECT h, doc_id, MIN(i) AS i FROM pos GROUP BY h, doc_id
+    ),
+    eligible AS (
+      SELECT h, nd FROM (
+        SELECT h, COUNT(*) AS nd FROM firstpos GROUP BY h
+      ) WHERE nd BETWEEN 2 AND {EXSUB_DF_MAX}
+    )
+    SELECT CAST({EXSUB_PAIR_BUDGET_AUDIT} AS BIGINT) AS budget,
+           CAST(COUNT(*) AS BIGINT) AS n_anchors,
+           CAST(SUM(CASE WHEN nd > {EXSUB_PAIR_BUDGET_AUDIT} THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_anchors_truncated,
+           CAST(SUM(LEAST(nd, {EXSUB_PAIR_BUDGET_AUDIT})) AS BIGINT)
+             AS postings_kept,
+           CAST(SUM(nd - LEAST(nd, {EXSUB_PAIR_BUDGET_AUDIT})) AS BIGINT)
+             AS postings_dropped,
+           CAST(SUM(nd * (nd - 1) // 2) AS BIGINT) AS pairs_uncapped,
+           CAST(SUM(LEAST(nd, {EXSUB_PAIR_BUDGET_AUDIT})
+                    * (LEAST(nd, {EXSUB_PAIR_BUDGET_AUDIT}) - 1) // 2)
+                AS BIGINT) AS pairs_capped
+    FROM eligible
+    """,
+    doc="Truncation ACCOUNTING for the ExactSubstr per-anchor pair budget "
+        "(SPARK_GRAFT_EXSUB_PAIR_MAX): for every df-eligible anchor, how "
+        "many postings a given budget keeps/drops and the capped-vs-"
+        "uncapped candidate-pair counts (sum of C(nd, 2) vs "
+        "C(min(nd, budget), 2)) — the delta a dirty-corpus run gives up "
+        "when it engages the budget, reported rather than silent. The "
+        "anchor stage is the SAME _exsub_firstpos the span builder uses "
+        "(and the same doc-local first-position cap), so the audit's "
+        "numbers are exactly the join the budget would bound. One "
+        "anchor-grain aggregate, no self-join: auditing the cap never "
+        "costs the blowup the cap prevents.",
+)
+def dedup_exsub_pair_budget_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    b = EXSUB_PAIR_BUDGET_AUDIT
+    counts = (
+        _exsub_firstpos(spark, sf_dir)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= EXSUB_DF_MAX))
+    )
+    kept = F.least(F.col("nd"), F.lit(b))
+    return counts.agg(
+        F.lit(b).cast("bigint").alias("budget"),
+        F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
+        F.sum((F.col("nd") > b).cast("int")).cast("bigint")
+        .alias("n_anchors_truncated"),
+        F.sum(kept).cast("bigint").alias("postings_kept"),
+        F.sum(F.col("nd") - kept).cast("bigint").alias("postings_dropped"),
+        F.sum(F.col("nd") * (F.col("nd") - 1) / 2).cast("bigint")
+        .alias("pairs_uncapped"),
+        F.sum(kept * (kept - 1) / 2).cast("bigint").alias("pairs_capped"),
+    )
+
+
+@register(
+    "stream_incremental_exsub_ingest",
+    oracle=_EXSUB_INCR_ORACLE,
+    doc="Streaming incremental EXACT-SUBSTRING ingest — the exact-span "
+        "analogue of stream_incremental_minhash_ingest, closing the "
+        "streaming-maintenance matrix (LSH/BM25/PQ/IVF/minhash + now "
+        "ExactSubstr): the existing corpus's anchor index (doc_id, pos, "
+        "64-bit anchor) is PERSISTED once; the daily batch arrives as a "
+        "Structured Streaming file source over several micro-batches "
+        "(maxFilesPerTrigger=1, availableNow + checkpoint). Per "
+        "micro-batch: (1) maintenance — append the batch docs' "
+        "doc-locally-capped anchors to the one persistent index (old "
+        "part files byte-stable); (2) probe — join the micro-batch "
+        "anchors against the index AS OF this append, normalize to "
+        "(min, max) doc roles, early-drop anchors already past the df "
+        "cap (df only grows, so over-cap now implies over-cap finally — "
+        "a parity-safe monotone prefilter), and stream the raw match "
+        "rows to an artifact. Every pair lands exactly once — in the "
+        "micro-batch of its later-arriving side — and old-old pairs "
+        "never materialize because one side is always batch. At batch "
+        "close the FINAL df-eligibility filter (nd in [2, df-cap] over "
+        "the updated full index — exactly what a persisted anchor table "
+        "gives after appending the whole batch) is applied to the match "
+        "artifact, spans merge per (pair, diagonal) — (a, b) match "
+        "groups are micro-batch-local, so no span straddles artifacts — "
+        "and the per-new-doc rollup reuses the batch operator's code "
+        "path. Daily work scales with BATCH anchors (matches artifact + "
+        "one index-grain count), not corpus size; same oracle as "
+        "dedup_exact_substring_incremental, so the hash gate proves the "
+        "streaming decomposition equals the one-shot batch operator.",
+)
+def stream_incremental_exsub_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    artifact_base_dir: "str | None" = None,
+) -> DataFrame:
+    import glob
+    import os
+    import tempfile
+
+    from ..streaming import await_drained
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+
+    if artifact_base_dir is not None:
+        index_dir = os.path.join(artifact_base_dir, "index")
+        matches_dir = os.path.join(artifact_base_dir, "matches")
+        in_dir = os.path.join(artifact_base_dir, "in")
+        ckpt_dir = os.path.join(artifact_base_dir, "ckpt")
+        for d in (index_dir, matches_dir, in_dir):
+            os.makedirs(d, exist_ok=True)
+    else:
+        index_dir = tempfile.mkdtemp(prefix="stream_exsub_index_")
+        matches_dir = tempfile.mkdtemp(prefix="stream_exsub_matches_")
+        in_dir = tempfile.mkdtemp(prefix="stream_exsub_in_")
+        ckpt_dir = tempfile.mkdtemp(prefix="stream_exsub_ckpt_")
+
+    # the persistent anchor-index artifact (existing corpus only)
+    existing = docs.filter(F.col("doc_id") < INCR_SPLIT)
+    _exsub_firstpos_docs(existing).write.mode("overwrite").parquet(index_dir)
+    snapshot_files = sorted(glob.glob(os.path.join(index_dir, "*.parquet")))
+
+    # seed the match artifact so the post-drain read never races an
+    # all-novel run (no micro-batch may ever append)
+    match_schema_seed = (
+        spark.range(0)
+        .select(
+            F.col("id").alias("a_id"), F.col("id").alias("b_id"),
+            F.col("id").cast("int").alias("pa"),
+            F.col("id").cast("int").alias("diag"),
+            F.lit("").alias("h"),
+        )
+    )
+    match_schema_seed.write.mode("overwrite").parquet(matches_dir)
+
+    docs.filter(F.col("doc_id") >= INCR_SPLIT).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+    raw_schema = docs.schema
+
+    def process(batch_df, _batch_id) -> None:
+        mb = _exsub_firstpos_docs(batch_df).localCheckpoint(eager=True)
+        # (1) maintenance: append this micro-batch's anchors to the ONE
+        # persistent index (earlier part files stay byte-stable)
+        mb.write.mode("append").parquet(index_dir)
+        # (2) probe vs the index AS OF this append (snapshot + batch so
+        # far + this micro-batch): sequential micro-batches mean every
+        # pair is seen exactly once, when its later side arrives
+        idx = spark.read.parquet(index_dir)
+        # monotone df prefilter: anchors ALREADY past the cap can only
+        # stay past it, so their matches would be dropped at close anyway
+        idx_ok = idx.join(
+            idx.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+            .filter(F.col("nd") <= EXSUB_DF_MAX).select("h"),
+            "h",
+        )
+        mb_side = mb.select(
+            F.col("doc_id").alias("m_id"), F.col("i").alias("m_i"), "h"
+        )
+        other = idx_ok.select(
+            F.col("doc_id").alias("o_id"), F.col("i").alias("o_i"), "h"
+        )
+        a_is_mb = F.col("m_id") < F.col("o_id")
+        matches = (
+            mb_side.join(other, "h")
+            .filter(F.col("m_id") != F.col("o_id"))
+            .select(
+                F.when(a_is_mb, F.col("m_id")).otherwise(F.col("o_id"))
+                .alias("a_id"),
+                F.when(a_is_mb, F.col("o_id")).otherwise(F.col("m_id"))
+                .alias("b_id"),
+                F.when(a_is_mb, F.col("m_i")).otherwise(F.col("o_i"))
+                .cast("int").alias("pa"),
+                (F.when(a_is_mb, F.col("m_i")).otherwise(F.col("o_i"))
+                 - F.when(a_is_mb, F.col("o_i")).otherwise(F.col("m_i")))
+                .cast("int").alias("diag"),
+                "h",
+            )
+            # a same-micro-batch pair joins in both directions; the
+            # role-normalized rows are identical, so distinct collapses
+            # them (cross-micro-batch pairs appear once by construction)
+            .distinct()
+        )
+        matches.write.mode("append").parquet(matches_dir)
+
+    query = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_drained(query)
+
+    # batch close: FINAL df-eligibility over the fully-updated index
+    # (nd >= 2 is implied for every match; the cap must be re-checked
+    # because an anchor can cross it in a LATER micro-batch than the one
+    # that emitted its matches), then merge maximal spans and roll up —
+    # all from artifacts, so the close-time work scales with batch
+    # match volume, not corpus size
+    final_ok = (
+        spark.read.parquet(index_dir)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= EXSUB_DF_MAX))
+        .select("h")
+    )
+    from pyspark.sql.window import Window
+
+    kept = spark.read.parquet(matches_dir).join(final_ok, "h").drop("h")
+    w = Window.partitionBy("a_id", "b_id", "diag").orderBy("pa")
+    runs = kept.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    spans = runs.groupBy("a_id", "b_id", "diag", "grp").agg(
+        F.min("pa").alias("sa"),
+        (F.max("pa") + F.lit(EXSUB_K - 1)).alias("ea"),
+    ).select("a_id", "b_id", "diag", "sa", "ea")
+    return _exsub_incremental_rollup(spans)

@@ -2839,6 +2839,7 @@ def _bpe_train_state(spark: SparkSession, sf_dir: str):
         "joins corpus (lang, word) frequencies to per-word token "
         "counts — vocabulary-sized join, corpus touched once for the "
         "frequency census.",
+    bench=True,
 )
 def text_bpe_trained_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")["documents"]
@@ -2917,6 +2918,7 @@ def text_bpe_trained_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         "broadcast. Completes the tokenizer family's observability: "
         "train -> per-step curve -> final fertility.".format(
             K=BPE_TRAIN_ROUNDS),
+    bench=True,
 )
 def text_bpe_merge_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     _rules, states = _bpe_train_state(spark, sf_dir)
@@ -4549,6 +4551,7 @@ def sample_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tiny per-source frame broadcast-joins the corpus census; the "
         "per-doc keep test is a zero-shuffle map folded into one "
         "source-grain rollup.",
+    bench=True,
 )
 def sample_doremi_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")["documents"]
