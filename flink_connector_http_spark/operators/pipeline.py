@@ -3597,10 +3597,13 @@ def pipeline_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the 27^3-bounded char-trigram LM
 NB_VOCAB_V = 2000
 
-_NB_CTES_DUCK = f"""
+def _nb_ctes_duck(label_sql: str) -> str:
+    """The NB training CTE chain for an arbitrary label expression —
+    shared by the binary gate classifier and the multiclass source
+    classifier so the model algebra cannot drift between them."""
+    return f"""
     gate AS (
-      SELECT doc_id, text,
-             CASE WHEN ({_QUALITY_DUCK}) THEN 1 ELSE 0 END AS y
+      SELECT doc_id, text, {label_sql} AS y
       FROM documents
     ),
     trainset AS (SELECT * FROM gate WHERE doc_id % 2 = 0),
@@ -3632,6 +3635,11 @@ _NB_CTES_DUCK = f"""
     ),
     ntot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM trainset)
 """
+
+
+_NB_CTES_DUCK = _nb_ctes_duck(
+    f"CASE WHEN ({_QUALITY_DUCK}) THEN 1 ELSE 0 END"
+)
 
 
 @register(
@@ -3683,15 +3691,19 @@ def text_nb_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _nb_model(spark: SparkSession, sf_dir: str):
+def _nb_model(spark: SparkSession, sf_dir: str, label_expr: str = None):
     """Shared NB training state: (counts, label_tot, priors, vsize, ntot,
     vocab) DataFrames — used by the train query (exact-rational model
-    rows) and the scorer (broadcast model, log-space sums)."""
+    rows) and the scorers (broadcast model, log-space sums). The label
+    defaults to the binary quality gate; pass e.g. ``"source"`` for the
+    multiclass variant."""
+    if label_expr is None:
+        label_expr = (
+            f"CAST(CASE WHEN ({_QUALITY_SPARK}) THEN 1 ELSE 0 END AS INT)"
+        )
     docs = load(spark, sf_dir, "documents")["documents"]
     gate = docs.select(
-        "doc_id", "text",
-        F.expr(f"CASE WHEN ({_QUALITY_SPARK}) THEN 1 ELSE 0 END")
-        .cast("int").alias("y"),
+        "doc_id", "text", F.expr(label_expr).alias("y")
     )
     train = gate.filter(F.col("doc_id") % 2 == 0)
     tok_train = train.select(
@@ -3731,9 +3743,9 @@ def _nb_model(spark: SparkSession, sf_dir: str):
     return counts, label_tot, priors, vsize, ntot, vocab
 
 
-@register(
-    "text_nb_quality_classifier",
-    oracle=f"""
+#: confusion-matrix oracle shared by the batch scorer and the
+#: streaming scorer (identical result contract)
+_NB_CLASSIFIER_ORACLE = f"""
     WITH {_NB_CTES_DUCK},
     testset AS (SELECT * FROM gate WHERE doc_id % 2 = 1),
     tok_test AS (
@@ -3773,7 +3785,12 @@ def _nb_model(spark: SparkSession, sf_dir: str):
            CAST(COUNT(*) AS BIGINT) AS n_docs
     FROM pred p JOIN testset g USING (doc_id)
     GROUP BY 1, 2
-    """,
+    """
+
+
+@register(
+    "text_nb_quality_classifier",
+    oracle=_NB_CLASSIFIER_ORACLE,
     doc="Naive-Bayes quality classifier, SCORING + confusion matrix on "
         "the held-out odd-doc_id half: per test doc, log-prior plus the "
         "sum of Laplace-smoothed token log-likelihoods under each label "
@@ -3794,7 +3811,7 @@ def _nb_model(spark: SparkSession, sf_dir: str):
 def text_nb_quality_classifier(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    counts, label_tot, priors, vsize, ntot, vocab = _nb_model(spark, sf_dir)
+    model = _nb_model(spark, sf_dir)
     docs = load(spark, sf_dir, "documents")["documents"]
     gate = docs.select(
         "doc_id",
@@ -3803,6 +3820,37 @@ def text_nb_quality_classifier(
         .cast("int").alias("y"),
     )
     testset = gate.filter(F.col("doc_id") % 2 == 1)
+    pred = _nb_predict(testset, model)
+    return (
+        pred.join(testset.select("doc_id", "y"), "doc_id")
+        .groupBy(
+            F.col("y").cast("int").alias("gate_pass"),
+            F.col("pred_pass").cast("int").alias("pred_pass"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+def _nb_predict(testset: DataFrame, model) -> DataFrame:
+    """Binary-gate prediction: ``(doc_id, pred_pass)`` with the strict
+    pass-beats-fail comparison (tie -> fail, deterministically)."""
+    doc_scores = _nb_doc_scores(testset, model)
+    return doc_scores.groupBy("doc_id").agg(
+        F.when(
+            F.max(F.when(F.col("y") == 1, F.col("score")))
+            > F.max(F.when(F.col("y") == 0, F.col("score"))),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("int").alias("pred_pass")
+    )
+
+
+def _nb_doc_scores(testset: DataFrame, model) -> DataFrame:
+    """Per-(doc, label) NB log-scores for documents (``doc_id``,
+    ``text`` columns required) under the trained model: returns
+    ``(doc_id, y, score)``. Per-document work only — broadcast model
+    joins plus one (doc_id, label) shuffle — so the streaming scorer
+    applies it per micro-batch unchanged."""
+    counts, label_tot, priors, vsize, ntot, vocab = model
     tok_test = testset.select(
         "doc_id", F.explode(F.expr(TOKS_SPARK)).alias("tok")
     )
@@ -3845,18 +3893,178 @@ def text_nb_quality_classifier(
             .alias("score"),
         )
     )
-    pred = doc_scores.groupBy("doc_id").agg(
-        F.when(
-            F.max(F.when(F.col("y") == 1, F.col("score")))
-            > F.max(F.when(F.col("y") == 0, F.col("score"))),
-            F.lit(1),
-        ).otherwise(F.lit(0)).cast("int").alias("pred_pass")
+    return doc_scores
+
+
+@register(
+    "stream_nb_quality_score",
+    oracle=_NB_CLASSIFIER_ORACLE,
+    doc="Streaming NB quality scoring — the trained-model family joins "
+        "the streaming matrix: the Naive-Bayes model (trained in batch "
+        "on the even-doc_id half, exactly text_nb_quality_train) is "
+        "materialized and BROADCAST; the held-out docs arrive as a "
+        "Structured Streaming file source over several micro-batches "
+        "(maxFilesPerTrigger=1, availableNow + checkpoint) and each "
+        "micro-batch is scored independently — per-document decisions "
+        "depend only on the frozen model, so the union over "
+        "micro-batches equals the batch scorer BY CONSTRUCTION, and the "
+        "shared oracle proves it through the hash gate. This is the "
+        "production shape for classifier-gated ingest at 100 TB: train "
+        "once on the curated corpus, ship the bounded model to the "
+        "stream, score every arriving crawl shard with zero wide "
+        "shuffles (broadcast joins + one per-micro-batch doc_id "
+        "aggregate).",
+)
+def stream_nb_quality_score(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    artifact_base_dir: "str | None" = None,
+) -> DataFrame:
+    import os
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+
+    if artifact_base_dir is not None:
+        preds_dir = os.path.join(artifact_base_dir, "preds")
+        in_dir = os.path.join(artifact_base_dir, "in")
+        ckpt_dir = os.path.join(artifact_base_dir, "ckpt")
+        for d in (preds_dir, in_dir):
+            os.makedirs(d, exist_ok=True)
+    else:
+        preds_dir = tempfile.mkdtemp(prefix="stream_nb_preds_")
+        in_dir = tempfile.mkdtemp(prefix="stream_nb_in_")
+        ckpt_dir = tempfile.mkdtemp(prefix="stream_nb_ckpt_")
+
+    # train once, freeze: every model frame is tiny (<= 2 x (V + 1)
+    # rows) — localCheckpoint so per-micro-batch scoring reuses the
+    # computed model instead of re-running the training lineage
+    model = tuple(
+        df.localCheckpoint(eager=True) for df in _nb_model(spark, sf_dir)
+    )
+
+    # seed so the post-drain read never races an empty stream
+    spark.range(0).select(
+        F.col("id").alias("doc_id"),
+        F.col("id").cast("int").alias("pred_pass"),
+    ).write.mode("overwrite").parquet(preds_dir)
+
+    test_docs = docs.filter(F.col("doc_id") % 2 == 1)
+    test_docs.repartition(4).write.mode("overwrite").parquet(in_dir)
+
+    def process(batch_df, _batch_id) -> None:
+        _nb_predict(batch_df, model).write.mode("append").parquet(preds_dir)
+
+    query = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_drained(query)
+
+    gate = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        F.expr(f"CASE WHEN ({_QUALITY_SPARK}) THEN 1 ELSE 0 END")
+        .cast("int").alias("y"),
+    )
+    return (
+        spark.read.parquet(preds_dir)
+        .join(gate, "doc_id")
+        .groupBy(
+            F.col("y").cast("int").alias("gate_pass"),
+            F.col("pred_pass").cast("int").alias("pred_pass"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+_NB_SOURCE_CTES_DUCK = _nb_ctes_duck("source")
+
+
+@register(
+    "text_nb_source_classifier",
+    oracle=f"""
+    WITH {_NB_SOURCE_CTES_DUCK},
+    testset AS (SELECT * FROM gate WHERE doc_id % 2 = 1),
+    tok_test AS (
+      SELECT doc_id, unnest({TOKS_DUCK}) AS tok FROM testset
+    ),
+    mapped_test AS (
+      SELECT t.doc_id,
+             CASE WHEN v.tok IS NOT NULL THEN t.tok ELSE '<OOV>' END AS tok
+      FROM tok_test t LEFT JOIN vocab v ON t.tok = v.tok
+    ),
+    labels AS (SELECT DISTINCT y FROM trainset),
+    terms AS (
+      SELECT m.doc_id, l.y,
+             ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) / (lt.ct + vs.v))
+               AS term
+      FROM mapped_test m
+      CROSS JOIN labels l
+      LEFT JOIN counts c ON c.y = l.y AND c.tok = m.tok
+      JOIN label_tot lt ON lt.y = l.y
+      CROSS JOIN vsize vs
+    ),
+    doc_scores AS (
+      SELECT t.doc_id, t.y,
+             SUM(t.term) + ln(CAST(p.nd AS DOUBLE) / nt.n) AS score
+      FROM terms t JOIN priors p ON p.y = t.y CROSS JOIN ntot nt
+      GROUP BY t.doc_id, t.y, p.nd, nt.n
+    ),
+    pred AS (
+      SELECT doc_id, y AS pred_source FROM (
+        SELECT doc_id, y,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY round(score, 6) DESC, y) AS pr
+        FROM doc_scores
+      ) WHERE pr = 1
+    )
+    SELECT g.y AS true_source, p.pred_source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred p JOIN testset g USING (doc_id)
+    GROUP BY 1, 2
+    """,
+    doc="MULTICLASS Naive Bayes — predict each held-out document's "
+        "SOURCE from its token profile (the provenance-attribution / "
+        "contamination-tracing pipeline stage: can the engine tell "
+        "which crawl a text came from?): same exact training algebra as "
+        "the binary gate classifier via the shared CTE builder "
+        "(_nb_ctes_duck / _nb_model(label_expr='source')), argmax over "
+        "all source labels with 6dp-rounded scores and a smallest-label "
+        "tie-break so both engines rank identically, rolled up into the "
+        "true-vs-predicted source confusion matrix. Scale shape "
+        "unchanged from the binary scorer: the model stays bounded at "
+        "n_labels x (V + 1) rows and broadcasts; scoring is one pass "
+        "over test tokens + one (doc_id, label) shuffle.",
+)
+def text_nb_source_classifier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    model = _nb_model(spark, sf_dir, label_expr="source")
+    docs = load(spark, sf_dir, "documents")["documents"]
+    gate = docs.select("doc_id", "text", F.col("source").alias("y"))
+    testset = gate.filter(F.col("doc_id") % 2 == 1)
+    doc_scores = _nb_doc_scores(testset, model)
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("doc_id").orderBy(
+        F.desc(F.round(F.col("score"), 6)), F.asc("y")
+    )
+    pred = (
+        doc_scores.withColumn("pr", F.row_number().over(w))
+        .filter(F.col("pr") == 1)
+        .select("doc_id", F.col("y").alias("pred_source"))
     )
     return (
         pred.join(testset.select("doc_id", "y"), "doc_id")
         .groupBy(
-            F.col("y").cast("int").alias("gate_pass"),
-            F.col("pred_pass").cast("int").alias("pred_pass"),
+            F.col("y").alias("true_source"),
+            F.col("pred_source"),
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )

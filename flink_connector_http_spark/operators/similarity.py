@@ -5875,3 +5875,100 @@ def stream_incremental_ivf_ingest(
         )
         .orderBy("label")
     )
+
+
+#: neighbors consulted by the kNN label vote
+KNN_VOTE_K = 5
+
+
+@register(
+    "sim_knn_classifier",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS q_id, a.label AS true_label,
+             b.vec_id AS n_id, b.label AS n_label,
+             round({COS_DUCK}, 6) AS cosine
+      FROM embeddings a JOIN embeddings b ON b.vec_id % 2 = 0
+      WHERE a.vec_id % 2 = 1
+    ),
+    ranked AS (
+      SELECT q_id, true_label, n_label,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, n_id) AS rk
+      FROM scored
+    ),
+    votes AS (
+      SELECT q_id, true_label, n_label, COUNT(*) AS v
+      FROM ranked WHERE rk <= {KNN_VOTE_K}
+      GROUP BY q_id, true_label, n_label
+    ),
+    pred AS (
+      SELECT q_id, true_label, n_label AS pred_label FROM (
+        SELECT q_id, true_label, n_label,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY v DESC, n_label) AS pr
+        FROM votes
+      ) WHERE pr = 1
+    )
+    SELECT CAST(true_label AS INT) AS true_label,
+           CAST(pred_label AS INT) AS pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM pred GROUP BY 1, 2
+    """,
+    doc=f"kNN label classifier over the embedding column — the "
+        "supervised consumable of the similarity family (the ANN "
+        "indexes find neighbors; this is what a labeling pipeline DOES "
+        "with them): even vec_ids are the labeled reference set, each "
+        "odd vec_id is classified by majority label among its "
+        f"{KNN_VOTE_K} nearest reference vectors (exact cosine, 6dp-"
+        "rounded with neighbor-id tie-break — the sim_knn_bruteforce "
+        "discipline; vote ties break to the smallest label), rolled up "
+        "into a true-vs-predicted confusion matrix. Scale shape: the "
+        "REFERENCE side broadcasts (it is the curated labeled set — "
+        "small by construction); scoring is one pass over query "
+        "vectors + a per-query window, so the plan is the brute-force "
+        "kNN plan with a vote rollup; swap the scored CTE for the "
+        "IVF/LSH candidate sets (sim_ann_ivf_topk / sim_ann_lsh_topk) "
+        "when the reference set outgrows a broadcast.",
+)
+def sim_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    q = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("a_emb"),
+        F.expr(_NORM.format(col="embedding")).alias("a_norm"),
+    )
+    ref = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("n_id"),
+        F.col("label").alias("n_label"),
+        F.col("embedding").alias("b_emb"),
+        F.expr(_NORM.format(col="embedding")).alias("b_norm"),
+    )
+    scored = q.join(F.broadcast(ref)).select(
+        "q_id", "true_label", "n_id", "n_label",
+        F.expr(f"round({_DOT_AB} / (a_norm * b_norm), 6)").alias("cosine"),
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(
+        F.desc("cosine"), F.asc("n_id")
+    )
+    votes = (
+        scored.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= KNN_VOTE_K)
+        .groupBy("q_id", "true_label", "n_label")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    w_vote = Window.partitionBy("q_id").orderBy(
+        F.desc("v"), F.asc("n_label")
+    )
+    pred = (
+        votes.withColumn("pr", F.row_number().over(w_vote))
+        .filter(F.col("pr") == 1)
+    )
+    return (
+        pred.groupBy(
+            F.col("true_label").cast("int").alias("true_label"),
+            F.col("n_label").cast("int").alias("pred_label"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    )
