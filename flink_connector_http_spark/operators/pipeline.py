@@ -4068,3 +4068,226 @@ def text_nb_source_classifier(
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
+
+
+#: folds in the NB cross-validation eval
+NB_KFOLD = 5
+
+
+@register(
+    "text_nb_kfold_eval",
+    oracle=f"""
+    WITH gate AS (
+      SELECT doc_id, text,
+             CASE WHEN ({_QUALITY_DUCK}) THEN 1 ELSE 0 END AS y,
+             doc_id % {NB_KFOLD} AS fold
+      FROM documents
+    ),
+    folds AS (SELECT unnest(range({NB_KFOLD})) AS f),
+    train AS (
+      SELECT fl.f, g.doc_id, g.text, g.y
+      FROM gate g CROSS JOIN folds fl WHERE g.fold <> fl.f
+    ),
+    tok_train AS (
+      SELECT f, y, unnest({TOKS_DUCK}) AS tok FROM train
+    ),
+    vocab AS (
+      SELECT f, tok FROM (
+        SELECT f, tok,
+               ROW_NUMBER() OVER (PARTITION BY f
+                                  ORDER BY COUNT(*) DESC, tok) AS rk
+        FROM tok_train GROUP BY f, tok
+      ) WHERE rk <= {NB_VOCAB_V}
+    ),
+    vsize AS (
+      SELECT f, CAST(COUNT(*) + 1 AS BIGINT) AS v FROM vocab GROUP BY f
+    ),
+    mapped AS (
+      SELECT t.f, t.y,
+             CASE WHEN v.tok IS NOT NULL THEN t.tok ELSE '<OOV>' END AS tok
+      FROM tok_train t
+      LEFT JOIN vocab v ON v.f = t.f AND v.tok = t.tok
+    ),
+    counts AS (
+      SELECT f, y, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM mapped GROUP BY f, y, tok
+    ),
+    label_tot AS (
+      SELECT f, y, CAST(SUM(c) AS BIGINT) AS ct FROM counts GROUP BY f, y
+    ),
+    priors AS (
+      SELECT f, y, CAST(COUNT(*) AS BIGINT) AS nd FROM train GROUP BY f, y
+    ),
+    ntot AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS n FROM train GROUP BY f),
+    tok_test AS (
+      SELECT fold AS f, doc_id, unnest({TOKS_DUCK}) AS tok FROM gate
+    ),
+    mapped_test AS (
+      SELECT t.f, t.doc_id,
+             CASE WHEN v.tok IS NOT NULL THEN t.tok ELSE '<OOV>' END AS tok
+      FROM tok_test t
+      LEFT JOIN vocab v ON v.f = t.f AND v.tok = t.tok
+    ),
+    labels AS (SELECT DISTINCT f, y FROM train),
+    terms AS (
+      SELECT m.f, m.doc_id, l.y,
+             ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) / (lt.ct + vs.v))
+               AS term
+      FROM mapped_test m
+      JOIN labels l ON l.f = m.f
+      LEFT JOIN counts c ON c.f = m.f AND c.y = l.y AND c.tok = m.tok
+      JOIN label_tot lt ON lt.f = m.f AND lt.y = l.y
+      JOIN vsize vs ON vs.f = m.f
+    ),
+    doc_scores AS (
+      SELECT t.f, t.doc_id, t.y,
+             SUM(t.term) + ln(CAST(p.nd AS DOUBLE) / nt.n) AS score
+      FROM terms t
+      JOIN priors p ON p.f = t.f AND p.y = t.y
+      JOIN ntot nt ON nt.f = t.f
+      GROUP BY t.f, t.doc_id, t.y, p.nd, nt.n
+    ),
+    pred AS (
+      SELECT f, doc_id, y AS pred_pass FROM (
+        SELECT f, doc_id, y,
+               ROW_NUMBER() OVER (PARTITION BY f, doc_id
+                                  ORDER BY round(score, 6) DESC, y) AS pr
+        FROM doc_scores
+      ) WHERE pr = 1
+    )
+    SELECT CAST(p.f AS INT) AS fold, CAST(g.y AS INT) AS gate_pass,
+           CAST(p.pred_pass AS INT) AS pred_pass,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred p JOIN gate g ON g.doc_id = p.doc_id AND g.fold = p.f
+    GROUP BY 1, 2, 3
+    """,
+    doc=f"{NB_KFOLD}-fold cross-validation of the NB quality classifier "
+        "as ONE relational query: the fold id rides every CTE as a "
+        "group key (train = corpus x folds minus the held-out fold, "
+        "per-fold vocabulary/model/priors, per-fold scoring of exactly "
+        "the held-out docs), producing the per-fold confusion cells the "
+        "single-split scorer cannot — the variance check run before "
+        "trusting a classifier gate at 100 TB. Tie policy matches the "
+        "binary scorer (round-6dp rank, tie -> fail). Cost is "
+        f"inherently {NB_KFOLD} training passes (k-fold's definition); "
+        "each fold's model stays bounded and broadcastable, the fold "
+        "dimension just widens the model frames " + str(NB_KFOLD) + "x.",
+)
+def text_nb_kfold_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    gate = docs.select(
+        "doc_id", "text",
+        F.expr(f"CASE WHEN ({_QUALITY_SPARK}) THEN 1 ELSE 0 END")
+        .cast("int").alias("y"),
+        (F.col("doc_id") % NB_KFOLD).alias("fold"),
+    )
+    folds = spark.range(NB_KFOLD).select(F.col("id").alias("f"))
+    train = gate.crossJoin(F.broadcast(folds)).filter(
+        F.col("fold") != F.col("f")
+    )
+    tok_train = train.select(
+        "f", "y", F.explode(F.expr(TOKS_SPARK)).alias("tok")
+    )
+    from pyspark.sql.window import Window as _W
+
+    w_vocab = _W.partitionBy("f").orderBy(F.desc("c"), F.asc("tok"))
+    vocab = (
+        tok_train.groupBy("f", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rk", F.row_number().over(w_vocab))
+        .filter(F.col("rk") <= NB_VOCAB_V)
+        .select("f", "tok")
+    )
+    vsize = vocab.groupBy("f").agg(
+        (F.count(F.lit(1)) + 1).cast("bigint").alias("v")
+    )
+    mapped = (
+        tok_train.join(
+            F.broadcast(vocab.withColumn("_v", F.lit(1))), ["f", "tok"],
+            "left",
+        )
+        .select(
+            "f", "y",
+            F.when(F.col("_v").isNotNull(), F.col("tok"))
+            .otherwise(F.lit("<OOV>")).alias("tok"),
+        )
+    )
+    counts = mapped.groupBy("f", "y", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    label_tot = counts.groupBy("f", "y").agg(
+        F.sum("c").cast("bigint").alias("ct")
+    )
+    priors = train.groupBy("f", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd")
+    )
+    ntot = train.groupBy("f").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tok_test = gate.select(
+        F.col("fold").alias("f"), "doc_id",
+        F.explode(F.expr(TOKS_SPARK)).alias("tok"),
+    )
+    mapped_test = (
+        tok_test.join(
+            F.broadcast(vocab.withColumn("_v", F.lit(1))), ["f", "tok"],
+            "left",
+        )
+        .select(
+            "f", "doc_id",
+            F.when(F.col("_v").isNotNull(), F.col("tok"))
+            .otherwise(F.lit("<OOV>")).alias("tok"),
+        )
+    )
+    labels = train.select("f", "y").distinct()
+    terms = (
+        mapped_test.join(F.broadcast(labels), "f")
+        .join(
+            F.broadcast(counts.withColumnRenamed("c", "cc")),
+            ["f", "y", "tok"], "left",
+        )
+        .join(F.broadcast(label_tot), ["f", "y"])
+        .join(F.broadcast(vsize), "f")
+        .select(
+            "f", "doc_id", "y",
+            F.log(
+                (F.coalesce(F.col("cc"), F.lit(0)) + 1).cast("double")
+                / (F.col("ct") + F.col("v"))
+            ).alias("term"),
+        )
+    )
+    doc_scores = (
+        terms.join(F.broadcast(priors), ["f", "y"])
+        .join(F.broadcast(ntot), "f")
+        .groupBy("f", "doc_id", "y", "nd", "n")
+        .agg(F.sum("term").alias("tsum"))
+        .select(
+            "f", "doc_id", "y",
+            (F.col("tsum")
+             + F.log(F.col("nd").cast("double") / F.col("n")))
+            .alias("score"),
+        )
+    )
+    w_pred = _W.partitionBy("f", "doc_id").orderBy(
+        F.desc(F.round(F.col("score"), 6)), F.asc("y")
+    )
+    pred = (
+        doc_scores.withColumn("pr", F.row_number().over(w_pred))
+        .filter(F.col("pr") == 1)
+        .select("f", "doc_id", F.col("y").alias("pred_pass"))
+    )
+    return (
+        pred.join(
+            gate.select(
+                "doc_id", F.col("fold").alias("f"),
+                F.col("y").alias("gate_pass"),
+            ),
+            ["f", "doc_id"],
+        )
+        .groupBy(
+            F.col("f").cast("int").alias("fold"),
+            F.col("gate_pass").cast("int").alias("gate_pass"),
+            F.col("pred_pass").cast("int").alias("pred_pass"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )

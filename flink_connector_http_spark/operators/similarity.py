@@ -5881,9 +5881,9 @@ def stream_incremental_ivf_ingest(
 KNN_VOTE_K = 5
 
 
-@register(
-    "sim_knn_classifier",
-    oracle=f"""
+#: confusion-matrix oracle shared by the batch and streaming kNN
+#: classifiers (identical result contract)
+_KNN_CLASSIFIER_ORACLE = f"""
     WITH scored AS (
       SELECT a.vec_id AS q_id, a.label AS true_label,
              b.vec_id AS n_id, b.label AS n_label,
@@ -5914,7 +5914,12 @@ KNN_VOTE_K = 5
            CAST(pred_label AS INT) AS pred_label,
            CAST(COUNT(*) AS BIGINT) AS n_vecs
     FROM pred GROUP BY 1, 2
-    """,
+    """
+
+
+@register(
+    "sim_knn_classifier",
+    oracle=_KNN_CLASSIFIER_ORACLE,
     doc=f"kNN label classifier over the embedding column — the "
         "supervised consumable of the similarity family (the ANN "
         "indexes find neighbors; this is what a labeling pipeline DOES "
@@ -5933,17 +5938,38 @@ KNN_VOTE_K = 5
 )
 def sim_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")["embeddings"]
-    q = emb.filter(F.col("vec_id") % 2 == 1).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("label").alias("true_label"),
-        F.col("embedding").alias("a_emb"),
-        F.expr(_NORM.format(col="embedding")).alias("a_norm"),
+    pred = _knn_vote_predict(
+        emb.filter(F.col("vec_id") % 2 == 1), _knn_reference(emb)
     )
-    ref = emb.filter(F.col("vec_id") % 2 == 0).select(
+    return (
+        pred.groupBy(
+            F.col("true_label").cast("int").alias("true_label"),
+            F.col("n_label").cast("int").alias("pred_label"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    )
+
+
+def _knn_reference(emb: DataFrame) -> DataFrame:
+    """The labeled reference half (even vec_ids) with hoisted norms."""
+    return emb.filter(F.col("vec_id") % 2 == 0).select(
         F.col("vec_id").alias("n_id"),
         F.col("label").alias("n_label"),
         F.col("embedding").alias("b_emb"),
         F.expr(_NORM.format(col="embedding")).alias("b_norm"),
+    )
+
+
+def _knn_vote_predict(queries: DataFrame, ref: DataFrame) -> DataFrame:
+    """Majority-vote kNN prediction for query vectors against the
+    broadcast reference: returns (q_id, true_label, n_label) with
+    n_label the winning vote. Per-query independent — the streaming
+    classifier applies it per micro-batch unchanged."""
+    q = queries.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("a_emb"),
+        F.expr(_NORM.format(col="embedding")).alias("a_norm"),
     )
     scored = q.join(F.broadcast(ref)).select(
         "q_id", "true_label", "n_id", "n_label",
@@ -5961,12 +5987,87 @@ def sim_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_vote = Window.partitionBy("q_id").orderBy(
         F.desc("v"), F.asc("n_label")
     )
-    pred = (
+    return (
         votes.withColumn("pr", F.row_number().over(w_vote))
         .filter(F.col("pr") == 1)
+        .select("q_id", "true_label", "n_label")
     )
+
+
+@register(
+    "stream_knn_classify",
+    oracle=_KNN_CLASSIFIER_ORACLE,
+    doc="Streaming kNN labeling — the supervised consumable joins the "
+        "streaming matrix: the labeled reference half is frozen and "
+        "BROADCAST (localCheckpoint so micro-batches reuse the computed "
+        "norms); query vectors arrive as a Structured Streaming file "
+        "source over several micro-batches (maxFilesPerTrigger=1, "
+        "availableNow + checkpoint) and each is classified "
+        "independently by the same majority-vote ranking as "
+        "sim_knn_classifier — per-vector decisions depend only on the "
+        "frozen reference, so the union over micro-batches equals the "
+        "batch classifier by construction, proven through the shared "
+        "oracle's hash gate. The production shape for labeling a "
+        "vector firehose: ship the curated labeled set to the stream, "
+        "zero wide shuffles per micro-batch.",
+)
+def stream_knn_classify(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    artifact_base_dir: "str | None" = None,
+) -> DataFrame:
+    import os
+    import tempfile
+
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+
+    if artifact_base_dir is not None:
+        preds_dir = os.path.join(artifact_base_dir, "preds")
+        in_dir = os.path.join(artifact_base_dir, "in")
+        ckpt_dir = os.path.join(artifact_base_dir, "ckpt")
+        for d in (preds_dir, in_dir):
+            os.makedirs(d, exist_ok=True)
+    else:
+        preds_dir = tempfile.mkdtemp(prefix="stream_knn_preds_")
+        in_dir = tempfile.mkdtemp(prefix="stream_knn_in_")
+        ckpt_dir = tempfile.mkdtemp(prefix="stream_knn_ckpt_")
+
+    ref = _knn_reference(emb).localCheckpoint(eager=True)
+
+    spark.range(0).select(
+        F.col("id").alias("q_id"),
+        F.col("id").cast("int").alias("true_label"),
+        F.col("id").cast("int").alias("n_label"),
+    ).write.mode("overwrite").parquet(preds_dir)
+
+    emb.filter(F.col("vec_id") % 2 == 1).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+
+    def process(batch_df, _batch_id) -> None:
+        _knn_vote_predict(batch_df, ref).select(
+            "q_id",
+            F.col("true_label").cast("int").alias("true_label"),
+            F.col("n_label").cast("int").alias("n_label"),
+        ).write.mode("append").parquet(preds_dir)
+
+    from ..streaming import await_drained
+
+    query = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_drained(query)
+
     return (
-        pred.groupBy(
+        spark.read.parquet(preds_dir)
+        .groupBy(
             F.col("true_label").cast("int").alias("true_label"),
             F.col("n_label").cast("int").alias("pred_label"),
         )
