@@ -240,18 +240,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # materialize the candidate set once, DISTRIBUTED: the verify stage
     # references it three times and recomputing would re-run the signature
-    # fold — the expensive part — per reference. persist + an eager count
-    # fills the cache before the broadcast-exchange jobs read it; nothing
-    # ever round-trips through the driver (the former collect()+isin was
-    # a driver OOM at 1e7+ candidate pairs).
-    candidates = candidates.persist()
-    candidates.count()
+    # fold — the expensive part — per reference. localCheckpoint (round
+    # 15) instead of the former persist()+count(): persist registers the
+    # plan in the CacheManager, which dedups IDENTICAL plans across
+    # invocations — so in a min-of-N bench run, runs 2..N were reading
+    # run 1's cached candidates instead of recomputing from parquet
+    # (verified: 11.2 s -> 1.1 s at sf0.01; cross-run result caching,
+    # which the bench contract forbids). localCheckpoint materializes a
+    # fresh RDD per invocation — same single-computation guarantee
+    # within the query, no reuse across runs — and truncates the
+    # decorative lineage the timed action would otherwise re-analyze.
+    # Nothing ever round-trips through the driver (the former
+    # collect()+isin was a driver OOM at 1e7+ candidate pairs).
+    candidates = candidates.localCheckpoint()
     cand_docs = (
         candidates.select(F.col("a_id").alias("doc_id"))
         .union(candidates.select(F.col("b_id").alias("doc_id")))
         .distinct()
     )
-    sh = _shingle_index(spark, sf_dir, cand_docs)
+    # the verify stage consumes the candidate-restricted shingle index
+    # three times (join a side, join b side, per-doc counts) — cut it
+    # once too; it is candidate-doc-bounded, tiny next to the corpus
+    sh = _shingle_index(spark, sf_dir, cand_docs).localCheckpoint()
     return _exact_jaccard(sh, candidates)
 
 
@@ -569,14 +579,20 @@ def _cc_star_contraction(pairs: DataFrame, max_iterations: int) -> DataFrame:
     Both are expressed per-edge (join against a groupBy-min), never
     per-neighborhood-row.
     """
-    # persist the pair source: it seeds both the edge set and the node
-    # inventory, and upstream may be an expensive minhash pipeline
-    pairs = pairs.persist()
+    # materialize the pair source once: it seeds both the edge set and
+    # the node inventory, and upstream may be an expensive minhash
+    # pipeline. localCheckpoint (round 15) instead of persist for the
+    # same reason as dedup_minhash_lsh's candidates: persist's
+    # CacheManager entry is plan-keyed and survives across invocations,
+    # so bench re-runs were reading the previous run's cache — and the
+    # checkpoint also truncates the upstream lineage, so the loop's
+    # plans (and the returned plan) stay flat instead of dragging the
+    # whole minhash pipeline along for re-analysis.
+    pairs = pairs.localCheckpoint()
     nodes = (
         pairs.select(F.col("a_id").alias("doc_id"))
         .union(pairs.select(F.col("b_id").alias("doc_id")))
         .distinct()
-        .persist()
     )
     # each round references the edge set TWICE (the symmetric union), so
     # carrying lineage across rounds would double the logical plan per
@@ -639,11 +655,13 @@ def _cc_star_contraction(pairs: DataFrame, max_iterations: int) -> DataFrame:
         "doc_id",
         F.coalesce(F.col("ctr"), F.col("doc_id")).cast("long").alias("cluster_id"),
     )
-    out = labels.persist()
-    out.count()  # materialize before releasing the lineage inputs
-    nodes.unpersist()
-    pairs.unpersist()
-    return out
+    # eager localCheckpoint: materializes the labels (so callers act on
+    # a computed result) AND truncates the plan — the former
+    # persist()+count() kept the full loop lineage in the returned
+    # DataFrame (round-15 plan audit: 1512 Exchange / 502 scan nodes of
+    # decorative plan re-analyzed by Catalyst on every action) and its
+    # CacheManager entry leaked the result across bench re-runs
+    return labels.localCheckpoint()
 
 
 def _cc_label_propagation(pairs: DataFrame, max_iterations: int) -> DataFrame:
@@ -3415,9 +3433,10 @@ _EXSUB_SPANS_DUCK = _exsub_spans_duck()
     doc=f"ExactSubstr dedup (Lee et al. 2022): maximal character spans >= "
         f"{EXSUB_K} chars shared verbatim across document pairs — the "
         "suffix-array method's output re-expressed Spark-first. Every "
-        f"{EXSUB_K}-char window is anchored by a 64-bit key (first 16 hex "
-        "chars of md5 — half the shuffle width of full md5, collision odds "
-        "<< 1e-6 at any realistic shard size). Two caps bound the anchor "
+        f"{EXSUB_K}-char window is anchored by a 64-bit key (xxhash64 "
+        "BIGINT — cheaper than md5 and 8 fixed bytes on every exchange; "
+        "collision odds << 1e-6 at any realistic shard size). Two caps "
+        "bound the anchor "
         "self-join: WITHIN a document only the FIRST position of each "
         "anchor is kept, so periodic runs ('ababab…', repeated boilerplate "
         "lines) contribute at most `period` anchors per doc instead of one "
@@ -3460,8 +3479,9 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _exsub_firstpos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr anchor postings ``(doc_id, i, h)`` — every K-char
-    window keyed by a 64-bit anchor (16 hex chars of md5 — half the
-    shuffle bytes of full md5 per anchor row), with the within-document
+    window keyed by a 64-bit anchor (``xxhash64`` BIGINT since round
+    15; previously 16 hex chars of md5 — same key space, cheaper hash,
+    8 fixed bytes per key on every exchange), with the within-document
     posting cap applied DOC-LOCALLY, before any exchange: sort the
     (h, i) window array (struct order = h, then i) and keep only entries
     whose predecessor carries a different h — i.e. the FIRST position of
@@ -3482,14 +3502,26 @@ def _exsub_firstpos(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _exsub_firstpos_docs(docs: DataFrame) -> DataFrame:
     """:func:`_exsub_firstpos` over an explicit documents DataFrame —
-    the streaming ingest calls this per micro-batch."""
+    the streaming ingest calls this per micro-batch.
+
+    Round 15 (optimization): the anchor key is ``xxhash64`` of the
+    K-char window — a BIGINT — instead of the first 16 hex chars of
+    md5. Same 64-bit key space and collision odds, but the hash is far
+    cheaper to compute than md5 (no hex round-trip), the per-doc
+    ``array_sort`` compares longs instead of 16-char strings, and every
+    downstream exchange on ``h`` ships 8 fixed bytes instead of a
+    string cell. The DuckDB oracles keep their md5 construction: the
+    key only ever groups identical substrings, so any collision-free
+    64-bit hash yields identical output (and at 64 bits collisions are
+    << 1e-6 at any realistic shard size — the same argument the 16-hex
+    truncation already relied on)."""
     docs = docs.filter(F.length("text") >= EXSUB_K)
     windows = docs.select(
         "doc_id",
         F.expr(
             f"array_sort(transform(sequence(1, length(text) - {EXSUB_K - 1}),"
-            f" i -> struct(substring(md5(substring(text, i, {EXSUB_K})), "
-            f"1, 16) AS h, i AS i)))"
+            f" i -> struct(xxhash64(substring(text, i, {EXSUB_K})) AS h,"
+            f" i AS i)))"
         ).alias("sa"),
     )
     return windows.select(
@@ -3529,7 +3561,17 @@ def _exsub_spans(
     and only the batch side is computed fresh)."""
     from pyspark.sql.window import Window
 
-    firstpos = _exsub_firstpos(spark, sf_dir)
+    # materialize the anchor postings ONCE: the hash-every-window explode
+    # is the expensive pass of the whole family, and without the cut it
+    # runs once per consumer — the df census, the join's a side, and the
+    # join's b side (round-15 plan audit: FOUR parquet scans + Generate
+    # passes in one query plan, zero exchange reuse). localCheckpoint
+    # rather than persist so every bench invocation recomputes from the
+    # parquet inputs (a persisted plan would be deduped by the
+    # CacheManager across the bench's min-of-N runs — result caching,
+    # not optimization). At 100 TB this materialization is the persisted
+    # anchor-index table the incremental mode already documents.
+    firstpos = _exsub_firstpos(spark, sf_dir).localCheckpoint()
     df_ok = (
         firstpos.groupBy("h")
         .agg(F.count(F.lit(1)).alias("nd"))
@@ -3644,6 +3686,11 @@ def dedup_exact_substring_removelist(
 ) -> DataFrame:
     from pyspark.sql.window import Window
 
+    # the span table feeds both branches of the interval union below;
+    # the branches recompute only the (cheap, pair-grain) join + islands
+    # window above the ONE checkpointed anchor index — measured faster
+    # than checkpointing spans as well, whose job barrier serialized
+    # work the two branches otherwise overlap
     spans = _exsub_spans(spark, sf_dir)
     ranges = (
         spans.select(
@@ -4019,7 +4066,7 @@ def stream_incremental_exsub_ingest(
             F.col("id").alias("a_id"), F.col("id").alias("b_id"),
             F.col("id").cast("int").alias("pa"),
             F.col("id").cast("int").alias("diag"),
-            F.lit("").alias("h"),
+            F.lit(0).cast("bigint").alias("h"),
         )
     )
     match_schema_seed.write.mode("overwrite").parquet(matches_dir)

@@ -2679,18 +2679,19 @@ def _bpe_train_oracle() -> str:
         "(subword-nmt semantics: a run of m identical symbols merges "
         "floor(m/2) pairs), RE-PAIR over the merged vocabulary, repeat — "
         "completing the tokenizer family (token count → fertility → "
-        "one-step merge-pairs → training). Each vocabulary state is a "
-        "(word, pos, symbol) POSITIONS table, so the greedy merge is "
-        "pure windows: candidates where (sym, next)=(x, y); for x != y "
-        "candidates are never adjacent and all merge, for x == y one "
-        "gaps-and-islands pass merges even island offsets — no arrays, "
-        "no recursion, no Python. Scale shape: pair statistics and "
-        "merges run over the DISTINCT-WORD table weighted by frequency "
-        "(the |vocab| << corpus optimization every real BPE trainer "
-        "uses; the corpus is touched once for the frequency census); "
-        "each round is one word-partitioned window pass + a tiny global "
-        "argmax, with localCheckpoint cutting the per-round lineage "
-        "exactly like the star-contraction CC loop (dedup.py:619).",
+        "one-step merge-pairs → training). Each vocabulary state is one "
+        "(word, f, syms ARRAY) row per distinct word, so the greedy "
+        "merge is a single zero-shuffle left-to-right fold per word "
+        "(_BPE_MERGE_EXPR; a fold IS the greedy scan — see the "
+        "expression's comment for why a just-merged token can never "
+        "re-merge) — no recursion, no Python. Scale shape: pair "
+        "statistics and merges run over the DISTINCT-WORD table "
+        "weighted by frequency (the |vocab| << corpus optimization "
+        "every real BPE trainer uses; the corpus is touched once for "
+        "the frequency census); each round is one partial-aggregated "
+        "pair census + tiny global argmax + a map-only merge, with "
+        "localCheckpoint cutting the per-round lineage exactly like the "
+        "star-contraction CC loop (dedup.py:619).",
 )
 def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules, _states = _bpe_train_state(spark, sf_dir)
@@ -2700,55 +2701,109 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("step")
 
 
-def _bpe_train_state(spark: SparkSession, sf_dir: str):
+#: adjacent symbol pairs of a vocabulary-state ``syms`` array — the
+#: per-round pair census input. The ``size >= 2`` guard matters:
+#: ``sequence(1, 0)`` is DESCENDING ([1, 0]) in Spark, so a one-symbol
+#: word would otherwise index past the array.
+_BPE_PAIRS_EXPR = (
+    "CASE WHEN size(syms) >= 2 THEN "
+    "transform(sequence(1, size(syms) - 1), "
+    "i -> struct(element_at(syms, i) AS sym, element_at(syms, i + 1) AS nxt))"
+    " ELSE CAST(array() AS array<struct<sym:string,nxt:string>>) END"
+)
+
+#: greedy left-to-right non-overlapping application of merge rule
+#: (bx, by) to a ``syms`` array, as a single zero-shuffle fold
+#: (subword-nmt semantics). A left-to-right fold IS the greedy scan:
+#: append each symbol unless the accumulator's last element equals bx
+#: and the current one equals by, in which case replace the last element
+#: with the merged token. A token merged THIS round can never re-merge
+#: as bx at the same position because merged = bx||by != bx (by is
+#: non-empty), so a run of m identical symbols merges exactly
+#: floor(m/2) pairs — the same result the former four-window
+#: gaps-and-islands pass produced, without any exchange or sort.
+_BPE_MERGE_EXPR = (
+    "aggregate(syms, CAST(array() AS array<string>), "
+    "(acc, x) -> CASE WHEN size(acc) > 0 "
+    "AND element_at(acc, size(acc)) = bx AND x = by "
+    "THEN concat(slice(acc, 1, size(acc) - 1), array(concat(bx, by))) "
+    "ELSE concat(acc, array(x)) END)"
+)
+
+
+def _bpe_pair_census(state: DataFrame) -> DataFrame:
+    """Corpus-weighted adjacent-pair argmax over a vocabulary state:
+    one explode + one partial-aggregated exchange + TakeOrdered(1)."""
+    return (
+        state.select("f", F.explode(F.expr(_BPE_PAIRS_EXPR)).alias("p"))
+        .groupBy("p.sym", "p.nxt")
+        .agg(F.sum("f").cast("bigint").alias("bcnt"))
+        .orderBy(F.desc("bcnt"), F.asc("sym"), F.asc("nxt"))
+        .limit(1)
+        .select(F.col("sym").alias("bx"), F.col("nxt").alias("by"), "bcnt")
+    )
+
+
+def _bpe_train_state(
+    spark: SparkSession, sf_dir: str, wf: "DataFrame | None" = None
+):
     """Run the {BPE_TRAIN_ROUNDS}-round training loop; returns
     ``(rules, states)`` — the list of one-row merge-rule DataFrames and
-    the list of (word, f, pos, sym) vocabulary states, ``states[0]``
+    the list of ``(word, f, syms)`` vocabulary states (``syms`` the
+    symbol ARRAY of the word under the merges so far), ``states[0]``
     being the char-level start and ``states[-1]`` the fully merged
     vocabulary. Shared by the trainer (rules), the trained-tokenizer
-    fertility eval (final state), and the merge curve (every state)."""
-    from pyspark.sql.window import Window
+    fertility eval (final state), and the merge curve (every state).
 
-    docs = load(spark, sf_dir, "documents")["documents"]
-    wf = (
-        docs.select(
-            F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
-        )
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("f"))
-        # Consecutive/leading/trailing spaces in text split into empty
-        # words; sequence(1, 0) is DESCENDING ([1, 0]) in Spark, so an
-        # empty word would explode into two spurious sym='' rows that the
-        # DuckDB oracle's range(1, length+1) (empty) never produces —
-        # drop them before building positions (same trap as the
-        # greatest(..., 0) guard in BIGRAMS_SPARK).
-        .filter(F.length("word") >= 1)
-    )
-    pos = wf.select(
-        "word", "f",
-        F.explode(F.expr(
-            "transform(sequence(1, length(word)), "
-            "i -> struct(i AS pos, substring(word, i, 1) AS sym))"
-        )).alias("ps"),
-    ).select("word", "f", F.col("ps.pos").alias("pos"),
-             F.col("ps.sym").alias("sym"))
-    w_word = Window.partitionBy("word").orderBy("pos")
-    rules = []
-    states = [pos]
-    for t in range(1, BPE_TRAIN_ROUNDS + 1):
-        pc = pos.withColumn("nxt", F.lead("sym").over(w_word)).withColumn(
-            "rn", F.row_number().over(w_word)
-        )
-        best = (
-            pc.filter(F.col("nxt").isNotNull())
-            .groupBy("sym", "nxt")
-            .agg(F.sum("f").cast("bigint").alias("bcnt"))
-            .orderBy(F.desc("bcnt"), F.asc("sym"), F.asc("nxt"))
-            .limit(1)
-            .select(
-                F.col("sym").alias("bx"), F.col("nxt").alias("by"), "bcnt"
+    Round 15 (optimization): the state is one array row per word
+    instead of one row per (word, position). The pair census is an
+    explode + partial-aggregated groupBy (the pair domain is tiny, so
+    map-side aggregation collapses the exchange to ~|pairs| rows), and
+    the greedy merge application is a zero-shuffle fold
+    (``_BPE_MERGE_EXPR``) — the former implementation paid a
+    word-partitioned exchange plus four window sorts per round for the
+    same result (equivalence pinned in tests/test_bpe_array_merge.py;
+    measured 4.7 s -> 2.0 s at sf0.1, and strictly fewer exchanges at
+    any scale). Both the census argmax and the merged state are
+    localCheckpoint'd per round: the rules feed two consumers each and
+    the state feeds census + rebuild, so the cut keeps the per-round
+    plan flat (the CC-loop hazard, dedup.py:583) — the tables are
+    vocabulary-bounded, so the cut is cheap.
+
+    ``wf`` optionally supplies a precomputed ``(word, f)`` frequency
+    census so a caller that already paid a corpus tokenization pass
+    (the fertility eval's per-language census) does not pay a second
+    one."""
+    if wf is None:
+        docs = load(spark, sf_dir, "documents")["documents"]
+        wf = (
+            docs.select(
+                F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
             )
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("f"))
         )
+    # Consecutive/leading/trailing spaces in text split into empty
+    # words; sequence(1, 0) is DESCENDING ([1, 0]) in Spark, so an
+    # empty word would produce a spurious ['', ''] symbol array that the
+    # DuckDB oracle's range(1, length+1) (empty) never produces —
+    # drop them before building symbol arrays (same trap as the
+    # greatest(..., 0) guard in BIGRAMS_SPARK).
+    state = (
+        wf.filter(F.length("word") >= 1)
+        .select(
+            "word", "f",
+            F.expr(
+                "transform(sequence(1, length(word)), "
+                "i -> substring(word, i, 1))"
+            ).alias("syms"),
+        )
+        .localCheckpoint()
+    )
+    rules = []
+    states = [state]
+    for t in range(1, BPE_TRAIN_ROUNDS + 1):
+        best = _bpe_pair_census(state).localCheckpoint()
         rules.append(
             best.select(
                 F.lit(t).cast("int").alias("step"),
@@ -2758,40 +2813,12 @@ def _bpe_train_state(spark: SparkSession, sf_dir: str):
                 F.col("bcnt").alias("pair_count"),
             )
         )
-        flagged = pc.crossJoin(F.broadcast(best)).withColumn(
-            "c",
-            F.col("nxt").isNotNull()
-            & (F.col("sym") == F.col("bx"))
-            & (F.col("nxt") == F.col("by")),
-        )
-        w_c = Window.partitionBy("word", "c").orderBy("pos")
-        flagged = flagged.withColumn(
-            "isl", F.col("rn") - F.row_number().over(w_c)
-        )
-        w_isl = Window.partitionBy("word", "c", "isl").orderBy("pos")
-        flagged = flagged.withColumn(
-            "mrg",
-            F.col("c") & ((F.row_number().over(w_isl) - 1) % 2 == 0),
-        ).withColumn(
-            "consumed",
-            F.coalesce(F.lag("mrg").over(w_word), F.lit(False)),
-        )
-        # localCheckpoint per round: the positions table feeds BOTH the
-        # next round's pair census and its rebuild — without the cut the
-        # logical plan doubles per round (the CC-loop hazard,
-        # dedup.py:583); the table is |vocab-chars|-bounded, so the cut
-        # is cheap
-        pos = (
-            flagged.filter(~F.col("consumed"))
-            .select(
-                "word", "f", "pos",
-                F.when(F.col("mrg"), F.concat("sym", "nxt"))
-                .otherwise(F.col("sym"))
-                .alias("sym"),
-            )
+        state = (
+            state.crossJoin(F.broadcast(best.select("bx", "by")))
+            .select("word", "f", F.expr(_BPE_MERGE_EXPR).alias("syms"))
             .localCheckpoint()
         )
-        states.append(pos)
+        states.append(state)
     return rules, states
 
 
@@ -2843,10 +2870,13 @@ def _bpe_train_state(spark: SparkSession, sf_dir: str):
 )
 def text_bpe_trained_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")["documents"]
-    _rules, states = _bpe_train_state(spark, sf_dir)
-    tok = states[-1].groupBy("word").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_tok")
-    )
+    # ONE corpus tokenization pass: the per-(lang, word) census is the
+    # finer grain, so the trainer's (word, f) census is derived from it
+    # by re-aggregation instead of a second explode over the corpus
+    # (identical counts — summing per-language frequencies over
+    # languages IS the corpus frequency). localCheckpoint because wfl
+    # feeds both the derived wf (consumed eagerly by the training loop)
+    # and the final per-language rollup.
     wfl = (
         docs.select(
             "lang",
@@ -2854,6 +2884,15 @@ def text_bpe_trained_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("lang", "word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("fl"))
+        .localCheckpoint()
+    )
+    wf = wfl.groupBy("word").agg(F.sum("fl").alias("f"))
+    _rules, states = _bpe_train_state(spark, sf_dir, wf=wf)
+    # the final vocabulary state IS the tokenization: tokens per word =
+    # the length of its merged symbol array (was a positions-table
+    # groupBy before the round-15 array-state optimization)
+    tok = states[-1].select(
+        "word", F.size("syms").cast("bigint").alias("n_tok")
     )
     return (
         wfl.filter(F.length("word") >= 1)
@@ -2922,16 +2961,23 @@ def text_bpe_trained_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_bpe_merge_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     _rules, states = _bpe_train_state(spark, sf_dir)
+    # corpus tokens after step t = sum over the vocabulary of
+    # frequency x symbols-per-word (the array-state equivalent of the
+    # former positions-table SUM(f) — one row per position each carried
+    # f, so the two sums are identical)
     aggs = [
-        st.agg(F.sum("f").cast("bigint").alias("corpus_tokens")).select(
-            F.lit(t).cast("int").alias("step"), "corpus_tokens"
-        )
+        st.agg(
+            F.sum(F.col("f") * F.size("syms")).cast("bigint")
+            .alias("corpus_tokens")
+        ).select(F.lit(t).cast("int").alias("step"), "corpus_tokens")
         for t, st in enumerate(states)
     ]
     curve = aggs[0]
     for a in aggs[1:]:
         curve = curve.unionAll(a)
-    base = states[0].agg(F.sum("f").cast("bigint").alias("total_chars"))
+    base = states[0].agg(
+        F.sum(F.col("f") * F.size("syms")).cast("bigint").alias("total_chars")
+    )
     return (
         curve.crossJoin(F.broadcast(base))
         .select(
@@ -4468,20 +4514,28 @@ def _doremi_oracle() -> str:
 )
 def sample_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")["documents"]
-    db = docs.select("source", F.explode(F.expr(BIGRAMS_SPARK)).alias("bg"))
-    known = (
-        db.groupBy("bg")
+    # ONE corpus bigram explode in ONE LINEAR pipeline (round 15): the
+    # former shape fed the raw explode into two consumers (the known-set
+    # census and the per-source rollup), paying the corpus pass twice.
+    # Aggregating to (source, bigram) grain first (map-side partials
+    # collapse the exchange to ~|distinct bigrams| x |sources| rows),
+    # then attaching each bigram's GLOBAL count with a bigram-partitioned
+    # window, makes "known" a per-row predicate instead of a second
+    # subtree — no diamond, no checkpoint barrier, no second explode.
+    from pyspark.sql.window import Window as _W
+
+    bs = (
+        docs.select("source", F.explode(F.expr(BIGRAMS_SPARK)).alias("bg"))
+        .groupBy("source", "bg")
         .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= LM_COV_MIN_COUNT)
-        .select("bg")
+        .withColumn("ct", F.sum("c").over(_W.partitionBy("bg")))
     )
-    per_src = (
-        db.join(F.broadcast(known.withColumn("k", F.lit(1))), "bg", "left")
-        .groupBy("source")
-        .agg(
-            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_bigrams"),
-            F.expr("CAST(COUNT(k) AS BIGINT)").alias("n_known"),
-        )
+    per_src = bs.groupBy("source").agg(
+        F.expr("CAST(SUM(c) AS BIGINT)").alias("n_bigrams"),
+        F.expr(
+            f"CAST(COALESCE(SUM(CASE WHEN ct >= {LM_COV_MIN_COUNT} "
+            "THEN c END), 0) AS BIGINT)"
+        ).alias("n_known"),
     )
     w = per_src.selectExpr(
         "source", "n_bigrams", "n_known",

@@ -3242,29 +3242,41 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.expr("SUM(CAST(o_totalprice AS DECIMAL(12,2)))").alias("spend"),
     )
-    # three chained two-phase ranks (see _global_rank), each quintile
+    # three INDEPENDENT two-phase ranks (see _global_rank), each quintile
     # assignment exact NTILE(5) without a single-partition sort over the
-    # customer set. Each rank's THREE phases re-execute their input's
-    # lineage, so chaining multiplies: rank3 re-ran the base aggregate up
-    # to 27x. Lineage-cut at every consumption boundary (the
-    # PERF_NOTES.md rule; entity-grain tables, tiny next to the fact
-    # scan they replace): measured 3.8 -> 1.6 s at sf0.1 / 5.3 -> 3.3 s
-    # at 10x, byte-identical.
+    # customer set. Round 15: the ranks used to be CHAINED (each
+    # consuming the previous output) with a localCheckpoint barrier
+    # between every pair — four serialized jobs. Each rank only appends
+    # a column, so they are independent by construction: compute all
+    # three from the ONE checkpointed base in parallel subtrees of a
+    # single action and join them back on the customer key — one
+    # barrier instead of four, and the three rank pipelines overlap on
+    # the cluster (guide §2.6). Rank values are identical either way
+    # (each rank orders by base columns + o_custkey only).
     base = base.localCheckpoint()
-    ranked = _global_rank(
-        base, "CAST(unix_date(CAST(last_order AS DATE)) AS DOUBLE)",
+    r_rank = _global_rank(
+        base.select("o_custkey", "last_order"),
+        "CAST(unix_date(CAST(last_order AS DATE)) AS DOUBLE)",
         [F.asc("last_order"), F.asc("o_custkey")],
         rank_col="__r_rank", with_total=True,
-    ).localCheckpoint()
-    ranked = _global_rank(
-        ranked, "CAST(n_orders AS DOUBLE)",
+    ).select("o_custkey", "__r_rank", "__n")
+    f_rank = _global_rank(
+        base.select("o_custkey", "n_orders"),
+        "CAST(n_orders AS DOUBLE)",
         [F.asc("n_orders"), F.asc("o_custkey")],
         rank_col="__f_rank",
-    ).localCheckpoint()
-    ranked = _global_rank(
-        ranked, "CAST(spend AS DOUBLE)",
+    ).select("o_custkey", "__f_rank")
+    m_rank = _global_rank(
+        base.select("o_custkey", "spend"),
+        "CAST(spend AS DOUBLE)",
         [F.asc("spend"), F.asc("o_custkey")],
         rank_col="__m_rank",
+    ).select("o_custkey", "__m_rank")
+    ranked = (
+        base.select("o_custkey", "n_orders")
+        .join(r_rank, "o_custkey")
+        .join(f_rank, "o_custkey")
+        .join(m_rank, "o_custkey")
     )
     scored = ranked.select(
         "o_custkey", "n_orders",

@@ -40,8 +40,8 @@ def test_no_empty_symbols_in_char_state(spark, spaced_docs_dir):
     rules, states = _bpe_train_state(spark, spaced_docs_dir)
     p0 = states[0].collect()
     assert p0, "char-level state must be non-empty"
-    assert all(r["sym"] != "" for r in p0), (
-        "empty words leaked sym='' rows into the position table"
+    assert all(s != "" for r in p0 for s in r["syms"]), (
+        "empty words leaked '' symbols into the vocabulary state"
     )
     assert all(r["word"] != "" for r in p0)
 
