@@ -616,12 +616,16 @@ def _cc_star_contraction(pairs: DataFrame, max_iterations: int) -> DataFrame:
             .agg(F.min("v").alias("mn"))
             .select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
         )
+        # no distinct here (round 15): duplicate (u, v) rows are harmless
+        # to the small-star below — mins2 is a groupBy-min and the round
+        # output ends in distinct() — so deduping large's output bought
+        # nothing but a full exchange per round. Duplicate volume is
+        # bounded by the symmetric edge multiset (<= 2|E| rows).
         large = (
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
         # -- small-star: on big→small edges, all members hook to the min
         e = large  # large-star output already points big→small (u > v)

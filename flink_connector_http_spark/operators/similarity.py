@@ -421,16 +421,25 @@ def _incr_lsh_probe(batch_bands: DataFrame,
         "band_id",
         "band_val",
     )
-    candidates = (
+    # score BEFORE deduplicating (round 15): a candidate pair that
+    # collides in several bands scores to the same cosine, so computing
+    # it pre-dedup is redundant only in map work — while deduplicating
+    # first shipped both 64-float embedding arrays through the
+    # (q_id, neighbor_id) exchange. Narrow (id, id, cosine) rows shuffle
+    # instead (guide §2.3: shuffle keys and results, not payloads) —
+    # the same duplicate-evals-for-narrower-shuffle trade emb_knn_graph
+    # documents.
+    scored = (
         F.broadcast(q)
         .join(c, ["band_id", "band_val"])
-        .select("q_id", "a_emb", "a_norm", "neighbor_id", "b_emb", "b_norm")
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.expr(f"round({_DOT_AB} / (a_norm * b_norm), 6)").alias(
+                "cosine"
+            ),
+        )
         .dropDuplicates(["q_id", "neighbor_id"])
-    )
-    scored = candidates.select(
-        "q_id",
-        "neighbor_id",
-        F.expr(f"round({_DOT_AB} / (a_norm * b_norm), 6)").alias("cosine"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
