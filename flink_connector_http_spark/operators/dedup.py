@@ -576,7 +576,8 @@ def _cc_star_contraction(pairs: DataFrame, max_iterations: int) -> DataFrame:
     large-star: every node v in Γ(u) with v > u re-attaches to
     m = min(Γ(u) ∪ {u}); small-star (on big→small directed edges): every
     smaller neighbor re-attaches to m = min(Γ(u)) and u itself links to m.
-    Both are expressed per-edge (join against a groupBy-min), never
+    Both are expressed per-edge (a whole-partition window min over the
+    neighborhood key — one exchange per star, no join), never
     per-neighborhood-row.
     """
     # materialize the pair source once: it seeds both the edge set and
@@ -605,36 +606,54 @@ def _cc_star_contraction(pairs: DataFrame, max_iterations: int) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    from pyspark.sql.window import Window as _W
+
+    _w_u = _W.partitionBy("u")
     prev_sig = None
     rounds = 0
     for _ in range(max_iterations):
         rounds += 1
+        # Round 15: each star used to be a groupBy-min JOINED back onto
+        # the edge multiset — two passes over the edges plus a
+        # neighborhood-min table referenced twice (planned as a diamond
+        # and re-executed per reference). A whole-partition window min
+        # computes m = min(Γ(u)) on every edge row in ONE exchange with
+        # no join, and explode(array(...)) emits both row shapes of the
+        # small-star from one pass instead of a 2-branch union diamond.
+        # Skew profile is unchanged (the window partitions by the same u
+        # the groupBy keyed on, and a hub-partition sort spills as
+        # gracefully as the join build it replaces). Alternating A/B at
+        # sf0.1: median 2.66 -> 2.41 s for dedup_clusters.
         # -- large-star: symmetric neighborhoods, larger neighbors hook to min
         sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        mins = (
-            sym.groupBy("u")
-            .agg(F.min("v").alias("mn"))
-            .select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
-        )
-        # no distinct here (round 15): duplicate (u, v) rows are harmless
-        # to the small-star below — mins2 is a groupBy-min and the round
-        # output ends in distinct() — so deduping large's output bought
-        # nothing but a full exchange per round. Duplicate volume is
+        # no distinct on large's output (round 15): duplicate (u, v) rows
+        # are harmless to the small-star below — its window min and the
+        # round-final distinct() absorb duplicates. Duplicate volume is
         # bounded by the symmetric edge multiset (<= 2|E| rows).
         large = (
-            sym.join(mins, "u")
+            sym.withColumn("m", F.least(F.min("v").over(_w_u), F.col("u")))
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
         )
-        # -- small-star: on big→small edges, all members hook to the min
-        e = large  # large-star output already points big→small (u > v)
-        mins2 = e.groupBy("u").agg(F.min("v").alias("m"))
-        per_edge = e.join(mins2, "u")
+        # -- small-star: on big→small edges (large-star output already
+        # points big→small, u > v), every member hooks to the min and u
+        # itself links to it; the former mins2-union arrives as the
+        # second explode branch (duplicates die in the distinct, and
+        # m < u always holds there, so the u != v filter is a no-op on
+        # that branch)
         small = (
-            per_edge.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            large.withColumn("m", F.min("v").over(_w_u))
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                        F.struct(F.col("u"), F.col("m").alias("v")),
+                    )
+                ).alias("r")
+            )
+            .select("r.u", "r.v")
             .filter(F.col("u") != F.col("v"))
-            .union(mins2.select(F.col("u"), F.col("m").alias("v")))
             .distinct()
             .localCheckpoint()  # truncate lineage at the round boundary
         )
@@ -3690,25 +3709,34 @@ def dedup_exact_substring_removelist(
 ) -> DataFrame:
     from pyspark.sql.window import Window
 
-    # the span table feeds both branches of the interval union below;
-    # the branches recompute only the (cheap, pair-grain) join + islands
-    # window above the ONE checkpointed anchor index — measured faster
-    # than checkpointing spans as well, whose job barrier serialized
-    # work the two branches otherwise overlap
+    # each span contributes TWO intervals (doc_a's and doc_b's shifted
+    # copy). A 2-branch union of selects over the same span table plans
+    # as a diamond — Spark re-executes the whole pair join + islands
+    # window once per branch (no exchange reuse fires). explode(array())
+    # emits both intervals from ONE pass over one span row instead: a
+    # single linear pipeline with half the pair-join/window work at any
+    # scale (alternating A/B at sf0.1: median 3.47 -> 2.89 s; see
+    # OPTIMIZATION_r15.md — a plain cross-session comparison is too
+    # noisy to rank these variants).
     spans = _exsub_spans(spark, sf_dir)
     ranges = (
         spans.select(
-            F.col("a_id").alias("doc_id"),
-            F.col("sa").alias("s"),
-            F.col("ea").alias("e"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("a_id").alias("doc_id"),
+                        F.col("sa").alias("s"),
+                        F.col("ea").alias("e"),
+                    ),
+                    F.struct(
+                        F.col("b_id").alias("doc_id"),
+                        (F.col("sa") - F.col("diag")).alias("s"),
+                        (F.col("ea") - F.col("diag")).alias("e"),
+                    ),
+                )
+            ).alias("r")
         )
-        .unionAll(
-            spans.select(
-                F.col("b_id").alias("doc_id"),
-                (F.col("sa") - F.col("diag")).alias("s"),
-                (F.col("ea") - F.col("diag")).alias("e"),
-            )
-        )
+        .select("r.doc_id", "r.s", "r.e")
         .dropDuplicates(["doc_id", "s", "e"])
     )
     w_prev = (

@@ -2694,7 +2694,7 @@ def _bpe_train_oracle() -> str:
         "star-contraction CC loop (dedup.py:619).",
 )
 def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rules, _states = _bpe_train_state(spark, sf_dir)
+    rules, _states = _bpe_train_state(spark, sf_dir, need_rules=True)
     out = rules[0]
     for r in rules[1:]:
         out = out.unionAll(r)
@@ -2745,7 +2745,10 @@ def _bpe_pair_census(state: DataFrame) -> DataFrame:
 
 
 def _bpe_train_state(
-    spark: SparkSession, sf_dir: str, wf: "DataFrame | None" = None
+    spark: SparkSession,
+    sf_dir: str,
+    wf: "DataFrame | None" = None,
+    need_rules: bool = False,
 ):
     """Run the {BPE_TRAIN_ROUNDS}-round training loop; returns
     ``(rules, states)`` — the list of one-row merge-rule DataFrames and
@@ -2764,11 +2767,11 @@ def _bpe_train_state(
     word-partitioned exchange plus four window sorts per round for the
     same result (equivalence pinned in tests/test_bpe_array_merge.py;
     measured 4.7 s -> 2.0 s at sf0.1, and strictly fewer exchanges at
-    any scale). Both the census argmax and the merged state are
-    localCheckpoint'd per round: the rules feed two consumers each and
-    the state feeds census + rebuild, so the cut keeps the per-round
-    plan flat (the CC-loop hazard, dedup.py:583) — the tables are
-    vocabulary-bounded, so the cut is cheap.
+    any scale). The merged STATE is localCheckpoint'd every round (the
+    state feeds census + rebuild, so the cut keeps the per-round plan
+    flat — the CC-loop hazard, dedup.py:583 — and the tables are
+    vocabulary-bounded, so the cut is cheap); the census argmax is
+    checkpointed only when ``need_rules`` (see the loop comment).
 
     ``wf`` optionally supplies a precomputed ``(word, f)`` frequency
     census so a caller that already paid a corpus tokenization pass
@@ -2803,7 +2806,18 @@ def _bpe_train_state(
     rules = []
     states = [state]
     for t in range(1, BPE_TRAIN_ROUNDS + 1):
-        best = _bpe_pair_census(state).localCheckpoint()
+        # checkpoint the census argmax only when the caller consumes the
+        # RULES (the trainer): its output re-reads every round's best
+        # pair, and without the cut each re-read re-runs that round's
+        # census. The curve and fertility evals consume only the STATES,
+        # so for them the census executes exactly once — inside the next
+        # state's checkpoint job, as a broadcast subtree — and its own
+        # checkpoint is a pure extra job barrier per round (measured
+        # +0.2 s per query at sf0.1; alternating A/B, see
+        # OPTIMIZATION_r15.md).
+        best = _bpe_pair_census(state)
+        if need_rules:
+            best = best.localCheckpoint()
         rules.append(
             best.select(
                 F.lit(t).cast("int").alias("step"),

@@ -43,8 +43,68 @@ __all__ = [
     "http_enrich_stream",
     "start_http_sink_stream",
     "sessionize_stream",
+    "stream_state_partitions",
     "windowed_counts_stream",
 ]
+
+
+def stream_state_partitions(spark, *input_paths: str):
+    """Context manager: size ``spark.sql.shuffle.partitions`` for a
+    stateful streaming query from its INPUT BYTES, restoring the session
+    value on exit.
+
+    The conf fixes the number of state-store instances the moment a
+    stateful query first commits a checkpoint, and AQE never coalesces
+    streaming shuffles — so a session default sized for relational
+    shuffles becomes a per-micro-batch tax of that many state-store
+    commits regardless of data volume. Derive the count from the data
+    instead (guide §2: scale-adaptive partitioning, not a constant tuned
+    to either local mode or the cluster): one state partition per
+    ``SPARK_GRAFT_STREAM_STATE_TARGET_BYTES`` of input (default 32 MB),
+    floored at 1, capped at ``SPARK_GRAFT_STREAM_STATE_MAX_PARTITIONS``
+    (default 4096) so a 100 TB backlog bounds scheduler and commit
+    pressure instead of scaling state stores without limit. The same
+    formula yields 1 partition for a 2 MB local file and thousands on a
+    real backlog — no branch on core count anywhere.
+
+    Only the streaming micro-batches run under the override: the batch
+    plan a caller builds over the drained result is executed after the
+    ``with`` block exits, under the session's normal conf + AQE.
+    """
+    import contextlib
+    import math
+    import os
+
+    @contextlib.contextmanager
+    def _ctx():
+        target = int(
+            os.environ.get(
+                "SPARK_GRAFT_STREAM_STATE_TARGET_BYTES", str(32 << 20)
+            )
+        )
+        cap = int(
+            os.environ.get("SPARK_GRAFT_STREAM_STATE_MAX_PARTITIONS", "4096")
+        )
+
+        def _sz(path: str) -> int:
+            if os.path.isdir(path):
+                return sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for root, _dirs, files in os.walk(path)
+                    for f in files
+                )
+            return os.path.getsize(path)
+
+        size = sum(_sz(p) for p in input_paths)
+        n = max(1, min(cap, math.ceil(size / max(target, 1))))
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            yield n
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    return _ctx()
 
 
 def await_drained(query: StreamingQuery, timeout_sec: float = 300.0) -> None:

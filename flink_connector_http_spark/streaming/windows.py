@@ -110,16 +110,22 @@ def stream_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             target="timestamp",
         )
     )
-    query = (
-        windowed_counts(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_window_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_drained(query)
+    from . import stream_state_partitions
+
+    with stream_state_partitions(spark, f"{sf_dir}/events.parquet"):
+        query = (
+            windowed_counts(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="stream_window_ckpt_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_drained(query)
     return spark.table(name).select(
         F.col("window_start").cast("timestamp_ntz").alias("window_start"),
         "event_type",
