@@ -223,16 +223,22 @@ def stream_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             target="timestamp",
         )
     )
-    query = (
-        session_counts(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_session_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_drained(query)
+    from . import stream_state_partitions
+
+    with stream_state_partitions(spark, f"{sf_dir}/events.parquet"):
+        query = (
+            session_counts(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="stream_session_ckpt_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_drained(query)
     return spark.table(name).select(
         "user_id",
         F.col("session_start").cast("timestamp_ntz").alias("session_start"),
@@ -328,16 +334,22 @@ def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    query = (
-        attribution_join(side("purchase", "p"), side("click", "c"))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_attr_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_drained(query)
+    from . import stream_state_partitions
+
+    with stream_state_partitions(spark, f"{sf_dir}/events.parquet"):
+        query = (
+            attribution_join(side("purchase", "p"), side("click", "c"))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="stream_attr_ckpt_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_drained(query)
     return spark.table(name)
 
 
@@ -430,16 +442,19 @@ def stream_attribution_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_user").alias("user_id"),
         F.expr("CAST(unix_micros(c_ts) - unix_micros(p_ts) AS BIGINT)").alias("gap_us"),
     )
-    query = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation",
-                tempfile.mkdtemp(prefix="stream_attr_left_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_drained(query)
+    from . import stream_state_partitions
+
+    with stream_state_partitions(spark, f"{sf_dir}/events.parquet"):
+        query = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation",
+                    tempfile.mkdtemp(prefix="stream_attr_left_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_drained(query)
     return spark.table(name)
 
 
@@ -534,16 +549,19 @@ def stream_attribution_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
         F.expr("CAST(unix_micros(c_ts) - unix_micros(p_ts) AS BIGINT)").alias("gap_us"),
     )
-    query = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation",
-                tempfile.mkdtemp(prefix="stream_attr_full_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_drained(query)
+    from . import stream_state_partitions
+
+    with stream_state_partitions(spark, f"{sf_dir}/events.parquet"):
+        query = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation",
+                    tempfile.mkdtemp(prefix="stream_attr_full_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_drained(query)
     return spark.table(name)
 
 
@@ -601,16 +619,22 @@ def stream_dedup_events_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         spark.readStream.schema(raw_schema).parquet(in_dir),
         target="timestamp",
     ).select("ts", "user_id", "event_type")
-    query = (
-        dedup_within_watermark(stream, ["user_id", "event_type"])
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ddw_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_drained(query)
+    from . import stream_state_partitions
+
+    with stream_state_partitions(spark, f"{sf_dir}/events.parquet"):
+        query = (
+            dedup_within_watermark(stream, ["user_id", "event_type"])
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="stream_ddw_ckpt_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_drained(query)
     return spark.table(name).select("user_id", "event_type")
 
 
@@ -753,16 +777,22 @@ def stream_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(raw_schema).parquet(in_dir),
         target="timestamp",
     )
-    query = (
-        sliding_counts(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_sliding_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_drained(query)
+    from . import stream_state_partitions
+
+    with stream_state_partitions(spark, f"{sf_dir}/events.parquet"):
+        query = (
+            sliding_counts(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="stream_sliding_ckpt_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_drained(query)
     return spark.table(name).select(
         F.col("window_start").cast("timestamp_ntz").alias("window_start"),
         "event_type",
