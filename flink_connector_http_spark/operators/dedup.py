@@ -3707,6 +3707,32 @@ def _exsub_spans(
 def dedup_exact_substring_removelist(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    merged = _exsub_merged_ranges(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "n_chars"
+    )
+    return (
+        merged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ranges"),
+            F.sum(F.col("me") - F.col("ms") + 1).cast("long")
+            .alias("chars_flagged"),
+        )
+        .join(docs, "doc_id")
+        .select(
+            "doc_id", "n_ranges", "chars_flagged",
+            F.round(
+                F.col("chars_flagged").cast("double") / F.col("n_chars"), 6
+            ).alias("frac_flagged"),
+        )
+    )
+
+
+def _exsub_merged_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MERGED remove-intervals ``(doc_id, g, ms, me)`` —
+    the interval-union core shared by the removelist and clean-stats
+    rollups (factored out so clean_stats does not execute removelist's
+    docs join / frac projection only to discard those columns)."""
     from pyspark.sql.window import Window
 
     # each span contributes TWO intervals (doc_a's and doc_b's shifted
@@ -3760,28 +3786,9 @@ def dedup_exact_substring_removelist(
             ).otherwise(0)
         ).over(w_cum),
     )
-    merged = grps.groupBy("doc_id", "g").agg(
+    return grps.groupBy("doc_id", "g").agg(
         F.min("s").alias("ms"), F.max("e").alias("me")
     )
-    docs = load(spark, sf_dir, "documents")["documents"].select(
-        "doc_id", "n_chars"
-    )
-    return (
-        merged.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_ranges"),
-            F.sum(F.col("me") - F.col("ms") + 1).cast("long")
-            .alias("chars_flagged"),
-        )
-        .join(docs, "doc_id")
-        .select(
-            "doc_id", "n_ranges", "chars_flagged",
-            F.round(
-                F.col("chars_flagged").cast("double") / F.col("n_chars"), 6
-            ).alias("frac_flagged"),
-        )
-    )
-
 
 
 @register(
@@ -3844,8 +3851,12 @@ def dedup_exact_substring_removelist(
 def dedup_exact_substring_clean_stats(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    per_doc = dedup_exact_substring_removelist(spark, sf_dir).select(
-        "doc_id", F.col("chars_flagged").alias("cut")
+    # per-doc cut from the shared interval-union core directly — the
+    # removelist's docs join and frac projection would be computed only
+    # to be discarded here (Catalyst prunes the columns but cannot prune
+    # the inner join itself)
+    per_doc = _exsub_merged_ranges(spark, sf_dir).groupBy("doc_id").agg(
+        F.sum(F.col("me") - F.col("ms") + 1).cast("long").alias("cut")
     )
     docs = load(spark, sf_dir, "documents")["documents"].select(
         "doc_id", "source", "n_chars"

@@ -17,6 +17,7 @@ from flink_connector_http_spark.operators.dedup import (
     EXSUB_K,
     _exsub_spans,
     dedup_exact_substring,
+    dedup_exact_substring_clean_stats,
     dedup_exact_substring_removelist,
 )
 
@@ -94,6 +95,27 @@ def test_removelist_fraction_sane(spark, repetitive_dir):
     for r in rows:
         assert 0.0 < r["frac_flagged"] <= 1.0
         assert r["chars_flagged"] <= 52
+
+
+def test_clean_stats_matches_removelist_rollup(spark, repetitive_dir):
+    # round-15 optimization: clean_stats computes its per-doc cut from
+    # the shared interval-union core (_exsub_merged_ranges) instead of
+    # running the removelist's docs join only to discard it — the two
+    # paths must stay numerically identical
+    per_doc = {
+        r["doc_id"]: r["chars_flagged"]
+        for r in dedup_exact_substring_removelist(
+            spark, repetitive_dir
+        ).collect()
+    }
+    stats = dedup_exact_substring_clean_stats(
+        spark, repetitive_dir
+    ).collect()
+    assert stats
+    for s in stats:
+        assert s["chars_cut"] == sum(per_doc.values())
+        assert s["chars_retained"] == s["chars_total"] - s["chars_cut"]
+        assert s["docs_flagged"] == len(per_doc)
 
 
 def test_plain_shared_run_full_length(spark, plain_dir):
