@@ -211,9 +211,30 @@ def main() -> None:
         .config("spark.ui.retainedStages", "200")
         .config("spark.ui.retainedTasks", "10000")
         .config("spark.sql.ui.retainedExecutions", "20")
+        # round 15: several optimized queries materialize intermediates
+        # via localCheckpoint (anchor postings, CC labels, BPE states).
+        # Their RDD blocks are freed by the ContextCleaner only after
+        # the JVM drops the references the Python side holds via py4j —
+        # which needs a Python GC (to detach) AND a JVM GC (to process
+        # the weak refs). Without either, blocks from every prior timed
+        # run accumulate until the 10x/100x legs OOM the 8g heap
+        # (measured: heap OOM in the 10x leg, GCLocker retry storm).
+        # _reclaim() below runs Python GC between timed runs; this conf
+        # makes the JVM sweep soon after instead of at the default 30min.
+        .config("spark.cleaner.periodicGC.interval", "45s")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    def _reclaim() -> None:
+        """Drop Python-side references to the previous run's DataFrames
+        so the ContextCleaner can unpersist their checkpoint blocks.
+        Called BETWEEN timed runs, never inside a timed window — this is
+        session hygiene (the blocks belong to dead plans), not a change
+        to what any run computes or when."""
+        import gc as _gc
+
+        _gc.collect()
 
     # untimed warmup: absorbs one-time JVM JIT/codegen and Python-Arrow
     # worker startup so per-query numbers measure the queries (at cluster
@@ -244,6 +265,7 @@ def main() -> None:
             ).mode("overwrite").save()
         except Exception:
             pass  # a warmup miss only costs timing accuracy, not the bench
+    _reclaim()
 
     # min of three timed runs per query: this test VM reclaims guest pages
     # via virtio-balloon, which injects multi-second kernel stalls into
@@ -303,6 +325,8 @@ def main() -> None:
             df = spec.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples.append(round(time.time() - t0, 3))
+            del df
+            _reclaim()
         timings[spec.name] = min(samples)
         if spec.name in NOISY:
             noise_band[spec.name] = {
@@ -390,6 +414,7 @@ def main() -> None:
                         "overwrite"
                     ).save()
                     samples_10x.append(round(time.time() - t0, 3))
+                    _reclaim()
                 scale_timings[spec.name] = min(samples_10x)
             except Exception as err:  # record, never sink the whole bench
                 scale_timings[spec.name] = f"error: {err}"
@@ -485,6 +510,7 @@ def main() -> None:
                 x100_timings[spec.name] = round(time.time() - t0, 3)
             except Exception as err:  # record, never sink the whole bench
                 x100_timings[spec.name] = f"error: {err}"
+            _reclaim()
         scale10 = result.get("scale_curve", {}).get("queries_sec", {})
         # adaptive re-measure: a single-pass 100x numerator over a NOISY
         # query can read a spurious exponent just above 1.0 (r11 first
@@ -509,6 +535,7 @@ def main() -> None:
                 )
             except Exception:
                 pass  # keep the first sample
+            _reclaim()
         exponents = {}
         for name, t100 in x100_timings.items():
             t10 = scale10.get(name)

@@ -30,8 +30,10 @@ import sys
 # PERF_NOTES-documented per-query bands (sf0.1 seconds) that are wider
 # than the default multipliers; key -> (lo, hi) absolute overrides.
 OVERRIDES = {
-    # plateau min 3.7-5.0 s across sessions (PERF_NOTES round-12 entry)
-    "dedup_clusters": (3.2, 5.5),
+    # the round-12 absolute override (3.2-5.5, old star-contraction
+    # implementation) is obsolete after the round-15 rework (window-min
+    # stars + localCheckpoint labels): session mins now 1.88-2.8 s —
+    # handled by WIDEN_NAMES below instead
 }
 
 # documented-noisy queries: band computed from this run's ref, then
@@ -43,6 +45,15 @@ WIDEN_NAMES = {
     # judge's plateau reading — widen instead of chasing millisecond
     # noise on a sub-half-second query
     "q_sessionize_events",
+    # r15: optimized implementation's session mins spread 1.88-2.8 s
+    # (virtio-balloon plateau residue persists at the new level)
+    "dedup_clusters",
+    # r15: drifted 1.49 -> 1.64 -> 2.05-2.2 s across one day's sessions
+    # with ZERO code changes (applyInPandasWithState — the Python-worker
+    # plateau moves independently of the JVM plateau, which was 13%
+    # FASTER in the same session; standalone min-of-5 confirmed the
+    # 2.05 s plateau, see OPTIMIZATION_r15.md)
+    "stream_cep_funnel",
 }
 WIDEN_LO, WIDEN_HI = 0.60, 1.60
 
