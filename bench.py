@@ -192,6 +192,19 @@ def main() -> None:
         .appName("bench")
         .config("spark.sql.shuffle.partitions", str(max(32, int(cpus))))
         .config("spark.sql.adaptive.enabled", "true")
+        # round 15: the static shuffle-partition count above is a
+        # local-mode constant — at the 100x leg it left each of 32
+        # aggregation tasks holding a multi-million-group hash map and
+        # the ExactSubstr rows died with AGGREGATE_OUT_OF_MEMORY. Let
+        # AQE start SQL shuffles at a high partition count and coalesce
+        # down by size (guide §2.2/§2.5: scale-adaptive partitioning,
+        # smaller per-task state); streaming queries plan without AQE,
+        # so their state-store sizing (stream_state_partitions / the
+        # session constant for applyInPandasWithState) is untouched.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(max(256, 8 * int(cpus))),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # modest heap on purpose: the test VM reclaims guest-free pages via
         # virtio-balloon, so a large heap means every heap-growth spurt
