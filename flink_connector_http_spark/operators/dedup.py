@@ -3583,8 +3583,15 @@ def _exsub_materialize(spark: SparkSession, df: DataFrame,
     import shutil
     import tempfile
 
+    # default 4 MB of input documents: the sf0.1 bench corpus (584 KB)
+    # stays on in-memory checkpoint blocks; the 10x replica (5.7 MB,
+    # ~15M postings ≈ 1.5 GB of deserialized blocks) and everything
+    # above go to disk — in-bench the 10x incremental's broadcast build
+    # still hit the heap ceiling with the memory path even though it
+    # passed standalone (the margin, not the single query, is what the
+    # threshold buys)
     thr = int(os.environ.get(
-        "SPARK_GRAFT_EXSUB_DISK_MAT_BYTES", str(32 << 20)))
+        "SPARK_GRAFT_EXSUB_DISK_MAT_BYTES", str(4 << 20)))
     path = os.path.join(sf_dir, "documents.parquet")
 
     def _sz(p: str) -> int:
