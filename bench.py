@@ -195,16 +195,17 @@ def main() -> None:
         # round 15: the static shuffle-partition count above is a
         # local-mode constant — at the 100x leg it left each of 32
         # aggregation tasks holding a multi-million-group hash map and
-        # the ExactSubstr rows died with AGGREGATE_OUT_OF_MEMORY. Let
-        # AQE start SQL shuffles at a high partition count and coalesce
-        # down by size (guide §2.2/§2.5: scale-adaptive partitioning,
-        # smaller per-task state); streaming queries plan without AQE,
-        # so their state-store sizing (stream_state_partitions / the
-        # session constant for applyInPandasWithState) is untouched.
-        .config(
-            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            str(max(256, 8 * int(cpus))),
-        )
+        # the ExactSubstr rows died with AGGREGATE_OUT_OF_MEMORY. AQE's
+        # initialPartitionNum is therefore derived PER LEG from that
+        # leg's input bytes (_leg_initial_partitions below, guide
+        # §2.2/§2.5: scale-adaptive partitioning, smaller per-task
+        # state) instead of a blanket constant: a first cut pinned it
+        # at 256 session-wide, which halved nothing at 100x it didn't
+        # already fix but DOUBLED every sub-second headline query
+        # (text_token_stats 0.23 -> 0.49 s, bm25 0.56 -> 0.86 s
+        # isolated A/B) — 256-way shuffles are pure scheduling overhead
+        # at sf0.1. At the 1x leg the derived value equals the session
+        # default, so headline numbers stay comparable to r14.
         .config("spark.sql.session.timeZone", "UTC")
         # modest heap on purpose: the test VM reclaims guest-free pages via
         # virtio-balloon, so a large heap means every heap-growth spurt
@@ -232,22 +233,59 @@ def main() -> None:
         # the weak refs). Without either, blocks from every prior timed
         # run accumulate until the 10x/100x legs OOM the 8g heap
         # (measured: heap OOM in the 10x leg, GCLocker retry storm).
-        # _reclaim() below runs Python GC between timed runs; this conf
-        # makes the JVM sweep soon after instead of at the default 30min.
-        .config("spark.cleaner.periodicGC.interval", "45s")
+        # _reclaim() below runs BOTH collections explicitly BETWEEN
+        # timed runs. A first cut used a 45s periodicGC timer instead —
+        # whose stop-the-world pauses landed INSIDE the multi-batch
+        # streaming replays and tripled them (stream_cep_funnel
+        # 1.96 -> 5.7-10.4 s, isolated A/B); the explicit call is
+        # deterministic and never inside a timed window.
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
 
     def _reclaim() -> None:
         """Drop Python-side references to the previous run's DataFrames
-        so the ContextCleaner can unpersist their checkpoint blocks.
-        Called BETWEEN timed runs, never inside a timed window — this is
-        session hygiene (the blocks belong to dead plans), not a change
-        to what any run computes or when."""
+        (Python GC detaches the py4j refs) and run one synchronous JVM
+        GC so the ContextCleaner's weak refs enqueue and the dead plans'
+        checkpoint blocks actually unpersist. Called BETWEEN timed runs,
+        never inside a timed window — this is session hygiene (the
+        blocks belong to dead plans), not a change to what any run
+        computes or when."""
         import gc as _gc
 
         _gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass  # hygiene must never sink the bench
+
+    def _dir_bytes(d: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        return total
+
+    _IPN_KEY = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+
+    def _set_leg_partitions(d: str) -> None:
+        """Derive AQE's initial shuffle-partition count from the leg's
+        input bytes (guide §2.2: partition count follows the data, not a
+        local-mode constant): one initial partition per
+        $SPARK_GRAFT_AQE_IPN_MB (default 32 MB) of input, floored at the
+        session shuffle default and capped at 1024. At sf0.1 this equals
+        the session default (no planning change vs r14); at the 100x leg
+        it splits aggregation state ~512 ways before AQE coalesces
+        reads by size, which is what fixed AGGREGATE_OUT_OF_MEMORY."""
+        per = int(os.environ.get("SPARK_GRAFT_AQE_IPN_MB", "32")) << 20
+        n = max(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            min(1024, _dir_bytes(d) // per + 1),
+        )
+        spark.conf.set(_IPN_KEY, str(n))
 
     # untimed warmup: absorbs one-time JVM JIT/codegen and Python-Arrow
     # worker startup so per-query numbers measure the queries (at cluster
@@ -287,6 +325,8 @@ def main() -> None:
     # single-query jitter in the r2→r3 comparison. The min of three runs is
     # the steady-state per-query cost — what the query actually takes when
     # the host isn't stealing the pages back.
+    _set_leg_partitions(sf_dir)  # equals the session default at sf0.1
+
     N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     # the five historically noisiest queries get min-of-5 plus their raw
     # samples recorded, so round-over-round swings can be read against a
@@ -412,6 +452,7 @@ def main() -> None:
             _stub_for(scale_dir)
         except Exception:
             pass
+        _set_leg_partitions(scale_dir)
         scale_timings = {}
         for spec in bench_specs:
             # NOISY queries get min-of-2 at 10x: with a single pass, a VM
@@ -453,6 +494,7 @@ def main() -> None:
 
             sweep = {}
             for label, d in (("1x", sf_dir), ("10x", scale_dir)):
+                _set_leg_partitions(d)
                 for workers in (1, 4, 8):
                     with hq._SERVERS_LOCK:
                         old = hq._SERVERS.pop(d, None)
@@ -511,6 +553,7 @@ def main() -> None:
             "dedup_exact_substring", "dedup_exact_substring_clean_stats",
         ]
         x100_dir = ensure_scale_dir(sf_dir, 100)
+        _set_leg_partitions(x100_dir)
         x100_timings = {}
         for spec in bench_specs:
             if spec.name not in X100_SUBSET:
@@ -589,6 +632,7 @@ def main() -> None:
     # vs the trigger interval (keep-up), and state-store rows per batch
     # (flat = bounded state proven on a live run, not just unit tests).
     if os.environ.get("SPARK_GRAFT_STREAMING_E2E", "1") != "0":
+        _set_leg_partitions(sf_dir)  # back to the 1x planning posture
         from flink_connector_http_spark.streaming.e2e import (
             run_enrich_sink_e2e,
             run_stateful_e2e,
