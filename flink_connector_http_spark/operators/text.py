@@ -4531,19 +4531,22 @@ def sample_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE corpus bigram explode in ONE LINEAR pipeline (round 15): the
     # former shape fed the raw explode into two consumers (the known-set
     # census and the per-source rollup), paying the corpus pass twice.
-    # Aggregating to (source, bigram) grain first (map-side partials
+    # Aggregate to (source, bigram) grain first (map-side partials
     # collapse the exchange to ~|distinct bigrams| x |sources| rows),
-    # then attaching each bigram's GLOBAL count with a bigram-partitioned
-    # window, makes "known" a per-row predicate instead of a second
-    # subtree — no diamond, no checkpoint barrier, no second explode.
-    from pyspark.sql.window import Window as _W
-
-    bs = (
-        docs.select("source", F.explode(F.expr(BIGRAMS_SPARK)).alias("bg"))
-        .groupBy("source", "bg")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn("ct", F.sum("c").over(_W.partitionBy("bg")))
-    )
+    # then attach each bigram's GLOBAL count by re-aggregating that
+    # small grain table and joining back on the bigram key. A first cut
+    # used a bigram-partitioned window instead — but a window cannot do
+    # partial aggregation and must SORT its partition, so its cost
+    # tracked the shuffle-partition count (1.15 s at 256 initial
+    # partitions, 2.0 s at the 32 default, isolated A/B); the
+    # aggregate-join shape hits the vocabulary-grain rollup with
+    # map-side partials and lets AQE broadcast the per-bigram counts,
+    # which removes the partition sensitivity outright.
+    bs = docs.select(
+        "source", F.explode(F.expr(BIGRAMS_SPARK)).alias("bg")
+    ).groupBy("source", "bg").agg(F.count(F.lit(1)).alias("c"))
+    bg_tot = bs.groupBy("bg").agg(F.sum("c").alias("ct"))
+    bs = bs.join(bg_tot, "bg")
     per_src = bs.groupBy("source").agg(
         F.expr("CAST(SUM(c) AS BIGINT)").alias("n_bigrams"),
         F.expr(
