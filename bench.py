@@ -343,6 +343,14 @@ def main() -> None:
         # measured band — wider spread than q01's, which was already in
         # this set (r10 verdict "what's wrong" #1)
         "dedup_minhash_lsh",
+        # round 15: both read 1.6-2.9x their r14 refs on the resumed
+        # session's VM window with code and executed plans unchanged
+        # since r14 (git-verified), while q01/q03-class queries moved
+        # only by the uniform ~1.2x shift — a shape-dependent VM
+        # plateau. min-of-5 + recorded samples so the next reader sees
+        # the measured spread instead of a bare out-of-band min
+        # (isolated 6-run probes: knn 1.02-3.39 s, bm25 0.89-4.67 s).
+        "sim_knn_bruteforce", "search_bm25_topk",
     }
     N_RUNS_NOISY = max(N_RUNS, int(os.environ.get(
         "SPARK_GRAFT_BENCH_RUNS_NOISY", "5")))
@@ -360,7 +368,16 @@ def main() -> None:
     # virtio-balloon plateau; session mins 3.68 / 4.96 / 3.85. The
     # discarded target-SF run moves the 5 timed samples onto the plateau
     # (full analysis: PERF_NOTES.md "dedup_clusters +19%").
-    TARGET_WARM = {"emb_knn_graph", "dedup_clusters"}
+    # dedup_minhash_lsh joined in round 15, when the persist->
+    # localCheckpoint fix made every timed run recompute (the ramp was
+    # previously hidden behind the CacheManager's cross-run reuse): an
+    # isolated 8-run probe decays monotonically 5.14 -> 2.15 -> 1.90 ->
+    # 1.88 -> 1.77 -> 1.66 -> 1.61 -> 1.58 s — the signature-fold
+    # codegen ramping through JIT tiers, the same signature as
+    # emb_knn_graph's probe above. Without the discarded target-SF run
+    # its in-bench min-of-5 caught the ramp at 3.95 s vs a 1.29-2.68 s
+    # band whose r14 reference was itself measured pre-ramp-exposure.
+    TARGET_WARM = {"emb_knn_graph", "dedup_clusters", "dedup_minhash_lsh"}
     timings = {}
     noise_band = {}
     for spec in bench_specs:

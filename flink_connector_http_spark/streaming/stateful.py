@@ -1524,8 +1524,27 @@ def cep_funnel_stream(
     micro-batch arrival — out-of-order delivery across batches belongs
     to the watermark layer upstream, exactly like Flink CEP's own
     event-time contract. State is O(1) per key (six longs), independent
-    of stream length."""
+    of stream length.
+
+    Round 15 (optimization, guide §4.2): the transition function is
+    vectorized register algebra over the sorted batch instead of a
+    per-row Python loop — the loop was the only row-at-a-time Python
+    in the repo and the dominant per-task cost at volume. The NFA's
+    sequential reads decompose exactly: the error count each row sees
+    is the carry-in plus an EXCLUSIVE cumsum of error rows; the view
+    register any row reads is a forward-fill of (u, err-count) over
+    view rows (a click row is never a view row, so inclusive last-view
+    indexing equals the loop's read-before-write order); the click
+    register set forward-fills (u, view-regs-at-that-click) over click
+    rows the same way; a purchase row then tests its filled registers
+    against the window bound. Carry-in registers seed the fills where
+    no in-batch view/click precedes. Equivalence is pinned by the
+    cross-batch tests in tests/test_streaming_stateful_cep.py, the
+    vectorized-vs-loop property test added with this change, and the
+    shared q_cep_funnel_episodes oracle in the replica gate."""
     sentinel = -1
+
+    import numpy as np
 
     def fn(
         key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -1540,30 +1559,48 @@ def cep_funnel_stream(
             state.update((lv, eav, cc, cv, eacv, ec))
             return
         batch = pd.concat(chunks).sort_values(list(order_cols), kind="stable")
-        out = []
         uid = key[0]
-        for row in batch.itertuples(index=False):
-            ev, u = row.event_type, row.u
-            if ev == "view":
-                lv, eav = u, ec
-            elif ev == "click":
-                cc, cv, eacv = u, lv, eav
-            elif ev == "error":
-                ec += 1
-            elif ev == "purchase":
-                if (
-                    cc != sentinel
-                    and u - cc <= within_us
-                    and cv != sentinel
-                    and cc - cv <= within_us
-                ):
-                    out.append(
-                        (uid, u - cv, 1 if ec - eacv > 0 else 0)
-                    )
+        ev = batch["event_type"].to_numpy()
+        u = batch["u"].to_numpy(dtype=np.int64)
+        idx = np.arange(len(ev))
+        is_err = ev == "error"
+        # errors strictly BEFORE each row (the loop incremented ec only
+        # as an error row was processed, so every register read sees
+        # the exclusive count), plus the cross-batch carry
+        ec_excl = ec + np.cumsum(is_err) - is_err
+        # view registers: last view row at-or-before each row — equal to
+        # the loop's (lv, eav) at any non-view row; carry-in where no
+        # view precedes in this batch. np.where evaluates both branches,
+        # so the -1 "no view yet" positions index the last element
+        # harmlessly before being masked out.
+        last_v = np.maximum.accumulate(np.where(ev == "view", idx, -1))
+        lv_at = np.where(last_v >= 0, u[last_v], lv)
+        eav_at = np.where(last_v >= 0, ec_excl[last_v], eav)
+        # click registers: the candidate click plus the view registers it
+        # snapshotted when it was processed
+        last_c = np.maximum.accumulate(np.where(ev == "click", idx, -1))
+        cc_at = np.where(last_c >= 0, u[last_c], cc)
+        cv_at = np.where(last_c >= 0, lv_at[last_c], cv)
+        eacv_at = np.where(last_c >= 0, eav_at[last_c], eacv)
+        hit = (
+            (ev == "purchase")
+            & (cc_at != sentinel)
+            & (u - cc_at <= within_us)
+            & (cv_at != sentinel)
+            & (cc_at - cv_at <= within_us)
+        )
+        # the final registers are the fills at the last row
+        lv, eav = int(lv_at[-1]), int(eav_at[-1])
+        cc, cv, eacv = int(cc_at[-1]), int(cv_at[-1]), int(eacv_at[-1])
+        ec = int(ec + is_err.sum())
         state.update((lv, eav, cc, cv, eacv, ec))
-        if out:
+        if hit.any():
             yield pd.DataFrame(
-                out, columns=["user_id", "gap_us", "blocked"]
+                {
+                    "user_id": np.full(int(hit.sum()), uid, dtype=np.int64),
+                    "gap_us": (u - cv_at)[hit],
+                    "blocked": (ec_excl - eacv_at > 0)[hit].astype(np.int32),
+                }
             )
 
     return df.groupBy(key_col).applyInPandasWithState(
@@ -1612,6 +1649,16 @@ def _cep_register():
             normalize_events_ts(
                 spark.readStream.schema(raw_schema).parquet(in_dir),
                 target="timestamp",
+            )
+            # only the four NFA-relevant event types cross the Python
+            # boundary (guide §4.1): every other type is a no-op
+            # transition, and the filter is JVM-side, before the state
+            # shuffle and the Arrow hop (~20% of the events table is
+            # 'signup' rows the NFA would carry and ignore)
+            .filter(
+                F.col("event_type").isin(
+                    "view", "click", "error", "purchase"
+                )
             )
             .select(
                 "user_id",
