@@ -212,6 +212,13 @@ def main() -> None:
         # re-faults pages against the host (multi-second kernel-time stalls
         # measured at 16g); 8g is ample for sf0.1 and keeps residency low
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # clean-stdout contract: the driver JVM's unified-logging WARNING
+        # lines go to STDOUT by default ([warning][gc,alloc] GCLocker
+        # retries were observed interleaving with — and corrupting — the
+        # single JSON result line during a heap-pressure window). The
+        # bench's stdout is a machine-parsed channel; JVM diagnostics
+        # belong on stderr, and everything Spark logs already goes there.
+        .config("spark.driver.extraJavaOptions", "-Xlog:disable")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # long-session heap hygiene (r13): one bench session runs ~4000
         # stages across headline + 10x + 100x + streaming legs, and the
@@ -250,12 +257,38 @@ def main() -> None:
         checkpoint blocks actually unpersist. Called BETWEEN timed runs,
         never inside a timed window — this is session hygiene (the
         blocks belong to dead plans), not a change to what any run
-        computes or when."""
+        computes or when.
+
+        The unpersist itself is ASYNCHRONOUS (the ContextCleaner drains
+        its reference queue on its own thread), so a System.gc() alone
+        only STARTS the reclaim — the next timed run could begin while
+        gigabytes of dead checkpoint blocks still occupy the block
+        manager, which is exactly the heap posture that OOM'd a 10x leg
+        (double-SMJ sorter growth on top of undrained blocks from the
+        15 queries before it). After the GC, wait — bounded — until the
+        storage view actually drains, re-kicking the GC once midway for
+        stragglers whose weak refs needed a second collection cycle."""
         import gc as _gc
+        import time as _time
 
         _gc.collect()
         try:
             spark.sparkContext._jvm.System.gc()
+            jsc = spark.sparkContext._jsc.sc()
+            # progress-based drain: keep waiting while the cleaner is
+            # actually removing blocks; stop after ~2s of no progress
+            # (a sticky block would otherwise tax every reclaim the
+            # full timeout) or a 10s hard ceiling
+            deadline = _time.time() + 10.0
+            last = len(jsc.getRDDStorageInfo())
+            stalled_since = _time.time()
+            while last > 0 and _time.time() < deadline:
+                _time.sleep(0.2)
+                now = len(jsc.getRDDStorageInfo())
+                if now < last:
+                    last, stalled_since = now, _time.time()
+                elif _time.time() - stalled_since > 2.0:
+                    break
         except Exception:
             pass  # hygiene must never sink the bench
 
@@ -378,9 +411,19 @@ def main() -> None:
     # its in-bench min-of-5 caught the ramp at 3.95 s vs a 1.29-2.68 s
     # band whose r14 reference was itself measured pre-ramp-exposure.
     TARGET_WARM = {"emb_knn_graph", "dedup_clusters", "dedup_minhash_lsh"}
+    # stderr progress markers (guide §1.5): one line per (leg, query) so
+    # a mid-bench JVM death names its query in the log — stdout stays the
+    # machine-parsed single-JSON-line channel
+    _T0 = time.time()
+
+    def _mark(leg: str, name: str) -> None:
+        print(f"[bench +{time.time() - _T0:7.1f}s] {leg}: {name}",
+              file=sys.stderr, flush=True)
+
     timings = {}
     noise_band = {}
     for spec in bench_specs:
+        _mark("1x", spec.name)
         runs = N_RUNS_NOISY if spec.name in NOISY else N_RUNS
         if spec.name in TARGET_WARM:
             try:
@@ -478,6 +521,7 @@ def main() -> None:
             # "faster" than 1x), which poisons round-over-round deltas
             runs_10x = 2 if spec.name in NOISY else 1
             samples_10x = []
+            _mark("10x", spec.name)
             try:
                 for _ in range(runs_10x):
                     t0 = time.time()
@@ -519,6 +563,7 @@ def main() -> None:
                         old.server.stop()
                     os.environ["SPARK_GRAFT_STUB_PROCS"] = str(workers)
                     try:
+                        _mark("get_sweep", f"{label}_workers{workers}")
                         hq._stub_for(d)  # build OUTSIDE the timed window
                         t0 = time.time()
                         hq.http_lookup_customers_get(spark, d).write.format(
@@ -575,6 +620,7 @@ def main() -> None:
         for spec in bench_specs:
             if spec.name not in X100_SUBSET:
                 continue
+            _mark("100x", spec.name)
             t0 = time.time()
             try:
                 spec.fn(spark, x100_dir).write.format("noop").mode(
@@ -712,6 +758,7 @@ def main() -> None:
         stub.start(workers=8)
         streaming_e2e = {}
         try:
+            _mark("streaming", "enrich_sink")
             streaming_e2e["enrich_sink"] = run_enrich_sink_e2e(
                 spark,
                 f"http://127.0.0.1:{stub.port}/e2e-people",
@@ -724,6 +771,7 @@ def main() -> None:
         # higher rate at the same trigger: request volume per micro-batch
         # is distinct-keys / 50, not distinct-keys
         try:
+            _mark("streaming", "enrich_sink_batch")
             streaming_e2e["enrich_sink_batch"] = run_enrich_sink_e2e(
                 spark,
                 f"http://127.0.0.1:{stub.port}/e2e-people-batch",
@@ -735,6 +783,7 @@ def main() -> None:
         except Exception as err:
             streaming_e2e["enrich_sink_batch"] = f"error: {err}"
         try:
+            _mark("streaming", "stateful_burst")
             streaming_e2e["stateful_burst"] = run_stateful_e2e(spark)
         except Exception as err:
             streaming_e2e["stateful_burst"] = f"error: {err}"
@@ -762,6 +811,7 @@ def main() -> None:
             rec_stub = FastHttpStub()
             rec_stub.route("/e2e-sink-rec", counting_sink)
             rec_stub.start(workers=1)
+            _mark("streaming", "recovery")
             streaming_e2e["recovery"] = run_enrich_sink_recovery_e2e(
                 spark,
                 f"http://127.0.0.1:{stub.port}/e2e-people",
@@ -781,6 +831,7 @@ def main() -> None:
                 run_stateful_recovery_e2e,
             )
 
+            _mark("streaming", "recovery_stateful")
             streaming_e2e["recovery_stateful"] = run_stateful_recovery_e2e(
                 spark
             )
@@ -796,6 +847,7 @@ def main() -> None:
                 run_enrich_sink_chaos_e2e,
             )
 
+            _mark("streaming", "chaos")
             chaos = run_enrich_sink_chaos_e2e(
                 spark,
                 f"http://127.0.0.1:{stub.port}/chaos-people",
@@ -820,6 +872,7 @@ def main() -> None:
                 run_enrich_sink_chaos_e2e as _chaos_rl,
             )
 
+            _mark("streaming", "chaos_ratelimited")
             chaos_rl = _chaos_rl(
                 spark,
                 f"http://127.0.0.1:{stub.port}/chaos-rl-people",
