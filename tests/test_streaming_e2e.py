@@ -64,9 +64,11 @@ def test_enrich_sink_sustained_keep_up(spark, stub_server):
     stub_server.stub("/sink", lambda req: StubResponse(200, b'{"ok":true}'))
 
     sink_baseline = [0]
+    lookup_baseline = [0]
 
     def attempt(trigger_sec):
         sink_baseline[0] = len(stub_server.recorded("/sink"))
+        lookup_baseline[0] = len(stub_server.recorded("/people"))
         return run_enrich_sink_e2e(
             spark,
             stub_server.url("/people"),
@@ -101,9 +103,14 @@ def test_enrich_sink_sustained_keep_up(spark, stub_server):
         delivered, summary["rows_total"]
     )
     # request volume on the lookup side is distinct-key-bounded:
-    # <= n_keys per micro-batch, never one per probe row
-    lookups = len(stub_server.recorded("/people"))
-    assert lookups <= n_keys * 2 * summary["batches"], lookups
+    # <= n_keys per micro-batch, never one per probe row. Baselined per
+    # attempt (a keep-up retry would otherwise count the previous
+    # attempt's lookups against a single-attempt bound) and with one
+    # extra batch of allowance for the same in-flight tail the
+    # `delivered >=` assertion above documents: a micro-batch completing
+    # between the progress poll and query.stop() still issues lookups.
+    lookups = len(stub_server.recorded("/people")) - lookup_baseline[0]
+    assert lookups <= n_keys * 2 * (summary["batches"] + 1), lookups
 
 
 def test_stateful_sustained_bounded_state(spark):
