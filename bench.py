@@ -132,6 +132,292 @@ def ensure_scale_dir(base_dir: str, factor: int = SCALE_FACTOR) -> str:
     return str(out)
 
 
+# 100x scale point (round 10): a second decade on a pure-compute
+# subset, so the curve shows the EXPONENT, not one ratio. The derived
+# scaling_exponent is log10(t_100x / t_10x) — 1.0 is linear in data,
+# < 1 sublinear (fixed overheads amortizing), > 1 superlinear (a real
+# scale bug). HTTP queries are excluded on purpose: their 100x stub
+# would precompute ~100x response bytes in driver memory and the
+# per-key path is endpoint-bound by design (see
+# per_key_get_saturation), so a 100x point would measure the harness.
+X100_SUBSET = [
+    "q01_pricing_summary", "q_rfm_segments", "search_bm25_topk",
+    "dedup_minhash_lsh", "dedup_clusters", "emb_knn_graph",
+    "pipeline_corpus_manifest", "stream_window_topk",
+    "stream_cep_funnel", "stream_burst_heavy_hitters",
+    # round 11 (r10 verdict #5): widen the second decade to >= 15 —
+    # the "no exponent > 1" claim generalized from 10 data points
+    "q03_shipping_priority", "q05_local_supplier",
+    "q09_product_profit", "text_token_stats",
+    "sim_ann_lsh_multiprobe", "sim_knn_bruteforce",
+    "sim_incremental_lsh_index",
+    # round 11b: the remaining pure-compute headline queries —
+    # the ENTIRE non-HTTP bench set now carries two decades
+    "q06_forecast_revenue", "q_top3_customers_per_nation",
+    "q_sessionize_events",
+    # round 15 (r14 verdict #2): the ExactSubstr family's one open
+    # scale question is candidate-PAIR volume (75.6x pairs at 10x
+    # on the salted replica) — put the pair reporter and the
+    # consumable clean-stats on the second decade so the exponent
+    # is measured, not argued
+    "dedup_exact_substring", "dedup_exact_substring_clean_stats",
+]
+
+
+def _build_session(cpus: str, driver_mem: str):
+    """One place for the bench session config, shared by the main
+    process and the 100x child process (same planner posture, same
+    retained-metadata caps, same clean-stdout contract)."""
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("bench")
+        .config("spark.sql.shuffle.partitions", str(max(32, int(cpus))))
+        .config("spark.sql.adaptive.enabled", "true")
+        # round 15: the static shuffle-partition count above is a
+        # local-mode constant — at the 100x leg it left each of 32
+        # aggregation tasks holding a multi-million-group hash map and
+        # the ExactSubstr rows died with AGGREGATE_OUT_OF_MEMORY. AQE's
+        # initialPartitionNum is therefore derived PER LEG from that
+        # leg's input bytes (_set_leg_partitions below, guide
+        # §2.2/§2.5: scale-adaptive partitioning, smaller per-task
+        # state) instead of a blanket constant: a first cut pinned it
+        # at 256 session-wide, which halved nothing at 100x it didn't
+        # already fix but DOUBLED every sub-second headline query
+        # (text_token_stats 0.23 -> 0.49 s, bm25 0.56 -> 0.86 s
+        # isolated A/B) — 256-way shuffles are pure scheduling overhead
+        # at sf0.1. At the 1x leg the derived value equals the session
+        # default, so headline numbers stay comparable to r14.
+        .config("spark.sql.session.timeZone", "UTC")
+        # modest heap on purpose: the test VM reclaims guest-free pages via
+        # virtio-balloon, so a large heap means every heap-growth spurt
+        # re-faults pages against the host (multi-second kernel-time stalls
+        # measured at 16g); 8g is ample for sf0.1 and keeps residency low
+        .config("spark.driver.memory", driver_mem)
+        # clean-stdout contract: the driver JVM's unified-logging WARNING
+        # lines go to STDOUT by default ([warning][gc,alloc] GCLocker
+        # retries were observed interleaving with — and corrupting — the
+        # single JSON result line during a heap-pressure window). The
+        # bench's stdout is a machine-parsed channel; JVM diagnostics
+        # belong on stderr, and everything Spark logs already goes there.
+        # Round 16 (ADVICE r15): -Xlog:disable alone also silenced the
+        # GC/safepoint diagnostics earlier rounds used to analyze heap
+        # stalls — re-enable gc logging explicitly, routed to STDERR, so
+        # stdout stays clean while the diagnostics survive (-Xlog:gc =
+        # one line per collection; gc* at info level spams concurrent-
+        # phase detail thousands of lines per bench).
+        .config("spark.driver.extraJavaOptions",
+                "-Xlog:disable -Xlog:gc:stderr")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # long-session heap hygiene (r13): one bench session runs ~4000
+        # stages across headline + 10x + 100x + streaming legs, and the
+        # always-on status store retains live job/stage/task metadata for
+        # all of them — measured to tip the 8g heap into OOM exactly at
+        # the 100x emb_knn_graph allocation spike. No UI is served from a
+        # bench run, and the retained caps bound the store instead of
+        # letting it scale with session length.
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "10000")
+        .config("spark.sql.ui.retainedExecutions", "20")
+        # round 15: several optimized queries materialize intermediates
+        # via localCheckpoint (anchor postings, CC labels, BPE states).
+        # Their RDD blocks are freed by the ContextCleaner only after
+        # the JVM drops the references the Python side holds via py4j —
+        # which needs a Python GC (to detach) AND a JVM GC (to process
+        # the weak refs). Without either, blocks from every prior timed
+        # run accumulate until the 10x/100x legs OOM the 8g heap
+        # (measured: heap OOM in the 10x leg, GCLocker retry storm).
+        # _reclaim() below runs BOTH collections explicitly BETWEEN
+        # timed runs. A first cut used a 45s periodicGC timer instead —
+        # whose stop-the-world pauses landed INSIDE the multi-batch
+        # streaming replays and tripled them (stream_cep_funnel
+        # 1.96 -> 5.7-10.4 s, isolated A/B); the explicit call is
+        # deterministic and never inside a timed window.
+        .getOrCreate()
+    )
+
+
+def _reclaim(spark) -> None:
+    """Drop Python-side references to the previous run's DataFrames
+    (Python GC detaches the py4j refs) and run one synchronous JVM
+    GC so the ContextCleaner's weak refs enqueue and the dead plans'
+    checkpoint blocks actually unpersist. Called BETWEEN timed runs,
+    never inside a timed window — this is session hygiene (the
+    blocks belong to dead plans), not a change to what any run
+    computes or when.
+
+    The unpersist itself is ASYNCHRONOUS (the ContextCleaner drains
+    its reference queue on its own thread), so a System.gc() alone
+    only STARTS the reclaim — the next timed run could begin while
+    gigabytes of dead checkpoint blocks still occupy the block
+    manager, which is exactly the heap posture that OOM'd a 10x leg
+    (double-SMJ sorter growth on top of undrained blocks from the
+    15 queries before it). After the GC, wait — bounded — until the
+    storage view actually drains, re-kicking the GC once midway for
+    stragglers whose weak refs needed a second collection cycle."""
+    import gc as _gc
+    import time as _time
+
+    _gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+        jsc = spark.sparkContext._jsc.sc()
+        # progress-based drain: keep waiting while the cleaner is
+        # actually removing blocks; stop after ~2s of no progress
+        # (a sticky block would otherwise tax every reclaim the
+        # full timeout) or a 10s hard ceiling. On the FIRST stall a
+        # second System.gc() runs once — weak refs created after the
+        # first collection's mark phase need a second cycle to
+        # enqueue (ADVICE r15: the docstring promised this re-kick
+        # but the loop never issued it; stragglers just tripped the
+        # stall break and their blocks stayed resident).
+        deadline = _time.time() + 10.0
+        last = len(jsc.getRDDStorageInfo())
+        stalled_since = _time.time()
+        rekicked = False
+        while last > 0 and _time.time() < deadline:
+            _time.sleep(0.2)
+            now = len(jsc.getRDDStorageInfo())
+            if now < last:
+                last, stalled_since = now, _time.time()
+            elif _time.time() - stalled_since > 2.0:
+                if not rekicked:
+                    rekicked = True
+                    spark.sparkContext._jvm.System.gc()
+                    stalled_since = _time.time()
+                else:
+                    break
+    except Exception:
+        pass  # hygiene must never sink the bench
+
+
+def _dir_bytes(d: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(d):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+_IPN_KEY = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+
+
+def _set_leg_partitions(spark, d: str) -> None:
+    """Derive AQE's initial shuffle-partition count from the leg's
+    input bytes (guide §2.2: partition count follows the data, not a
+    local-mode constant): one initial partition per
+    $SPARK_GRAFT_AQE_IPN_MB (default 32 MB) of input, floored at the
+    session shuffle default and capped at 1024. At sf0.1 this equals
+    the session default (no planning change vs r14); at the 100x leg
+    it splits aggregation state ~512 ways before AQE coalesces
+    reads by size, which is what fixed AGGREGATE_OUT_OF_MEMORY."""
+    per = int(os.environ.get("SPARK_GRAFT_AQE_IPN_MB", "32")) << 20
+    n = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        min(1024, _dir_bytes(d) // per + 1),
+    )
+    spark.conf.set(_IPN_KEY, str(n))
+
+
+def _x100_child(x100_dir: str, scale10_path: str, out_path: str,
+                budget_sec: float) -> None:
+    """The 100x leg, run in its OWN process (spawned by main below).
+
+    Round 16: the r15 driver bench died inside this leg — a JVM heap
+    death at 100x took the whole bench down with NO parsable result
+    (BENCH_r15.json rc=1, parsed null). Isolating the leg in a child
+    process (its own JVM, its own heap sized by
+    $SPARK_GRAFT_DRIVER_MEM_100X, default 10g vs the main session's
+    8g) means a 100x crash costs exactly the remaining 100x rows:
+    the parent still prints the full JSON line. Results stream to
+    ``out_path`` as JSONL — one line per query, flushed — so rows
+    timed before a crash survive it. The timing methodology is
+    unchanged (one pass per query, adaptive re-measure for rows that
+    read a suspicious exponent, _reclaim between runs); the child
+    re-warms each query's generated code at sf0.001 first, exactly
+    like the main session's warmup loop, so JIT state matches."""
+    import math
+
+    with open(scale10_path) as fh:
+        scale10 = json.load(fh)
+
+    import __spark_entry__  # noqa: F401 — populates the registry
+    from flink_connector_http_spark.plans import REGISTRY
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM_100X", "10g")
+    spark = _build_session(cpus, mem)
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    specs = [
+        s for s in REGISTRY.values() if s.bench and s.name in X100_SUBSET
+    ]
+    out = open(out_path, "a")
+
+    def emit(name: str, value) -> None:
+        out.write(json.dumps({"name": name, "value": value}) + "\n")
+        out.flush()
+
+    for spec in specs:  # JIT/codegen warmup, matching the main session
+        try:
+            spec.fn(spark, "/root/testdata/sf0.001").write.format(
+                "noop").mode("overwrite").save()
+        except Exception:
+            pass
+    _reclaim(spark)
+    _set_leg_partitions(spark, x100_dir)
+    x100_timings = {}
+    for spec in specs:
+        if time.time() - t0 > budget_sec:
+            emit(spec.name, "skipped: wall-clock budget")
+            continue
+        print(f"[bench-x100 +{time.time() - t0:7.1f}s] {spec.name}",
+              file=sys.stderr, flush=True)
+        t1 = time.time()
+        try:
+            spec.fn(spark, x100_dir).write.format("noop").mode(
+                "overwrite").save()
+            x100_timings[spec.name] = round(time.time() - t1, 3)
+            emit(spec.name, x100_timings[spec.name])
+        except Exception as err:  # record, never sink the leg
+            emit(spec.name, f"error: {err}")
+        _reclaim(spark)
+    # adaptive re-measure: a single-pass 100x numerator over a NOISY
+    # query can read a spurious exponent just above 1.0 (r11 first
+    # pass: dedup_minhash_lsh 1.019 on a 70%-band query). When the
+    # first pass lands near the red line, take one more sample and
+    # keep the min — extra cost lands only on borderline cases.
+    for spec in specs:
+        t100 = x100_timings.get(spec.name)
+        t10 = scale10.get(spec.name)
+        if not (isinstance(t100, float) and isinstance(t10, float)
+                and t10 > 0):
+            continue
+        if math.log10(max(t100, 1e-3) / t10) <= 0.95:
+            continue
+        if time.time() - t0 > budget_sec:
+            continue
+        t1 = time.time()
+        try:
+            spec.fn(spark, x100_dir).write.format("noop").mode(
+                "overwrite").save()
+            emit(spec.name, min(t100, round(time.time() - t1, 3)))
+        except Exception:
+            pass  # keep the first sample
+        _reclaim(spark)
+    out.close()
+    try:
+        spark.stop()
+    except Exception:
+        pass
+
+
 def _band_check(band_path: str, timings: dict) -> "dict | None":
     """Read this run's per-query mins against the committed bands
     (``tools/bench_bands.json``) and apply the PERF_NOTES uniform-shift
@@ -181,144 +467,24 @@ def _band_check(band_path: str, timings: dict) -> "dict | None":
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-
-    from pyspark.sql import SparkSession
+    # round 16: total wall-clock budget for the OPTIONAL legs (scale
+    # curve, GET sweep, streaming e2e, 100x). The r15 driver ran this
+    # bench at 8 CPUs and was timeout-killed (BENCH_r15_c8.json
+    # rc=124) mid-streaming — everything the run measured was lost
+    # because the JSON line never printed. The headline leg (the
+    # driver contract) always runs to completion; each optional leg
+    # checks the remaining budget first and records an explicit
+    # "skipped: wall-clock budget" instead of silently dying at an
+    # external timeout. Extra legs also stop mattering less abruptly:
+    # legs are ordered cheapest-and-most-informative first.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "2700"))
 
     import __spark_entry__  # noqa: F401 — populates the registry
     from flink_connector_http_spark.plans import REGISTRY
 
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("bench")
-        .config("spark.sql.shuffle.partitions", str(max(32, int(cpus))))
-        .config("spark.sql.adaptive.enabled", "true")
-        # round 15: the static shuffle-partition count above is a
-        # local-mode constant — at the 100x leg it left each of 32
-        # aggregation tasks holding a multi-million-group hash map and
-        # the ExactSubstr rows died with AGGREGATE_OUT_OF_MEMORY. AQE's
-        # initialPartitionNum is therefore derived PER LEG from that
-        # leg's input bytes (_leg_initial_partitions below, guide
-        # §2.2/§2.5: scale-adaptive partitioning, smaller per-task
-        # state) instead of a blanket constant: a first cut pinned it
-        # at 256 session-wide, which halved nothing at 100x it didn't
-        # already fix but DOUBLED every sub-second headline query
-        # (text_token_stats 0.23 -> 0.49 s, bm25 0.56 -> 0.86 s
-        # isolated A/B) — 256-way shuffles are pure scheduling overhead
-        # at sf0.1. At the 1x leg the derived value equals the session
-        # default, so headline numbers stay comparable to r14.
-        .config("spark.sql.session.timeZone", "UTC")
-        # modest heap on purpose: the test VM reclaims guest-free pages via
-        # virtio-balloon, so a large heap means every heap-growth spurt
-        # re-faults pages against the host (multi-second kernel-time stalls
-        # measured at 16g); 8g is ample for sf0.1 and keeps residency low
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        # clean-stdout contract: the driver JVM's unified-logging WARNING
-        # lines go to STDOUT by default ([warning][gc,alloc] GCLocker
-        # retries were observed interleaving with — and corrupting — the
-        # single JSON result line during a heap-pressure window). The
-        # bench's stdout is a machine-parsed channel; JVM diagnostics
-        # belong on stderr, and everything Spark logs already goes there.
-        .config("spark.driver.extraJavaOptions", "-Xlog:disable")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # long-session heap hygiene (r13): one bench session runs ~4000
-        # stages across headline + 10x + 100x + streaming legs, and the
-        # always-on status store retains live job/stage/task metadata for
-        # all of them — measured to tip the 8g heap into OOM exactly at
-        # the 100x emb_knn_graph allocation spike. No UI is served from a
-        # bench run, and the retained caps bound the store instead of
-        # letting it scale with session length.
-        .config("spark.ui.enabled", "false")
-        .config("spark.ui.retainedJobs", "100")
-        .config("spark.ui.retainedStages", "200")
-        .config("spark.ui.retainedTasks", "10000")
-        .config("spark.sql.ui.retainedExecutions", "20")
-        # round 15: several optimized queries materialize intermediates
-        # via localCheckpoint (anchor postings, CC labels, BPE states).
-        # Their RDD blocks are freed by the ContextCleaner only after
-        # the JVM drops the references the Python side holds via py4j —
-        # which needs a Python GC (to detach) AND a JVM GC (to process
-        # the weak refs). Without either, blocks from every prior timed
-        # run accumulate until the 10x/100x legs OOM the 8g heap
-        # (measured: heap OOM in the 10x leg, GCLocker retry storm).
-        # _reclaim() below runs BOTH collections explicitly BETWEEN
-        # timed runs. A first cut used a 45s periodicGC timer instead —
-        # whose stop-the-world pauses landed INSIDE the multi-batch
-        # streaming replays and tripled them (stream_cep_funnel
-        # 1.96 -> 5.7-10.4 s, isolated A/B); the explicit call is
-        # deterministic and never inside a timed window.
-        .getOrCreate()
-    )
+    spark = _build_session(
+        cpus, os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     spark.sparkContext.setLogLevel("ERROR")
-
-    def _reclaim() -> None:
-        """Drop Python-side references to the previous run's DataFrames
-        (Python GC detaches the py4j refs) and run one synchronous JVM
-        GC so the ContextCleaner's weak refs enqueue and the dead plans'
-        checkpoint blocks actually unpersist. Called BETWEEN timed runs,
-        never inside a timed window — this is session hygiene (the
-        blocks belong to dead plans), not a change to what any run
-        computes or when.
-
-        The unpersist itself is ASYNCHRONOUS (the ContextCleaner drains
-        its reference queue on its own thread), so a System.gc() alone
-        only STARTS the reclaim — the next timed run could begin while
-        gigabytes of dead checkpoint blocks still occupy the block
-        manager, which is exactly the heap posture that OOM'd a 10x leg
-        (double-SMJ sorter growth on top of undrained blocks from the
-        15 queries before it). After the GC, wait — bounded — until the
-        storage view actually drains, re-kicking the GC once midway for
-        stragglers whose weak refs needed a second collection cycle."""
-        import gc as _gc
-        import time as _time
-
-        _gc.collect()
-        try:
-            spark.sparkContext._jvm.System.gc()
-            jsc = spark.sparkContext._jsc.sc()
-            # progress-based drain: keep waiting while the cleaner is
-            # actually removing blocks; stop after ~2s of no progress
-            # (a sticky block would otherwise tax every reclaim the
-            # full timeout) or a 10s hard ceiling
-            deadline = _time.time() + 10.0
-            last = len(jsc.getRDDStorageInfo())
-            stalled_since = _time.time()
-            while last > 0 and _time.time() < deadline:
-                _time.sleep(0.2)
-                now = len(jsc.getRDDStorageInfo())
-                if now < last:
-                    last, stalled_since = now, _time.time()
-                elif _time.time() - stalled_since > 2.0:
-                    break
-        except Exception:
-            pass  # hygiene must never sink the bench
-
-    def _dir_bytes(d: str) -> int:
-        total = 0
-        for root, _dirs, files in os.walk(d):
-            for f in files:
-                try:
-                    total += os.path.getsize(os.path.join(root, f))
-                except OSError:
-                    pass
-        return total
-
-    _IPN_KEY = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
-
-    def _set_leg_partitions(d: str) -> None:
-        """Derive AQE's initial shuffle-partition count from the leg's
-        input bytes (guide §2.2: partition count follows the data, not a
-        local-mode constant): one initial partition per
-        $SPARK_GRAFT_AQE_IPN_MB (default 32 MB) of input, floored at the
-        session shuffle default and capped at 1024. At sf0.1 this equals
-        the session default (no planning change vs r14); at the 100x leg
-        it splits aggregation state ~512 ways before AQE coalesces
-        reads by size, which is what fixed AGGREGATE_OUT_OF_MEMORY."""
-        per = int(os.environ.get("SPARK_GRAFT_AQE_IPN_MB", "32")) << 20
-        n = max(
-            int(spark.conf.get("spark.sql.shuffle.partitions")),
-            min(1024, _dir_bytes(d) // per + 1),
-        )
-        spark.conf.set(_IPN_KEY, str(n))
 
     # untimed warmup: absorbs one-time JVM JIT/codegen and Python-Arrow
     # worker startup so per-query numbers measure the queries (at cluster
@@ -349,7 +515,7 @@ def main() -> None:
             ).mode("overwrite").save()
         except Exception:
             pass  # a warmup miss only costs timing accuracy, not the bench
-    _reclaim()
+    _reclaim(spark)
 
     # min of three timed runs per query: this test VM reclaims guest pages
     # via virtio-balloon, which injects multi-second kernel stalls into
@@ -358,7 +524,7 @@ def main() -> None:
     # single-query jitter in the r2→r3 comparison. The min of three runs is
     # the steady-state per-query cost — what the query actually takes when
     # the host isn't stealing the pages back.
-    _set_leg_partitions(sf_dir)  # equals the session default at sf0.1
+    _set_leg_partitions(spark, sf_dir)  # equals session default at sf0.1
 
     N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     # the five historically noisiest queries get min-of-5 plus their raw
@@ -439,7 +605,7 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             samples.append(round(time.time() - t0, 3))
             del df
-            _reclaim()
+            _reclaim(spark)
         timings[spec.name] = min(samples)
         if spec.name in NOISY:
             noise_band[spec.name] = {
@@ -492,12 +658,63 @@ def main() -> None:
     if band_check is not None:
         result["band_check"] = band_check
 
+    # ---- optional legs --------------------------------------------------
+    # Round 16: everything below the headline leg is diagnostics the
+    # driver contract does not require (scale curves, saturation sweep,
+    # streaming e2e, 100x). Two r15 failures shaped this block:
+    # BENCH_r15.json rc=1 — a JVM death inside the 100x leg raised
+    # OUTSIDE any try and the result JSON never printed, losing the
+    # whole run; BENCH_r15_c8.json rc=124 — at 8 CPUs the full set of
+    # legs overran the driver's external timeout mid-streaming, same
+    # total loss. Now: (a) the single JSON line prints NO MATTER WHAT
+    # happens in this block; (b) every leg first checks the remaining
+    # wall-clock budget and records an explicit skip instead of dying
+    # at an external timeout; (c) legs run cheapest-and-most-
+    # informative first (10x -> sweep -> streaming -> 100x), so a
+    # truncated run keeps the most evidence; (d) the crash-prone 100x
+    # leg runs in a CHILD process with its own JVM (_x100_child).
+    def _remaining() -> float:
+        return budget - (time.time() - _T0)
+
+    def _budget_skip(legs_skipped: dict, leg: str, need: float) -> bool:
+        """True (and records why) when the remaining budget cannot fit
+        a leg whose rough wall cost is ``need`` seconds."""
+        if _remaining() >= need:
+            return False
+        legs_skipped[leg] = (
+            f"skipped: wall-clock budget ({int(_remaining())}s of "
+            f"{int(budget)}s left, leg needs ~{int(need)}s)")
+        return True
+
+    legs_skipped: dict = {}
+    try:
+        _optional_legs(
+            spark, result, timings, bench_specs, sf_dir, cpus,
+            NOISY, _mark, _remaining, _budget_skip, legs_skipped,
+        )
+    except Exception as err:  # a dead JVM must not eat the result line
+        result["optional_legs_error"] = f"{type(err).__name__}: {err}"
+    if legs_skipped:
+        result["legs_skipped"] = legs_skipped
+
+    print(json.dumps(result))
+    try:
+        spark.stop()
+    except Exception:
+        pass
+
+
+def _optional_legs(spark, result, timings, bench_specs, sf_dir, cpus,
+                   NOISY, _mark, _remaining, _budget_skip,
+                   legs_skipped) -> None:
     # scale curve: one timed pass per query at 10x the bench SF (locally
     # generated, key-remapped — see ensure_scale_dir). time_ratio ≈ 10 is
     # linear scaling; >> 10 flags a superlinear operator. One run per query
     # (not min-of-N): at 10x the data the signal dwarfs the VM jitter, and
     # the curve is about the exponent, not the third decimal.
-    if os.environ.get("SPARK_GRAFT_SCALE_CURVE", "1") != "0":
+    scale_dir = None
+    if (os.environ.get("SPARK_GRAFT_SCALE_CURVE", "1") != "0"
+            and not _budget_skip(legs_skipped, "scale_curve", 240)):
         scale_dir = ensure_scale_dir(sf_dir)
         # build the scale-dir HTTP data stub OUTSIDE any timed window: its
         # one-time construction (DuckDB reads + precomputing ~10x response
@@ -512,9 +729,12 @@ def main() -> None:
             _stub_for(scale_dir)
         except Exception:
             pass
-        _set_leg_partitions(scale_dir)
+        _set_leg_partitions(spark, scale_dir)
         scale_timings = {}
         for spec in bench_specs:
+            if _remaining() < 45:
+                scale_timings[spec.name] = "skipped: wall-clock budget"
+                continue
             # NOISY queries get min-of-2 at 10x: with a single pass, a VM
             # stall in the 1x min-of-5 vs a lucky 10x run can read a
             # time_ratio BELOW 1.0 (driver r10: q01 at 0.92 — 10x data
@@ -529,7 +749,7 @@ def main() -> None:
                         "overwrite"
                     ).save()
                     samples_10x.append(round(time.time() - t0, 3))
-                    _reclaim()
+                    _reclaim(spark)
                 scale_timings[spec.name] = min(samples_10x)
             except Exception as err:  # record, never sink the whole bench
                 scale_timings[spec.name] = f"error: {err}"
@@ -550,13 +770,18 @@ def main() -> None:
         # operator is superlinear" from "the endpoint saturates" — the
         # per-key path's scale story is endpoint-bound BY DESIGN (the
         # batch lookup is the scale path); this measures exactly where.
-        if os.environ.get("SPARK_GRAFT_GET_SWEEP", "1") != "0":
+        if (os.environ.get("SPARK_GRAFT_GET_SWEEP", "1") != "0"
+                and not _budget_skip(legs_skipped, "get_sweep", 180)):
             from flink_connector_http_spark.plans import http_queries as hq
 
             sweep = {}
             for label, d in (("1x", sf_dir), ("10x", scale_dir)):
-                _set_leg_partitions(d)
+                _set_leg_partitions(spark, d)
                 for workers in (1, 4, 8):
+                    if _remaining() < 45:
+                        sweep[f"{label}_workers{workers}"] = (
+                            "skipped: wall-clock budget")
+                        continue
                     with hq._SERVERS_LOCK:
                         old = hq._SERVERS.pop(d, None)
                     if old is not None:
@@ -578,113 +803,10 @@ def main() -> None:
                 "sweep_sec": sweep,
             }
 
-    # 100x scale point (round 10): a second decade on a pure-compute
-    # subset, so the curve shows the EXPONENT, not one ratio. The derived
-    # scaling_exponent is log10(t_100x / t_10x) — 1.0 is linear in data,
-    # < 1 sublinear (fixed overheads amortizing), > 1 superlinear (a real
-    # scale bug). HTTP queries are excluded on purpose: their 100x stub
-    # would precompute ~100x response bytes in driver memory and the
-    # per-key path is endpoint-bound by design (see
-    # per_key_get_saturation), so a 100x point would measure the harness.
-    if (
-        os.environ.get("SPARK_GRAFT_SCALE_100X", "1") != "0"
-        and os.environ.get("SPARK_GRAFT_SCALE_CURVE", "1") != "0"
-    ):
-        import math
-
-        X100_SUBSET = [
-            "q01_pricing_summary", "q_rfm_segments", "search_bm25_topk",
-            "dedup_minhash_lsh", "dedup_clusters", "emb_knn_graph",
-            "pipeline_corpus_manifest", "stream_window_topk",
-            "stream_cep_funnel", "stream_burst_heavy_hitters",
-            # round 11 (r10 verdict #5): widen the second decade to >= 15 —
-            # the "no exponent > 1" claim generalized from 10 data points
-            "q03_shipping_priority", "q05_local_supplier",
-            "q09_product_profit", "text_token_stats",
-            "sim_ann_lsh_multiprobe", "sim_knn_bruteforce",
-            "sim_incremental_lsh_index",
-            # round 11b: the remaining pure-compute headline queries —
-            # the ENTIRE non-HTTP bench set now carries two decades
-            "q06_forecast_revenue", "q_top3_customers_per_nation",
-            "q_sessionize_events",
-            # round 15 (r14 verdict #2): the ExactSubstr family's one open
-            # scale question is candidate-PAIR volume (75.6x pairs at 10x
-            # on the salted replica) — put the pair reporter and the
-            # consumable clean-stats on the second decade so the exponent
-            # is measured, not argued
-            "dedup_exact_substring", "dedup_exact_substring_clean_stats",
-        ]
-        x100_dir = ensure_scale_dir(sf_dir, 100)
-        _set_leg_partitions(x100_dir)
-        x100_timings = {}
-        for spec in bench_specs:
-            if spec.name not in X100_SUBSET:
-                continue
-            _mark("100x", spec.name)
-            t0 = time.time()
-            try:
-                spec.fn(spark, x100_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                x100_timings[spec.name] = round(time.time() - t0, 3)
-            except Exception as err:  # record, never sink the whole bench
-                x100_timings[spec.name] = f"error: {err}"
-            _reclaim()
-        scale10 = result.get("scale_curve", {}).get("queries_sec", {})
-        # adaptive re-measure: a single-pass 100x numerator over a NOISY
-        # query can read a spurious exponent just above 1.0 (r11 first
-        # pass: dedup_minhash_lsh 1.019 on a 70%-band query). When the
-        # first pass lands near the red line, take one more sample and
-        # keep the min — extra cost lands only on borderline cases.
-        for spec in bench_specs:
-            t100 = x100_timings.get(spec.name)
-            t10 = scale10.get(spec.name)
-            if not (isinstance(t100, float) and isinstance(t10, float)
-                    and t10 > 0):
-                continue
-            if math.log10(max(t100, 1e-3) / t10) <= 0.95:
-                continue
-            t0 = time.time()
-            try:
-                spec.fn(spark, x100_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                x100_timings[spec.name] = min(
-                    t100, round(time.time() - t0, 3)
-                )
-            except Exception:
-                pass  # keep the first sample
-            _reclaim()
-        exponents = {}
-        for name, t100 in x100_timings.items():
-            t10 = scale10.get(name)
-            if isinstance(t100, float) and isinstance(t10, float) and t10 > 0:
-                exponents[name] = round(math.log10(max(t100, 1e-3) / t10), 3)
-        # two-decade exponent log10(t100/t1)/2: the single-decade
-        # 10x->100x figure divides a stable 100x numerator by a 10x
-        # point whose measured spread reaches +-30% on banding-shuffle
-        # queries (dedup_minhash_lsh t10 read 3.46 then 2.51 across two
-        # r11 runs while t1 and t100 moved <12%), so it can read >1.0
-        # purely from a lucky denominator. Both endpoints here carry
-        # min-of-N, making this the robust sublinearity statistic; the
-        # single-decade one stays for tail-decade visibility.
-        exponents_2dec = {}
-        for name, t100 in x100_timings.items():
-            t1 = timings.get(name)
-            if isinstance(t100, float) and isinstance(t1, float) and t1 > 0:
-                exponents_2dec[name] = round(
-                    math.log10(max(t100, 1e-3) / t1) / 2.0, 3)
-        result["scale_curve_100x"] = {
-            "data_factor": 100,
-            "queries_sec": x100_timings,
-            "time_ratio_vs_1x": {
-                name: round(t / timings[name], 2)
-                for name, t in x100_timings.items()
-                if isinstance(t, float) and timings.get(name)
-            },
-            "scaling_exponent_10x_to_100x": exponents,
-            "scaling_exponent_1x_to_100x": exponents_2dec,
-        }
+    # (the 100x leg moved AFTER streaming e2e in round 16 — it is the
+    # most expensive and the only leg with a JVM-death history, so it
+    # runs last, in its own child process: see the block below the
+    # streaming legs.)
 
     # sustained streaming e2e (round 11, r10 verdict #1): N consecutive
     # micro-batches at a fixed input rate — the reference's continuous-
@@ -694,11 +816,16 @@ def main() -> None:
     # exercises. Records sustained rows/sec, per-batch duration p50/p95
     # vs the trigger interval (keep-up), and state-store rows per batch
     # (flat = bounded state proven on a live run, not just unit tests).
-    if os.environ.get("SPARK_GRAFT_STREAMING_E2E", "1") != "0":
-        _set_leg_partitions(sf_dir)  # back to the 1x planning posture
+    if (os.environ.get("SPARK_GRAFT_STREAMING_E2E", "1") != "0"
+            and not _budget_skip(legs_skipped, "streaming_e2e", 150)):
+        _set_leg_partitions(spark, sf_dir)  # back to 1x planning posture
         from flink_connector_http_spark.streaming.e2e import (
+            ChaosGate,
+            run_enrich_sink_chaos_e2e,
             run_enrich_sink_e2e,
+            run_enrich_sink_recovery_e2e,
             run_stateful_e2e,
+            run_stateful_recovery_e2e,
         )
         from flink_connector_http_spark.testing import (
             FastHttpStub,
@@ -735,8 +862,6 @@ def main() -> None:
         # (cross-process storm switch + wire counter — allocated BEFORE
         # start() so the SO_REUSEPORT fork children share it). Separate
         # path so the other legs don't pay the counter lock.
-        from flink_connector_http_spark.streaming.e2e import ChaosGate
-
         chaos_gate = ChaosGate(retry_after_sec=1)
         _people_bytes = {
             str(k): response_bytes(json.dumps(v).encode())
@@ -757,36 +882,59 @@ def main() -> None:
         stub.route("/chaos-rl-people", chaos_gate_rl.wrap(chaos_people))
         stub.start(workers=8)
         streaming_e2e = {}
-        try:
-            _mark("streaming", "enrich_sink")
-            streaming_e2e["enrich_sink"] = run_enrich_sink_e2e(
-                spark,
-                f"http://127.0.0.1:{stub.port}/e2e-people",
-                f"http://127.0.0.1:{stub.port}/e2e-sink",
-                n_keys=n_keys,
-            )
-        except Exception as err:  # record, never sink the whole bench
-            streaming_e2e["enrich_sink"] = f"error: {err}"
+        # per-leg budget guards (round 16): each leg's rough wall cost
+        # (trigger cadence x batch count — mostly CPU-independent). A
+        # leg that no longer fits records WHY instead of dying at the
+        # driver's external timeout mid-run (BENCH_r15_c8.json rc=124
+        # lost the entire run's evidence that way).
+        _leg_est = {
+            "enrich_sink": 60, "enrich_sink_batch": 60,
+            "stateful_burst": 185, "recovery": 60,
+            "recovery_stateful": 120, "chaos": 100,
+            "chaos_ratelimited": 100,
+        }
+
+        def _leg_fits(name: str) -> bool:
+            if _remaining() >= _leg_est[name]:
+                return True
+            streaming_e2e[name] = (
+                f"skipped: wall-clock budget ({int(_remaining())}s "
+                f"left, leg needs ~{_leg_est[name]}s)")
+            return False
+
+        if _leg_fits("enrich_sink"):
+            try:
+                _mark("streaming", "enrich_sink")
+                streaming_e2e["enrich_sink"] = run_enrich_sink_e2e(
+                    spark,
+                    f"http://127.0.0.1:{stub.port}/e2e-people",
+                    f"http://127.0.0.1:{stub.port}/e2e-sink",
+                    n_keys=n_keys,
+                )
+            except Exception as err:  # record, never sink the whole bench
+                streaming_e2e["enrich_sink"] = f"error: {err}"
         # the batch-POST lookup (the documented scale path) sustains a
         # higher rate at the same trigger: request volume per micro-batch
         # is distinct-keys / 50, not distinct-keys
-        try:
-            _mark("streaming", "enrich_sink_batch")
-            streaming_e2e["enrich_sink_batch"] = run_enrich_sink_e2e(
-                spark,
-                f"http://127.0.0.1:{stub.port}/e2e-people-batch",
-                f"http://127.0.0.1:{stub.port}/e2e-sink",
-                n_keys=n_keys,
-                rows_per_second=40_000,
-                lookup_batch_size=50,
-            )
-        except Exception as err:
-            streaming_e2e["enrich_sink_batch"] = f"error: {err}"
-        try:
-            _mark("streaming", "stateful_burst")
-            streaming_e2e["stateful_burst"] = run_stateful_e2e(spark)
-        except Exception as err:
-            streaming_e2e["stateful_burst"] = f"error: {err}"
+        if _leg_fits("enrich_sink_batch"):
+            try:
+                _mark("streaming", "enrich_sink_batch")
+                streaming_e2e["enrich_sink_batch"] = run_enrich_sink_e2e(
+                    spark,
+                    f"http://127.0.0.1:{stub.port}/e2e-people-batch",
+                    f"http://127.0.0.1:{stub.port}/e2e-sink",
+                    n_keys=n_keys,
+                    rows_per_second=40_000,
+                    lookup_batch_size=50,
+                )
+            except Exception as err:
+                streaming_e2e["enrich_sink_batch"] = f"error: {err}"
+        if _leg_fits("stateful_burst"):
+            try:
+                _mark("streaming", "stateful_burst")
+                streaming_e2e["stateful_burst"] = run_stateful_e2e(spark)
+            except Exception as err:
+                streaming_e2e["stateful_burst"] = f"error: {err}"
         # kill/restart-under-load leg (round 12, r11 verdict #4): crash the
         # enrich->sink query after sink delivery but before checkpoint
         # commit, restart from the checkpoint at the same rate, and record
@@ -794,105 +942,193 @@ def main() -> None:
         # COUNTING sink (single-process stub — its responder state must be
         # readable from here, so no SO_REUSEPORT forks; sink volume is
         # ~40 req/s of batched arrays, far below one event loop's limit)
-        try:
-            from flink_connector_http_spark.streaming.e2e import (
-                run_enrich_sink_recovery_e2e,
-            )
+        if _leg_fits("recovery"):
+            try:
+                rec = {"total": 0, "seen": set()}
+                _ok_rec = response_bytes(b'{"ok":true}')
 
-            rec = {"total": 0, "seen": set()}
-            _ok_rec = response_bytes(b'{"ok":true}')
+                def counting_sink(_query: str, body: bytes) -> bytes:
+                    rows = json.loads(body)
+                    rec["total"] += len(rows)
+                    rec["seen"].update(r["value"] for r in rows)
+                    return _ok_rec
 
-            def counting_sink(_query: str, body: bytes) -> bytes:
-                rows = json.loads(body)
-                rec["total"] += len(rows)
-                rec["seen"].update(r["value"] for r in rows)
-                return _ok_rec
-
-            rec_stub = FastHttpStub()
-            rec_stub.route("/e2e-sink-rec", counting_sink)
-            rec_stub.start(workers=1)
-            _mark("streaming", "recovery")
-            streaming_e2e["recovery"] = run_enrich_sink_recovery_e2e(
-                spark,
-                f"http://127.0.0.1:{stub.port}/e2e-people",
-                f"http://127.0.0.1:{rec_stub.port}/e2e-sink-rec",
-                n_keys=n_keys,
-                delivered_stats=lambda: {
-                    "total": rec["total"], "distinct": len(rec["seen"]),
-                },
-            )
-        except Exception as err:
-            streaming_e2e["recovery"] = f"error: {err}"
+                rec_stub = FastHttpStub()
+                rec_stub.route("/e2e-sink-rec", counting_sink)
+                rec_stub.start(workers=1)
+                _mark("streaming", "recovery")
+                streaming_e2e["recovery"] = run_enrich_sink_recovery_e2e(
+                    spark,
+                    f"http://127.0.0.1:{stub.port}/e2e-people",
+                    f"http://127.0.0.1:{rec_stub.port}/e2e-sink-rec",
+                    n_keys=n_keys,
+                    delivered_stats=lambda: {
+                        "total": rec["total"], "distinct": len(rec["seen"]),
+                    },
+                )
+            except Exception as err:
+                streaming_e2e["recovery"] = f"error: {err}"
         # stateful kill/restart: state restored from the store (first
         # post-restart batch already holds the saturated key domain),
         # still bounded, keep-up resumed
-        try:
-            from flink_connector_http_spark.streaming.e2e import (
-                run_stateful_recovery_e2e,
-            )
-
-            _mark("streaming", "recovery_stateful")
-            streaming_e2e["recovery_stateful"] = run_stateful_recovery_e2e(
-                spark
-            )
-        except Exception as err:
-            streaming_e2e["recovery_stateful"] = f"error: {err}"
+        if _leg_fits("recovery_stateful"):
+            try:
+                _mark("streaming", "recovery_stateful")
+                streaming_e2e["recovery_stateful"] = (
+                    run_stateful_recovery_e2e(spark)
+                )
+            except Exception as err:
+                streaming_e2e["recovery_stateful"] = f"error: {err}"
         # endpoint-flap chaos leg (round 13, r12 verdict #1): mid-run 503
         # storm on the lookup endpoint at rate — breaker trip → fail-fast
         # measured at the wire, Retry-After absorbed in the first storm
         # batch, rows riding continue_on_error, half-open re-close, and
         # post-storm keep-up
-        try:
-            from flink_connector_http_spark.streaming.e2e import (
-                run_enrich_sink_chaos_e2e,
-            )
-
-            _mark("streaming", "chaos")
-            chaos = run_enrich_sink_chaos_e2e(
-                spark,
-                f"http://127.0.0.1:{stub.port}/chaos-people",
-                f"http://127.0.0.1:{stub.port}/e2e-sink",
-                storm_on=chaos_gate.storm_on,
-                storm_off=chaos_gate.storm_off,
-                wire_count=chaos_gate.wire_count,
-                n_keys=n_keys,
-            )
-            chaos.pop("batch_log", None)  # keep the bench line compact
-            streaming_e2e["chaos"] = chaos
-        except Exception as err:
-            streaming_e2e["chaos"] = f"error: {err}"
+        if _leg_fits("chaos"):
+            try:
+                _mark("streaming", "chaos")
+                chaos = run_enrich_sink_chaos_e2e(
+                    spark,
+                    f"http://127.0.0.1:{stub.port}/chaos-people",
+                    f"http://127.0.0.1:{stub.port}/e2e-sink",
+                    storm_on=chaos_gate.storm_on,
+                    storm_off=chaos_gate.storm_off,
+                    wire_count=chaos_gate.wire_count,
+                    n_keys=n_keys,
+                )
+                chaos.pop("batch_log", None)  # keep the bench line compact
+                streaming_e2e["chaos"] = chaos
+            except Exception as err:
+                streaming_e2e["chaos"] = f"error: {err}"
         # rate-limited chaos leg (round-13 verdict #4): the production
         # outage posture — per-task TokenBucket + breaker + Retry-After
         # COMPOSED. Budget sized below demand (8 tasks x 120/s = 960 rps
         # vs ~1333 rps of distinct-key demand) so the cap binds: batches
         # stretch past the trigger and rows keep flowing; the summary's
         # rate_limit block reports achieved vs configured per phase.
-        try:
-            from flink_connector_http_spark.streaming.e2e import (
-                run_enrich_sink_chaos_e2e as _chaos_rl,
-            )
-
-            _mark("streaming", "chaos_ratelimited")
-            chaos_rl = _chaos_rl(
-                spark,
-                f"http://127.0.0.1:{stub.port}/chaos-rl-people",
-                f"http://127.0.0.1:{stub.port}/e2e-sink",
-                storm_on=chaos_gate_rl.storm_on,
-                storm_off=chaos_gate_rl.storm_off,
-                wire_count=chaos_gate_rl.wire_count,
-                n_keys=n_keys,
-                rate_limit_rps=120.0,
-                rate_limit_burst=120.0,
-            )
-            chaos_rl.pop("batch_log", None)
-            streaming_e2e["chaos_ratelimited"] = chaos_rl
-        except Exception as err:
-            streaming_e2e["chaos_ratelimited"] = f"error: {err}"
+        if _leg_fits("chaos_ratelimited"):
+            try:
+                _mark("streaming", "chaos_ratelimited")
+                chaos_rl = run_enrich_sink_chaos_e2e(
+                    spark,
+                    f"http://127.0.0.1:{stub.port}/chaos-rl-people",
+                    f"http://127.0.0.1:{stub.port}/e2e-sink",
+                    storm_on=chaos_gate_rl.storm_on,
+                    storm_off=chaos_gate_rl.storm_off,
+                    wire_count=chaos_gate_rl.wire_count,
+                    n_keys=n_keys,
+                    rate_limit_rps=120.0,
+                    rate_limit_burst=120.0,
+                )
+                chaos_rl.pop("batch_log", None)
+                streaming_e2e["chaos_ratelimited"] = chaos_rl
+            except Exception as err:
+                streaming_e2e["chaos_ratelimited"] = f"error: {err}"
         result["streaming_e2e"] = streaming_e2e
 
-    print(json.dumps(result))
-    spark.stop()
+    # 100x scale point (round 10; round 16: LAST, in a CHILD process): a
+    # second decade on a pure-compute subset, so the curve shows the
+    # EXPONENT, not one ratio. The derived scaling_exponent is
+    # log10(t_100x / t_10x) — 1.0 is linear in data, < 1 sublinear
+    # (fixed overheads amortizing), > 1 superlinear (a real scale bug).
+    # HTTP queries are excluded on purpose: their 100x stub would
+    # precompute ~100x response bytes in driver memory and the per-key
+    # path is endpoint-bound by design (see per_key_get_saturation), so
+    # a 100x point would measure the harness. The leg runs in its own
+    # process (_x100_child) with its own JVM: the r15 driver bench died
+    # of a JVM heap death INSIDE this leg and lost the whole result;
+    # now the blast radius is the remaining 100x rows, nothing else.
+    if (
+        os.environ.get("SPARK_GRAFT_SCALE_100X", "1") != "0"
+        and os.environ.get("SPARK_GRAFT_SCALE_CURVE", "1") != "0"
+        and not _budget_skip(legs_skipped, "scale_100x", 420)
+    ):
+        if scale_dir is None:  # no 10x denominators -> no exponents
+            legs_skipped["scale_100x"] = (
+                "skipped: scale_curve leg did not run (its 10x timings "
+                "are this leg's denominators)")
+            return
+        import math
+        import subprocess
+        import tempfile
+
+        x100_dir = ensure_scale_dir(sf_dir, 100)
+        scale10 = result.get("scale_curve", {}).get("queries_sec", {})
+        workdir = tempfile.mkdtemp(prefix="bench_x100_")
+        scale10_path = os.path.join(workdir, "scale10.json")
+        out_path = os.path.join(workdir, "x100.jsonl")
+        with open(scale10_path, "w") as fh:
+            json.dump(
+                {k: v for k, v in scale10.items() if isinstance(v, float)},
+                fh,
+            )
+        child_budget = max(120.0, _remaining() - 90.0)
+        _mark("100x", f"child start (budget {int(child_budget)}s)")
+        try:
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--x100-child", x100_dir, scale10_path, out_path,
+                 str(child_budget)],
+                stdout=subprocess.DEVNULL,  # keep OUR stdout one JSON line
+                timeout=child_budget + 150.0,
+                check=False,
+            )
+        except subprocess.TimeoutExpired:
+            pass  # partial rows below still count
+        except Exception:
+            pass
+        x100_timings = {}
+        try:
+            with open(out_path) as fh:
+                for line in fh:
+                    try:
+                        row = json.loads(line)
+                        x100_timings[row["name"]] = row["value"]
+                    except Exception:
+                        continue
+        except OSError:
+            pass
+        for name in X100_SUBSET:
+            if name in {s.name for s in bench_specs}:
+                x100_timings.setdefault(
+                    name, "error: 100x child produced no result "
+                    "(crash or timeout — see stderr)")
+        exponents = {}
+        for name, t100 in x100_timings.items():
+            t10 = scale10.get(name)
+            if isinstance(t100, float) and isinstance(t10, float) and t10 > 0:
+                exponents[name] = round(math.log10(max(t100, 1e-3) / t10), 3)
+        # two-decade exponent log10(t100/t1)/2: the single-decade
+        # 10x->100x figure divides a stable 100x numerator by a 10x
+        # point whose measured spread reaches +-30% on banding-shuffle
+        # queries (dedup_minhash_lsh t10 read 3.46 then 2.51 across two
+        # r11 runs while t1 and t100 moved <12%), so it can read >1.0
+        # purely from a lucky denominator. Both endpoints here carry
+        # min-of-N, making this the robust sublinearity statistic; the
+        # single-decade one stays for tail-decade visibility.
+        exponents_2dec = {}
+        for name, t100 in x100_timings.items():
+            t1 = timings.get(name)
+            if isinstance(t100, float) and isinstance(t1, float) and t1 > 0:
+                exponents_2dec[name] = round(
+                    math.log10(max(t100, 1e-3) / t1) / 2.0, 3)
+        result["scale_curve_100x"] = {
+            "data_factor": 100,
+            "queries_sec": x100_timings,
+            "time_ratio_vs_1x": {
+                name: round(t / timings[name], 2)
+                for name, t in x100_timings.items()
+                if isinstance(t, float) and timings.get(name)
+            },
+            "scaling_exponent_10x_to_100x": exponents,
+            "scaling_exponent_1x_to_100x": exponents_2dec,
+        }
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--x100-child":
+        _x100_child(
+            sys.argv[2], sys.argv[3], sys.argv[4], float(sys.argv[5])
+        )
+    else:
+        main()
