@@ -3555,64 +3555,6 @@ def _exsub_firstpos_docs(docs: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("ph.i").alias("i"), F.col("ph.h").alias("h"))
 
 
-#: temp anchor-index dirs created by _exsub_materialize, oldest first;
-#: bounded below so repeated invocations cannot fill the disk
-_EXSUB_MAT_DIRS: list = []
-
-
-def _exsub_materialize(spark: SparkSession, df: DataFrame,
-                       sf_dir: str) -> DataFrame:
-    """Materialize the anchor-posting pass ONCE per invocation, sized to
-    the input (guide §2: scale-adaptive, no constant tuned to either
-    local mode or the cluster):
-
-    * input ``documents`` below ``SPARK_GRAFT_EXSUB_DISK_MAT_BYTES``
-      (default 32 MB) — ``localCheckpoint``: in-memory blocks, no job
-      barrier beyond the materialization itself;
-    * above it — write to a fresh temp parquet dir and read back: the
-      postings of a large corpus do not fit a block manager's heap
-      (deserialized rows cost ~4-6x their on-disk bytes), and the
-      write+read-back IS the shape a real cluster uses — the persisted
-      anchor-index table the incremental mode documents.
-
-    Every invocation writes its OWN directory (computed fresh from the
-    parquet inputs — nothing is reused across runs); only the two most
-    recent directories are kept so a min-of-N bench loop cannot fill
-    the disk."""
-    import os
-    import shutil
-    import tempfile
-
-    # default 4 MB of input documents: the sf0.1 bench corpus (584 KB)
-    # stays on in-memory checkpoint blocks; the 10x replica (5.7 MB,
-    # ~15M postings ≈ 1.5 GB of deserialized blocks) and everything
-    # above go to disk — in-bench the 10x incremental's broadcast build
-    # still hit the heap ceiling with the memory path even though it
-    # passed standalone (the margin, not the single query, is what the
-    # threshold buys)
-    thr = int(os.environ.get(
-        "SPARK_GRAFT_EXSUB_DISK_MAT_BYTES", str(4 << 20)))
-    path = os.path.join(sf_dir, "documents.parquet")
-
-    def _sz(p: str) -> int:
-        if os.path.isdir(p):
-            return sum(
-                os.path.getsize(os.path.join(root, f))
-                for root, _dirs, files in os.walk(p)
-                for f in files
-            )
-        return os.path.getsize(p) if os.path.exists(p) else 0
-
-    if _sz(path) <= thr:
-        return df.localCheckpoint()
-    out = tempfile.mkdtemp(prefix="exsub_anchor_idx_")
-    _EXSUB_MAT_DIRS.append(out)
-    while len(_EXSUB_MAT_DIRS) > 2:
-        shutil.rmtree(_EXSUB_MAT_DIRS.pop(0), ignore_errors=True)
-    df.write.mode("overwrite").parquet(out)
-    return spark.read.parquet(out)
-
-
 def _exsub_pair_budget_env() -> int | None:
     """Read the opt-in per-anchor posting budget from
     ``SPARK_GRAFT_EXSUB_PAIR_MAX`` (unset/empty/0 = uncapped)."""
@@ -3635,77 +3577,83 @@ def _exsub_spans(
     (doc pair, alignment diagonal) as ``(a_id, b_id, diag, sa, ea)`` with
     1-based inclusive char positions in doc_a (doc_b's interval is the
     diag shift). See :func:`dedup_exact_substring` for the construction.
-    ``b_min_doc_id`` restricts the join's b side (the LATER doc of each
-    pair) to the new batch — the incremental mode: the full-corpus anchor
-    index joins only batch-side anchors, so old-old pairs never
-    materialize (at 100 TB the old index is a persisted bucketed table
-    and only the batch side is computed fresh)."""
+    ``b_min_doc_id`` restricts the b side (the LATER doc of each pair)
+    to the new batch — the incremental mode: old-old pairs are dropped
+    doc-locally before the only post-pairing exchange, so they never
+    cross the wire (at 100 TB the old index is a persisted bucketed
+    table and only the batch side is computed fresh).
+
+    Round 16 (guide §2.3/§2.4/§8): the round-15 shape shuffled the full
+    posting table THREE times — a census groupBy(h), a sort-merge join
+    back onto the census survivors, and the anchor self-join — plus a
+    disk materialization so those consumers shared one explode. At the
+    100x probe that read: census 69 s over 149.7M postings (h is
+    near-unique, so partial aggregation reduced nothing and the final
+    aggregate held ~130M groups), matches chain 285 s, while only 7.8M
+    anchors (12% of postings) survived the df filter. Now EVERYTHING
+    anchor-side rides ONE exchange on h: a count-over-window supplies
+    the df census on the same exchange (WindowExec spills per-group to
+    disk, so a boilerplate anchor in a million docs is disk-bounded,
+    same as the old census), the survivors collect into a per-anchor
+    posting array (<= EXSUB_DF_MAX entries by construction), and the
+    C(nd, 2) pairs are generated DOC-LOCALLY by an array-combination
+    explode — no self-join, no census join-back, no materialization,
+    no broadcast, nothing whose memory grows with corpus size. The
+    only other exchange is the islands window on (pair, diag), which
+    carries match rows — the output, not the corpus."""
     from pyspark.sql.window import Window
 
-    # materialize the anchor postings ONCE: the hash-every-window explode
-    # is the expensive pass of the whole family, and without the cut it
-    # runs once per consumer — the df census, the join's a side, and the
-    # join's b side (round-15 plan audit: FOUR parquet scans + Generate
-    # passes in one query plan, zero exchange reuse). localCheckpoint
-    # rather than persist so every bench invocation recomputes from the
-    # parquet inputs (a persisted plan would be deduped by the
-    # CacheManager across the bench's min-of-N runs — result caching,
-    # not optimization). At 100 TB this materialization is the persisted
-    # anchor-index table the incremental mode already documents — and
-    # above a size threshold the materialization moves to disk exactly
-    # like that table would (_exsub_materialize below): deserialized
-    # checkpoint blocks of a 100x corpus's ~150M postings pin ~10 GB of
-    # block-manager heap in a local-mode JVM and killed the 100x bench
-    # leg (GCLocker retry storm -> heap OOM).
-    firstpos = _exsub_materialize(spark, _exsub_firstpos(spark, sf_dir),
-                                  sf_dir)
-    df_ok = (
-        firstpos.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("nd"))
+    fp = _exsub_firstpos(spark, sf_dir)
+    # the df census rides the pair-generation exchange: count per h as
+    # a window (requires clustering by h — the one anchor exchange),
+    # then the groupBy(h) below reuses that clustering exchange-free
+    w_h = Window.partitionBy("h")
+    fp2 = (
+        fp.withColumn("nd", F.count(F.lit(1)).over(w_h))
         .filter((F.col("nd") >= 2) & (F.col("nd") <= EXSUB_DF_MAX))
-        .select("h")
+        .drop("nd")
     )
-    fpos = firstpos.join(df_ok, "h")
     # optional per-anchor PAIR BUDGET (SPARK_GRAFT_EXSUB_PAIR_MAX): keep
     # only the budget-many lowest-doc_id postings of each surviving
-    # anchor, bounding the self-join fan-out at C(budget, 2) pairs per
-    # anchor instead of C(EXSUB_DF_MAX, 2). Off by default (oracle
-    # semantics are uncapped); the dirty-corpus escape hatch for a
-    # 100 TB run where candidate-PAIR volume — not anchor volume — is
-    # the scale hazard (the 10x salted replica showed 75.6x pairs for
-    # 10x data). The lowest-doc_id rule is deterministic ((h, doc_id)
-    # is unique after the first-position rollup), and the truncation is
-    # ACCOUNTED, not silent: dedup_exsub_pair_budget_audit reports
-    # kept/dropped postings and capped-vs-uncapped pair counts for any
-    # budget, and bench runs that engage the knob record it.
+    # anchor, bounding the pair fan-out at C(budget, 2) per anchor
+    # instead of C(EXSUB_DF_MAX, 2). Off by default (oracle semantics
+    # are uncapped); the dirty-corpus escape hatch for a 100 TB run
+    # where candidate-PAIR volume — not anchor volume — is the scale
+    # hazard (the 10x salted replica showed 75.6x pairs for 10x data).
+    # The lowest-doc_id rule is deterministic ((h, doc_id) is unique
+    # after the first-position rollup: the posting array is sorted by
+    # doc_id, so the slice keeps exactly the budget-lowest doc_ids),
+    # and the truncation is ACCOUNTED, not silent:
+    # dedup_exsub_pair_budget_audit reports kept/dropped postings and
+    # capped-vs-uncapped pair counts for any budget, and bench runs
+    # that engage the knob record it.
     if pair_max is None:
         pair_max = _exsub_pair_budget_env()
+    grp = fp2.groupBy("h").agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "i"))).alias("ps")
+    )
     if pair_max is not None:
-        w_h = Window.partitionBy("h").orderBy("doc_id")
-        fpos = (
-            fpos.withColumn("_rn", F.row_number().over(w_h))
-            .filter(F.col("_rn") <= pair_max)
-            .drop("_rn")
-        )
-    fpos_b = (
-        fpos if b_min_doc_id is None
-        else fpos.filter(F.col("doc_id") >= b_min_doc_id)
+        grp = grp.withColumn("ps", F.slice("ps", 1, int(pair_max)))
+    # all unordered posting pairs of each anchor, normalized so a_id is
+    # the smaller doc (doc_ids are distinct within an anchor): pa is
+    # a's position, diag = pa - pb — exactly the rows the round-15
+    # self-join produced, generated in place from the <= EXSUB_DF_MAX
+    # element array instead
+    pair_expr = """
+        flatten(transform(ps, (x, ix) ->
+          transform(slice(ps, ix + 2, size(ps) - ix - 1), y ->
+            named_struct(
+              'a_id', least(x.doc_id, y.doc_id),
+              'b_id', greatest(x.doc_id, y.doc_id),
+              'pa',   CASE WHEN x.doc_id < y.doc_id THEN x.i ELSE y.i END,
+              'diag', CASE WHEN x.doc_id < y.doc_id THEN x.i - y.i
+                           ELSE y.i - x.i END))))
+    """
+    matches = grp.select(F.explode(F.expr(pair_expr)).alias("m")).select(
+        "m.a_id", "m.b_id", "m.pa", "m.diag"
     )
-    # (h, doc) pairs are unique after the first-position rollup, so the
-    # join output is already distinct per (a_id, b_id, diag, pa)
-    matches = (
-        fpos.select(F.col("doc_id").alias("a_id"), F.col("i").alias("pa"), "h")
-        .join(
-            fpos_b.select(
-                F.col("doc_id").alias("b_id"), F.col("i").alias("pb"), "h"
-            ),
-            "h",
-        )
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select(
-            "a_id", "b_id", "pa", (F.col("pa") - F.col("pb")).alias("diag")
-        )
-    )
+    if b_min_doc_id is not None:
+        matches = matches.filter(F.col("b_id") >= b_min_doc_id)
     w = Window.partitionBy("a_id", "b_id", "diag").orderBy("pa")
     runs = matches.withColumn("grp", F.col("pa") - F.row_number().over(w))
     return runs.groupBy("a_id", "b_id", "diag", "grp").agg(

@@ -391,22 +391,45 @@ def _lsh_band_rows(emb: DataFrame) -> DataFrame:
         "broadcast-hash join against the index.",
 )
 def sim_incremental_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
     emb = load(spark, sf_dir, "embeddings")["embeddings"]
     # the incremental contract by construction: existing index rows are
     # computed WITHOUT the batch, batch rows WITHOUT the corpus
     existing = _lsh_band_rows(emb.filter(F.col("vec_id") < EMB_INCR_SPLIT))
     batch = _lsh_band_rows(emb.filter(F.col("vec_id") >= EMB_INCR_SPLIT))
-    return _incr_lsh_probe(batch, existing)
+    # round 16: broadcast the batch side only while it is actually small
+    # (guide §3.1 — the hint, not the result, depends on size). On the
+    # key-strided scale replicas every replicated vec_id exceeds the
+    # split, so at 100x the "daily batch" is 99.8% of the corpus and the
+    # unconditional batch-side broadcast built a multi-hundred-MB hash
+    # relation in the driver heap — the exact allocation profile of the
+    # 100x-leg JVM death. Above the threshold the hint is dropped and
+    # the planner broadcasts the smaller side itself (here: the
+    # existing index); the output is identical either way.
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    sz = 0
+    if os.path.isdir(p):
+        for root, _dirs, files in os.walk(p):
+            sz += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    elif os.path.exists(p):
+        sz = os.path.getsize(p)
+    thr = int(os.environ.get(
+        "SPARK_GRAFT_LSH_BCAST_MAX_BYTES", str(8 << 20)))
+    return _incr_lsh_probe(batch, existing, broadcast_batch=sz <= thr)
 
 
 def _incr_lsh_probe(batch_bands: DataFrame,
-                    existing_bands: DataFrame) -> DataFrame:
+                    existing_bands: DataFrame,
+                    broadcast_batch: bool = True) -> DataFrame:
     """Probe batch band rows against the existing index: band-collision
     candidates via one broadcast-hash join (batch side broadcast — probe
     work bounded by batch size, never corpus size), exact cosine, top-k
     existing neighbors per batch vector. Per-q independent, so
     micro-batch-wise evaluation (the streaming ingest op) unions to the
-    identical result."""
+    identical result. ``broadcast_batch=False`` drops the batch-side
+    broadcast hint for callers whose "batch" is not actually small (the
+    100x bench replica) and lets the planner pick the build side."""
     q = batch_bands.select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("a_emb"),
@@ -430,7 +453,7 @@ def _incr_lsh_probe(batch_bands: DataFrame,
     # the same duplicate-evals-for-narrower-shuffle trade emb_knn_graph
     # documents.
     scored = (
-        F.broadcast(q)
+        (F.broadcast(q) if broadcast_batch else q)
         .join(c, ["band_id", "band_val"])
         .select(
             "q_id",

@@ -17,7 +17,8 @@ def main() -> None:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     only = set(sys.argv[2:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r15"
+    out_dir = (Path(__file__).resolve().parent.parent / "plans"
+               / os.environ.get("SPARK_GRAFT_PLANS_DIR", "r16"))
     out_dir.mkdir(parents=True, exist_ok=True)
 
     from pyspark.sql import SparkSession
