@@ -19,6 +19,13 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+# Wall-clock origin for the optional-leg budget: the PROCESS start, not
+# the end of the warmup loops. The driver's external timeout counts from
+# exec(), and at 8 CPUs the per-query warmups alone run several minutes —
+# a budget clock that starts after them under-counts exactly the slow
+# runs the budget exists to protect (BENCH_r15_c8.json rc=124).
+_T_START = time.time()
+
 # --- scale-curve data: a 10x key-remapped replica of the bench SF ----------
 #
 # No sf1 directory ships with the test data, so the scale point is built
@@ -579,8 +586,10 @@ def main() -> None:
     TARGET_WARM = {"emb_knn_graph", "dedup_clusters", "dedup_minhash_lsh"}
     # stderr progress markers (guide §1.5): one line per (leg, query) so
     # a mid-bench JVM death names its query in the log — stdout stays the
-    # machine-parsed single-JSON-line channel
-    _T0 = time.time()
+    # machine-parsed single-JSON-line channel. Timestamps (and the
+    # optional-leg budget) count from PROCESS start so they line up with
+    # the driver's external timeout.
+    _T0 = _T_START
 
     def _mark(leg: str, name: str) -> None:
         print(f"[bench +{time.time() - _T0:7.1f}s] {leg}: {name}",
