@@ -3478,7 +3478,8 @@ _EXSUB_SPANS_DUCK = _exsub_spans_duck()
         "DOC-LOCAL (an in-partition array_sort, no exchange — measured "
         "26 MB total shuffle write at sf0.1 vs 97 MB uncapped/full-md5); "
         "df-count partials + the post-filter self-join share the h key; "
-        "the islands window shuffles on (pair, diag); the final rollup is "
+        "the islands window shuffles on the (a_id, b_id) pair and the "
+        "per-pair rollup rides that same exchange; the final rollup is "
         "tiny. No cross join, no all-pairs.",
 )
 def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3654,8 +3655,31 @@ def _exsub_spans(
     )
     if b_min_doc_id is not None:
         matches = matches.filter(F.col("b_id") >= b_min_doc_id)
-    w = Window.partitionBy("a_id", "b_id", "diag").orderBy("pa")
-    runs = matches.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    # islands window keyed by the PAIR, not (pair, diag) — round 16
+    # (guide §2.4): every consumer aggregates per pair (the pair report,
+    # the incremental per-pair pre-rollup) or per doc, so partitioning
+    # the run grouping by (a_id, b_id) lets those pair-grain aggregates
+    # ride this exchange instead of re-shuffling the match rows a second
+    # time. Ordering by (diag, pa), a run boundary is a diag change or a
+    # pa gap (pa values are distinct within a diag: the anchor at a
+    # given position is unique after the first-position cap, so the lag
+    # comparison has no tie ambiguity); the cumulative flag sum
+    # reproduces exactly the runs the old per-diag pa - row_number()
+    # construction produced.
+    w = Window.partitionBy("a_id", "b_id").orderBy("diag", "pa")
+    prev_diag = F.lag("diag").over(w)
+    prev_pa = F.lag("pa").over(w)
+    new_run = (
+        prev_diag.isNull()
+        | (F.col("diag") != prev_diag)
+        | (F.col("pa") != prev_pa + 1)
+    )
+    runs = matches.withColumn(
+        "nr", F.when(new_run, F.lit(1)).otherwise(F.lit(0))
+    ).withColumn(
+        "grp",
+        F.sum("nr").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
     return runs.groupBy("a_id", "b_id", "diag", "grp").agg(
         F.min("pa").alias("sa"),
         (F.max("pa") + F.lit(EXSUB_K - 1)).alias("ea"),
@@ -3775,6 +3799,14 @@ def _exsub_merged_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r")
         )
         .select("r.doc_id", "r.s", "r.e")
+        # round 16 (guide §2.4): repartition by doc_id BEFORE the
+        # distinct. hashpartitioning(doc_id) satisfies the distinct's
+        # clustering requirement on (doc_id, s, e) AND the interval-union
+        # window's on doc_id, so the dedup aggregate and both window
+        # passes ride ONE exchange — the former dropDuplicates-first
+        # order paid a (doc_id, s, e) exchange and then a second doc_id
+        # exchange for the window over the very same rows.
+        .repartition("doc_id")
         .dropDuplicates(["doc_id", "s", "e"])
     )
     w_prev = (
@@ -3944,21 +3976,34 @@ def dedup_exact_substring_incremental(
 
 def _exsub_incremental_rollup(spans: DataFrame) -> DataFrame:
     """Per-new-doc span rollup shared by the batch-incremental operator
-    and the streaming ingest (same oracle, so the two must agree)."""
+    and the streaming ingest (same oracle, so the two must agree).
+
+    Round 16 (guide §2.3): aggregate to PAIR grain first — the span
+    builder's islands window already clusters spans by (a_id, b_id), so
+    the pair rollup is exchange-free — and only then shuffle to b_id.
+    The b_id exchange ships one row per partner pair instead of one per
+    span, and the former countDistinct(a_id) (an Expand + two-level
+    aggregate) becomes a plain conditional count: a_id is unique per
+    (b_id, a_id) pair row by construction."""
     length = F.col("ea") - F.col("sa") + 1
     old_pair = F.col("a_id") < INCR_SPLIT
+    pair = spans.groupBy("a_id", "b_id").agg(
+        F.count(F.lit(1)).alias("p_spans"),
+        F.max(length).alias("p_max"),
+        F.sum(length).alias("p_chars"),
+    )
     return (
-        spans.groupBy("b_id")
+        pair.groupBy("b_id")
         .agg(
-            F.countDistinct(F.when(old_pair, F.col("a_id")))
+            F.count(F.when(old_pair, F.lit(1)))
             .cast("bigint").alias("n_partners_existing"),
-            F.countDistinct(F.when(~old_pair, F.col("a_id")))
+            F.count(F.when(~old_pair, F.lit(1)))
             .cast("bigint").alias("n_partners_batch"),
-            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
-            F.max(length).cast("bigint").alias("max_span_chars"),
-            F.sum(F.when(old_pair, length).otherwise(F.lit(0)))
+            F.sum("p_spans").cast("bigint").alias("n_spans"),
+            F.max("p_max").cast("bigint").alias("max_span_chars"),
+            F.sum(F.when(old_pair, F.col("p_chars")).otherwise(F.lit(0)))
             .cast("bigint").alias("shared_chars_existing"),
-            F.sum(F.when(~old_pair, length).otherwise(F.lit(0)))
+            F.sum(F.when(~old_pair, F.col("p_chars")).otherwise(F.lit(0)))
             .cast("bigint").alias("shared_chars_batch"),
         )
         .select(
@@ -4203,8 +4248,23 @@ def stream_incremental_exsub_ingest(
     from pyspark.sql.window import Window
 
     kept = spark.read.parquet(matches_dir).join(final_ok, "h").drop("h")
-    w = Window.partitionBy("a_id", "b_id", "diag").orderBy("pa")
-    runs = kept.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    # same (a_id, b_id)-keyed islands window as _exsub_spans (round 16):
+    # the run grouping and the per-pair rollup share one exchange
+    w = Window.partitionBy("a_id", "b_id").orderBy("diag", "pa")
+    prev_diag = F.lag("diag").over(w)
+    prev_pa = F.lag("pa").over(w)
+    runs = kept.withColumn(
+        "nr",
+        F.when(
+            prev_diag.isNull()
+            | (F.col("diag") != prev_diag)
+            | (F.col("pa") != prev_pa + 1),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "grp",
+        F.sum("nr").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
     spans = runs.groupBy("a_id", "b_id", "diag", "grp").agg(
         F.min("pa").alias("sa"),
         (F.max("pa") + F.lit(EXSUB_K - 1)).alias("ea"),

@@ -118,6 +118,65 @@ def test_clean_stats_matches_removelist_rollup(spark, repetitive_dir):
         assert s["docs_flagged"] == len(per_doc)
 
 
+@pytest.fixture(scope="module")
+def two_runs_same_diag_dir(spark, tmp_path_factory):
+    """Two docs sharing TWO disjoint non-repeating runs at the SAME
+    relative offset (one diagonal, a pa gap between the runs) — the
+    round-16 pair-keyed islands window must close a run on the pa gap."""
+    import string
+
+    run1 = (string.ascii_lowercase + string.digits)[:35]
+    run2 = (string.ascii_uppercase + "!@#$%^&*(")[:35]
+    texts = [
+        "AB" + run1 + "CD" + run2 + "EF",
+        "gh" + run1 + "ij" + run2 + "kl",
+    ]
+    return _write_docs(
+        spark, tmp_path_factory.mktemp("exsub_gap"), texts
+    )
+
+
+@pytest.fixture(scope="module")
+def two_runs_two_diags_dir(spark, tmp_path_factory):
+    """Two docs sharing TWO disjoint runs at DIFFERENT relative offsets
+    (two diagonals inside one pair) — the round-16 islands window orders
+    by (diag, pa) within the pair, so a diag change must close a run even
+    when the pa sequence happens to continue."""
+    import string
+
+    run1 = (string.ascii_lowercase + string.digits)[:35]
+    run2 = (string.ascii_uppercase + "!@#$%^&*(")[:35]
+    texts = [
+        "AB" + run1 + "CD" + run2 + "EF",
+        "ghi" + run1 + "jklmn" + run2 + "op",
+    ]
+    return _write_docs(
+        spark, tmp_path_factory.mktemp("exsub_diags"), texts
+    )
+
+
+def _assert_two_35char_spans(rows):
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_spans"] == 2
+    assert r["max_span_chars"] == 35
+    assert r["shared_chars"] == 70
+
+
+def test_two_runs_same_diag_split_on_pa_gap(spark, two_runs_same_diag_dir):
+    _assert_two_35char_spans(
+        dedup_exact_substring(spark, two_runs_same_diag_dir).collect()
+    )
+
+
+def test_two_runs_two_diags_split_on_diag_change(
+    spark, two_runs_two_diags_dir
+):
+    _assert_two_35char_spans(
+        dedup_exact_substring(spark, two_runs_two_diags_dir).collect()
+    )
+
+
 def test_plain_shared_run_full_length(spark, plain_dir):
     # non-repeating shared text anchors at every offset: the diagonal
     # islands merge back to the FULL 40-char extent, one span per pair
