@@ -3254,35 +3254,56 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the cluster (guide §2.6). Rank values are identical either way
     # (each rank orders by base columns + o_custkey only).
     base = base.localCheckpoint()
-    r_rank = _global_rank(
-        base.select("o_custkey", "last_order"),
-        "CAST(unix_date(CAST(last_order AS DATE)) AS DOUBLE)",
-        [F.asc("last_order"), F.asc("o_custkey")],
-        rank_col="__r_rank", with_total=True,
-    ).select("o_custkey", "__r_rank", "__n")
-    f_rank = _global_rank(
-        base.select("o_custkey", "n_orders"),
-        "CAST(n_orders AS DOUBLE)",
-        [F.asc("n_orders"), F.asc("o_custkey")],
-        rank_col="__f_rank",
-    ).select("o_custkey", "__f_rank")
-    m_rank = _global_rank(
-        base.select("o_custkey", "spend"),
-        "CAST(spend AS DOUBLE)",
-        [F.asc("spend"), F.asc("o_custkey")],
-        rank_col="__m_rank",
-    ).select("o_custkey", "__m_rank")
-    ranked = (
-        base.select("o_custkey", "n_orders")
-        .join(r_rank, "o_custkey")
-        .join(f_rank, "o_custkey")
-        .join(m_rank, "o_custkey")
+    # Round 16 (guide §2.4): the three rank subtrees used to be joined
+    # back on o_custkey — two SortMergeJoins and three per-customer
+    # exchanges whose only job was landing the three score columns on one
+    # row. Each subtree now finishes its own NTILE(5) (every pipeline
+    # carries __n via with_total — an offsets-grain window, not a data
+    # scan) and emits (o_custkey, dim, score); a union + ONE o_custkey
+    # hash aggregate pivots the scores back together. Rank and tile
+    # values are identical (same order columns, same tile arithmetic);
+    # only the combine step changed. n_orders rides the f subtree, whose
+    # rank input already carries it.
+    def _dim_scores(df, bucket_expr, order_cols, dim, n_orders_col):
+        ranked = _global_rank(
+            df, bucket_expr, order_cols,
+            rank_col="__rank", with_total=True,
+        )
+        return ranked.select(
+            "o_custkey",
+            F.lit(dim).alias("__dim"),
+            F.expr(_ntile_expr(5, "__rank")).alias("__score"),
+            n_orders_col.alias("__no"),
+        )
+
+    melted = (
+        _dim_scores(
+            base.select("o_custkey", "last_order"),
+            "CAST(unix_date(CAST(last_order AS DATE)) AS DOUBLE)",
+            [F.asc("last_order"), F.asc("o_custkey")],
+            1, F.lit(None).cast("bigint"),
+        )
+        .unionByName(_dim_scores(
+            base.select("o_custkey", "n_orders"),
+            "CAST(n_orders AS DOUBLE)",
+            [F.asc("n_orders"), F.asc("o_custkey")],
+            2, F.col("n_orders").cast("bigint"),
+        ))
+        .unionByName(_dim_scores(
+            base.select("o_custkey", "spend"),
+            "CAST(spend AS DOUBLE)",
+            [F.asc("spend"), F.asc("o_custkey")],
+            3, F.lit(None).cast("bigint"),
+        ))
     )
-    scored = ranked.select(
-        "o_custkey", "n_orders",
-        F.expr(_ntile_expr(5, "__r_rank")).alias("r_score"),
-        F.expr(_ntile_expr(5, "__f_rank")).alias("f_score"),
-        F.expr(_ntile_expr(5, "__m_rank")).alias("m_score"),
+    scored = melted.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("__dim") == 1, F.col("__score")))
+        .alias("r_score"),
+        F.max(F.when(F.col("__dim") == 2, F.col("__score")))
+        .alias("f_score"),
+        F.max(F.when(F.col("__dim") == 3, F.col("__score")))
+        .alias("m_score"),
+        F.max("__no").alias("n_orders"),
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")
