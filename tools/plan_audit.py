@@ -98,6 +98,42 @@ def digest(plan: str) -> dict:
     }
 
 
+def digest_formatted(txt: str) -> dict:
+    """Digest an ``explain('formatted')``-style plan text — the format the
+    SQL status store records via ``physicalPlanDescription()``. The
+    tree-mode ``digest()`` regexes silently miscount this format (round
+    16 fix): ``Exchange hashpartitioning`` never appears on one line
+    (the node line is ``(9) Exchange`` and the partitioning sits on the
+    following ``Arguments:`` line, so exchanges read 0), join operators
+    appear twice (once in the summary tree, once as the numbered detail
+    header, so joins read 2x), and codegen is marked ``[codegen id : N]``
+    rather than ``*(N)``. Every counter below matches the numbered
+    DETAIL entries only, which each physical operator has exactly once;
+    ``ReusedExchange``/``BroadcastExchange`` don't match the Exchange
+    pattern by construction."""
+    ex_args = re.findall(
+        r"\(\d+\) Exchange\nInput[^\n]*\nArguments: (\w+)", txt)
+    return {
+        "exchanges": sum(1 for a in ex_args if a != "SinglePartition"),
+        "single_partition_exchanges": sum(
+            1 for a in ex_args if a == "SinglePartition"),
+        "broadcast_joins": len(
+            re.findall(r"\(\d+\) BroadcastHashJoin", txt)),
+        "broadcast_nested_loop": len(
+            re.findall(r"\(\d+\) BroadcastNestedLoopJoin", txt)),
+        "sortmerge_joins": len(re.findall(r"\(\d+\) SortMergeJoin", txt)),
+        "shuffled_hash_joins": len(
+            re.findall(r"\(\d+\) ShuffledHashJoin", txt)),
+        "cartesian": len(re.findall(r"\(\d+\) CartesianProduct", txt)),
+        "codegen_stages": len(
+            set(re.findall(r"\[codegen id : (\d+)\]", txt))),
+        "pushed_filters": len(re.findall(r"PushedFilters: \[[^\]]", txt)),
+        "python_stages": len(re.findall(
+            r"\(\d+\) (?:MapInPandas|ArrowEvalPython"
+            r"|FlatMapGroupsInPandas|BatchEvalPython)", txt)),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
@@ -152,7 +188,8 @@ def main() -> None:
         n = 0
         for i in range(lo, lst.size()):
             n += 1
-            for k, v in digest(lst.apply(i).physicalPlanDescription()).items():
+            for k, v in digest_formatted(
+                    lst.apply(i).physicalPlanDescription()).items():
                 total[k] = total.get(k, 0) + v
         return total, n
 
