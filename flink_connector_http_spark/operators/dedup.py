@@ -3732,8 +3732,10 @@ def _exsub_spans(
         "apply (cut the repeated extents, keep the rest of the doc). "
         "Each maximal pair-span contributes its doc_a interval and the "
         "diagonal-shifted doc_b interval; per-doc interval union is one "
-        "running-max window + gaps-and-islands grouping (interval rows "
-        "made DISTINCT first so tie order cannot differ between engines). "
+        "running-max window + gaps-and-islands grouping (the oracle's "
+        "DISTINCT over interval rows is omitted Spark-side: the "
+        "running-max merge is duplicate-insensitive, see "
+        "_exsub_merged_ranges). "
         "Output: merged range count, chars flagged, fraction of the doc "
         "(1.0 = whole doc duplicated somewhere). Shuffle shape: the span "
         "builder's anchor join plus ONE doc_id exchange shared by the "
@@ -3799,15 +3801,27 @@ def _exsub_merged_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r")
         )
         .select("r.doc_id", "r.s", "r.e")
-        # round 16 (guide §2.4): repartition by doc_id BEFORE the
-        # distinct. hashpartitioning(doc_id) satisfies the distinct's
-        # clustering requirement on (doc_id, s, e) AND the interval-union
-        # window's on doc_id, so the dedup aggregate and both window
-        # passes ride ONE exchange — the former dropDuplicates-first
-        # order paid a (doc_id, s, e) exchange and then a second doc_id
-        # exchange for the window over the very same rows.
+        # round 16 (guide §2.4/§5): ONE doc_id exchange feeds the
+        # interval-union windows directly — no dropDuplicates. The r15
+        # shape paid a (doc_id, s, e) exchange for a distinct and then a
+        # second doc_id exchange for the windows; a first r16 cut kept
+        # the distinct riding this one exchange, but that put the
+        # distinct's final hash aggregate, the window sort, and the
+        # rollup's partial aggregate in ONE stage — three concurrent
+        # memory consumers, and a 100x child run OOM'd the sorter
+        # (UNABLE_TO_ACQUIRE_MEMORY in growPointerArrayIfNecessary: the
+        # hash table held the pool). The distinct is PROVABLY redundant
+        # here: the merge below is a running MAX(e) over a ROWS frame
+        # ordered by (s, e) — a duplicate interval row always satisfies
+        # s <= prev_max (its twin's e >= s precedes it), so it can never
+        # open a group, never increments g, and never moves a group's
+        # MIN(s)/MAX(e); both consumers then collapse on (doc_id, g).
+        # Dropping it leaves the sorter as the stage's one large
+        # consumer (spills gracefully), with sort volume <= the islands
+        # window's match-row sort that already runs clean at 100x.
+        # The DuckDB oracles keep their DISTINCT — outputs are equal by
+        # the argument above, pinned by the oracle gate at two SFs.
         .repartition("doc_id")
-        .dropDuplicates(["doc_id", "s", "e"])
     )
     w_prev = (
         Window.partitionBy("doc_id")
